@@ -1,38 +1,453 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query (q1 pricing summary) on sf0.001.
+queries()       — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()    — DuckDB-equivalent ANSI SQL for each query key.
+
+Determinism strategy: money/measure columns are exact low-decimal
+values stored as double, so both sides cast to DECIMAL before
+summing (order-independent exact sums), divide/convert in double
+(bit-identical), and round identically. Per-row expressions are
+written with the same operation order in Spark and SQL so IEEE
+arithmetic is bit-identical.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hillview_spark.tables import load_table
+from hillview_spark.queries import tpch
+from hillview_spark.operators import (
+    correlation,
+    filters,
+    heavy_hitters,
+    histogram,
+    maps,
+    sampling,
+    spreadsheet,
+    stats,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: q1 pricing summary at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    return tpch.q1_pricing_summary(_t(spark, sf_dir, "lineitem"))
 
+
+# ------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- TPC-H-ish analytical queries -------------------------------
+    q["q1_pricing_summary"] = lambda s, d: tpch.q1_pricing_summary(
+        _t(s, d, "lineitem")
+    )
+    q["q3_shipping_priority"] = lambda s, d: tpch.q3_shipping_priority(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q5_local_supplier"] = lambda s, d: tpch.q5_local_supplier(
+        _t(s, d, "customer"),
+        _t(s, d, "orders"),
+        _t(s, d, "lineitem"),
+        _t(s, d, "supplier"),
+        _t(s, d, "nation"),
+        _t(s, d, "region"),
+    )
+    q["q6_revenue_forecast"] = lambda s, d: tpch.q6_revenue_forecast(
+        _t(s, d, "lineitem")
+    )
+
+    # --- histogram sketches -----------------------------------------
+    q["histogram1d_numeric"] = lambda s, d: histogram.histogram1d(
+        _t(s, d, "lineitem"), "l_extendedprice", 40
+    )
+    q["cdf_numeric"] = lambda s, d: histogram.cdf(
+        _t(s, d, "lineitem"), "l_extendedprice", 100
+    )
+    q["histogram2d_heatmap"] = lambda s, d: histogram.histogram2d(
+        _t(s, d, "lineitem"), "l_quantity", "l_extendedprice", 10, 10
+    )
+    q["histogram3d_trellis"] = lambda s, d: histogram.histogram_nd(
+        _t(s, d, "lineitem"),
+        [("l_returnflag", 0), ("l_quantity", 5), ("l_extendedprice", 5)],
+    )
+    q["histogram_string"] = lambda s, d: histogram.histogram_string(
+        _t(s, d, "orders"), "o_orderpriority"
+    )
+    q["histogram_date_month"] = lambda s, d: histogram.histogram_date(
+        _t(s, d, "orders"), "o_orderdate", "month"
+    )
+    q["data_range"] = lambda s, d: histogram.data_range(
+        _t(s, d, "lineitem"), "l_extendedprice"
+    )
+
+    # --- stats sketches ---------------------------------------------
+    q["quantiles_price"] = lambda s, d: stats.quantiles(
+        _t(s, d, "lineitem"), "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9]
+    )
+    q["basic_col_stats"] = lambda s, d: stats.basic_col_stats(
+        _t(s, d, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    q["distinct_count"] = lambda s, d: stats.distinct_count(
+        _t(s, d, "lineitem"), "l_partkey"
+    )
+    q["distinct_values"] = lambda s, d: stats.distinct_values(
+        _t(s, d, "documents"), "lang"
+    )
+    q["table_summary"] = lambda s, d: stats.table_summary(_t(s, d, "orders"))
+
+    # --- spreadsheet view -------------------------------------------
+    q["next_k_rows"] = lambda s, d: spreadsheet.next_k(
+        _t(s, d, "lineitem"),
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        k=20,
+    )
+    q["next_k_after"] = lambda s, d: spreadsheet.next_k(
+        _t(s, d, "lineitem"),
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        k=20,
+        start=("N", "O", 10.0),
+    )
+    q["find_substring"] = lambda s, d: spreadsheet.find_rows(
+        _t(s, d, "documents"), "text", "spark merge", mode="substring"
+    )
+
+    # --- heavy hitters ----------------------------------------------
+    q["heavy_hitters"] = lambda s, d: heavy_hitters.heavy_hitters(
+        _t(s, d, "documents"), ["lang"], epsilon=0.13
+    )
+    q["exact_freq"] = lambda s, d: heavy_hitters.exact_freq(
+        _t(s, d, "events"), "event_type", ["click", "view", "error"]
+    )
+
+    # --- filters / maps ---------------------------------------------
+    q["range_filter"] = lambda s, d: _t(s, d, "lineitem").where(
+        filters.range_filter("l_shipdate", "1996-01-01", "1996-12-31")
+        & filters.range_filter("l_quantity", 10, 20)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    q["string_filter_regex"] = lambda s, d: _t(s, d, "documents").where(
+        filters.string_filter("text", r"agg\s+(join|merge)", mode="regex",
+                              case_sensitive=True)
+    ).select("doc_id")
+    q["project_columns"] = lambda s, d: maps.project(
+        _t(s, d, "part"), ["p_partkey", "p_brand", "p_retailprice"]
+    )
+    q["convert_column"] = lambda s, d: maps.convert_column(
+        _t(s, d, "orders"), "o_custkey", "string", "cust_str"
+    ).select("o_orderkey", "cust_str")
+    q["computed_column"] = lambda s, d: maps.computed_column(
+        _t(s, d, "lineitem"),
+        "revenue",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)",
+    ).select("l_orderkey", "l_linenumber", "revenue")
+    q["extract_json_value"] = lambda s, d: maps.extract_json_value(
+        _t(s, d, "events"), "props", "k", "k_value"
+    ).select("event_id", "k_value")
+    q["set_operation"] = lambda s, d: maps.set_operation(
+        _t(s, d, "documents").where(F.col("text").contains("spark")).select("doc_id"),
+        _t(s, d, "documents").where(F.col("text").contains("merge")).select("doc_id"),
+        "intersect",
+    )
+    q["interval_column"] = lambda s, d: maps.interval_column(
+        _t(s, d, "lineitem"), "qty_range", "l_quantity", "l_extendedprice"
+    ).select("l_orderkey", "l_linenumber", "qty_range")
+
+    # --- sampling ----------------------------------------------------
+    q["systematic_sample"] = lambda s, d: sampling.systematic_sample(
+        _t(s, d, "lineitem"), "l_orderkey", 100
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+    # --- correlation / projection -----------------------------------
+    q["corr_matrix"] = lambda s, d: correlation.corr_matrix(
+        _t(s, d, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    q["category_centroids"] = lambda s, d: correlation.category_centroids(
+        _t(s, d, "events"), "event_type", ["value"]
+    )
+    q["jl_project"] = lambda s, d: correlation.jl_project(
+        _t(s, d, "part"), ["p_size", "p_retailprice"], k=2
+    ).select("p_partkey", "jl0", "jl1")
+    q["pca_project"] = lambda s, d: correlation.pca_project(
+        _t(s, d, "part"), ["p_size", "p_retailprice"], k=2
+    ).select("p_partkey", "pc0", "pc1")
+
+    return q
+
+
+# ---------------------------------------------------------------- oracle
+
+def _jl_sql() -> str:
+    """Build the JL oracle with the same sin-derived sign constants
+    as correlation.jl_project (k=2 over p_size, p_retailprice)."""
+    import math
+
+    k, cols = 2, ["p_size", "p_retailprice"]
+    scale = 1.0 / math.sqrt(k)
+    exprs = []
+    for j in range(k):
+        terms = ["0.0"]
+        for i, c in enumerate(cols):
+            s = math.sin(1.0 + j * 97 + i * 13)
+            w = scale if s >= 0 else -scale
+            terms.append(f"(CAST({c} AS DOUBLE) * {w!r})")
+        exprs.append(f"round({' + '.join(terms)}, 6) AS jl{j}")
+    return f"SELECT p_partkey, {', '.join(exprs)} FROM part"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    dec = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
+    revenue = f"{dec('l_extendedprice')} * (1 - {dec('l_discount')})"
+
+    o: dict[str, str] = {}
+
+    o["q1_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM({dec('l_quantity')}) AS DOUBLE) AS sum_qty,
+          CAST(SUM({dec('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+          CAST(SUM({revenue}) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(({revenue}) * (1 + {dec('l_tax')})) AS DOUBLE) AS sum_charge,
+          round(CAST(SUM({dec('l_quantity')}) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+          round(CAST(SUM({dec('l_extendedprice')}) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+          round(CAST(SUM({dec('l_discount')}) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q3_shipping_priority"] = f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM({revenue}) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+
+    o["q5_local_supplier"] = f"""
+        SELECT n_name, CAST(SUM({revenue}) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """
+
+    o["q6_revenue_forecast"] = f"""
+        SELECT CAST(SUM({dec('l_extendedprice')} * {dec('l_discount')}) AS DOUBLE)
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """
+
+    def hist1d(col: str, table: str, nb: int) -> str:
+        return f"""
+        WITH rng AS (SELECT min({col}) mn, max({col}) mx FROM {table}),
+        counted AS (
+          SELECT CAST(least(greatest(CAST(floor(({col} - mn) / ((mx - mn) / {nb}.0))
+                 AS BIGINT), 0), {nb - 1}) AS INT) AS bucket, COUNT(*) AS cnt
+          FROM {table}, rng WHERE {col} IS NOT NULL GROUP BY 1)
+        SELECT CAST(s.i AS INT) AS bucket, COALESCE(c.cnt, 0) AS cnt
+        FROM generate_series(0, {nb - 1}) s(i)
+        LEFT JOIN counted c ON c.bucket = s.i
+        """
+
+    o["histogram1d_numeric"] = hist1d("l_extendedprice", "lineitem", 40)
+    o["cdf_numeric"] = f"""
+        SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        FROM ({hist1d('l_extendedprice', 'lineitem', 100)})
+    """
+
+    o["histogram2d_heatmap"] = """
+        WITH rng AS (SELECT min(l_quantity) xmn, max(l_quantity) xmx,
+                            min(l_extendedprice) ymn, max(l_extendedprice) ymx
+                     FROM lineitem)
+        SELECT
+          CAST(least(greatest(CAST(floor((l_quantity - xmn) / ((xmx - xmn) / 10.0))
+               AS BIGINT), 0), 9) AS INT) AS xbucket,
+          CAST(least(greatest(CAST(floor((l_extendedprice - ymn) / ((ymx - ymn) / 10.0))
+               AS BIGINT), 0), 9) AS INT) AS ybucket,
+          COUNT(*) AS cnt
+        FROM lineitem, rng
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    o["histogram3d_trellis"] = """
+        WITH rng AS (SELECT min(l_quantity) q_mn, max(l_quantity) q_mx,
+                            min(l_extendedprice) e_mn, max(l_extendedprice) e_mx
+                     FROM lineitem)
+        SELECT l_returnflag AS l_returnflag_bucket,
+          CAST(least(greatest(CAST(floor((l_quantity - q_mn) / ((q_mx - q_mn) / 5.0))
+               AS BIGINT), 0), 4) AS INT) AS l_quantity_bucket,
+          CAST(least(greatest(CAST(floor((l_extendedprice - e_mn) / ((e_mx - e_mn) / 5.0))
+               AS BIGINT), 0), 4) AS INT) AS l_extendedprice_bucket,
+          COUNT(*) AS cnt
+        FROM lineitem, rng
+        GROUP BY 1, 2, 3
+    """
+
+    o["histogram_string"] = """
+        SELECT o_orderpriority AS value, COUNT(*) AS cnt
+        FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+    """
+
+    o["histogram_date_month"] = """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket_start,
+               COUNT(*) AS cnt
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    """
+
+    o["data_range"] = """
+        SELECT min(l_extendedprice) AS min_val, max(l_extendedprice) AS max_val,
+               count(l_extendedprice) AS present_count,
+               SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS missing_count
+        FROM lineitem
+    """
+
+    o["quantiles_price"] = """
+        SELECT round(quantile_cont(l_extendedprice, 0.1), 4) AS q10,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS q90
+        FROM lineitem
+    """
+
+    def colstat(c: str) -> str:
+        dec4 = f"CAST({c} AS DECIMAL(12,4))"
+        # DECIMAL(20,*) operands force DuckDB onto int128 storage so
+        # the square of a 12-digit decimal cannot overflow.
+        sq = f"CAST({c} AS DECIMAL(20,4)) * CAST({c} AS DECIMAL(20,4))"
+        return f"""
+        SELECT '{c}' AS col_name, count({c}) AS present_count,
+          SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS missing_count,
+          round(CAST(min({c}) AS DOUBLE), 4) AS min_val,
+          round(CAST(max({c}) AS DOUBLE), 4) AS max_val,
+          CAST(SUM({dec4}) AS DOUBLE) AS sum_val,
+          round(CAST(SUM({dec4}) AS DOUBLE) / count({c}), 6) AS mean_val,
+          round(sqrt((CAST(SUM({sq}) AS DOUBLE)
+            - CAST(SUM({dec4}) AS DOUBLE) * CAST(SUM({dec4}) AS DOUBLE)
+              / count({c})) / (count({c}) - 1)), 4) AS stddev_val
+        FROM lineitem
+        """
+
+    o["basic_col_stats"] = " UNION ALL ".join(
+        colstat(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    o["distinct_count"] = (
+        "SELECT count(DISTINCT l_partkey) AS distinct_count FROM lineitem"
+    )
+    o["distinct_values"] = """
+        SELECT DISTINCT lang AS value FROM documents WHERE lang IS NOT NULL
+        ORDER BY value LIMIT 1000
+    """
+    o["table_summary"] = """
+        SELECT col_name, col_type, (SELECT count(*) FROM orders) AS row_count
+        FROM (VALUES ('o_orderkey','bigint'), ('o_custkey','bigint'),
+                     ('o_orderstatus','string'), ('o_totalprice','double'),
+                     ('o_orderdate','timestamp_ntz'), ('o_orderpriority','string'))
+             t(col_name, col_type)
+    """
+
+    o["next_k_rows"] = """
+        SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2, 3
+        ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+    """
+    o["next_k_after"] = """
+        SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
+        FROM lineitem
+        WHERE (l_returnflag > 'N') OR (l_returnflag = 'N' AND l_linestatus > 'O')
+           OR (l_returnflag = 'N' AND l_linestatus = 'O' AND l_quantity > 10.0)
+        GROUP BY 1, 2, 3
+        ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+    """
+    o["find_substring"] = """
+        SELECT COUNT(*) AS match_count FROM documents
+        WHERE contains(lower(text), 'spark merge')
+    """
+
+    o["heavy_hitters"] = """
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        HAVING COUNT(*) >= 0.13 * (SELECT COUNT(*) FROM documents)
+        ORDER BY cnt DESC, lang
+    """
+    o["exact_freq"] = """
+        SELECT event_type AS value, COUNT(*) AS cnt FROM events
+        WHERE event_type IN ('click', 'view', 'error')
+        GROUP BY 1 ORDER BY cnt DESC, value
+    """
+
+    o["range_filter"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <= TIMESTAMP '1996-12-31'
+          AND l_quantity >= 10 AND l_quantity <= 20
+    """
+    o["string_filter_regex"] = r"""
+        SELECT doc_id FROM documents WHERE regexp_matches(text, 'agg\s+(join|merge)')
+    """
+    o["project_columns"] = "SELECT p_partkey, p_brand, p_retailprice FROM part"
+    o["convert_column"] = (
+        "SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS cust_str FROM orders"
+    )
+    o["computed_column"] = f"""
+        SELECT l_orderkey, l_linenumber, CAST({revenue} AS DOUBLE) AS revenue
+        FROM lineitem
+    """
+    o["extract_json_value"] = """
+        SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
+    """
+    o["set_operation"] = """
+        SELECT doc_id FROM documents WHERE contains(text, 'spark')
+        INTERSECT
+        SELECT doc_id FROM documents WHERE contains(text, 'merge')
+    """
+
+    o["systematic_sample"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey % 100 = 0
+    """
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pair_rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"round(corr({a}, {b}), 4) AS corr FROM lineitem"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    o["corr_matrix"] = pair_rows
+
+    o["category_centroids"] = """
+        SELECT event_type AS category, round(avg(value), 4) AS value_mean
+        FROM events GROUP BY 1
+    """
+    o["jl_project"] = _jl_sql()
+
+    return o

@@ -1,0 +1,137 @@
+"""Correlation / projection sketches.
+
+Reference semantics:
+- sketches/PCACorrelationSketch.java:37 + results/CorrMatrix.java:34
+  — full correlation matrix in one pass; eigenvectors computed
+  centrally, data projected onto top components.
+- sketches/SampleCorrelationSketch.java — sampled variant.
+- sketches/JLSketch.java — Johnson-Lindenstrauss random projection.
+- sketches/CategoryCentroidsSketch.java — per-category centroid of
+  numeric columns.
+- maps/LinearProjectionMap.java — project rows onto given vectors.
+
+Spark-first: the correlation matrix is one wide aggregate (all
+pairwise F.corr in a single scan, map-side combine). The d x d
+matrix is tiny, so the eigen-decomposition runs driver-side in
+numpy; the projection itself is a codegen'd linear expression —
+no MLlib, no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def corr_matrix(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFrame:
+    """Pearson correlation for every pair, one scan. Output: one row
+    per (col_x, col_y) ordered pair with x <= y."""
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.round(F.corr(a, b), ndigits).alias(f"{a}|{b}"))
+            names.append((a, b))
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"{a}|{b}").alias("corr"),
+            )
+            for a, b in names
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def linear_project(
+    df: DataFrame, cols: list[str], vectors: list[list[float]], prefix: str = "proj"
+) -> DataFrame:
+    """LinearProjectionMap: append one column per projection vector —
+    a pure arithmetic expression, whole-stage codegen."""
+    out = df
+    for j, vec in enumerate(vectors):
+        expr: Column = F.lit(0.0)
+        for c, w in zip(cols, vec):
+            expr = expr + F.col(c).cast("double") * F.lit(float(w))
+        out = out.withColumn(f"{prefix}{j}", expr)
+    return out
+
+
+def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
+    """PCACorrelationSketch: correlation matrix in one distributed
+    pass -> numpy eigh on the tiny d x d matrix -> project
+    standardized columns onto the top-k eigenvectors with a codegen
+    expression. Deterministic sign convention: largest-|w| component
+    positive."""
+    import numpy as np
+
+    stats = df.agg(
+        *(
+            [F.avg(c).alias(f"{c}__mu") for c in cols]
+            + [F.stddev_samp(c).alias(f"{c}__sd") for c in cols]
+        )
+    ).first()
+    pairs = df.agg(
+        *[
+            F.corr(a, b).alias(f"{i}|{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if i <= j
+        ]
+    ).first()
+    d = len(cols)
+    m = np.eye(d)
+    for i in range(d):
+        for j in range(i, d):
+            v = pairs[f"{i}|{j}"] or 0.0
+            m[i, j] = m[j, i] = v
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    out = df
+    for j, v in enumerate(comps):
+        expr: Column = F.lit(0.0)
+        for ci, c in enumerate(cols):
+            mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"] or 1.0
+            expr = expr + ((F.col(c) - F.lit(mu)) / F.lit(sd)) * F.lit(float(v[ci]))
+        out = out.withColumn(f"pc{j}", F.round(expr, 6))
+    return out
+
+
+def jl_project(
+    df: DataFrame, cols: list[str], k: int = 4, prefix: str = "jl"
+) -> DataFrame:
+    """JLSketch: Johnson-Lindenstrauss projection with deterministic
+    +-1 signs derived from sin(seed) — reproducible in any engine
+    (used by the SQL oracle), scale 1/sqrt(k)."""
+    scale = 1.0 / math.sqrt(k)
+    vectors = []
+    for j in range(k):
+        vec = []
+        for i in range(len(cols)):
+            s = math.sin(1.0 + j * 97 + i * 13)
+            vec.append(scale if s >= 0 else -scale)
+        vectors.append(vec)
+    out = linear_project(df, cols, vectors, prefix=prefix)
+    for j in range(k):
+        out = out.withColumn(f"{prefix}{j}", F.round(F.col(f"{prefix}{j}"), 6))
+    return out
+
+
+def category_centroids(
+    df: DataFrame, category_col: str, numeric_cols: list[str], ndigits: int = 4
+) -> DataFrame:
+    """CategoryCentroidsSketch: mean of each numeric column per
+    category value — a plain groupBy aggregate."""
+    return df.groupBy(F.col(category_col).alias("category")).agg(
+        *[F.round(F.avg(c), ndigits).alias(f"{c}_mean") for c in numeric_cols]
+    )

@@ -1,0 +1,176 @@
+"""Histogram sketches.
+
+Reference semantics:
+- 1-D numeric histogram + CDF:
+  platform/src/main/java/org/hillview/sketches/HistogramSketch.java:27
+- 2-D heatmap: sketches/Histogram2DSketch.java, HeatmapSketch.java
+- 3-D/4-D trellis: sketches/Histogram3DSketch.java, Histogram4DSketch.java
+- bucket kinds: sketches/results/DoubleHistogramBuckets.java,
+  StringHistogramBuckets.java
+- data range: sketches/DoubleDataRangeSketch.java
+
+Spark-first design: the bucket index is computed with built-in
+arithmetic on the scan (whole-stage codegen, no UDF), then a
+groupBy on the small int key — the shuffle carries O(buckets)
+rows after map-side partial aggregation, independent of table
+size. Hillview returns *dense* bucket arrays including empty
+buckets; we reproduce that by left-joining a generated bucket
+spine (F.sequence → explode, a tiny local relation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def data_range(df: DataFrame, col: str) -> DataFrame:
+    """Min/max/count/missing of a column — one scan, tiny result.
+    Mirrors DoubleDataRangeSketch."""
+    return df.agg(
+        F.min(col).alias("min_val"),
+        F.max(col).alias("max_val"),
+        F.count(col).alias("present_count"),
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("missing_count"),
+    )
+
+
+def _bucket_expr(col: Column, mn: Column, mx: Column, buckets: int) -> Column:
+    """Bucket index in [0, buckets): floor((x-mn)/w), max clamped into
+    the last bucket (Hillview's DoubleHistogramBuckets puts max in the
+    last bucket). NULL-safe: nulls stay null and drop out of groupBy.
+    """
+    w = (mx - mn) / F.lit(float(buckets))
+    idx = F.floor((col - mn) / w)
+    return F.least(F.greatest(idx, F.lit(0)), F.lit(buckets - 1)).cast("int")
+
+
+def histogram1d(df: DataFrame, col: str, buckets: int = 40) -> DataFrame:
+    """Dense 1-D histogram: (bucket, count) for every bucket in
+    [0, buckets). Range discovered in the same job via a broadcast
+    1-row aggregate (two scans total at worst; Catalyst reuses the
+    cached relation when available)."""
+    rng = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    src = df.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    counted = (
+        src.crossJoin(F.broadcast(rng))
+        .select(_bucket_expr(F.col("x"), F.col("mn"), F.col("mx"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = df.sparkSession.range(buckets).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        F.broadcast(spine)
+        .join(counted, "bucket", "left")
+        .select("bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+def cdf(df: DataFrame, col: str, buckets: int = 100) -> DataFrame:
+    """Cumulative distribution over histogram buckets (Hillview draws
+    CDFs from a fine-grained histogram — HistogramSketch with a CDF
+    flag). Running sum over O(buckets) rows: the window is driver-
+    trivial because the input is already tiny."""
+    h = histogram1d(df, col, buckets)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return h.select("bucket", F.sum("cnt").over(w).alias("cum_cnt"))
+
+
+def histogram2d(
+    df: DataFrame, xcol: str, ycol: str, xbuckets: int = 25, ybuckets: int = 25
+) -> DataFrame:
+    """2-D heatmap counts. Shuffle is O(xbuckets*ybuckets). Sparse
+    output (Hillview's heatmap result is dense but zero cells carry
+    no information; the UI fills them — we keep the dense spine for
+    the 1-D case and sparse here to bound result size at high
+    resolutions)."""
+    rng = df.agg(
+        F.min(xcol).alias("xmn"),
+        F.max(xcol).alias("xmx"),
+        F.min(ycol).alias("ymn"),
+        F.max(ycol).alias("ymx"),
+    )
+    src = df.select(F.col(xcol).alias("x"), F.col(ycol).alias("y")).where(
+        F.col(xcol).isNotNull() & F.col(ycol).isNotNull()
+    )
+    return (
+        src.crossJoin(F.broadcast(rng))
+        .select(
+            _bucket_expr(F.col("x"), F.col("xmn"), F.col("xmx"), xbuckets).alias("xbucket"),
+            _bucket_expr(F.col("y"), F.col("ymn"), F.col("ymx"), ybuckets).alias("ybucket"),
+        )
+        .groupBy("xbucket", "ybucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_nd(df: DataFrame, specs: list[tuple[str, int]]) -> DataFrame:
+    """N-dimensional histogram (Hillview's 3-D/4-D trellis views:
+    Histogram3DSketch/Histogram4DSketch nest Groups<>). specs =
+    [(col, buckets), ...]; numeric columns are range-bucketed, string
+    columns group by value (Hillview trellis splits on categorical
+    values)."""
+    numeric = [
+        (c, b)
+        for c, b in specs
+        if dict(df.dtypes)[c] not in ("string", "boolean")
+    ]
+    rng_aggs = []
+    for c, _ in numeric:
+        rng_aggs += [F.min(c).alias(f"{c}_mn"), F.max(c).alias(f"{c}_mx")]
+    src = df.select([c for c, _ in specs]).na.drop()
+    if rng_aggs:
+        src = src.crossJoin(F.broadcast(df.agg(*rng_aggs)))
+    outs = []
+    for c, b in specs:
+        if dict(df.dtypes)[c] in ("string", "boolean"):
+            outs.append(F.col(c).alias(f"{c}_bucket"))
+        else:
+            outs.append(
+                _bucket_expr(
+                    F.col(c), F.col(f"{c}_mn"), F.col(f"{c}_mx"), b
+                ).alias(f"{c}_bucket")
+            )
+    keys = [f"{c}_bucket" for c, _ in specs]
+    return src.select(*outs).groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_string(df: DataFrame, col: str, max_buckets: int = 100) -> DataFrame:
+    """String histogram. Hillview's StringHistogramBuckets uses sorted
+    boundary strings when cardinality exceeds the bucket budget; for
+    low-cardinality columns it is exact per-value counts. We implement
+    the exact path (groupBy value) — the boundary path is
+    histogram_string_bounded below."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_string_bounded(
+    df: DataFrame, col: str, boundaries: list[str]
+) -> DataFrame:
+    """Explicit-boundary string histogram (StringHistogramBuckets):
+    bucket i covers [boundaries[i], boundaries[i+1]). Computed as the
+    count of boundaries <= value over a broadcast literal array —
+    JVM-side, O(B) per row, no shuffle beyond O(B) groups."""
+    barr = F.array(*[F.lit(b) for b in sorted(boundaries)])
+    val = F.col(col)
+    idx = F.size(F.filter(barr, lambda b: b <= val)) - F.lit(1)
+    return (
+        df.where(val.isNotNull() & (val >= F.lit(sorted(boundaries)[0])))
+        .select(idx.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_date(df: DataFrame, col: str, unit: str = "month") -> DataFrame:
+    """Date/time histogram by calendar unit (Hillview buckets
+    date columns by regular intervals; calendar truncation is the
+    idiomatic Spark form and pushes to the scan)."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.date_trunc(unit, F.col(col)).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,90 @@
+"""Row-wise table transformations (Hillview 'maps').
+
+Reference semantics (platform/src/main/java/org/hillview/maps/):
+- ProjectMap.java — column projection.
+- ConvertColumnMap.java — type conversion of a column.
+- CreateColumnJSMap.java — computed column from a JavaScript UDF.
+  Spark-first replacement: a SQL expression (Catalyst, codegen) —
+  arbitrary Python via an Arrow-batched Pandas UDF only as the
+  escape hatch (computed_column_pandas).
+- CreateIntervalColumnMap.java — interval column from two numerics.
+- RenameColumnMap.java / AppendOrReplaceColumnMap.java.
+- ExtractValueFromKeyMap.java — pull a key's value out of a
+  JSON-ish column.
+- SetOperationMap.java — union / intersection / difference of two
+  row sets (Hillview tracks row membership sets; on DataFrames the
+  same semantics are the SQL set operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DataType
+
+
+def project(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.select(*cols)
+
+
+def rename_column(df: DataFrame, old: str, new: str) -> DataFrame:
+    return df.withColumnRenamed(old, new)
+
+
+def convert_column(
+    df: DataFrame, col: str, to_type: str, new_name: str | None = None
+) -> DataFrame:
+    """ConvertColumnMap: cast with SQL semantics (invalid → NULL,
+    matching Hillview's missing-on-parse-failure)."""
+    out = new_name or col
+    return df.withColumn(out, F.col(col).cast(to_type))
+
+
+def computed_column(df: DataFrame, name: str, sql_expr: str) -> DataFrame:
+    """CreateColumnJSMap, Spark-first: the computation is a SQL
+    expression compiled by Catalyst into codegen — stays JVM-side."""
+    return df.withColumn(name, F.expr(sql_expr))
+
+
+def computed_column_pandas(
+    df: DataFrame, name: str, fn: Callable[..., "pd.Series"], input_cols: list[str],
+    return_type: "DataType | str" = "double",
+) -> DataFrame:
+    """Escape hatch for genuinely non-SQL logic: Arrow-batched Pandas
+    UDF (vectorized; ~10-100x faster than row-at-a-time Python)."""
+    udf = F.pandas_udf(fn, return_type)
+    return df.withColumn(name, udf(*[F.col(c) for c in input_cols]))
+
+
+def interval_column(df: DataFrame, name: str, start_col: str, end_col: str) -> DataFrame:
+    """CreateIntervalColumnMap: Hillview's Interval kind is a (start,
+    end) pair; struct<start,end> is the Spark-native encoding."""
+    return df.withColumn(
+        name,
+        F.struct(F.col(start_col).alias("start"), F.col(end_col).alias("end")),
+    )
+
+
+def extract_json_value(
+    df: DataFrame, json_col: str, key: str, name: str | None = None
+) -> DataFrame:
+    """ExtractValueFromKeyMap: get one key's value from a JSON column.
+    get_json_object is JVM-side and null-safe on malformed input."""
+    out = name or key
+    return df.withColumn(out, F.get_json_object(F.col(json_col), f"$.{key}"))
+
+
+def set_operation(a: DataFrame, b: DataFrame, op: str) -> DataFrame:
+    """SetOperationMap over two row sets with identical schema.
+    union keeps duplicates (bag union, Hillview's Union of
+    membership sets over the same base table is disjoint anyway);
+    intersect/except are set-semantic, matching row-set logic."""
+    if op == "union":
+        return a.unionByName(b)
+    if op == "intersect":
+        return a.intersect(b)
+    if op == "except":
+        return a.exceptAll(b)
+    raise ValueError(f"unknown set operation: {op}")

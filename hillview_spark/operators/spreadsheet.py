@@ -1,0 +1,70 @@
+"""The spreadsheet view: next-K rows under a sort order, and find.
+
+Reference semantics:
+- sketches/NextKSketch.java:46 — given a sort order and an optional
+  start row, return the next K *distinct* rows (on the sort columns)
+  with the count of occurrences of each (NextKList). This is what
+  makes Hillview a "spreadsheet": scrolling = repeated next_k.
+- sketches/FindSketch.java — find rows matching a string predicate
+  at-or-after a position in the sort order.
+
+Spark-first: next_k is groupBy(sort cols) → count → ORDER BY LIMIT K,
+which Spark executes as partial agg + TakeOrderedAndProject: each
+partition keeps a K-row heap and the driver merges — no global sort
+shuffle. That is precisely NextKSketch's per-partition top-K merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _after_start(sort_cols: list[str], ascending: list[bool], start: tuple) -> Column:
+    """Lexicographic 'row > start' predicate over the sort order."""
+    cond = F.lit(False)
+    for i in range(len(sort_cols) - 1, -1, -1):
+        c = F.col(sort_cols[i])
+        gt = c > F.lit(start[i]) if ascending[i] else c < F.lit(start[i])
+        cond = gt | ((c == F.lit(start[i])) & cond)
+    return cond
+
+
+def next_k(
+    df: DataFrame,
+    sort_cols: list[str],
+    k: int = 20,
+    ascending: list[bool] | None = None,
+    start: tuple | None = None,
+) -> DataFrame:
+    """NextKList: the next k distinct sort-key rows after `start`,
+    each with its duplicate count."""
+    if ascending is None:
+        ascending = [True] * len(sort_cols)
+    if start is not None:
+        df = df.where(_after_start(sort_cols, ascending, start))
+    order = [
+        F.col(c).asc() if asc else F.col(c).desc()
+        for c, asc in zip(sort_cols, ascending)
+    ]
+    return (
+        df.groupBy(*sort_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def find_rows(
+    df: DataFrame,
+    col: str,
+    pattern: str,
+    mode: str = "substring",
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """FindSketch: count of matching rows (the UI jumps to the first
+    match; the count powers 'n matches'). mode: substring | regex |
+    exact | prefix — mirrors StringFilterDescription's kinds."""
+    from hillview_spark.operators.filters import string_filter
+
+    pred = string_filter(col, pattern, mode=mode, case_sensitive=case_sensitive)
+    return df.where(pred).agg(F.count(F.lit(1)).alias("match_count"))

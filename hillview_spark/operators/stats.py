@@ -1,0 +1,147 @@
+"""Column statistics / summary sketches.
+
+Reference semantics:
+- sketches/BasicColStatSketch.java:31 — per-column presence count,
+  missing count, min, max, and moments (mean, stddev).
+- sketches/SummarySketch.java — schema + row count.
+- sketches/HLogLogSketch.java:30 — approximate distinct count.
+- sketches/DistinctStringsSketch.java / SampleDistinctElementsSketch
+  — distinct value sets.
+- sketches/SampleQuantileSketch.java:39 / HistogramQuantilesSketch —
+  quantiles for the sorted spreadsheet scrollbar.
+- sketches/CounterSketch.java — row count.
+
+All are single-scan aggregations with map-side combine → O(1)-ish
+results; exactly Spark's partial-aggregate execution of groupBy-less
+``agg``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def row_count(df: DataFrame) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def table_summary(df: DataFrame) -> DataFrame:
+    """Schema + row count (SummarySketch). One row per column so the
+    result is a DataFrame (driver-friendly)."""
+    cnt = df.count()
+    rows = [(name, dtype, cnt) for name, dtype in df.dtypes]
+    return df.sparkSession.createDataFrame(
+        rows, "col_name string, col_type string, row_count long"
+    )
+
+
+def basic_col_stats(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFrame:
+    """BasicColStatSketch: one output row per column with presence,
+    missing, min, max, sum, mean, stddev (sample). Computed as a
+    single wide aggregate (one scan for all columns), then unpivoted
+    driver-side — the aggregate result is 1 row, so the unpivot is
+    free.
+
+    Sums go through DECIMAL so they are exact and order-independent
+    (reproducible across partitionings and engines); mean and stddev
+    are then pure double arithmetic on those exact sums.
+    """
+    aggs = []
+    for c in cols:
+        dec = F.col(c).cast("decimal(12,4)")
+        n = F.count(c)
+        s = F.sum(dec).cast("double")
+        sq = F.sum(dec * dec).cast("double")
+        aggs += [
+            n.alias(f"{c}__present"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
+            F.round(F.min(c).cast("double"), ndigits).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), ndigits).alias(f"{c}__max"),
+            s.alias(f"{c}__sum"),
+            F.round(s / n, 6).alias(f"{c}__mean"),
+            F.round(F.sqrt((sq - s * s / n) / (n - F.lit(1))), ndigits).alias(
+                f"{c}__stddev"
+            ),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args.append(
+            (
+                F.lit(c),
+                F.col(f"{c}__present"),
+                F.col(f"{c}__missing"),
+                F.col(f"{c}__min"),
+                F.col(f"{c}__max"),
+                F.col(f"{c}__sum"),
+                F.col(f"{c}__mean"),
+                F.col(f"{c}__stddev"),
+            )
+        )
+    structs = F.array(
+        *[
+            F.struct(
+                a[0].alias("col_name"),
+                a[1].alias("present_count"),
+                a[2].alias("missing_count"),
+                a[3].alias("min_val"),
+                a[4].alias("max_val"),
+                a[5].alias("sum_val"),
+                a[6].alias("mean_val"),
+                a[7].alias("stddev_val"),
+            )
+            for a in stack_args
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def distinct_count(df: DataFrame, col: str) -> DataFrame:
+    """Exact distinct count. Spark executes this as a two-stage
+    partial-distinct then count — the exact analogue of merging
+    per-partition distinct sets."""
+    return df.agg(F.countDistinct(col).alias("distinct_count"))
+
+
+def distinct_count_approx(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct count (HLogLogSketch). Mergeable sketch
+    per partition, merged JVM-side."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias("distinct_count_approx"))
+
+
+def distinct_values(df: DataFrame, col: str, limit: int = 1000) -> DataFrame:
+    """Distinct value list (DistinctStringsSketch). Bounded by limit
+    so the driver result stays small; ordered for determinism."""
+    return (
+        df.select(F.col(col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .orderBy("value")
+        .limit(limit)
+    )
+
+
+def quantiles(
+    df: DataFrame, col: str, probs: list[float], ndigits: int = 4
+) -> DataFrame:
+    """Exact interpolated quantiles (matches SQL percentile_cont /
+    DuckDB quantile_cont). Hillview's SampleQuantileSketch trades
+    exactness for one pass; Spark's `percentile` is also a single
+    pass with bounded state at these cardinalities. For truly massive
+    columns use quantiles_approx below."""
+    exprs = [
+        F.round(F.expr(f"percentile({col}, {p})"), ndigits).alias(f"q{int(p*100):02d}")
+        for p in probs
+    ]
+    return df.agg(*exprs)
+
+
+def quantiles_approx(
+    df: DataFrame, col: str, probs: list[float], accuracy: int = 10000
+) -> DataFrame:
+    """Approximate quantiles via Greenwald-Khanna style sketch
+    (percentile_approx) — the 100 TB path, mergeable per partition."""
+    plist = ", ".join(str(p) for p in probs)
+    return df.agg(
+        F.expr(f"percentile_approx({col}, array({plist}), {accuracy})").alias("quantiles")
+    )

@@ -1,0 +1,128 @@
+"""TPC-H-shaped analytical benchmark queries over the synthetic star
+schema. These anchor bench.py against BASELINE and exercise the
+join/agg machinery at scale.
+
+Scale notes (100 TB): every query filters the fact table *before*
+joining (predicate pushdown to the parquet scan), joins dimensions
+via broadcast (no fact-table shuffle for dims), and aggregates with
+map-side partial combine.
+
+Determinism note: money columns are exact 2-decimal values stored as
+double; we cast to DECIMAL before summing so aggregates are exact
+and order-independent — bit-identical across engines (and across
+cluster re-runs), then surfaced as rounded doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dec(col: str, scale: int = 2) -> Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Pricing summary report: group the filtered fact table by the
+    two flag columns; sums/averages in exact decimal. Single scan,
+    map-side combine, O(|groups|) shuffle."""
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 4).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(_dec("l_discount")).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Top-10 orders by revenue for one market segment. customer is
+    broadcast; orders⋈lineitem is the only shuffle. The final ORDER
+    BY+LIMIT is TakeOrderedAndProject (no global sort)."""
+    cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ord_f = orders.where(F.col("o_orderdate") < F.lit("1998-03-15")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > F.lit("1995-03-15")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(
+            ord_f.join(broadcast(cust), ord_f.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue by nation where customer and supplier share a nation.
+    All dimensions broadcast; lineitem shuffles once (to orders)."""
+    r = region.where(F.col("r_name") == "ASIA")
+    n = nation.join(broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = customer.join(
+        broadcast(n.select(F.col("n_nationkey").alias("c_nk"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "c_nationkey")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q6_revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """Pure filter+sum over the fact table — the pushdown showcase.
+    All predicates reach the parquet scan."""
+    return lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )

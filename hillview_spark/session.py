@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for large clusters: AQE re-plans at runtime
+(partition coalescing, skew-join splitting), Arrow for any
+Python<->JVM transfer, and a generous broadcast threshold so
+dimension tables (region/nation/supplier/part) never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hillview-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        # Runtime re-planning: coalesce tiny post-shuffle partitions,
+        # split skewed join partitions. Essential at 100 TB.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow-batched transfer for the few Pandas-UDF paths.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Dimension tables at TPC-H-ish shape stay well under this;
+        # broadcast instead of shuffling the fact table.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Read-side parallelism: default 128 MiB splits.
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        # Some sources write TIMESTAMP(NANOS) parquet, which Spark's
+        # timestamp type (micros) cannot hold; read as long and let
+        # tables.load_table surface micros + raw-nanos columns.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
