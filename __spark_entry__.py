@@ -31,6 +31,8 @@ from hillview_spark.operators import (
     spreadsheet,
     stats,
 )
+from hillview_spark.functions import dedup, similarity, text
+from hillview_spark.streaming import events as ev
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -185,10 +187,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "part"), ["p_size", "p_retailprice"], k=2
     ).select("p_partkey", "pc0", "pc1")
 
+    # --- dedup (LLM-pipeline) ----------------------------------------
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents"), threshold=0.3
+    )
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _t(s, d, "documents"), num_hashes=16, bands=4
+    )
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
+        _t(s, d, "documents"), max_hamming=3
+    )
+    q["text_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
+
+    # --- similarity search (LLM-pipeline) ----------------------------
+    q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _t(s, d, "embeddings"), query_id=0, k=10
+    )
+    q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh(
+        _t(s, d, "embeddings"), query_id=0, k=10, planes=4
+    )
+    q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_dup_pairs(
+        _t(s, d, "embeddings"), threshold=0.4
+    )
+
+    # --- text analysis (LLM-pipeline) ---------------------------------
+    q["text_token_count"] = lambda s, d: text.token_count(_t(s, d, "documents"))
+    q["text_quality_score"] = lambda s, d: text.quality_score(
+        _t(s, d, "documents")
+    )
+    q["text_lang_id"] = lambda s, d: text.lang_id(_t(s, d, "documents"))
+
+    # --- streaming-semantics (batch-checkable) ------------------------
+    q["events_windowed_counts"] = lambda s, d: ev.windowed_counts(
+        _t(s, d, "events"), "hour"
+    )
+    q["events_sessionize"] = lambda s, d: ev.sessionize(
+        _t(s, d, "events"), gap_minutes=30
+    )
+
     return q
 
 
 # ---------------------------------------------------------------- oracle
+
+# Shared SQL fragments for the dedup/text oracles (DuckDB dialect).
+_SHINGLES = r"""
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2] AS s
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) u(i))
+"""
+
+# Exact decimal vector ops mirroring functions/similarity.py: elements
+# double→DECIMAL(10,8), exact sums, double math in the same shape.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(10,8))"
+        f" * CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(10,8))"
+        f" FOR i IN generate_series(1, 64)])"
+    )
+
+
+def _cos_sql(dot: str, na: str, nb: str) -> str:
+    return (
+        f"CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE))"
+        f" * sqrt(CAST({nb} AS DOUBLE)))"
+    )
+
+
+def _minhash_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:'||s)) AS h{i}" for i in range(16)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{b*4}||h{b*4+1}||h{b*4+2}||h{b*4+3} AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH {_SHINGLES},
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_pairs_sql() -> str:
+    return r"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+                      FROM documents),
+        h AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM toks),
+        bits AS (SELECT doc_id, j,
+                        SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, UNNEST(generate_series(0, 59)) u(j) GROUP BY 1, 2),
+        fp AS (SELECT doc_id,
+                      SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                               ELSE CAST(0 AS BIGINT) END) AS fingerprint
+               FROM bits GROUP BY 1),
+        ck AS (SELECT doc_id, fingerprint, ci,
+                      (fingerprint >> (ci*15)) & 32767 AS cv
+               FROM fp, UNNEST([0,1,2,3]) u(ci))
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+        FROM ck a JOIN ck b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+    """
+
+
+def _ann_lsh_sql(planes: int = 4, k: int = 10) -> str:
+    from hillview_spark.functions.similarity import hyperplanes
+
+    hp = hyperplanes(64, planes)
+    bit_exprs = []
+    for row in hp:
+        wl = "[" + ", ".join(f"CAST({w} AS DECIMAL(12,10))" for w in row) + "]"
+        dot = (
+            f"list_sum([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(10,8))"
+            f" * ({wl})[i] FOR i IN generate_series(1, 64)])"
+        )
+        bit_exprs.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    bucket = "||".join(bit_exprs)
+    dot = _dot_sql("embedding", "qv")
+    cos = _cos_sql(dot, "nrm", "qn")
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket,
+                          {_dot_sql('embedding', 'embedding')} AS nrm
+                   FROM embeddings),
+        q AS (SELECT embedding AS qv, bucket AS qb, nrm AS qn FROM b WHERE vec_id = 0)
+        SELECT vec_id, round({cos}, 6) AS cosine
+        FROM b, q WHERE bucket = qb AND vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
 
 def _jl_sql() -> str:
     """Build the JL oracle with the same sin-derived sign constants
@@ -449,5 +582,117 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
     """
     o["jl_project"] = _jl_sql()
+
+    # --- dedup ---------------------------------------------------------
+    o["dedup_exact"] = """
+        SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+    o["dedup_ngram_jaccard"] = f"""
+        WITH {_SHINGLES},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = d1
+                   JOIN sizes sb ON sb.doc_id = d2
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    """
+    o["dedup_minhash_lsh"] = _minhash_sql()
+    o["dedup_simhash"] = _simhash_pairs_sql()
+    o["text_fingerprint"] = r"""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """
+
+    # --- similarity ------------------------------------------------------
+    _nrm = _dot_sql("embedding", "embedding")
+    o["ann_cosine_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings),
+        q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        SELECT vec_id,
+               round({_cos_sql(_dot_sql('embedding', 'qv'), 'nrm', 'qn')}, 6) AS cosine
+        FROM e, q WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+    o["ann_lsh_topk"] = _ann_lsh_sql(planes=4, k=10)
+    o["dedup_embedding_cosine"] = f"""
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings)
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({_cos_sql(_dot_sql('a.embedding', 'b.embedding'), 'a.nrm', 'b.nrm')}, 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WHERE cosine >= 0.4
+    """
+
+    # --- text analysis ---------------------------------------------------
+    o["text_token_count"] = r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+               length(text) AS n_chars
+        FROM documents
+    """
+    o["text_quality_score"] = r"""
+        WITH x AS (SELECT doc_id,
+            length(text) AS n_chars,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+            len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
+            len(regexp_extract_all(lower(text),
+                '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS stop
+          FROM documents)
+        SELECT doc_id, n_tokens,
+          round(CAST(stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+          round(CAST(punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+          round((least(CAST(stop AS DOUBLE) / n_tokens * 2, 1.0)
+                 + 1.0 / (1.0 + CAST(punct AS DOUBLE) / n_chars * 10)
+                 + CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) / 3.0, 4) AS quality
+        FROM x
+    """
+    o["text_lang_id"] = r"""
+        WITH x AS (SELECT doc_id,
+            len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+            len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS en,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|de|un|une|est|dans)\b')) AS fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|de|un|una|es|en)\b')) AS es,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|eine|ist|zu)\b')) AS de
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN cjk > 0 THEN 'zh'
+               WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+               WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+               WHEN es >= de AND es > 0 THEN 'es'
+               WHEN de > 0 THEN 'de'
+               ELSE 'unknown' END AS lang_pred
+        FROM x
+    """
+
+    # --- streaming-semantics (batch-checkable) ---------------------------
+    o["events_windowed_counts"] = """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    o["events_sessionize"] = """
+        WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        g AS (SELECT user_id, event_id, tsu,
+                CASE WHEN epoch_us(tsu) - lag(epoch_us(tsu)) OVER w IS NULL
+                       OR epoch_us(tsu) - lag(epoch_us(tsu)) OVER w > 30*60*1000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        s AS (SELECT user_id, tsu,
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(date_trunc('second', min(tsu)) AS TIMESTAMP) AS session_start,
+               CAST(date_trunc('second', max(tsu)) AS TIMESTAMP) AS session_end
+        FROM s GROUP BY 1, 2
+    """
 
     return o

@@ -1,0 +1,238 @@
+"""Document deduplication — exact, MinHash+LSH, SimHash, and n-gram
+Jaccard. (Extension beyond the Hillview reference, SURVEY.md §2.4.)
+
+Scale design: every variant is built on inverted-index joins
+(explode a per-doc key set, equi-join on the key) — never a
+cartesian product. Band/chunk keys are high-cardinality, so the
+shuffles distribute well; frequent-shingle skew can be capped with
+max_df. All hashing is md5-derived so results are engine-portable
+(the DuckDB oracle reproduces them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), TOKEN_RE)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column (JVM-side, no UDF).
+    Docs with fewer than n tokens yield no shingles (Spark's
+    sequence(1,0) would count down, so guard explicitly)."""
+    t = tokens(text)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct
+    text with the keeper (min id) and the duplicate count. Map-side
+    combine makes this a single cheap shuffle on the 128-bit key."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram sets via inverted-index join:
+    docs sharing >=1 shingle become candidates, the join count IS the
+    intersection size, union = |A|+|B|-inter. max_df drops shingles
+    appearing in more than max_df docs (stop-shingle skew guard for
+    the 100-TB path; changes semantics only for ubiquitous grams)."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc").alias("d1"), "s")
+    b = sh.select(F.col("doc").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .where(jac >= F.lit(threshold))
+        .select(
+            F.col("d1").alias("doc_id_1"),
+            F.col("d2").alias("doc_id_2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: hash_i = min over shingles of
+    md5(i || ':' || shingle). The min-aggregate is mergeable — pure
+    map-side combine, exactly a Hillview-style sketch."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs).withColumnRenamed("doc", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: split the signature into
+    `bands` bands of num_hashes/bands rows; docs sharing any band key
+    are candidates. Join is on the (band, key) pair — high
+    cardinality, well-distributed shuffle; no cartesian."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    band_structs = []
+    for b in range(bands):
+        key = F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("key"))
+        )
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    a = banded.select(F.col("doc").alias("doc_id_1"), "band", "key")
+    b = banded.select(F.col("doc").alias("doc_id_2"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a positive int64
+
+
+def _token_hash(col: Column) -> Column:
+    """60-bit integer hash of a token via md5 prefix (engine-portable:
+    DuckDB computes CAST('0x'||substr(md5(t),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per document. Flat-map shape: (doc, token) ×
+    bit-position rows, then two mergeable aggregations — scales as a
+    pure shuffle on doc id, no UDF, no driver loop."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).withColumn("h", _token_hash(F.col("t")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    per_bit = (
+        toks.select("doc", "h", bit)
+        .select(
+            "doc",
+            "j",
+            F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("v"),
+        )
+        .groupBy("doc", "j")
+        .agg(F.sum("v").alias("s"))
+    )
+    fp = per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("fingerprint")
+    )
+    return fp.withColumnRenamed("doc", id_col)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, found via
+    4-chunk blocking (pigeonhole: <=3 differing bits over 4 chunks
+    guarantees one identical 15-bit chunk) + exact popcount filter.
+    Equi-join on (chunk index, chunk value) — no cartesian."""
+    fp = simhash(df, id_col, text_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("ci"),
+            F.shiftright("fingerprint", c * 15).bitwiseAND((1 << 15) - 1).alias("cv"),
+        )
+        for c in range(4)
+    ]
+    chunked = fp.select(
+        F.col(id_col).alias("doc"),
+        F.col("fingerprint"),
+        F.explode(F.array(*chunk_structs)).alias("ck"),
+    ).select("doc", "fingerprint", "ck.ci", "ck.cv")
+    a = chunked.select(
+        F.col("doc").alias("doc_id_1"), F.col("fingerprint").alias("f1"), "ci", "cv"
+    )
+    b = chunked.select(
+        F.col("doc").alias("doc_id_2"), F.col("fingerprint").alias("f2"), "ci", "cv"
+    )
+    ham = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,196 @@
+"""Embedding similarity search — brute-force cosine top-k as the
+baseline, random-hyperplane LSH bucketing as the 100-TB scale path,
+and cosine near-duplicate pair mining.
+
+(Extension beyond the Hillview reference, SURVEY.md §2.4.)
+
+Scale design: the query vector is a broadcast 1-row relation, so
+brute-force top-k is one scan + TakeOrderedAndProject (per-partition
+heap, no global sort). The LSH variant buckets vectors by the sign
+pattern of dot products with fixed hyperplanes — candidate sets
+shrink by ~2^planes and the bucket key is shuffle-friendly. Pair
+mining joins on the bucket key (inverted-index join), never a full
+cartesian.
+
+Determinism: elements are cast double→DECIMAL(10,8) and accumulated
+in DECIMAL(30,16) — exact, order-independent sums that reproduce
+bit-identically in any engine (the DuckDB oracle mirrors the same
+arithmetic). Hyperplane weights are Python-generated decimal
+literals, not engine-evaluated trig, for the same reason.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Decimal shapes for exact, order-independent vector arithmetic.
+_ELEM = "decimal(10,8)"
+_ACC = "decimal(30,16)"
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("double").cast(_ELEM)
+
+
+def dot_product(a, b) -> Column:
+    """Exact decimal dot product of two array<float|double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _dec(x) * _dec(y)),
+        F.lit(0).cast(_ACC),
+        lambda acc, v: (acc + v).cast(_ACC),
+    )
+
+
+def squared_norm(a) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: _dec(x) * _dec(x)),
+        F.lit(0).cast(_ACC),
+        lambda acc, v: (acc + v).cast(_ACC),
+    )
+
+
+def cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """cosine from exact decimal dot/norms; double arithmetic in a
+    fixed shape so engines agree bit-for-bit."""
+    return dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against the vector with id=query_id.
+    One scan over the (broadcast-augmented) table; ORDER BY+LIMIT is
+    a per-partition heap."""
+    q = embeddings.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    scored = (
+        embeddings.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    dot_product(F.col(vec_col), F.col("__q")),
+                    squared_norm(F.col(vec_col)),
+                    squared_norm(F.col("__q")),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def hyperplanes(dims: int, planes: int, ndigits: int = 10) -> list[list[str]]:
+    """Deterministic pseudo-random hyperplanes as decimal-literal
+    strings (engine-agnostic; no engine trig)."""
+    out = []
+    for p in range(planes):
+        row = []
+        for j in range(dims):
+            w = math.sin(0.5 + p * 131 + j * 7)
+            row.append(f"{w:.{ndigits}f}")
+        out.append(row)
+    return out
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[str]]) -> Column:
+    """Sign-pattern bucket key: one char per hyperplane. Dot products
+    in exact decimal so the sign (hence bucket) is deterministic."""
+    bits = []
+    for row in planes:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.expr(f"CAST({w} AS DECIMAL(12,10))") for w in row]),
+                lambda x, y: (_dec(x) * y).cast("decimal(24,18)"),
+            ),
+            F.lit(0).cast("decimal(32,18)"),
+            lambda acc, v: (acc + v).cast("decimal(32,18)"),
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate NN: restrict the cosine top-k to the query's LSH
+    bucket. At scale the bucket join replaces the full scan with a
+    ~2^-planes slice."""
+    hp = hyperplanes(dims, planes)
+    bucketed = embeddings.withColumn("__bucket", lsh_bucket_expr(vec_col, hp))
+    q = bucketed.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"), F.col("__bucket").alias("__qb")
+    )
+    scored = (
+        bucketed.crossJoin(F.broadcast(q))
+        .where((F.col("__bucket") == F.col("__qb")) & (F.col(id_col) != query_id))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    dot_product(F.col(vec_col), F.col("__q")),
+                    squared_norm(F.col(vec_col)),
+                    squared_norm(F.col("__q")),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int | None = None,
+    dims: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine. With planes=None this is the
+    exact quadratic baseline (fine for correctness scale); passing
+    planes enables LSH blocking — candidates must share a bucket —
+    which is the 100-TB path (the equi-join on bucket key replaces
+    the cartesian)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        squared_norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        squared_norm(F.col(vec_col)).alias("nb"),
+    )
+    if planes is not None:
+        hp = hyperplanes(dims, planes)
+        a = a.withColumn("__bucket", lsh_bucket_expr("va", hp))
+        b = b.withColumn("__bucket", lsh_bucket_expr("vb", hp))
+        joined = a.join(b, ["__bucket"]).where(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        F.round(
+            cosine(dot_product("va", "vb"), F.col("na"), F.col("nb")), 6
+        ).alias("cosine"),
+    )
+    return out.where(F.col("cosine") >= threshold)

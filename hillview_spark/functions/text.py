@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+(Extension beyond the Hillview reference, SURVEY.md §2.4.)
+
+All pure JVM-side expressions (regexp/length/hash) — whole-stage
+codegen, no UDFs, embarrassingly parallel at any scale. Score
+arithmetic is rational (int/int division, no transcendentals) so
+results reproduce bit-identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WORD_OR_PUNCT_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+STOPWORD_RES = {
+    "en": r"\b(the|a|an|and|of|to|in|is|it|for)\b",
+    "fr": r"\b(le|la|les|et|de|un|une|est|dans)\b",
+    "es": r"\b(el|los|las|y|de|un|una|es|en)\b",
+    "de": r"\b(der|die|das|und|ein|eine|ist|zu)\b",
+}
+CJK_RE = r"[\x{4e00}-\x{9fff}]"
+
+
+def _count_re(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens plus a BPE-ish sub-token estimate (words and
+    punctuation marks counted separately — a standard fast proxy for
+    tokenizer load)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = _count_re(t, WORD_OR_PUNCT_RE)
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards stopword density
+    (natural-language-ness) and reasonable length, penalizes
+    punctuation noise. Pure rational arithmetic."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    punct = _count_re(t, PUNCT_RE)
+    stop = _count_re(F.lower(t), STOPWORD_RES["en"])
+    stop_ratio = stop.cast("double") / n_tokens
+    punct_ratio = punct.cast("double") / n_chars
+    len_term = F.least(n_tokens, F.lit(200)).cast("double") / F.lit(200.0)
+    score = (
+        F.least(stop_ratio * 2, F.lit(1.0))
+        + F.lit(1.0) / (F.lit(1.0) + punct_ratio * 10)
+        + len_term
+    ) / F.lit(3.0)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword heuristic language ID: CJK characters force
+    zh; otherwise the language with the highest stopword hit count
+    wins (ties break in fixed en>fr>es>de order)."""
+    t = F.lower(F.col(text_col))
+    cjk = _count_re(F.col(text_col), CJK_RE)
+    counts = {lang: _count_re(t, pat) for lang, pat in STOPWORD_RES.items()}
+    en, fr, es, de = counts["en"], counts["fr"], counts["es"], counts["de"]
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when((en >= fr) & (en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((fr >= es) & (fr >= de) & (fr > 0), F.lit("fr"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint over whitespace-normalized lowercase text
+    (md5 — stable across engines and runs; the rolling/shingle
+    variants live in dedup.py)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

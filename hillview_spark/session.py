@@ -34,6 +34,8 @@ def get_spark(
         # Read-side parallelism: default 128 MiB splits.
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.ui.enabled": "false",
         # Some sources write TIMESTAMP(NANOS) parquet, which Spark's
         # timestamp type (micros) cannot hold; read as long and let
         # tables.load_table surface micros + raw-nanos columns.

@@ -1,0 +1,85 @@
+"""Event-stream analytics: windowed aggregation and sessionization,
+in both batch form (oracle-checkable) and Structured Streaming form
+(watermarks, incremental state).
+
+Batch and stream share semantics: a tumbling window over event time.
+The batch variant is what the DuckDB oracle verifies; the stream
+variant is the same logical plan under ``readStream`` with a
+watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def windowed_counts(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Tumbling-window event counts and value sums per event type.
+    events.value is exact to 6 decimals → DECIMAL sum is lossless and
+    order-independent."""
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    since the previous event exceeds gap_minutes. Two window passes
+    over data partitioned by user — shuffle once on user_id, both
+    windows reuse that partitioning (no second shuffle)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap (cast-to-long would truncate to seconds
+    # and disagree with sub-second-aware engines at the boundary).
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = events.select(
+        "user_id", "ts", "event_id", F.sum(new_session).over(wcum).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.date_trunc("second", F.max("ts")).alias("session_end"),
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured Streaming variant: file stream → watermark →
+    tumbling window counts. Late events beyond the watermark are
+    dropped; state is bounded. Drive with
+    .writeStream.trigger(availableNow=True) in tests.
+
+    events_dir must be a DIRECTORY (Spark file-stream source
+    requirement) — symlink single parquet files into a temp dir.
+    """
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
