@@ -198,6 +198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         _t(s, d, "documents"), max_hamming=3
     )
+    q["dedup_lsh_verify"] = lambda s, d: dedup.verify_jaccard(
+        _t(s, d, "documents"),
+        dedup.minhash_lsh_pairs(_t(s, d, "documents"), 16, 4),
+        threshold=0.3,
+    )
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
 
     # --- similarity search (LLM-pipeline) ----------------------------
@@ -257,16 +262,21 @@ def _cos_sql(dot: str, na: str, nb: str) -> str:
 
 
 def _minhash_sql() -> str:
+    from hillview_spark.functions.dedup import MINHASH_P, _affine
+
     sig_cols = ", ".join(
-        f"min(md5('{i}:'||s)) AS h{i}" for i in range(16)
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in ((i, _affine(i)) for i in range(16))
     )
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, h{b*4}||h{b*4+1}||h{b*4+2}||h{b*4+3} AS key FROM sigs"
+        f"SELECT doc_id, {b} AS band, "
+        f"h{b*4}||'_'||h{b*4+1}||'_'||h{b*4+2}||'_'||h{b*4+3} AS key FROM sigs"
         for b in range(4)
     )
     return f"""
         WITH {_SHINGLES},
-        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        hh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,7) AS BIGINT) AS h FROM sh),
+        sigs AS (SELECT doc_id, {sig_cols} FROM hh GROUP BY doc_id),
         bands AS ({band_selects})
         SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
         FROM bands a JOIN bands b
@@ -591,9 +601,11 @@ def oracle_sql() -> dict[str, str]:
     """
     o["dedup_ngram_jaccard"] = f"""
         WITH {_SHINGLES},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        shh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS s
+                FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
         inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT d1 AS doc_id_1, d2 AS doc_id_2,
                round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
@@ -602,6 +614,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
     """
     o["dedup_minhash_lsh"] = _minhash_sql()
+    o["dedup_lsh_verify"] = f"""
+        WITH cand AS ({_minhash_sql()}),
+        {_SHINGLES},
+        shh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS s
+                FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
+        inter AS (SELECT c.doc_id_1, c.doc_id_2, COUNT(*) AS c
+                  FROM cand c
+                  JOIN shh a ON a.doc_id = c.doc_id_1
+                  JOIN shh b ON b.doc_id = c.doc_id_2 AND b.s = a.s
+                  GROUP BY 1, 2)
+        SELECT doc_id_1, doc_id_2,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_id_1
+                   JOIN sizes sb ON sb.doc_id = doc_id_2
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    """
     o["dedup_simhash"] = _simhash_pairs_sql()
     o["text_fingerprint"] = r"""
         SELECT doc_id,

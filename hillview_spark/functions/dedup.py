@@ -73,7 +73,13 @@ def ngram_jaccard_pairs(
     intersection size, union = |A|+|B|-inter. max_df drops shingles
     appearing in more than max_df docs (stop-shingle skew guard for
     the 100-TB path; changes semantics only for ubiquitous grams)."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    # Join on a 60-bit hash of the shingle, not the string — the
+    # shuffle carries 8-byte keys (collision odds ~n^2/2^60, nil).
+    # sh feeds sizes + both join sides — persist to scan the corpus
+    # once (MEMORY_AND_DISK; spills rather than recomputing at scale).
+    sh = _shingle_table(df, id_col, text_col, n).select(
+        "doc", _token_hash(F.col("s")).alias("s")
+    ).persist()
     if max_df is not None:
         rare = (
             sh.groupBy("s")
@@ -106,6 +112,62 @@ def ngram_jaccard_pairs(
     )
 
 
+# MinHash affine-permutation constants: h_i = (A_i*h + B_i) mod P over
+# a 28-bit base hash. P is prime > 2^28; A_i*h + B_i stays < 2^63.
+MINHASH_P = 268_435_459
+
+
+def _affine(i: int) -> tuple[int, int]:
+    return (2 * i + 3, 7 * i + 11)
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set (the verify
+    stage after LSH candidate generation). Shingle tables are
+    semi-joined down to candidate docs first, so cost scales with
+    |candidates|, not |corpus|^2 — the canonical near-dup pipeline
+    shape at 100 TB: minhash_lsh_pairs() >> verify_jaccard()."""
+    # pairs feeds two joins and the candidate-doc set; without a
+    # persist Spark would recompute the whole LSH DAG per reference.
+    pairs = pairs.persist()
+    cand_docs = (
+        pairs.select(F.col("doc_id_1").alias("doc"))
+        .union(pairs.select(F.col("doc_id_2").alias("doc")))
+        .distinct()
+    )
+    sh = (
+        _shingle_table(df, id_col, text_col, n)
+        .join(F.broadcast(cand_docs), "doc")
+        .select("doc", _token_hash(F.col("s")).alias("s"))
+        .persist()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc").alias("doc_id_1"), "s")
+    b = sh.select(F.col("doc").alias("doc_id_2"), "s")
+    inter = (
+        pairs.join(a, "doc_id_1")
+        .join(b, ["doc_id_2", "s"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_id_1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_id_2"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(F.broadcast(sa), "doc_id_1")
+        .join(F.broadcast(sb), "doc_id_2")
+        .where(jac >= F.lit(threshold))
+        .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -113,13 +175,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signature per doc: hash_i = min over shingles of
-    md5(i || ':' || shingle). The min-aggregate is mergeable — pure
-    map-side combine, exactly a Hillview-style sketch."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    """MinHash signature per doc: one md5 per shingle yields a 28-bit
+    base hash; the num_hashes permutations are affine maps of it
+    (classic (a*h+b) mod p family) — arithmetic, not re-hashing.
+    The min-aggregates are mergeable — pure map-side combine, exactly
+    a Hillview-style sketch."""
+    sh = _shingle_table(df, id_col, text_col, n).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("bigint")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in ((i, _affine(i)) for i in range(num_hashes))
     ]
     return sh.groupBy("doc").agg(*aggs).withColumnRenamed("doc", id_col)
 
@@ -140,14 +206,18 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
     band_structs = []
     for b in range(bands):
-        key = F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+        key = F.concat_ws(
+            "_", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+        )
         band_structs.append(
             F.struct(F.lit(b).alias("band"), key.alias("key"))
         )
+    # both sides of the self-join read this — persist or the whole
+    # signature DAG (shingle explode + hashing) runs twice.
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
+    ).select("doc", "bk.band", "bk.key").persist()
     a = banded.select(F.col("doc").alias("doc_id_1"), "band", "key")
     b = banded.select(F.col("doc").alias("doc_id_2"), "band", "key")
     return (
@@ -179,23 +249,22 @@ def simhash(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     ).withColumn("h", _token_hash(F.col("t")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
-    per_bit = (
-        toks.select("doc", "h", bit)
-        .select(
-            "doc",
-            "j",
-            F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("v"),
-        )
-        .groupBy("doc", "j")
-        .agg(F.sum("v").alias("s"))
-    )
-    fp = per_bit.groupBy("doc").agg(
+    # One wide aggregate: per bit j, sum of +-1 over tokens. Avoids a
+    # tokens x 60 row blow-up — the shuffle carries 60 ints per doc.
+    bit_aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-            .otherwise(F.lit(0).cast("bigint"))
-        ).alias("fingerprint")
-    )
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc").agg(*bit_aggs)
+    fp_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = sums.select("doc", fp_expr.alias("fingerprint"))
     return fp.withColumnRenamed("doc", id_col)
 
 
@@ -221,7 +290,7 @@ def simhash_pairs(
         F.col(id_col).alias("doc"),
         F.col("fingerprint"),
         F.explode(F.array(*chunk_structs)).alias("ck"),
-    ).select("doc", "fingerprint", "ck.ci", "ck.cv")
+    ).select("doc", "fingerprint", "ck.ci", "ck.cv").persist()
     a = chunked.select(
         F.col("doc").alias("doc_id_1"), F.col("fingerprint").alias("f1"), "ci", "cv"
     )

@@ -36,10 +36,11 @@ def rename_column(df: DataFrame, old: str, new: str) -> DataFrame:
 def convert_column(
     df: DataFrame, col: str, to_type: str, new_name: str | None = None
 ) -> DataFrame:
-    """ConvertColumnMap: cast with SQL semantics (invalid → NULL,
-    matching Hillview's missing-on-parse-failure)."""
+    """ConvertColumnMap: invalid input converts to NULL (try_cast),
+    matching Hillview's missing-on-parse-failure — ANSI mode would
+    otherwise fail the whole job on one bad cell."""
     out = new_name or col
-    return df.withColumn(out, F.col(col).cast(to_type))
+    return df.withColumn(out, F.col(col).try_cast(to_type))
 
 
 def computed_column(df: DataFrame, name: str, sql_expr: str) -> DataFrame:

@@ -1,0 +1,202 @@
+"""Tests for the LLM-pipeline functions (SURVEY.md §2.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hillview_spark.functions import dedup, multimodal as mm, similarity, text
+
+
+# ------------------------------------------------------------- dedup
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.keeper_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    n = df.select(F.size(dedup.shingles(F.col("text"), 3)).alias("n")).first().n
+    assert n == 0
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(p.doc_id_1, p.doc_id_2, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, tables):
+    """The synthetic corpus plants 25 near-dup pairs (jaccard>=0.3);
+    LSH candidates must contain every high-similarity pair."""
+    docs = tables["documents"]
+    exact = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    cand = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.minhash_lsh_pairs(docs, 16, 4).collect()
+    }
+    assert exact <= cand
+
+
+def test_lsh_verify_pipeline_subset_of_exact(spark, tables):
+    """verify(LSH candidates) must be a subset of all-pairs exact
+    jaccard, and must retain every high-similarity planted pair."""
+    docs = tables["documents"]
+    full = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    piped = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in dedup.verify_jaccard(
+            docs, dedup.minhash_lsh_pairs(docs, 16, 4), threshold=0.3
+        ).collect()
+    }
+    assert set(piped) <= set(full)
+    for k, v in piped.items():
+        assert full[k] == v
+    high = {k for k, v in full.items() if v >= 0.6}
+    assert high <= set(piped)
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "omega psi chi phi")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert [(p.doc_id_1, p.doc_id_2, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_max_df_guard_drops_stop_shingles(spark):
+    rows = [(i, "common common common unique%d filler%d tail%d" % (i, i, i))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_guard = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_df=5).collect()
+    without = dedup.ngram_jaccard_pairs(df, threshold=0.01).collect()
+    assert len(with_guard) < len(without)
+
+
+# --------------------------------------------------------- similarity
+
+def test_cosine_topk_matches_numpy(spark, tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    ref = sorted(
+        (
+            (float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = similarity.cosine_topk(emb, 0, k=5).collect()
+    assert [r.vec_id for r in got] == [vid for _, vid in ref]
+    for r, (score, _) in zip(got, ref):
+        assert abs(r.cosine - score) < 1e-4
+
+
+def test_ann_lsh_subset_of_bucket(spark, tables):
+    emb = tables["embeddings"]
+    res = similarity.ann_lsh(emb, 0, k=10, planes=2)
+    rows = res.collect()
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    # fewer planes -> bigger buckets -> at least as many candidates
+    res4 = similarity.ann_lsh(emb, 0, k=1000, planes=4).count()
+    res2 = similarity.ann_lsh(emb, 0, k=1000, planes=2).count()
+    assert res2 >= res4
+
+
+def test_cosine_dup_pairs_lsh_blocking_is_subset(spark, tables):
+    emb = tables["embeddings"]
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_dup_pairs(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_dup_pairs(emb, threshold=0.45, planes=2).collect()
+    }
+    assert blocked <= exact
+
+
+# --------------------------------------------------------------- text
+
+def test_lang_id_cjk_and_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "le chat et le chien dans la maison"),
+         (3, "der hund und die katze ist zu haus"),
+         (4, "你好世界 hello"),
+         (5, "zzz qqq www")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "zh", 5: "unknown"}
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is a good day for the cat"),
+         (2, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.quality for r in text.quality_score(df).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "hello, world! two")], "doc_id long, text string")
+    r = text.token_count(df).first()
+    assert r.ws_tokens == 3
+    assert r.bpe_tokens == 5  # hello , world ! two
+    assert r.n_chars == 17
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b   c"), (2, "A b\tc"), (3, "a b d")], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --------------------------------------------------------- multimodal
+
+def test_multimodal_probe_resize_frames(spark):
+    rows = [
+        (i, ["image", "video", "audio"][i % 3],
+         mm.make_fake_payload(i, ["image", "video", "audio"][i % 3]),
+         "x/fake", 17)
+        for i in range(30)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(3)
+    probed = mm.probe_media(media)
+    assert probed.count() == 30
+    img = probed.where(F.col("kind") == "image").first()
+    assert img.width >= 64 and img.n_frames == 1
+    rz = mm.resize_images(media, 128)
+    assert rz.where((F.col("width") > 128) | (F.col("height") > 128)).count() == 0
+    fr = mm.sample_frames(media, every_n=50)
+    vids = media.where(F.col("kind") == "video").count()
+    assert fr.count() >= vids  # at least frame 0 per video
+    assert fr.select("frame_idx").distinct().where(F.col("frame_idx") % 50 != 0).count() == 0
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        mm.DECODERS["real"](b"anything")

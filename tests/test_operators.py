@@ -1,0 +1,203 @@
+"""Unit tests for the Hillview-surface operators (SURVEY.md §2.1/2.2),
+mirroring the reference's sketch tests (platform/src/test/java/org/
+hillview/HistogramTest.java etc.) on small known data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hillview_spark.operators import (
+    correlation,
+    filters,
+    heavy_hitters,
+    histogram,
+    maps,
+    sampling,
+    spreadsheet,
+    stats,
+)
+
+
+def test_histogram1d_dense_and_total(spark, tables):
+    li = tables["lineitem"]
+    h = histogram.histogram1d(li, "l_extendedprice", 40).collect()
+    assert len(h) == 40  # dense spine including empty buckets
+    assert sum(r.cnt for r in h) == li.count()
+    assert [r.bucket for r in sorted(h, key=lambda r: r.bucket)] == list(range(40))
+
+
+def test_histogram1d_bucket_placement(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
+    h = {r.bucket: r.cnt for r in histogram.histogram1d(df, "x", 10).collect()}
+    assert h[0] == 1 and h[5] == 1 and h[9] == 1  # max lands in last bucket
+
+
+def test_cdf_monotone(spark, tables):
+    c = histogram.cdf(tables["lineitem"], "l_extendedprice", 50).collect()
+    vals = [r.cum_cnt for r in sorted(c, key=lambda r: r.bucket)]
+    assert vals == sorted(vals)
+    assert vals[-1] == tables["lineitem"].count()
+
+
+def test_histogram2d_totals(spark, tables):
+    li = tables["lineitem"]
+    h = histogram.histogram2d(li, "l_quantity", "l_extendedprice", 5, 5)
+    assert h.agg(F.sum("cnt")).first()[0] == li.count()
+
+
+def test_next_k_pagination_covers_everything(spark, tables):
+    """Scrolling through next_k pages must enumerate every distinct
+    sort key exactly once — the spreadsheet invariant."""
+    li = tables["lineitem"]
+    cols = ["l_returnflag", "l_linestatus"]
+    total_groups = li.select(*cols).distinct().count()
+    seen, start = [], None
+    for _ in range(100):
+        page = spreadsheet.next_k(li, cols, k=3, start=start).collect()
+        if not page:
+            break
+        seen.extend([(r.l_returnflag, r.l_linestatus) for r in page])
+        last = page[-1]
+        start = (last.l_returnflag, last.l_linestatus)
+    assert len(seen) == total_groups
+    assert len(set(seen)) == total_groups
+    cnts = dict(
+        ((r.l_returnflag, r.l_linestatus), r["cnt"])
+        for r in spreadsheet.next_k(li, cols, k=100).collect()
+    )
+    assert sum(cnts.values()) == li.count()
+
+
+def test_next_k_descending(spark, tables):
+    page = spreadsheet.next_k(
+        tables["orders"], ["o_orderpriority"], k=2, ascending=[False]
+    ).collect()
+    vals = [r.o_orderpriority for r in page]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_heavy_hitters_threshold(spark, tables):
+    docs = tables["documents"]
+    total = docs.count()
+    hh = heavy_hitters.heavy_hitters(docs, ["lang"], epsilon=0.10).collect()
+    for r in hh:
+        assert r.cnt >= 0.10 * total
+    # exact counts: every reported count matches a direct groupBy
+    direct = dict(
+        (r.lang, r["count"]) for r in docs.groupBy("lang").count().collect()
+    )
+    for r in hh:
+        assert direct[r.lang] == r.cnt
+
+
+def test_heavy_hitters_sampled_matches_exact(spark, tables):
+    li = tables["lineitem"]
+    exact = {
+        tuple(r)[:-1]: r.cnt
+        for r in heavy_hitters.heavy_hitters(li, ["l_returnflag"], 0.2).collect()
+    }
+    sampled = {
+        tuple(r)[:-1]: r.cnt
+        for r in heavy_hitters.heavy_hitters_sampled(
+            li, ["l_returnflag"], 0.2
+        ).collect()
+    }
+    assert exact == sampled
+
+
+def test_quantiles_order(spark, tables):
+    q = stats.quantiles(
+        tables["lineitem"], "l_extendedprice", [0.1, 0.5, 0.9]
+    ).first()
+    assert q.q10 <= q.q50 <= q.q90
+
+
+def test_basic_col_stats_sanity(spark, tables):
+    s = {
+        r.col_name: r
+        for r in stats.basic_col_stats(
+            tables["lineitem"], ["l_quantity", "l_discount"]
+        ).collect()
+    }
+    li = tables["lineitem"]
+    assert s["l_quantity"].present_count == li.count()
+    assert s["l_quantity"].missing_count == 0
+    assert s["l_quantity"].min_val >= 1
+    assert 0 <= s["l_discount"].mean_val <= 0.11
+
+
+def test_distinct_count_exact_vs_approx(spark, tables):
+    li = tables["lineitem"]
+    exact = stats.distinct_count(li, "l_partkey").first()[0]
+    approx = stats.distinct_count_approx(li, "l_partkey", rsd=0.02).first()[0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_filters_compose_and_complement(spark, tables):
+    li = tables["lineitem"]
+    n = li.count()
+    cond = filters.range_filter("l_quantity", 10, 20)
+    comp = filters.range_filter("l_quantity", 10, 20, complement=True)
+    assert li.where(cond).count() + li.where(comp).count() == n
+    both = filters.all_of(cond, filters.comparison_filter("l_discount", ">=", 0.05))
+    either = filters.any_of(cond, filters.comparison_filter("l_discount", ">=", 0.05))
+    assert li.where(both).count() <= li.where(cond).count() <= li.where(either).count()
+
+
+def test_string_filter_modes(spark, tables):
+    docs = tables["documents"]
+    sub = docs.where(filters.string_filter("text", "SPARK", "substring")).count()
+    assert sub == docs.where(F.col("text").contains("spark")).count()  # case-insensitive
+    ex = docs.where(filters.string_filter("lang", "en", "exact")).count()
+    assert ex == docs.where(F.col("lang") == "en").count()
+    neg = docs.where(filters.string_filter("lang", "en", "exact", negate=True)).count()
+    assert ex + neg == docs.count()
+
+
+def test_convert_column_invalid_to_null(spark):
+    df = spark.createDataFrame([("12",), ("x",)], "v string")
+    out = maps.convert_column(df, "v", "int", "vi").collect()
+    vals = {r.v: r.vi for r in out}
+    assert vals["12"] == 12 and vals["x"] is None
+
+
+def test_set_operations(spark, tables):
+    docs = tables["documents"]
+    a = docs.where(F.col("lang") == "en").select("doc_id")
+    b = docs.where(F.col("source") == "src0").select("doc_id")
+    u = maps.set_operation(a, b, "union").count()
+    i = maps.set_operation(a, b, "intersect").count()
+    e = maps.set_operation(a, b, "except").count()
+    assert u == a.count() + b.count()
+    assert e == a.count() - i
+
+
+def test_interval_and_json_extract(spark, tables):
+    iv = maps.interval_column(tables["lineitem"], "r", "l_quantity", "l_extendedprice")
+    row = iv.select("r").first()
+    assert row.r.start is not None and row.r.end is not None
+    ev = maps.extract_json_value(tables["events"], "props", "k", "kv")
+    assert ev.where(F.col("kv").isNull()).count() == 0
+
+
+def test_reservoir_sample_size_and_determinism(spark, tables):
+    li = tables["lineitem"]
+    s1 = sampling.reservoir_sample(li, 100, seed=7)
+    s2 = sampling.reservoir_sample(li, 100, seed=7)
+    assert s1.count() == 100
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_pca_first_component_captures_variance(spark, tables):
+    out = correlation.pca_project(
+        tables["lineitem"], ["l_quantity", "l_extendedprice", "l_discount"], k=2
+    )
+    agg = out.agg(
+        F.stddev_samp("pc0").alias("s0"), F.stddev_samp("pc1").alias("s1")
+    ).first()
+    assert agg.s0 >= agg.s1  # components ordered by eigenvalue
+
+
+def test_corr_matrix_diagonal_one(spark, tables):
+    m = correlation.corr_matrix(tables["lineitem"], ["l_quantity", "l_tax"]).collect()
+    diag = [r.corr for r in m if r.col_x == r.col_y]
+    assert all(abs(v - 1.0) < 1e-9 for v in diag)

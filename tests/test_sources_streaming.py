@@ -1,0 +1,119 @@
+"""Tests for sources (readers/writers) and streaming."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hillview_spark.sources import readers, writers
+from hillview_spark.streaming import events as ev
+from hillview_spark.tables import load_table
+
+
+def test_csv_roundtrip_and_corrupt_tolerance(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    writers.write_csv(df, p)
+    back = readers.read_csv(spark, p, schema="id int, s string")
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+    # malformed row -> nulls, not failure (PERMISSIVE)
+    bad = str(tmp_path / "bad.csv")
+    with open(bad, "w") as f:
+        f.write("id,s\n1,a\nnot_an_int,b\n")
+    out = readers.read_csv(spark, bad, schema="id int, s string").collect()
+    assert len(out) == 2
+
+
+def test_json_orc_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    for name, write, read in [
+        ("json", writers.write_json, readers.read_json),
+        ("orc", writers.write_orc, readers.read_orc),
+        ("parquet", writers.write_parquet, readers.read_parquet),
+    ]:
+        p = str(tmp_path / name)
+        write(df, p)
+        back = read(spark, p)
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    p = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(10)], "id int, k string"
+    )
+    writers.write_parquet(df, p, partition_by=["k"])
+    assert os.path.isdir(os.path.join(p, "k=x"))
+    back = readers.read_parquet(spark, p).where(F.col("k") == "x")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 5
+    # partition filter must prune at the scan, not post-filter
+    assert "PartitionFilters: [" in plan and "k#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_log_reader_parses_and_flags_errors(spark, tmp_path):
+    p = str(tmp_path / "app.log")
+    with open(p, "w") as f:
+        f.write("2024-01-01 12:00:00,123 INFO [main] started ok\n")
+        f.write("2024-01-01 12:00:01,456 ERROR [worker-1] boom\n")
+        f.write("this line is garbage\n")
+    out = readers.read_logs(spark, p, "hillview").collect()
+    by_raw = {r.raw_line: r for r in out}
+    ok = by_raw["2024-01-01 12:00:00,123 INFO [main] started ok"]
+    assert (ok.level, ok.module, ok.message) == ("INFO", "main", "started ok")
+    assert not ok.parse_error
+    assert by_raw["this line is garbage"].parse_error
+
+
+def test_file_metadata(spark):
+    meta = readers.file_metadata(spark, "/root/testdata/sf0.001/nation.parquet")
+    r = meta.first()
+    assert r.n_bytes > 0 and r.path.endswith("nation.parquet")
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_windowed_counts(spark, d, raw.schema)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_wincounts").collect()
+    }
+    batch = ev.windowed_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "hour"
+    )
+    batch_rows = {
+        (r.window_start, r.event_type): r.n_events for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 100),
+        (1, base + dt.timedelta(minutes=10), 101),
+        (1, base + dt.timedelta(minutes=50), 102),  # 40min gap -> new session
+        (2, base, 200),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = ev.sessionize(df, gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append((r.session_id, r.n_events))
+    assert sorted(per_user[1]) == [(1, 2), (2, 1)]
+    assert per_user[2] == [(1, 1)]
