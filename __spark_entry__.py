@@ -88,6 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["histogram_string"] = lambda s, d: histogram.histogram_string(
         _t(s, d, "orders"), "o_orderpriority"
     )
+    q["histogram_string_bounded"] = lambda s, d: histogram.histogram_string_bounded(
+        _t(s, d, "orders"), "o_orderpriority", ["1", "3", "5"]
+    )
+    q["histogram4d_trellis"] = lambda s, d: histogram.histogram_nd(
+        _t(s, d, "lineitem"),
+        [("l_returnflag", 0), ("l_linestatus", 0),
+         ("l_quantity", 4), ("l_discount", 4)],
+    )
     q["histogram_date_month"] = lambda s, d: histogram.histogram_date(
         _t(s, d, "orders"), "o_orderdate", "month"
     )
@@ -132,6 +140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["exact_freq"] = lambda s, d: heavy_hitters.exact_freq(
         _t(s, d, "events"), "event_type", ["click", "view", "error"]
+    )
+    q["heavy_hitters_sampled"] = lambda s, d: heavy_hitters.heavy_hitters_sampled(
+        _t(s, d, "lineitem"), ["l_returnflag"], epsilon=0.2
+    )
+    q["quantiles_approx"] = lambda s, d: stats.quantiles_approx(
+        _t(s, d, "lineitem"), "l_extendedprice", [0.25, 0.5, 0.75]
     )
 
     # --- filters / maps ---------------------------------------------
@@ -457,6 +471,29 @@ def oracle_sql() -> dict[str, str]:
     o["histogram_string"] = """
         SELECT o_orderpriority AS value, COUNT(*) AS cnt
         FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+    """
+
+    o["histogram_string_bounded"] = """
+        SELECT CAST(len([b FOR b IN ['1','3','5'] IF b <= o_orderpriority]) - 1
+               AS INT) AS bucket, COUNT(*) AS cnt
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderpriority >= '1'
+        GROUP BY 1
+    """
+
+    o["histogram4d_trellis"] = """
+        WITH rng AS (SELECT min(l_quantity) q_mn, max(l_quantity) q_mx,
+                            min(l_discount) d_mn, max(l_discount) d_mx
+                     FROM lineitem)
+        SELECT l_returnflag AS l_returnflag_bucket,
+               l_linestatus AS l_linestatus_bucket,
+          CAST(least(greatest(CAST(floor((l_quantity - q_mn) / ((q_mx - q_mn) / 4.0))
+               AS BIGINT), 0), 3) AS INT) AS l_quantity_bucket,
+          CAST(least(greatest(CAST(floor((l_discount - d_mn) / ((d_mx - d_mn) / 4.0))
+               AS BIGINT), 0), 3) AS INT) AS l_discount_bucket,
+          COUNT(*) AS cnt
+        FROM lineitem, rng
+        GROUP BY 1, 2, 3, 4
     """
 
     o["histogram_date_month"] = """

@@ -1,0 +1,63 @@
+"""Plan-inspection helpers: the 100-TB design contract, checkable.
+
+These are assertions about physical-plan properties that the scale
+design in SURVEY.md §4 depends on. tests/test_plans.py uses them;
+they are also handy interactively while tuning a query:
+
+    from hillview_spark.plans.explain import assert_pushdown
+    assert_pushdown(df, ["l_shipdate"])   # raises if not pushed
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_pushdown(df: DataFrame, cols: list[str]) -> None:
+    """Every col must appear in the parquet scan's PushedFilters."""
+    plan = physical_plan(df)
+    if "PushedFilters:" not in plan:
+        raise AssertionError("no PushedFilters section in plan:\n" + plan)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    missing = [c for c in cols if c not in pushed]
+    if missing:
+        raise AssertionError(f"filters not pushed for {missing}: {pushed}")
+
+
+def assert_column_pruning(
+    df: DataFrame, expected: list[str], forbidden: list[str]
+) -> None:
+    """The scan's ReadSchema must include expected and exclude
+    forbidden columns."""
+    plan = physical_plan(df)
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for c in expected:
+        if c not in schema:
+            raise AssertionError(f"column {c} missing from ReadSchema: {schema}")
+    for c in forbidden:
+        if c in schema:
+            raise AssertionError(f"column {c} not pruned: {schema}")
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in plan:
+            raise AssertionError(f"{bad} in plan:\n" + plan)
+
+
+def assert_broadcast_joins(df: DataFrame, at_least: int = 1) -> None:
+    plan = physical_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    if n < at_least:
+        raise AssertionError(f"expected >= {at_least} broadcast joins, got {n}")
+
+
+def assert_topk_not_global_sort(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    if "TakeOrderedAndProject" not in plan:
+        raise AssertionError("no TakeOrderedAndProject (top-k) in plan:\n" + plan)

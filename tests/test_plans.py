@@ -1,59 +1,54 @@
 """Plan-shape tests: at 100 TB the *plan* is the product. These
 assert the physical properties the scale design depends on —
 pushdown reaching the parquet scan, broadcast joins for dims,
-top-k instead of global sort, no cartesian products."""
+top-k instead of global sort, no cartesian products — via the
+hillview_spark.plans.explain helpers."""
 
-from pyspark.sql import functions as F
+import pytest
 
+from hillview_spark.plans import explain as ex
 from hillview_spark.operators import spreadsheet
 from hillview_spark.queries import tpch
 
 
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_q6_filters_pushed_to_scan(spark, tables):
-    plan = plan_of(tpch.q6_revenue_forecast(tables["lineitem"]))
-    assert "PushedFilters:" in plan
-    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
-    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    ex.assert_pushdown(
+        tpch.q6_revenue_forecast(tables["lineitem"]),
+        ["l_shipdate", "l_discount", "l_quantity"],
+    )
 
 
 def test_q6_column_pruning(spark, tables):
-    plan = plan_of(tpch.q6_revenue_forecast(tables["lineitem"]))
-    schema = plan.split("ReadSchema:")[1].splitlines()[0]
-    # only the 4 referenced columns are read, not all 11
-    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
-        assert col in schema
-    for col in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
-        assert col not in schema
+    ex.assert_column_pruning(
+        tpch.q6_revenue_forecast(tables["lineitem"]),
+        expected=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        forbidden=["l_orderkey", "l_returnflag", "l_tax", "l_partkey"],
+    )
 
 
 def test_q5_broadcasts_all_dimensions(spark, tables):
-    plan = plan_of(
-        tpch.q5_local_supplier(
-            tables["customer"], tables["orders"], tables["lineitem"],
-            tables["supplier"], tables["nation"], tables["region"],
-        )
+    df = tpch.q5_local_supplier(
+        tables["customer"], tables["orders"], tables["lineitem"],
+        tables["supplier"], tables["nation"], tables["region"],
     )
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "CartesianProduct" not in plan
+    ex.assert_broadcast_joins(df, at_least=3)
+    ex.assert_no_cartesian(df)
 
 
 def test_next_k_uses_topk_not_global_sort(spark, tables):
-    plan = plan_of(
-        spreadsheet.next_k(tables["lineitem"], ["l_returnflag", "l_linestatus"], k=5)
+    df = spreadsheet.next_k(
+        tables["lineitem"], ["l_returnflag", "l_linestatus"], k=5
     )
-    assert "TakeOrderedAndProject" in plan
-    # no full sort-exchange of the aggregated relation
+    ex.assert_topk_not_global_sort(df)
+    # no full sort-exchange before the top-k
+    plan = ex.physical_plan(df)
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
 
 
 def test_whole_stage_codegen_on_hot_path(spark, tables):
     df = tpch.q1_pricing_summary(tables["lineitem"])
     df.collect()  # finalize the adaptive plan so codegen stages appear
-    plan = plan_of(df)
+    plan = ex.physical_plan(df)
     # codegen stages render as "*(n) Operator" in the plan string
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan  # no row-python in the hot path
@@ -62,6 +57,19 @@ def test_whole_stage_codegen_on_hot_path(spark, tables):
 def test_dedup_join_is_equi_not_cartesian(spark, tables):
     from hillview_spark.functions import dedup
 
-    plan = plan_of(dedup.minhash_lsh_pairs(tables["documents"], 16, 4))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    ex.assert_no_cartesian(dedup.minhash_lsh_pairs(tables["documents"], 16, 4))
+
+
+def test_assert_helpers_raise_on_violation(spark, tables):
+    # a filter on a computed value cannot push down — helper must say so
+    from pyspark.sql import functions as F
+
+    df = tables["lineitem"].where(
+        F.sha2(F.col("l_returnflag"), 256) == "x"
+    )
+    # l_shipdate has no predicate at all -> cannot be in PushedFilters
+    with pytest.raises(AssertionError):
+        ex.assert_pushdown(df, ["l_shipdate"])
+    cart = tables["nation"].crossJoin(tables["region"])
+    with pytest.raises(AssertionError):
+        ex.assert_no_cartesian(cart)
