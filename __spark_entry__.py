@@ -200,6 +200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pca_project"] = lambda s, d: correlation.pca_project(
         _t(s, d, "part"), ["p_size", "p_retailprice"], k=2
     ).select("p_partkey", "pc0", "pc1")
+    q["lamp_project"] = lambda s, d: correlation.lamp_project(
+        _t(s, d, "part"), ["p_size", "p_retailprice"], n_controls=50,
+        key_col="p_partkey",
+    )
 
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))

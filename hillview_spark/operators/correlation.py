@@ -127,6 +127,72 @@ def jl_project(
     return out
 
 
+def lamp_project(
+    df: DataFrame,
+    cols: list[str],
+    n_controls: int = 100,
+    key_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """LAMP (Local Affine Multidimensional Projection) to 2-D —
+    mirrors maps/LAMPMap.java. Control points are a small sample
+    whose 2-D positions come from PCA (driver-side numpy on the tiny
+    control set); every other row is placed by its own weighted
+    orthogonal affine map (per-point SVD, Joia et al. 2011).
+
+    Scale shape: the control set (n_controls x d and n_controls x 2)
+    broadcasts to every executor; the per-row solve runs in
+    Arrow-batched mapInPandas — no shuffle at all, one scan."""
+    import numpy as np
+
+    ctrl = (
+        df.select(cols)
+        .dropna()
+        .sample(fraction=1.0, seed=seed)
+        .limit(n_controls)
+        .collect()
+    )
+    X = np.array([[float(r[c]) for c in cols] for r in ctrl])
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    # PCA for control-point 2-D positions
+    _, _, vt = np.linalg.svd(Xs, full_matrices=False)
+    Y = Xs @ vt[:2].T
+
+    out_cols = ([key_col] if key_col else []) + cols
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            P = ((pdf[cols].to_numpy(dtype=np.float64) - mu) / sd)
+            res = np.empty((len(P), 2))
+            for i, x in enumerate(P):
+                d2 = ((Xs - x) ** 2).sum(axis=1)
+                if (d2 < 1e-12).any():
+                    res[i] = Y[int(np.argmin(d2))]
+                    continue
+                a = 1.0 / d2
+                xt = (a[:, None] * Xs).sum(0) / a.sum()
+                yt = (a[:, None] * Y).sum(0) / a.sum()
+                Ah = np.sqrt(a)[:, None] * (Xs - xt)
+                Bh = np.sqrt(a)[:, None] * (Y - yt)
+                u, _, vvt = np.linalg.svd(Ah.T @ Bh, full_matrices=False)
+                M = u @ vvt
+                res[i] = (x - xt) @ M + yt
+            out = {}
+            if key_col:
+                out[key_col] = pdf[key_col]
+            out["lamp_x"] = np.round(res[:, 0], 6)
+            out["lamp_y"] = np.round(res[:, 1], 6)
+            yield pd.DataFrame(out)
+
+    in_df = df.select(*out_cols).dropna(subset=cols)
+    schema = (f"{key_col} long, " if key_col else "") + "lamp_x double, lamp_y double"
+    return in_df.mapInPandas(project, schema)
+
+
 def category_centroids(
     df: DataFrame, category_col: str, numeric_cols: list[str], ndigits: int = 4
 ) -> DataFrame:

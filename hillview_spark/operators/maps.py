@@ -77,6 +77,25 @@ def extract_json_value(
     return df.withColumn(out, F.get_json_object(F.col(json_col), f"$.{key}"))
 
 
+def compare_columns(
+    df: DataFrame, name: str, left: str, right: str, op: str = "=="
+) -> DataFrame:
+    """SetCompareColumnMap: boolean column from comparing two columns
+    row-wise (null-safe equality for '==')."""
+    lc, rc = F.col(left), F.col(right)
+    ops = {
+        "==": lc.eqNullSafe(rc),
+        "!=": ~lc.eqNullSafe(rc),
+        "<": lc < rc,
+        "<=": lc <= rc,
+        ">": lc > rc,
+        ">=": lc >= rc,
+    }
+    if op not in ops:
+        raise ValueError(f"unknown comparison op: {op}")
+    return df.withColumn(name, ops[op])
+
+
 def set_operation(a: DataFrame, b: DataFrame, op: str) -> DataFrame:
     """SetOperationMap over two row sets with identical schema.
     union keeps duplicates (bag union, Hillview's Union of

@@ -57,6 +57,81 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization
+    with applyInPandasWithState. Per-user state carries the open
+    session (start, last event time, count); a session is emitted
+    when a gap larger than gap_minutes closes it (or state times
+    out). This is the Structured Streaming twin of sessionize() —
+    state is O(active users), not O(events).
+
+    events_dir must be a directory (file-stream source requirement).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_type = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ])
+    state_type = StructType([
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("count", LongType()),
+    ])
+
+    def fn(key, pdfs, state: "GroupState"):
+        user_id = key[0]
+        (start_us, last_us, count) = state.get if state.exists else (None, None, 0)
+        closed = []
+        for pdf in pdfs:
+            ts = pdf["ts"].sort_values()
+            for t in ts:
+                us = int(t.value // 1000)  # pandas ns -> us
+                if last_us is None:
+                    start_us, last_us, count = us, us, 1
+                elif us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, count))
+                    start_us, last_us, count = us, us, 1
+                else:
+                    last_us, count = us, count + 1
+        state.update((start_us, last_us, count))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        )
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     events_dir: str,

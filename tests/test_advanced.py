@@ -1,0 +1,103 @@
+"""Tests for LAMP projection, stateful streaming sessionization,
+column comparison, and Pandas-UDF computed columns."""
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hillview_spark.operators import correlation, maps
+from hillview_spark.streaming import events as ev
+from hillview_spark.tables import load_table
+
+
+def test_lamp_projects_every_row_deterministically(spark, tables):
+    part = tables["part"]
+    out1 = correlation.lamp_project(
+        part, ["p_size", "p_retailprice"], n_controls=40, key_col="p_partkey"
+    )
+    rows1 = {r.p_partkey: (r.lamp_x, r.lamp_y) for r in out1.collect()}
+    assert len(rows1) == part.count()
+    out2 = correlation.lamp_project(
+        part, ["p_size", "p_retailprice"], n_controls=40, key_col="p_partkey"
+    )
+    rows2 = {r.p_partkey: (r.lamp_x, r.lamp_y) for r in out2.collect()}
+    assert rows1 == rows2
+    xs = [v[0] for v in rows1.values()]
+    assert max(xs) > min(xs)  # non-degenerate spread
+
+
+def test_lamp_preserves_neighborhoods(spark):
+    # two well-separated clusters in 3-D must stay separated in 2-D
+    rows = [(i, 0.0 + i * 0.01, 0.0, 0.0) for i in range(50)] + [
+        (100 + i, 10.0 + i * 0.01, 10.0, 10.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double")
+    out = correlation.lamp_project(df, ["a", "b", "c"], n_controls=20, key_col="id")
+    pts = {r.id: (r.lamp_x, r.lamp_y) for r in out.collect()}
+    import numpy as np
+
+    c1 = np.mean([pts[i] for i in range(50)], axis=0)
+    c2 = np.mean([pts[100 + i] for i in range(50)], axis=0)
+    spread1 = max(np.linalg.norm(np.array(pts[i]) - c1) for i in range(50))
+    assert np.linalg.norm(c1 - c2) > 3 * spread1
+
+
+def test_compare_columns_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (None, None), (None, 1)], "a int, b int"
+    )
+    out = maps.compare_columns(df, "eq", "a", "b").collect()
+    got = [(r.a, r.b, r.eq) for r in out]
+    assert (None, None, True) in got
+    assert (None, 1, False) in got
+    assert (1, 1, True) in got and (1, 2, False) in got
+
+
+def test_computed_column_pandas(spark, tables):
+    def double_qty(q: pd.Series) -> pd.Series:
+        return q * 2
+
+    out = maps.computed_column_pandas(
+        tables["lineitem"], "qty2", double_qty, ["l_quantity"], "double"
+    )
+    r = out.select("l_quantity", "qty2").first()
+    assert r.qty2 == r.l_quantity * 2
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_sessionize(spark, d, raw.schema, gap_minutes=30)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        # batch sessionize truncates to seconds; align for comparison
+        (r.user_id, r.session_start.replace(microsecond=0), r.n_events)
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    # batch sessions, minus each user's final (still-open) session
+    batch = ev.sessionize(
+        load_table(spark, "/root/testdata/sf0.001", "events"), 30
+    ).collect()
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_id > cur.session_id:
+            last_per_user[r.user_id] = r
+    expected = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch
+        if last_per_user[r.user_id].session_id != r.session_id
+    }
+    assert streamed == expected
