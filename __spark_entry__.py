@@ -311,14 +311,14 @@ def _simhash_pairs_sql() -> str:
                         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
                  FROM h, UNNEST(generate_series(0, 59)) u(j) GROUP BY 1, 2),
         fp AS (SELECT doc_id,
-                      SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
-                               ELSE CAST(0 AS BIGINT) END) AS fingerprint
+                      CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fingerprint
                FROM bits GROUP BY 1),
         ck AS (SELECT doc_id, fingerprint, ci,
                       (fingerprint >> (ci*15)) & 32767 AS cv
                FROM fp, UNNEST([0,1,2,3]) u(ci))
         SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-               bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+               CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
         FROM ck a JOIN ck b
           ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
@@ -438,8 +438,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["histogram1d_numeric"] = hist1d("l_extendedprice", "lineitem", 40)
     o["cdf_numeric"] = f"""
-        SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        SELECT bucket, CAST(SUM(cnt) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
         FROM ({hist1d('l_extendedprice', 'lineitem', 100)})
     """
 
@@ -509,7 +509,7 @@ def oracle_sql() -> dict[str, str]:
     o["data_range"] = """
         SELECT min(l_extendedprice) AS min_val, max(l_extendedprice) AS max_val,
                count(l_extendedprice) AS present_count,
-               SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS missing_count
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
         FROM lineitem
     """
 
@@ -529,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
         sq = f"CAST({c} AS DECIMAL(20,4)) * CAST({c} AS DECIMAL(20,4))"
         return f"""
         SELECT '{c}' AS col_name, count({c}) AS present_count,
-          SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS missing_count,
+          CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
           round(CAST(min({c}) AS DOUBLE), 4) AS min_val,
           round(CAST(max({c}) AS DOUBLE), 4) AS max_val,
           CAST(SUM({dec4}) AS DOUBLE) AS sum_val,
@@ -756,8 +756,8 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END AS ns
               FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
         s AS (SELECT user_id, tsu,
-                SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+                CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g)
         SELECT user_id, session_id, COUNT(*) AS n_events,
                CAST(date_trunc('second', min(tsu)) AS TIMESTAMP) AS session_start,

@@ -34,11 +34,12 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     t = F.col(text_col)
     ws = F.size(F.split(F.trim(t), r"\s+"))
     bpe = _count_re(t, WORD_OR_PUNCT_RE)
+    # long outputs: SQL engines type list-lengths as BIGINT
     return df.select(
         F.col(id_col),
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
-        F.length(t).alias("n_chars"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
     )
 
 
@@ -61,7 +62,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     ) / F.lit(3.0)
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(score, 4).alias("quality"),

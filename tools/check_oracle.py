@@ -38,6 +38,27 @@ def rows_to_multiset(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+# Normalize engine type names into comparable classes.
+_TYPE_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "long", "hugeint": "hugeint",
+    "float": "float", "real": "float", "double": "double",
+    "string": "str", "varchar": "str",
+    "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "timestamp_ns": "ts",
+    "timestamp with time zone": "ts", "date": "date",
+}
+
+
+def type_class(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("array", "struct", "map", "interval", "binary", "list")):
+        return "complex"
+    return _TYPE_CLASS.get(t, t)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -72,9 +93,10 @@ def main():
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
             continue
         try:
-            res = con.execute(os_[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(os_[name])
+            dcols = list(rel.columns)
+            dtype_list = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -82,6 +104,13 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            stypes = dict(sdf.dtypes)
+            dtypes = dict(zip(dcols, dtype_list))
+            for c in scols:
+                sc, dc = type_class(stypes[c]), type_class(dtypes.get(c, "?"))
+                if sc != dc:
+                    problems.append(f"type drift {c}: spark={stypes[c]} duckdb={dtypes.get(c)}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not problems:
