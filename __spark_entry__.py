@@ -130,6 +130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=20,
         start=("N", "O", 10.0),
     )
+    q["next_k_aggregate"] = lambda s, d: spreadsheet.next_k_aggregate(
+        _t(s, d, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("l_extendedprice", "avg"),
+         ("l_discount", "max")],
+        k=10,
+    )
     q["find_substring"] = lambda s, d: spreadsheet.find_rows(
         _t(s, d, "documents"), "text", "spark merge", mode="substring"
     )
@@ -571,6 +578,15 @@ def oracle_sql() -> dict[str, str]:
            OR (l_returnflag = 'N' AND l_linestatus = 'O' AND l_quantity > 10.0)
         GROUP BY 1, 2, 3
         ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+    """
+    o["next_k_aggregate"] = """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+          round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*), 6) AS avg_l_extendedprice,
+          max(l_discount) AS max_l_discount
+        FROM lineitem GROUP BY 1, 2
+        ORDER BY l_returnflag, l_linestatus LIMIT 10
     """
     o["find_substring"] = """
         SELECT COUNT(*) AS match_count FROM documents

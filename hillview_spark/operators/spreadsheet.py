@@ -54,6 +54,49 @@ def next_k(
     )
 
 
+def next_k_aggregate(
+    df: DataFrame,
+    sort_cols: list[str],
+    agg_specs: list[tuple[str, str]],
+    k: int = 20,
+    ascending: list[bool] | None = None,
+    start: tuple | None = None,
+) -> DataFrame:
+    """NextKSketchAggregate (sketches/NextKSketchAggregate.java): the
+    spreadsheet view with aggregated numeric columns per distinct
+    sort key — each visible row also shows sum/min/max/avg of chosen
+    columns over its duplicates. agg_specs: [(col, 'sum'|'min'|'max'|
+    'avg'), ...]. Sums go through DECIMAL for order-independence."""
+    if ascending is None:
+        ascending = [True] * len(sort_cols)
+    if start is not None:
+        df = df.where(_after_start(sort_cols, ascending, start))
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c, how in agg_specs:
+        name = f"{how}_{c}"
+        if how == "sum":
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(name)
+            )
+        elif how == "avg":
+            aggs.append(
+                F.round(
+                    F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias(name)
+            )
+        elif how in ("min", "max"):
+            aggs.append(getattr(F, how)(c).alias(name))
+        else:
+            raise ValueError(f"unknown aggregate: {how}")
+    order = [
+        F.col(c).asc() if asc else F.col(c).desc()
+        for c, asc in zip(sort_cols, ascending)
+    ]
+    return df.groupBy(*sort_cols).agg(*aggs).orderBy(*order).limit(k)
+
+
 def find_rows(
     df: DataFrame,
     col: str,
