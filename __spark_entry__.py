@@ -212,6 +212,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key_col="p_partkey",
     )
 
+    # --- further exploration queries ---------------------------------
+    q["top_customers_revenue"] = lambda s, d: (
+        _t(s, d, "orders")
+        .join(F.broadcast(_t(s, d, "customer")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("total_spent"))
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+    q["part_type_stats"] = lambda s, d: (
+        _t(s, d, "part")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+    q["events_user_topk"] = lambda s, d: (
+        _t(s, d, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+    q["docs_source_lang_matrix"] = lambda s, d: (
+        _t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q["orders_status_by_month"] = lambda s, d: (
+        _t(s, d, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
@@ -649,6 +692,35 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
     """
     o["jl_project"] = _jl_sql()
+
+    # --- further exploration queries -------------------------------------
+    o["top_customers_revenue"] = """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey LIMIT 10
+    """
+    o["part_type_stats"] = """
+        SELECT p_type, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+               min(p_size) AS min_size, max(p_size) AS max_size
+        FROM part GROUP BY p_type
+    """
+    o["events_user_topk"] = """
+        SELECT user_id, COUNT(*) AS n_events FROM events
+        GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+    """
+    o["docs_source_lang_matrix"] = """
+        SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+    """
+    o["orders_status_by_month"] = """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    """
 
     # --- dedup ---------------------------------------------------------
     o["dedup_exact"] = """

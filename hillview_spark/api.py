@@ -1,0 +1,142 @@
+"""User-facing facade: the Hillview UI's interaction model on Spark.
+
+In Hillview the browser holds a *view stack*: each UI action (filter,
+projection, computed column) derives a new immutable table view, and
+sketches (histogram, next-K page, heavy hitters, …) run against the
+current view (web/src/main/webapp's TableView / BigTableView drive
+platform RPCs). TableView reproduces that model: transformations
+return a new TableView (lazily composed DataFrame — Catalyst fuses
+the whole stack into one scan), sketch methods return small result
+DataFrames.
+
+    t = TableView.parquet(spark, ".../lineitem.parquet")
+    v = (t.filter_range("l_shipdate", "1996-01-01", "1996-12-31")
+          .filter_string("l_returnflag", "A", mode="exact")
+          .with_column("revenue", "l_extendedprice * (1 - l_discount)"))
+    v.histogram("revenue", buckets=50)         # small DF of buckets
+    v.page(["l_orderkey"], k=20)               # spreadsheet page 1
+    v.page(["l_orderkey"], k=20, start=(123,)) # scroll
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hillview_spark.operators import (
+    correlation,
+    filters as _filters,
+    heavy_hitters as _hh,
+    histogram as _hist,
+    maps as _maps,
+    sampling as _sampling,
+    spreadsheet as _sheet,
+    stats as _stats,
+)
+
+
+class TableView:
+    """An immutable view over a distributed table; every derivation
+    shares the underlying scan and composes inside Catalyst."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ---------------------------------------------------------- sources
+
+    @classmethod
+    def parquet(cls, spark: SparkSession, path: str) -> "TableView":
+        return cls(spark.read.parquet(path))
+
+    @classmethod
+    def csv(cls, spark: SparkSession, path: str, **kwargs) -> "TableView":
+        from hillview_spark.sources.readers import read_csv
+
+        return cls(read_csv(spark, path, **kwargs))
+
+    # ----------------------------------------------------- derivations
+
+    def _derive(self, df: DataFrame) -> "TableView":
+        return TableView(df)
+
+    def filter_range(self, col: str, lo=None, hi=None, **kw) -> "TableView":
+        return self._derive(self.df.where(_filters.range_filter(col, lo, hi, **kw)))
+
+    def filter_string(self, col: str, pattern: str, mode: str = "substring",
+                      **kw) -> "TableView":
+        return self._derive(
+            self.df.where(_filters.string_filter(col, pattern, mode=mode, **kw))
+        )
+
+    def filter_comparison(self, col: str, op: str, value) -> "TableView":
+        return self._derive(self.df.where(_filters.comparison_filter(col, op, value)))
+
+    def project(self, cols: list[str]) -> "TableView":
+        return self._derive(_maps.project(self.df, cols))
+
+    def with_column(self, name: str, sql_expr: str) -> "TableView":
+        return self._derive(_maps.computed_column(self.df, name, sql_expr))
+
+    def convert(self, col: str, to_type: str, new_name: str | None = None) -> "TableView":
+        return self._derive(_maps.convert_column(self.df, col, to_type, new_name))
+
+    def rename(self, old: str, new: str) -> "TableView":
+        return self._derive(_maps.rename_column(self.df, old, new))
+
+    def sample(self, fraction: float, seed: int = 42) -> "TableView":
+        return self._derive(_sampling.random_sample(self.df, fraction, seed))
+
+    def union(self, other: "TableView") -> "TableView":
+        return self._derive(_maps.set_operation(self.df, other.df, "union"))
+
+    def intersect(self, other: "TableView") -> "TableView":
+        return self._derive(_maps.set_operation(self.df, other.df, "intersect"))
+
+    def minus(self, other: "TableView") -> "TableView":
+        return self._derive(_maps.set_operation(self.df, other.df, "except"))
+
+    # --------------------------------------------------------- sketches
+
+    def schema_summary(self) -> DataFrame:
+        return _stats.table_summary(self.df)
+
+    def col_stats(self, cols: list[str]) -> DataFrame:
+        return _stats.basic_col_stats(self.df, cols)
+
+    def data_range(self, col: str) -> DataFrame:
+        return _hist.data_range(self.df, col)
+
+    def histogram(self, col: str, buckets: int = 40) -> DataFrame:
+        return _hist.histogram1d(self.df, col, buckets)
+
+    def histogram2d(self, xcol: str, ycol: str, xb: int = 25, yb: int = 25) -> DataFrame:
+        return _hist.histogram2d(self.df, xcol, ycol, xb, yb)
+
+    def cdf(self, col: str, buckets: int = 100) -> DataFrame:
+        return _hist.cdf(self.df, col, buckets)
+
+    def quantiles(self, col: str, probs: list[float]) -> DataFrame:
+        return _stats.quantiles(self.df, col, probs)
+
+    def distinct_count(self, col: str, approx: bool = True) -> DataFrame:
+        if approx:
+            return _stats.distinct_count_approx(self.df, col)
+        return _stats.distinct_count(self.df, col)
+
+    def heavy_hitters(self, cols: list[str], epsilon: float = 0.01) -> DataFrame:
+        return _hh.heavy_hitters(self.df, cols, epsilon)
+
+    def page(self, sort_cols: list[str], k: int = 20,
+             ascending: list[bool] | None = None, start: tuple | None = None) -> DataFrame:
+        """One spreadsheet page: the next k distinct sort-key rows
+        (with duplicate counts) after `start` — scrolling = repeated
+        page() with the previous page's last key."""
+        return _sheet.next_k(self.df, sort_cols, k, ascending, start)
+
+    def find(self, col: str, pattern: str, mode: str = "substring") -> DataFrame:
+        return _sheet.find_rows(self.df, col, pattern, mode)
+
+    def correlations(self, cols: list[str]) -> DataFrame:
+        return correlation.corr_matrix(self.df, cols)
+
+    def pca(self, cols: list[str], k: int = 2) -> DataFrame:
+        return correlation.pca_project(self.df, cols, k)

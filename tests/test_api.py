@@ -1,0 +1,61 @@
+"""TableView facade: the Hillview UI interaction model — a stack of
+derived views with sketches against the current view, fused by
+Catalyst into single scans."""
+
+from hillview_spark.api import TableView
+from hillview_spark.plans import explain as ex
+
+
+def test_view_stack_fuses_into_one_scan(spark):
+    t = TableView.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    v = (
+        t.filter_range("l_quantity", 5, 45)
+        .filter_string("l_returnflag", "A", mode="exact")
+        .with_column("revenue", "l_extendedprice * (1 - l_discount)")
+        .project(["l_orderkey", "revenue", "l_quantity"])
+    )
+    plan = ex.physical_plan(v.df)
+    assert plan.count("FileScan") == 1  # whole stack = one scan
+    ex.assert_pushdown(v.df, ["l_quantity", "l_returnflag"])
+
+
+def test_exploration_session(spark):
+    t = TableView.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    n_all = t.df.count()
+    v = t.filter_range("l_quantity", 10, 20)
+    n_view = v.df.count()
+    assert 0 < n_view < n_all
+
+    h = v.histogram("l_extendedprice", 20).collect()
+    assert sum(r.cnt for r in h) == n_view
+
+    page1 = v.page(["l_returnflag", "l_linestatus"], k=2)
+    rows1 = page1.collect()
+    assert len(rows1) == 2
+    last = rows1[-1]
+    page2 = v.page(
+        ["l_returnflag", "l_linestatus"], k=2,
+        start=(last.l_returnflag, last.l_linestatus),
+    ).collect()
+    assert all(
+        (r.l_returnflag, r.l_linestatus) > (last.l_returnflag, last.l_linestatus)
+        for r in page2
+    )
+
+    hh = v.heavy_hitters(["l_returnflag"], epsilon=0.2).collect()
+    assert hh and all(r.cnt >= 0.2 * n_view for r in hh)
+
+
+def test_set_ops_between_views(spark):
+    t = TableView.parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    en = t.filter_string("lang", "en", mode="exact").project(["doc_id"])
+    src0 = t.filter_string("source", "src0", mode="exact").project(["doc_id"])
+    inter = en.intersect(src0).df.count()
+    assert inter == t.df.where("lang = 'en' AND source = 'src0'").count()
+
+
+def test_find_and_stats(spark):
+    t = TableView.parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert t.find("text", "spark").first().match_count > 0
+    s = t.col_stats(["n_chars"]).first()
+    assert s.present_count == t.df.count()

@@ -1,0 +1,51 @@
+"""Bucketed co-located joins: the fact-fact join runs with zero
+shuffle exchanges when both sides are bucketed on the join key."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hillview_spark.sources import bucketing
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tables):
+    # conftest points spark.sql.warehouse.dir at a temp dir
+    bucketing.bucket_table(
+        tables["orders"], "orders_b", ["o_orderkey"], num_buckets=8
+    )
+    bucketing.bucket_table(
+        tables["lineitem"], "lineitem_b", ["l_orderkey"], num_buckets=8
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    o = bucketing.read_bucketed(spark, "orders_b")
+    li = bucketing.read_bucketed(spark, "lineitem_b")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # the join itself must not exchange either side
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert bucketing.joins_without_shuffle(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+    )
+
+
+def test_bucketed_join_matches_unbucketed(spark, tables, bucketed):
+    o = bucketing.read_bucketed(spark, "orders_b")
+    li = bucketing.read_bucketed(spark, "lineitem_b")
+    a = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority").count().collect()
+    )
+    b = (
+        tables["lineitem"].join(
+            tables["orders"],
+            tables["lineitem"].l_orderkey == tables["orders"].o_orderkey,
+        ).groupBy("o_orderpriority").count().collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
