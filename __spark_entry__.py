@@ -284,6 +284,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), threshold=0.4
     )
 
+    def _ivf(s, d):
+        emb = _t(s, d, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).first().embedding
+        return similarity.ivf_topk(
+            emb.where("vec_id <> 0"), qv, k=10, n_cells=8, n_probe=8
+        )
+
+    q["ann_ivf_topk"] = _ivf
+
     # --- text analysis (LLM-pipeline) ---------------------------------
     q["text_token_count"] = lambda s, d: text.token_count(_t(s, d, "documents"))
     q["text_quality_score"] = lambda s, d: text.quality_score(

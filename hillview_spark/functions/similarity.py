@@ -205,6 +205,77 @@ def ann_lsh(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids trained driver-side on
+    a bounded sample (numpy Lloyd, seeded → deterministic), then every
+    vector is assigned to its nearest centroid in one Arrow-batched
+    pass. Returns (assigned_df with a `cell` column, centroids array).
+
+    Scale shape: training data is O(sample_n x d) on the driver;
+    assignment is a single scan with a BLAS argmin per batch; the
+    resulting `cell` column is the partition/bucket key for search.
+    """
+    import numpy as np
+
+    sample = embeddings.select(vec_col).limit(sample_n).collect()
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(C)):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(0)
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = d2.argmin(1).astype("int32")
+            yield out
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_cells, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    return assigned, C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe only the n_probe cells whose centroids are
+    nearest the query — a 100-TB scan becomes n_probe/n_cells of
+    itself (and the `cell` column prunes partitions if the index is
+    written partitioned by it). Scoring reuses the numpy batch path.
+    """
+    import numpy as np
+
+    assigned, C = ivf_index(embeddings, n_cells, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((C - qv) ** 2).sum(1))[:n_probe].tolist()
+    candidates = assigned.where(F.col("cell").isin(probe)).select(id_col, vec_col)
+    return cosine_topk_numpy(candidates, query_vec, k, id_col, vec_col)
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

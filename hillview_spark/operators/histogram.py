@@ -38,10 +38,12 @@ def _bucket_expr(col: Column, mn: Column, mx: Column, buckets: int) -> Column:
     """Bucket index in [0, buckets): floor((x-mn)/w), max clamped into
     the last bucket (Hillview's DoubleHistogramBuckets puts max in the
     last bucket). NULL-safe: nulls stay null and drop out of groupBy.
-    """
+    A constant column (mn == mx) maps everything to bucket 0 instead
+    of dividing by a zero-width bucket."""
     w = (mx - mn) / F.lit(float(buckets))
     idx = F.floor((col - mn) / w)
-    return F.least(F.greatest(idx, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    return F.when(mx == mn, F.lit(0)).otherwise(clamped)
 
 
 def histogram1d(df: DataFrame, col: str, buckets: int = 40) -> DataFrame:

@@ -134,6 +134,23 @@ def test_cosine_dup_pairs_lsh_blocking_is_subset(spark, tables):
     assert blocked <= exact
 
 
+def test_ivf_topk_recall_vs_brute(spark, tables):
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    brute = [r.vec_id for r in
+             similarity.cosine_topk_numpy(emb.where("vec_id <> 0"), q, k=10).collect()]
+    ivf = [r.vec_id for r in
+           similarity.ivf_topk(emb.where("vec_id <> 0"), q, k=10,
+                               n_cells=8, n_probe=4).collect()]
+    # probing half the cells must recover most of the true top-10
+    assert len(set(brute) & set(ivf)) >= 5
+    # full probe == brute exactly
+    full = [r.vec_id for r in
+            similarity.ivf_topk(emb.where("vec_id <> 0"), q, k=10,
+                                n_cells=8, n_probe=8).collect()]
+    assert full == brute
+
+
 # --------------------------------------------------------------- text
 
 def test_lang_id_cjk_and_stopwords(spark):

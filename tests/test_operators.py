@@ -31,6 +31,12 @@ def test_histogram1d_bucket_placement(spark):
     assert h[0] == 1 and h[5] == 1 and h[9] == 1  # max lands in last bucket
 
 
+def test_histogram1d_constant_column(spark):
+    df = spark.createDataFrame([(7.0,)] * 5, "x double")
+    h = {r.bucket: r.cnt for r in histogram.histogram1d(df, "x", 10).collect()}
+    assert h[0] == 5 and sum(h.values()) == 5
+
+
 def test_cdf_monotone(spark, tables):
     c = histogram.cdf(tables["lineitem"], "l_extendedprice", 50).collect()
     vals = [r.cum_cnt for r in sorted(c, key=lambda r: r.bucket)]
