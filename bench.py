@@ -85,7 +85,7 @@ def headline_queries(t):
             t["embeddings"].where(F.col("vec_id") == 0).first().embedding,
             k=10), "collect"),
         "cosine_dups_lsh": (lambda: similarity.cosine_dup_pairs(
-            t["embeddings"], threshold=0.4, planes=6, exact=False), "noop"),
+            t["embeddings"], threshold=0.4, planes=8, exact=False), "noop"),
         "text_quality": (lambda: text.quality_score(t["documents"]), "noop"),
         "text_lang_id": (lambda: text.lang_id(t["documents"]), "noop"),
         # event-stream semantics

@@ -152,20 +152,36 @@ def hyperplanes(dims: int, planes: int, ndigits: int = 10) -> list[list[str]]:
     return out
 
 
-def lsh_bucket_expr(vec_col: str, planes: list[list[str]]) -> Column:
-    """Sign-pattern bucket key: one char per hyperplane. Dot products
-    in exact decimal so the sign (hence bucket) is deterministic."""
+def lsh_bucket_expr(
+    vec_col: str, planes: list[list[str]], exact: bool = True
+) -> Column:
+    """Sign-pattern bucket key: one char per hyperplane. exact=True
+    computes dot products in decimal so the sign (hence bucket) is
+    deterministic cross-engine; exact=False is the double-math
+    throughput path (signs only flip for dots within float epsilon
+    of zero — harmless for blocking)."""
     bits = []
     for row in planes:
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.expr(f"CAST({w} AS DECIMAL(12,10))") for w in row]),
-                lambda x, y: (_dec(x) * y).cast("decimal(24,18)"),
-            ),
-            F.lit(0).cast("decimal(32,18)"),
-            lambda acc, v: (acc + v).cast("decimal(32,18)"),
-        )
+        if exact:
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.expr(f"CAST({w} AS DECIMAL(12,10))") for w in row]),
+                    lambda x, y: (_dec(x) * y).cast("decimal(24,18)"),
+                ),
+                F.lit(0).cast("decimal(32,18)"),
+                lambda acc, v: (acc + v).cast("decimal(32,18)"),
+            )
+        else:
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(w)) for w in row]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -302,8 +318,8 @@ def cosine_dup_pairs(
     )
     if planes is not None:
         hp = hyperplanes(dims, planes)
-        a = a.withColumn("__bucket", lsh_bucket_expr("va", hp))
-        b = b.withColumn("__bucket", lsh_bucket_expr("vb", hp))
+        a = a.withColumn("__bucket", lsh_bucket_expr("va", hp, exact))
+        b = b.withColumn("__bucket", lsh_bucket_expr("vb", hp, exact))
         joined = a.join(b, ["__bucket"]).where(F.col("id_a") < F.col("id_b"))
     else:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))

@@ -1,0 +1,59 @@
+"""Property-based tests (hypothesis): operator invariants must hold
+for arbitrary data, not just the synthetic corpus. Spark jobs are
+expensive per example, so examples are few but adversarial (hypothesis
+shrinks failures to minimal cases)."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hillview_spark.operators import histogram, spreadsheet
+from hillview_spark.functions import text
+
+finite_doubles = st.floats(
+    min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(finite_doubles, min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=20),
+)
+def test_histogram_conserves_rows_and_is_dense(spark, xs, buckets):
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    rows = histogram.histogram1d(df, "x", buckets).collect()
+    assert len(rows) == buckets
+    assert sorted(r.bucket for r in rows) == list(range(buckets))
+    assert sum(r.cnt for r in rows) == len(xs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=1, max_size=40
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_next_k_pagination_enumerates_exactly(spark, pairs, k):
+    df = spark.createDataFrame(pairs, "a int, b int")
+    expected = sorted(set(pairs))
+    seen, start = [], None
+    for _ in range(100):
+        page = spreadsheet.next_k(df, ["a", "b"], k=k, start=start).collect()
+        if not page:
+            break
+        seen.extend((r.a, r.b) for r in page)
+        start = (page[-1].a, page[-1].b)
+    assert seen == expected  # in order, complete, no duplicates
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=60), min_size=1, max_size=20))
+def test_quality_score_bounded(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in text.quality_score(df).collect():
+        assert r.quality is None or 0.0 <= r.quality <= 1.0001
