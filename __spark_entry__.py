@@ -117,6 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "lang"
     )
     q["table_summary"] = lambda s, d: stats.table_summary(_t(s, d, "orders"))
+    q["table_profile"] = lambda s, d: stats.table_profile(
+        _t(s, d, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
 
     # --- spreadsheet view -------------------------------------------
     q["next_k_rows"] = lambda s, d: spreadsheet.next_k(
@@ -617,6 +621,20 @@ def oracle_sql() -> dict[str, str]:
                      ('o_orderdate','timestamp_ntz'), ('o_orderpriority','string'))
              t(col_name, col_type)
     """
+
+    def profcol(c: str) -> str:
+        return f"""
+        SELECT '{c}' AS col_name, count({c}) AS present_count,
+          CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS missing_count,
+          count(DISTINCT {c}) AS distinct_count
+        FROM orders
+        """
+
+    o["table_profile"] = " UNION ALL ".join(
+        profcol(c)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
 
     o["next_k_rows"] = """
         SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt

@@ -96,6 +96,35 @@ def basic_col_stats(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFra
     return wide.select(F.explode(structs).alias("s")).select("s.*")
 
 
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass profile of many columns at once: presence, missing,
+    and exact distinct counts per column — the load-time "data
+    dialog" Hillview shows. This is the Spark realization of the
+    reference's sketch *combinators* (sketches/highorder/
+    ConcurrentSketch.java, MultiSketch.java): N sketches fused into
+    a single scan as one wide aggregate."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__present"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__present").alias("present_count"),
+                F.col(f"{c}__missing").alias("missing_count"),
+                F.col(f"{c}__distinct").alias("distinct_count"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
 def distinct_count(df: DataFrame, col: str) -> DataFrame:
     """Exact distinct count. Spark executes this as a two-stage
     partial-distinct then count — the exact analogue of merging

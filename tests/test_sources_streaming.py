@@ -65,6 +65,32 @@ def test_log_reader_parses_and_flags_errors(spark, tmp_path):
     assert by_raw["this line is garbage"].parse_error
 
 
+def test_jdbc_reader_roundtrip_and_partitioned(spark):
+    """Federated-table load (reference storage/jdbc) against the
+    in-JVM Derby engine — a real JDBC source, no external server."""
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:jdbctest;create=true"
+    )
+    st = conn.createStatement()
+    st.execute("CREATE TABLE t_src (id INT, name VARCHAR(20))")
+    for i in range(20):
+        st.execute(f"INSERT INTO t_src VALUES ({i}, 'n{i}')")
+    conn.commit()
+
+    plain = readers.read_jdbc(spark, "jdbc:derby:memory:jdbctest", "t_src")
+    assert plain.count() == 20
+
+    # partitioned read: splits the table into parallel range scans
+    part = readers.read_jdbc(
+        spark, "jdbc:derby:memory:jdbctest", "t_src",
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=20,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert sorted(r.ID for r in part.collect()) == list(range(20))
+
+
 def test_file_metadata(spark):
     meta = readers.file_metadata(spark, "/root/testdata/sf0.001/nation.parquet")
     r = meta.first()
