@@ -253,7 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_status_by_month"] = lambda s, d: (
         _t(s, d, "orders")
         .groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            histogram.trunc_ntz(F.col("o_orderdate"), "month").alias("month_start"),
             "o_orderstatus",
         )
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -167,12 +167,34 @@ def histogram_string_bounded(
     )
 
 
+def trunc_ntz(col: Column, unit: str) -> Column:
+    """Calendar truncation that PRESERVES timestamp_ntz. Spark's
+    date_trunc coerces NTZ through the session timezone (returns
+    LTZ), which silently shifts wall-clock values when the session
+    TZ isn't the writer's; field extraction + make_timestamp_ntz is
+    timezone-free."""
+    y, m, d = F.year(col), F.month(col), F.dayofmonth(col)
+    h, mi, s = F.hour(col), F.minute(col), F.second(col)
+    zero = F.lit(0)
+    parts = {
+        "year": (y, F.lit(1), F.lit(1), zero, zero, zero),
+        "month": (y, m, F.lit(1), zero, zero, zero),
+        "day": (y, m, d, zero, zero, zero),
+        "hour": (y, m, d, h, zero, zero),
+        "minute": (y, m, d, h, mi, zero),
+        "second": (y, m, d, h, mi, s),
+    }
+    if unit not in parts:
+        raise ValueError(f"unsupported truncation unit: {unit}")
+    return F.make_timestamp_ntz(*parts[unit])
+
+
 def histogram_date(df: DataFrame, col: str, unit: str = "month") -> DataFrame:
     """Date/time histogram by calendar unit (Hillview buckets
-    date columns by regular intervals; calendar truncation is the
-    idiomatic Spark form and pushes to the scan)."""
+    date columns by regular intervals). Truncation is NTZ-preserving
+    so results are independent of the session timezone."""
     return (
         df.where(F.col(col).isNotNull())
-        .groupBy(F.date_trunc(unit, F.col(col)).alias("bucket_start"))
+        .groupBy(trunc_ntz(F.col(col), unit).alias("bucket_start"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

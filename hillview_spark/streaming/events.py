@@ -17,9 +17,11 @@ def windowed_counts(events: DataFrame, unit: str = "hour") -> DataFrame:
     """Tumbling-window event counts and value sums per event type.
     events.value is exact to 6 decimals → DECIMAL sum is lossless and
     order-independent."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
     return (
         events.groupBy(
-            F.date_trunc(unit, F.col("ts")).alias("window_start"),
+            trunc_ntz(F.col("ts"), unit).alias("window_start"),
             "event_type",
         )
         .agg(
@@ -35,9 +37,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     over data partitioned by user — shuffle once on user_id, both
     windows reuse that partitioning (no second shuffle)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Microsecond-exact gap (cast-to-long would truncate to seconds
-    # and disagree with sub-second-aware engines at the boundary).
-    us = F.unix_micros(F.col("ts"))
+    # Microsecond-exact, timezone-free gap (cast-to-long truncates to
+    # seconds; unix_micros on NTZ would re-enter the session TZ).
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts)"
+    )
     gap = us - F.lag(us).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
@@ -50,10 +55,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     sessions = events.select(
         "user_id", "ts", "event_id", F.sum(new_session).over(wcum).alias("session_id")
     )
+    from hillview_spark.operators.histogram import trunc_ntz
+
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.date_trunc("second", F.min("ts")).alias("session_start"),
-        F.date_trunc("second", F.max("ts")).alias("session_end"),
+        trunc_ntz(F.min("ts"), "second").alias("session_start"),
+        trunc_ntz(F.max("ts"), "second").alias("session_end"),
     )
 
 
@@ -120,8 +127,9 @@ def stream_sessionize(
 
     stream = spark.readStream.schema(schema).parquet(events_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
+        # watermarks require TIMESTAMP (with-TZ); exact integer div
         stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     return (
         stream.select("user_id", "ts")
@@ -149,8 +157,9 @@ def stream_windowed_counts(
     """
     stream = spark.readStream.schema(schema).parquet(events_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
+        # watermarks require TIMESTAMP (with-TZ); exact integer div
         stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     return (
         stream.withWatermark("ts", watermark)

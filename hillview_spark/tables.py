@@ -30,16 +30,31 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS); Spark refuses it unless
+        # nanos are read as long. Runtime-settable, so set it here
+        # defensively — callers may hand us a vanilla SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py). Keep
     # the exact nanos in <col>_ns and expose a micros timestamp under
-    # the original name — Spark's native resolution.
+    # the original name. Integer `div` (double division would lose
+    # sub-µs precision at 1e18 nanos) and a TIMESTAMP_NTZ base (so
+    # the wall-clock value is session-timezone-independent).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", ns_to_ntz("ts_ns")
         )
     return df
+
+
+def ns_to_ntz(ns_col_name: str):
+    """Epoch-nanos bigint → TIMESTAMP_NTZ at micros, exactly and
+    independent of the session timezone."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, {ns_col_name} div 1000,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
