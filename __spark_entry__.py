@@ -190,7 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["interval_column"] = lambda s, d: maps.interval_column(
         _t(s, d, "lineitem"), "qty_range", "l_quantity", "l_extendedprice"
-    ).select("l_orderkey", "l_linenumber", "qty_range")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty_range.start").alias("iv_start"),
+        F.col("qty_range.end").alias("iv_end"),
+    )
 
     # --- sampling ----------------------------------------------------
     q["systematic_sample"] = lambda s, d: sampling.systematic_sample(
@@ -689,6 +694,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["computed_column"] = f"""
         SELECT l_orderkey, l_linenumber, CAST({revenue} AS DOUBLE) AS revenue
+        FROM lineitem
+    """
+    o["interval_column"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity AS iv_start,
+               l_extendedprice AS iv_end
         FROM lineitem
     """
     o["extract_json_value"] = """
