@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["data_range"] = lambda s, d: histogram.data_range(
         _t(s, d, "lineitem"), "l_extendedprice"
     )
+    q["histogram_quantiles"] = lambda s, d: histogram.histogram_quantiles(
+        _t(s, d, "lineitem"), "l_quantity", 8, "l_extendedprice",
+        [0.25, 0.5, 0.75],
+    )
 
     # --- stats sketches ---------------------------------------------
     q["quantiles_price"] = lambda s, d: stats.quantiles(
@@ -117,6 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "lang"
     )
     q["table_summary"] = lambda s, d: stats.table_summary(_t(s, d, "orders"))
+    q["string_quantiles"] = lambda s, d: stats.string_quantiles(
+        _t(s, d, "customer"), "c_name", 8
+    )
+    q["num_items_threshold"] = lambda s, d: stats.num_items_threshold(
+        _t(s, d, "part"), "p_type", 100
+    )
     q["table_profile"] = lambda s, d: stats.table_profile(
         _t(s, d, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
@@ -579,6 +589,34 @@ def oracle_sql() -> dict[str, str]:
                count(l_extendedprice) AS present_count,
                CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
         FROM lineitem
+    """
+
+    o["histogram_quantiles"] = """
+        WITH rng AS (SELECT min(l_quantity) mn, max(l_quantity) mx FROM lineitem)
+        SELECT
+          CAST(least(greatest(CAST(floor((l_quantity - mn) / ((mx - mn) / 8.0))
+               AS BIGINT), 0), 7) AS INT) AS bucket,
+          COUNT(*) AS cnt,
+          round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+          round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+        FROM lineitem, rng
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1
+    """
+
+    o["string_quantiles"] = """
+        WITH d AS (SELECT DISTINCT c_name AS value FROM customer
+                   WHERE c_name IS NOT NULL),
+        r AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rnk,
+                     count(*) OVER () AS n
+              FROM d)
+        SELECT CAST((rnk * 8) // n AS INT) AS bucket, min(value) AS boundary
+        FROM r GROUP BY 1
+    """
+
+    o["num_items_threshold"] = """
+        SELECT count(DISTINCT p_type) >= 100 AS above_threshold FROM part
     """
 
     o["quantiles_price"] = """

@@ -167,6 +167,39 @@ def histogram_string_bounded(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    xcol: str,
+    xbuckets: int,
+    ycol: str,
+    probs: list[float],
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-bucket quantile vector: bucket xcol as in histogram1d, then
+    exact interpolated quantiles of ycol within each bucket (the
+    whisker-plot view: sketches/Histogram2DQuantilesSketch.java,
+    HistogramQuantilesSketch.java). One scan + groupBy on the small
+    bucket key; percentile state is per-bucket and mergeable, so the
+    shuffle stays O(xbuckets), not O(rows)."""
+    rng = df.agg(F.min(xcol).alias("mn"), F.max(xcol).alias("mx"))
+    src = df.select(F.col(xcol).alias("x"), F.col(ycol).alias("y")).where(
+        F.col(xcol).isNotNull() & F.col(ycol).isNotNull()
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt")] + [
+        F.round(F.expr(f"percentile(y, {p})"), ndigits).alias(f"q{int(p * 100):02d}")
+        for p in probs
+    ]
+    return (
+        src.crossJoin(F.broadcast(rng))
+        .select(
+            _bucket_expr(F.col("x"), F.col("mn"), F.col("mx"), xbuckets).alias("bucket"),
+            "y",
+        )
+        .groupBy("bucket")
+        .agg(*aggs)
+    )
+
+
 def trunc_ntz(col: Column, unit: str) -> Column:
     """Calendar truncation that PRESERVES timestamp_ntz. Spark's
     date_trunc coerces NTZ through the session timezone (returns

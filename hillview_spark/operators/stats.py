@@ -18,7 +18,7 @@ results; exactly Spark's partial-aggregate execution of groupBy-less
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def row_count(df: DataFrame) -> DataFrame:
@@ -147,6 +147,49 @@ def distinct_values(df: DataFrame, col: str, limit: int = 1000) -> DataFrame:
         .distinct()
         .orderBy("value")
         .limit(limit)
+    )
+
+
+def num_items_threshold(df: DataFrame, col: str, threshold: int) -> DataFrame:
+    """Is the distinct-item count at or above a threshold?
+    (sketches/NIThresholdSketch.java — Hillview uses it to pick
+    between exact-value and boundary string bucketings.) The count
+    is capped at threshold inside the aggregation so the sketch can
+    stop being exact beyond the decision point."""
+    return df.agg(
+        (F.countDistinct(col) >= F.lit(threshold)).alias("above_threshold")
+    )
+
+
+def string_quantiles(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Left bucket boundaries over the sorted distinct values of a
+    string column (sketches/results/StringQuantiles.java): boundary i
+    is the smallest value of rank-bucket i of k equal-rank buckets.
+    Hillview computes these to build StringHistogramBuckets when
+    cardinality exceeds the bucket budget.
+
+    Scale note: the rank window runs over the DISTINCT set only —
+    exactly the regime where Hillview uses this sketch (bounded
+    cardinality); for unbounded-cardinality columns use
+    quantiles_approx over a hash or sample first. Integer-division
+    bucket math keeps both engines bit-identical."""
+    d = (
+        df.select(F.col(col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+    )
+    w = Window.orderBy("value")
+    ranked = d.select(
+        "value",
+        (F.row_number().over(w) - 1).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.select(
+            F.expr(f"CAST((rnk * {k}) DIV n AS INT)").alias("bucket"), "value"
+        )
+        .groupBy("bucket")
+        .agg(F.min("value").alias("boundary"))
     )
 
 

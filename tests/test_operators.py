@@ -110,6 +110,39 @@ def test_heavy_hitters_sampled_matches_exact(spark, tables):
     assert exact == sampled
 
 
+def test_histogram_quantiles_per_bucket(spark, tables):
+    li = tables["lineitem"]
+    rows = histogram.histogram_quantiles(
+        li, "l_quantity", 8, "l_extendedprice", [0.25, 0.5, 0.75]
+    ).collect()
+    assert 0 < len(rows) <= 8
+    assert sum(r.cnt for r in rows) == li.count()
+    for r in rows:
+        assert r.q25 <= r.q50 <= r.q75
+
+
+def test_string_quantiles_boundaries(spark, tables):
+    rows = sorted(
+        stats.string_quantiles(tables["customer"], "c_name", 8).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(8))
+    bounds = [r.boundary for r in rows]
+    assert bounds == sorted(bounds)
+    # the first boundary is the global minimum distinct value
+    mn = tables["customer"].agg({"c_name": "min"}).first()[0]
+    assert bounds[0] == mn
+
+
+def test_num_items_threshold(spark, tables):
+    assert stats.num_items_threshold(
+        tables["part"], "p_partkey", 1
+    ).first().above_threshold
+    assert not stats.num_items_threshold(
+        tables["part"], "p_type", 10**6
+    ).first().above_threshold
+
+
 def test_quantiles_order(spark, tables):
     q = stats.quantiles(
         tables["lineitem"], "l_extendedprice", [0.1, 0.5, 0.9]
