@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["data_range"] = lambda s, d: histogram.data_range(
         _t(s, d, "lineitem"), "l_extendedprice"
     )
+    q["histogram_with_cdf"] = lambda s, d: histogram.histogram_with_cdf(
+        _t(s, d, "lineitem"), "l_extendedprice", 50
+    )
     q["histogram_quantiles"] = lambda s, d: histogram.histogram_quantiles(
         _t(s, d, "lineitem"), "l_quantity", 8, "l_extendedprice",
         [0.25, 0.5, 0.75],
@@ -589,6 +592,12 @@ def oracle_sql() -> dict[str, str]:
                count(l_extendedprice) AS present_count,
                CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
         FROM lineitem
+    """
+
+    o["histogram_with_cdf"] = f"""
+        SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+        FROM ({hist1d('l_extendedprice', 'lineitem', 50)})
     """
 
     o["histogram_quantiles"] = """

@@ -77,6 +77,16 @@ def cdf(df: DataFrame, col: str, buckets: int = 100) -> DataFrame:
     return h.select("bucket", F.sum("cnt").over(w).alias("cum_cnt"))
 
 
+def histogram_with_cdf(df: DataFrame, col: str, buckets: int = 100) -> DataFrame:
+    """Histogram and its CDF from ONE aggregation
+    (sketches/highorder/DataWithCDFSketch.java fuses the two so the
+    UI gets both in a single round trip). The running sum runs over
+    the already-tiny O(buckets) result, so the extra column is free."""
+    h = histogram1d(df, col, buckets)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return h.select("bucket", "cnt", F.sum("cnt").over(w).alias("cum_cnt"))
+
+
 def histogram2d(
     df: DataFrame, xcol: str, ycol: str, xbuckets: int = 25, ybuckets: int = 25
 ) -> DataFrame:

@@ -110,6 +110,20 @@ def test_heavy_hitters_sampled_matches_exact(spark, tables):
     assert exact == sampled
 
 
+def test_histogram_with_cdf_fused(spark, tables):
+    li = tables["lineitem"]
+    rows = sorted(
+        histogram.histogram_with_cdf(li, "l_extendedprice", 20).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(rows) == 20
+    running = 0
+    for r in rows:
+        running += r.cnt
+        assert r.cum_cnt == running
+    assert rows[-1].cum_cnt == li.count()
+
+
 def test_histogram_quantiles_per_bucket(spark, tables):
     li = tables["lineitem"]
     rows = histogram.histogram_quantiles(
