@@ -217,3 +217,27 @@ def test_multimodal_probe_resize_frames(spark):
 def test_multimodal_real_decoder_stubbed(spark):
     with pytest.raises(NotImplementedError):
         mm.DECODERS["real"](b"anything")
+
+
+def test_connected_components_transitive_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_1 long, doc_id_2 long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_on_planted_pairs(spark, tables):
+    pairs = dedup.ngram_jaccard_pairs(tables["documents"], threshold=0.3)
+    comp = dedup.connected_components(pairs)
+    rows = comp.collect()
+    # every paired doc gets a component, labels are component minima
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+    for label, members in by_comp.items():
+        assert label == min(members)
+        assert len(members) >= 2
