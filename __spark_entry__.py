@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.minhash_lsh_pairs(_t(s, d, "documents"), 16, 4),
         threshold=0.3,
     )
+    q["dedup_components"] = lambda s, d: dedup.connected_components(
+        dedup.ngram_jaccard_pairs(_t(s, d, "documents"), threshold=0.3)
+    )
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
 
     # --- similarity search (LLM-pipeline) ----------------------------
@@ -825,6 +828,23 @@ def oracle_sql() -> dict[str, str]:
         FROM inter JOIN sizes sa ON sa.doc_id = d1
                    JOIN sizes sb ON sb.doc_id = d2
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    """
+    o["dedup_components"] = f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_id_1, doc_id_2 FROM ({o['dedup_ngram_jaccard']})
+        ),
+        edges AS (
+          SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+          UNION
+          SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
     """
     o["dedup_minhash_lsh"] = _minhash_sql()
     o["dedup_lsh_verify"] = f"""

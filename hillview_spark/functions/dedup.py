@@ -305,3 +305,66 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_id_1",
+    right_col: str = "doc_id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup groups from pairwise near-dup candidates: the connected
+    components of the pair graph, labeled with the component's
+    minimum id (the keeper a pipeline retains). This is the step
+    after LSH in every production dedup pipeline — pairs alone
+    over-count when A~B and B~C.
+
+    Min-label propagation: each iteration every node takes the min
+    label among itself and its neighbors; converges in graph-diameter
+    iterations (near-dup components are shallow — diameter is small).
+    Each step is one equi-join + groupBy; the driver only checks a
+    scalar convergence count, so the data never leaves the cluster.
+    Deterministic: the fixpoint is exactly min(component ids)."""
+    edges = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where("n.label <> o.label")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
