@@ -309,6 +309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), threshold=0.4
     )
 
+    q["ann_knn_join"] = lambda s, d: similarity.knn_join(
+        _t(s, d, "embeddings"), k=3
+    )
+
     def _ivf(s, d):
         emb = _t(s, d, "embeddings")
         qv = emb.where(F.col("vec_id") == 0).first().embedding
@@ -889,6 +893,18 @@ def oracle_sql() -> dict[str, str]:
                  round({_cos_sql(_dot_sql('a.embedding', 'b.embedding'), 'a.nrm', 'b.nrm')}, 6) AS cosine
           FROM e a JOIN e b ON a.vec_id < b.vec_id)
         WHERE cosine >= 0.4
+    """
+
+    o["ann_knn_join"] = f"""
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings),
+        c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     round({_cos_sql(_dot_sql('a.embedding', 'b.embedding'), 'a.nrm', 'b.nrm')}, 6) AS cosine
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        SELECT * FROM (
+          SELECT vec_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM c) WHERE rank <= 3
     """
 
     # --- text analysis ---------------------------------------------------

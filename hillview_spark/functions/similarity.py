@@ -347,3 +347,57 @@ def cosine_dup_pairs(
         ).alias("cosine"),
     )
     return out.where(F.col("cosine") >= threshold)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int | None = None,
+    dims: int = 64,
+    exact: bool = True,
+) -> DataFrame:
+    """Batch k-NN join: for EVERY vector, its k most-cosine-similar
+    neighbors — the shape that builds retrieval training pairs. With
+    planes=None the candidate set is all pairs (exact, correctness
+    scale); with planes set, candidates must share an LSH bucket, so
+    the self-join is an equi-join on the bucket key and the rank
+    window shuffles by vector id — both well-distributed at 100 TB.
+    Ranking uses the ROUNDED cosine (ties broken by neighbor id) so
+    the result is engine-portable."""
+    cols = [
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        squared_norm(F.col(vec_col), exact).alias("__n"),
+    ]
+    if planes is not None:
+        hp = hyperplanes(dims, planes)
+        cols.append(lsh_bucket_expr(vec_col, hp, exact).alias("__bucket"))
+    e = embeddings.select(*cols).persist()
+    a = e.select(
+        F.col("__id").alias(id_col), F.col("__v").alias("va"),
+        F.col("__n").alias("na"), *(["__bucket"] if planes is not None else []),
+    )
+    b = e.select(
+        F.col("__id").alias("neighbor_id"), F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"), *(["__bucket"] if planes is not None else []),
+    )
+    if planes is not None:
+        cand = a.join(b, ["__bucket"]).where(F.col(id_col) != F.col("neighbor_id"))
+    else:
+        cand = a.join(b, F.col(id_col) != F.col("neighbor_id"))
+    scored = cand.select(
+        id_col,
+        "neighbor_id",
+        F.round(
+            cosine(dot_product("va", "vb", exact), F.col("na"), F.col("nb")), 6
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -241,3 +241,32 @@ def test_connected_components_on_planted_pairs(spark, tables):
     for label, members in by_comp.items():
         assert label == min(members)
         assert len(members) >= 2
+
+
+def test_knn_join_known_neighbors(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    nn1 = {
+        r.vec_id: r.neighbor_id
+        for r in similarity.knn_join(df, k=1).collect()
+    }
+    assert nn1 == {0: 1, 1: 0, 2: 3, 3: 2}
+
+
+def test_knn_join_lsh_ranks_within_bucket(spark, tables):
+    emb = tables["embeddings"].limit(200)
+    rows = similarity.knn_join(emb, k=3, planes=2, exact=False).collect()
+    assert rows
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.vec_id, []).append(r)
+    for rs in by_id.values():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= 3
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
