@@ -86,6 +86,8 @@ def headline_queries(t):
             k=10), "collect"),
         "cosine_dups_lsh": (lambda: similarity.cosine_dup_pairs(
             t["embeddings"], threshold=0.4, planes=8, exact=False), "noop"),
+        "knn_join_lsh": (lambda: similarity.knn_join(
+            t["embeddings"], k=3, planes=8, exact=False), "noop"),
         "text_quality": (lambda: text.quality_score(t["documents"]), "noop"),
         "text_lang_id": (lambda: text.lang_id(t["documents"]), "noop"),
         # event-stream semantics

@@ -60,6 +60,14 @@ def test_dedup_join_is_equi_not_cartesian(spark, tables):
     ex.assert_no_cartesian(dedup.minhash_lsh_pairs(tables["documents"], 16, 4))
 
 
+def test_knn_join_lsh_is_equi_not_cartesian(spark, tables):
+    from hillview_spark.functions import similarity
+
+    ex.assert_no_cartesian(
+        similarity.knn_join(tables["embeddings"], k=3, planes=4, exact=False)
+    )
+
+
 def test_assert_helpers_raise_on_violation(spark, tables):
     # a filter on a computed value cannot push down — helper must say so
     from pyspark.sql import functions as F
