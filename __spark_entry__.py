@@ -102,6 +102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["data_range"] = lambda s, d: histogram.data_range(
         _t(s, d, "lineitem"), "l_extendedprice"
     )
+    q["data_range_interval"] = lambda s, d: histogram.data_range_interval(
+        maps.interval_column(
+            _t(s, d, "lineitem"), "qty_range", "l_quantity", "l_extendedprice"
+        ),
+        "qty_range",
+    )
     q["histogram_with_cdf"] = lambda s, d: histogram.histogram_with_cdf(
         _t(s, d, "lineitem"), "l_extendedprice", 50
     )
@@ -601,6 +607,11 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
     """
 
+    o["data_range_interval"] = """
+        SELECT min(l_quantity) AS min_start, max(l_extendedprice) AS max_end,
+               COUNT(*) AS present_count, CAST(0 AS BIGINT) AS missing_count
+        FROM lineitem
+    """
     o["histogram_with_cdf"] = f"""
         SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt

@@ -34,6 +34,20 @@ def data_range(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def data_range_interval(df: DataFrame, col: str) -> DataFrame:
+    """Range of an interval column (struct<start,end>):
+    sketches/results/IntervalDataRangeSketch.java — the minimum over
+    starts and maximum over ends, plus presence counts. Flat output
+    columns so results hash across engines."""
+    s, e = F.col(f"{col}.start"), F.col(f"{col}.end")
+    return df.agg(
+        F.min(s).alias("min_start"),
+        F.max(e).alias("max_end"),
+        F.count(F.col(col)).alias("present_count"),
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("missing_count"),
+    )
+
+
 def _bucket_expr(col: Column, mn: Column, mx: Column, buckets: int) -> Column:
     """Bucket index in [0, buckets): floor((x-mn)/w), max clamped into
     the last bucket (Hillview's DoubleHistogramBuckets puts max in the

@@ -254,3 +254,15 @@ def test_corr_matrix_diagonal_one(spark, tables):
     m = correlation.corr_matrix(tables["lineitem"], ["l_quantity", "l_tax"]).collect()
     diag = [r.corr for r in m if r.col_x == r.col_y]
     assert all(abs(v - 1.0) < 1e-9 for v in diag)
+
+
+def test_data_range_interval(spark, tables):
+    iv = maps.interval_column(
+        tables["lineitem"], "r", "l_quantity", "l_extendedprice"
+    )
+    got = histogram.data_range_interval(iv, "r").first()
+    li = tables["lineitem"]
+    exp = li.agg({"l_quantity": "min", "l_extendedprice": "max"}).first()
+    assert got.min_start == exp[0] or got.min_start == exp[1]
+    assert got.present_count == li.count()
+    assert got.missing_count == 0
