@@ -50,7 +50,104 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Key order = driver-gate execution order. The LLM-pipeline and
+    streaming keys lead (round 1's gate stopped after 50 keys and
+    never reached them); round-2 additions follow; the 46 keys the
+    round-1 gate already verified green come last."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- dedup (LLM-pipeline) ----------------------------------------
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents"), threshold=0.3
+    )
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _t(s, d, "documents"), num_hashes=16, bands=4
+    )
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
+        _t(s, d, "documents"), max_hamming=3
+    )
+    q["dedup_lsh_verify"] = lambda s, d: dedup.verify_jaccard(
+        _t(s, d, "documents"),
+        dedup.minhash_lsh_pairs(_t(s, d, "documents"), 16, 4),
+        threshold=0.3,
+    )
+    q["dedup_components"] = lambda s, d: dedup.connected_components(
+        dedup.ngram_jaccard_pairs(_t(s, d, "documents"), threshold=0.3)
+    )
+    q["text_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
+
+    # --- similarity search (LLM-pipeline) ----------------------------
+    q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _t(s, d, "embeddings"), query_id=0, k=10
+    )
+    q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh(
+        _t(s, d, "embeddings"), query_id=0, k=10, planes=4
+    )
+    # Exact quadratic baselines, gate-scoped to a quarter of the
+    # vectors (vec_id % 4 = 0): same code path, 1/16 the pair count —
+    # the full-table gate keys are the LSH-blocked scale paths below.
+    q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_dup_pairs(
+        _t(s, d, "embeddings").where(F.col("vec_id") % 4 == 0), threshold=0.4
+    )
+    q["ann_knn_join"] = lambda s, d: similarity.knn_join(
+        _t(s, d, "embeddings").where(F.col("vec_id") % 4 == 0), k=3
+    )
+    # The 100-TB paths, oracle-checked on the FULL table: candidates
+    # restricted to shared LSH buckets (equi-join, no cartesian).
+    q["ann_knn_join_lsh"] = lambda s, d: similarity.knn_join(
+        _t(s, d, "embeddings"), k=3, planes=8
+    )
+    q["dedup_embedding_cosine_lsh"] = lambda s, d: similarity.cosine_dup_pairs(
+        _t(s, d, "embeddings"), threshold=0.4, planes=4
+    )
+
+    def _ivf(s, d):
+        emb = _t(s, d, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).first().embedding
+        return similarity.ivf_topk(
+            emb.where("vec_id <> 0"), qv, k=10, n_cells=8, n_probe=8
+        )
+
+    q["ann_ivf_topk"] = _ivf
+
+    # --- text analysis (LLM-pipeline) ---------------------------------
+    q["text_token_count"] = lambda s, d: text.token_count(_t(s, d, "documents"))
+    q["text_quality_score"] = lambda s, d: text.quality_score(
+        _t(s, d, "documents")
+    )
+    q["text_lang_id"] = lambda s, d: text.lang_id(_t(s, d, "documents"))
+
+    # --- streaming-semantics (batch-checkable) ------------------------
+    q["events_windowed_counts"] = lambda s, d: ev.windowed_counts(
+        _t(s, d, "events"), "hour"
+    )
+    q["events_sessionize"] = lambda s, d: ev.sessionize(
+        _t(s, d, "events"), gap_minutes=30
+    )
+
+    q["orders_status_by_month"] = lambda s, d: (
+        _t(s, d, "orders")
+        .groupBy(
+            histogram.trunc_ntz(F.col("o_orderdate"), "month").alias("month_start"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    # --- round-2 additions -------------------------------------------
+    q["range_filter_array"] = lambda s, d: _t(s, d, "lineitem").where(
+        filters.range_filter_array([
+            {"col": "l_quantity", "lo": 10, "hi": 30},
+            {"col": "l_extendedprice", "lo": 1000.0, "hi": 20000.0},
+            {"col": "l_shipdate", "lo": "1996-01-01", "hi": "1996-12-31"},
+        ])
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    q["row_quantiles"] = lambda s, d: stats.row_quantiles(
+        _t(s, d, "customer"), ["c_nationkey", "c_name"], 8
+    )
 
     # --- TPC-H-ish analytical queries -------------------------------
     q["q1_pricing_summary"] = lambda s, d: tpch.q1_pricing_summary(
@@ -274,75 +371,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    q["orders_status_by_month"] = lambda s, d: (
-        _t(s, d, "orders")
-        .groupBy(
-            histogram.trunc_ntz(F.col("o_orderdate"), "month").alias("month_start"),
-            "o_orderstatus",
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-    # --- dedup (LLM-pipeline) ----------------------------------------
-    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
-    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
-        _t(s, d, "documents"), threshold=0.3
-    )
-    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        _t(s, d, "documents"), num_hashes=16, bands=4
-    )
-    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
-        _t(s, d, "documents"), max_hamming=3
-    )
-    q["dedup_lsh_verify"] = lambda s, d: dedup.verify_jaccard(
-        _t(s, d, "documents"),
-        dedup.minhash_lsh_pairs(_t(s, d, "documents"), 16, 4),
-        threshold=0.3,
-    )
-    q["dedup_components"] = lambda s, d: dedup.connected_components(
-        dedup.ngram_jaccard_pairs(_t(s, d, "documents"), threshold=0.3)
-    )
-    q["text_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
-
-    # --- similarity search (LLM-pipeline) ----------------------------
-    q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
-        _t(s, d, "embeddings"), query_id=0, k=10
-    )
-    q["ann_lsh_topk"] = lambda s, d: similarity.ann_lsh(
-        _t(s, d, "embeddings"), query_id=0, k=10, planes=4
-    )
-    q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_dup_pairs(
-        _t(s, d, "embeddings"), threshold=0.4
-    )
-
-    q["ann_knn_join"] = lambda s, d: similarity.knn_join(
-        _t(s, d, "embeddings"), k=3
-    )
-
-    def _ivf(s, d):
-        emb = _t(s, d, "embeddings")
-        qv = emb.where(F.col("vec_id") == 0).first().embedding
-        return similarity.ivf_topk(
-            emb.where("vec_id <> 0"), qv, k=10, n_cells=8, n_probe=8
-        )
-
-    q["ann_ivf_topk"] = _ivf
-
-    # --- text analysis (LLM-pipeline) ---------------------------------
-    q["text_token_count"] = lambda s, d: text.token_count(_t(s, d, "documents"))
-    q["text_quality_score"] = lambda s, d: text.quality_score(
-        _t(s, d, "documents")
-    )
-    q["text_lang_id"] = lambda s, d: text.lang_id(_t(s, d, "documents"))
-
-    # --- streaming-semantics (batch-checkable) ------------------------
-    q["events_windowed_counts"] = lambda s, d: ev.windowed_counts(
-        _t(s, d, "events"), "hour"
-    )
-    q["events_sessionize"] = lambda s, d: ev.sessionize(
-        _t(s, d, "events"), gap_minutes=30
-    )
-
     return q
 
 
@@ -419,7 +447,9 @@ def _simhash_pairs_sql() -> str:
     """
 
 
-def _ann_lsh_sql(planes: int = 4, k: int = 10) -> str:
+def _bucket_sql(planes: int) -> str:
+    """DuckDB expression for the LSH sign-pattern bucket string,
+    mirroring similarity.lsh_bucket_expr's exact decimal path."""
     from hillview_spark.functions.similarity import hyperplanes
 
     hp = hyperplanes(64, planes)
@@ -431,7 +461,11 @@ def _ann_lsh_sql(planes: int = 4, k: int = 10) -> str:
             f" * ({wl})[i] FOR i IN generate_series(1, 64)])"
         )
         bit_exprs.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
-    bucket = "||".join(bit_exprs)
+    return "||".join(bit_exprs)
+
+
+def _ann_lsh_sql(planes: int = 4, k: int = 10) -> str:
+    bucket = _bucket_sql(planes)
     dot = _dot_sql("embedding", "qv")
     cos = _cos_sql(dot, "nrm", "qn")
     return f"""
@@ -898,7 +932,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ann_lsh_topk"] = _ann_lsh_sql(planes=4, k=10)
     o["dedup_embedding_cosine"] = f"""
-        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings)
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings
+                   WHERE vec_id % 4 = 0)
         SELECT * FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  round({_cos_sql(_dot_sql('a.embedding', 'b.embedding'), 'a.nrm', 'b.nrm')}, 6) AS cosine
@@ -907,7 +942,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["ann_knn_join"] = f"""
-        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings
+                   WHERE vec_id % 4 = 0),
         c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                      round({_cos_sql(_dot_sql('a.embedding', 'b.embedding'), 'a.nrm', 'b.nrm')}, 6) AS cosine
               FROM e a JOIN e b ON a.vec_id <> b.vec_id)
@@ -916,6 +952,57 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (PARTITION BY vec_id
                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
           FROM c) WHERE rank <= 3
+    """
+
+    # LSH-blocked scale paths on the FULL table: the bucket string is
+    # recomputed in SQL with the same decimal arithmetic, so the
+    # candidate sets (and hence results) match the Spark plan exactly.
+    o["ann_knn_join_lsh"] = f"""
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm,
+                          {_bucket_sql(8)} AS bucket
+                   FROM embeddings),
+        c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     round({_cos_sql(_dot_sql('a.embedding', 'b.embedding'), 'a.nrm', 'b.nrm')}, 6) AS cosine
+              FROM e a JOIN e b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT * FROM (
+          SELECT vec_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM c) WHERE rank <= 3
+    """
+    o["dedup_embedding_cosine_lsh"] = f"""
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm,
+                          {_bucket_sql(4)} AS bucket
+                   FROM embeddings)
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({_cos_sql(_dot_sql('a.embedding', 'b.embedding'), 'a.nrm', 'b.nrm')}, 6) AS cosine
+          FROM e a JOIN e b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.4
+    """
+
+    # --- round-2 additions ----------------------------------------------
+    o["range_filter_array"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        FROM lineitem
+        WHERE l_quantity >= 10 AND l_quantity <= 30
+          AND l_extendedprice >= 1000.0 AND l_extendedprice <= 20000.0
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <= TIMESTAMP '1996-12-31'
+    """
+    o["row_quantiles"] = """
+        WITH d AS (SELECT DISTINCT c_nationkey, c_name FROM customer
+                   WHERE c_nationkey IS NOT NULL AND c_name IS NOT NULL),
+        r AS (SELECT c_nationkey, c_name,
+                     row_number() OVER (ORDER BY c_nationkey, c_name) - 1 AS rnk,
+                     count(*) OVER () AS n
+              FROM d)
+        SELECT CAST((rnk * 8) // n AS INT) AS bucket,
+               arg_min(c_nationkey, rnk) AS c_nationkey,
+               arg_min(c_name, rnk) AS c_name
+        FROM r GROUP BY 1
     """
 
     # --- text analysis ---------------------------------------------------

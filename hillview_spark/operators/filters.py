@@ -34,6 +34,20 @@ def range_filter(
     return ~cond if complement else cond
 
 
+def range_filter_array(ranges: list[dict], complement: bool = False) -> Column:
+    """Conjunction of per-column range filters — the N-D brush
+    selection behind every heatmap / trellis chart interaction
+    (table/filters/RangeFilterArrayDescription.java:29: an array of
+    RangeFilterDescription ANDed together, with a complement flag).
+
+    Each entry is a kwargs dict for range_filter, e.g.
+    ``{"col": "l_quantity", "lo": 10, "hi": 30}``. Every member stays
+    a plain Catalyst predicate, so all ranges reach the parquet scan
+    as PushedFilters."""
+    cond = all_of(*[range_filter(**r) for r in ranges])
+    return ~cond if complement else cond
+
+
 def string_filter(
     col: str,
     pattern: str,

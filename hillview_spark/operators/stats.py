@@ -168,28 +168,91 @@ def string_quantiles(df: DataFrame, col: str, k: int) -> DataFrame:
     Hillview computes these to build StringHistogramBuckets when
     cardinality exceeds the bucket budget.
 
-    Scale note: the rank window runs over the DISTINCT set only —
-    exactly the regime where Hillview uses this sketch (bounded
-    cardinality); for unbounded-cardinality columns use
-    quantiles_approx over a hash or sample first. Integer-division
-    bucket math keeps both engines bit-identical."""
+    Scale shape: global rank WITHOUT a single-partition sort — see
+    global_rank. Integer-division bucket math keeps both engines
+    bit-identical."""
     d = (
         df.select(F.col(col).alias("value"))
         .where(F.col("value").isNotNull())
         .distinct()
     )
-    w = Window.orderBy("value")
-    ranked = d.select(
-        "value",
-        (F.row_number().over(w) - 1).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = global_rank(d, ["value"])
     return (
         ranked.select(
             F.expr(f"CAST((rnk * {k}) DIV n AS INT)").alias("bucket"), "value"
         )
         .groupBy("bucket")
         .agg(F.min("value").alias("boundary"))
+    )
+
+
+def global_rank(d: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Dense 0-based global rank of each (assumed-distinct) row under
+    a lexicographic RecordOrder, plus the total count n — WITHOUT a
+    single-partition sort.
+
+    The rows are range-partitioned on the order columns
+    (RangePartitioner guarantees partition i sorts entirely before
+    partition i+1), each partition ranks locally in parallel (window
+    partitioned by spark_partition_id), and the prior-partition
+    counts are added as offsets. The per-partition counts form a
+    tiny (num-partitions-row) relation, so its prefix-sum window and
+    the broadcast join back are O(partitions), not O(rows).
+
+    Returns the input columns plus ``rnk`` (long) and ``n`` (long).
+    """
+    parts = max(4, int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 2)
+    # Persist: the pid-tagged relation feeds both the offsets
+    # aggregate and the ranking join; without it the distinct +
+    # range-shuffle would run twice (and nondeterministic pids could
+    # diverge between the two evaluations).
+    tagged = (
+        d.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__offset"),
+            F.sum("__cnt").over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("n"),
+        )
+    )
+    wlocal = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .select(
+            *order_cols,
+            (F.row_number().over(wlocal) - 1 + F.col("__offset")).alias("rnk"),
+            "n",
+        )
+    )
+
+
+def row_quantiles(df: DataFrame, sort_cols: list[str], k: int) -> DataFrame:
+    """Quantile boundary ROW TUPLES under a multi-column RecordOrder —
+    what drives proportional scroll-to-position over a sorted
+    spreadsheet view (sketches/SampleDistinctRowsSketch.java:44:
+    MinKSet over RowSnapshots; here exact, via distributed ranking).
+
+    Output: one row per rank-bucket with the bucket's smallest tuple
+    (min_by on the global rank — the rank is unique, so min_by is
+    deterministic and engine-portable)."""
+    d = df.select(*sort_cols).dropna(subset=sort_cols).distinct()
+    ranked = global_rank(d, sort_cols)
+    return (
+        ranked.select(
+            F.expr(f"CAST((rnk * {k}) DIV n AS INT)").alias("bucket"),
+            *sort_cols,
+            "rnk",
+        )
+        .groupBy("bucket")
+        .agg(*[F.expr(f"min_by({c}, rnk)").alias(c) for c in sort_cols])
     )
 
 

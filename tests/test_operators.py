@@ -266,3 +266,63 @@ def test_data_range_interval(spark, tables):
     assert got.min_start == exp[0] or got.min_start == exp[1]
     assert got.present_count == li.count()
     assert got.missing_count == 0
+
+
+def test_row_quantiles_boundaries(spark, tables):
+    rows = sorted(
+        stats.row_quantiles(
+            tables["customer"], ["c_nationkey", "c_name"], 8
+        ).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(8))
+    tuples = [(r.c_nationkey, r.c_name) for r in rows]
+    assert tuples == sorted(tuples)
+    first = (
+        tables["customer"]
+        .orderBy("c_nationkey", "c_name")
+        .select("c_nationkey", "c_name")
+        .first()
+    )
+    assert tuples[0] == (first.c_nationkey, first.c_name)
+
+
+def test_global_rank_matches_window_rank(spark, tables):
+    from pyspark.sql import Window, functions as F
+
+    d = tables["part"].select("p_type").distinct()
+    got = {
+        r.p_type: r.rnk for r in stats.global_rank(d, ["p_type"]).collect()
+    }
+    want = {
+        r.p_type: r.rnk
+        for r in d.select(
+            "p_type", (F.row_number().over(Window.orderBy("p_type")) - 1).alias("rnk")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_range_filter_array_matches_manual(spark, tables):
+    from hillview_spark.operators import filters
+
+    li = tables["lineitem"]
+    got = li.where(
+        filters.range_filter_array(
+            [{"col": "l_quantity", "lo": 10, "hi": 30},
+             {"col": "l_discount", "lo": 0.02, "hi": 0.05}]
+        )
+    ).count()
+    want = li.where(
+        "l_quantity >= 10 AND l_quantity <= 30 "
+        "AND l_discount >= 0.02 AND l_discount <= 0.05"
+    ).count()
+    assert got == want > 0
+    comp = li.where(
+        filters.range_filter_array(
+            [{"col": "l_quantity", "lo": 10, "hi": 30},
+             {"col": "l_discount", "lo": 0.02, "hi": 0.05}],
+            complement=True,
+        )
+    ).count()
+    assert got + comp == li.count()

@@ -81,3 +81,45 @@ def test_assert_helpers_raise_on_violation(spark, tables):
     cart = tables["nation"].crossJoin(tables["region"])
     with pytest.raises(AssertionError):
         ex.assert_no_cartesian(cart)
+
+
+def test_range_filter_array_all_ranges_pushed(spark, tables):
+    from hillview_spark.operators import filters
+
+    df = tables["lineitem"].where(
+        filters.range_filter_array([
+            {"col": "l_quantity", "lo": 10, "hi": 30},
+            {"col": "l_extendedprice", "lo": 1000.0, "hi": 20000.0},
+            {"col": "l_shipdate", "lo": "1996-01-01", "hi": "1996-12-31"},
+        ])
+    ).select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    ex.assert_pushdown(df, ["l_quantity", "l_extendedprice", "l_shipdate"])
+
+
+def test_heavy_hitters_single_scan(spark, tables):
+    """The total-count side must reuse the grouped exchange — one scan
+    of the input, not a separate count() job."""
+    from hillview_spark.operators import heavy_hitters
+
+    df = heavy_hitters.heavy_hitters(tables["documents"], ["lang"], epsilon=0.1)
+    df.collect()
+    assert "ReusedExchange" in ex.physical_plan(df)
+
+
+def test_string_quantiles_no_single_partition_sort(spark, tables):
+    """Every Window over the distinct-value set must be partitioned
+    (by spark_partition_id); the only unpartitioned window allowed is
+    the prefix-sum over the tiny per-partition-count relation."""
+    from hillview_spark.operators import stats
+
+    df = stats.string_quantiles(tables["customer"], "c_name", 8)
+    df.collect()
+    plan = ex.physical_plan(df)
+    # the row_number ranking window must carry a partition column
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert spec.split(",")[0].strip().startswith("__pid"), (
+            "ranking window not partitioned: " + spec
+        )
