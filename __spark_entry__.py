@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["row_quantiles"] = lambda s, d: stats.row_quantiles(
         _t(s, d, "customer"), ["c_nationkey", "c_name"], 8
     )
+    # rows-only: Bernoulli sampling differs across engines by design
+    q["corr_matrix_sampled"] = lambda s, d: correlation.corr_matrix(
+        _t(s, d, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        sample_fraction=0.5,
+    )
 
     # --- TPC-H-ish analytical queries -------------------------------
     q["q1_pricing_summary"] = lambda s, d: tpch.q1_pricing_summary(

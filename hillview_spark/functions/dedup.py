@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hillview_spark import cache
+
 TOKEN_RE = r"\s+"
 
 
@@ -79,7 +81,7 @@ def ngram_jaccard_pairs(
     # once (MEMORY_AND_DISK; spills rather than recomputing at scale).
     sh = _shingle_table(df, id_col, text_col, n).select(
         "doc", _token_hash(F.col("s")).alias("s")
-    ).persist()
+    ).transform(cache.persist)
     if max_df is not None:
         rare = (
             sh.groupBy("s")
@@ -136,7 +138,7 @@ def verify_jaccard(
     shape at 100 TB: minhash_lsh_pairs() >> verify_jaccard()."""
     # pairs feeds two joins and the candidate-doc set; without a
     # persist Spark would recompute the whole LSH DAG per reference.
-    pairs = pairs.persist()
+    pairs = pairs.transform(cache.persist)
     cand_docs = (
         pairs.select(F.col("doc_id_1").alias("doc"))
         .union(pairs.select(F.col("doc_id_2").alias("doc")))
@@ -146,7 +148,7 @@ def verify_jaccard(
         _shingle_table(df, id_col, text_col, n)
         .join(F.broadcast(cand_docs), "doc")
         .select("doc", _token_hash(F.col("s")).alias("s"))
-        .persist()
+        .transform(cache.persist)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc").alias("doc_id_1"), "s")
@@ -217,7 +219,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("doc", "bk.band", "bk.key").persist()
+    ).select("doc", "bk.band", "bk.key").transform(cache.persist)
     a = banded.select(F.col("doc").alias("doc_id_1"), "band", "key")
     b = banded.select(F.col("doc").alias("doc_id_2"), "band", "key")
     return (
@@ -290,7 +292,7 @@ def simhash_pairs(
         F.col(id_col).alias("doc"),
         F.col("fingerprint"),
         F.explode(F.array(*chunk_structs)).alias("ck"),
-    ).select("doc", "fingerprint", "ck.ci", "ck.cv").persist()
+    ).select("doc", "fingerprint", "ck.ci", "ck.cv").transform(cache.persist)
     a = chunked.select(
         F.col("doc").alias("doc_id_1"), F.col("fingerprint").alias("f1"), "ci", "cv"
     )
@@ -333,13 +335,13 @@ def connected_components(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .persist()
+        .transform(cache.persist)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .transform(cache.persist)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -355,7 +357,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .transform(cache.persist)
         )
         changed = (
             new_labels.alias("n")

@@ -61,14 +61,75 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 def _real_decode(payload: bytes):
     raise NotImplementedError(
-        "real image/audio/video codecs are not available in this "
-        "environment; register one in DECODERS"
+        "compressed-codec decoders (JPEG/MP3/H.264) are not available "
+        "in this environment; register one in DECODERS"
     )
 
 
-# Pluggable decode registry — swap in PIL/ffmpeg-backed decoders in a
-# real deployment.
-DECODERS = {"fake": _fake_decode, "real": _real_decode}
+def _ppm_dims(payload: bytes) -> tuple[int, int, int]:
+    """P6 PPM header: 'P6' then whitespace-separated width, height,
+    maxval (with '#' comment lines allowed) — returns (w, h, 1)."""
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        c = payload[i : i + 1]
+        if not c:
+            raise ValueError("truncated PPM header")
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            i = payload.index(b"\n", i) + 1
+        else:
+            j = i
+            while payload[j : j + 1] and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+    return toks[0], toks[1], 1
+
+
+def _wav_dims(payload: bytes) -> tuple[int, int, int]:
+    """RIFF/WAVE chunk walk: fmt chunk gives channels + sample rate +
+    block align; data chunk gives payload size. Returns
+    (sample_rate, n_channels, n_frames) mapped onto the probe's
+    (width, height, n_frames) slots."""
+    if payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    i = 12
+    channels = rate = block_align = data_size = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (sz,) = _struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt ":
+            (channels,) = _struct.unpack("<H", payload[i + 10 : i + 12])
+            (rate,) = _struct.unpack("<I", payload[i + 12 : i + 16])
+            (block_align,) = _struct.unpack("<H", payload[i + 20 : i + 22])
+        elif cid == b"data":
+            data_size = sz
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if None in (channels, rate, block_align, data_size):
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, data_size // block_align
+
+
+def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real-format decoder with no third-party deps: parses actual P6
+    PPM image headers and RIFF/WAVE audio headers byte-for-byte (the
+    formats whose containers are pure stdlib). Compressed codecs
+    still belong to the 'real' slot."""
+    if payload is None:
+        raise ValueError("null payload")
+    if payload[:2] == b"P6":
+        return _ppm_dims(payload)
+    if payload[:4] == b"RIFF":
+        return _wav_dims(payload)
+    raise ValueError("unrecognized media container")
+
+
+# Pluggable decode registry — 'fake' for deterministic fixtures,
+# 'stdlib' for real PPM/WAV bytes, 'real' as the seam where a
+# PIL/ffmpeg-backed deployment plugs in.
+DECODERS = {"fake": _fake_decode, "stdlib": _stdlib_decode, "real": _real_decode}
 
 PROBE_SCHEMA = (
     "media_id long, kind string, width int, height int, n_frames int, n_bytes long"

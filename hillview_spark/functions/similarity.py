@@ -25,6 +25,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hillview_spark import cache
+
 # Decimal shapes for exact, order-independent vector arithmetic.
 _ELEM = "decimal(10,8)"
 _ACC = "decimal(30,16)"
@@ -292,6 +294,59 @@ def ivf_topk(
     return cosine_topk_numpy(candidates, query_vec, k, id_col, vec_col)
 
 
+def _bucketed_relation(
+    embeddings: DataFrame, id_col: str, vec_col: str, planes: int,
+    dims: int, exact: bool,
+) -> DataFrame:
+    """(__id, __v, __n, __bucket) projection, persisted: both sides of
+    the self-join reference it, and without the persist each side
+    re-evaluates the 2^planes-way projection over the full scan
+    (measured 2x end-to-end on the bench)."""
+    hp = hyperplanes(dims, planes)
+    return embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        squared_norm(F.col(vec_col), exact).alias("__n"),
+        lsh_bucket_expr(vec_col, hp, exact).alias("__bucket"),
+    ).transform(cache.persist)
+
+
+def _bucket_self_join(e: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Self-join of the bucketed relation on __bucket, with bounded
+    per-task skew. Result columns: id_a/va/na, id_b/vb/nb.
+
+    A hot bucket makes the plain equi-join quadratic *inside one
+    task*. With max_bucket set, buckets of size s are split into
+    g = ceil(s / max_bucket) salt groups: side A takes a deterministic
+    hash salt, side B is replicated to every salt, so each (a, b) pair
+    still meets exactly ONCE (same semantics, g x smaller tasks; the
+    replication factor only applies within the oversized bucket).
+    Bucket count is <= 2^planes, so the size table broadcasts."""
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+        F.col("__n").alias("na"), "__bucket",
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"), "__bucket",
+    )
+    if max_bucket is None:
+        return a.join(b, ["__bucket"])
+    sizes = e.groupBy("__bucket").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)) / F.lit(max_bucket)).cast("int"),
+        ).alias("__g")
+    )
+    a2 = a.join(F.broadcast(sizes), "__bucket").withColumn(
+        "__salt", F.pmod(F.xxhash64("id_a"), F.col("__g")).cast("int")
+    ).drop("__g")
+    b2 = b.join(F.broadcast(sizes), "__bucket").withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.col("__g") - 1))
+    ).drop("__g")
+    return a2.join(b2, ["__bucket", "__salt"]).drop("__salt")
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -300,33 +355,20 @@ def cosine_dup_pairs(
     planes: int | None = None,
     dims: int = 64,
     exact: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine. With planes=None this is the
     exact quadratic baseline (fine for correctness scale); passing
     planes enables LSH blocking — candidates must share a bucket —
     which is the 100-TB path (the equi-join on bucket key replaces
-    the cartesian)."""
+    the cartesian). max_bucket bounds within-bucket skew by salting
+    oversized buckets (see _bucket_self_join) without changing the
+    result."""
     if planes is not None:
-        # Compute bucket + norm ONCE and persist before the self-join:
-        # both join sides reference the same relation, and without the
-        # persist each side re-evaluates the 2^planes-way projection
-        # over the full scan (measured 2x end-to-end on the bench).
-        hp = hyperplanes(dims, planes)
-        e = embeddings.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            squared_norm(F.col(vec_col), exact).alias("__n"),
-            lsh_bucket_expr(vec_col, hp, exact).alias("__bucket"),
-        ).persist()
-        a = e.select(
-            F.col("__id").alias("id_a"), F.col("__v").alias("va"),
-            F.col("__n").alias("na"), "__bucket",
+        e = _bucketed_relation(embeddings, id_col, vec_col, planes, dims, exact)
+        joined = _bucket_self_join(e, max_bucket).where(
+            F.col("id_a") < F.col("id_b")
         )
-        b = e.select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
-            F.col("__n").alias("nb"), "__bucket",
-        )
-        joined = a.join(b, ["__bucket"]).where(F.col("id_a") < F.col("id_b"))
     else:
         a = embeddings.select(
             F.col(id_col).alias("id_a"),
@@ -357,6 +399,7 @@ def knn_join(
     planes: int | None = None,
     dims: int = 64,
     exact: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Batch k-NN join: for EVERY vector, its k most-cosine-similar
     neighbors — the shape that builds retrieval training pairs. With
@@ -364,32 +407,33 @@ def knn_join(
     scale); with planes set, candidates must share an LSH bucket, so
     the self-join is an equi-join on the bucket key and the rank
     window shuffles by vector id — both well-distributed at 100 TB.
-    Ranking uses the ROUNDED cosine (ties broken by neighbor id) so
-    the result is engine-portable."""
-    cols = [
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        squared_norm(F.col(vec_col), exact).alias("__n"),
-    ]
+    max_bucket bounds within-bucket skew by salting oversized buckets
+    (see _bucket_self_join) without changing the result. Ranking uses
+    the ROUNDED cosine (ties broken by neighbor id) so the result is
+    engine-portable."""
     if planes is not None:
-        hp = hyperplanes(dims, planes)
-        cols.append(lsh_bucket_expr(vec_col, hp, exact).alias("__bucket"))
-    e = embeddings.select(*cols).persist()
-    a = e.select(
-        F.col("__id").alias(id_col), F.col("__v").alias("va"),
-        F.col("__n").alias("na"), *(["__bucket"] if planes is not None else []),
-    )
-    b = e.select(
-        F.col("__id").alias("neighbor_id"), F.col("__v").alias("vb"),
-        F.col("__n").alias("nb"), *(["__bucket"] if planes is not None else []),
-    )
-    if planes is not None:
-        cand = a.join(b, ["__bucket"]).where(F.col(id_col) != F.col("neighbor_id"))
+        e = _bucketed_relation(embeddings, id_col, vec_col, planes, dims, exact)
+        cand = _bucket_self_join(e, max_bucket).where(
+            F.col("id_a") != F.col("id_b")
+        )
     else:
-        cand = a.join(b, F.col(id_col) != F.col("neighbor_id"))
+        e = embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            squared_norm(F.col(vec_col), exact).alias("__n"),
+        ).transform(cache.persist)
+        a = e.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+            F.col("__n").alias("na"),
+        )
+        b = e.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+            F.col("__n").alias("nb"),
+        )
+        cand = a.join(b, F.col("id_a") != F.col("id_b"))
     scored = cand.select(
-        id_col,
-        "neighbor_id",
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("neighbor_id"),
         F.round(
             cosine(dot_product("va", "vb", exact), F.col("na"), F.col("nb")), 6
         ).alias("cosine"),

@@ -24,9 +24,25 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def corr_matrix(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFrame:
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    ndigits: int = 4,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
     """Pearson correlation for every pair, one scan. Output: one row
-    per (col_x, col_y) ordered pair with x <= y."""
+    per (col_x, col_y) ordered pair with x <= y.
+
+    sample_fraction enables the sampled variant
+    (sketches/SampleCorrelationSketch.java:33): the wide aggregate
+    runs over a seeded Bernoulli row sample — the scan still reads
+    every row-group but the aggregation state and CPU drop by the
+    sampling rate, which is the point at 100 TB (correlation is
+    O(1)-state but the per-row multiply-accumulate across d^2/2
+    pairs dominates). Deterministic for a fixed seed."""
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
     aggs = []
     names = []
     for i, a in enumerate(cols):
@@ -162,25 +178,42 @@ def lamp_project(
 
     out_cols = ([key_col] if key_col else []) + cols
 
+    def _solve_block(P: "np.ndarray") -> "np.ndarray":
+        """Vectorized LAMP for a block of rows: every step is a stacked
+        einsum / batched-SVD over the whole block (np.linalg.svd on an
+        (N, d, 2) stack runs one LAPACK call per matrix but stays out
+        of the Python interpreter loop — ~20x the per-row version)."""
+        d2 = ((P[:, None, :] - Xs[None, :, :]) ** 2).sum(-1)  # N x c
+        res = np.empty((len(P), 2))
+        hit = d2.min(axis=1) < 1e-12  # coincides with a control point
+        if hit.any():
+            res[hit] = Y[d2[hit].argmin(axis=1)]
+        todo = ~hit
+        if todo.any():
+            Pt, D = P[todo], d2[todo]
+            a = 1.0 / D                                  # N x c weights
+            asum = a.sum(1)[:, None]
+            xt = (a @ Xs) / asum                         # N x d
+            yt = (a @ Y) / asum                          # N x 2
+            ra = np.sqrt(a)
+            Ah = ra[:, :, None] * (Xs[None, :, :] - xt[:, None, :])  # N x c x d
+            Bh = ra[:, :, None] * (Y[None, :, :] - yt[:, None, :])   # N x c x 2
+            AtB = np.einsum("ncd,nce->nde", Ah, Bh)      # N x d x 2
+            u, _, vvt = np.linalg.svd(AtB, full_matrices=False)
+            M = u @ vvt                                  # N x d x 2
+            res[todo] = np.einsum("nd,nde->ne", Pt - xt, M) + yt
+        return res
+
     def project(batches):
         import pandas as pd
 
         for pdf in batches:
             P = ((pdf[cols].to_numpy(dtype=np.float64) - mu) / sd)
-            res = np.empty((len(P), 2))
-            for i, x in enumerate(P):
-                d2 = ((Xs - x) ** 2).sum(axis=1)
-                if (d2 < 1e-12).any():
-                    res[i] = Y[int(np.argmin(d2))]
-                    continue
-                a = 1.0 / d2
-                xt = (a[:, None] * Xs).sum(0) / a.sum()
-                yt = (a[:, None] * Y).sum(0) / a.sum()
-                Ah = np.sqrt(a)[:, None] * (Xs - xt)
-                Bh = np.sqrt(a)[:, None] * (Y - yt)
-                u, _, vvt = np.linalg.svd(Ah.T @ Bh, full_matrices=False)
-                M = u @ vvt
-                res[i] = (x - xt) @ M + yt
+            # sub-chunk so the N x c x d intermediates stay bounded
+            blocks = [
+                _solve_block(P[i : i + 4096]) for i in range(0, len(P), 4096)
+            ] or [np.empty((0, 2))]
+            res = np.concatenate(blocks)
             out = {}
             if key_col:
                 out[key_col] = pdf[key_col]

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hillview_spark import cache
+
 
 def row_count(df: DataFrame) -> DataFrame:
     return df.agg(F.count(F.lit(1)).alias("row_count"))
@@ -209,7 +211,7 @@ def global_rank(d: DataFrame, order_cols: list[str]) -> DataFrame:
     tagged = (
         d.repartitionByRange(parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .transform(cache.persist)
     )
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

@@ -101,3 +101,31 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
         if last_per_user[r.user_id].session_id != r.session_id
     }
     assert streamed == expected
+
+
+def test_sampled_corr_matrix_close_to_exact(spark, tables):
+    from hillview_spark.operators import correlation
+
+    li = tables["lineitem"]
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    exact = {
+        (r.col_x, r.col_y): r.corr
+        for r in correlation.corr_matrix(li, cols).collect()
+    }
+    sampled = {
+        (r.col_x, r.col_y): r.corr
+        for r in correlation.corr_matrix(
+            li, cols, sample_fraction=0.5, seed=7
+        ).collect()
+    }
+    assert set(sampled) == set(exact)
+    for k, v in exact.items():
+        assert abs(sampled[k] - v) < 0.1, (k, sampled[k], v)
+    # deterministic for a fixed seed
+    again = {
+        (r.col_x, r.col_y): r.corr
+        for r in correlation.corr_matrix(
+            li, cols, sample_fraction=0.5, seed=7
+        ).collect()
+    }
+    assert again == sampled

@@ -270,3 +270,72 @@ def test_knn_join_lsh_ranks_within_bucket(spark, tables):
         assert len(rs) <= 3
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_salted_hot_bucket_same_result(spark, tables):
+    """Planting a hot LSH bucket (many copies of one vector) and
+    capping bucket size must not change either pipeline's result —
+    salting only splits tasks, never drops pairs."""
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(40)
+    base = emb.where(F.col("vec_id") == 0).first().embedding
+    hot = spark.createDataFrame(
+        [(1000 + i, base) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    df = emb.union(hot)
+
+    dup_plain = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_dup_pairs(df, 0.4, planes=4).collect()
+    }
+    dup_salted = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_dup_pairs(
+            df, 0.4, planes=4, max_bucket=16
+        ).collect()
+    }
+    assert dup_salted == dup_plain and len(dup_plain) >= 60 * 59 // 2
+
+    knn_plain = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in similarity.knn_join(df, k=3, planes=4).collect()
+    }
+    knn_salted = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in similarity.knn_join(df, k=3, planes=4, max_bucket=16).collect()
+    }
+    assert knn_salted == knn_plain
+
+    from hillview_spark.plans import explain as ex
+
+    ex.assert_no_cartesian(
+        similarity.knn_join(df, k=3, planes=4, max_bucket=16, exact=False)
+    )
+
+
+def test_multimodal_stdlib_decoder_real_bytes(spark):
+    """The stdlib decoder parses REAL container bytes end-to-end
+    through the Spark plumbing: a P6 PPM image written by hand and a
+    WAV file written by the wave module."""
+    import io
+    import wave
+
+    ppm = b"P6\n# a comment\n320 240\n255\n" + bytes(320 * 240 * 3)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x00" * 2 * 1000)  # 1000 stereo frames
+    wav = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, "image", ppm, "image/x-portable-pixmap", len(ppm)),
+         (2, "audio", wav, "audio/wav", len(wav))],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.probe_media(media, decoder="stdlib").collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (320, 240, 1)
+    # WAV maps (sample_rate, channels, frames) onto the probe slots
+    assert (rows[2].width, rows[2].height, rows[2].n_frames) == (44100, 2, 1000)
+    assert rows[2].n_bytes == len(wav)

@@ -64,6 +64,7 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
+    from hillview_spark import cache
     from hillview_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
@@ -124,6 +125,7 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"OK   {name} ({len(srows)} rows)")
+        cache.release_all()
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
