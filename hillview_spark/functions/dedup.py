@@ -321,12 +321,19 @@ def connected_components(
     after LSH in every production dedup pipeline — pairs alone
     over-count when A~B and B~C.
 
-    Min-label propagation: each iteration every node takes the min
-    label among itself and its neighbors; converges in graph-diameter
-    iterations (near-dup components are shallow — diameter is small).
-    Each step is one equi-join + groupBy; the driver only checks a
-    scalar convergence count, so the data never leaves the cluster.
-    Deterministic: the fixpoint is exactly min(component ids)."""
+    Min-label propagation with POINTER JUMPING: each iteration every
+    node takes the min label among itself and its neighbors, then
+    replaces its label with its label's label (path halving). The
+    jump makes convergence O(log diameter) joins instead of
+    O(diameter) — on a 100-TB pair graph with long chains that is
+    the difference between ~6 rounds and hundreds. Each step is an
+    equi-join + groupBy; the driver only checks a scalar convergence
+    count, so the data never leaves the cluster. Deterministic: the
+    fixpoint is exactly min(component ids).
+
+    Raises RuntimeError if max_iter rounds don't converge — silently
+    returning partially-merged labels would make downstream dedup
+    keep multiple 'keepers' for one true group with no signal."""
     edges = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
@@ -343,13 +350,14 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .transform(cache.persist)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 "node",
@@ -357,7 +365,26 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .transform(cache.persist)
+        )
+        # pointer jump: label <- label(label). Labels are node ids and
+        # label(x) <= x by invariant, so the jump only shrinks labels
+        # and halves remaining path lengths each round.
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        # localCheckpoint (eager) BOTH materializes this round's labels
+        # for the two downstream references AND truncates lineage —
+        # each round references the previous labels 4x (neighbor join,
+        # self-least, pointer jump x2), so without truncation the
+        # logical plan grows 4^rounds and plan analysis itself blows
+        # up long before the data does.
+        new_labels = (
+            stepped.join(ptr, stepped.label == ptr.pnode, "left")
+            .select(
+                "node",
+                F.coalesce("plabel", "label").alias("label"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -369,4 +396,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

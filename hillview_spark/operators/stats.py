@@ -47,13 +47,27 @@ def basic_col_stats(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFra
     Sums go through DECIMAL so they are exact and order-independent
     (reproducible across partitionings and engines); mean and stddev
     are then pure double arithmetic on those exact sums.
+
+    Exactness envelope: values are rounded to ``scale`` (default 4)
+    decimal digits and must satisfy |x| < 10^14 — the square is
+    computed on DECIMAL(18,scale) operands so its product
+    DECIMAL(37,2*scale) stays under Spark's precision-38 cap (a wider
+    operand would make Spark silently drop scale digits at the cap).
+    Columns beyond that envelope (raw nanosecond epochs, 15+-digit
+    keys) should be rescaled first. The plain sum uses DECIMAL(28,
+    scale) operands, good for ~10^24 in the accumulator. stddev's
+    final subtraction runs in double, so when |mean| >> stddev the
+    moment-formula cancellation costs relative precision (~1e-3 at
+    mean/sd ~ 10^7) — sums and means stay exact regardless.
     """
+    scale = 4
     aggs = []
     for c in cols:
-        dec = F.col(c).cast("decimal(12,4)")
+        dec = F.col(c).cast(f"decimal(28,{scale})")
+        dsq = F.col(c).cast(f"decimal(18,{scale})")
         n = F.count(c)
         s = F.sum(dec).cast("double")
-        sq = F.sum(dec * dec).cast("double")
+        sq = F.sum(dsq * dsq).cast("double")
         aggs += [
             n.alias(f"{c}__present"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
@@ -155,11 +169,20 @@ def distinct_values(df: DataFrame, col: str, limit: int = 1000) -> DataFrame:
 def num_items_threshold(df: DataFrame, col: str, threshold: int) -> DataFrame:
     """Is the distinct-item count at or above a threshold?
     (sketches/NIThresholdSketch.java — Hillview uses it to pick
-    between exact-value and boundary string bucketings.) The count
-    is capped at threshold inside the aggregation so the sketch can
-    stop being exact beyond the decision point."""
-    return df.agg(
-        (F.countDistinct(col) >= F.lit(threshold)).alias("above_threshold")
+    between exact-value and boundary string bucketings.) Genuinely
+    capped: distinct + LIMIT threshold lets Spark stop collecting
+    once the decision point is reached (LocalLimit short-circuits
+    each partition) instead of counting every distinct value —
+    equivalent to countDistinct >= threshold, cheaper when the
+    column is far above the threshold."""
+    capped = (
+        df.select(F.col(col))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .limit(threshold)
+    )
+    return capped.agg(
+        (F.count(F.lit(1)) >= F.lit(threshold)).alias("above_threshold")
     )
 
 

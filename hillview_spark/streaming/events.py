@@ -73,9 +73,19 @@ def stream_sessionize(
     """Custom stateful streaming operator: gap-based sessionization
     with applyInPandasWithState. Per-user state carries the open
     session (start, last event time, count); a session is emitted
-    when a gap larger than gap_minutes closes it (or state times
-    out). This is the Structured Streaming twin of sessionize() —
-    state is O(active users), not O(events).
+    when a gap larger than gap_minutes closes it, and idle sessions
+    are FLUSHED by an event-time timeout once the watermark passes
+    last_event + gap (without it, a user who stops emitting would
+    hold state forever and their final session would never appear).
+    This is the Structured Streaming twin of sessionize() — state is
+    O(active users), not O(events).
+
+    Ordering: all of a group's rows in the micro-batch are gathered
+    and sorted ONCE before the scan — Arrow delivers the group as
+    multiple chunks in arbitrary order, and per-chunk sorting would
+    let a late chunk move the session clock backwards. An in-gap
+    out-of-order event (possible across micro-batches up to the
+    watermark delay) joins the open session without rewinding it.
 
     events_dir must be a directory (file-stream source requirement).
     """
@@ -99,31 +109,49 @@ def stream_sessionize(
         StructField("count", LongType()),
     ])
 
+    def _frame(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [c[0] for c in rows],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in rows],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in rows],
+                "n_events": [c[3] for c in rows],
+            }
+        )
+
     def fn(key, pdfs, state: "GroupState"):
         user_id = key[0]
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session can
+            # never be extended — flush it and drop the state.
+            (start_us, last_us, count) = state.get
+            state.remove()
+            yield _frame([(user_id, start_us, last_us, count)])
+            return
         (start_us, last_us, count) = state.get if state.exists else (None, None, 0)
+        # one global sort over the whole batch for this group
+        ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
         closed = []
-        for pdf in pdfs:
-            ts = pdf["ts"].sort_values()
-            for t in ts:
-                us = int(t.value // 1000)  # pandas ns -> us
-                if last_us is None:
-                    start_us, last_us, count = us, us, 1
-                elif us - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, count))
-                    start_us, last_us, count = us, us, 1
-                else:
-                    last_us, count = us, count + 1
+        for t in ts_all:
+            us = int(t.value // 1000)  # pandas ns -> us
+            if last_us is None:
+                start_us, last_us, count = us, us, 1
+            elif us - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, count))
+                start_us, last_us, count = us, us, 1
+            else:
+                # in-gap event; never move the session clock backwards
+                last_us, count = max(last_us, us), count + 1
         state.update((start_us, last_us, count))
+        # flush when the event-time watermark passes the gap horizon
+        # (must stay above the current watermark or Spark rejects it)
+        timeout_ms = max(
+            last_us // 1000 + gap_minutes * 60 * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
-                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
-                    "n_events": [c[3] for c in closed],
-                }
-            )
+            yield _frame(closed)
 
     stream = spark.readStream.schema(schema).parquet(events_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -133,9 +161,10 @@ def stream_sessionize(
         )
     return (
         stream.select("user_id", "ts")
+        .withWatermark("ts", f"{gap_minutes} minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
-            fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+            fn, out_type, state_type, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
 

@@ -95,12 +95,16 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
         cur = last_per_user.get(r.user_id)
         if cur is None or r.session_id > cur.session_id:
             last_per_user[r.user_id] = r
-    expected = {
+    closed = {
         (r.user_id, r.session_start, r.n_events)
         for r in batch
         if last_per_user[r.user_id].session_id != r.session_id
     }
-    assert streamed == expected
+    everything = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    # every gap-closed session must stream out; final (open) sessions
+    # may ALSO appear if the event-time timeout fired before shutdown,
+    # and nothing else may appear.
+    assert closed <= streamed <= everything
 
 
 def test_sampled_corr_matrix_close_to_exact(spark, tables):

@@ -339,3 +339,25 @@ def test_multimodal_stdlib_decoder_real_bytes(spark):
     # WAV maps (sample_rate, channels, frames) onto the probe slots
     assert (rows[2].width, rows[2].height, rows[2].n_frames) == (44100, 2, 1000)
     assert rows[2].n_bytes == len(wav)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph (diameter 63) must converge well inside
+    20 rounds thanks to pointer jumping — plain min-propagation would
+    need 63 — and label everything with the chain head."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = dedup.connected_components(pairs, max_iter=10).collect()
+    assert len(out) == 64
+    assert {r.component for r in out} == {0}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_id_1 long, doc_id_2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)

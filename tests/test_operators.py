@@ -326,3 +326,20 @@ def test_range_filter_array_matches_manual(spark, tables):
         )
     ).count()
     assert got + comp == li.count()
+
+
+def test_basic_col_stats_large_values_no_overflow(spark):
+    """Columns with |value| >= 10^8 (epoch millis) must not overflow
+    the decimal casts — NULLed sums would silently skew mean/stddev."""
+    import statistics
+
+    vals = [1_700_000_000_000 + i * 12_345 for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "ts_ms long")
+    r = stats.basic_col_stats(df, ["ts_ms"]).first()
+    assert r.sum_val == float(sum(vals))
+    assert abs(r.mean_val - statistics.mean(vals)) < 1e-3
+    # stddev uses the moment formula: exact decimal sums, but the
+    # final subtraction happens in double, so when |mean| >> sd the
+    # cancellation costs relative (not absolute) precision.
+    want = statistics.stdev(vals)
+    assert abs(r.stddev_val - want) / want < 0.01
