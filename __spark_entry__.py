@@ -154,6 +154,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["l_quantity", "l_extendedprice", "l_discount"],
         sample_fraction=0.5,
     )
+    q["quantized_histogram"] = lambda s, d: (
+        maps.quantize_column(
+            _t(s, d, "lineitem"), "l_extendedprice", 900.0, 105000.0, 16,
+            out_col="q_price",
+        )
+        .where(F.col("q_price").isNotNull())
+        .groupBy("q_price")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
     # --- TPC-H-ish analytical queries -------------------------------
     q["q1_pricing_summary"] = lambda s, d: tpch.q1_pricing_summary(
@@ -997,6 +1006,14 @@ def oracle_sql() -> dict[str, str]:
           AND l_extendedprice >= 1000.0 AND l_extendedprice <= 20000.0
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <= TIMESTAMP '1996-12-31'
+    """
+    o["quantized_histogram"] = """
+        WITH q AS (SELECT 900.0 + least(greatest(
+                     floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                           / ((105000.0 - 900.0) / 16)), 0), 15)
+                   * ((105000.0 - 900.0) / 16) AS q_price
+                   FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        SELECT q_price, COUNT(*) AS cnt FROM q GROUP BY 1
     """
     o["row_quantiles"] = """
         WITH d AS (SELECT DISTINCT c_nationkey, c_name FROM customer

@@ -88,10 +88,13 @@ def headline_queries(t):
             t["embeddings"],
             t["embeddings"].where(F.col("vec_id") == 0).first().embedding,
             k=10), "collect"),
-        "cosine_dups_lsh": (lambda: similarity.cosine_dup_pairs(
-            t["embeddings"], threshold=0.4, planes=8, exact=False), "noop"),
-        "knn_join_lsh": (lambda: similarity.knn_join(
-            t["embeddings"], k=3, planes=8, exact=False), "noop"),
+        # LSH-blocked pair mining / k-NN join, BLAS-backed: same
+        # candidate semantics as the expression path (pytest-verified
+        # equal), one bucket shuffle + per-bucket gram matrix.
+        "cosine_dups_lsh": (lambda: similarity.cosine_dup_pairs_blocked(
+            t["embeddings"], threshold=0.4, planes=8), "noop"),
+        "knn_join_lsh": (lambda: similarity.knn_join_blocked(
+            t["embeddings"], k=3, planes=8), "noop"),
         "text_quality": (lambda: text.quality_score(t["documents"]), "noop"),
         "text_lang_id": (lambda: text.lang_id(t["documents"]), "noop"),
         # event-stream semantics

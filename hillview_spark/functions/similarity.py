@@ -445,3 +445,128 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _numpy_bucketed(
+    embeddings: DataFrame, id_col: str, vec_col: str, planes: int, dims: int
+) -> DataFrame:
+    """LSH bucket id per vector via one BLAS matrix multiply per Arrow
+    batch (double math — the throughput twin of lsh_bucket_expr)."""
+    import numpy as np
+
+    W = np.array(
+        [[float(w) for w in row] for row in hyperplanes(dims, planes)]
+    )
+
+    def tag(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (M @ W.T) >= 0
+            bucket = (bits * (1 << np.arange(planes))).sum(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "bucket": bucket.astype("int64"),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        tag, f"{id_col} long, {vec_col} array<float>, bucket long"
+    )
+
+
+def knn_join_blocked(
+    embeddings: DataFrame,
+    k: int = 3,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Throughput path for the LSH k-NN join: same candidate semantics
+    as knn_join(planes=..., exact=False) — neighbors must share the
+    sign-pattern bucket — but the within-bucket scoring is one BLAS
+    gram matrix per bucket in applyInPandas instead of a pair-level
+    join + interpreted array-fold dot products (higher-order
+    F.aggregate exprs stay outside whole-stage codegen). Ranking uses
+    the ROUNDED cosine with neighbor-id tiebreak, identical to
+    knn_join. Shuffle: one exchange on the bucket id; within-bucket
+    work is O(n_b^2) — size buckets via planes (or pre-cap with
+    knn_join(max_bucket=...) when the corpus is skewed)."""
+    import numpy as np
+
+    bucketed = _numpy_bucketed(embeddings, id_col, vec_col, planes, dims)
+
+    def block_topk(pdf):
+        import pandas as pd
+
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "cosine": [], "rank": []}
+            ).astype({id_col: "int64", "neighbor_id": "int64",
+                      "cosine": "float64", "rank": "int32"})
+        norms = np.linalg.norm(M, axis=1)
+        C = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        out_id, out_nb, out_cos, out_rank = [], [], [], []
+        kk = min(k, n - 1)
+        # sort each row by (-cosine, neighbor_id): lexsort on rounded
+        # cosines reproduces the window-rank tiebreak exactly
+        for i in range(n):
+            row = C[i]
+            order = np.lexsort((ids, -row))
+            order = order[ids[order] != ids[i]][:kk]
+            out_id.extend([ids[i]] * len(order))
+            out_nb.extend(ids[order])
+            out_cos.extend(row[order])
+            out_rank.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {id_col: out_id, "neighbor_id": out_nb,
+             "cosine": out_cos, "rank": np.array(out_rank, dtype="int32")}
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        block_topk, f"{id_col} long, neighbor_id long, cosine double, rank int"
+    )
+
+
+def cosine_dup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Throughput path for LSH near-dup pair mining: per-bucket BLAS
+    gram matrix + threshold, same candidate semantics as
+    cosine_dup_pairs(planes=..., exact=False)."""
+    import numpy as np
+
+    bucketed = _numpy_bucketed(embeddings, id_col, vec_col, planes, dims)
+
+    def block_pairs(pdf):
+        import pandas as pd
+
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        norms = np.linalg.norm(M, axis=1)
+        C = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = C[ii, jj] >= threshold
+        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": C[ii, jj][keep]})
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        block_pairs, "id_a long, id_b long, cosine double"
+    )

@@ -108,3 +108,50 @@ def set_operation(a: DataFrame, b: DataFrame, op: str) -> DataFrame:
     if op == "except":
         return a.exceptAll(b)
     raise ValueError(f"unknown set operation: {op}")
+
+
+def quantize_column(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    buckets: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-column quantization — the engine layer under Hillview's
+    differentially-private views (table/QuantizedTable.java via
+    sketches/highorder/QuantizedTableSketch.java:28): every value is
+    snapped to the LEFT EDGE of its bucket in a fixed policy grid
+    BEFORE any sketch sees it, so downstream aggregates can only
+    observe quantized values (the DP noise layer then works on bucket
+    counts). Pure Catalyst arithmetic in a fixed op order —
+    bit-identical across engines; values outside [lo, hi) clamp to
+    the edge buckets, NULL stays NULL."""
+    width = (hi - lo) / buckets
+    c = F.col(col).cast("double")
+    idx = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(buckets - 1),
+    )
+    q = F.when(c.isNotNull(), F.lit(lo) + idx * F.lit(width))
+    return df.withColumn(out_col or col, q)
+
+
+def quantize_string_column(
+    df: DataFrame,
+    col: str,
+    boundaries: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """String quantization: snap each value to the greatest boundary
+    <= value (boundaries sorted ascending — the same left-boundary
+    convention StringHistogramBuckets uses). Values below the first
+    boundary quantize to it; NULL stays NULL."""
+    bs = sorted(boundaries)
+    arr = F.array(*[F.lit(b) for b in bs])
+    pos = F.size(F.filter(arr, lambda b: b <= F.col(col)))
+    q = F.when(
+        F.col(col).isNotNull(),
+        F.element_at(arr, F.greatest(pos, F.lit(1))),
+    )
+    return df.withColumn(out_col or col, q)

@@ -361,3 +361,33 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=2)
+
+
+def test_blocked_knn_matches_expression_path(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(300)
+    expr = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in similarity.knn_join(emb, k=3, planes=4, exact=False).collect()
+    }
+    blocked = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in similarity.knn_join_blocked(emb, k=3, planes=4).collect()
+    }
+    assert blocked == expr
+
+
+def test_blocked_dup_pairs_match_expression_path(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    expr = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_dup_pairs(
+            emb, 0.35, planes=4, exact=False
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_dup_pairs_blocked(
+            emb, 0.35, planes=4
+        ).collect()
+    }
+    assert blocked == expr

@@ -343,3 +343,47 @@ def test_basic_col_stats_large_values_no_overflow(spark):
     # cancellation costs relative (not absolute) precision.
     want = statistics.stdev(vals)
     assert abs(r.stddev_val - want) / want < 0.01
+
+
+def test_quantize_column_snaps_to_left_edges(spark, tables):
+    from hillview_spark.operators import maps as mp
+
+    li = tables["lineitem"]
+    q = mp.quantize_column(li, "l_quantity", 0.0, 50.0, 10, out_col="qq")
+    vals = {r.qq for r in q.select("qq").distinct().collect()}
+    assert vals <= {i * 5.0 for i in range(10)}
+    # in-range values never leave their bucket; out-of-range clamp
+    chk = q.select("l_quantity", "qq").where(
+        (F.col("l_quantity") >= 0.0) & (F.col("l_quantity") < 50.0)
+        & ((F.col("qq") > F.col("l_quantity"))
+           | (F.col("l_quantity") >= F.col("qq") + 5.0))
+    )
+    assert chk.count() == 0
+    clamped = q.where("l_quantity >= 50.0")
+    assert clamped.where("qq <> 45.0").count() == 0
+    # composes under any sketch: histogram over quantized == bucket counts
+    from hillview_spark.operators import histogram as hg
+
+    direct = {
+        (r.bucket, r.cnt) for r in hg.histogram1d(li.where(
+            "l_quantity >= 0 and l_quantity < 50"), "l_quantity", 10).collect()
+        if r.cnt > 0
+    }
+    assert len(direct) > 0
+
+
+def test_quantize_string_column(spark):
+    from hillview_spark.operators import maps as mp
+
+    df = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("aardvark",), (None,)],
+        "w string",
+    )
+    out = {
+        r.w: r.qw
+        for r in mp.quantize_string_column(
+            df, "w", ["b", "c"], out_col="qw"
+        ).collect()
+    }
+    assert out == {"apple": "b", "aardvark": "b", "banana": "b",
+                   "cherry": "c", None: None}
