@@ -154,6 +154,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["l_quantity", "l_extendedprice", "l_discount"],
         sample_fraction=0.5,
     )
+    q["text_vocab"] = lambda s, d: text.vocab(
+        _t(s, d, "documents"), min_count=5
+    )
+    q["text_quality_filter"] = lambda s, d: text.quality_filter(
+        _t(s, d, "documents"), min_tokens=10, min_quality=0.5
+    ).select("doc_id")
+    q["dedup_corpus_pipeline"] = lambda s, d: dedup.dedup_corpus(
+        _t(s, d, "documents"), threshold=0.3
+    ).select("doc_id")
+    q["split_train_eval"] = lambda s, d: sampling.split_train_eval(
+        _t(s, d, "documents"), 0.1, "doc_id"
+    ).select("doc_id", "split")
     q["quantized_histogram"] = lambda s, d: (
         maps.quantize_column(
             _t(s, d, "lineitem"), "l_extendedprice", 900.0, 105000.0, 16,
@@ -1006,6 +1018,62 @@ def oracle_sql() -> dict[str, str]:
           AND l_extendedprice >= 1000.0 AND l_extendedprice <= 20000.0
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <= TIMESTAMP '1996-12-31'
+    """
+    o["text_vocab"] = r"""
+        WITH toks AS (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                      FROM documents)
+        SELECT token, COUNT(*) AS term_count,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM toks WHERE token <> '' GROUP BY 1 HAVING COUNT(*) >= 5
+    """
+    o["text_quality_filter"] = r"""
+        WITH x AS (SELECT doc_id,
+            length(text) AS n_chars,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+            len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
+            len(regexp_extract_all(lower(text),
+                '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS stop
+          FROM documents)
+        SELECT doc_id FROM x
+        WHERE n_tokens >= 10 AND n_tokens <= 100000
+          AND round((least(CAST(stop AS DOUBLE) / n_tokens * 2, 1.0)
+                 + 1.0 / (1.0 + CAST(punct AS DOUBLE) / n_chars * 10)
+                 + CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) / 3.0, 4)
+              >= 0.5
+    """
+    _verify_on_kept = o["dedup_lsh_verify"].replace(
+        "FROM documents", "FROM kept_docs"
+    )
+    o["dedup_corpus_pipeline"] = f"""
+        WITH RECURSIVE kept_docs AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(text)) k USING (doc_id)
+        ),
+        verified AS ({_verify_on_kept}),
+        edges AS (
+          SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
+          UNION
+          SELECT doc_id_2 AS src, doc_id_1 AS dst FROM verified
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                 FROM reach GROUP BY src)
+        SELECT doc_id FROM kept_docs
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+    """
+    _split_cut = int(0.1 * 16**7)
+    o["split_train_eval"] = f"""
+        SELECT doc_id,
+               CASE WHEN CAST('0x'||substr(md5(doc_id || '_v1'), 1, 7) AS BIGINT)
+                         < {_split_cut}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
     """
     o["quantized_histogram"] = """
         WITH q AS (SELECT 900.0 + least(greatest(

@@ -82,6 +82,10 @@ def headline_queries(t):
             threshold=0.3), "noop"),
         "dedup_simhash": (lambda: dedup.simhash_pairs(
             t["documents"], max_hamming=3), "noop"),
+        # the full production chain: exact -> LSH -> verify ->
+        # connected components -> keepers
+        "dedup_corpus": (lambda: dedup.dedup_corpus(
+            t["documents"], threshold=0.3), "noop"),
         "ann_cosine_topk": (lambda: similarity.cosine_topk(
             t["embeddings"], 0, k=10, exact=False), "collect"),
         "ann_topk_numpy": (lambda: similarity.cosine_topk_numpy(

@@ -402,3 +402,39 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    threshold: float = 0.3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full production near-dup removal chain, composed from the
+    pieces above: exact dedup (content hash, keep min id) -> MinHash
+    LSH candidates -> exact-Jaccard verify -> connected components ->
+    keep each component's min-id keeper. Returns the surviving rows
+    of df. Every stage is the bucketed/inverted-index shape — cost
+    scales with corpus + candidate count, never |corpus|^2 — and the
+    result is deterministic (min-id keepers), so the whole chain is
+    oracle-checkable."""
+    keepers = exact_dedup(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = df.join(keepers, id_col, "semi")
+    pairs = verify_jaccard(
+        kept,
+        minhash_lsh_pairs(kept, num_hashes, bands, n, id_col, text_col),
+        threshold,
+        n,
+        id_col,
+        text_col,
+    )
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return kept.join(losers, id_col, "left_anti")

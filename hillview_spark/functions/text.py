@@ -94,3 +94,65 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     variants live in dedup.py)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: token -> total count and document frequency
+    — the vocab-building / BPE-seeding scan every tokenizer pipeline
+    runs. One explode + one groupBy with map-side combine; the token
+    key is high-cardinality so the shuffle distributes well."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.trim(t), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("__doc").alias("doc_freq"),
+        )
+        .where(F.col("term_count") >= F.lit(min_count))
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus quality gate: keep documents inside the token-length
+    band with quality >= min_quality — the standard pre-training
+    filter step. The score expressions are rebuilt inline on the
+    same rows, so the whole filter is one codegen'd scan with no
+    join back."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    punct = _count_re(t, PUNCT_RE)
+    stop = _count_re(F.lower(t), STOPWORD_RES["en"])
+    score = F.round(
+        (
+            F.least(stop.cast("double") / n_tokens * 2, F.lit(1.0))
+            + F.lit(1.0) / (F.lit(1.0) + punct.cast("double") / n_chars * 10)
+            + F.least(n_tokens, F.lit(200)).cast("double") / F.lit(200.0)
+        )
+        / F.lit(3.0),
+        4,
+    )
+    return df.where(
+        (n_tokens >= min_tokens)
+        & (n_tokens <= max_tokens)
+        & (score >= min_quality)
+    )

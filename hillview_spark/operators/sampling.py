@@ -39,3 +39,29 @@ def reservoir_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
         .limit(n)
         .drop("__tag")
     )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (train/eval split construction:
+    e.g. downsample the dominant language, keep all of the rare
+    ones). Spark's sampleBy is a single scan — each row draws against
+    its stratum's fraction; no shuffle. Strata absent from the dict
+    are dropped (fraction 0)."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def split_train_eval(
+    df: DataFrame, eval_fraction: float, key_col: str, salt: str = "v1"
+) -> DataFrame:
+    """Deterministic, engine-portable train/eval assignment: hash the
+    key with a salt and compare against the fraction — stable across
+    runs, engines, and data reshuffles (the property a training
+    pipeline needs so examples never migrate between splits when the
+    corpus is re-ingested). Adds a `split` column."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col), F.lit(salt))), 1, 7), 16, 10).cast("bigint")
+    cut = int(eval_fraction * (16**7))
+    return df.withColumn(
+        "split", F.when(h < cut, F.lit("eval")).otherwise(F.lit("train"))
+    )

@@ -391,3 +391,67 @@ def test_blocked_dup_pairs_match_expression_path(spark, tables):
         ).collect()
     }
     assert blocked == expr
+
+
+def test_dedup_corpus_pipeline_planted(spark):
+    """Exact dups collapse to the min id; a transitive near-dup chain
+    (A~B~C) keeps only its min; unique docs survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    near2 = near.replace("quick", "fast")
+    rows = [
+        (1, base), (2, base),              # exact dup pair
+        (3, near), (4, near2),             # near-dups of 1 (chain)
+        (5, "completely different words about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_corpus(df, threshold=0.3).collect()
+    )
+    assert kept == [1, 5]
+
+
+def test_stratified_sample_and_split(spark, tables):
+    from hillview_spark.operators import sampling
+
+    docs = tables["documents"]
+    fr = {"en": 0.5, "fr": 1.0}
+    s = sampling.stratified_sample(docs, "lang", fr, seed=7)
+    got = {r.lang for r in s.select("lang").distinct().collect()}
+    assert got <= {"en", "fr"}  # other strata dropped
+    # deterministic for fixed seed
+    assert s.count() == sampling.stratified_sample(docs, "lang", fr, seed=7).count()
+
+    split = sampling.split_train_eval(docs, 0.1, "doc_id")
+    counts = {r.split: r.cnt for r in split.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) == {"train", "eval"}
+    assert 0 < counts["eval"] < counts["train"]
+    # assignment is a pure function of the key — stable across runs
+    a = {(r.doc_id, r.split) for r in split.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split)
+         for r in sampling.split_train_eval(docs, 0.1, "doc_id")
+         .select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_vocab_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark merge"), (2, "spark   join")],
+        "doc_id long, text string",
+    )
+    v = {r.token: (r.term_count, r.doc_freq) for r in text.vocab(df).collect()}
+    assert v["spark"] == (3, 2)
+    assert v["merge"] == (1, 1)
+    assert v["join"] == (1, 1)
+
+
+def test_quality_filter_drops_junk(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is a good day for the cat today ok"),
+         (2, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) ### @@@")],
+        "doc_id long, text string",
+    )
+    kept = [r.doc_id for r in text.quality_filter(df, min_tokens=5,
+                                                  min_quality=0.5).collect()]
+    assert kept == [1]
