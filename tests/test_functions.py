@@ -455,3 +455,52 @@ def test_quality_filter_drops_junk(spark):
     kept = [r.doc_id for r in text.quality_filter(df, min_tokens=5,
                                                   min_quality=0.5).collect()]
     assert kept == [1]
+
+
+# --------------------------------------------------------------- geo
+
+def test_geo_point_in_polygon_counts(spark):
+    from hillview_spark.functions import geo
+
+    square = ("square", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])
+    triangle = ("triangle", [(20.0, 0.0), (30.0, 0.0), (25.0, 10.0)])
+    pts = [
+        (1, 5.0, 5.0),     # square
+        (2, 9.9, 0.1),     # square
+        (3, 25.0, 2.0),    # triangle
+        (4, 20.5, 9.0),    # outside triangle's slanted edge
+        (5, 50.0, 50.0),   # nowhere
+        (6, 25.0, 9.9),    # near triangle apex
+    ]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    assigned = {
+        r.id: r.region
+        for r in geo.assign_region(df, "lon", "lat",
+                                   [square, triangle]).collect()
+    }
+    assert assigned == {1: "square", 2: "square", 3: "triangle",
+                        4: None, 5: None, 6: "triangle"}
+    counts = {
+        r.region: r.cnt
+        for r in geo.count_by_region(df, "lon", "lat",
+                                     [square, triangle]).collect()
+    }
+    assert counts == {"square": 2, "triangle": 2}
+
+
+def test_geo_bbox_filter_pushdown(spark, tmp_path):
+    from hillview_spark.functions import geo
+    from hillview_spark.plans import explain as ex
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 10)) for i in range(100)], "lon double, lat double"
+    )
+    path = str(tmp_path / "pts.parquet")
+    df.write.parquet(path)
+    out = spark.read.parquet(path).where(
+        geo.bbox_filter("lon", "lat", 10.0, 2.0, 50.0, 8.0)
+    )
+    ex.assert_pushdown(out, ["lon", "lat"])
+    assert out.count() == sum(
+        1 for i in range(100) if 10 <= i <= 50 and 2 <= i % 10 <= 8
+    )
