@@ -194,6 +194,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q6_revenue_forecast"] = lambda s, d: tpch.q6_revenue_forecast(
         _t(s, d, "lineitem")
     )
+    q["q4_late_orders"] = lambda s, d: tpch.q4_late_orders(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q10_returned_items"] = lambda s, d: tpch.q10_returned_items(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q14_promo_revenue"] = lambda s, d: tpch.q14_promo_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    )
 
     # --- histogram sketches -----------------------------------------
     q["histogram1d_numeric"] = lambda s, d: histogram.histogram1d(
@@ -577,6 +586,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """
+
+    o["q4_late_orders"] = """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    o["q10_returned_items"] = f"""
+        SELECT c_custkey, c_name, CAST(SUM({revenue}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+    o["q14_promo_revenue"] = f"""
+        SELECT round(
+          CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {revenue}
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          * 100.0 / CAST(SUM({revenue}) AS DOUBLE), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
     """
 
     def hist1d(col: str, table: str, nb: int) -> str:

@@ -48,6 +48,12 @@ def headline_queries(t):
             t["customer"], t["orders"], t["lineitem"], t["supplier"],
             t["nation"], t["region"]), "collect"),
         "q6": (lambda: tpch.q6_revenue_forecast(t["lineitem"]), "collect"),
+        "q4": (lambda: tpch.q4_late_orders(
+            t["orders"], t["lineitem"]), "collect"),
+        "q10": (lambda: tpch.q10_returned_items(
+            t["customer"], t["orders"], t["lineitem"]), "collect"),
+        "q14": (lambda: tpch.q14_promo_revenue(
+            t["lineitem"], t["part"]), "collect"),
         # interactive-exploration sketches (the Hillview core loop)
         "histogram1d": (lambda: histogram.histogram1d(
             t["lineitem"], "l_extendedprice", 100), "collect"),

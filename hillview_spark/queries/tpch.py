@@ -126,3 +126,75 @@ def q6_revenue_forecast(lineitem: DataFrame) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+def q4_late_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-priority checking (q4 shape on the reduced schema):
+    orders with at least one line item shipped after the order date,
+    counted per priority. LEFT SEMI join — the EXISTS never
+    materializes matching line items, and Spark builds the hash side
+    from the pre-projected two columns only."""
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Returned-item reporting: top-20 customers by revenue of
+    returned ('R') line items. Fact-fact join shuffles once on the
+    order key; customer broadcasts; TakeOrderedAndProject top-k."""
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Promotion revenue share for one month: conditional decimal
+    aggregate over the part-joined facts (part broadcasts), ratio in
+    a fixed double op order so engines agree bit-for-bit."""
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    joined = li.join(
+        broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    total = F.sum(revenue)
+    return joined.agg(
+        F.round(
+            promo.cast("double") * 100.0 / total.cast("double"), 4
+        ).alias("promo_revenue_pct")
+    )

@@ -123,3 +123,26 @@ def test_string_quantiles_no_single_partition_sort(spark, tables):
         assert spec.split(",")[0].strip().startswith("__pid"), (
             "ranking window not partitioned: " + spec
         )
+
+
+def test_q4_semi_join_no_materialization(spark, tables):
+    df = tpch.q4_late_orders(tables["orders"], tables["lineitem"])
+    plan = ex.physical_plan(df)
+    assert "LeftSemi" in plan
+    ex.assert_no_cartesian(df)
+
+
+def test_q10_broadcast_customer_and_topk(spark, tables):
+    df = tpch.q10_returned_items(
+        tables["customer"], tables["orders"], tables["lineitem"]
+    )
+    ex.assert_broadcast_joins(df, at_least=1)
+    ex.assert_topk_not_global_sort(df)
+    # the returnflag filter reaches the scan
+    ex.assert_pushdown(df, ["l_returnflag"])
+
+
+def test_q14_broadcast_part(spark, tables):
+    df = tpch.q14_promo_revenue(tables["lineitem"], tables["part"])
+    ex.assert_broadcast_joins(df, at_least=1)
+    ex.assert_pushdown(df, ["l_shipdate"])
