@@ -166,6 +166,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_train_eval"] = lambda s, d: sampling.split_train_eval(
         _t(s, d, "documents"), 0.1, "doc_id"
     ).select("doc_id", "split")
+    q["histogram_singleton"] = lambda s, d: histogram.histogram_and_singleton(
+        _t(s, d, "part"), "p_retailprice", 100
+    )
+    q["string_columns_filter"] = lambda s, d: _t(s, d, "documents").where(
+        filters.string_columns_filter(["text", "source"], "merge")
+    ).select("doc_id")
+    q["row_comparison_filter"] = lambda s, d: _t(s, d, "lineitem").where(
+        filters.row_comparison_filter(
+            ["l_returnflag", "l_linestatus"], ("N", "F"), "<"
+        )
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
     q["quantized_histogram"] = lambda s, d: (
         maps.quantize_column(
             _t(s, d, "lineitem"), "l_extendedprice", 900.0, 105000.0, 16,
@@ -1110,6 +1121,29 @@ def oracle_sql() -> dict[str, str]:
                          < {_split_cut}
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
+    """
+    o["histogram_singleton"] = """
+        WITH rng AS (SELECT min(p_retailprice) mn, max(p_retailprice) mx
+                     FROM part),
+        counted AS (
+          SELECT CAST(least(greatest(CAST(floor((p_retailprice - mn)
+                   / ((mx - mn) / 100.0)) AS BIGINT), 0), 99) AS INT) AS bucket,
+                 COUNT(*) AS cnt, min(p_retailprice) AS mnv
+          FROM part, rng WHERE p_retailprice IS NOT NULL GROUP BY 1)
+        SELECT CAST(s.i AS INT) AS bucket, COALESCE(c.cnt, 0) AS cnt,
+               CASE WHEN c.cnt = 1 THEN c.mnv END AS singleton
+        FROM generate_series(0, 99) s(i)
+        LEFT JOIN counted c ON c.bucket = s.i
+    """
+    o["string_columns_filter"] = """
+        SELECT doc_id FROM documents
+        WHERE contains(lower(text), 'merge') OR contains(lower(source), 'merge')
+    """
+    o["row_comparison_filter"] = """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        FROM lineitem
+        WHERE (l_returnflag < 'N')
+           OR (l_returnflag = 'N' AND l_linestatus < 'F')
     """
     o["quantized_histogram"] = """
         WITH q AS (SELECT 900.0 + least(greatest(

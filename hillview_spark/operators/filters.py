@@ -105,3 +105,50 @@ def any_of(*conds: Column) -> Column:
 
 def negate(cond: Column) -> Column:
     return ~cond
+
+
+def string_columns_filter(
+    cols: list[str],
+    pattern: str,
+    mode: str = "substring",
+    case_sensitive: bool = False,
+    negate: bool = False,
+) -> Column:
+    """One string filter applied across MANY columns, keeping rows
+    that match in ANY of them (table/filters/
+    StringColumnsFilterDescription.java:25 — the global search box).
+    Stays a flat OR of per-column predicates, so Catalyst can still
+    push each disjunct to the scan."""
+    cond = any_of(
+        *[string_filter(c, pattern, mode, case_sensitive) for c in cols]
+    )
+    return ~cond if negate else cond
+
+
+def row_comparison_filter(
+    sort_cols: list[str], row: tuple, op: str = ">", ascending: list[bool] | None = None
+) -> Column:
+    """Tuple comparison against a fixed row under a lexicographic
+    record order (table/filters/RowComparisonFilterDescription.java:31
+    — the filter behind spreadsheet paging: 'rows after X'). Builds
+    the standard expansion (c0 > v0) OR (c0 = v0 AND c1 > v1) OR ...
+    so every leaf stays a pushdown-eligible comparison."""
+    if ascending is None:
+        ascending = [True] * len(sort_cols)
+    if op in ("==", "!="):
+        eq = all_of(*[F.col(c) == F.lit(v) for c, v in zip(sort_cols, row)])
+        return eq if op == "==" else ~eq
+    if op not in ("<", "<=", ">", ">="):
+        raise ValueError(f"unknown row comparison op: {op}")
+    strict = op.rstrip("=")
+    out = F.lit(False)
+    prefix_eq = F.lit(True)
+    for c, v, asc in zip(sort_cols, row, ascending):
+        cc = F.col(c)
+        # direction flips per-column when the record order is DESC
+        gt = (cc > F.lit(v)) if (strict == ">") == asc else (cc < F.lit(v))
+        out = out | (prefix_eq & gt)
+        prefix_eq = prefix_eq & (cc == F.lit(v))
+    if op.endswith("="):
+        out = out | prefix_eq
+    return out

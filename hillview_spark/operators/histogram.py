@@ -255,3 +255,36 @@ def histogram_date(df: DataFrame, col: str, unit: str = "month") -> DataFrame:
         .groupBy(trunc_ntz(F.col(col), unit).alias("bucket_start"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def histogram_and_singleton(df: DataFrame, col: str, buckets: int = 40) -> DataFrame:
+    """Histogram where each bucket also carries the unique value when
+    the bucket holds exactly ONE row (HistogramAndSingletonSketch via
+    results/CountAndSingleton.java:30 — the UI renders the exact
+    point instead of a bar). min(x) doubles as the singleton carrier:
+    with cnt = 1 the min IS the row's value, so no extra state."""
+    rng = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    src = df.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    counted = (
+        src.crossJoin(F.broadcast(rng))
+        .select(
+            _bucket_expr(F.col("x"), F.col("mn"), F.col("mx"), buckets).alias(
+                "bucket"
+            ),
+            "x",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("x").alias("__mn"))
+    )
+    spine = df.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return (
+        F.broadcast(spine)
+        .join(counted, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.when(F.col("cnt") == 1, F.col("__mn")).alias("singleton"),
+        )
+    )

@@ -20,13 +20,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _after_start(sort_cols: list[str], ascending: list[bool], start: tuple) -> Column:
-    """Lexicographic 'row > start' predicate over the sort order."""
-    cond = F.lit(False)
-    for i in range(len(sort_cols) - 1, -1, -1):
-        c = F.col(sort_cols[i])
-        gt = c > F.lit(start[i]) if ascending[i] else c < F.lit(start[i])
-        cond = gt | ((c == F.lit(start[i])) & cond)
-    return cond
+    """Lexicographic 'row > start' predicate over the sort order
+    (RowComparisonFilterDescription — shared with the filter API)."""
+    from hillview_spark.operators.filters import row_comparison_filter
+
+    return row_comparison_filter(sort_cols, start, ">", ascending)
 
 
 def next_k(

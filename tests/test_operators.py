@@ -387,3 +387,48 @@ def test_quantize_string_column(spark):
     }
     assert out == {"apple": "b", "aardvark": "b", "banana": "b",
                    "cherry": "c", None: None}
+
+
+def test_row_comparison_filter_semantics(spark, tables):
+    li = tables["lineitem"]
+    cols = ["l_returnflag", "l_linestatus"]
+    row = ("N", "F")
+    n_lt = li.where(filters.row_comparison_filter(cols, row, "<")).count()
+    n_eq = li.where(filters.row_comparison_filter(cols, row, "==")).count()
+    n_gt = li.where(filters.row_comparison_filter(cols, row, ">")).count()
+    assert n_lt + n_eq + n_gt == li.count()
+    assert li.where(filters.row_comparison_filter(cols, row, "<=")).count() == n_lt + n_eq
+    assert li.where(filters.row_comparison_filter(cols, row, ">=")).count() == n_gt + n_eq
+    # descending order flips which side of the tuple is 'after'
+    n_gt_desc = li.where(
+        filters.row_comparison_filter(cols, row, ">", ascending=[False, False])
+    ).count()
+    assert n_gt_desc == n_lt
+
+
+def test_string_columns_filter_any_match(spark, tables):
+    docs = tables["documents"]
+    both = docs.where(
+        filters.string_columns_filter(["text", "source"], "merge")
+    ).count()
+    text_only = docs.where(filters.string_filter("text", "merge")).count()
+    src_only = docs.where(filters.string_filter("source", "merge")).count()
+    assert both >= max(text_only, src_only)
+    neither = docs.where(
+        filters.string_columns_filter(["text", "source"], "merge", negate=True)
+    ).count()
+    assert both + neither == docs.count()
+
+
+def test_histogram_and_singleton(spark):
+    df = spark.createDataFrame(
+        [(0.5,), (0.6,), (5.5,), (9.9,)], "x double"
+    )
+    rows = {r.bucket: r for r in
+            histogram.histogram_and_singleton(df, "x", 10).collect()}
+    assert len(rows) == 10
+    assert rows[0].cnt == 2 and rows[0].singleton is None
+    # clamped max lands in the last bucket; 5.5 -> bucket 5 (range .5-9.9)
+    singles = {b: r.singleton for b, r in rows.items() if r.cnt == 1}
+    assert set(singles.values()) == {5.5, 9.9}
+    assert all(r.singleton is None for r in rows.values() if r.cnt != 1)
