@@ -70,6 +70,25 @@ class TableView:
     def filter_comparison(self, col: str, op: str, value) -> "TableView":
         return self._derive(self.df.where(_filters.comparison_filter(col, op, value)))
 
+    def brush(self, ranges: list[dict], complement: bool = False) -> "TableView":
+        """N-D brush selection: the view a heatmap/trellis drag-select
+        derives (one range dict per charted column)."""
+        return self._derive(
+            self.df.where(_filters.range_filter_array(ranges, complement))
+        )
+
+    def search(self, cols: list[str], pattern: str, mode: str = "substring",
+               **kw) -> "TableView":
+        """Global search: rows matching the pattern in ANY column."""
+        return self._derive(
+            self.df.where(_filters.string_columns_filter(cols, pattern, mode, **kw))
+        )
+
+    def quantize(self, col: str, lo: float, hi: float, buckets: int) -> "TableView":
+        """Snap a column onto a fixed policy grid before sketching
+        (the DP-ready engine layer)."""
+        return self._derive(_maps.quantize_column(self.df, col, lo, hi, buckets))
+
     def project(self, cols: list[str]) -> "TableView":
         return self._derive(_maps.project(self.df, cols))
 
@@ -135,8 +154,15 @@ class TableView:
     def find(self, col: str, pattern: str, mode: str = "substring") -> DataFrame:
         return _sheet.find_rows(self.df, col, pattern, mode)
 
-    def correlations(self, cols: list[str]) -> DataFrame:
-        return correlation.corr_matrix(self.df, cols)
+    def correlations(self, cols: list[str],
+                     sample_fraction: float | None = None) -> DataFrame:
+        return correlation.corr_matrix(self.df, cols,
+                                       sample_fraction=sample_fraction)
 
     def pca(self, cols: list[str], k: int = 2) -> DataFrame:
         return correlation.pca_project(self.df, cols, k)
+
+    def scroll_quantiles(self, sort_cols: list[str], k: int = 50) -> DataFrame:
+        """Row-tuple quantile boundaries under the view's sort order —
+        powers proportional scroll-to-position."""
+        return _stats.row_quantiles(self.df, sort_cols, k)

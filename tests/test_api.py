@@ -59,3 +59,25 @@ def test_find_and_stats(spark):
     assert t.find("text", "spark").first().match_count > 0
     s = t.col_stats(["n_chars"]).first()
     assert s.present_count == t.df.count()
+
+
+def test_view_brush_search_quantize_scroll(spark, tables):
+    from hillview_spark.api import TableView
+
+    v = TableView(tables["lineitem"])
+    brushed = v.brush([
+        {"col": "l_quantity", "lo": 10, "hi": 30},
+        {"col": "l_discount", "lo": 0.02, "hi": 0.05},
+    ])
+    assert 0 < brushed.df.count() < v.df.count()
+
+    docs = TableView(tables["documents"])
+    hits = docs.search(["text", "source"], "merge")
+    assert hits.df.count() > 0
+
+    qv = v.quantize("l_quantity", 0.0, 50.0, 10)
+    qvals = {r.l_quantity for r in qv.df.select("l_quantity").distinct().collect()}
+    assert qvals <= {i * 5.0 for i in range(10)}
+
+    sq = v.scroll_quantiles(["l_returnflag", "l_linestatus"], 4)
+    assert sq.count() >= 1
