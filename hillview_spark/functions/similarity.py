@@ -243,7 +243,10 @@ def ivf_index(
     """
     import numpy as np
 
-    sample = embeddings.select(vec_col).limit(sample_n).collect()
+    # deterministic training sample: plain limit() takes whichever
+    # partitions answer first; ordering by id makes the centroids (and
+    # hence the index) reproducible across runs and cluster layouts
+    sample = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]

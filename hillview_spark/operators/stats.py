@@ -29,11 +29,15 @@ def row_count(df: DataFrame) -> DataFrame:
 
 def table_summary(df: DataFrame) -> DataFrame:
     """Schema + row count (SummarySketch). One row per column so the
-    result is a DataFrame (driver-friendly)."""
-    cnt = df.count()
-    rows = [(name, dtype, cnt) for name, dtype in df.dtypes]
-    return df.sparkSession.createDataFrame(
-        rows, "col_name string, col_type string, row_count long"
+    result is a DataFrame (driver-friendly). Lazy: the count rides a
+    broadcast 1-row aggregate instead of an eager count() action, so
+    building the summary costs nothing until it is collected."""
+    spec = df.sparkSession.createDataFrame(
+        list(df.dtypes), "col_name string, col_type string"
+    )
+    cnt = df.agg(F.count(F.lit(1)).alias("row_count"))
+    return spec.join(F.broadcast(cnt)).select(
+        "col_name", "col_type", "row_count"
     )
 
 

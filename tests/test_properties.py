@@ -57,3 +57,52 @@ def test_quality_score_bounded(spark, texts):
     )
     for r in text.quality_score(df).collect():
         assert r.quality is None or 0.0 <= r.quality <= 1.0001
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(finite_doubles, min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=12),
+)
+def test_quantize_idempotent_and_grid_bound(spark, xs, buckets):
+    from hillview_spark.operators import maps
+
+    lo, hi = -100.0, 100.0
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    q1 = maps.quantize_column(df, "x", lo, hi, buckets)
+    q2 = maps.quantize_column(q1, "x", lo, hi, buckets)
+    a = sorted(r.x for r in q1.collect())
+    b = sorted(r.x for r in q2.collect())
+    assert a == b  # idempotent: grid values map to themselves
+    width = (hi - lo) / buckets
+    grid = {lo + i * width for i in range(buckets)}
+    assert set(a) <= grid
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=40))
+def test_global_rank_matches_sorted_position(spark, values):
+    from hillview_spark.operators import stats
+
+    distinct = sorted(set(values))
+    df = spark.createDataFrame([(v,) for v in values], "value string").distinct()
+    got = {r.value: r.rnk for r in stats.global_rank(df, ["value"]).collect()}
+    assert got == {v: i for i, v in enumerate(distinct)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)), min_size=1,
+             max_size=30),
+    st.tuples(st.integers(0, 3), st.integers(0, 3)),
+)
+def test_row_comparison_trichotomy(spark, pairs, pivot):
+    from hillview_spark.operators import filters
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    lt = df.where(filters.row_comparison_filter(["a", "b"], pivot, "<")).count()
+    eq = df.where(filters.row_comparison_filter(["a", "b"], pivot, "==")).count()
+    gt = df.where(filters.row_comparison_filter(["a", "b"], pivot, ">")).count()
+    assert lt + eq + gt == len(pairs)
+    assert eq == sum(1 for p in pairs if p == pivot)
+    assert lt == sum(1 for p in pairs if p < pivot)
