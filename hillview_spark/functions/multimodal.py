@@ -207,3 +207,50 @@ def sample_frames(df: DataFrame, every_n: int = 30, decoder: str = "fake") -> Da
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs})
 
     return df.where(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id long, kind string, features array<float>"
+
+
+def extract_features(
+    df: DataFrame, dim: int = 64, decoder: str = "fake"
+) -> DataFrame:
+    """Per-item feature embedding — the decode -> embed stage every
+    multimodal training pipeline runs before similarity search /
+    dedup. The Spark shape is the real thing: Arrow batches stream
+    through mapInPandas, each batch is embedded vectorized, and the
+    output array<float> column feeds directly into
+    functions/similarity.py (knn_join, cosine_dup_pairs, ann_lsh).
+
+    The embedding itself is decoder-dependent: with no ML runtime in
+    this environment it is a deterministic projection of the decoded
+    header fields plus a content-hash spread — a stand-in with the
+    same schema/batch shape a CLIP/wav2vec encoder would have."""
+    import hashlib
+
+    import numpy as np
+
+    decode = DECODERS[decoder]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["content"]:
+                w, h, nf = decode(p)
+                digest = hashlib.md5(p if p is not None else b"").digest()
+                seed = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
+                base = np.concatenate(
+                    [[w, h, nf], np.tile(seed, (dim // 4) + 1)[: dim - 3]]
+                )
+                # fixed deterministic normalization, unit-norm output
+                vec = np.cos(base * 0.1 + np.arange(dim) * 0.7)
+                feats.append((vec / np.linalg.norm(vec)).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)

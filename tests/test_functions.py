@@ -504,3 +504,31 @@ def test_geo_bbox_filter_pushdown(spark, tmp_path):
     assert out.count() == sum(
         1 for i in range(100) if 10 <= i <= 50 and 2 <= i % 10 <= 8
     )
+
+
+def test_multimodal_feature_extraction_feeds_similarity(spark):
+    """decode -> embed -> ANN: the features column slots straight into
+    the similarity operators (the full multimodal pipeline shape)."""
+    rows = [
+        (i, "image", mm.make_fake_payload(i, "image"), "x/fake", 17)
+        for i in range(40)
+    ] + [
+        # same payload as item 0 -> identical features (a known dup)
+        (100, "image", mm.make_fake_payload(0, "image"), "x/fake", 17)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(3)
+    feats = mm.extract_features(media, dim=32)
+    got = feats.collect()
+    assert len(got) == 41
+    import numpy as np
+
+    for r in got:
+        v = np.array(r.features)
+        assert len(v) == 32 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # identical payloads embed identically; ANN finds the planted dup
+    dups = similarity.cosine_dup_pairs(
+        feats.withColumnRenamed("media_id", "vec_id")
+             .withColumnRenamed("features", "embedding"),
+        threshold=0.999999, exact=False,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in dups} == {(0, 100)}
