@@ -146,3 +146,11 @@ def test_q14_broadcast_part(spark, tables):
     df = tpch.q14_promo_revenue(tables["lineitem"], tables["part"])
     ex.assert_broadcast_joins(df, at_least=1)
     ex.assert_pushdown(df, ["l_shipdate"])
+
+
+def test_dedup_corpus_chain_no_cartesian(spark, tables):
+    """The end-to-end dedup chain must stay inverted-index joins all
+    the way down — no cartesian anywhere in the composed plan."""
+    from hillview_spark.functions import dedup
+
+    ex.assert_no_cartesian(dedup.dedup_corpus(tables["documents"].limit(50)))
