@@ -348,9 +348,15 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_id_1 long, doc_id_2 long"
     )
-    out = dedup.connected_components(pairs, max_iter=10).collect()
+    out = dedup.connected_components(pairs, max_iter=10,
+                                     driver_threshold=0).collect()
     assert len(out) == 64
     assert {r.component for r in out} == {0}
+    # hybrid fast path must produce the identical labeling
+    fast = dedup.connected_components(pairs).collect()
+    assert {(r.doc_id, r.component) for r in fast} == {
+        (r.doc_id, r.component) for r in out
+    }
 
 
 def test_connected_components_raises_when_not_converged(spark):
@@ -360,7 +366,7 @@ def test_connected_components_raises_when_not_converged(spark):
         [(i, i + 1) for i in range(40)], "doc_id_1 long, doc_id_2 long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        dedup.connected_components(pairs, max_iter=2, driver_threshold=0)
 
 
 def test_blocked_knn_matches_expression_path(spark, tables):
