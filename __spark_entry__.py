@@ -166,6 +166,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_train_eval"] = lambda s, d: sampling.split_train_eval(
         _t(s, d, "documents"), 0.1, "doc_id"
     ).select("doc_id", "split")
+    def _asof(s, d):
+        from hillview_spark.operators import temporal
+
+        ev_t = _t(s, d, "events")
+        us = (
+            "CAST(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', {c}) AS LONG)"
+        )
+        clicks = ev_t.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = (
+            ev_t.where(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("err_value"))
+        )
+        out = temporal.asof_join(clicks, errors, "ts", ["user_id"], ["err_value"])
+        # unmatched rows -> sentinels (NULLs don't sort in the hash
+        # comparator's tuples)
+        return out.select(
+            "event_id",
+            "user_id",
+            F.expr(us.format(c="ts")).alias("ts_us"),
+            F.coalesce(F.expr(us.format(c="ts_r")), F.lit(-1)).alias("err_ts_us"),
+            F.coalesce("err_value_r", F.lit(-1.0)).alias("err_value_r"),
+        )
+
+    q["asof_join_events"] = _asof
+
+    def _range_join(s, d):
+        from hillview_spark.operators import temporal
+
+        ev_t = _t(s, d, "events")
+        sessions = ev.sessionize(ev_t, gap_minutes=30)
+        return temporal.range_join(
+            ev_t.select("event_id", "user_id", "ts"),
+            sessions, "ts", "session_start", "session_end", ["user_id"],
+            bucket_seconds=1800,
+        ).select("event_id", "user_id", "session_id")
+
+    q["range_join_sessions"] = _range_join
+
     q["histogram_singleton"] = lambda s, d: histogram.histogram_and_singleton(
         _t(s, d, "part"), "p_retailprice", 100
     )
@@ -1122,6 +1165,19 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
     """
+    o["asof_join_events"] = """
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'click'),
+        errors AS (SELECT user_id, ts,
+                          CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            AS err_value
+                   FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               COALESCE(epoch_us(e.ts), -1) AS err_ts_us,
+               COALESCE(e.err_value, -1.0) AS err_value_r
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+    """
     o["histogram_singleton"] = """
         WITH rng AS (SELECT min(p_retailprice) mn, max(p_retailprice) mx
                      FROM part),
@@ -1230,6 +1286,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(date_trunc('second', min(tsu)) AS TIMESTAMP) AS session_start,
                CAST(date_trunc('second', max(tsu)) AS TIMESTAMP) AS session_end
         FROM s GROUP BY 1, 2
+    """
+
+    # defined last: reuses the events_sessionize SQL as its CTE
+    o["range_join_sessions"] = f"""
+        WITH sessions AS ({o['events_sessionize']})
+        SELECT e.event_id, e.user_id, s.session_id
+        FROM events e JOIN sessions s
+          ON e.user_id = s.user_id
+         AND CAST(e.ts AS TIMESTAMP) >= s.session_start
+         AND CAST(e.ts AS TIMESTAMP) <= s.session_end
     """
 
     return o

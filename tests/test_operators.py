@@ -432,3 +432,59 @@ def test_histogram_and_singleton(spark):
     singles = {b: r.singleton for b, r in rows.items() if r.cnt == 1}
     assert set(singles.values()) == {5.5, 9.9}
     assert all(r.singleton is None for r in rows.values() if r.cnt != 1)
+
+
+def test_asof_join_known_values(spark):
+    from hillview_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (1, 11, "2024-01-01 12:00:00"),
+         (2, 20, "2024-01-01 09:00:00")],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 100.0, "2024-01-01 09:30:00"), (1, 200.0, "2024-01-01 11:00:00"),
+         (3, 999.0, "2024-01-01 00:00:00")],
+        "user_id long, v double, ts_s string",
+    ).select("user_id", "v", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    out = {r.event_id: (r.v_r, str(r.ts_r)) for r in temporal.asof_join(
+        left, right, "ts", ["user_id"], ["v"]).collect()}
+    assert out[10] == (100.0, "2024-01-01 09:30:00")   # only 9:30 precedes 10:00
+    assert out[11] == (200.0, "2024-01-01 11:00:00")   # 11:00 is latest
+    assert out[20] == (None, "None")                   # user 2 has no right rows
+
+
+def test_asof_join_inclusive_tie(spark):
+    from hillview_spark.operators import temporal
+
+    ts = "2024-01-01 10:00:00"
+    left = spark.createDataFrame([(1, 10, ts)], "user_id long, event_id long, s string")\
+        .select("user_id", "event_id", F.col("s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame([(1, 7.0, ts)], "user_id long, v double, s string")\
+        .select("user_id", "v", F.col("s").cast("timestamp_ntz").alias("ts"))
+    r = temporal.asof_join(left, right, "ts", ["user_id"], ["v"]).first()
+    assert r.v_r == 7.0  # same-instant right row is visible
+
+
+def test_range_join_matches_bruteforce(spark, tables):
+    from hillview_spark.operators import temporal
+    from hillview_spark.streaming import events as ev
+    from hillview_spark.plans import explain as ex
+
+    events = tables["events"]
+    sessions = ev.sessionize(events, 30)
+    got = temporal.range_join(
+        events.select("event_id", "user_id", "ts"),
+        sessions, "ts", "session_start", "session_end", ["user_id"],
+        bucket_seconds=1800,
+    ).select("event_id", "session_id")
+    brute = (
+        events.select("event_id", "user_id", "ts")
+        .join(sessions, "user_id")
+        .where((F.col("ts") >= F.col("session_start"))
+               & (F.col("ts") <= F.col("session_end")))
+        .select("event_id", "session_id")
+    )
+    assert {(r.event_id, r.session_id) for r in got.collect()} == \
+           {(r.event_id, r.session_id) for r in brute.collect()}
+    ex.assert_no_cartesian(got)
