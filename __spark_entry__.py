@@ -56,6 +56,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-1 gate already verified green come last."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    # --- corpus curation (newest — gate-first) -----------------------
+    from hillview_spark.functions import curation
+
+    q["text_pii_scrub"] = lambda s, d: curation.pii_scrub(
+        _t(s, d, "documents")
+    )
+    q["text_repetition_stats"] = lambda s, d: curation.repetition_stats(
+        _t(s, d, "documents")
+    )
+    def _decontaminate(s, d):
+        docs = _t(s, d, "documents")
+        ev_docs = docs.where(F.col("doc_id") % 20 == 0)
+        train = docs.where(F.col("doc_id") % 20 != 0)
+        return curation.decontaminate(train, ev_docs, n=5).select(
+            "doc_id", "source", "lang"
+        )
+
+    q["decontaminate_train"] = _decontaminate
+    q["sample_mixture"] = lambda s, d: curation.sample_to_mixture(
+        _t(s, d, "documents"), {"src0": 0.5, "src1": 0.25}
+    ).select("doc_id", "source")
+    q["chunk_documents"] = lambda s, d: curation.chunk_documents(
+        _t(s, d, "documents"), chunk_tokens=40, overlap=8
+    )
+
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
@@ -1164,6 +1189,89 @@ def oracle_sql() -> dict[str, str]:
                          < {_split_cut}
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
+    """
+    o["text_pii_scrub"] = r"""
+        WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+        s1 AS (SELECT doc_id,
+                      len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+                      regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+               FROM s0),
+        s2 AS (SELECT doc_id, n_url,
+                      len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS n_email,
+                      regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id, n_url, n_email,
+                      len(regexp_extract_all(t,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                      regexp_replace(t,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t
+               FROM s2)
+        SELECT doc_id,
+               regexp_replace(t, '\b\d{7,}\b', '<NUM>', 'g') AS text_scrubbed,
+               n_url, n_email, n_ip,
+               len(regexp_extract_all(t, '\b\d{7,}\b')) AS n_long_number
+        FROM s3
+    """
+    o["text_repetition_stats"] = r"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents),
+        tc AS (SELECT doc_id, tok, count(*) AS c FROM toks
+               WHERE tok <> '' GROUP BY 1, 2),
+        ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      count(*) AS distinct_tokens, max(c) AS max_tok
+               FROM tc GROUP BY 1),
+        gr AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+                    UNNEST(generate_series(1, len(t) - 1)) u(i)),
+        gc AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+        gs AS (SELECT doc_id, max(c) AS max_gram FROM gc GROUP BY 1)
+        SELECT ts.doc_id, n_tokens, distinct_tokens,
+               round(1.0 - distinct_tokens / CAST(n_tokens AS DOUBLE), 4)
+                 AS dup_token_frac,
+               round(max_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
+               round(COALESCE(max_gram, 0) * 2 / CAST(n_tokens AS DOUBLE), 4)
+                 AS top_bigram_frac
+        FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+    """
+    o["decontaminate_train"] = r"""
+        WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                        AS s
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        cont AS (SELECT DISTINCT doc_id FROM sh
+                 WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM ev))
+        SELECT doc_id, source, lang FROM documents
+        WHERE doc_id % 20 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """
+    o["sample_mixture"] = f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5(doc_id || '_mix1'), 1, 7) AS BIGINT)
+                     AS h
+            FROM documents)
+        WHERE h < CASE source WHEN 'src0' THEN {int(0.5 * 16**7)}
+                              WHEN 'src1' THEN {int(0.25 * 16**7)}
+                              ELSE {16**7} END
+    """
+    o["chunk_documents"] = r"""
+        WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM documents)
+        SELECT doc_id,
+               CAST((i - 1) // 32 AS BIGINT) AS chunk_id,
+               array_to_string(t[i:least(i + 39, len(t))], ' ') AS chunk_text,
+               CAST(least(len(t) - i + 1, 40) AS BIGINT) AS n_chunk_tokens
+        FROM tk, UNNEST(generate_series(1, greatest(len(t) - 8, 1), 32)) u(i)
     """
     o["asof_join_events"] = """
         WITH clicks AS (SELECT event_id, user_id, ts FROM events

@@ -1,0 +1,223 @@
+"""Corpus curation for training-data pipelines: PII scrubbing,
+repetition-based quality signals, train/eval decontamination,
+source-mixture sampling, and document chunking.
+(Extension beyond the Hillview reference, SURVEY.md §2.4 — the
+curation steps an LLM pre-training pipeline runs between raw ingest
+and tokenization.)
+
+Everything is built from JVM-side expressions (regexp / split /
+slice / hash) so the hot path whole-stage-codegens; the only
+shuffles are the groupBys/joins inherent to the semantics, and all
+arithmetic is rational so results reproduce bit-identically in the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Ordered redaction rules (applied in sequence — URLs first so an
+# address inside a URL is not double-counted as an email). Patterns
+# are deliberately restricted to the regex subset Java and RE2
+# interpret identically: no lookaround, no backreferences.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("long_number", r"\b\d{7,}\b", "<NUM>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact URLs / emails / IPv4 addresses / long digit runs
+    (phone-, card-, SSN-shaped) with typed placeholder tokens, and
+    count each redaction kind. Counts are taken on the text state
+    *before* that rule's replacement (after the earlier rules'), so
+    count == number of placeholders inserted by that rule.
+
+    One codegen'd scan, no shuffle — embarrassingly parallel."""
+    t = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, repl)
+    return df.select(F.col(id_col), t.alias("text_scrubbed"), *counts)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (word-level):
+    duplicate-token fraction, most-common-token fraction, and
+    most-common-bigram fraction — the standard signals for filtering
+    degenerate/boilerplate text (Rae et al. 2021, Gopher §A1.1).
+
+    Two explode→groupBy aggregations (token and bigram keys are
+    high-cardinality → well-distributed shuffles) joined on doc_id;
+    cost is O(tokens), never quadratic."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tok_stats = (
+        toks.groupBy("__doc", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__doc")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.max("c").alias("max_tok"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(_bigrams(F.col(text_col))).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("__doc", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__doc")
+        .agg(F.max("c").alias("max_gram"))
+    )
+    n = F.col("n_tokens").cast("double")
+    return (
+        tok_stats.join(gram_stats, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("n_tokens"),
+            F.col("distinct_tokens"),
+            F.round(F.lit(1.0) - F.col("distinct_tokens") / n, 4).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("max_tok") / n, 4).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("max_gram"), F.lit(0)) * 2 / n, 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def _bigrams(text):
+    """Non-distinct word bigrams (dedup.shingles() is distinct — here
+    the duplicate counts ARE the signal)."""
+    t = F.split(F.trim(text), r"\s+")
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares ANY word n-gram with the eval set (the n-gram-overlap rule
+    used for pre-training corpora; n=13 in GPT-3/PaLM practice, small
+    here to suit the fixtures).
+
+    Shape at 100 TB: eval suites are small (thousands of documents),
+    so their distinct n-gram set broadcasts; the scan over train then
+    needs no shuffle at all — explode, broadcast-hash semi-join,
+    anti-join back on doc_id within the same stage. Set
+    broadcast_eval=False if the eval side is genuinely large."""
+    from hillview_spark.functions.dedup import shingles
+
+    ev = eval_df.select(
+        F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    contaminated = tr.join(ev, "s", "left_semi").select(id_col).distinct()
+    return train.join(contaminated, id_col, "left_anti")
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Down-sample each source to its target mixture weight (keep
+    fraction), deterministically: the keep/drop decision hashes
+    (key, salt) — stable across runs, engines, and re-ingests, like
+    split_train_eval. Sources absent from `weights` are kept whole.
+
+    Pure per-row filter — one codegen'd scan, no shuffle, and the
+    filter sits below any downstream agg so pushdown applies."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col(key_col), F.lit(salt))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cut = None
+    for src, w in sorted(weights.items()):
+        c = F.when(F.col(source_col) == src, F.lit(int(w * (16**7))))
+        cut = c if cut is None else cut.when(
+            F.col(source_col) == src, F.lit(int(w * (16**7)))
+        )
+    cut = cut.otherwise(F.lit(16**7)) if cut is not None else F.lit(16**7)
+    return df.where(h < cut)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows
+    — the packing step before tokenization. Chunk starts advance by
+    (chunk_tokens - overlap); every document yields at least one
+    chunk; the final chunk may be short.
+
+    No UDF: split → sequence → slice → posexplode, all codegen'd;
+    output rows ∝ input tokens (× a small overlap factor)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            t.alias("__t"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__t"), F.col("__start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("__t")) - F.col("__start") + 1, F.lit(chunk_tokens)
+            )
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )

@@ -538,3 +538,128 @@ def test_multimodal_feature_extraction_feeds_similarity(spark):
         threshold=0.999999, exact=False,
     ).collect()
     assert {(r.id_a, r.id_b) for r in dups} == {(0, 100)}
+
+
+# ----------------------------------------------------------- curation
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or visit https://x.io/a?b=1 now"),
+            (2, "server 10.0.0.1 port 8080 card 4111111111111111"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.pii_scrub(df).collect()}
+    assert out[1].text_scrubbed == "mail me at <EMAIL> or visit <URL> now"
+    assert (out[1].n_email, out[1].n_url) == (1, 1)
+    assert out[2].text_scrubbed == "server <IP> port 8080 card <NUM>"
+    assert (out[2].n_ip, out[2].n_long_number) == (1, 1)
+    # 8080 is below the 7-digit floor — kept
+    assert out[3].text_scrubbed == "clean text with no pii at all"
+    assert (out[3].n_url, out[3].n_email, out[3].n_ip, out[3].n_long_number) \
+        == (0, 0, 0, 0)
+
+
+def test_pii_scrub_url_not_double_counted_as_email(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(1, "see https://host.com/u@name/profile ok")], "doc_id long, text string"
+    )
+    r = curation.pii_scrub(df).first()
+    # the URL (including its @) is consumed by the URL rule first
+    assert r.n_url == 1 and r.n_email == 0
+    assert r.text_scrubbed == "see <URL> ok"
+
+
+def test_repetition_stats_known_values(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "go go go go")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.repetition_stats(df).collect()}
+    # doc 1: 4 tokens, 2 distinct; top token 'a' 3/4; top bigram 'a a' 2*2/4
+    assert out[1].n_tokens == 4 and out[1].distinct_tokens == 2
+    assert out[1].dup_token_frac == 0.5
+    assert out[1].top_token_frac == 0.75
+    assert out[1].top_bigram_frac == 1.0
+    # doc 2: all distinct
+    assert out[2].dup_token_frac == 0.0 and out[2].top_bigram_frac == 0.5
+    # doc 3: degenerate repetition maxes the signals
+    assert out[3].dup_token_frac == 0.75 and out[3].top_token_frac == 1.0
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    from hillview_spark.functions import curation
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated training content here"),
+            (3, "quick brown fox appears again elsewhere"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox story")], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in curation.decontaminate(train, ev, n=3).collect()}
+    # docs 1 and 3 share the 3-gram "quick brown fox" with the eval set
+    assert kept == {2}
+    # higher n -> no overlap -> nothing removed
+    kept5 = {r.doc_id for r in curation.decontaminate(train, ev, n=5).collect()}
+    assert kept5 == {1, 2, 3}
+
+
+def test_sample_mixture_deterministic_and_proportional(spark, tables):
+    from hillview_spark.functions import curation
+
+    docs = tables["documents"]
+    w = {"src0": 0.5, "src1": 0.1}
+    a = curation.sample_to_mixture(docs, w)
+    b = curation.sample_to_mixture(docs, w)
+    ra = {r.doc_id for r in a.collect()}
+    assert ra == {r.doc_id for r in b.collect()}  # deterministic
+    per = {r.source: r for r in docs.groupBy("source").count().collect()}
+    kept = {r.source: r for r in a.groupBy("source").count().collect()}
+    for src, frac in w.items():
+        if per[src]["count"] >= 20:
+            got = kept.get(src)
+            rate = (got["count"] if got else 0) / per[src]["count"]
+            assert abs(rate - frac) < 0.25
+    # unweighted sources kept whole
+    for src, r in per.items():
+        if src not in w:
+            assert kept[src]["count"] == r["count"]
+
+
+def test_chunk_documents_windows(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 26))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = curation.chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 1: 25 tokens, step 8 -> starts 1,9,17 (next start 25 > 25-2)
+    assert set(by_doc[1]) == {0, 1, 2}
+    assert by_doc[1][0].chunk_text.split() == [f"t{i}" for i in range(1, 11)]
+    assert by_doc[1][1].chunk_text.split() == [f"t{i}" for i in range(9, 19)]
+    assert by_doc[1][2].chunk_text.split() == [f"t{i}" for i in range(17, 26)]
+    assert by_doc[1][2].n_chunk_tokens == 9
+    # overlap: consecutive chunks share exactly 2 tokens
+    assert by_doc[1][0].chunk_text.split()[-2:] == \
+        by_doc[1][1].chunk_text.split()[:2]
+    # short doc -> single whole-doc chunk
+    assert set(by_doc[2]) == {0}
+    assert by_doc[2][0].chunk_text == "a b c"
+    assert by_doc[2][0].n_chunk_tokens == 3
