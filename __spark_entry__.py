@@ -282,6 +282,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q14_promo_revenue"] = lambda s, d: tpch.q14_promo_revenue(
         _t(s, d, "lineitem"), _t(s, d, "part")
     )
+    q["q7_volume_shipping"] = lambda s, d: tpch.q7_volume_shipping(
+        _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
+        _t(s, d, "supplier"), _t(s, d, "nation")
+    )
+    q["q15_top_supplier"] = lambda s, d: tpch.q15_top_supplier(
+        _t(s, d, "lineitem"), _t(s, d, "supplier")
+    )
+    q["q18_large_orders"] = lambda s, d: tpch.q18_large_orders(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q19_discounted_revenue"] = lambda s, d: tpch.q19_discounted_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    )
+    q["q22_sales_opportunity"] = lambda s, d: tpch.q22_sales_opportunity(
+        _t(s, d, "customer"), _t(s, d, "orders")
+    )
 
     # --- histogram sketches -----------------------------------------
     q["histogram1d_numeric"] = lambda s, d: histogram.histogram1d(
@@ -692,6 +708,70 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
+    """
+
+    o["q7_volume_shipping"] = f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM({revenue}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    o["q15_top_supplier"] = f"""
+        WITH rev AS (
+            SELECT l_suppkey, SUM({revenue}) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """
+    o["q18_large_orders"] = f"""
+        WITH big AS (
+            SELECT l_orderkey, SUM({dec('l_quantity')}) AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM({dec('l_quantity')}) > 180)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+    """
+    o["q19_discounted_revenue"] = f"""
+        SELECT CAST(SUM({revenue}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#6' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """
+    o["q22_sales_opportunity"] = f"""
+        WITH avg_bal AS (
+            SELECT CAST(SUM({dec('c_acctbal')}) AS DOUBLE) / COUNT(*) AS v
+            FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM({dec('c_acctbal')}) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT v FROM avg_bal)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1 ORDER BY 1
     """
 
     def hist1d(col: str, table: str, nb: int) -> str:

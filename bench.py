@@ -30,9 +30,9 @@ from hillview_spark.session import get_spark
 from hillview_spark.tables import load_all
 from hillview_spark.queries import tpch
 from hillview_spark.operators import (
-    correlation, heavy_hitters, histogram, spreadsheet, stats,
+    correlation, heavy_hitters, histogram, spreadsheet, stats, temporal,
 )
-from hillview_spark.functions import dedup, similarity, text
+from hillview_spark.functions import curation, dedup, similarity, text
 from hillview_spark.streaming import events as ev
 
 
@@ -53,6 +53,13 @@ def headline_queries(t):
         "q10": (lambda: tpch.q10_returned_items(
             t["customer"], t["orders"], t["lineitem"]), "collect"),
         "q14": (lambda: tpch.q14_promo_revenue(
+            t["lineitem"], t["part"]), "collect"),
+        "q7": (lambda: tpch.q7_volume_shipping(
+            t["lineitem"], t["orders"], t["customer"], t["supplier"],
+            t["nation"]), "collect"),
+        "q18": (lambda: tpch.q18_large_orders(
+            t["customer"], t["orders"], t["lineitem"]), "collect"),
+        "q19": (lambda: tpch.q19_discounted_revenue(
             t["lineitem"], t["part"]), "collect"),
         # interactive-exploration sketches (the Hillview core loop)
         "histogram1d": (lambda: histogram.histogram1d(
@@ -107,6 +114,27 @@ def headline_queries(t):
             t["embeddings"], k=3, planes=8), "noop"),
         "text_quality": (lambda: text.quality_score(t["documents"]), "noop"),
         "text_lang_id": (lambda: text.lang_id(t["documents"]), "noop"),
+        # corpus curation
+        "pii_scrub": (lambda: curation.pii_scrub(t["documents"]), "noop"),
+        "repetition_stats": (lambda: curation.repetition_stats(
+            t["documents"]), "noop"),
+        "decontaminate": (lambda: curation.decontaminate(
+            t["documents"].where(F.col("doc_id") % 20 != 0),
+            t["documents"].where(F.col("doc_id") % 20 == 0), n=5), "noop"),
+        "chunk_documents": (lambda: curation.chunk_documents(
+            t["documents"], 40, 8), "noop"),
+        # temporal joins
+        "asof_join": (lambda: temporal.asof_join(
+            t["events"].where(F.col("event_type") == "click")
+                       .select("event_id", "user_id", "ts"),
+            t["events"].where(F.col("event_type") == "error")
+                       .select("user_id", "ts", "value"),
+            "ts", ["user_id"], ["value"]), "noop"),
+        "range_join": (lambda: temporal.range_join(
+            t["events"].select("event_id", "user_id", "ts"),
+            ev.sessionize(t["events"], 30), "ts",
+            "session_start", "session_end", ["user_id"],
+            bucket_seconds=1800), "noop"),
         # event-stream semantics
         "events_windows": (lambda: ev.windowed_counts(t["events"], "hour"), "noop"),
         "events_sessions": (lambda: ev.sessionize(t["events"], 30), "noop"),

@@ -198,3 +198,142 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             promo.cast("double") * 100.0 / total.cast("double"), 4
         ).alias("promo_revenue_pct")
     )
+
+
+def q7_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """Volume shipping between two nations, by (supplier nation,
+    customer nation, year). Both nation-tagged dimension sides
+    broadcast onto the fact scan; the only shuffle is
+    lineitem⋈orders and the final tiny group."""
+    n2 = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    s = supplier.join(
+        broadcast(n2.select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    c = customer.join(
+        broadcast(n2.select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "cust_nation")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Top supplier by quarterly revenue: per-supplier decimal sums,
+    then an equality join against the broadcast scalar max — exact
+    (decimal) so the max-match is deterministic across engines."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_rev"))
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(broadcast(max_rev), rev.total_rev == max_rev.max_rev)
+        .join(broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_qty: int = 180,
+) -> DataFrame:
+    """Large-volume customers: orders whose line items sum past a
+    quantity threshold. The HAVING runs on the fact-side aggregate
+    BEFORE the join back (tiny hash side), customer broadcasts, and
+    the top-100 is TakeOrderedAndProject."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.col("sum_qty").cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """OR-of-ANDs predicate revenue (q19 shape on the reduced
+    schema): part broadcasts, and the disjunction stays a single
+    codegen'd filter on the joined stream — no union-of-scans."""
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    j = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#6") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.where(cond).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with above-average balances and no recent orders
+    (q22 shape; "recent" because every synthetic customer has some
+    order): the scalar average broadcasts (exact decimal sum /
+    count, one double division), the recency check is a LEFT ANTI
+    join whose date filter pushes to the orders scan, and the
+    per-nation rollup is a tiny group."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    no_orders = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -196,3 +196,61 @@ def stream_windowed_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose key was already seen
+    within the watermark horizon (dropDuplicatesWithinWatermark) —
+    the exactly-once ingest guard in front of every downstream
+    aggregate when the transport (Kafka, retries) can redeliver.
+
+    State is bounded by the watermark: a key's fingerprint is evicted
+    once the watermark passes it, so memory is O(events per horizon),
+    not O(stream). At 100 TB/day the horizon, not the corpus, sizes
+    the state store."""
+    key_cols = key_cols or ["event_id"]
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    min_count: int = 2,
+) -> DataFrame:
+    """Streaming windowed heavy hitters: per tumbling window, the
+    values of `col` whose count reaches min_count — the streaming
+    twin of heavy_hitters.heavy_hitters. Append mode emits a
+    window's survivors once the watermark closes it; the groupBy
+    state is O(windows × distinct values per window), bounded by the
+    watermark. The HAVING filter runs post-aggregate, so the stream
+    shuffles only (window, value) partial counts — map-side combine
+    applies exactly as in batch."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select(F.col("win.start").alias("window_start"), col, "n")
+    )

@@ -5,6 +5,7 @@ top-k instead of global sort, no cartesian products — via the
 hillview_spark.plans.explain helpers."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from hillview_spark.plans import explain as ex
 from hillview_spark.operators import spreadsheet
@@ -154,3 +155,55 @@ def test_dedup_corpus_chain_no_cartesian(spark, tables):
     from hillview_spark.functions import dedup
 
     ex.assert_no_cartesian(dedup.dedup_corpus(tables["documents"].limit(50)))
+
+
+def test_q7_broadcasts_nation_sides(spark, tables):
+    df = tpch.q7_volume_shipping(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["supplier"], tables["nation"],
+    )
+    ex.assert_broadcast_joins(df, at_least=2)
+    ex.assert_no_cartesian(df)
+
+
+def test_q18_having_before_join_and_topk(spark, tables):
+    df = tpch.q18_large_orders(
+        tables["customer"], tables["orders"], tables["lineitem"]
+    )
+    ex.assert_topk_not_global_sort(df)
+    plan = ex.physical_plan(df)
+    # the sum_qty HAVING runs on the aggregate, not after the join:
+    # the Filter over sum_qty must appear below (after, in the
+    # bottom-up plan text) the first HashAggregate
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_or_predicate_single_scan(spark, tables):
+    df = tpch.q19_discounted_revenue(tables["lineitem"], tables["part"])
+    plan = ex.physical_plan(df)
+    # one scan of lineitem (no union-of-scans for the OR branches)
+    assert plan.count("Scan parquet") <= 2  # lineitem + part only
+    ex.assert_broadcast_joins(df, at_least=1)
+
+
+def test_q22_anti_join_with_pushed_date(spark, tables):
+    df = tpch.q22_sales_opportunity(tables["customer"], tables["orders"])
+    plan = ex.physical_plan(df)
+    assert "LeftAnti" in plan
+    # the recency predicate reaches the orders parquet scan
+    pushed_sections = plan.split("PushedFilters:")[1:]
+    assert any("o_orderdate" in s.splitlines()[0] for s in pushed_sections)
+
+
+def test_decontaminate_broadcasts_eval_set(spark, tables):
+    from hillview_spark.functions import curation
+
+    docs = tables["documents"]
+    df = curation.decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        n=5,
+    )
+    plan = ex.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    ex.assert_no_cartesian(df)

@@ -143,3 +143,96 @@ def test_sessionize_gap_semantics(spark):
         per_user.setdefault(r.user_id, []).append((r.session_id, r.n_events))
     assert sorted(per_user[1]) == [(1, 2), (2, 1)]
     assert per_user[2] == [(1, 1)]
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Redelivered events collapse to one copy; result matches batch
+    dropDuplicates on the same key."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (1, base, 1, "click", 1.0),               # exact redelivery
+        (2, base + dt.timedelta(minutes=1), 1, "click", 2.0),
+        (2, base + dt.timedelta(minutes=1), 2, "view", 9.0),  # same id, dup
+        (3, base + dt.timedelta(minutes=2), 2, "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    schema = spark.read.parquet(os.path.join(src, "b1")).schema
+
+    from hillview_spark.streaming import events as ev
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        ev.stream_dedup(spark, os.path.join(src, "*"), schema, ["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3
+    assert {r.event_id for r in got.collect()} == {1, 2, 3}
+
+
+def test_stream_heavy_hitters_matches_batch(spark, tmp_path):
+    """Windowed streaming heavy hitters emit the same survivors as
+    the equivalent batch groupBy-having once windows close."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "hh_src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = (
+        [(i, base + dt.timedelta(minutes=i % 10), 7, "click", 1.0)
+         for i in range(6)]                      # user 7: 6 events in window
+        + [(10, base + dt.timedelta(minutes=3), 8, "click", 1.0)]  # user 8: 1
+        + [(11 + j, base + dt.timedelta(minutes=20 + j), 9, "click", 1.0)
+           for j in range(3)]                    # user 9: 3 in next window
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    schema = spark.read.parquet(os.path.join(src, "b1")).schema
+    # a later batch to advance the watermark past both windows
+    spark.createDataFrame(
+        [(99, base + dt.timedelta(hours=5), 1, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    from hillview_spark.streaming import events as ev
+
+    out_dir = str(tmp_path / "out")
+    for _ in range(2):  # two triggers share the checkpoint
+        q = (
+            ev.stream_heavy_hitters(
+                spark, os.path.join(src, "*"), schema,
+                col="user_id", window_duration="10 minutes",
+                watermark="1 hour", min_count=2,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {(r.user_id, r.n) for r in spark.read.parquet(out_dir).collect()}
+    # user 7 (6 events) and user 9 (3 events) survive; user 8 doesn't
+    assert (7, 6) in got and (9, 3) in got
+    assert not any(u == 8 for u, _ in got)
