@@ -75,9 +75,11 @@ def repetition_stats(
             F.max("c").alias("max_tok"),
         )
     )
-    grams = df.select(
+    grams = df.withColumn(
+        "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+    ).select(
         F.col(id_col).alias("__doc"),
-        F.explode(_bigrams(F.col(text_col))).alias("gram"),
+        F.explode(_bigrams_of(F.col("__toks"))).alias("gram"),
     )
     gram_stats = (
         grams.groupBy("__doc", "gram")
@@ -103,17 +105,16 @@ def repetition_stats(
     )
 
 
-def _bigrams(text):
-    """Non-distinct word bigrams (dedup.shingles() is distinct — here
-    the duplicate counts ARE the signal)."""
-    t = F.split(F.trim(text), r"\s+")
+def _bigrams_of(toks):
+    """Non-distinct word bigrams over a materialized token-array
+    column (dedup.shingles_of() is distinct — here the duplicate
+    counts ARE the signal; see shingles_of for why the array must be
+    a named column, not an inline split)."""
     return F.when(
-        F.size(t) >= 2,
+        F.size(toks) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
-            ),
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -136,15 +137,17 @@ def decontaminate(
     needs no shuffle at all — explode, broadcast-hash semi-join,
     anti-join back on doc_id within the same stage. Set
     broadcast_eval=False if the eval side is genuinely large."""
-    from hillview_spark.functions.dedup import shingles
+    from hillview_spark.functions.dedup import shingles_of, tokens
 
-    ev = eval_df.select(
-        F.explode(shingles(F.col(text_col), n)).alias("s")
-    ).distinct()
+    ev = (
+        eval_df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(F.explode(shingles_of(F.col("__toks"), n)).alias("s"))
+        .distinct()
+    )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    tr = train.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    tr = train.withColumn("__toks", tokens(F.col(text_col))).select(
+        F.col(id_col), F.explode(shingles_of(F.col("__toks"), n)).alias("s")
     )
     contaminated = tr.join(ev, "s", "left_semi").select(id_col).distinct()
     return train.join(contaminated, id_col, "left_anti")

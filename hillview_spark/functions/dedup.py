@@ -22,21 +22,30 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), TOKEN_RE)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a text column (JVM-side, no UDF).
-    Docs with fewer than n tokens yield no shingles (Spark's
-    sequence(1,0) would count down, so guard explicitly)."""
-    t = tokens(text)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams over an already-materialized token-array
+    COLUMN. Pass a named column, not an inline split(...) expression:
+    higher-order lambdas re-evaluate their free-variable expressions
+    per element, so an inline split re-parses the text O(shingles)
+    times per row (measured 17x slower at sf0.1). Docs with fewer
+    than n tokens yield no shingles (Spark's sequence(1,0) would
+    count down, so guard explicitly)."""
     grams = F.when(
-        F.size(t) >= n,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + off) for off in range(n)]
-            ),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column. Convenience wrapper —
+    inside explodes/joins prefer ``df.withColumn("__toks",
+    tokens(...))`` + :func:`shingles_of` so the token array
+    materializes once (see shingles_of)."""
+    return shingles_of(tokens(text), n)
 
 
 def exact_dedup(
@@ -56,9 +65,15 @@ def exact_dedup(
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    # withColumn materializes the token array once per row — the
+    # projection is a barrier CollapseProject won't inline through
+    # (shingles_of references it many times).
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_of(F.col("__toks"), n)).alias("s"),
+        )
     )
 
 
