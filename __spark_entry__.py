@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_documents"] = lambda s, d: curation.chunk_documents(
         _t(s, d, "documents"), chunk_tokens=40, overlap=8
     )
+    q["pack_sequences"] = lambda s, d: curation.pack_sequences(
+        curation.chunk_documents(_t(s, d, "documents"), 40, 8),
+        budget_tokens=120, n_groups=16,
+    ).select("doc_id", "chunk_id", "pack_group", "seq_id")
 
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
@@ -1352,6 +1356,19 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(t[i:least(i + 39, len(t))], ' ') AS chunk_text,
                CAST(least(len(t) - i + 1, 40) AS BIGINT) AS n_chunk_tokens
         FROM tk, UNNEST(generate_series(1, greatest(len(t) - 8, 1), 32)) u(i)
+    """
+    o["pack_sequences"] = f"""
+        WITH chunks AS ({o['chunk_documents']})
+        SELECT doc_id, chunk_id,
+               CAST('0x' || substr(md5(doc_id || '_pack'), 1, 7) AS BIGINT)
+                 % 16 AS pack_group,
+               CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+                   PARTITION BY CAST('0x' || substr(md5(doc_id || '_pack'),
+                                     1, 7) AS BIGINT) % 16
+                   ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) // 120 AS seq_id
+        FROM chunks
     """
     o["asof_join_events"] = """
         WITH clicks AS (SELECT event_id, user_id, ts FROM events

@@ -14,7 +14,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Ordered redaction rules (applied in sequence — URLs first so an
 # address inside a URL is not double-counted as an email). Patterns
@@ -224,3 +224,47 @@ def chunk_documents(
             .alias("n_chunk_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    n_groups: int = 64,
+    count_col: str = "n_chunk_tokens",
+    id_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+) -> DataFrame:
+    """Assign chunks to fixed token-budget training sequences
+    (the packing step between chunking and tokenization). Chunks are
+    first salted into n_groups independent packing groups (hash of
+    doc id — deterministic), then packed *within* each group in
+    (doc_id, chunk_id) order by running token count: sequence k of a
+    group holds the chunks whose exclusive running total lands in
+    [k*budget, (k+1)*budget).
+
+    A chunk may straddle a boundary (it lands in the bin its FIRST
+    token falls in), so a bin's total can overshoot by at most one
+    chunk — the deterministic, shuffle-once approximation of greedy
+    packing. True first-fit is a sequential recurrence; at 100 TB the
+    per-group independence is what matters: each group packs in
+    parallel after ONE hash-partition shuffle, no global order, and
+    group count scales with the cluster, not the data."""
+    d, c = id_cols
+    # engine-portable salted hash (same recipe as split_train_eval)
+    group = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col(d), F.lit("pack"))), 1, 7),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_groups),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(d, c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("pack_group", group).withColumn(
+        "seq_id",
+        (F.coalesce(F.sum(count_col).over(w), F.lit(0))
+         / F.lit(budget_tokens)).cast("long"),
+    )
+    return out

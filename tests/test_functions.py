@@ -663,3 +663,42 @@ def test_chunk_documents_windows(spark):
     assert set(by_doc[2]) == {0}
     assert by_doc[2][0].chunk_text == "a b c"
     assert by_doc[2][0].n_chunk_tokens == 3
+
+
+def test_pack_sequences_budget_and_order(spark):
+    from hillview_spark.functions import curation
+
+    chunks = spark.createDataFrame(
+        [(1, j, 50) for j in range(6)] + [(1, 6, 30)],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    out = curation.pack_sequences(
+        chunks, budget_tokens=100, n_groups=1
+    ).orderBy("doc_id", "chunk_id").collect()
+    # exclusive running totals 0,50,100,...,300 -> seq 0,0,1,1,2,2,3
+    assert [r.seq_id for r in out] == [0, 0, 1, 1, 2, 2, 3]
+    # determinism: same input -> same assignment
+    again = curation.pack_sequences(
+        chunks, budget_tokens=100, n_groups=1
+    ).orderBy("doc_id", "chunk_id").collect()
+    assert [r.seq_id for r in again] == [r.seq_id for r in out]
+
+
+def test_pack_sequences_groups_pack_independently(spark, tables):
+    from hillview_spark.functions import curation
+
+    chunks = curation.chunk_documents(tables["documents"], 40, 8)
+    packed = curation.pack_sequences(chunks, budget_tokens=120, n_groups=8)
+    rows = packed.collect()
+    assert {r.pack_group for r in rows} <= set(range(8))
+    # within every (group, seq), the token total overshoots by at most
+    # one chunk (the straddle rule)
+    import collections
+    tot = collections.Counter()
+    mx = {}
+    for r in rows:
+        tot[(r.pack_group, r.seq_id)] += r.n_chunk_tokens
+        mx[(r.pack_group, r.seq_id)] = max(
+            mx.get((r.pack_group, r.seq_id), 0), r.n_chunk_tokens)
+    for k, v in tot.items():
+        assert v < 120 + mx[k]
