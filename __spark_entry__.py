@@ -85,6 +85,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         budget_tokens=120, n_groups=16,
     ).select("doc_id", "chunk_id", "pack_group", "seq_id")
 
+    def _geo_counts(s, d):
+        # testdata has no lat/lon; (c_acctbal, c_nationkey) stand in as
+        # coordinates. Rectangular regions so the SQL oracle can mirror
+        # the containment exactly (the operator still runs its general
+        # ray-casting path); boundaries sit between representable
+        # values so no point lies on an edge.
+        from hillview_spark.functions import geo
+
+        regions = [
+            ("low_a", [(0.005, -0.5), (5000.005, -0.5),
+                       (5000.005, 12.5), (0.005, 12.5)]),
+            ("high_a", [(5000.005, -0.5), (9999.005, -0.5),
+                        (9999.005, 12.5), (5000.005, 12.5)]),
+            ("upper", [(0.005, 12.5), (9999.005, 12.5),
+                       (9999.005, 24.5), (0.005, 24.5)]),
+        ]
+        return geo.count_by_region(
+            _t(s, d, "customer"), "c_acctbal", "c_nationkey", regions
+        )
+
+    q["geo_region_counts"] = _geo_counts
+
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
@@ -1369,6 +1391,19 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS BIGINT) // 120 AS seq_id
         FROM chunks
+    """
+    o["geo_region_counts"] = """
+        SELECT CASE
+                 WHEN c_acctbal > 0.005 AND c_acctbal < 5000.005
+                  AND c_nationkey > -0.5 AND c_nationkey < 12.5 THEN 'low_a'
+                 WHEN c_acctbal > 5000.005 AND c_acctbal < 9999.005
+                  AND c_nationkey > -0.5 AND c_nationkey < 12.5 THEN 'high_a'
+                 WHEN c_acctbal > 0.005 AND c_acctbal < 9999.005
+                  AND c_nationkey > 12.5 AND c_nationkey < 24.5 THEN 'upper'
+               END AS region, COUNT(*) AS cnt
+        FROM customer
+        WHERE region IS NOT NULL
+        GROUP BY 1
     """
     o["asof_join_events"] = """
         WITH clicks AS (SELECT event_id, user_id, ts FROM events
