@@ -106,3 +106,49 @@ def test_row_comparison_trichotomy(spark, pairs, pivot):
     assert lt + eq + gt == len(pairs)
     assert eq == sum(1 for p in pairs if p == pivot)
     assert lt == sum(1 for p in pairs if p < pivot)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=0, max_size=60),
+    min_size=1, max_size=12))
+def test_pii_scrub_idempotent(spark, texts):
+    """Scrubbing twice equals scrubbing once: placeholders contain no
+    redactable substrings."""
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = curation.pii_scrub(df).withColumnRenamed("text_scrubbed", "text")
+    twice = curation.pii_scrub(once.select("doc_id", "text"))
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text_scrubbed for r in twice.collect()}
+    assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(1, 60), min_size=1, max_size=8),
+    st.integers(3, 12),
+    st.integers(0, 2),
+)
+def test_chunk_documents_reconstructs_tokens(spark, doc_lens, chunk, overlap):
+    """Dropping each chunk's overlap prefix (except the first) and
+    concatenating reconstructs the original token sequence exactly."""
+    from hillview_spark.functions import curation
+
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curation.chunk_documents(df, chunk, overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, n in enumerate(doc_lens):
+        parts = [t.split() for _, t in sorted(by_doc[i])]
+        rebuilt = parts[0] + [tok for p in parts[1:] for tok in p[overlap:]]
+        assert rebuilt == [f"w{i}_{j}" for j in range(n)]
