@@ -324,6 +324,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q22_sales_opportunity"] = lambda s, d: tpch.q22_sales_opportunity(
         _t(s, d, "customer"), _t(s, d, "orders")
     )
+    q["q2_min_cost_supplier"] = lambda s, d: tpch.q2_min_cost_supplier(
+        _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "nation"),
+        _t(s, d, "region"), _t(s, d, "lineitem")
+    )
+    q["q8_market_share"] = lambda s, d: tpch.q8_market_share(
+        _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "lineitem"),
+        _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"),
+        _t(s, d, "region")
+    )
+    q["q9_product_type_profit"] = lambda s, d: tpch.q9_product_type_profit(
+        _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "lineitem"),
+        _t(s, d, "orders"), _t(s, d, "nation")
+    )
+    q["q11_important_parts"] = lambda s, d: tpch.q11_important_parts(
+        _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
+    )
+    q["q12_shipmode_priority"] = lambda s, d: tpch.q12_shipmode_priority(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q13_customer_order_distribution"] = (
+        lambda s, d: tpch.q13_customer_order_distribution(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        )
+    )
+    q["q16_supplier_part_counts"] = lambda s, d: tpch.q16_supplier_part_counts(
+        _t(s, d, "part"), _t(s, d, "supplier"), _t(s, d, "lineitem")
+    )
+    q["q17_small_quantity_revenue"] = (
+        lambda s, d: tpch.q17_small_quantity_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        )
+    )
+    q["q20_part_promotion"] = lambda s, d: tpch.q20_part_promotion(
+        _t(s, d, "supplier"), _t(s, d, "lineitem"), _t(s, d, "part")
+    )
+    q["q21_suppliers_kept_waiting"] = (
+        lambda s, d: tpch.q21_suppliers_kept_waiting(
+            _t(s, d, "supplier"), _t(s, d, "lineitem"), _t(s, d, "orders")
+        )
+    )
 
     # --- histogram sketches -----------------------------------------
     q["histogram1d_numeric"] = lambda s, d: histogram.histogram1d(
@@ -798,6 +838,162 @@ def oracle_sql() -> dict[str, str]:
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY 1 ORDER BY 1
+    """
+
+    o["q2_min_cost_supplier"] = f"""
+        WITH offers AS (
+            SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+                   {dec('l_extendedprice')} AS cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+              AND r_name = 'EUROPE'),
+        mc AS (SELECT p_partkey AS mc_partkey, MIN(cost) AS min_cost
+               FROM offers GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               CAST(min_cost AS DOUBLE) AS min_cost
+        FROM offers JOIN mc ON p_partkey = mc_partkey AND cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """
+    o["q8_market_share"] = f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               round(
+                 CAST(SUM(CASE WHEN n1.n_name = 'NATION_2' THEN {revenue}
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM({revenue}) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+    o["q9_product_type_profit"] = """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 - CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(0.6 AS DECIMAL(2,1))
+                   * CAST(l_quantity AS DECIMAL(12,2))
+               ) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """
+    o["q11_important_parts"] = f"""
+        WITH per_part AS (
+            SELECT l_partkey, SUM({revenue}) AS value_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY 1)
+        SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE CAST(value_dec AS DOUBLE) >
+              (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM per_part)
+              * CAST(0.001 AS DOUBLE)
+        ORDER BY part_value DESC, l_partkey
+    """
+    o["q12_shipmode_priority"] = """
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1 ORDER BY 1
+    """
+    o["q13_customer_order_distribution"] = """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1)
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """
+    o["q16_supplier_part_counts"] = """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#11'
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+    """
+    o["q17_small_quantity_revenue"] = f"""
+        WITH li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'),
+        aq AS (
+            SELECT l_partkey AS aq_partkey,
+                   CAST(SUM({dec('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM li GROUP BY 1)
+        SELECT CAST(SUM({dec('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM li JOIN aq ON l_partkey = aq_partkey
+        WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+    """
+    o["q20_part_promotion"] = f"""
+        WITH li AS (
+            SELECT l_partkey, l_suppkey, l_quantity
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        per_sp AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM({dec('l_quantity')}) AS DOUBLE) AS supp_qty
+            FROM li GROUP BY 1, 2),
+        per_part AS (
+            SELECT l_partkey AS pp_partkey,
+                   CAST(SUM(CAST(supp_qty AS DECIMAL(28,2))) AS DOUBLE)
+                   AS part_qty
+            FROM per_sp GROUP BY 1)
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM per_sp
+            JOIN per_part ON l_partkey = pp_partkey
+            WHERE supp_qty > part_qty * CAST(0.3 AS DOUBLE))
+        ORDER BY s_suppkey
+    """
+    o["q21_suppliers_kept_waiting"] = """
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                     AS n_late,
+                   MIN(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+            FROM li GROUP BY 1)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM per_order JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
     """
 
     def hist1d(col: str, table: str, nb: int) -> str:

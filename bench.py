@@ -61,6 +61,13 @@ def headline_queries(t):
             t["customer"], t["orders"], t["lineitem"]), "collect"),
         "q19": (lambda: tpch.q19_discounted_revenue(
             t["lineitem"], t["part"]), "collect"),
+        "q9": (lambda: tpch.q9_product_type_profit(
+            t["part"], t["supplier"], t["lineitem"], t["orders"],
+            t["nation"]), "collect"),
+        "q13": (lambda: tpch.q13_customer_order_distribution(
+            t["customer"], t["orders"]), "collect"),
+        "q21": (lambda: tpch.q21_suppliers_kept_waiting(
+            t["supplier"], t["lineitem"], t["orders"]), "collect"),
         # interactive-exploration sketches (the Hillview core loop)
         "histogram1d": (lambda: histogram.histogram1d(
             t["lineitem"], "l_extendedprice", 100), "collect"),

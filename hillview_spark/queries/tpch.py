@@ -337,3 +337,379 @@ def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "STANDARD",
+) -> DataFrame:
+    """Minimum-cost supplier (q2 shape on the reduced schema: no
+    partsupp table, so lineitem plays the part-supplier price list
+    and min(l_extendedprice) plays ps_supplycost). The correlated
+    MIN subquery is decorrelated into a per-part aggregate joined
+    back on (partkey, price == min) — the standard Spark plan; all
+    dimension sides broadcast, so the only shuffle is the per-part
+    min over the filtered fact scan."""
+    parts = part.where(
+        (F.col("p_type") == p_type) & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_type")
+    sups = (
+        supplier.join(
+            broadcast(
+                nation.join(
+                    broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(sups), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal",
+                "n_name", _dec("l_extendedprice").alias("cost"))
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                F.col("min_cost").cast("double").alias("min_cost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_2",
+    market_region: str = "AMERICA",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """National market share (q8): the target nation's slice of
+    revenue from one part type sold to one region's customers, by
+    order year. Every dimension broadcasts onto the lineitem scan;
+    the conditional share is a decimal CASE-sum and the final
+    division is a single double op (bit-identical cross-engine)."""
+    cust_in_region = customer.join(
+        broadcast(
+            nation.join(
+                broadcast(region.where(F.col("r_name") == market_region)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select(F.col("n_nationkey").alias("cn_key"))
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey")
+    supp_nation = supplier.join(
+        broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.expr("CAST(0 AS DECIMAL(18,2))")
+    joined = (
+        lineitem.join(
+            broadcast(part.where(F.col("p_type") == p_type)
+                      .select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust_in_region),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp_nation),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, revenue)
+                  .otherwise(zero)).alias("target_rev"),
+            F.sum(revenue).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("target_rev").cast("double")
+                    / F.col("total_rev").cast("double"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small",
+) -> DataFrame:
+    """Product-type profit (q9 shape; ps_supplycost is surrogated as
+    60% of p_retailprice since the reduced schema has no partsupp).
+    profit = revenue − cost·qty in exact decimal (operands sized so
+    every product stays under the 38-digit cap), grouped by supplier
+    nation × order year. part/supplier/nation broadcast; the only
+    fact shuffle is lineitem⋈orders."""
+    d12 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    cost_unit = (d12("p_retailprice")
+                 * F.expr("CAST(0.6 AS DECIMAL(2,1))"))  # (15,3) exact
+    parts = part.where(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey", cost_unit.alias("cost_unit")
+    )
+    sup_n = supplier.join(
+        broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "nation")
+    amount = (d12("l_extendedprice") * (F.lit(1) - d12("l_discount"))
+              - F.col("cost_unit") * d12("l_quantity"))
+    return (
+        lineitem.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """Important-stock parts (q11 shape; part value is measured as
+    lineitem revenue through one nation's suppliers instead of
+    partsupp stock value). The global-total scalar subquery
+    broadcasts; the HAVING compares exact-decimal group sums cast to
+    double against total·fraction (one multiply — deterministic)."""
+    sups = supplier.join(
+        broadcast(nation.where(F.col("n_name") == nation_name)
+                  .select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    base = lineitem.join(broadcast(sups),
+                         F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum(revenue).alias("value_dec")
+    )
+    total = per_part.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(broadcast(total))
+        .where(F.col("value_dec").cast("double")
+               > F.col("total_value") * F.lit(fraction))
+        .select("l_partkey",
+                F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q12_shipmode_priority(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """Shipping-delay priority matrix (q12 shape; the reduced schema
+    has no l_shipmode/commitdate/receiptdate, so the mode axis is
+    l_returnflag and "late" means shipped > late_days after the
+    order date). One fact⋈fact join, conditional decimal-free
+    CASE-count aggregation, tiny result."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q13_customer_order_distribution(
+    customer: DataFrame, orders: DataFrame,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """Customer order-count distribution (q13): LEFT OUTER join so
+    zero-order customers survive, two-level aggregation (orders per
+    customer, then customers per order-count). The first groupBy
+    shuffles on c_custkey; the second is O(|distinct counts|)."""
+    kept = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(kept, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q16_supplier_part_counts(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+    exclude_brand: str = "Brand#11",
+) -> DataFrame:
+    """Supplier counts per part attribute (q16 shape; the
+    part-supplier relation comes from lineitem instead of partsupp,
+    and the NOT IN complaint-supplier subquery becomes an anti-join
+    on negative account balance). COUNT(DISTINCT) over the
+    deduplicated (attrs, suppkey) pairs — Spark plans this as two
+    partial aggregates, no row explosion."""
+    bad_sups = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(bad_sups.withColumnRenamed("s_suppkey", "bad_key"),
+              F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+        .join(broadcast(
+            part.where(F.col("p_brand") != exclude_brand)
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13"
+) -> DataFrame:
+    """Small-quantity-order revenue (q17): the correlated per-part
+    AVG subquery decorrelates into a per-part aggregate broadcast
+    back onto the scan; threshold 0.2·avg is one double multiply of
+    an exact decimal-sum average, so the comparison is bit-identical
+    cross-engine. Final sum/7 is a single double division."""
+    bparts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        broadcast(bparts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_qty")
+    )
+    return (
+        li.join(broadcast(avg_q), F.col("l_partkey") == F.col("aq_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"))
+    )
+
+
+def q20_part_promotion(
+    supplier: DataFrame, lineitem: DataFrame, part: DataFrame,
+    name_prefix: str = "small", year: str = "1996",
+    fraction: float = 0.3,
+) -> DataFrame:
+    """Excess-supply suppliers (q20 shape; availqty is surrogated by
+    the part's total shipped quantity, so the filter keeps suppliers
+    who shipped > fraction of a prefix-named part's yearly volume).
+    Two-level aggregate on the same filtered scan, then a semi-join
+    into supplier — no row ever leaves the cluster."""
+    parts = part.where(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    li = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01"))
+        )
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("supp_qty")
+    )
+    per_part = per_sp.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum(F.col("supp_qty").cast("decimal(28,2)")).cast("double")
+        .alias("part_qty")
+    )
+    heavy = (
+        per_sp.join(broadcast(per_part),
+                    F.col("l_partkey") == F.col("pp_partkey"))
+        .where(F.col("supp_qty") > F.col("part_qty") * F.lit(fraction))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_suppliers_kept_waiting(
+    supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """Suppliers who alone held up multi-supplier orders (q21 shape;
+    "late" = shipped > late_days past the order date since the
+    reduced schema has no receipt/commit dates). The classic
+    EXISTS / NOT EXISTS double self-join is re-expressed as ONE
+    per-order aggregate — distinct-supplier and distinct-late-
+    supplier counts — which is the shape that survives 100 TB (a
+    single shuffle on orderkey instead of two fact-fact joins)."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey")))
+        .alias("n_late"),
+        F.min(F.when(F.col("is_late"), F.col("l_suppkey")))
+        .alias("late_supp"),
+    )
+    blamed = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).groupBy("late_supp").agg(F.count(F.lit(1)).alias("numwait"))
+    return (
+        blamed.join(broadcast(supplier.select("s_suppkey", "s_name")),
+                    F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

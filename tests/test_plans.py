@@ -207,3 +207,56 @@ def test_decontaminate_broadcasts_eval_set(spark, tables):
     plan = ex.physical_plan(df)
     assert "BroadcastHashJoin" in plan
     ex.assert_no_cartesian(df)
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark, tables):
+    df = tpch.q2_min_cost_supplier(
+        tables["part"], tables["supplier"], tables["nation"],
+        tables["region"], tables["lineitem"],
+    )
+    ex.assert_broadcast_joins(df, at_least=2)
+    ex.assert_no_cartesian(df)
+    ex.assert_topk_not_global_sort(df)
+
+
+def test_q9_single_fact_shuffle(spark, tables):
+    df = tpch.q9_product_type_profit(
+        tables["part"], tables["supplier"], tables["lineitem"],
+        tables["orders"], tables["nation"],
+    )
+    # part/supplier/nation all broadcast; lineitem⋈orders is the
+    # only shuffled join
+    ex.assert_broadcast_joins(df, at_least=2)
+    plan = ex.physical_plan(df)
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, tables):
+    df = tpch.q13_customer_order_distribution(
+        tables["customer"], tables["orders"]
+    )
+    plan = ex.physical_plan(df)
+    assert "LeftOuter" in plan
+    # the priority exclusion pushes to the orders scan
+    pushed = plan.split("PushedFilters:")[1:]
+    assert any("o_orderpriority" in s.splitlines()[0] for s in pushed)
+
+
+def test_q16_anti_join_no_row_explosion(spark, tables):
+    df = tpch.q16_supplier_part_counts(
+        tables["part"], tables["supplier"], tables["lineitem"]
+    )
+    plan = ex.physical_plan(df)
+    assert "LeftAnti" in plan
+    ex.assert_no_cartesian(df)
+
+
+def test_q21_one_aggregate_not_double_self_join(spark, tables):
+    df = tpch.q21_suppliers_kept_waiting(
+        tables["supplier"], tables["lineitem"], tables["orders"]
+    )
+    plan = ex.physical_plan(df)
+    # the EXISTS / NOT EXISTS pair is fused into a single per-order
+    # aggregate: lineitem is scanned once, not three times
+    assert plan.count("Scan parquet") <= 3  # lineitem + orders + supplier
+    ex.assert_no_cartesian(df)
