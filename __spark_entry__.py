@@ -176,6 +176,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessionize"] = lambda s, d: ev.sessionize(
         _t(s, d, "events"), gap_minutes=30
     )
+    q["events_sliding_counts"] = lambda s, d: ev.sliding_window_counts(
+        _t(s, d, "events"), window_minutes=60, slide_minutes=15
+    )
+    q["events_click_purchase"] = lambda s, d: ev.click_purchase_pairs(
+        _t(s, d, "events"), gap_minutes=30
+    )
 
     q["orders_status_by_month"] = lambda s, d: (
         _t(s, d, "orders")
@@ -1706,6 +1712,27 @@ def oracle_sql() -> dict[str, str]:
                event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+    o["events_sliding_counts"] = """
+        SELECT CAST(make_timestamp(
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+                 - i.i * 900000000) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events CROSS JOIN generate_series(0, 3) i(i)
+        GROUP BY 1, 2
+    """
+    o["events_click_purchase"] = """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               (epoch_us(CAST(p.ts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP))) / 1000000.0
+               AS gap_seconds
+        FROM events c JOIN events p ON c.user_id = p.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND epoch_us(CAST(p.ts AS TIMESTAMP))
+              > epoch_us(CAST(c.ts AS TIMESTAMP))
+          AND epoch_us(CAST(p.ts AS TIMESTAMP))
+              <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 1800000000
     """
     o["events_sessionize"] = """
         WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),

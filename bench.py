@@ -145,6 +145,10 @@ def headline_queries(t):
         # event-stream semantics
         "events_windows": (lambda: ev.windowed_counts(t["events"], "hour"), "noop"),
         "events_sessions": (lambda: ev.sessionize(t["events"], 30), "noop"),
+        "events_sliding": (lambda: ev.sliding_window_counts(
+            t["events"], 60, 15), "noop"),
+        "click_purchase": (lambda: ev.click_purchase_pairs(
+            t["events"], 30), "noop"),
     }
 
 

@@ -254,3 +254,134 @@ def stream_heavy_hitters(
         .where(F.col("n") >= min_count)
         .select(F.col("win.start").alias("window_start"), col, "n")
     )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> DataFrame:
+    """Sliding (hopping) window counts per event type: each event
+    lands in window/slide overlapping windows. Spark expands the
+    assignment JVM-side inside the window() expression (no Python,
+    no explode of user data); the shuffle carries (window, type)
+    partial counts with map-side combine, so cost scales with
+    window-count × |types|, not with the overlap factor times the
+    fact table."""
+    w = F.window(
+        "ts", f"{window_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    return (
+        events.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured Streaming twin of sliding_window_counts: the same
+    hopping-window groupBy under readStream. The watermark bounds
+    state to (horizon / slide) open windows per type; closed windows
+    are evicted once the watermark passes their end."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("win"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"),
+                "event_type", "n_events")
+    )
+
+
+def click_purchase_pairs(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Attribution interval join: for every click, the purchases by
+    the same user within the next gap_minutes. Equi-join on user_id
+    (the selective key — Spark shuffles both sides once) with the
+    time interval as a post-join range predicate; at 100 TB the
+    per-user event lists are small, so the range filter runs on
+    short runs, never a cartesian."""
+    gap_us = gap_minutes * 60_000_000
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_us") > F.col("click_us"))
+            & (F.col("purchase_us") <= F.col("click_us") + F.lit(gap_us)),
+        )
+        .select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+            ((F.col("purchase_us") - F.col("click_us")) / F.lit(1_000_000.0))
+            .alias("gap_seconds"),
+        )
+    )
+
+
+def stream_click_purchase_join(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming twin of
+    click_purchase_pairs): both sides carry a watermark and the join
+    condition bounds purchase time to (click, click + gap], so Spark
+    can evict click state once the purchase-side watermark passes
+    click + gap — state is O(events per horizon). Inner join emits
+    matches immediately; no window close needed."""
+    def side(event_type: str, a: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(events_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+        return (
+            s.where(F.col("event_type") == event_type)
+            .select(F.col("user_id").alias(f"{a}_user"),
+                    F.col("event_id").alias(f"{a}_id"),
+                    F.col("ts").cast("timestamp").alias(f"{a}_ts"))
+            .withWatermark(f"{a}_ts", watermark)
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts")
+               + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+        )
+        .select(F.col("c_user").alias("user_id"),
+                F.col("c_id").alias("click_id"),
+                F.col("p_id").alias("purchase_id"))
+    )

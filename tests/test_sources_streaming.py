@@ -236,3 +236,61 @@ def test_stream_heavy_hitters_matches_batch(spark, tmp_path):
     # user 7 (6 events) and user 9 (3 events) survive; user 8 doesn't
     assert (7, 6) in got and (9, 3) in got
     assert not any(u == 8 for u, _ in got)
+
+
+def test_stream_sliding_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "events_sl")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_sliding_counts(spark, d, raw.schema)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_slide")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_slide").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in ev.sliding_window_counts(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).collect()
+    }
+    assert stream_rows == batch
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "events_ssj")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_click_purchase_join(spark, d, raw.schema)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+    batch_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in ev.click_purchase_pairs(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs and len(batch_pairs) > 0
