@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_ivf_topk"] = _ivf
+    q["embedding_group_centroids"] = lambda s, d: similarity.group_centroids(
+        _t(s, d, "embeddings"), "label"
+    )
 
     # --- text analysis (LLM-pipeline) ---------------------------------
     q["text_token_count"] = lambda s, d: text.token_count(_t(s, d, "documents"))
@@ -1755,6 +1758,15 @@ def oracle_sql() -> dict[str, str]:
                event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+    o["embedding_group_centroids"] = """
+        SELECT label, CAST(u.i - 1 AS INT) AS dim_idx,
+               CAST(SUM(CAST(CAST(embedding[u.i] AS DOUBLE)
+                             AS DECIMAL(10,8)))
+                    AS DOUBLE) / COUNT(*) AS centroid,
+               COUNT(*) AS n_vectors
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i)
+        GROUP BY 1, 2
     """
     o["orders_rollup"] = """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -573,3 +573,37 @@ def cosine_dup_pairs_blocked(
     return bucketed.groupBy("bucket").applyInPandas(
         block_pairs, "id_a long, id_b long, cosine double"
     )
+
+
+def group_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids, flattened to (group, dim_idx,
+    centroid, n_vectors) rows — the cluster-statistics step of a
+    corpus-curation pipeline (per-source drift, per-label summary,
+    IVF coarse-centroid refresh).
+
+    Scale shape: posexplode multiplies rows by dim, but the
+    groupBy(group, dim) partial-aggregates map-side, so the shuffle
+    carries |groups| × dim rows — independent of corpus size. The
+    per-element sum is DECIMAL (order-independent, engine-portable);
+    the mean is one double division."""
+    x = emb.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim_idx", "v")
+    )
+    return (
+        x.groupBy(group_col, "dim_idx")
+        .agg(
+            F.sum(_dec(F.col("v"))).alias("s"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("dim_idx"),
+            (F.col("s").cast("double") / F.col("n_vectors"))
+            .alias("centroid"),
+            "n_vectors",
+        )
+    )

@@ -734,3 +734,28 @@ def test_remove_repeated_segments_keeps_singletons_whole(spark):
     out = {r.doc_id: r.clean_text for r in
            curation.remove_repeated_segments(df, 10, 2).collect()}
     assert out == {i: t for i, t in docs}
+
+
+def test_group_centroids_matches_numpy_and_combines_mapside(spark):
+    import numpy as np
+    from hillview_spark.functions import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i % 3), [float(x) for x in rng.normal(size=8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = similarity.group_centroids(df, "label")
+    got = {(r.label, r.dim_idx): (r.centroid, r.n_vectors)
+           for r in out.collect()}
+    for lab in range(3):
+        vecs = np.array([v for l, v in rows if l == lab])
+        for d in range(8):
+            c, n = got[(lab, d)]
+            assert n == len(vecs)
+            assert abs(c - vecs[:, d].mean()) < 1e-6
+    # partial + final aggregate around ONE exchange: the shuffle
+    # carries |groups|×dim combined rows, not exploded element rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]  # AQE echoes the pre-AQE plan
+    assert final.count("Exchange") == 1
+    assert "partial_sum" in final and final.count("HashAggregate") >= 2
