@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components"] = lambda s, d: dedup.connected_components(
         dedup.ngram_jaccard_pairs(_t(s, d, "documents"), threshold=0.3)
     )
+    q["dedup_representatives"] = lambda s, d: dedup.select_representatives(
+        dedup.connected_components(
+            dedup.ngram_jaccard_pairs(_t(s, d, "documents"), threshold=0.3)
+        ),
+        _t(s, d, "documents"),
+    )
     q["text_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
 
     # --- similarity search (LLM-pipeline) ----------------------------
@@ -1370,6 +1376,17 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS doc_id, least(src, min(dst)) AS component
         FROM reach GROUP BY src
+    """
+    o["dedup_representatives"] = f"""
+        WITH comps AS ({o['dedup_components']}),
+        j AS (SELECT c.component, c.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY c.component) AS n_members
+              FROM comps c JOIN documents d ON c.doc_id = d.doc_id)
+        SELECT component, doc_id AS rep_doc_id, n_chars AS rep_quality,
+               n_members
+        FROM j WHERE rk = 1
     """
     o["dedup_minhash_lsh"] = _minhash_sql()
     o["dedup_lsh_verify"] = f"""

@@ -488,3 +488,46 @@ def dedup_corpus(
         F.col("doc_id").alias(id_col)
     )
     return kept.join(losers, id_col, "left_anti")
+
+
+def select_representatives(
+    comps: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick each dup-group's surviving document by QUALITY rather
+    than min-id — production pipelines keep the longest / highest-
+    scoring member of a near-dup cluster, not an arbitrary one.
+
+    comps is connected_components output (doc_id, component); docs
+    supplies the quality column. One equi-join (the component table
+    is sparse — only docs that appear in dup pairs), then a
+    row_number window per component: the window partitions are dup
+    groups, typically tiny, so the sort is per-group local. The
+    (quality DESC, id) ordering makes the winner deterministic.
+
+    Reference analogue: Hillview has no dedup; this extends
+    SURVEY §2.4's pipeline the way C4/RefinedWeb describe."""
+    from pyspark.sql import Window
+
+    joined = comps.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col("component"),
+            F.col(id_col).alias("rep_doc_id"),
+            F.col(quality_col).alias("rep_quality"),
+            F.col("n_members"),
+        )
+    )
