@@ -66,6 +66,15 @@ def histogram1d(df: DataFrame, col: str, buckets: int = 40) -> DataFrame:
     1-row aggregate (two scans total at worst; Catalyst reuses the
     cached relation when available)."""
     rng = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    return _histogram_counts(df, col, buckets, rng)
+
+
+def _histogram_counts(
+    df: DataFrame, col: str, buckets: int, rng: DataFrame
+) -> DataFrame:
+    """Dense bucket counts against a caller-supplied 1-row range
+    relation (mn, mx). Factored out so progressive stages share one
+    set of bucket boundaries."""
     src = df.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
     counted = (
         src.crossJoin(F.broadcast(rng))
@@ -79,6 +88,62 @@ def histogram1d(df: DataFrame, col: str, buckets: int = 40) -> DataFrame:
         .join(counted, "bucket", "left")
         .select("bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
     )
+
+
+def progressive_histogram(
+    df: DataFrame,
+    col: str,
+    buckets: int = 40,
+    stages: tuple[float, ...] = (0.01, 0.1, 1.0),
+    seed: int = 42,
+):
+    """Progressive partial results for a 1-D histogram.
+
+    Hillview streams refining partial sketches to the UI while a scan
+    runs (dataset/api/PartialResult.java:1, IncrementalTableSketch.java):
+    the user sees a sample-based histogram in milliseconds that
+    converges to exact. Spark's execution model delivers whole results,
+    so the analogue is staged jobs: yield one small DataFrame per
+    stage, each computed from a seeded Bernoulli sample of increasing
+    fraction, the last from the full data (exact — bit-equal to
+    histogram1d).
+
+    Every stage shares ONE set of bucket boundaries (true min/max of
+    the column — a cheap columnar scan that parquet statistics keep
+    far below the cost of the count aggregation being refined), so
+    stage results are directly comparable. Columns: stage, fraction,
+    bucket, cnt (raw sample count), est_cnt (cnt/fraction — the
+    refining estimate of the true count).
+
+    At 100 TB each early stage reads the same partitions but the
+    Bernoulli filter drops rows before the shuffle, so the stage cost
+    is dominated by scan I/O; a 1% stage is appropriate for a first
+    paint, and callers can stop consuming the generator once the
+    estimate stabilizes (lazy: nothing runs until a stage is acted on).
+    """
+    if not stages or list(stages) != sorted(stages) or stages[-1] != 1.0:
+        raise ValueError("stages must be increasing and end at 1.0")
+    rng = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    for i, frac in enumerate(stages):
+        sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
+        h = _histogram_counts(sampled, col, buckets, rng)
+        yield h.select(
+            F.lit(i).alias("stage"),
+            F.lit(float(frac)).alias("fraction"),
+            "bucket",
+            "cnt",
+            (F.col("cnt") / F.lit(float(frac))).alias("est_cnt"),
+        )
+
+
+def progressive_histogram_final(
+    df: DataFrame, col: str, buckets: int = 40
+) -> DataFrame:
+    """The terminal (exact) stage of progressive_histogram — the
+    oracle-checkable anchor: fraction 1.0, cnt == histogram1d, est_cnt
+    == cnt."""
+    *_, last = progressive_histogram(df, col, buckets, stages=(0.1, 1.0))
+    return last
 
 
 def cdf(df: DataFrame, col: str, buckets: int = 100) -> DataFrame:

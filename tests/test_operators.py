@@ -37,6 +37,45 @@ def test_histogram1d_constant_column(spark):
     assert h[0] == 5 and sum(h.values()) == 5
 
 
+def test_progressive_histogram_refines_to_exact(spark, tables):
+    """The PartialResult analogue: the terminal stage is bit-equal to
+    histogram1d; earlier stages are sample-sized and share bucket
+    boundaries (dense 40-bucket spine at every stage)."""
+    li = tables["lineitem"]
+    stages = list(histogram.progressive_histogram(
+        li, "l_extendedprice", 40, stages=(0.05, 0.3, 1.0)
+    ))
+    assert len(stages) == 3
+    collected = [s.collect() for s in stages]
+    total = li.count()
+    for rows in collected:
+        assert len(rows) == 40  # shared dense spine
+    # sample stages grow toward the full count
+    c0 = sum(r.cnt for r in collected[0])
+    c1 = sum(r.cnt for r in collected[1])
+    c2 = sum(r.cnt for r in collected[2])
+    assert c0 < c1 < c2 == total
+    # terminal stage == histogram1d exactly, est_cnt == cnt
+    exact = {r.bucket: r.cnt for r in
+             histogram.histogram1d(li, "l_extendedprice", 40).collect()}
+    for r in collected[2]:
+        assert r.cnt == exact[r.bucket]
+        assert r.est_cnt == float(r.cnt)
+        assert r.fraction == 1.0
+    # the refining estimate is in the right ballpark mid-stream
+    est1 = sum(r.est_cnt for r in collected[1])
+    assert abs(est1 - total) / total < 0.2
+
+
+def test_progressive_histogram_validates_stages(spark, tables):
+    with pytest.raises(ValueError):
+        list(histogram.progressive_histogram(
+            tables["lineitem"], "l_extendedprice", stages=(0.5, 0.1, 1.0)))
+    with pytest.raises(ValueError):
+        list(histogram.progressive_histogram(
+            tables["lineitem"], "l_extendedprice", stages=(0.1, 0.5)))
+
+
 def test_cdf_monotone(spark, tables):
     c = histogram.cdf(tables["lineitem"], "l_extendedprice", 50).collect()
     vals = [r.cum_cnt for r in sorted(c, key=lambda r: r.bucket)]
