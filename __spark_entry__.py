@@ -165,14 +165,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), threshold=0.4, planes=4
     )
 
-    def _ivf(s, d):
-        emb = _t(s, d, "embeddings")
-        qv = emb.where(F.col("vec_id") == 0).first().embedding
-        return similarity.ivf_topk(
-            emb.where("vec_id <> 0"), qv, k=10, n_cells=8, n_probe=8
-        )
-
-    q["ann_ivf_topk"] = _ivf
+    # IVF exact twin (deterministic data-point quantizer, in-plan
+    # decimal assign/probe) so the key is oracle-hashable; the k-means
+    # + Arrow throughput sibling (similarity.ivf_topk) stays
+    # pytest-covered (tests/test_functions.py).
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk_exact(
+        _t(s, d, "embeddings"), query_id=0, k=10, n_cells=8, n_probe=3,
+        stride=50,
+    )
     q["embedding_group_centroids"] = lambda s, d: similarity.group_centroids(
         _t(s, d, "embeddings"), "label"
     )
@@ -1475,6 +1475,35 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine DESC, vec_id LIMIT 10
     """
     o["ann_lsh_topk"] = _ann_lsh_sql(planes=4, k=10)
+    # IVF exact twin: same id-rule quantizer (vec_id % 50 = 1, first 8),
+    # same decimal argmin assignment (||c||² - 2·x·c, ties to lowest
+    # cell), same 3-cell probe — mirrors similarity.ivf_topk_exact.
+    o["ann_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm
+                   FROM embeddings WHERE vec_id <> 0),
+        cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                        embedding AS cvec, {_nrm} AS cnrm
+                 FROM embeddings WHERE vec_id <> 0 AND vec_id % 50 = 1
+                 ORDER BY vec_id LIMIT 8),
+        q AS (SELECT embedding AS qv, {_nrm} AS qn
+              FROM embeddings WHERE vec_id = 0),
+        probe AS (SELECT cell FROM cent, q
+                  ORDER BY cnrm - 2 * {_dot_sql('cvec', 'qv')}, cell
+                  LIMIT 3),
+        assigned AS (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY c.cnrm - 2 * {_dot_sql('e.embedding', 'c.cvec')},
+                              c.cell) AS rn
+            FROM e, cent c) WHERE rn = 1)
+        SELECT e.vec_id,
+               round({_cos_sql(_dot_sql('e.embedding', 'qv'), 'e.nrm', 'qn')}, 6)
+                 AS cosine
+        FROM e
+        JOIN assigned a ON e.vec_id = a.vec_id
+        JOIN probe p ON a.cell = p.cell, q
+        ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
     o["dedup_embedding_cosine"] = f"""
         WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings
                    WHERE vec_id % 4 = 0)

@@ -7,43 +7,98 @@ persist each join side would recompute the whole upstream DAG. But a
 resident analytics service answering many queries would otherwise
 accumulate those cached partitions until storage eviction. Every
 internal persist therefore goes through :func:`persist`, which
-registers the DataFrame so a session loop (bench.py, the oracle gate,
-an API server's per-request teardown) can call :func:`release_all`
-once results are materialized.
+registers the DataFrame in the ACTIVE registry so the owning loop
+(bench.py, the oracle gate, an API server's per-request teardown) can
+call :func:`release_all` once results are materialized.
+
+Scoping: the registry is a ``contextvars.ContextVar``, so concurrent
+or overlapping users (one API request per thread/task) each get an
+isolated registry via :func:`scope` — one request's ``release_all``
+cannot unpersist another's in-flight caches. Code that never opens a
+scope shares the process-default registry (the single-session CLI
+case), whose mutation is lock-guarded.
+
+Correctness never rides on these caches: they are pure recomputation
+guards. The one operator whose *result* depended on single evaluation
+(stats.global_rank's spark_partition_id tagging) uses localCheckpoint
+instead, so an ill-timed release_all can cost time, never wrongness.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+
+class Registry:
+    """A releasable set of persisted DataFrames."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._tracked: list[DataFrame] = []
+
+    def persist(
+        self, df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+    ) -> DataFrame:
+        with self._lock:
+            self._tracked.append(df)
+        return df.persist(level)
+
+    def release(self, df: DataFrame) -> DataFrame:
+        with self._lock:
+            try:
+                self._tracked.remove(df)
+            except ValueError:
+                pass
+        return df.unpersist()
+
+    def release_all(self) -> int:
+        with self._lock:
+            dfs, self._tracked = self._tracked, []
+        for df in dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session may already be stopped
+        return len(dfs)
+
+
+_DEFAULT = Registry()
+_ACTIVE: contextvars.ContextVar[Registry] = contextvars.ContextVar(
+    "hillview_cache_registry", default=_DEFAULT
+)
+
+
+@contextlib.contextmanager
+def scope():
+    """Run a block with its own isolated registry; everything persisted
+    inside is released on exit. Use one scope per request/job in any
+    concurrent service."""
+    reg = Registry()
+    token = _ACTIVE.set(reg)
+    try:
+        yield reg
+    finally:
+        _ACTIVE.reset(token)
+        reg.release_all()
 
 
 def persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
-    """persist + register for later release_all()."""
-    _TRACKED.append(df)
-    return df.persist(level)
+    """persist + register in the active registry for later release_all()."""
+    return _ACTIVE.get().persist(df, level)
 
 
 def release(df: DataFrame) -> DataFrame:
     """Unpersist one tracked DataFrame (no-op if untracked)."""
-    try:
-        _TRACKED.remove(df)
-    except ValueError:
-        pass
-    return df.unpersist()
+    return _ACTIVE.get().release(df)
 
 
 def release_all() -> int:
-    """Unpersist every tracked DataFrame; returns how many."""
-    n = len(_TRACKED)
-    for df in _TRACKED:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session may already be stopped
-    _TRACKED.clear()
-    return n
+    """Unpersist every DataFrame tracked in the active registry."""
+    return _ACTIVE.get().release_all()

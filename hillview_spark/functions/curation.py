@@ -167,6 +167,12 @@ def sample_to_mixture(
 
     Pure per-row filter — one codegen'd scan, no shuffle, and the
     filter sits below any downstream agg so pushdown applies."""
+    for src, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(
+                f"mixture weight for {src!r} must be in [0, 1], got {w}"
+                " (weights are keep fractions, not relative shares)"
+            )
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("_", F.col(key_col), F.lit(salt))), 1, 7
@@ -176,10 +182,8 @@ def sample_to_mixture(
     ).cast("bigint")
     cut = None
     for src, w in sorted(weights.items()):
-        c = F.when(F.col(source_col) == src, F.lit(int(w * (16**7))))
-        cut = c if cut is None else cut.when(
-            F.col(source_col) == src, F.lit(int(w * (16**7)))
-        )
+        branch = (F.col(source_col) == src, F.lit(int(w * (16**7))))
+        cut = F.when(*branch) if cut is None else cut.when(*branch)
     cut = cut.otherwise(F.lit(16**7)) if cut is not None else F.lit(16**7)
     return df.where(h < cut)
 

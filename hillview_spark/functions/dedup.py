@@ -358,7 +358,14 @@ def connected_components(
     iteration, identical (min-id) labels. Above the threshold the
     distributed propagation loop runs. At 100 TB the pair list after
     verify is typically millions of rows while the corpus is
-    billions, so the fast path is also the common path."""
+    billions, so the fast path is also the common path.
+
+    Driver-memory ceiling: driver_threshold is counted in EDGES; the
+    collected edge list plus the union-find dict cost roughly
+    100-150 bytes per edge of Python heap, so the 2M default budgets
+    ~300 MB — comfortable under the usual multi-GB spark.driver.memory
+    but tune it DOWN for a small driver (or up with a large one); the
+    distributed path is always the safe fallback."""
     edges_raw = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
@@ -383,8 +390,18 @@ def connected_components(
             cur = comp_min.get(root)
             comp_min[root] = node if cur is None else min(cur, node)
         rows = [(node, comp_min[find(node)]) for node in parent]
+        # schema follows the input id type (string doc ids work the
+        # same as longs — min() is lexicographic there), matching the
+        # distributed path below
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[left_col].dataType
         return pairs.sparkSession.createDataFrame(
-            rows, "doc_id long, component long"
+            rows,
+            StructType([
+                StructField("doc_id", id_type),
+                StructField("component", id_type),
+            ]),
         )
     edges = edges_raw
     edges = (
@@ -511,7 +528,9 @@ def select_representatives(
     SURVEY §2.4's pipeline the way C4/RefinedWeb describe."""
     from pyspark.sql import Window
 
-    joined = comps.join(
+    # connected_components always names its id column 'doc_id';
+    # realign it to the caller's id_col so non-default ids join
+    joined = comps.withColumnRenamed("doc_id", id_col).join(
         docs.select(F.col(id_col), F.col(quality_col)), id_col
     )
     w = Window.partitionBy("component").orderBy(

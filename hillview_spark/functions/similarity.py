@@ -297,6 +297,96 @@ def ivf_topk(
     return cosine_topk_numpy(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with a deterministic data-point quantizer — the
+    oracle-checkable exact twin of ivf_topk.
+
+    Centroids are actual data vectors chosen by a pure id rule
+    (id % stride == 1, first n_cells by id — FAISS-style data-point
+    seeding without Lloyd refinement), so a SQL oracle can re-derive
+    them from the table. Assignment and probe selection run inside
+    the plan in exact decimal arithmetic: cell(x) = argmin_c
+    ||x-c||² = argmin_c (||c||² - 2·x·c) (the ||x||² term is common),
+    ties to the lowest cell index — bit-reproducible in any engine.
+
+    Scale shape: the quantizer collect is n_cells rows; per-row work
+    is n_cells decimal dot products folded into one codegen'd
+    projection; the probe semi-join broadcasts n_probe cell ids, so
+    a 100-TB scan keeps ~n_probe/n_cells of its rows ahead of the
+    top-k heap (and the cell column prunes partitions when the index
+    is stored partitioned by it). ivf_topk (k-means + Arrow/BLAS
+    assignment) is the throughput sibling; this twin is the
+    correctness anchor the gate hashes.
+    """
+    search = embeddings.where(F.col(id_col) != query_id)
+    cents = (
+        search.where(F.col(id_col) % stride == 1)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+
+    def cent_lit(vec) -> Column:
+        return F.array(*[_dec(F.lit(float(x))) for x in vec])
+
+    def cell_score(vec: Column, crow) -> Column:
+        c = cent_lit(crow[vec_col])
+        return (squared_norm(c) - F.lit(2) * dot_product(vec, c)).cast(_ACC)
+
+    def score_array(vec: Column) -> Column:
+        return F.array(*[cell_score(vec, crow) for crow in cents])
+
+    q_row = embeddings.where(F.col(id_col) == query_id)
+    probe = (
+        q_row.select(
+            F.posexplode(score_array(F.col(vec_col))).alias("cell", "__score")
+        )
+        .orderBy("__score", "cell")
+        .limit(n_probe)
+        .select(F.col("cell").cast("int").alias("cell"))
+    )
+
+    scores = score_array(F.col(vec_col))
+    assigned = search.select(
+        F.col(id_col),
+        F.col(vec_col),
+        squared_norm(F.col(vec_col)).alias("__n"),
+        (F.array_position(scores, F.array_min(scores)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    qv = q_row.select(
+        F.col(vec_col).alias("__q"), squared_norm(F.col(vec_col)).alias("__qn")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cell")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    dot_product(F.col(vec_col), F.col("__q")),
+                    F.col("__n"),
+                    F.col("__qn"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def _bucketed_relation(
     embeddings: DataFrame, id_col: str, vec_col: str, planes: int,
     dims: int, exact: bool,

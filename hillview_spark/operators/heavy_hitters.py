@@ -52,28 +52,52 @@ def exact_freq(df: DataFrame, col: str, candidates: list) -> DataFrame:
 
 def heavy_hitters_sampled(
     df: DataFrame, cols: list[str], epsilon: float = 0.01, factor: float = 100.0,
-    seed: int = 42,
+    seed: int = 42, fraction: float = 0.01,
 ) -> DataFrame:
-    """SampleHeavyHittersSketch: estimate on a row sample sized so
-    that epsilon-frequent items appear w.h.p. (factor/epsilon rows),
-    then one exact confirmation pass over candidates. Two scans but
-    the groupBy state is bounded by the sample size — the 100-TB path
-    for ultra-high-cardinality keys."""
-    total = df.count()
-    if total == 0:
-        return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
-    frac = min(1.0, (factor / epsilon) / total)
-    sampled = df.sample(fraction=frac, seed=seed)
-    cand = (
-        sampled.groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("scnt"))
-        .where(F.col("scnt") >= F.lit(0.5 * epsilon * frac * total))
-        .select(*cols)
+    """SampleHeavyHittersSketch: candidate mining on a Bernoulli
+    sample, then one exact confirmation pass — the 100-TB path for
+    keys whose exact groupBy state would not fit.
+
+    Exactly two scans of df:
+    1. The sampling scan. The exact total row count is observed as a
+       free side-output of the same job (Observation below the sample
+       operator — no separate count() job), and the candidate
+       threshold is *sample-internal*: scnt >= 0.5*epsilon*(sampled
+       rows), with the sampled-row total derived from the grouped
+       relation itself (ReuseExchange, as heavy_hitters does). An
+       epsilon-frequent value is expected to appear fraction*eps*N
+       times in the sample, so it survives w.h.p. whenever
+       fraction >= factor/(epsilon*N) — the default 1% rate covers
+       N >= 100*factor/epsilon; pass a smaller fraction at larger N.
+       Surviving candidates number at most ~2/epsilon (their sample
+       shares sum to 1), so collecting them is driver-trivial.
+    2. The exact confirmation scan, restricted to the broadcast
+       candidate set, thresholded at epsilon*N with the observed N.
+
+    Hillview sizes its sample from table metadata it holds up front
+    (SampleHeavyHittersSketch.java); Spark has no free row count, so
+    the rate is a parameter and N arrives via the observation."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    sampled = df.observe(obs, F.count(F.lit(1)).alias("n")).sample(
+        fraction=fraction, seed=seed
     )
+    scounts = sampled.groupBy(*cols).agg(F.count(F.lit(1)).alias("scnt"))
+    stotal = scounts.agg(F.sum("scnt").alias("__st"))
+    cand_rows = (
+        scounts.join(F.broadcast(stotal))
+        .where(F.col("scnt") >= F.lit(0.5 * epsilon) * F.col("__st"))
+        .select(*cols)
+        .collect()
+    )
+    total = obs.get["n"]
+    spark = df.sparkSession
+    cand = spark.createDataFrame(cand_rows, df.select(*cols).schema)
     return (
         df.join(F.broadcast(cand), cols)
         .groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= F.lit(epsilon * total))
+        .where(F.col("cnt") >= F.lit(float(epsilon * total)))
         .orderBy(F.desc("cnt"), *cols)
     )

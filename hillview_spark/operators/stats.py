@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from hillview_spark import cache
 
 
 def row_count(df: DataFrame) -> DataFrame:
@@ -231,14 +230,18 @@ def global_rank(d: DataFrame, order_cols: list[str]) -> DataFrame:
     Returns the input columns plus ``rnk`` (long) and ``n`` (long).
     """
     parts = max(4, int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 2)
-    # Persist: the pid-tagged relation feeds both the offsets
-    # aggregate and the ranking join; without it the distinct +
-    # range-shuffle would run twice (and nondeterministic pids could
-    # diverge between the two evaluations).
+    # localCheckpoint, not persist: the pid-tagged relation feeds both
+    # the offsets aggregate and the ranking join, and the pid column
+    # must be IDENTICAL in both references. A persist() only caches —
+    # eviction (or an external release_all) would silently recompute
+    # one side and the two evaluations could range-partition onto
+    # different pids (wrong ranks). The checkpoint truncates lineage
+    # so recomputation is impossible; lazy (eager=False) keeps the
+    # operator's construction free of jobs.
     tagged = (
         d.repartitionByRange(parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .transform(cache.persist)
+        .localCheckpoint(eager=False)
     )
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

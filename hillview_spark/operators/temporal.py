@@ -33,6 +33,7 @@ def asof_join(
     by_cols: list[str],
     right_cols: list[str],
     suffix: str = "_r",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the MOST RECENT right row (same key,
     right time <= left time, inclusive) — the classic as-of join.
@@ -44,7 +45,21 @@ def asof_join(
     Determinism: ties on (key, time) between left and right resolve
     inclusive (right visible to a left row at the same instant); if
     the right side can hold duplicate (key, time) rows, pre-aggregate
-    it — the window otherwise picks an arbitrary one."""
+    it — the result is otherwise an arbitrary one of the duplicates.
+
+    Skew: the default path serializes each key's full history into one
+    window task — fine for balanced keys, a straggler when one key
+    (null user, bot traffic) owns a large share of 100 TB. Pass
+    ``chunk_seconds`` to bound task size by time range instead: both
+    sides get a (key, time-chunk) window, and the latest right payload
+    of every earlier chunk is carried forward via a per-chunk spine
+    (O(keys x chunks) rows — independent of row skew) injected as a
+    synthetic row at each chunk start. Results are identical to the
+    default path for any chunk size."""
+    if chunk_seconds is not None:
+        return _asof_join_chunked(
+            left, right, time_col, by_cols, right_cols, suffix, chunk_seconds
+        )
     payload = F.struct(
         F.col(time_col).alias("__t"), *[F.col(c) for c in right_cols]
     )
@@ -66,6 +81,89 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
+
+
+def _asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by_cols: list[str],
+    right_cols: list[str],
+    suffix: str,
+    chunk_seconds: int,
+) -> DataFrame:
+    """Skew-bounded as-of join: windows partition by (key, chunk) so no
+    task sorts more than one chunk of one key. Cross-chunk visibility
+    is restored exactly by carry-forward: the latest right payload per
+    (key, chunk) is aggregated (map-side combinable), the running
+    'latest so far' over *chunks* is computed on that tiny relation,
+    and injected into each chunk as a synthetic row sorting before all
+    real rows (chunk start, __is_left = -1)."""
+    width_us = chunk_seconds * 1_000_000
+    t_us = F.expr(_EPOCH_US.format(c=time_col))
+    chunk = (t_us / width_us).cast("long")
+    payload = F.struct(
+        F.col(time_col).alias("__t"), *[F.col(c) for c in right_cols]
+    )
+    l = left.withColumn("__chunk", chunk).withColumn("__is_left", F.lit(1))
+    r = (
+        right.select(*by_cols, time_col, payload.alias("__rpayload"))
+        .withColumn("__chunk", chunk)
+        .withColumn("__is_left", F.lit(0))
+    )
+    # latest right payload inside each (key, chunk): max over structs
+    # whose first field is the time — partial-aggregated before the
+    # shuffle, so the shuffle carries O(keys x chunks) rows
+    last_in_chunk = r.groupBy(*by_cols, "__chunk").agg(
+        F.max("__rpayload").alias("__last")
+    )
+    # spine = every (key, chunk) either side touches; carry = latest
+    # payload among strictly-earlier chunks (small window: one row per
+    # chunk per key, immune to row-count skew)
+    spine = (
+        l.select(*by_cols, "__chunk")
+        .distinct()
+        .unionByName(last_in_chunk.select(*by_cols, "__chunk"))
+        .distinct()
+        .join(last_in_chunk, [*by_cols, "__chunk"], "left")
+    )
+    wc = (
+        Window.partitionBy(*by_cols)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    synth = (
+        spine.withColumn("__carry", F.last("__last", ignorenulls=True).over(wc))
+        .where(F.col("__carry").isNotNull())
+        .select(
+            *by_cols,
+            "__chunk",
+            F.expr(
+                f"timestampadd(MICROSECOND, __chunk * {width_us}, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias(time_col),
+            F.col("__carry").alias("__rpayload"),
+            F.lit(-1).alias("__is_left"),
+        )
+    )
+    u = l.unionByName(r, allowMissingColumns=True).unionByName(
+        synth, allowMissingColumns=True
+    )
+    # synthetic (-1) sorts before right (0) before left (1) at equal
+    # times: a real right row at the exact chunk start overrides the
+    # (strictly older) carried payload, and right stays visible to
+    # left at the same instant
+    w = (
+        Window.partitionBy(*by_cols, "__chunk")
+        .orderBy(time_col, "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("__m", F.last("__rpayload", ignorenulls=True).over(w))
+    return matched.where(F.col("__is_left") == 1).select(
+        *left.columns,
+        F.col("__m.__t").alias(f"{time_col}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
 
 
 def range_join(
@@ -111,6 +209,7 @@ def moving_aggregate(
     value_col: str = "value",
     tiebreak_col: str = "event_id",
     n_preceding: int = 3,
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Per-key moving window aggregates over event time: for each
     event, the rolling sum/avg/count of the last (n_preceding + 1)
@@ -121,20 +220,69 @@ def moving_aggregate(
     cross-engine); the average is one double division.
 
     The (ts, tiebreak) ordering makes frame contents deterministic
-    under duplicate timestamps."""
-    from pyspark.sql import Window
+    under duplicate timestamps.
 
+    Skew: the default path sorts each key's full history in one window
+    task. Pass ``chunk_seconds`` to bound tasks by time range instead:
+    windows partition by (key, time-chunk) and the last n_preceding
+    rows of each chunk are replicated into the next chunk as ghost
+    rows (counted in frames, dropped from output). ENVELOPE: exact
+    whenever every non-final chunk of a key holds >= n_preceding
+    events; a row whose frame reaches back beyond the immediately
+    preceding chunk (possible only when that chunk had fewer than
+    n_preceding rows) sees a shortened frame. Hot keys — the reason
+    to chunk — satisfy the envelope by orders of magnitude; leave
+    chunk_seconds unset for sparse keys."""
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col), F.col(tiebreak_col))
+            .rowsBetween(-n_preceding, 0)
+        )
+        dec_v = F.col(value_col).cast("decimal(18,6)")
+        return events.select(
+            F.col(key_col),
+            F.col(tiebreak_col),
+            F.sum(dec_v).over(w).cast("double").alias("rolling_sum"),
+            (F.sum(dec_v).over(w).cast("double") / F.count(F.lit(1)).over(w))
+            .alias("rolling_avg"),
+            F.count(F.lit(1)).over(w).alias("rolling_n"),
+        )
+
+    width_us = chunk_seconds * 1_000_000
+    t_us = F.expr(_EPOCH_US.format(c=ts_col))
+    base = events.select(key_col, ts_col, tiebreak_col, value_col).withColumn(
+        "__chunk", (t_us / width_us).cast("long")
+    )
+    # last n_preceding rows of each (key, chunk) — the only rows the
+    # next chunk's frames can reach — re-tagged into chunk+1 as ghosts
+    wd = Window.partitionBy(key_col, "__chunk").orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    ghosts = (
+        base.withColumn("__rdesc", F.row_number().over(wd))
+        .where(F.col("__rdesc") <= n_preceding)
+        .drop("__rdesc")
+        .withColumn("__chunk", F.col("__chunk") + 1)
+        .withColumn("__ghost", F.lit(1))
+    )
+    u = base.withColumn("__ghost", F.lit(0)).unionByName(ghosts)
     w = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(key_col, "__chunk")
         .orderBy(F.col(ts_col), F.col(tiebreak_col))
         .rowsBetween(-n_preceding, 0)
     )
     dec_v = F.col(value_col).cast("decimal(18,6)")
-    return events.select(
-        F.col(key_col),
-        F.col(tiebreak_col),
-        F.sum(dec_v).over(w).cast("double").alias("rolling_sum"),
-        (F.sum(dec_v).over(w).cast("double") / F.count(F.lit(1)).over(w))
-        .alias("rolling_avg"),
-        F.count(F.lit(1)).over(w).alias("rolling_n"),
+    return (
+        u.select(
+            F.col(key_col),
+            F.col(tiebreak_col),
+            F.sum(dec_v).over(w).cast("double").alias("rolling_sum"),
+            (F.sum(dec_v).over(w).cast("double") / F.count(F.lit(1)).over(w))
+            .alias("rolling_avg"),
+            F.count(F.lit(1)).over(w).alias("rolling_n"),
+            F.col("__ghost"),
+        )
+        .where(F.col("__ghost") == 0)
+        .drop("__ghost")
     )

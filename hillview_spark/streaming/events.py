@@ -75,10 +75,14 @@ def stream_sessionize(
     session (start, last event time, count); a session is emitted
     when a gap larger than gap_minutes closes it, and idle sessions
     are FLUSHED by an event-time timeout once the watermark passes
-    last_event + gap (without it, a user who stops emitting would
-    hold state forever and their final session would never appear).
-    This is the Structured Streaming twin of sessionize() — state is
-    O(active users), not O(events).
+    last_event + gap. Residual limitation: the event-time watermark
+    only advances when LATER DATA arrives on the stream, so if the
+    whole source goes permanently silent, the final open session per
+    user stays in state unflushed — inherent to Spark's watermark
+    model, not fixable here; drain with a terminal punctuation event
+    (or a processing-time timeout variant) if end-of-stream
+    completeness matters. This is the Structured Streaming twin of
+    sessionize() — state is O(active users), not O(events).
 
     Ordering: all of a group's rows in the micro-batch are gathered
     and sorted ONCE before the scan — Arrow delivers the group as

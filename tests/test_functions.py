@@ -151,6 +151,24 @@ def test_ivf_topk_recall_vs_brute(spark, tables):
     assert full == brute
 
 
+def test_ivf_topk_exact_twin(spark, tables):
+    """The oracle-able IVF twin: probing all cells equals brute-force
+    cosine top-k; probing fewer cells returns a subset of candidates
+    with decent recall."""
+    emb = tables["embeddings"]
+    brute = [(r.vec_id, r.cosine) for r in
+             similarity.cosine_topk(emb, query_id=0, k=10).collect()]
+    full = [(r.vec_id, r.cosine) for r in
+            similarity.ivf_topk_exact(emb, query_id=0, k=10, n_cells=8,
+                                      n_probe=8, stride=50).collect()]
+    assert full == brute
+    part = [r.vec_id for r in
+            similarity.ivf_topk_exact(emb, query_id=0, k=10, n_cells=8,
+                                      n_probe=3, stride=50).collect()]
+    assert len(set(part) & {v for v, _ in brute}) >= 3
+    assert len(part) == 10
+
+
 # --------------------------------------------------------------- text
 
 def test_lang_id_cjk_and_stopwords(spark):
@@ -228,6 +246,35 @@ def test_connected_components_transitive_chain(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_string_ids(spark):
+    """Driver fast path must handle non-integer id columns the same
+    way the distributed path does (schema derived from the input)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_id_1 string, doc_id_2 string"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_select_representatives_custom_id_col(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)], "doc_id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (5, 7)], "my_id long, n_chars long"
+    )
+    reps = {
+        r.component: (r.rep_doc_id, r.n_members)
+        for r in dedup.select_representatives(
+            comps, docs, id_col="my_id"
+        ).collect()
+    }
+    assert reps == {1: (2, 2), 5: (5, 1)}
 
 
 def test_connected_components_on_planted_pairs(spark, tables):
@@ -637,6 +684,28 @@ def test_sample_mixture_deterministic_and_proportional(spark, tables):
     for src, r in per.items():
         if src not in w:
             assert kept[src]["count"] == r["count"]
+
+
+def test_sample_mixture_rejects_bad_weights(spark, tables):
+    from hillview_spark.functions import curation
+
+    with pytest.raises(ValueError):
+        curation.sample_to_mixture(tables["documents"], {"src0": 1.5})
+    with pytest.raises(ValueError):
+        curation.sample_to_mixture(tables["documents"], {"src0": -0.1})
+
+
+def test_cache_scope_isolates_registries(spark):
+    from hillview_spark import cache
+
+    cache.release_all()  # drain leftovers from earlier tests
+    df = spark.range(10)
+    with cache.scope() as reg:
+        cache.persist(df)
+        # the scoped registry owns the persist...
+        assert cache.release_all() == 1
+    # ...and the default registry never saw it
+    assert cache.release_all() == 0
 
 
 def test_chunk_documents_windows(spark):

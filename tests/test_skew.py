@@ -1,9 +1,76 @@
 """Salting utilities: results must be identical to unsalted plans
 while spreading hot keys across sub-groups."""
 
+import datetime
+
 from pyspark.sql import functions as F
 
-from hillview_spark.operators import skew
+from hillview_spark.operators import skew, temporal
+
+
+def _skewed_events(spark, n=400):
+    """One hot key owns 50% of all events (the straggler scenario the
+    chunked temporal paths exist for); the rest spread over 20 keys.
+    Distinct (ts, event_id) everywhere so results are deterministic."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        user = "hot" if i % 2 == 0 else f"u{i % 20}"
+        rows.append(
+            (i, user, base + datetime.timedelta(seconds=37 * i), float(i % 97))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp_ntz, value double"
+    )
+    return df
+
+
+def test_asof_join_chunked_matches_plain(spark):
+    ev = _skewed_events(spark)
+    clicks = ev.where(F.col("event_id") % 3 != 0).select("event_id", "user_id", "ts")
+    quotes = ev.where(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", F.col("value").alias("quote")
+    )
+    plain = temporal.asof_join(clicks, quotes, "ts", ["user_id"], ["quote"])
+    # deliberately small chunks (5 min over a ~4h span) so many chunk
+    # boundaries and empty chunks are exercised
+    chunked = temporal.asof_join(
+        clicks, quotes, "ts", ["user_id"], ["quote"], chunk_seconds=300
+    )
+    key = lambda r: (r.event_id,)  # noqa: E731
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, chunked.collect())
+    )
+
+
+def test_moving_aggregate_chunked_matches_plain_on_hot_key(spark):
+    ev = _skewed_events(spark)
+    plain = {
+        (r.user_id, r.event_id): (r.rolling_sum, r.rolling_n)
+        for r in temporal.moving_aggregate(ev, n_preceding=3).collect()
+    }
+    chunked = {
+        (r.user_id, r.event_id): (r.rolling_sum, r.rolling_n)
+        for r in temporal.moving_aggregate(
+            ev, n_preceding=3, chunk_seconds=1800
+        ).collect()
+    }
+    # the hot key satisfies the envelope (each 30-min chunk holds ~24
+    # events >= n_preceding) and matches exactly; sparse keys at this
+    # chunk size (~1.2 events/chunk) are outside the envelope
+    hot_plain = {k: v for k, v in plain.items() if k[0] == "hot"}
+    hot_chunked = {k: v for k, v in chunked.items() if k[0] == "hot"}
+    assert hot_plain == hot_chunked
+    # with chunks wide enough that every key's chunks hold >=
+    # n_preceding events (sparse keys fire every ~25 min -> 4-5 per 2h
+    # chunk), equality is total
+    chunked_wide = {
+        (r.user_id, r.event_id): (r.rolling_sum, r.rolling_n)
+        for r in temporal.moving_aggregate(
+            ev, n_preceding=3, chunk_seconds=7200
+        ).collect()
+    }
+    assert plain == chunked_wide
 
 
 def test_salted_group_count_matches_plain(spark, tables):
