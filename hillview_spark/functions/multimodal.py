@@ -112,17 +112,160 @@ def _wav_dims(payload: bytes) -> tuple[int, int, int]:
     return rate, channels, data_size // block_align
 
 
+# ------------------------------------------------------------- PNG
+# Full PNG codec in pure stdlib (zlib + struct): chunk walk, IDAT
+# inflate, per-scanline unfilter (all five filter types), and a
+# filter-0 encoder — so a genuinely COMPRESSED format flows through
+# probe -> resize -> features with real pixel work. 8-bit
+# non-interlaced gray/gray+alpha/RGB/RGBA; exotic variants raise.
+# The per-scanline Python loops are fine for test-scale payloads;
+# at production scale the 'real' decoder seam plugs in native codecs.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    while i + 8 <= len(payload):
+        (sz,) = _struct.unpack(">I", payload[i : i + 4])
+        cid = payload[i + 4 : i + 8]
+        yield cid, payload[i + 8 : i + 8 + sz]
+        i += 12 + sz  # length + type + data + crc
+
+
+def _png_dims(payload: bytes) -> tuple[int, int, int]:
+    for cid, data in _png_chunks(payload):
+        if cid == b"IHDR":
+            w, h = _struct.unpack(">II", data[:8])
+            return w, h, 1
+    raise ValueError("PNG missing IHDR")
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode to raw pixels: (width, height, channels, row-major
+    bytes). Implements the five scanline filters (None/Sub/Up/
+    Average/Paeth) per the PNG spec."""
+    import zlib
+
+    w = h = color_type = None
+    idat = bytearray()
+    for cid, data in _png_chunks(payload):
+        if cid == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    "unsupported PNG variant (8-bit non-interlaced only)"
+                )
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG scanline filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def encode_png(w: int, h: int, ch: int, pixels: bytes) -> bytes:
+    """Encode raw row-major pixels as a valid PNG (filter 0, one
+    zlib-compressed IDAT, correct CRCs)."""
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + cid
+            + data
+            + _struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    stride = w * ch
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """Real decode -> nearest-neighbor downsample -> re-encode.
+    Returns (new_w, new_h, new_payload); payload unchanged when
+    already within max_side."""
+    import numpy as np
+
+    w, h, ch, px = decode_png(payload)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    if (nw, nh) == (w, h):
+        return w, h, payload
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    small = arr[ys][:, xs]
+    return nw, nh, encode_png(nw, nh, ch, small.tobytes())
+
+
 def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
-    """Real-format decoder with no third-party deps: parses actual P6
-    PPM image headers and RIFF/WAVE audio headers byte-for-byte (the
-    formats whose containers are pure stdlib). Compressed codecs
-    still belong to the 'real' slot."""
+    """Real-format decoder with no third-party deps: P6 PPM and
+    RIFF/WAVE headers byte-for-byte, plus full PNG (a genuinely
+    compressed container — zlib inflate + scanline unfilter).
+    Remaining compressed codecs (JPEG/MP3/H.264) belong to the
+    'real' slot."""
     if payload is None:
         raise ValueError("null payload")
     if payload[:2] == b"P6":
         return _ppm_dims(payload)
     if payload[:4] == b"RIFF":
         return _wav_dims(payload)
+    if payload[:8] == _PNG_SIG:
+        return _png_dims(payload)
     raise ValueError("unrecognized media container")
 
 
@@ -162,15 +305,24 @@ RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
 
 
 def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFrame:
-    """Resize plumbing: computes target dims JVM-side-compatible and
-    re-emits payloads. The pixel transform itself is the stubbed
-    decode step; the partition/batch flow is the real thing."""
+    """Resize images to fit max_side. PNG payloads under the stdlib
+    decoder get the REAL transform (decode -> nearest-neighbor
+    downsample -> re-encode, pure stdlib); other containers compute
+    target dims and pass the payload through (the stubbed seam where
+    native codecs plug in). Partition/batch flow is identical either
+    way: Arrow batches through mapInPandas."""
     decode = DECODERS[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_w, out_h, out_c = [], [], []
             for p in pdf["content"]:
+                if decoder == "stdlib" and p is not None and p[:8] == _PNG_SIG:
+                    nw, nh, np_ = resize_png(p, max_side)
+                    out_w.append(nw)
+                    out_h.append(nh)
+                    out_c.append(np_)
+                    continue
                 w, h, _ = decode(p)
                 scale = min(1.0, max_side / max(w, h))
                 out_w.append(int(w * scale))

@@ -388,6 +388,103 @@ def test_multimodal_stdlib_decoder_real_bytes(spark):
     assert rows[2].n_bytes == len(wav)
 
 
+def _checker_png(w, h, filters):
+    """Build a real RGB PNG whose scanlines use the given filter types
+    (forward-filtered by hand), so the decoder's unfilter paths are all
+    exercised. Pixel (x, y) = (x*7 % 256, y*11 % 256, (x+y)*13 % 256)."""
+    import struct
+    import zlib
+
+    ch, stride = 3, w * 3
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes([(x * 7) % 256, (y * 11) % 256, ((x + y) * 13) % 256])
+        rows.append(row)
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, row in enumerate(rows):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                enc = row[x]
+            elif f == 1:
+                enc = (row[x] - a) & 0xFF
+            elif f == 2:
+                enc = (row[x] - b) & 0xFF
+            elif f == 3:
+                enc = (row[x] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc = (row[x] - pred) & 0xFF
+            raw.append(enc)
+        prev = row
+
+    def chunk(cid, data):
+        return (struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF))
+
+    body = b"".join(rows)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    return png, bytes(body)
+
+
+def test_png_decode_all_filters_roundtrip(spark):
+    """decode_png must invert every scanline filter type; encode_png
+    must produce a PNG that decodes back to identical pixels."""
+    png, pixels = _checker_png(23, 17, filters=[0, 1, 2, 3, 4])
+    w, h, ch, got = mm.decode_png(png)
+    assert (w, h, ch) == (23, 17, 3)
+    assert got == pixels
+    again = mm.encode_png(w, h, ch, got)
+    assert mm.decode_png(again) == (w, h, ch, pixels)
+
+
+def test_png_end_to_end_probe_resize_features_ann(spark):
+    """Real compressed bytes through the whole multimodal pipeline:
+    PNG -> probe -> resize (actual pixel downsample + re-encode) ->
+    features -> k-NN join over the feature vectors."""
+    from hillview_spark.functions import similarity
+
+    pngs = [_checker_png(64 + 8 * i, 48 + 4 * i, filters=[i % 5])[0]
+            for i in range(6)]
+    media = spark.createDataFrame(
+        [(i, "image", p, "image/png", len(p)) for i, p in enumerate(pngs)],
+        mm.MEDIA_SCHEMA,
+    )
+    probed = {r.media_id: r for r in
+              mm.probe_media(media, decoder="stdlib").collect()}
+    assert (probed[0].width, probed[0].height) == (64, 48)
+    assert (probed[5].width, probed[5].height) == (104, 68)
+
+    resized = {r.media_id: r for r in
+               mm.resize_images(media, max_side=32, decoder="stdlib").collect()}
+    for i in range(6):
+        r = resized[i]
+        assert max(r.width, r.height) == 32
+        # the payload is a REAL re-encoded PNG of the new size
+        w2, h2, ch2, px2 = mm.decode_png(bytes(r.content))
+        assert (w2, h2, ch2) == (r.width, r.height, 3)
+        assert len(px2) == w2 * h2 * 3
+
+    feats = mm.extract_features(media, dim=16, decoder="stdlib")
+    emb = feats.select(F.col("media_id").alias("vec_id"),
+                       F.col("features").alias("embedding"))
+    knn = similarity.knn_join(emb, k=2)
+    got = knn.groupBy("vec_id").count().collect()
+    assert len(got) == 6 and all(r["count"] == 2 for r in got)
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 64-node path graph (diameter 63) must converge well inside
     20 rounds thanks to pointer jumping — plain min-propagation would
