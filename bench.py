@@ -68,6 +68,26 @@ def headline_queries(t):
             t["customer"], t["orders"]), "collect"),
         "q21": (lambda: tpch.q21_suppliers_kept_waiting(
             t["supplier"], t["lineitem"], t["orders"]), "collect"),
+        "q2": (lambda: tpch.q2_min_cost_supplier(
+            t["part"], t["supplier"], t["nation"], t["region"],
+            t["lineitem"]), "collect"),
+        "q8": (lambda: tpch.q8_market_share(
+            t["part"], t["supplier"], t["lineitem"], t["orders"],
+            t["customer"], t["nation"], t["region"]), "collect"),
+        "q11": (lambda: tpch.q11_important_parts(
+            t["lineitem"], t["supplier"], t["nation"]), "collect"),
+        "q12": (lambda: tpch.q12_shipmode_priority(
+            t["orders"], t["lineitem"]), "collect"),
+        "q15": (lambda: tpch.q15_top_supplier(
+            t["lineitem"], t["supplier"]), "collect"),
+        "q16": (lambda: tpch.q16_supplier_part_counts(
+            t["part"], t["supplier"], t["lineitem"]), "collect"),
+        "q17": (lambda: tpch.q17_small_quantity_revenue(
+            t["lineitem"], t["part"]), "collect"),
+        "q20": (lambda: tpch.q20_part_promotion(
+            t["supplier"], t["lineitem"], t["part"]), "collect"),
+        "q22": (lambda: tpch.q22_sales_opportunity(
+            t["customer"], t["orders"]), "collect"),
         # interactive-exploration sketches (the Hillview core loop)
         "histogram1d": (lambda: histogram.histogram1d(
             t["lineitem"], "l_extendedprice", 100), "collect"),
