@@ -90,6 +90,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), segment_tokens=10, min_df=2
         )
     )
+    # C4 line rules need multi-line text; the fixture docs are single
+    # line, so the key first splits them into sentence-ish lines via a
+    # deterministic token replacement both engines perform identically.
+    q["corpus_clean_lines"] = lambda s, d: curation.clean_lines(
+        _t(s, d, "documents").withColumn(
+            "text", F.regexp_replace("text", " value ", ".\n")
+        ),
+        min_words=3,
+    )
+    q["corpus_cap_per_group"] = lambda s, d: curation.cap_per_group(
+        _t(s, d, "documents"), "source", max_per_group=5
+    ).select("doc_id", "source")
 
     def _geo_counts(s, d):
         # testdata has no lat/lon; (c_acctbal, c_nationkey) stand in as
@@ -171,6 +183,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-covered (tests/test_functions.py).
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk_exact(
         _t(s, d, "embeddings"), query_id=0, k=10, n_cells=8, n_probe=3,
+        stride=50,
+    )
+    # Product quantization: compressed codes + asymmetric-distance
+    # search, both decimal-exact twins (same stride codebook rule)
+    q["pq_encode"] = lambda s, d: similarity.pq_encode_exact(
+        _t(s, d, "embeddings").where("vec_id <> 0"), m=4, k=8, stride=50
+    )
+    q["pq_topk"] = lambda s, d: similarity.pq_topk_exact(
+        _t(s, d, "embeddings"), query_id=0, n_results=10, m=4, k=8,
         stride=50,
     )
     q["embedding_group_centroids"] = lambda s, d: similarity.group_centroids(
@@ -632,7 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue", "q20_part_promotion",
         "q21_suppliers_kept_waiting", "q22_sales_opportunity",
         # new round-3 keys (first driver check)
-        "ann_ivf_topk", "progressive_histogram",
+        "ann_ivf_topk", "progressive_histogram", "pq_encode", "pq_topk",
+        "corpus_clean_lines", "corpus_cap_per_group",
         # riskiest round-2 keys: dedup chain, temporal, streaming twins
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_lsh_verify", "dedup_components",
@@ -1475,6 +1497,60 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine DESC, vec_id LIMIT 10
     """
     o["ann_lsh_topk"] = _ann_lsh_sql(planes=4, k=10)
+
+    # PQ twins: same stride codebook (vec_id % 50 = 1, first 8), same
+    # decimal sub-distance (||c_j||^2 - 2 x_j.c_j), lowest-code ties —
+    # mirrors similarity.pq_encode_exact / pq_topk_exact (m=4 x 16 dims)
+    def _pq_dist(vec: str, cvec: str, lo: int, hi: int) -> str:
+        n = hi - lo + 1
+        a, c = f"({vec}[{lo}:{hi}])", f"({cvec}[{lo}:{hi}])"
+        d8 = lambda x: f"CAST(CAST({x} AS DOUBLE) AS DECIMAL(10,8))"  # noqa: E731
+        dot = (f"list_sum([{d8(a + '[i]')} * {d8(c + '[i]')}"
+               f" FOR i IN generate_series(1, {n})])")
+        cn = (f"list_sum([{d8(c + '[i]')} * {d8(c + '[i]')}"
+              f" FOR i IN generate_series(1, {n})])")
+        return f"({cn} - 2 * {dot})"
+
+    _pq_sub_union = " UNION ALL ".join(
+        f"SELECT e.vec_id, {j} AS j, c.cid, "
+        f"{_pq_dist('e.embedding', 'c.cvec', j * 16 + 1, j * 16 + 16)} AS d "
+        "FROM e, cent c"
+        for j in range(4)
+    )
+    _pq_prefix = f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                        embedding AS cvec
+                 FROM embeddings WHERE vec_id <> 0 AND vec_id % 50 = 1
+                 ORDER BY vec_id LIMIT 8),
+        sub AS ({_pq_sub_union}),
+        codes AS (SELECT vec_id, j, cid AS code FROM (
+            SELECT vec_id, j, cid,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d, cid) AS rn
+            FROM sub) t WHERE rn = 1)
+    """
+    o["pq_encode"] = f"""
+        {_pq_prefix}
+        SELECT vec_id, CAST(j AS INT) AS subspace, CAST(code AS INT) AS code
+        FROM codes
+    """
+    _pq_qd_union = " UNION ALL ".join(
+        f"SELECT {j} AS j, c.cid, "
+        f"{_pq_dist('q.qv', 'c.cvec', j * 16 + 1, j * 16 + 16)} AS qdist "
+        "FROM q, cent c"
+        for j in range(4)
+    )
+    o["pq_topk"] = f"""
+        {_pq_prefix},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qd AS ({_pq_qd_union}),
+        adc AS (SELECT codes.vec_id, SUM(qd.qdist) AS s
+                FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.cid
+                GROUP BY codes.vec_id)
+        SELECT vec_id, round(CAST(s AS DOUBLE), 6) AS adc_score
+        FROM adc ORDER BY adc_score, vec_id LIMIT 10
+    """
     # IVF exact twin: same id-rule quantizer (vec_id % 50 = 1, first 8),
     # same decimal argmin assignment (||c||² - 2·x·c, ties to lowest
     # cell), same 3-cell probe — mirrors similarity.ivf_topk_exact.
@@ -1620,6 +1696,33 @@ def oracle_sql() -> dict[str, str]:
                          < {_split_cut}
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
+    """
+    o["corpus_clean_lines"] = r"""
+        WITH lined AS (
+          SELECT doc_id,
+                 string_split(replace(text, ' value ', '.' || chr(10)),
+                              chr(10)) AS ls
+          FROM documents),
+        filt AS (
+          SELECT doc_id,
+                 list_filter(ls, l ->
+                     len(string_split_regex(trim(l), '\s+')) >= 3
+                     AND regexp_matches(l, '[.!?"]\s*$')) AS kept,
+                 len(ls) AS n_total
+          FROM lined)
+        SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+               CAST(len(kept) AS INT) AS n_lines_kept,
+               CAST(n_total AS INT) AS n_lines_total
+        FROM filt WHERE len(kept) >= 1
+    """
+    o["corpus_cap_per_group"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                    CAST('0x'||substr(md5(doc_id || '_cap1'), 1, 7) AS BIGINT),
+                    doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 5
     """
     o["text_pii_scrub"] = r"""
         WITH s0 AS (SELECT doc_id, text AS t FROM documents),

@@ -152,6 +152,19 @@ def headline_queries(t):
             t["documents"].where(F.col("doc_id") % 20 == 0), n=5), "noop"),
         "chunk_documents": (lambda: curation.chunk_documents(
             t["documents"], 40, 8), "noop"),
+        "clean_lines": (lambda: curation.clean_lines(
+            t["documents"].withColumn(
+                "text", F.regexp_replace("text", " value ", ".\n")),
+            min_words=3), "noop"),
+        "cap_per_group": (lambda: curation.cap_per_group(
+            t["documents"], "source", 50), "noop"),
+        # PQ: compressed-code encode + asymmetric-distance search
+        # (BLAS siblings — the production path; the decimal exact
+        # twins stay in the correctness gate, pytest-verified equal)
+        "pq_encode": (lambda: similarity.pq_encode_blas(
+            t["embeddings"], m=4, k=8, stride=50), "noop"),
+        "pq_topk": (lambda: similarity.pq_topk_blas(
+            t["embeddings"], 0, n_results=10), "collect"),
         # temporal joins
         "asof_join": (lambda: temporal.asof_join(
             t["events"].where(F.col("event_type") == "click")

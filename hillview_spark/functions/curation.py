@@ -332,3 +332,101 @@ def remove_repeated_segments(
             F.count(F.lit(1)).alias("n_kept_segments"),
         )
     )
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_patterns: tuple[str, ...] = (),
+    min_lines: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): split a
+    document into lines, keep only lines that (a) hold at least
+    min_words whitespace words, (b) end in terminal punctuation
+    (. ! ? \"), and (c) contain none of drop_patterns
+    (case-insensitive boilerplate markers — 'javascript', 'cookie
+    policy', 'lorem ipsum'); reassemble survivors and drop documents
+    left with fewer than min_lines lines.
+
+    100-TB shape: strictly per-row — split, a single F.filter over
+    the materialized line array, re-join. NO shuffle, no UDF; the
+    whole operator is one projection over the scan. (Cross-document
+    repeated-span removal is remove_repeated_segments; doc-level
+    quality gates are text.quality_filter.)
+
+    Output: (id_col, text_col cleaned, n_lines_kept, n_lines_total).
+    """
+    import re as _re
+
+    df2 = df.withColumn("__lines", F.split(F.col(text_col), _re.escape(sep)))
+
+    def keep(line):
+        cond = F.size(F.split(F.trim(line), r"\s+")) >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & line.rlike(r'[.!?"]\s*$')
+        for p in drop_patterns:
+            cond = cond & ~F.lower(line).contains(p.lower())
+        return cond
+
+    df3 = df2.withColumn("__kept", F.filter("__lines", keep))
+    return (
+        df3.select(
+            F.col(id_col),
+            F.array_join("__kept", sep).alias(text_col),
+            F.size("__kept").alias("n_lines_kept"),
+            F.size("__lines").alias("n_lines_total"),
+        )
+        .where(F.col("n_lines_kept") >= min_lines)
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    max_per_group: int = 100,
+    key_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """Per-domain quota sampling: keep at most max_per_group rows per
+    group, chosen by a deterministic salted-hash rank — the standard
+    cap on over-represented domains (C4/Gopher both bound per-domain
+    share) that stays stable across runs, engines, and re-ingests.
+
+    Selection = the max_per_group smallest (md5(key, salt), key)
+    tuples per group: a uniform pseudo-random subset, reproducible
+    anywhere (the same engine-portable hash as split_train_eval).
+
+    100-TB shape: two-phase top-N. Phase 1 takes each *Spark
+    partition's* local top-N per group (window over (group,
+    partition-id) — parallel even when one domain owns half the
+    corpus), shrinking a hot group to at most N x num_partitions
+    rows; phase 2 ranks that bounded remainder. The final set is
+    partitioning-independent because phase 1 keeps a superset of the
+    global top-N and phase 2 applies the total (hash, key) order.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col(key_col), F.lit(salt))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    tagged = df.withColumn("__h", h)
+    w_local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
+        "__h", key_col
+    )
+    local = (
+        tagged.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= max_per_group)
+        .drop("__lrk")
+    )
+    w_global = Window.partitionBy(group_col).orderBy("__h", key_col)
+    return (
+        local.withColumn("__rk", F.row_number().over(w_global))
+        .where(F.col("__rk") <= max_per_group)
+        .drop("__rk", "__h")
+    )

@@ -387,6 +387,260 @@ def ivf_topk_exact(
     )
 
 
+def _pq_centroids(
+    embeddings: DataFrame, k: int, stride: int, id_col: str, vec_col: str
+):
+    """Stride-selected data-point codebook source rows (same
+    deterministic id rule as ivf_topk_exact, so a SQL oracle can
+    re-derive them)."""
+    return (
+        embeddings.where(F.col(id_col) % stride == 1)
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+
+
+def _dec_arr(vals) -> Column:
+    return F.array(*[_dec(F.lit(float(x))) for x in vals])
+
+
+def pq_encode_exact(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    stride: int = 50,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011): split each
+    vector into m subspaces, assign each sub-vector to its nearest of
+    k per-subspace centroids, emit (id, subspace, code) — the 8x-64x
+    compressed representation ANN systems keep in memory at scale.
+
+    Codebooks are sub-vectors of stride-selected data points (the
+    deterministic id rule shared with ivf_topk_exact) and assignment
+    runs in exact decimal (argmin_c ||x_j - c_j||^2 via
+    ||c_j||^2 - 2 x_j·c_j, ties to the lowest code), so the encoding
+    is bit-reproducible in any engine — the oracle-checkable exact
+    twin; a k-means/BLAS sibling would follow ivf_topk/knn_join_
+    blocked's pattern for throughput.
+
+    Scale shape: one projection over the scan (m·k decimal dots per
+    row, no shuffle); the codebook collect is k rows."""
+    sub = dims // m
+    cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
+
+    def sub_scores(j: int) -> Column:
+        xs = F.slice(F.col(vec_col), j * sub + 1, sub)
+        scores = []
+        for crow in cents:
+            c = _dec_arr(crow[vec_col][j * sub : (j + 1) * sub])
+            scores.append(
+                (squared_norm(c) - F.lit(2) * dot_product(xs, c)).cast(_ACC)
+            )
+        return F.array(*scores)
+
+    # materialize each score array ONCE: argmin references it twice
+    # (array_min + array_position), and a multiply-referenced
+    # non-cheap alias blocks CollapseProject from re-inlining the
+    # m*k-dot expression (3x measured)
+    df2 = embeddings.select(F.col(id_col), F.col(vec_col))
+    for j in range(m):
+        df2 = df2.withColumn(f"__s{j}", sub_scores(j))
+    codes = F.array(
+        *[
+            (
+                F.array_position(F.col(f"__s{j}"), F.array_min(F.col(f"__s{j}")))
+                - 1
+            ).cast("int")
+            for j in range(m)
+        ]
+    )
+    return df2.select(
+        F.col(id_col), F.posexplode(codes).alias("subspace", "code")
+    )
+
+
+def pq_topk_exact(
+    embeddings: DataFrame,
+    query_id: int,
+    n_results: int = 10,
+    m: int = 4,
+    k: int = 8,
+    stride: int = 50,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: score every encoded vector
+    against the query using only its codes and the per-subspace
+    query→centroid table — the memory-resident search PQ exists for.
+
+    The score is sum_j (||c_{code_j}||² - 2 q_j·c_{code_j}), the
+    code-dependent part of the true squared distance (the common
+    ||q_j||² terms cannot change the ordering); all decimal-exact, so
+    ordering and output reproduce bit-identically cross-engine.
+
+    Scale shape: codes are computed in the same projection (no join
+    between encode and score); the per-row work after encoding is m
+    array lookups; output is a top-k heap. At 100 TB the codes column
+    would be precomputed once and stored."""
+    sub = dims // m
+    search = embeddings.where(F.col(id_col) != query_id)
+    cents = _pq_centroids(search, k, stride, id_col, vec_col)
+    q_row = embeddings.where(F.col(id_col) == query_id)
+
+    def sub_scores(j: int, vec: Column) -> Column:
+        xs = F.slice(vec, j * sub + 1, sub)
+        scores = []
+        for crow in cents:
+            c = _dec_arr(crow[vec_col][j * sub : (j + 1) * sub])
+            scores.append(
+                (squared_norm(c) - F.lit(2) * dot_product(xs, c)).cast(_ACC)
+            )
+        return F.array(*scores)
+
+    # query-side ADC table: m arrays of k exact decimal scores,
+    # broadcast as one row
+    qcols = [
+        sub_scores(j, F.col(vec_col)).alias(f"__q{j}") for j in range(m)
+    ]
+    qtab = q_row.select(*qcols)
+    scored = search.crossJoin(F.broadcast(qtab))
+    # materialize score arrays once (see pq_encode_exact)
+    for j in range(m):
+        scored = scored.withColumn(f"__s{j}", sub_scores(j, F.col(vec_col)))
+    adc = None
+    for j in range(m):
+        s = F.col(f"__s{j}")
+        term = F.element_at(
+            F.col(f"__q{j}"),
+            F.array_position(s, F.array_min(s)).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(adc.cast("double"), 6).alias("adc_score"),
+        )
+        .orderBy("adc_score", id_col)
+        .limit(n_results)
+    )
+
+
+def _pq_codebook_np(cents, m: int, sub: int, vec_col: str):
+    import numpy as np
+
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    return C.reshape(len(cents), m, sub).transpose(1, 0, 2)  # m x k x sub
+
+
+def pq_encode_blas(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    stride: int = 50,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput sibling of pq_encode_exact: identical stride
+    codebook and argmin semantics, assignment as one BLAS gram matrix
+    per subspace in Arrow-batched mapInPandas (pytest-verified equal
+    to the exact twin; the decimal twin remains the oracle anchor)."""
+    import numpy as np
+
+    sub = dims // m
+    cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
+    CB = _pq_codebook_np(cents, m, sub, vec_col)
+    cn = [(CB[j] ** 2).sum(1) for j in range(m)]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            X = (
+                np.stack(pdf[vec_col].to_numpy())
+                .astype(np.float64)
+                .reshape(n, m, sub)
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = (cn[j][None, :] - 2 * (X[:, j, :] @ CB[j].T)).argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                    "subspace": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, subspace int, code int"
+    )
+
+
+def pq_topk_blas(
+    embeddings: DataFrame,
+    query_id: int,
+    n_results: int = 10,
+    m: int = 4,
+    k: int = 8,
+    stride: int = 50,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput sibling of pq_topk_exact: codes and the query ADC
+    table computed in numpy, each partition emits its local top-n,
+    the tiny union is re-topped globally (the cosine_topk_numpy
+    shape). Same ordering as the exact twin on non-adversarial data
+    (pytest-verified)."""
+    import numpy as np
+
+    sub = dims // m
+    search = embeddings.where(F.col(id_col) != query_id)
+    cents = _pq_centroids(search, k, stride, id_col, vec_col)
+    CB = _pq_codebook_np(cents, m, sub, vec_col)
+    cn = [(CB[j] ** 2).sum(1) for j in range(m)]
+    qv = np.asarray(
+        embeddings.where(F.col(id_col) == query_id).first()[vec_col],
+        dtype=np.float64,
+    ).reshape(m, sub)
+    qtab = np.stack([cn[j] - 2 * (CB[j] @ qv[j]) for j in range(m)])  # m x k
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            X = (
+                np.stack(pdf[vec_col].to_numpy())
+                .astype(np.float64)
+                .reshape(n, m, sub)
+            )
+            adc = np.zeros(n)
+            for j in range(m):
+                codes = (cn[j][None, :] - 2 * (X[:, j, :] @ CB[j].T)).argmin(1)
+                adc += qtab[j][codes]
+            top = np.argsort(adc)[:n_results]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[top],
+                    "adc_score": np.round(adc[top], 6),
+                }
+            )
+
+    local = search.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, adc_score double"
+    )
+    return local.orderBy("adc_score", id_col).limit(n_results)
+
+
 def _bucketed_relation(
     embeddings: DataFrame, id_col: str, vec_col: str, planes: int,
     dims: int, exact: bool,

@@ -125,6 +125,47 @@ def string_columns_filter(
     return ~cond if negate else cond
 
 
+def predicate_filter(expr_or_fn) -> Column:
+    """Arbitrary row predicate — the declared analogue of Hillview's
+    JSFilterDescription (table/filters/JSFilterDescription.java:1,
+    which ships a JavaScript function to every worker and keeps rows
+    it returns true for).
+
+    Two tiers, mirroring the engine's general UDF policy:
+    - a SQL-expression STRING stays inside Catalyst (codegen,
+      pushdown-eligible) — the fast path and the right one for
+      anything expressible: ``predicate_filter("l_quantity * 2 >
+      l_extendedprice / 1000 AND l_returnflag <> 'A'")``;
+    - a Python CALLABLE (pandas Series dict -> boolean Series) is the
+      escape hatch for genuinely non-SQL logic, run Arrow-batched via
+      a pandas UDF — the row-at-a-time JS-engine round trip the
+      reference pays is exactly what this avoids.
+
+    Returns a Column for ``df.where(...)`` like every other builder.
+    """
+    if isinstance(expr_or_fn, str):
+        return F.expr(expr_or_fn)
+    if callable(expr_or_fn):
+        raise TypeError(
+            "callable predicates need the columns they read — use "
+            "predicate_filter_pandas(fn, cols) instead"
+        )
+    raise TypeError("predicate_filter takes a SQL string or a callable")
+
+
+def predicate_filter_pandas(fn, cols: list[str]) -> Column:
+    """Escape-hatch tier of predicate_filter: fn receives one pandas
+    Series per listed column (Arrow-batched) and returns a boolean
+    Series. Keep it off hot paths — Catalyst can't see inside."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _pred(*series):
+        return fn(dict(zip(cols, series)))
+
+    return _pred(*[F.col(c) for c in cols])
+
+
 def row_comparison_filter(
     sort_cols: list[str], row: tuple, op: str = ">", ascending: list[bool] | None = None
 ) -> Column:

@@ -805,6 +805,105 @@ def test_cache_scope_isolates_registries(spark):
     assert cache.release_all() == 0
 
 
+def test_clean_lines_c4_rules(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "good line stays here.\nno punct line\nis it ok? \ntiny.\n"
+                "visit our cookie policy page now.\nanother good line!"),
+            (2, "only junk\nshort."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.clean_lines(
+        df, min_words=3, drop_patterns=("cookie policy",)
+    ).collect()}
+    # doc 1: keeps terminal-punct lines with >=3 words minus boilerplate
+    assert out[1].text == "good line stays here.\nis it ok? \nanother good line!"
+    assert out[1].n_lines_kept == 3 and out[1].n_lines_total == 6
+    # doc 2: nothing survives -> document dropped entirely
+    assert 2 not in out
+
+
+def test_cap_per_group_deterministic_and_partition_independent(spark, tables):
+    from hillview_spark.functions import curation
+
+    docs = tables["documents"]
+    a = {(r.doc_id, r.source) for r in
+         curation.cap_per_group(docs, "source", 5).select(
+             "doc_id", "source").collect()}
+    # cap respected per group
+    from collections import Counter
+    per = Counter(s for _, s in a)
+    assert all(c <= 5 for c in per.values())
+    # groups smaller than the cap kept whole
+    sizes = {r.source: r["count"] for r in
+             docs.groupBy("source").count().collect()}
+    for src, c in per.items():
+        assert c == min(5, sizes[src])
+    # identical selection under a different physical partitioning
+    b = {(r.doc_id, r.source) for r in
+         curation.cap_per_group(docs.repartition(3), "source", 5).select(
+             "doc_id", "source").collect()}
+    assert a == b
+
+
+def test_pq_encode_centroids_code_themselves(spark, tables):
+    """The stride rows ARE the codebook, so each must encode to its
+    own centroid index in every subspace (sub-distance zero)."""
+    from hillview_spark.functions import similarity
+
+    emb = tables["embeddings"].where("vec_id <> 0")
+    cent_ids = [r.vec_id for r in
+                emb.where("vec_id % 50 = 1").orderBy("vec_id")
+                   .limit(8).collect()]
+    codes = similarity.pq_encode_exact(emb, m=4, k=8, stride=50)
+    got = {(r.vec_id, r.subspace): r.code for r in
+           codes.where(F.col("vec_id").isin(cent_ids)).collect()}
+    for idx, vid in enumerate(cent_ids):
+        for j in range(4):
+            assert got[(vid, j)] == idx
+    # every vector gets exactly m codes in [0, k)
+    n = emb.count()
+    assert codes.count() == n * 4
+    assert codes.where("code < 0 OR code >= 8").count() == 0
+
+
+def test_pq_blas_twins_match_exact(spark, tables):
+    """The BLAS throughput siblings must produce the exact twins'
+    codes and ranking (float64 vs decimal argmin agree on this data)."""
+    from hillview_spark.functions import similarity
+
+    emb = tables["embeddings"].where("vec_id <> 0")
+    exact = {(r.vec_id, r.subspace): r.code for r in
+             similarity.pq_encode_exact(emb).collect()}
+    blas = {(r.vec_id, r.subspace): r.code for r in
+            similarity.pq_encode_blas(emb).collect()}
+    assert exact == blas
+    full = tables["embeddings"]
+    a = [(r.vec_id, r.adc_score) for r in
+         similarity.pq_topk_exact(full, 0, n_results=10).collect()]
+    b = [(r.vec_id, r.adc_score) for r in
+         similarity.pq_topk_blas(full, 0, n_results=10).collect()]
+    assert [v for v, _ in a] == [v for v, _ in b]
+    assert all(abs(x - y) < 1e-5 for (_, x), (_, y) in zip(a, b))
+
+
+def test_pq_topk_deterministic_and_sane(spark, tables):
+    from hillview_spark.functions import similarity
+
+    emb = tables["embeddings"]
+    a = [(r.vec_id, r.adc_score) for r in
+         similarity.pq_topk_exact(emb, 0, n_results=10).collect()]
+    b = [(r.vec_id, r.adc_score) for r in
+         similarity.pq_topk_exact(emb, 0, n_results=10).collect()]
+    assert a == b and len(a) == 10
+    # ADC scores ascend (lower = closer)
+    scores = [s for _, s in a]
+    assert scores == sorted(scores)
+
+
 def test_chunk_documents_windows(spark):
     from hillview_spark.functions import curation
 

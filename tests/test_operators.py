@@ -459,6 +459,44 @@ def test_string_columns_filter_any_match(spark, tables):
     assert both + neither == docs.count()
 
 
+def test_predicate_filter_sql_tier(spark, tables):
+    """JSFilterDescription analogue: arbitrary SQL predicates stay in
+    Catalyst and match the equivalent composed filters."""
+    li = tables["lineitem"]
+    pred = filters.predicate_filter(
+        "l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag <> 'A'"
+    )
+    composed = filters.range_filter("l_quantity", 10, 20) & (
+        F.col("l_returnflag") != "A"
+    )
+    assert li.where(pred).count() == li.where(composed).count()
+    # predicate reaches the parquet scan as pushed filters
+    plan = li.where(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
+def test_predicate_filter_pandas_escape(spark, tables):
+    """The Arrow-batched escape hatch computes non-SQL logic and
+    agrees with the SQL tier on an expressible predicate."""
+    li = tables["lineitem"]
+
+    def fn(cols):
+        return (cols["l_quantity"] * 2) > (cols["l_extendedprice"] / 1000)
+
+    n_pandas = li.where(
+        filters.predicate_filter_pandas(fn, ["l_quantity", "l_extendedprice"])
+    ).count()
+    n_sql = li.where(
+        filters.predicate_filter("l_quantity * 2 > l_extendedprice / 1000")
+    ).count()
+    assert n_pandas == n_sql
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        filters.predicate_filter(fn)
+
+
 def test_histogram_and_singleton(spark):
     df = spark.createDataFrame(
         [(0.5,), (0.6,), (5.5,), (9.9,)], "x double"
