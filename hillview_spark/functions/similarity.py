@@ -297,6 +297,60 @@ def ivf_topk(
     return cosine_topk_numpy(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2000,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index as a CELL-PARTITIONED parquet layout:
+    ``<path>/data`` partitioned by the coarse-quantizer cell,
+    ``<path>/centroids`` as a tiny sidecar table. This is the piece
+    that turns n_probe pruning from a row filter into PARTITION
+    pruning — at 100 TB a query touches only n_probe/n_cells of the
+    files, verified by assert_partition_pruning on the read plan."""
+    assigned, C = ivf_index(embeddings, n_cells, id_col, vec_col, sample_n,
+                            seed=seed)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/data"
+    )
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
+    embeddings.sparkSession.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: pick the n_probe nearest cells
+    from the centroid sidecar (driver-side, tiny), then scan ONLY
+    those partitions of the data layout (cell IN (...) reaches the
+    scan as a PartitionFilter) and score with the BLAS batch path."""
+    import numpy as np
+
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cell,
+    )
+    C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cents])
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probe = [int(c) for c in np.argsort(((C - qv) ** 2).sum(1))[:n_probe]]
+    data = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))
+    return cosine_topk_numpy(
+        data.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )
+
+
 def ivf_topk_exact(
     embeddings: DataFrame,
     query_id: int,

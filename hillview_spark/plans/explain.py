@@ -61,3 +61,26 @@ def assert_topk_not_global_sort(df: DataFrame) -> None:
     plan = physical_plan(df)
     if "TakeOrderedAndProject" not in plan:
         raise AssertionError("no TakeOrderedAndProject (top-k) in plan:\n" + plan)
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    """At most n shuffle exchanges — the scale contract for operators
+    that promise 'no shuffle' (pure per-row projections) or 'one
+    shuffle' (single aggregation)."""
+    plan = physical_plan(df)
+    got = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    if got > n:
+        raise AssertionError(f"expected <= {n} shuffles, got {got}:\n" + plan)
+
+
+def assert_partition_pruning(df: DataFrame, col: str) -> None:
+    """The scan must prune on a hive-style partition column (the
+    PartitionFilters section of a partitioned parquet read)."""
+    plan = physical_plan(df)
+    if "PartitionFilters:" not in plan:
+        raise AssertionError("no PartitionFilters section in plan:\n" + plan)
+    sect = plan.split("PartitionFilters:")[1].splitlines()[0]
+    if col not in sect:
+        raise AssertionError(f"{col} not in PartitionFilters: {sect}")

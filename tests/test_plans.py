@@ -260,3 +260,53 @@ def test_q21_one_aggregate_not_double_self_join(spark, tables):
     # aggregate: lineitem is scanned once, not three times
     assert plan.count("Scan parquet") <= 3  # lineitem + orders + supplier
     ex.assert_no_cartesian(df)
+
+
+def test_clean_lines_is_pure_projection(spark, tables):
+    """C4 line cleaning promises zero shuffle: split -> array filter
+    -> re-join is one projection over the scan."""
+    from hillview_spark.functions import curation
+
+    df = curation.clean_lines(
+        tables["documents"].withColumn(
+            "text", F.regexp_replace("text", " value ", ".\n")),
+        min_words=3,
+    )
+    ex.assert_max_shuffles(df, 0)
+
+
+def test_pq_encode_is_pure_projection(spark, tables):
+    """PQ encoding is m*k decimal dots per row — no shuffle at all."""
+    from hillview_spark.functions import similarity
+
+    df = similarity.pq_encode_exact(tables["embeddings"], m=4, k=8, stride=50)
+    ex.assert_max_shuffles(df, 0)
+    ex.assert_no_cartesian(df)
+
+
+def test_cap_per_group_two_phase_bounded_shuffles(spark, tables):
+    from hillview_spark.functions import curation
+
+    df = curation.cap_per_group(tables["documents"], "source", 5)
+    ex.assert_no_cartesian(df)
+    # phase-1 local window + phase-2 per-group window
+    ex.assert_max_shuffles(df, 2)
+
+
+def test_ivf_indexed_search_prunes_partitions(spark, tables, tmp_path):
+    """The persisted IVF layout must turn n_probe into PARTITION
+    pruning: the data scan lists the probed cells as PartitionFilters
+    and the result matches the unindexed IVF search exactly."""
+    from hillview_spark.functions import similarity
+
+    emb = tables["embeddings"]
+    qv = emb.where(F.col("vec_id") == 0).first().embedding
+    search = emb.where("vec_id <> 0")
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(search, path, n_cells=8)
+    got = similarity.ivf_topk_indexed(spark, path, qv, k=10, n_probe=4)
+    ex.assert_partition_pruning(got, "cell")
+    live = similarity.ivf_topk(search, qv, k=10, n_cells=8, n_probe=4)
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == [
+        (r.vec_id, r.cosine) for r in live.collect()
+    ]
