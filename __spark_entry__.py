@@ -528,6 +528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["heavy_hitters"] = lambda s, d: heavy_hitters.heavy_hitters(
         _t(s, d, "documents"), ["lang"], epsilon=0.13
     )
+    def _prog_hh(s, d):
+        *_, last = heavy_hitters.progressive_heavy_hitters(
+            _t(s, d, "documents"), ["lang"], epsilon=0.13, stages=(0.1, 1.0)
+        )
+        return last
+
+    q["progressive_heavy_hitters"] = _prog_hh
     q["exact_freq"] = lambda s, d: heavy_hitters.exact_freq(
         _t(s, d, "events"), "event_type", ["click", "view", "error"]
     )
@@ -653,8 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue", "q20_part_promotion",
         "q21_suppliers_kept_waiting", "q22_sales_opportunity",
         # new round-3 keys (first driver check)
-        "ann_ivf_topk", "progressive_histogram", "pq_encode", "pq_topk",
-        "corpus_clean_lines", "corpus_cap_per_group",
+        "ann_ivf_topk", "progressive_histogram", "progressive_heavy_hitters",
+        "pq_encode", "pq_topk", "corpus_clean_lines", "corpus_cap_per_group",
         # riskiest round-2 keys: dedup chain, temporal, streaming twins
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_lsh_verify", "dedup_components",
@@ -1324,6 +1331,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["heavy_hitters"] = """
         SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        HAVING COUNT(*) >= 0.13 * (SELECT COUNT(*) FROM documents)
+        ORDER BY cnt DESC, lang
+    """
+    o["progressive_heavy_hitters"] = """
+        SELECT CAST(1 AS INT) AS stage, CAST(1.0 AS DOUBLE) AS fraction,
+               lang, COUNT(*) AS cnt, CAST(COUNT(*) AS DOUBLE) AS est_cnt
+        FROM documents GROUP BY lang
         HAVING COUNT(*) >= 0.13 * (SELECT COUNT(*) FROM documents)
         ORDER BY cnt DESC, lang
     """

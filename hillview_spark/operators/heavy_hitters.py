@@ -50,6 +50,43 @@ def exact_freq(df: DataFrame, col: str, candidates: list) -> DataFrame:
     )
 
 
+def progressive_heavy_hitters(
+    df: DataFrame,
+    cols: list[str],
+    epsilon: float = 0.01,
+    stages: tuple[float, ...] = (0.01, 0.1, 1.0),
+    seed: int = 42,
+):
+    """Progressive partial results for heavy hitters — the second
+    flagship interactive sketch gets the same PartialResult.java
+    analogue as progressive_histogram: one DataFrame per stage, each
+    a seeded Bernoulli sample's epsilon-frequent values (thresholded
+    against the SAMPLE's row count, so every stage answers the same
+    relative-frequency question), the last stage exact == heavy_hitters.
+
+    Columns per stage: stage, fraction, cols..., cnt (sample count),
+    est_cnt (cnt/fraction). Lazy generator — consumers stop early
+    once the candidate set stabilizes."""
+    if not stages or list(stages) != sorted(stages) or stages[-1] != 1.0:
+        raise ValueError("stages must be increasing and end at 1.0")
+    for i, frac in enumerate(stages):
+        sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
+        counts = sampled.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+        total = counts.agg(F.sum("cnt").alias("__total"))
+        yield (
+            counts.join(F.broadcast(total))
+            .where(F.col("cnt") >= F.lit(epsilon) * F.col("__total"))
+            .select(
+                F.lit(i).alias("stage"),
+                F.lit(float(frac)).alias("fraction"),
+                *cols,
+                "cnt",
+                (F.col("cnt") / F.lit(float(frac))).alias("est_cnt"),
+            )
+            .orderBy(F.desc("cnt"), *cols)
+        )
+
+
 def heavy_hitters_sampled(
     df: DataFrame, cols: list[str], epsilon: float = 0.01, factor: float = 100.0,
     seed: int = 42, fraction: float = 0.01,
