@@ -642,40 +642,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    # --- round-3 gate rotation ---------------------------------------
+    # --- round-5 gate rotation ---------------------------------------
     # The driver gate checks ~50 keys per round in dict insertion
-    # order. Rounds 1+2 left exactly one hole: the 15 TPC-H shapes
-    # added late in round 2 were registered past position 100 and have
-    # never had a driver-green row (judge-verified only). Rotate them
-    # to the very front, followed by this round's new keys, then the
-    # riskiest round-2 keys for re-confirmation. Everything else keeps
+    # order. Rounds 2-4 re-verified the LLM-pipeline / TPC-H / temporal
+    # surface but left 50 keys whose only green row is
+    # CORRECTNESS_r01.json — the core Hillview sketch/map surface
+    # (histograms, stats, next-K, filters, maps, correlation,
+    # exploration) last checked two code-rounds ago. Rotate exactly
+    # those 50 to the front so the round-5 gate re-proves them under
+    # current code (VERDICT r4 directive #2). Everything else keeps
     # its relative order behind the priority block.
     priority = [
-        # 15 never-driver-checked TPC-H keys (VERDICT r2 item 1)
-        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-        "q9_product_type_profit", "q11_important_parts",
-        "q12_shipmode_priority", "q13_customer_order_distribution",
-        "q15_top_supplier", "q16_supplier_part_counts",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_discounted_revenue", "q20_part_promotion",
-        "q21_suppliers_kept_waiting", "q22_sales_opportunity",
-        # new round-3 keys (first driver check)
-        "ann_ivf_topk", "progressive_histogram", "progressive_heavy_hitters",
-        "pq_encode", "pq_topk", "corpus_clean_lines", "corpus_cap_per_group",
-        # riskiest round-2 keys: dedup chain, temporal, streaming twins
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_lsh_verify", "dedup_components",
-        "dedup_representatives", "dedup_corpus_pipeline",
-        "asof_join_events", "range_join_sessions", "events_moving_avg",
-        "events_windowed_counts", "events_sessionize",
-        "events_sliding_counts", "events_click_purchase",
-        "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
-        "ann_knn_join", "ann_knn_join_lsh", "dedup_embedding_cosine_lsh",
-        "embedding_group_centroids",
-        "text_pii_scrub", "text_repetition_stats", "decontaminate_train",
-        "sample_mixture", "chunk_documents", "pack_sequences",
-        "remove_repeated_segments", "geo_region_counts",
-        "text_vocab", "text_quality_filter", "split_train_eval",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q6_revenue_forecast",
+        "histogram1d_numeric", "cdf_numeric", "histogram2d_heatmap",
+        "histogram3d_trellis", "histogram_string",
+        "histogram_string_bounded", "histogram4d_trellis",
+        "histogram_date_month", "data_range", "data_range_interval",
+        "histogram_with_cdf", "histogram_quantiles",
+        "quantiles_price", "basic_col_stats", "distinct_count",
+        "distinct_values", "table_summary", "string_quantiles",
+        "num_items_threshold", "table_profile",
+        "next_k_rows", "next_k_after", "next_k_aggregate",
+        "find_substring",
+        "heavy_hitters", "exact_freq", "heavy_hitters_sampled",
+        "quantiles_approx",
+        "range_filter", "string_filter_regex", "project_columns",
+        "convert_column", "computed_column", "extract_json_value",
+        "set_operation", "interval_column", "systematic_sample",
+        "corr_matrix", "category_centroids", "jl_project", "pca_project",
+        "lamp_project",
+        "top_customers_revenue", "part_type_stats", "events_user_topk",
+        "docs_source_lang_matrix",
     ]
     missing = [k for k in priority if k not in q]
     assert not missing, f"priority rotation names unknown keys: {missing}"
@@ -1397,6 +1395,33 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
     """
     o["jl_project"] = _jl_sql()
+
+    # pca_project: for d=2 the correlation matrix is [[1,r],[r,1]],
+    # whose eigenvectors are exactly (1,1)/sqrt(2) and (1,-1)/sqrt(2)
+    # for any r != 0 — only their eigenvalue ORDER depends on sign(r).
+    # pca_project snaps eigenvector components to 8 decimals, so both
+    # engines project with the identical constant 0.70710678; the
+    # sign convention (largest-|w| component positive, ties -> first)
+    # makes the first weight always +c and flips only the second.
+    _pca_c = "0.70710678"
+    _pca_z1 = "((p_size - mu1) / sd1)"
+    _pca_z2 = "((p_retailprice - mu2) / sd2)"
+    o["pca_project"] = f"""
+        WITH s AS (
+            SELECT avg(p_size) AS mu1, stddev_samp(p_size) AS sd1,
+                   avg(p_retailprice) AS mu2,
+                   stddev_samp(p_retailprice) AS sd2,
+                   corr(p_size, p_retailprice) AS r
+            FROM part)
+        SELECT p_partkey,
+               round(0.0 + {_pca_z1} * {_pca_c}
+                   + {_pca_z2} * (CASE WHEN r >= 0 THEN {_pca_c}
+                                  ELSE -{_pca_c} END), 6) AS pc0,
+               round(0.0 + {_pca_z1} * {_pca_c}
+                   + {_pca_z2} * (CASE WHEN r >= 0 THEN -{_pca_c}
+                                  ELSE {_pca_c} END), 6) AS pc1
+        FROM part, s
+    """
 
     # --- further exploration queries -------------------------------------
     o["top_customers_revenue"] = """

@@ -21,7 +21,12 @@ case), whose mutation is lock-guarded.
 Correctness never rides on these caches: they are pure recomputation
 guards. The one operator whose *result* depended on single evaluation
 (stats.global_rank's spark_partition_id tagging) uses localCheckpoint
-instead, so an ill-timed release_all can cost time, never wrongness.
+instead; its block storage is registered here too via :func:`track`
+so release_all frees it. Releasing a checkpoint whose downstream
+result is NOT yet materialized fails that query loudly on next use
+(lineage is truncated, blocks are gone) — it can never silently
+produce wrong ranks. The registry contract is unchanged: call
+release_all only after results are materialized.
 """
 
 from __future__ import annotations
@@ -47,6 +52,13 @@ class Registry:
         with self._lock:
             self._tracked.append(df)
         return df.persist(level)
+
+    def track(self, releasable) -> None:
+        """Register an already-materializing resource exposing
+        ``unpersist()`` (e.g. a localCheckpoint handle) for
+        release_all, WITHOUT calling persist() on it."""
+        with self._lock:
+            self._tracked.append(releasable)
 
     def release(self, df: DataFrame) -> DataFrame:
         with self._lock:
@@ -92,6 +104,12 @@ def persist(
 ) -> DataFrame:
     """persist + register in the active registry for later release_all()."""
     return _ACTIVE.get().persist(df, level)
+
+
+def track(releasable) -> None:
+    """Register an object exposing unpersist() for later release_all()
+    (checkpoint handles etc.); persist() is NOT called on it."""
+    _ACTIVE.get().track(releasable)
 
 
 def release(df: DataFrame) -> DataFrame:

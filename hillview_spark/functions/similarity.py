@@ -681,7 +681,10 @@ def pq_topk_blas(
             for j in range(m):
                 codes = (cn[j][None, :] - 2 * (X[:, j, :] @ CB[j].T)).argmin(1)
                 adc += qtab[j][codes]
-            top = np.argsort(adc)[:n_results]
+            # (adc, id) lexsort: the local cut must break score ties
+            # by id exactly like the global orderBy below, or a tied
+            # row the global order prefers could be cut locally
+            top = np.lexsort((pdf[id_col].to_numpy(), adc))[:n_results]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy()[top],

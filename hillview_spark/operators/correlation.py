@@ -82,7 +82,9 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
     pass -> numpy eigh on the tiny d x d matrix -> project
     standardized columns onto the top-k eigenvectors with a codegen
     expression. Deterministic sign convention: largest-|w| component
-    positive."""
+    positive (ties -> first index), and components snapped to 8
+    decimals so the projection weights are engine-portable constants
+    (the SQL oracle reproduces them analytically for d=2)."""
     import numpy as np
 
     stats = df.agg(
@@ -112,7 +114,7 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
         v = vecs[:, idx]
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
-        comps.append(v)
+        comps.append(np.round(v, 8))
     out = df
     for j, v in enumerate(comps):
         expr: Column = F.lit(0.0)

@@ -88,7 +88,7 @@ def progressive_heavy_hitters(
 
 
 def heavy_hitters_sampled(
-    df: DataFrame, cols: list[str], epsilon: float = 0.01, factor: float = 100.0,
+    df: DataFrame, cols: list[str], epsilon: float = 0.01,
     seed: int = 42, fraction: float = 0.01,
 ) -> DataFrame:
     """SampleHeavyHittersSketch: candidate mining on a Bernoulli
@@ -103,9 +103,10 @@ def heavy_hitters_sampled(
        rows), with the sampled-row total derived from the grouped
        relation itself (ReuseExchange, as heavy_hitters does). An
        epsilon-frequent value is expected to appear fraction*eps*N
-       times in the sample, so it survives w.h.p. whenever
-       fraction >= factor/(epsilon*N) — the default 1% rate covers
-       N >= 100*factor/epsilon; pass a smaller fraction at larger N.
+       times in the sample, so it survives w.h.p. whenever that
+       expectation clears ~100 — i.e. fraction >= 100/(epsilon*N);
+       the default 1% rate covers N >= 10^4/epsilon, and a SMALLER
+       fraction suffices at larger N.
        Surviving candidates number at most ~2/epsilon (their sample
        shares sum to 1), so collecting them is driver-trivial.
     2. The exact confirmation scan, restricted to the broadcast

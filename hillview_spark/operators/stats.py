@@ -20,6 +20,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hillview_spark import cache
+
+
+class _LocalCheckpointHandle:
+    """Releasable wrapper for a localCheckpoint'd DataFrame: the
+    blocks live on the underlying JVM RDD (LogicalRDD), which plain
+    DataFrame.unpersist() does not touch. cache.release_all() calls
+    unpersist() here to free them once results are materialized."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self._df = df
+
+    def unpersist(self, blocking: bool = False):
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(
+                bool(blocking)
+            )
+        except Exception:
+            pass  # session stopped or checkpoint never materialized
+        return self._df
 
 
 def row_count(df: DataFrame) -> DataFrame:
@@ -237,12 +257,16 @@ def global_rank(d: DataFrame, order_cols: list[str]) -> DataFrame:
     # one side and the two evaluations could range-partition onto
     # different pids (wrong ranks). The checkpoint truncates lineage
     # so recomputation is impossible; lazy (eager=False) keeps the
-    # operator's construction free of jobs.
+    # operator's construction free of jobs. The block storage is
+    # registered with the cache registry so release_all() frees it
+    # after results are materialized (a premature release fails the
+    # pending query loudly — it can never yield wrong ranks).
     tagged = (
         d.repartitionByRange(parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
+    cache.track(_LocalCheckpointHandle(tagged))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         tagged.groupBy("__pid")

@@ -210,6 +210,7 @@ def moving_aggregate(
     tiebreak_col: str = "event_id",
     n_preceding: int = 3,
     chunk_seconds: int | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Per-key moving window aggregates over event time: for each
     event, the rolling sum/avg/count of the last (n_preceding + 1)
@@ -225,14 +226,21 @@ def moving_aggregate(
     Skew: the default path sorts each key's full history in one window
     task. Pass ``chunk_seconds`` to bound tasks by time range instead:
     windows partition by (key, time-chunk) and the last n_preceding
-    rows of each chunk are replicated into the next chunk as ghost
-    rows (counted in frames, dropped from output). ENVELOPE: exact
-    whenever every non-final chunk of a key holds >= n_preceding
-    events; a row whose frame reaches back beyond the immediately
-    preceding chunk (possible only when that chunk had fewer than
-    n_preceding rows) sees a shortened frame. Hot keys — the reason
-    to chunk — satisfy the envelope by orders of magnitude; leave
-    chunk_seconds unset for sparse keys."""
+    rows of each chunk are replicated into the key's NEXT OCCUPIED
+    chunk as ghost rows (counted in frames, dropped from output) —
+    empty chunks between two occupied ones are skipped, so sparse
+    gaps in a key's timeline don't break frames. ENVELOPE: exact
+    whenever every occupied non-final chunk of a key holds >=
+    n_preceding events; a row whose frame reaches back beyond the
+    immediately preceding occupied chunk (possible only when that
+    chunk had fewer than n_preceding rows) would see a shortened
+    frame. With ``strict=True`` (default) the envelope is VALIDATED
+    up front (one aggregate job over (key, chunk) counts) and a
+    violation raises ValueError naming the worst offender — increase
+    chunk_seconds or pass strict=False to accept shortened frames on
+    those rows. Hot keys — the reason to chunk — satisfy the
+    envelope by orders of magnitude; leave chunk_seconds unset for
+    sparse keys."""
     if chunk_seconds is None:
         w = (
             Window.partitionBy(key_col)
@@ -254,8 +262,40 @@ def moving_aggregate(
     base = events.select(key_col, ts_col, tiebreak_col, value_col).withColumn(
         "__chunk", (t_us / width_us).cast("long")
     )
-    # last n_preceding rows of each (key, chunk) — the only rows the
-    # next chunk's frames can reach — re-tagged into chunk+1 as ghosts
+    # per-key occupied-chunk successor map: one row per (key, chunk),
+    # tiny relative to the fact table, reuses the (key, chunk)
+    # partitioning the ghost window needs anyway
+    occ = base.groupBy(key_col, "__chunk").agg(
+        F.count(F.lit(1)).alias("__chunk_n")
+    )
+    wn = Window.partitionBy(key_col).orderBy("__chunk")
+    succ = occ.withColumn("__next_chunk", F.lead("__chunk").over(wn))
+    if strict:
+        # envelope check: an occupied chunk WITH a successor but fewer
+        # than n_preceding rows means the successor's leading frames
+        # would silently shorten — refuse instead.
+        bad = (
+            succ.where(
+                F.col("__next_chunk").isNotNull()
+                & (F.col("__chunk_n") < n_preceding)
+            )
+            .orderBy("__chunk_n")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                "moving_aggregate chunk envelope violated: key "
+                f"{r[key_col]!r} chunk {r['__chunk']} holds "
+                f"{r['__chunk_n']} < n_preceding={n_preceding} rows; "
+                "increase chunk_seconds or pass strict=False to accept "
+                "shortened frames on the affected rows"
+            )
+    # last n_preceding rows of each (key, chunk) — the only rows a
+    # later chunk's frames can reach — re-tagged into the key's next
+    # OCCUPIED chunk as ghosts (join on the successor map, so empty
+    # chunks in between are skipped, not ghost graveyards)
     wd = Window.partitionBy(key_col, "__chunk").orderBy(
         F.desc(ts_col), F.desc(tiebreak_col)
     )
@@ -263,7 +303,13 @@ def moving_aggregate(
         base.withColumn("__rdesc", F.row_number().over(wd))
         .where(F.col("__rdesc") <= n_preceding)
         .drop("__rdesc")
-        .withColumn("__chunk", F.col("__chunk") + 1)
+        .join(
+            succ.where(F.col("__next_chunk").isNotNull())
+            .select(key_col, "__chunk", "__next_chunk"),
+            [key_col, "__chunk"],
+        )
+        .withColumn("__chunk", F.col("__next_chunk"))
+        .drop("__next_chunk")
         .withColumn("__ghost", F.lit(1))
     )
     u = base.withColumn("__ghost", F.lit(0)).unionByName(ghosts)

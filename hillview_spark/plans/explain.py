@@ -66,10 +66,15 @@ def assert_topk_not_global_sort(df: DataFrame) -> None:
 def assert_max_shuffles(df: DataFrame, n: int) -> None:
     """At most n shuffle exchanges — the scale contract for operators
     that promise 'no shuffle' (pure per-row projections) or 'one
-    shuffle' (single aggregation)."""
+    shuffle' (single aggregation). Counts every Exchange flavor:
+    hash/range partitioning AND SinglePartition — a global collapse
+    to one partition is the worst shuffle of all at 100 TB, so a
+    'zero shuffle' assertion must fail on it too."""
     plan = physical_plan(df)
-    got = plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
+    got = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
     )
     if got > n:
         raise AssertionError(f"expected <= {n} shuffles, got {got}:\n" + plan)

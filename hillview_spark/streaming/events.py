@@ -13,6 +13,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
+def _event_time_stream(
+    spark: SparkSession, events_dir: str, schema
+) -> DataFrame:
+    """File-stream source with `ts` normalized to TIMESTAMP (with-TZ),
+    the only event-time type ``withWatermark`` accepts. Handles both
+    fixture encodings: `bigint` nanoseconds (exact integer div to
+    micros) and `timestamp_ntz` (parquet readers infer NTZ when
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on; the session
+    TZ is pinned UTC in session.py, so ``to_utc_timestamp(ts, 'UTC')``
+    is a pure type change — no instant shifts)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn(
+            "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+        )
+    return stream
+
+
 def windowed_counts(events: DataFrame, unit: str = "hour") -> DataFrame:
     """Tumbling-window event counts and value sums per event type.
     events.value is exact to 6 decimals → DECIMAL sum is lossless and
@@ -157,12 +180,7 @@ def stream_sessionize(
         if closed:
             yield _frame(closed)
 
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # watermarks require TIMESTAMP (with-TZ); exact integer div
-        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+    stream = _event_time_stream(spark, events_dir, schema)
     return (
         stream.select("user_id", "ts")
         .withWatermark("ts", f"{gap_minutes} minutes")
@@ -188,12 +206,7 @@ def stream_windowed_counts(
     events_dir must be a DIRECTORY (Spark file-stream source
     requirement) — symlink single parquet files into a temp dir.
     """
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # watermarks require TIMESTAMP (with-TZ); exact integer div
-        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+    stream = _event_time_stream(spark, events_dir, schema)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
@@ -219,11 +232,7 @@ def stream_dedup(
     not O(stream). At 100 TB/day the horizon, not the corpus, sizes
     the state store."""
     key_cols = key_cols or ["event_id"]
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+    stream = _event_time_stream(spark, events_dir, schema)
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
@@ -246,11 +255,7 @@ def stream_heavy_hitters(
     watermark. The HAVING filter runs post-aggregate, so the stream
     shuffles only (window, value) partial counts — map-side combine
     applies exactly as in batch."""
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+    stream = _event_time_stream(spark, events_dir, schema)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("win"), col)
@@ -299,11 +304,7 @@ def stream_sliding_counts(
     hopping-window groupBy under readStream. The watermark bounds
     state to (horizon / slide) open windows per type; closed windows
     are evicted once the watermark passes their end."""
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+    stream = _event_time_stream(spark, events_dir, schema)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration, slide).alias("win"),
@@ -363,11 +364,7 @@ def stream_click_purchase_join(
     click + gap — state is O(events per horizon). Inner join emits
     matches immediately; no window close needed."""
     def side(event_type: str, a: str) -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(events_dir)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumnRenamed("ts", "ts_ns").withColumn(
-                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-            )
+        s = _event_time_stream(spark, events_dir, schema)
         return (
             s.where(F.col("event_type") == event_type)
             .select(F.col("user_id").alias(f"{a}_user"),

@@ -805,6 +805,23 @@ def test_cache_scope_isolates_registries(spark):
     assert cache.release_all() == 0
 
 
+def test_global_rank_checkpoint_released(spark):
+    """global_rank's localCheckpoint blocks are freed by release_all
+    once results are materialized (VERDICT r4 / ADVICE item)."""
+    from hillview_spark import cache
+    from hillview_spark.operators import stats
+
+    cache.release_all()
+    with cache.scope():
+        df = spark.range(500).selectExpr("id", "id % 7 AS v")
+        ranked = stats.global_rank(df, ["v", "id"])
+        assert ranked.count() == 500
+        jsc = spark.sparkContext._jsc
+        assert jsc.getPersistentRDDs().size() >= 1
+    # scope exit ran release_all -> checkpoint blocks gone
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_clean_lines_c4_rules(spark):
     from hillview_spark.functions import curation
 

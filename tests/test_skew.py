@@ -3,6 +3,8 @@ while spreading hot keys across sub-groups."""
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hillview_spark.operators import skew, temporal
@@ -49,15 +51,21 @@ def test_moving_aggregate_chunked_matches_plain_on_hot_key(spark):
         (r.user_id, r.event_id): (r.rolling_sum, r.rolling_n)
         for r in temporal.moving_aggregate(ev, n_preceding=3).collect()
     }
+    # sparse keys at 1800 s (~1.2 events/chunk) are OUTSIDE the
+    # envelope: strict mode must refuse rather than silently shorten
+    with pytest.raises(ValueError, match="chunk envelope violated"):
+        temporal.moving_aggregate(
+            ev, n_preceding=3, chunk_seconds=1800
+        ).collect()
     chunked = {
         (r.user_id, r.event_id): (r.rolling_sum, r.rolling_n)
         for r in temporal.moving_aggregate(
-            ev, n_preceding=3, chunk_seconds=1800
+            ev, n_preceding=3, chunk_seconds=1800, strict=False
         ).collect()
     }
     # the hot key satisfies the envelope (each 30-min chunk holds ~24
-    # events >= n_preceding) and matches exactly; sparse keys at this
-    # chunk size (~1.2 events/chunk) are outside the envelope
+    # events >= n_preceding) and matches exactly even under
+    # strict=False; sparse keys at this chunk size are approximate
     hot_plain = {k: v for k, v in plain.items() if k[0] == "hot"}
     hot_chunked = {k: v for k, v in chunked.items() if k[0] == "hot"}
     assert hot_plain == hot_chunked
