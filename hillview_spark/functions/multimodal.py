@@ -8,10 +8,14 @@ only sane shape at 100 TB: partitions stream through Python in
 columnar batches, no per-row pickling, and the binary payload never
 leaves the executor.
 
-The actual codecs are NOT available in this environment, so decode
-is stubbed behind ``DECODERS`` — a deterministic fake parses our
-own fake header. The Spark-side plumbing (schema, batching,
-partition flow) is real and tested.
+Decode goes through the pluggable ``DECODERS`` registry. The
+'stdlib' decoder handles four REAL formats with no third-party deps:
+PPM and WAV (header parsing), PNG (full zlib+filter codec), and
+baseline JPEG (full DCT/Huffman codec, functions/jpeg.py). Remaining
+codecs (MP3/H.264) stay behind the 'real' seam where a PIL/ffmpeg
+deployment plugs in; a deterministic fake serves synthetic fixtures.
+The Spark-side plumbing (schema, batching, partition flow) is
+identical for all of them and is real and tested.
 """
 
 from __future__ import annotations
@@ -61,8 +65,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 def _real_decode(payload: bytes):
     raise NotImplementedError(
-        "compressed-codec decoders (JPEG/MP3/H.264) are not available "
-        "in this environment; register one in DECODERS"
+        "native media decoders (MP3/H.264) are not available in this "
+        "environment; register one in DECODERS (images: PNG/JPEG/PPM "
+        "are real under the 'stdlib' decoder)"
     )
 
 
@@ -252,11 +257,31 @@ def resize_png(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
     return nw, nh, encode_png(nw, nh, ch, small.tobytes())
 
 
+def resize_jpeg(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """Real JPEG transform: full decode -> nearest-neighbor
+    downsample -> re-encode (baseline, 4:4:4). Returns
+    (new_w, new_h, new_payload); unchanged when within max_side."""
+    import numpy as np
+
+    from hillview_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, ch, px = decode_jpeg(payload)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    if (nw, nh) == (w, h):
+        return w, h, payload
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    small = arr[ys][:, xs]
+    return nw, nh, encode_jpeg(nw, nh, ch, small.tobytes())
+
+
 def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
     """Real-format decoder with no third-party deps: P6 PPM and
-    RIFF/WAVE headers byte-for-byte, plus full PNG (a genuinely
-    compressed container — zlib inflate + scanline unfilter).
-    Remaining compressed codecs (JPEG/MP3/H.264) belong to the
+    RIFF/WAVE headers byte-for-byte, full PNG (zlib inflate +
+    scanline unfilter), and baseline JPEG (full DCT/Huffman codec,
+    functions/jpeg.py). Remaining codecs (MP3/H.264) belong to the
     'real' slot."""
     if payload is None:
         raise ValueError("null payload")
@@ -266,6 +291,11 @@ def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
         return _wav_dims(payload)
     if payload[:8] == _PNG_SIG:
         return _png_dims(payload)
+    if payload[:2] == b"\xff\xd8":
+        from hillview_spark.functions.jpeg import jpeg_dims
+
+        w, h, _ch = jpeg_dims(payload)
+        return w, h, 1
     raise ValueError("unrecognized media container")
 
 
@@ -305,12 +335,13 @@ RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
 
 
 def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFrame:
-    """Resize images to fit max_side. PNG payloads under the stdlib
-    decoder get the REAL transform (decode -> nearest-neighbor
-    downsample -> re-encode, pure stdlib); other containers compute
-    target dims and pass the payload through (the stubbed seam where
-    native codecs plug in). Partition/batch flow is identical either
-    way: Arrow batches through mapInPandas."""
+    """Resize images to fit max_side. PNG and JPEG payloads under the
+    stdlib decoder get the REAL transform (decode ->
+    nearest-neighbor downsample -> re-encode, pure stdlib/numpy);
+    other containers compute target dims and pass the payload
+    through (the stubbed seam where native codecs plug in).
+    Partition/batch flow is identical either way: Arrow batches
+    through mapInPandas."""
     decode = DECODERS[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -319,6 +350,12 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
             for p in pdf["content"]:
                 if decoder == "stdlib" and p is not None and p[:8] == _PNG_SIG:
                     nw, nh, np_ = resize_png(p, max_side)
+                    out_w.append(nw)
+                    out_h.append(nh)
+                    out_c.append(np_)
+                    continue
+                if decoder == "stdlib" and p is not None and p[:2] == b"\xff\xd8":
+                    nw, nh, np_ = resize_jpeg(p, max_side)
                     out_w.append(nw)
                     out_h.append(nh)
                     out_c.append(np_)

@@ -297,6 +297,13 @@ def ivf_topk(
     return cosine_topk_numpy(candidates, query_vec, k, id_col, vec_col)
 
 
+# Per-process memo of centroid sidecars by index path: the sidecar is
+# a handful of rows but reading + collecting it is a Spark job, and an
+# interactive session probes the same index many times. Invalidated
+# when ivf_write_index rewrites the path.
+_IVF_CENTROID_CACHE: dict[str, "object"] = {}
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     path: str,
@@ -321,6 +328,7 @@ def ivf_write_index(
     embeddings.sparkSession.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _IVF_CENTROID_CACHE.pop(path, None)
 
 
 def ivf_topk_indexed(
@@ -333,16 +341,21 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Search a persisted IVF index: pick the n_probe nearest cells
-    from the centroid sidecar (driver-side, tiny), then scan ONLY
-    those partitions of the data layout (cell IN (...) reaches the
-    scan as a PartitionFilter) and score with the BLAS batch path."""
+    from the centroid sidecar (driver-side, tiny — read once per
+    index path per session, then served from _IVF_CENTROID_CACHE),
+    then scan ONLY those partitions of the data layout (cell IN (...)
+    reaches the scan as a PartitionFilter) and score with the BLAS
+    batch path."""
     import numpy as np
 
-    cents = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r.cell,
-    )
-    C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cents])
+    C = _IVF_CENTROID_CACHE.get(path)
+    if C is None:
+        cents = sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r.cell,
+        )
+        C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cents])
+        _IVF_CENTROID_CACHE[path] = C
     qv = np.asarray(query_vec, dtype=np.float64)
     probe = [int(c) for c in np.argsort(((C - qv) ** 2).sum(1))[:n_probe]]
     data = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))

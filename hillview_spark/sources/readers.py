@@ -20,20 +20,65 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# Grok-ish patterns for the common log shapes Hillview ships
-# (GrokLogs.java registers %{SYSLOG}, %{RFC5424}, hillview's own).
+# Grok-style named pattern library for the common log shapes Hillview
+# ships (storage/GrokLogs.java registers the grok default patterns
+# plus resources/patterns/log-patterns: SYSLOG, HADOOP and its
+# aliases, RFC5424; COMBINEDAPACHELOG comes from the grok defaults).
+# Each entry: (java_regex, [field or "field:type", ...], ts_format).
+# Types cast after extraction: int -> long, double -> double; the
+# ts_raw field additionally parses to a `ts` TIMESTAMP column when
+# ts_format is given (None = format not statically known).
 LOG_PATTERNS = {
-    # 2020-01-01 12:00:00,123 LEVEL [module] message
+    # 2020-01-01 12:00:00,123 LEVEL [module] message (HillviewLogs.java)
     "hillview": (
         r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}[.,]\d+)\s+(\w+)\s+\[([^\]]*)\]\s*(.*)$",
         ["ts_raw", "level", "module", "message"],
+        None,  # separator varies (.|,) — normalize downstream
     ),
-    # syslog-ish: Jan  1 12:00:00 host proc[pid]: message
+    # syslog-ish: Jan  1 12:00:00 host proc[pid]: message (%{SYSLOG})
     "syslog": (
         r"^(\w{3}\s+\d+\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+([^:\[]+)(?:\[(\d+)\])?:\s*(.*)$",
-        ["ts_raw", "host", "proc", "pid", "message"],
+        ["ts_raw", "host", "proc", "pid:int", "message"],
+        None,  # no year in syslog timestamps
+    ),
+    # %{HADOOP} (also DATANODELOG/HBASELOG/YARNLOG/OOZIELOG/
+    # ZOOKEEPERLOG/HDFSNAMENODELOG/HDFSDATANODELOG aliases):
+    # 2020-01-01 12:00:00,123 LEVEL message
+    "hadoop": (
+        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{1,3})\s+"
+        r"(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\s+(.*)$",
+        ["ts_raw", "level", "message"],
+        "yyyy-MM-dd HH:mm:ss,SSS",
+    ),
+    # grok default %{COMBINEDAPACHELOG}
+    "apache_combined": (
+        r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+)(?: HTTP/(\S+))?" '
+        r'(\d{3}) (\S+) "([^"]*)" "([^"]*)"$',
+        ["client_ip", "ident", "auth", "ts_raw", "verb", "request",
+         "http_version", "response:int", "bytes:int", "referrer", "agent"],
+        "dd/MMM/yyyy:HH:mm:ss Z",
+    ),
+    # RFC 5424 (resources/patterns/log-patterns %{RFC5424}):
+    # <pri>version ISO8601 host app procid msgid sd message
+    "rfc5424": (
+        r"^<(\d{1,3})>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (\[.*\]|-)\s*(.*)$",
+        ["priority:int", "version:int", "ts_raw", "hostname", "appname",
+         "procid", "message_id", "structured_data", "message"],
+        None,  # ISO8601 with offset — parsed via to_timestamp default
+    ),
+    # RFC3339-timestamped application logs:
+    # 2020-01-01T12:00:00.123Z LEVEL logger message
+    "app_rfc3339": (
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2}))"
+        r"\s+(\w+)\s+(\S+)\s+(.*)$",
+        ["ts_raw", "level", "logger", "message"],
+        None,  # ISO8601 — parsed via to_timestamp default
     ),
 }
+
+# Patterns whose ts_raw is ISO8601 and parses with Spark's default
+# to_timestamp (no explicit format string needed).
+_ISO_TS_PATTERNS = {"rfc5424", "app_rfc3339"}
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -104,18 +149,35 @@ def read_jdbc(
 def read_logs(spark: SparkSession, path: str, pattern: str = "hillview") -> DataFrame:
     """Regex-dissected log lines (GrokLogs): unparsed lines survive
     with parse_error=true and the raw line intact, mirroring
-    Hillview's ParseErrorsSketch accounting."""
-    regex, fields = LOG_PATTERNS[pattern]
+    Hillview's ParseErrorsSketch accounting. `pattern` names an entry
+    in LOG_PATTERNS (hillview, syslog, hadoop, apache_combined,
+    rfc5424, app_rfc3339). Typed fields (``name:int`` etc.) cast
+    after extraction — a non-numeric capture (e.g. apache '-' bytes)
+    becomes NULL, not a load failure; a `ts` TIMESTAMP column is
+    derived from ts_raw when the pattern's format is known. All
+    extraction is codegen'd regexp_extract — one scan, no UDF."""
+    regex, fields, ts_format = LOG_PATTERNS[pattern]
     lines = spark.read.text(path)
-    cols = [
-        F.regexp_extract(F.col("value"), regex, i + 1).alias(name)
-        for i, name in enumerate(fields)
-    ]
+    cols = []
+    for i, spec in enumerate(fields):
+        name, _, dtype = spec.partition(":")
+        c = F.regexp_extract(F.col("value"), regex, i + 1)
+        if dtype == "int":
+            c = c.try_cast("long")
+        elif dtype == "double":
+            c = c.try_cast("double")
+        cols.append(c.alias(name))
     parsed = lines.select(
         F.col("value").alias("raw_line"),
         (~F.col("value").rlike(regex)).alias("parse_error"),
         *cols,
     )
+    if ts_format is not None:
+        parsed = parsed.withColumn(
+            "ts", F.try_to_timestamp(F.col("ts_raw"), F.lit(ts_format))
+        )
+    elif pattern in _ISO_TS_PATTERNS:
+        parsed = parsed.withColumn("ts", F.try_to_timestamp(F.col("ts_raw")))
     return parsed
 
 

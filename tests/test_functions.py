@@ -485,6 +485,87 @@ def test_png_end_to_end_probe_resize_features_ann(spark):
     assert len(got) == 6 and all(r["count"] == 2 for r in got)
 
 
+def _gradient_rgb(w, h, noise_seed=None):
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (w + h)], axis=-1
+    )
+    if noise_seed is not None:
+        rng = np.random.default_rng(noise_seed)
+        img = img + rng.normal(0, 4, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG encode -> decode roundtrip: exact dims/channels,
+    bounded reconstruction error, real compression; 4:4:4 and 4:2:0
+    sampling, gray and color, odd (non-MCU-aligned) sizes."""
+    import numpy as np
+
+    from hillview_spark.functions import jpeg
+
+    img = _gradient_rgb(64, 48, noise_seed=7)
+    raw = img.tobytes()
+    for sub in ("444", "420"):
+        enc = jpeg.encode_jpeg(64, 48, 3, raw, quality=85, subsampling=sub)
+        assert jpeg.jpeg_dims(enc) == (64, 48, 3)
+        assert len(enc) < len(raw) // 3  # genuinely compressed
+        w, h, ch, px = jpeg.decode_jpeg(enc)
+        assert (w, h, ch) == (64, 48, 3)
+        dec = np.frombuffer(px, dtype=np.uint8).reshape(48, 64, 3)
+        mae = np.abs(dec.astype(float) - img.astype(float)).mean()
+        assert mae < 6.0, (sub, mae)
+    # grayscale
+    g = img[..., 0:1]
+    enc = jpeg.encode_jpeg(64, 48, 1, g.tobytes(), quality=90)
+    w, h, ch, px = jpeg.decode_jpeg(enc)
+    assert (w, h, ch) == (64, 48, 1)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(48, 64)
+    assert np.abs(dec.astype(float) - g[..., 0].astype(float)).mean() < 5.0
+    # odd dims exercise edge padding in both sampling modes
+    odd = img[:41, :53]
+    enc = jpeg.encode_jpeg(53, 41, 3, odd.tobytes(), subsampling="420")
+    w, h, ch, px = jpeg.decode_jpeg(enc)
+    assert (w, h, ch) == (53, 41, 3)
+    # non-baseline input raises cleanly
+    bad = bytearray(enc)
+    bad[enc.index(b"\xff\xc0") + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.jpeg_dims(bytes(bad))
+
+
+def test_jpeg_end_to_end_probe_resize(spark):
+    """Real JPEG bytes through the Spark multimodal pipeline: probe
+    reads SOF dims; resize does a FULL decode -> downsample ->
+    re-encode and the output payload is itself a decodable JPEG."""
+    from hillview_spark.functions import jpeg
+
+    imgs = {i: _gradient_rgb(64 + 8 * i, 48 + 4 * i) for i in range(4)}
+    media = spark.createDataFrame(
+        [
+            (i, "image",
+             jpeg.encode_jpeg(a.shape[1], a.shape[0], 3, a.tobytes()),
+             "image/jpeg", 0)
+            for i, a in imgs.items()
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    probed = {r.media_id: r for r in
+              mm.probe_media(media, decoder="stdlib").collect()}
+    assert (probed[0].width, probed[0].height) == (64, 48)
+    assert (probed[3].width, probed[3].height) == (88, 60)
+    resized = {r.media_id: r for r in
+               mm.resize_images(media, max_side=32, decoder="stdlib").collect()}
+    for i in range(4):
+        r = resized[i]
+        assert max(r.width, r.height) == 32
+        w2, h2, ch2, px2 = jpeg.decode_jpeg(bytes(r.content))
+        assert (w2, h2, ch2) == (r.width, r.height, 3)
+        assert len(px2) == w2 * h2 * 3
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 64-node path graph (diameter 63) must converge well inside
     20 rounds thanks to pointer jumping — plain min-propagation would
@@ -811,15 +892,22 @@ def test_global_rank_checkpoint_released(spark):
     from hillview_spark import cache
     from hillview_spark.operators import stats
 
+    def rdd_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
     cache.release_all()
+    before = rdd_ids()
     with cache.scope():
         df = spark.range(500).selectExpr("id", "id % 7 AS v")
         ranked = stats.global_rank(df, ["v", "id"])
         assert ranked.count() == 500
-        jsc = spark.sparkContext._jsc
-        assert jsc.getPersistentRDDs().size() >= 1
-    # scope exit ran release_all -> checkpoint blocks gone
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+        added = rdd_ids() - before
+        assert added  # the checkpoint blocks are registered
+    # scope exit ran release_all -> exactly those blocks are gone
+    # (pre-existing persists from other tests are untouched)
+    assert not (rdd_ids() & added)
 
 
 def test_clean_lines_c4_rules(spark):

@@ -310,3 +310,14 @@ def test_ivf_indexed_search_prunes_partitions(spark, tables, tmp_path):
     assert [(r.vec_id, r.cosine) for r in got.collect()] == [
         (r.vec_id, r.cosine) for r in live.collect()
     ]
+    # the centroid sidecar is memoized per index path: a repeat probe
+    # serves centroids from the session cache (no second sidecar
+    # read), still returning identical results; rewriting the index
+    # invalidates the memo
+    assert path in similarity._IVF_CENTROID_CACHE
+    again = similarity.ivf_topk_indexed(spark, path, qv, k=10, n_probe=4)
+    assert [(r.vec_id, r.cosine) for r in again.collect()] == [
+        (r.vec_id, r.cosine) for r in live.collect()
+    ]
+    similarity.ivf_write_index(search, path, n_cells=8)
+    assert path not in similarity._IVF_CENTROID_CACHE

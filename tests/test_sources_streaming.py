@@ -65,6 +65,69 @@ def test_log_reader_parses_and_flags_errors(spark, tmp_path):
     assert by_raw["this line is garbage"].parse_error
 
 
+def test_log_reader_named_patterns(spark, tmp_path):
+    """Each named Grok-style pattern (reference GrokLogs.java +
+    resources/patterns/log-patterns) parses its format into typed
+    columns, with a derived `ts` timestamp where the format allows."""
+    import datetime
+
+    cases = {
+        "syslog": (
+            "Jan  2 03:04:05 myhost sshd[4321]: accepted connection",
+            {"host": "myhost", "proc": "sshd", "pid": 4321,
+             "message": "accepted connection"},
+        ),
+        "hadoop": (
+            "2024-03-04 05:06:07,890 WARN block replication lagging",
+            {"level": "WARN", "message": "block replication lagging",
+             "ts": datetime.datetime(2024, 3, 4, 5, 6, 7, 890000)},
+        ),
+        "apache_combined": (
+            '10.0.0.1 - frank [05/Jun/2024:13:14:15 +0000] '
+            '"GET /index.html HTTP/1.1" 200 2326 '
+            '"http://ref.example" "Mozilla/5.0"',
+            {"client_ip": "10.0.0.1", "auth": "frank", "verb": "GET",
+             "request": "/index.html", "http_version": "1.1",
+             "response": 200, "bytes": 2326,
+             "referrer": "http://ref.example", "agent": "Mozilla/5.0",
+             "ts": datetime.datetime(2024, 6, 5, 13, 14, 15)},
+        ),
+        "rfc5424": (
+            "<165>1 2024-06-05T13:14:15.003Z host01 evntslog 1234 ID47 "
+            '[exampleSDID@32473 iut="3"] An application event',
+            {"priority": 165, "version": 1, "hostname": "host01",
+             "appname": "evntslog", "procid": "1234",
+             "message_id": "ID47", "message": "An application event",
+             "ts": datetime.datetime(2024, 6, 5, 13, 14, 15, 3000)},
+        ),
+        "app_rfc3339": (
+            "2024-06-05T13:14:15.500Z ERROR my.app.Service request failed",
+            {"level": "ERROR", "logger": "my.app.Service",
+             "message": "request failed",
+             "ts": datetime.datetime(2024, 6, 5, 13, 14, 15, 500000)},
+        ),
+    }
+    for pattern, (line, expected) in cases.items():
+        p = str(tmp_path / f"{pattern}.log")
+        with open(p, "w") as f:
+            f.write(line + "\n")
+            f.write("###garbage###\n")
+        rows = {r.raw_line: r for r in readers.read_logs(spark, p, pattern).collect()}
+        got = rows[line]
+        assert not got.parse_error, pattern
+        for field, want in expected.items():
+            assert getattr(got, field) == want, (pattern, field, getattr(got, field))
+        assert rows["###garbage###"].parse_error, pattern
+    # apache '-' bytes -> NULL long, not a parse failure
+    p = str(tmp_path / "apache2.log")
+    dash = ('10.0.0.2 - - [05/Jun/2024:13:14:16 +0000] "HEAD / HTTP/1.1" '
+            '304 - "-" "curl/8"')
+    with open(p, "w") as f:
+        f.write(dash + "\n")
+    r = readers.read_logs(spark, p, "apache_combined").collect()[0]
+    assert not r.parse_error and r.response == 304 and r.bytes is None
+
+
 def test_jdbc_reader_roundtrip_and_partitioned(spark):
     """Federated-table load (reference storage/jdbc) against the
     in-JVM Derby engine — a real JDBC source, no external server."""
