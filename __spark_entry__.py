@@ -125,6 +125,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_region_counts"] = _geo_counts
 
+    def _logs_parse_syslog(s, d):
+        # Grok surface cross-engine: format syslog-style lines from
+        # the events table (integer renders are engine-identical),
+        # dissect with LOG_PATTERNS['syslog'], return typed fields.
+        from hillview_spark.sources import readers
+
+        lines = _t(s, d, "events").select(
+            F.concat(
+                F.lit("Jan  2 03:04:05 host"),
+                F.col("user_id").cast("string"),
+                F.lit(" "),
+                F.col("event_type"),
+                F.lit("["),
+                F.col("event_id").cast("string"),
+                F.lit("]: seen user "),
+                F.col("user_id").cast("string"),
+            ).alias("line")
+        )
+        return readers.dissect_lines(lines, "line", "syslog").select(
+            "raw_line", "parse_error", "host", "proc", "pid", "message"
+        )
+
+    q["logs_parse_syslog"] = _logs_parse_syslog
+
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
@@ -1395,6 +1419,25 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
     """
     o["jl_project"] = _jl_sql()
+
+    _syslog_pat = (
+        r"^(\w{3}\s+\d+\s+\d{2}:\d{2}:\d{2})\s+(\S+)\s+"
+        r"([^:\[]+)(?:\[(\d+)\])?:\s*(.*)$"
+    )
+    o["logs_parse_syslog"] = f"""
+        WITH lines AS (
+            SELECT 'Jan  2 03:04:05 host' || CAST(user_id AS VARCHAR)
+                || ' ' || event_type || '[' || CAST(event_id AS VARCHAR)
+                || ']: seen user ' || CAST(user_id AS VARCHAR) AS line
+            FROM events)
+        SELECT line AS raw_line,
+               NOT regexp_matches(line, '{_syslog_pat}') AS parse_error,
+               regexp_extract(line, '{_syslog_pat}', 2) AS host,
+               regexp_extract(line, '{_syslog_pat}', 3) AS proc,
+               CAST(regexp_extract(line, '{_syslog_pat}', 4) AS BIGINT) AS pid,
+               regexp_extract(line, '{_syslog_pat}', 5) AS message
+        FROM lines
+    """
 
     # pca_project: for d=2 the correlation matrix is [[1,r],[r,1]],
     # whose eigenvectors are exactly (1,1)/sqrt(2) and (1,-1)/sqrt(2)

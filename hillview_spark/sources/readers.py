@@ -146,30 +146,30 @@ def read_jdbc(
     return reader.load()
 
 
-def read_logs(spark: SparkSession, path: str, pattern: str = "hillview") -> DataFrame:
-    """Regex-dissected log lines (GrokLogs): unparsed lines survive
-    with parse_error=true and the raw line intact, mirroring
-    Hillview's ParseErrorsSketch accounting. `pattern` names an entry
-    in LOG_PATTERNS (hillview, syslog, hadoop, apache_combined,
-    rfc5424, app_rfc3339). Typed fields (``name:int`` etc.) cast
-    after extraction — a non-numeric capture (e.g. apache '-' bytes)
-    becomes NULL, not a load failure; a `ts` TIMESTAMP column is
-    derived from ts_raw when the pattern's format is known. All
-    extraction is codegen'd regexp_extract — one scan, no UDF."""
+def dissect_lines(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """Dissect a string column of log lines with a named LOG_PATTERNS
+    entry (the reusable core of read_logs — works on any DataFrame,
+    e.g. a Kafka value column or a parquet-stored raw-log table).
+    Unparsed lines survive with parse_error=true and the raw line
+    intact, mirroring Hillview's ParseErrorsSketch accounting. Typed
+    fields (``name:int`` etc.) cast after extraction — a non-numeric
+    capture (e.g. apache '-' bytes) becomes NULL, not a load failure;
+    a `ts` TIMESTAMP column is derived from ts_raw when the
+    pattern's format is known. All extraction is codegen'd
+    regexp_extract — one scan, no UDF."""
     regex, fields, ts_format = LOG_PATTERNS[pattern]
-    lines = spark.read.text(path)
     cols = []
     for i, spec in enumerate(fields):
         name, _, dtype = spec.partition(":")
-        c = F.regexp_extract(F.col("value"), regex, i + 1)
+        c = F.regexp_extract(F.col(col), regex, i + 1)
         if dtype == "int":
             c = c.try_cast("long")
         elif dtype == "double":
             c = c.try_cast("double")
         cols.append(c.alias(name))
-    parsed = lines.select(
-        F.col("value").alias("raw_line"),
-        (~F.col("value").rlike(regex)).alias("parse_error"),
+    parsed = df.select(
+        F.col(col).alias("raw_line"),
+        (~F.col(col).rlike(regex)).alias("parse_error"),
         *cols,
     )
     if ts_format is not None:
@@ -179,6 +179,13 @@ def read_logs(spark: SparkSession, path: str, pattern: str = "hillview") -> Data
     elif pattern in _ISO_TS_PATTERNS:
         parsed = parsed.withColumn("ts", F.try_to_timestamp(F.col("ts_raw")))
     return parsed
+
+
+def read_logs(spark: SparkSession, path: str, pattern: str = "hillview") -> DataFrame:
+    """Regex-dissected log lines (GrokLogs): spark.read.text +
+    dissect_lines with a named LOG_PATTERNS entry (hillview, syslog,
+    hadoop, apache_combined, rfc5424, app_rfc3339)."""
+    return dissect_lines(spark.read.text(path), "value", pattern)
 
 
 def file_metadata(spark: SparkSession, path: str) -> DataFrame:

@@ -92,19 +92,30 @@ def stream_sessionize(
     events_dir: str,
     schema,
     gap_minutes: int = 30,
+    timeout: str = "event",
+    idle_flush_seconds: int = 60,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization
     with applyInPandasWithState. Per-user state carries the open
     session (start, last event time, count); a session is emitted
     when a gap larger than gap_minutes closes it, and idle sessions
-    are FLUSHED by an event-time timeout once the watermark passes
-    last_event + gap. Residual limitation: the event-time watermark
-    only advances when LATER DATA arrives on the stream, so if the
-    whole source goes permanently silent, the final open session per
-    user stays in state unflushed — inherent to Spark's watermark
-    model, not fixable here; drain with a terminal punctuation event
-    (or a processing-time timeout variant) if end-of-stream
-    completeness matters. This is the Structured Streaming twin of
+    are FLUSHED by a state timeout.
+
+    timeout='event' (default): flush when the event-time watermark
+    passes last_event + gap — exact session semantics, but the
+    watermark only advances when LATER DATA arrives, so if the whole
+    source goes permanently silent the final open session per user
+    stays in state unflushed (inherent to Spark's watermark model).
+
+    timeout='processing': flush after idle_flush_seconds of WALL
+    CLOCK with no events for the user — sessions drain even when the
+    source goes silent (the end-of-stream completeness case). The
+    trade-off is that a quiet-but-alive user's session can flush
+    early and a late in-gap event then opens a new session instead
+    of extending; size idle_flush_seconds above the expected
+    source-silence tolerance.
+
+    Either way this is the Structured Streaming twin of
     sessionize() — state is O(active users), not O(events).
 
     Ordering: all of a group's rows in the micro-batch are gathered
@@ -146,11 +157,16 @@ def stream_sessionize(
             }
         )
 
+    if timeout not in ("event", "processing"):
+        raise ValueError("timeout must be 'event' or 'processing'")
+    use_event = timeout == "event"
+
     def fn(key, pdfs, state: "GroupState"):
         user_id = key[0]
         if state.hasTimedOut:
-            # watermark passed last_event + gap: the open session can
-            # never be extended — flush it and drop the state.
+            # event mode: the watermark passed last_event + gap;
+            # processing mode: the user went wall-clock idle. Either
+            # way the open session flushes and the state drops.
             (start_us, last_us, count) = state.get
             state.remove()
             yield _frame([(user_id, start_us, last_us, count)])
@@ -170,24 +186,29 @@ def stream_sessionize(
                 # in-gap event; never move the session clock backwards
                 last_us, count = max(last_us, us), count + 1
         state.update((start_us, last_us, count))
-        # flush when the event-time watermark passes the gap horizon
-        # (must stay above the current watermark or Spark rejects it)
-        timeout_ms = max(
-            last_us // 1000 + gap_minutes * 60 * 1000,
-            state.getCurrentWatermarkMs() + 1,
-        )
-        state.setTimeoutTimestamp(timeout_ms)
+        if use_event:
+            # flush when the event-time watermark passes the gap
+            # horizon (must stay above the current watermark or Spark
+            # rejects it)
+            timeout_ms = max(
+                last_us // 1000 + gap_minutes * 60 * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        else:
+            state.setTimeoutDuration(idle_flush_seconds * 1000)
         if closed:
             yield _frame(closed)
 
     stream = _event_time_stream(spark, events_dir, schema)
-    return (
-        stream.select("user_id", "ts")
-        .withWatermark("ts", f"{gap_minutes} minutes")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn, out_type, state_type, "append", GroupStateTimeout.EventTimeTimeout
-        )
+    grouped = stream.select("user_id", "ts")
+    if use_event:
+        grouped = grouped.withWatermark("ts", f"{gap_minutes} minutes")
+        mode = GroupStateTimeout.EventTimeTimeout
+    else:
+        mode = GroupStateTimeout.ProcessingTimeTimeout
+    return grouped.groupBy("user_id").applyInPandasWithState(
+        fn, out_type, state_type, "append", mode
     )
 
 

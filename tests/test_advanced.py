@@ -107,6 +107,67 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     assert closed <= streamed <= everything
 
 
+def test_stream_sessionize_processing_timeout_drains(spark, tmp_path):
+    """timeout='processing' flushes every open session once the
+    source goes wall-clock idle — the end-of-stream completeness
+    case the event-time watermark can't cover. Run 1 ingests the
+    fixture and stops; after idle_flush_seconds, run 2 (same
+    checkpoint) fires the timeouts and the union of outputs equals
+    ALL batch sessions."""
+    import time
+
+    d = str(tmp_path / "events_dir")
+    cp = str(tmp_path / "cp")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    out = str(tmp_path / "sessions_out")
+
+    def run_once():
+        # file sink: the one append sink that supports checkpoint
+        # recovery across restarts (memory sink does not)
+        sdf = ev.stream_sessionize(
+            spark, d, raw.schema, gap_minutes=30,
+            timeout="processing", idle_flush_seconds=1,
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    time.sleep(1.5)  # let every per-user idle timer expire
+    # a second batch must run for timeouts to fire: add one dummy row
+    # (schema order: event_id, ts, user_id, event_type, value, props)
+    dummy_user = -999_999
+    spark.createDataFrame(
+        [(10**18, raw.select("ts").first().ts, dummy_user, "click", 0.0, "{}")],
+        raw.schema,
+    ).write.parquet(os.path.join(d, "more.parquet"))
+    run_once()
+
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in ev.sessionize(
+            load_table(spark, "/root/testdata/sf0.001", "events"), 30
+        ).collect()
+    }
+    streamed = {
+        (r.user_id, r.session_start.replace(microsecond=0), r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != dummy_user
+    }
+    assert streamed == batch
+
+
 def test_sampled_corr_matrix_close_to_exact(spark, tables):
     from hillview_spark.operators import correlation
 
