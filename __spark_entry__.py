@@ -27,6 +27,7 @@ from hillview_spark.operators import (
     heavy_hitters,
     histogram,
     maps,
+    privacy,
     sampling,
     spreadsheet,
     stats,
@@ -148,6 +149,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["logs_parse_syslog"] = _logs_parse_syslog
+
+    # --- differential privacy (binary mechanism) ---------------------
+    q["dp_histogram_quantity"] = lambda s, d: privacy.dp_histogram(
+        _t(s, d, "lineitem"), "l_quantity",
+        lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
+    )
+    q["dp_cdf_quantity"] = lambda s, d: privacy.dp_histogram(
+        _t(s, d, "lineitem"), "l_quantity",
+        lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
+        cdf=True,
+    )
+    q["dp_heatmap_qty_discount"] = lambda s, d: privacy.dp_heatmap(
+        _t(s, d, "lineitem"), "l_quantity", "l_discount",
+        xlo=1.0, xhi=51.0, xgranularity=1.0,
+        ylo=0.0, yhi=0.11, ygranularity=0.01,
+        epsilon=1.0, xbuckets=5, ybuckets=4, seed=7,
+    )
 
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
@@ -1438,6 +1456,106 @@ def oracle_sql() -> dict[str, str]:
                regexp_extract(line, '{_syslog_pat}', 5) AS message
         FROM lines
     """
+
+    # DP histograms: the noise spine depends only on the bucket
+    # STRUCTURE (seeded PRF over k-adic tree nodes — identical by
+    # construction on any engine), so the oracle embeds it as literal
+    # VALUES; the data-dependent exact counts are recomputed
+    # independently by DuckDB from parquet with the same quantization
+    # arithmetic the Spark plan uses.
+    from hillview_spark.operators import privacy as _priv
+    import math as _math
+
+    def _dp_hist_sql(cdf: bool) -> str:
+        leaves, buckets, scale = 50, 10, _priv.noise_scale(1.0, 50)
+        vals = []
+        for i, (l, r) in enumerate(_priv._bucket_leaf_ranges(leaves, buckets)):
+            nl, nr = (0, r) if cdf else (l, r)
+            noise, n = _priv.interval_noise(nl, nr, scale, seed=7)
+            vals.append(
+                f"({i}, {float(1.0 + l)!r}, {noise!r}, {n}, "
+                f"{n * _priv.laplace_variance(scale)!r})"
+            )
+        noise_rows = ",\n               ".join(vals)
+        cnt = (
+            "SUM(COALESCE(c.cnt, 0)) OVER (ORDER BY n.bucket)"
+            if cdf
+            else "COALESCE(c.cnt, 0)"
+        )
+        noisy = "noisy_raw"
+        if cdf:
+            noisy = "MAX(noisy_raw) OVER (ORDER BY bucket)"
+        return f"""
+        WITH noise(bucket, left_edge, noise, n_intervals, variance) AS (
+            VALUES {noise_rows}
+        ), counts AS (
+            SELECT CAST(FLOOR(LEAST(GREATEST(FLOOR(
+                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0), 49)
+                       * 10.0 / 50.0) AS INT) AS bucket,
+                   COUNT(*) AS cnt
+            FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+        ), joined AS (
+            SELECT n.bucket, CAST(n.left_edge AS DOUBLE) AS left_edge,
+                   CAST(FLOOR(CAST({cnt} AS DOUBLE)
+                        + CAST(n.noise AS DOUBLE) + 0.5) AS BIGINT)
+                       AS noisy_raw,
+                   n.n_intervals, CAST(n.variance AS DOUBLE) AS variance
+            FROM noise n LEFT JOIN counts c ON n.bucket = c.bucket)
+        SELECT bucket, left_edge, {noisy} AS noisy_count,
+               n_intervals, variance
+        FROM joined ORDER BY bucket
+        """
+
+    o["dp_histogram_quantity"] = _dp_hist_sql(cdf=False)
+    o["dp_cdf_quantity"] = _dp_hist_sql(cdf=True)
+
+    def _dp_heatmap_sql() -> str:
+        xleaves, xbuckets = 50, 5
+        yleaves = _math.ceil((0.11 - 0.0) / 0.01)
+        ybuckets = 4
+        scale = _priv.noise_scale(1.0, xleaves, yleaves)
+        vals = []
+        for i, (xl, xr) in enumerate(_priv._bucket_leaf_ranges(xleaves, xbuckets)):
+            xnodes = _priv.kadic_decomposition(xl, xr)
+            for j, (yl, yr) in enumerate(_priv._bucket_leaf_ranges(yleaves, ybuckets)):
+                ynodes = _priv.kadic_decomposition(yl, yr)
+                noise = sum(
+                    _priv.node_noise(7, 0, scale, xn, yn)
+                    for xn in xnodes
+                    for yn in ynodes
+                )
+                n = len(xnodes) * len(ynodes)
+                vals.append(
+                    f"({i}, {j}, {noise!r}, {n}, "
+                    f"{n * _priv.laplace_variance(scale)!r})"
+                )
+        noise_rows = ",\n               ".join(vals)
+        return f"""
+        WITH noise(xbucket, ybucket, noise, n_intervals, variance) AS (
+            VALUES {noise_rows}
+        ), counts AS (
+            SELECT CAST(FLOOR(LEAST(GREATEST(FLOOR(
+                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
+                       {xleaves - 1}) * {float(xbuckets)!r} / {float(xleaves)!r})
+                       AS INT) AS xbucket,
+                   CAST(FLOOR(LEAST(GREATEST(FLOOR(
+                       (CAST(l_discount AS DOUBLE) - 0.0) / 0.01), 0),
+                       {yleaves - 1}) * {float(ybuckets)!r} / {float(yleaves)!r})
+                       AS INT) AS ybucket,
+                   COUNT(*) AS cnt
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            GROUP BY 1, 2)
+        SELECT n.xbucket, n.ybucket,
+               CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                    + CAST(n.noise AS DOUBLE) + 0.5) AS BIGINT) AS noisy_count,
+               n.n_intervals, CAST(n.variance AS DOUBLE) AS variance
+        FROM noise n LEFT JOIN counts c
+          ON n.xbucket = c.xbucket AND n.ybucket = c.ybucket
+        ORDER BY n.xbucket, n.ybucket
+        """
+
+    o["dp_heatmap_qty_discount"] = _dp_heatmap_sql()
 
     # pca_project: for d=2 the correlation matrix is [[1,r],[r,1]],
     # whose eigenvectors are exactly (1,1)/sqrt(2) and (1,-1)/sqrt(2)

@@ -1,0 +1,435 @@
+"""Differentially-private histograms — the binary mechanism over
+k-adic interval trees (Chan, Song, Shi, TISSEC '11).
+
+Reference semantics:
+- per-node seeded-PRF Laplace noise:
+  platform/src/main/java/org/hillview/security/SecureLaplace.java:42-80
+- dyadic / k-adic decomposition (branching factor 20):
+  web/src/main/java/org/hillview/dataStructures/IntervalDecomposition.java:63-128
+- noisy histogram / CDF assembly (noise summed over the nodes
+  covering each bucket, CDF made monotone, counts rounded to long):
+  web/src/main/java/org/hillview/dataStructures/DPHistogram.java:86-124
+- noise scale ceil(log_b leaves)/epsilon, product across dimensions;
+  per-variable variance 2*scale^2:
+  web/src/main/java/org/hillview/utils/PrivacyUtils.java:18-31
+- per-column privacy metadata (epsilons by column combination,
+  quantization grids): platform/src/main/java/org/hillview/table/
+  PrivacySchema.java, data/metadata/differential-privacy/*.json
+
+Spark-first design: the exact quantized bucket counts are the ONLY
+data-dependent computation and run as one scan + a groupBy on a tiny
+int key (map-side partial combine; shuffle carries O(buckets) rows
+regardless of table size). The noise depends only on the bucket
+STRUCTURE — leaf intervals of the k-adic tree — so it is derived on
+the driver as O(buckets x log_b(leaves)) PRF draws and joined in as a
+broadcast literal spine. At 100 TB nothing changes: the scan
+dominates and the noise stays O(buckets).
+
+Determinism: SHA-256 PRF over (seed, column_index, node intervals)
+-> 53-bit uniform -> inverse-CDF Laplace (the same transform as
+SecureLaplace.uniformToLaplace). Same numbers on every engine and
+every run, so DP results hash-oracle cross-engine. Deviation from
+the reference: instead of Monte-Carlo confidence intervals
+(PrivacyUtils.laplaceCI samples 10k draws), we publish the exact
+analytic noise variance n_intervals * 2 * scale^2 per bucket —
+deterministic, and sufficient to reconstruct any CI.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import struct
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+BRANCHING_FACTOR = 20
+
+
+def _floor_log(n: int, k: int) -> int:
+    """Largest p with k**p <= n (exact integer arithmetic — avoids
+    the float log rounding the reference risks at exact powers,
+    IntervalDecomposition.java:115,118)."""
+    p, v = 0, k
+    while v <= n:
+        p, v = p + 1, v * k
+    return p
+
+
+def _ceil_log(n: int, k: int) -> int:
+    """Smallest p with k**p >= n."""
+    p, v = 0, 1
+    while v < n:
+        p, v = p + 1, v * k
+    return p
+
+
+def dyadic_decomposition(left: int, right: int) -> list[tuple[int, int]]:
+    """Tile [left, right) with power-of-two nodes aligned on their
+    size (start divisible by size) — IntervalDecomposition.java:63-85.
+    Returns (start, size) pairs."""
+    if left == right:
+        return []
+    if left < 0 or right < left:
+        raise ValueError(f"invalid interval [{left}, {right})")
+    nodes = []
+    while left < right:
+        lob = left & -left  # lowest set bit; 0 when left == 0
+        lsb = lob.bit_length() - 1 if lob > 0 else -1
+        rem = (right - left).bit_length() - 1
+        pow_ = rem if lsb < 0 else min(lsb, rem)
+        size = 1 << pow_
+        nodes.append((left, size))
+        left += size
+    return nodes
+
+
+def kadic_decomposition(
+    left: int, right: int, k: int = BRANCHING_FACTOR
+) -> list[tuple[int, int]]:
+    """Tile [left, right) with nodes of size k**p, p bounded by both
+    the remaining interval and floor(log_k left) — the reference's
+    k-ary generalization (IntervalDecomposition.java:92-128),
+    including its special case of k unit leaves when right-left == k
+    (no root node). Returns (start, size) pairs."""
+    if left == right:
+        return []
+    if left < 0 or right < left:
+        raise ValueError(f"invalid interval [{left}, {right})")
+    if right - left == k:
+        return [(i, 1) for i in range(left, right)]
+    nodes = []
+    while left < right:
+        smallest = _floor_log(left, k) if left > 0 else -1
+        rem = _floor_log(right - left, k)
+        pow_ = rem if smallest < 0 else min(smallest, rem)
+        size = k**pow_
+        nodes.append((left, size))
+        left += size
+    return nodes
+
+
+def noise_scale(epsilon: float, *leaf_counts: int, k: int = BRANCHING_FACTOR) -> float:
+    """Laplace scale for a (possibly multi-dimensional) k-adic tree:
+    product over dimensions of ceil(log_k leaves), divided by epsilon
+    (PrivacyUtils.computeNoiseScale, PrivacyUtils.java:18-27)."""
+    scale = 1.0
+    for t in leaf_counts:
+        scale *= max(1, _ceil_log(t, k))
+    return scale / epsilon
+
+
+def laplace_variance(scale: float) -> float:
+    """Variance of one Laplace(0, scale) draw — PrivacyUtils.java:29-31."""
+    return 2.0 * scale * scale
+
+
+def _uniform(seed: int, column_index: int, *nodes: tuple[int, int]) -> float:
+    """Deterministic uniform in [0, 1) as a multiple of 2^-53, from a
+    SHA-256 PRF over (seed, column index, node intervals) — the same
+    keyed-PRF-per-tree-node construction as SecureLaplace.sampleUniform
+    (SecureLaplace.java:42-60; AES there, SHA-256 here — any PRF works,
+    the privacy argument only needs pseudorandomness + a secret seed)."""
+    h = hashlib.sha256()
+    h.update(struct.pack(">qi", seed, column_index))
+    for a, s in nodes:
+        h.update(struct.pack(">qq", a, s))
+    return (int.from_bytes(h.digest()[:8], "big") >> 11) * 2.0**-53
+
+
+def laplace_from_uniform(scale: float, unif: float) -> float:
+    """Inverse-CDF Laplace(0, scale) — SecureLaplace.java:62-69,
+    identical op order so the value is bit-reproducible."""
+    r = 0.5 - unif
+    if r < 0:
+        return -scale * math.log(1.0 - 2.0 * (-r))
+    return scale * math.log(1.0 - 2.0 * r)
+
+
+def node_noise(
+    seed: int, column_index: int, scale: float, *nodes: tuple[int, int]
+) -> float:
+    """Noise for one tree node (or one node-pair in 2-D)."""
+    return laplace_from_uniform(scale, _uniform(seed, column_index, *nodes))
+
+
+def interval_noise(
+    left: int,
+    right: int,
+    scale: float,
+    seed: int,
+    column_index: int = 0,
+    k: int = BRANCHING_FACTOR,
+) -> tuple[float, int]:
+    """Total noise for the leaf interval [left, right): sum of one
+    independent draw per covering k-adic node (DPHistogram.
+    noiseForRange, DPHistogram.java:41-52). Returns (noise, n_nodes)."""
+    total = 0.0
+    nodes = kadic_decomposition(left, right, k)
+    for node in nodes:
+        total += node_noise(seed, column_index, scale, node)
+    return total, len(nodes)
+
+
+def _bucket_leaf_ranges(leaves: int, buckets: int) -> list[tuple[int, int]]:
+    """Evenly split leaf indexes [0, leaves) into buckets: bucket i
+    covers [ceil(i*T/B), ceil((i+1)*T/B)) so that the scan-side
+    assignment is the closed form floor(leaf*B/T)."""
+    edge = lambda i: -((-i * leaves) // buckets)  # ceil(i*T/B)
+    return [(edge(i), edge(i + 1)) for i in range(buckets)]
+
+
+def dp_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    granularity: float,
+    epsilon: float,
+    buckets: int = 10,
+    seed: int = 0,
+    column_index: int = 0,
+    cdf: bool = False,
+    k: int = BRANCHING_FACTOR,
+) -> DataFrame:
+    """Noisy histogram (or CDF) of `col` under the binary mechanism.
+
+    The value grid is quantized to T = ceil((hi-lo)/granularity)
+    leaves (the curator's quantization policy, PrivacySchema.java);
+    each bucket covers an equal span of leaves; bucket noise is the
+    sum of one seeded Laplace draw per k-adic node covering its leaf
+    interval ([0, right) for CDF). Noisy counts round half-up to
+    long; the CDF is made monotone with a running max — both exactly
+    as DPHistogram.postProcess (DPHistogram.java:86-124).
+
+    Output: (bucket, left_edge, noisy_count, n_intervals, variance)
+    — dense, one row per bucket. Exact counts never leave the plan.
+    """
+    leaves = max(1, math.ceil((hi - lo) / granularity))
+    buckets = min(buckets, leaves)
+    scale = noise_scale(epsilon, leaves, k=k)
+    base_var = laplace_variance(scale)
+    ranges = _bucket_leaf_ranges(leaves, buckets)
+
+    spine = []  # (bucket, left_edge, noise, n_intervals, variance)
+    for i, (l, r) in enumerate(ranges):
+        nl, nr = (0, r) if cdf else (l, r)
+        noise, n = interval_noise(nl, nr, scale, seed, column_index, k)
+        spine.append((i, float(lo + l * granularity), noise, n, n * base_var))
+    spark = df.sparkSession
+    noise_df = spark.createDataFrame(
+        spine, "bucket int, left_edge double, noise double, n_intervals int, variance double"
+    )
+
+    c = F.col(col).cast("double")
+    leaf = F.least(
+        F.greatest(F.floor((c - F.lit(float(lo))) / F.lit(float(granularity))), F.lit(0)),
+        F.lit(leaves - 1),
+    )
+    bucket = F.floor(leaf * F.lit(float(buckets)) / F.lit(float(leaves))).cast("int")
+    counts = (
+        df.where(c.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = (
+        F.broadcast(noise_df)
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            "left_edge",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            "noise",
+            "n_intervals",
+            "variance",
+        )
+    )
+    if cdf:
+        w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        dense = dense.withColumn("cnt", F.sum("cnt").over(w))
+    # Math.round = floor(x + 0.5): Converters.toLong in DPHistogram.java:108
+    noisy = F.floor(F.col("cnt").cast("double") + F.col("noise") + F.lit(0.5)).cast("long")
+    out = dense.select(
+        "bucket", "left_edge", noisy.alias("noisy_count"), "n_intervals", "variance"
+    ).orderBy("bucket")
+    if cdf:
+        w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        out = out.select(
+            "bucket",
+            "left_edge",
+            F.max("noisy_count").over(w).alias("noisy_count"),
+            "n_intervals",
+            "variance",
+        )
+    return out
+
+
+def dp_heatmap(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    xlo: float,
+    xhi: float,
+    xgranularity: float,
+    ylo: float,
+    yhi: float,
+    ygranularity: float,
+    epsilon: float,
+    xbuckets: int = 10,
+    ybuckets: int = 10,
+    seed: int = 0,
+    column_index: int = 0,
+    k: int = BRANCHING_FACTOR,
+) -> DataFrame:
+    """Noisy 2-D histogram: noise per cell is one draw per PAIR of
+    k-adic nodes (x-node, y-node) covering the cell's leaf rectangle,
+    with scale ceil(log_k Tx)*ceil(log_k Ty)/epsilon — the 2-D binary
+    mechanism of DPHeatmapSketch (web/src/main/java/org/hillview/
+    dataStructures/DPHeatmapSketch.java) seeded per node-pair
+    (SecureLaplace.java:77-80 varargs index). Driver noise cost is
+    O(cells * log^2) PRF draws, independent of data size."""
+    xleaves = max(1, math.ceil((xhi - xlo) / xgranularity))
+    yleaves = max(1, math.ceil((yhi - ylo) / ygranularity))
+    xbuckets, ybuckets = min(xbuckets, xleaves), min(ybuckets, yleaves)
+    scale = noise_scale(epsilon, xleaves, yleaves, k=k)
+    base_var = laplace_variance(scale)
+    xranges = _bucket_leaf_ranges(xleaves, xbuckets)
+    yranges = _bucket_leaf_ranges(yleaves, ybuckets)
+
+    spine = []
+    for i, (xl, xr) in enumerate(xranges):
+        xnodes = kadic_decomposition(xl, xr, k)
+        for j, (yl, yr) in enumerate(yranges):
+            ynodes = kadic_decomposition(yl, yr, k)
+            noise = 0.0
+            for xn in xnodes:
+                for yn in ynodes:
+                    noise += node_noise(seed, column_index, scale, xn, yn)
+            n = len(xnodes) * len(ynodes)
+            spine.append((i, j, noise, n, n * base_var))
+    spark = df.sparkSession
+    noise_df = spark.createDataFrame(
+        spine, "xbucket int, ybucket int, noise double, n_intervals int, variance double"
+    )
+
+    def leaf_bucket(c, lo, granularity, leaves, buckets):
+        v = F.col(c).cast("double")
+        leaf = F.least(
+            F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(float(granularity))), F.lit(0)),
+            F.lit(leaves - 1),
+        )
+        return F.floor(leaf * F.lit(float(buckets)) / F.lit(float(leaves))).cast("int")
+
+    counts = (
+        df.where(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
+        .select(
+            leaf_bucket(xcol, xlo, xgranularity, xleaves, xbuckets).alias("xbucket"),
+            leaf_bucket(ycol, ylo, ygranularity, yleaves, ybuckets).alias("ybucket"),
+        )
+        .groupBy("xbucket", "ybucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    noisy = F.floor(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.col("noise") + F.lit(0.5)
+    ).cast("long")
+    return (
+        F.broadcast(noise_df)
+        .join(counts, ["xbucket", "ybucket"], "left")
+        .select("xbucket", "ybucket", noisy.alias("noisy_count"), "n_intervals", "variance")
+        .orderBy("xbucket", "ybucket")
+    )
+
+
+@dataclass
+class ColumnQuantization:
+    """One column's curator-fixed grid — table/columns/
+    DoubleColumnQuantization.java / StringColumnQuantization.java."""
+
+    type: str
+    granularity: float | None = None
+    global_min: float | None = None
+    global_max: float | str | None = None
+    left_boundaries: list[str] = field(default_factory=list)
+
+    @property
+    def leaves(self) -> int:
+        if self.type == "StringColumnQuantization":
+            return len(self.left_boundaries)
+        return max(1, math.ceil((self.global_max - self.global_min) / self.granularity))
+
+
+@dataclass
+class PrivacySchema:
+    """Per-column epsilon budgets + quantization metadata — the JSON
+    the reference's data curator ships (table/PrivacySchema.java,
+    data/metadata/differential-privacy/*/privacy_metadata.json).
+    Multi-column epsilons are keyed by the '+'-joined sorted column
+    names; defaults fall back by column count, then globally."""
+
+    quantization: dict[str, ColumnQuantization]
+    epsilons: dict[str, float] = field(default_factory=dict)
+    default_epsilons: dict[int, float] = field(default_factory=dict)
+    default_epsilon: float = 1.0
+
+    @staticmethod
+    def from_json(text: str) -> "PrivacySchema":
+        raw = json.loads(text)
+        quant = {}
+        for name, q in raw.get("quantization", {}).get("quantization", {}).items():
+            quant[name] = ColumnQuantization(
+                type=q.get("type", "DoubleColumnQuantization"),
+                granularity=q.get("granularity"),
+                global_min=q.get("globalMin"),
+                global_max=q.get("globalMax"),
+                left_boundaries=q.get("leftBoundaries", []),
+            )
+        return PrivacySchema(
+            quantization=quant,
+            epsilons=dict(raw.get("epsilons", {})),
+            default_epsilons={int(c): e for c, e in raw.get("defaultEpsilons", {}).items()},
+            default_epsilon=float(raw.get("defaultEpsilon", 1.0)),
+        )
+
+    def key(self, *cols: str) -> str:
+        return "+".join(sorted(cols))
+
+    def epsilon(self, *cols: str) -> float:
+        k = self.key(*cols)
+        if k in self.epsilons:
+            return self.epsilons[k]
+        return self.default_epsilons.get(len(cols), self.default_epsilon)
+
+
+def dp_histogram_from_schema(
+    df: DataFrame,
+    col: str,
+    schema: PrivacySchema,
+    buckets: int = 10,
+    seed: int = 0,
+    column_index: int = 0,
+    cdf: bool = False,
+) -> DataFrame:
+    """dp_histogram with the grid + budget taken from the curator's
+    PrivacySchema — the DPWrapper wiring (web/src/main/java/org/
+    hillview/targets/DPWrapper.java) minus the UI session."""
+    q = schema.quantization[col]
+    if q.type == "StringColumnQuantization":
+        raise NotImplementedError(
+            "string DP histograms quantize via quantize_string_column; "
+            "numeric grids only here"
+        )
+    return dp_histogram(
+        df,
+        col,
+        lo=q.global_min,
+        hi=q.global_max,
+        granularity=q.granularity,
+        epsilon=schema.epsilon(col),
+        buckets=buckets,
+        seed=seed,
+        column_index=column_index,
+        cdf=cdf,
+    )

@@ -1,0 +1,160 @@
+"""Differentially-private histograms (binary mechanism) — mirrors
+web/.../dataStructures/DPHistogram.java + IntervalDecomposition.java
+semantics; determinism makes every noisy count reproducible."""
+
+import math
+
+import pytest
+
+from hillview_spark.operators import privacy as P
+
+
+def test_dyadic_decomposition_tiles_and_aligns():
+    for left, right in [(0, 1), (0, 16), (5, 45), (3, 64), (17, 1000), (7, 7)]:
+        nodes = P.dyadic_decomposition(left, right)
+        pos = left
+        for start, size in nodes:
+            assert start == pos
+            assert size & (size - 1) == 0  # power of two
+            assert start % size == 0  # aligned on its own size
+            pos += size
+        assert pos == max(left, right)
+
+
+def test_kadic_decomposition_tiles():
+    for left, right in [(0, 1), (0, 400), (5, 45), (21, 401), (0, 50), (399, 400)]:
+        nodes = P.kadic_decomposition(left, right, 20)
+        pos = left
+        for start, size in nodes:
+            assert start == pos
+            # size is a power of 20
+            p = round(math.log(size, 20))
+            assert 20**p == size
+            pos += size
+        assert pos == max(left, right)
+
+
+def test_kadic_k_leaves_special_case():
+    # right - left == k: k unit leaves, no root node
+    # (IntervalDecomposition.java:102-108)
+    assert P.kadic_decomposition(0, 20, 20) == [(i, 1) for i in range(20)]
+
+
+def test_noise_scale_matches_reference_formula():
+    # ceil(log_20 50) = 2 -> scale 2/eps  (PrivacyUtils.java:18-27)
+    assert P.noise_scale(1.0, 50) == 2.0
+    assert P.noise_scale(0.5, 50) == 4.0
+    # 2-D: product of the per-dimension ceil-logs
+    assert P.noise_scale(1.0, 50, 400) == 2.0 * 2.0
+    assert P.noise_scale(2.0, 20) == 0.5
+
+
+def test_node_noise_deterministic_and_linear_in_scale():
+    a = P.node_noise(7, 0, 2.0, (0, 20))
+    assert a == P.node_noise(7, 0, 2.0, (0, 20))
+    # same uniform, double the scale -> exactly double the noise
+    assert P.node_noise(7, 0, 4.0, (0, 20)) == pytest.approx(2 * a, rel=1e-12)
+    # different seed / column / node -> different draw
+    assert a != P.node_noise(8, 0, 2.0, (0, 20))
+    assert a != P.node_noise(7, 1, 2.0, (0, 20))
+    assert a != P.node_noise(7, 0, 2.0, (1, 20))
+
+
+def test_interval_noise_sums_node_draws():
+    scale = 2.0
+    total, n = P.interval_noise(0, 45, scale, seed=3)
+    nodes = P.kadic_decomposition(0, 45, 20)
+    assert n == len(nodes)
+    assert total == pytest.approx(
+        sum(P.node_noise(3, 0, scale, nd) for nd in nodes), rel=1e-12
+    )
+
+
+def test_dp_histogram_equals_exact_plus_noise(spark):
+    rows = [(float(v),) for v in range(1, 51) for _ in range(v)]  # count(v)=v
+    df = spark.createDataFrame(rows, "x double")
+    out = P.dp_histogram(
+        df, "x", lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0,
+        buckets=10, seed=11,
+    ).collect()
+    assert [r.bucket for r in out] == list(range(10))
+    scale = P.noise_scale(1.0, 50)
+    for r in out:
+        # bucket i covers values [1+5i, 1+5(i+1)): exact = sum of 5 ints
+        exact = sum(range(1 + 5 * r.bucket, 1 + 5 * (r.bucket + 1)))
+        noise, n = P.interval_noise(5 * r.bucket, 5 * (r.bucket + 1), scale, 11)
+        assert r.n_intervals == n
+        assert r.noisy_count == math.floor(exact + noise + 0.5)
+        assert r.variance == pytest.approx(n * P.laplace_variance(scale))
+
+
+def test_dp_histogram_deterministic(spark, tables):
+    kw = dict(lo=1.0, hi=51.0, granularity=1.0, epsilon=0.5, buckets=10, seed=4)
+    a = P.dp_histogram(tables["lineitem"], "l_quantity", **kw).collect()
+    b = P.dp_histogram(tables["lineitem"], "l_quantity", **kw).collect()
+    assert a == b
+
+
+def test_dp_cdf_monotone_and_noised(spark, tables):
+    out = P.dp_histogram(
+        tables["lineitem"], "l_quantity",
+        lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10,
+        seed=5, cdf=True,
+    ).collect()
+    counts = [r.noisy_count for r in out]
+    assert counts == sorted(counts)  # running max enforced
+    # CDF noise decomposes [0, right): last bucket covers all 50 leaves
+    assert out[-1].n_intervals == len(P.kadic_decomposition(0, 50, 20))
+
+
+def test_dp_heatmap_dense_and_deterministic(spark, tables):
+    kw = dict(
+        xlo=1.0, xhi=51.0, xgranularity=1.0,
+        ylo=0.0, yhi=0.11, ygranularity=0.01,
+        epsilon=1.0, xbuckets=5, ybuckets=4, seed=9,
+    )
+    li = tables["lineitem"]
+    a = P.dp_heatmap(li, "l_quantity", "l_discount", **kw)
+    rows = a.collect()
+    assert len(rows) == 5 * 4  # dense spine
+    assert rows == P.dp_heatmap(li, "l_quantity", "l_discount", **kw).collect()
+    # 2-D scale: ceil(log20 50) * ceil(log20 11) = 2 * 1
+    scale = P.noise_scale(1.0, 50, 11)
+    assert rows[0].variance == pytest.approx(
+        rows[0].n_intervals * P.laplace_variance(scale)
+    )
+
+
+def test_privacy_schema_parse_and_lookup():
+    text = """{"epsilons": {"a+b": 0.25},
+               "defaultEpsilons": {"1": 1.0, "2": 0.1},
+               "defaultEpsilon": 0.05,
+               "quantization": {"quantization": {
+                 "a": {"type": "DoubleColumnQuantization",
+                       "granularity": 1, "globalMin": 0, "globalMax": 50},
+                 "s": {"type": "StringColumnQuantization",
+                       "globalMax": "z", "leftBoundaries": ["A", "B", "C"]}}}}"""
+    ps = P.PrivacySchema.from_json(text)
+    assert ps.epsilon("b", "a") == 0.25  # sorted '+' key, PrivacySchema.java
+    assert ps.epsilon("a") == 1.0
+    assert ps.epsilon("a", "s") == 0.1
+    assert ps.epsilon("a", "b", "s") == 0.05
+    assert ps.quantization["a"].leaves == 50
+    assert ps.quantization["s"].leaves == 3
+
+
+def test_dp_histogram_from_schema(spark, tables):
+    ps = P.PrivacySchema.from_json(
+        """{"defaultEpsilons": {"1": 1.0},
+            "quantization": {"quantization": {
+              "l_quantity": {"type": "DoubleColumnQuantization",
+                "granularity": 1, "globalMin": 1, "globalMax": 51}}}}"""
+    )
+    via_schema = P.dp_histogram_from_schema(
+        tables["lineitem"], "l_quantity", ps, buckets=10, seed=4
+    ).collect()
+    direct = P.dp_histogram(
+        tables["lineitem"], "l_quantity",
+        lo=1, hi=51, granularity=1, epsilon=1.0, buckets=10, seed=4,
+    ).collect()
+    assert via_schema == direct
