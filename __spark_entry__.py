@@ -160,6 +160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
         cdf=True,
     )
+    _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    q["dp_histogram_mktsegment"] = lambda s, d: privacy.dp_histogram_string(
+        _t(s, d, "customer"), "c_mktsegment", _SEGMENTS, epsilon=1.0, seed=7
+    )
+    q["dp_count_lineitem"] = lambda s, d: privacy.dp_count(
+        _t(s, d, "lineitem"), epsilon=1.0, seed=7
+    )
     q["dp_heatmap_qty_discount"] = lambda s, d: privacy.dp_heatmap(
         _t(s, d, "lineitem"), "l_quantity", "l_discount",
         xlo=1.0, xhi=51.0, xgranularity=1.0,
@@ -1556,6 +1563,44 @@ def oracle_sql() -> dict[str, str]:
         """
 
     o["dp_heatmap_qty_discount"] = _dp_heatmap_sql()
+
+    def _dp_string_sql() -> str:
+        segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        scale = _priv.noise_scale(1.0, len(segs))
+        vals = []
+        for i, (l, r) in enumerate(_priv._bucket_leaf_ranges(len(segs), len(segs))):
+            noise, n = _priv.interval_noise(l, r, scale, seed=7)
+            vals.append(
+                f"({i}, '{segs[l]}', {noise!r}, {n}, "
+                f"{n * _priv.laplace_variance(scale)!r})"
+            )
+        noise_rows = ",\n               ".join(vals)
+        seg_list = ", ".join(f"'{s}'" for s in segs)
+        return f"""
+        WITH noise(bucket, left_boundary, noise, n_intervals, variance) AS (
+            VALUES {noise_rows}
+        ), counts AS (
+            SELECT CAST(GREATEST(LEN(LIST_FILTER([{seg_list}],
+                       x -> x <= c_mktsegment)) - 1, 0) AS INT) AS bucket,
+                   COUNT(*) AS cnt
+            FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1)
+        SELECT n.bucket, n.left_boundary,
+               CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                    + CAST(n.noise AS DOUBLE) + 0.5) AS BIGINT) AS noisy_count,
+               n.n_intervals, CAST(n.variance AS DOUBLE) AS variance
+        FROM noise n LEFT JOIN counts c ON n.bucket = c.bucket
+        ORDER BY n.bucket
+        """
+
+    o["dp_histogram_mktsegment"] = _dp_string_sql()
+
+    _cnt_noise = _priv.count_noise(1.0, 7)
+    o["dp_count_lineitem"] = f"""
+        SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) + CAST({_cnt_noise!r} AS DOUBLE)
+                    + 0.5) AS BIGINT) AS noisy_rows,
+               CAST({_priv.laplace_variance(1.0)!r} AS DOUBLE) AS variance
+        FROM lineitem
+    """
 
     # pca_project: for d=2 the correlation matrix is [[1,r],[r,1]],
     # whose eigenvectors are exactly (1,1)/sqrt(2) and (1,-1)/sqrt(2)

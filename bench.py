@@ -40,7 +40,8 @@ from hillview_spark.session import get_spark
 from hillview_spark.tables import load_all
 from hillview_spark.queries import tpch
 from hillview_spark.operators import (
-    correlation, heavy_hitters, histogram, spreadsheet, stats, temporal,
+    correlation, heavy_hitters, histogram, privacy, spreadsheet, stats,
+    temporal,
 )
 from hillview_spark.functions import curation, dedup, similarity, text
 from hillview_spark.streaming import events as ev
@@ -194,6 +195,11 @@ def headline_queries(t):
             t["events"], 60, 15), "noop"),
         "click_purchase": (lambda: ev.click_purchase_pairs(
             t["events"], 30), "noop"),
+        # differential privacy: scan + tiny groupBy + broadcast noise spine
+        "dp_histogram": (lambda: privacy.dp_histogram(
+            t["lineitem"], "l_quantity",
+            lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10,
+            seed=7), "collect"),
     }
 
 

@@ -343,6 +343,100 @@ def dp_heatmap(
     )
 
 
+# Out-of-tree "special bucket" PRF indexes — DPWrapper.SpecialBucket
+# (web/src/main/java/org/hillview/targets/DPWrapper.java:181-205).
+SPECIAL_TOTAL_COUNT = -1
+SPECIAL_NULL_COUNT = -2
+SPECIAL_DISTINCT_COUNT = -3
+
+
+def count_noise(
+    epsilon: float, seed: int, column_index: int = 0, special: int = SPECIAL_TOTAL_COUNT
+) -> float:
+    """One Laplace(1/epsilon) draw for a whole-table count query,
+    seeded by a special negative bucket index so it never collides
+    with a tree node (DPWrapper.computeCountNoise,
+    DPWrapper.java:187-205)."""
+    return node_noise(seed, column_index, 1.0 / epsilon, (special, 0))
+
+
+def dp_count(
+    df: DataFrame, epsilon: float, seed: int = 0, column_index: int = 0
+) -> DataFrame:
+    """Noisy total row count (DPWrapper.getTableMetadata,
+    DPWrapper.java:167-174): COUNT(*) + Laplace(1/epsilon), rounded
+    half-up, with the analytic noise variance alongside."""
+    noise = count_noise(epsilon, seed, column_index)
+    var = laplace_variance(1.0 / epsilon)
+    return df.agg(
+        F.floor(F.count(F.lit(1)).cast("double") + F.lit(noise) + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_rows"),
+        F.lit(var).alias("variance"),
+    )
+
+
+def dp_histogram_string(
+    df: DataFrame,
+    col: str,
+    left_boundaries: list[str],
+    epsilon: float,
+    buckets: int | None = None,
+    seed: int = 0,
+    column_index: int = 0,
+    k: int = BRANCHING_FACTOR,
+) -> DataFrame:
+    """Noisy histogram of a string column quantized on a left-boundary
+    grid. The leaf of a value is the greatest boundary <= value
+    (StringColumnQuantization.bucketIndex; values below the first
+    boundary clamp to leaf 0), and buckets are ranges of leaf indexes
+    fed through the SAME k-adic noise tree as numeric columns —
+    StringIntervalDecomposition.java:23-35 delegates to the shared
+    kadicDecomposition. Output rows carry the bucket's left boundary
+    string instead of a numeric edge."""
+    bs = sorted(left_boundaries)
+    leaves = len(bs)
+    buckets = min(buckets or leaves, leaves)
+    scale = noise_scale(epsilon, leaves, k=k)
+    base_var = laplace_variance(scale)
+    ranges = _bucket_leaf_ranges(leaves, buckets)
+
+    spine = []
+    for i, (l, r) in enumerate(ranges):
+        noise, n = interval_noise(l, r, scale, seed, column_index, k)
+        spine.append((i, bs[l], noise, n, n * base_var))
+    noise_df = df.sparkSession.createDataFrame(
+        spine,
+        "bucket int, left_boundary string, noise double, n_intervals int, variance double",
+    )
+
+    arr = F.array(*[F.lit(b) for b in bs])
+    leaf = F.greatest(
+        F.size(F.filter(arr, lambda b: b <= F.col(col))) - F.lit(1), F.lit(0)
+    )
+    bucket = F.floor(
+        leaf.cast("double") * F.lit(float(buckets)) / F.lit(float(leaves))
+    ).cast("int")
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    noisy = F.floor(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.col("noise") + F.lit(0.5)
+    ).cast("long")
+    return (
+        F.broadcast(noise_df)
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket", "left_boundary", noisy.alias("noisy_count"),
+            "n_intervals", "variance",
+        )
+        .orderBy("bucket")
+    )
+
+
 @dataclass
 class ColumnQuantization:
     """One column's curator-fixed grid — table/columns/

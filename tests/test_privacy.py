@@ -125,6 +125,33 @@ def test_dp_heatmap_dense_and_deterministic(spark, tables):
     )
 
 
+def test_dp_count_equals_count_plus_noise(spark, tables):
+    li = tables["lineitem"]
+    row = P.dp_count(li, epsilon=1.0, seed=13).collect()[0]
+    exact = li.count()
+    noise = P.count_noise(1.0, 13)
+    assert row.noisy_rows == math.floor(exact + noise + 0.5)
+    assert row.variance == pytest.approx(P.laplace_variance(1.0))
+    # special buckets draw independent noise
+    assert P.count_noise(1.0, 13, special=P.SPECIAL_NULL_COUNT) != noise
+
+
+def test_dp_histogram_string_exact_plus_noise(spark):
+    df = spark.createDataFrame(
+        [("APPLE",)] * 3 + [("BANANA",)] * 5 + [("CHERRY",)] * 2 + [("AAA",)],
+        "s string",
+    )
+    bs = ["APPLE", "BANANA", "CHERRY"]
+    out = P.dp_histogram_string(df, "s", bs, epsilon=1.0, seed=21).collect()
+    assert [r.left_boundary for r in out] == bs
+    scale = P.noise_scale(1.0, 3)
+    # 'AAA' < first boundary clamps into leaf 0 (APPLE): 3+1=4
+    for r, exact in zip(out, [4, 5, 2]):
+        noise, n = P.interval_noise(r.bucket, r.bucket + 1, scale, 21)
+        assert r.n_intervals == n
+        assert r.noisy_count == math.floor(exact + noise + 0.5)
+
+
 def test_privacy_schema_parse_and_lookup():
     text = """{"epsilons": {"a+b": 0.25},
                "defaultEpsilons": {"1": 1.0, "2": 0.1},
