@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
         cdf=True,
     )
+    # rows-only by design: the cell noise is xxhash64-keyed (JVM
+    # codegen, shared bit-for-bit with the streaming twin) and DuckDB
+    # has no xxhash64 — the streaming-equality pytest is the check.
+    q["dp_windowed_counts"] = lambda s, d: ev.dp_windowed_counts(
+        _t(s, d, "events"), "hour", epsilon=1.0, seed=7
+    )
     _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     q["dp_histogram_mktsegment"] = lambda s, d: privacy.dp_histogram_string(
         _t(s, d, "customer"), "c_mktsegment", _SEGMENTS, epsilon=1.0, seed=7

@@ -343,6 +343,33 @@ def dp_heatmap(
     )
 
 
+def laplace_noise_col(
+    epsilon: float, seed: int, *key_cols, scale: float | None = None
+):
+    """Laplace(scale) noise as a PURE CATALYST expression: a 53-bit
+    uniform from xxhash64(*key_cols, seed) followed by the same
+    inverse-CDF transform as SecureLaplace.uniformToLaplace
+    (SecureLaplace.java:62-69). Whole-stage-codegen'd JVM arithmetic —
+    no Python in the loop — and, unlike the driver-spine mechanism in
+    dp_histogram, computable row-by-row on an UNBOUNDED key domain,
+    which is what a streaming release needs (the noise for a window
+    must be derivable when the window closes, without enumerating
+    windows in advance). The uniform clamps to
+    [2^-53, 1 - 2^-53] so log(0) can't surface at u = 0.
+    Default scale is 1/epsilon (one draw per disjoint cell: parallel
+    composition gives epsilon-DP when every event lands in exactly
+    one cell)."""
+    if scale is None:
+        scale = 1.0 / epsilon
+    u53 = F.shiftrightunsigned(F.xxhash64(*key_cols, F.lit(seed)), 11)
+    u = u53.cast("double") * F.lit(2.0**-53)
+    u = F.least(F.greatest(u, F.lit(2.0**-53)), F.lit(1.0 - 2.0**-53))
+    r = F.lit(0.5) - u
+    return F.when(
+        r < 0, F.lit(-scale) * F.log(F.lit(1.0) - F.lit(2.0) * (-r))
+    ).otherwise(F.lit(scale) * F.log(F.lit(1.0) - F.lit(2.0) * r))
+
+
 # Out-of-tree "special bucket" PRF indexes — DPWrapper.SpecialBucket
 # (web/src/main/java/org/hillview/targets/DPWrapper.java:181-205).
 SPECIAL_TOTAL_COUNT = -1

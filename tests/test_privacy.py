@@ -152,6 +152,46 @@ def test_dp_histogram_string_exact_plus_noise(spark):
         assert r.noisy_count == math.floor(exact + noise + 0.5)
 
 
+def test_laplace_noise_col_deterministic_linear_centered(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000)
+    a = [r.x for r in df.select(P.laplace_noise_col(1.0, 5, F.col("id")).alias("x")).collect()]
+    b = [r.x for r in df.select(P.laplace_noise_col(1.0, 5, F.col("id")).alias("x")).collect()]
+    assert a == b  # pure function of (key, seed)
+    halved = [
+        r.x for r in df.select(P.laplace_noise_col(0.5, 5, F.col("id")).alias("x")).collect()
+    ]
+    for x, h in zip(a, halved):  # same uniform, 2x scale -> exactly 2x
+        assert h == pytest.approx(2 * x, rel=1e-12)
+    # Laplace(1): mean ~ 0, |noise| median ~ ln(2)
+    assert abs(sum(a) / len(a)) < 0.15
+    med = sorted(map(abs, a))[len(a) // 2]
+    assert 0.5 < med < 0.95
+
+
+def test_dp_windowed_counts_is_noised_batch(spark, tables):
+    from hillview_spark.streaming import events as ev
+
+    plain = {
+        (r.window_start, r.event_type): r.n_events
+        for r in ev.windowed_counts(tables["events"], "hour").collect()
+    }
+    noisy = {
+        (r.window_start, r.event_type): r.noisy_events
+        for r in ev.dp_windowed_counts(tables["events"], "hour", 1.0, seed=3).collect()
+    }
+    assert plain.keys() == noisy.keys()
+    deltas = [noisy[k] - plain[k] for k in plain]
+    assert any(d != 0 for d in deltas)  # noise actually applied
+    assert max(map(abs, deltas)) < 60  # Laplace(1) tail, sanity bound
+    again = {
+        (r.window_start, r.event_type): r.noisy_events
+        for r in ev.dp_windowed_counts(tables["events"], "hour", 1.0, seed=3).collect()
+    }
+    assert noisy == again
+
+
 def test_privacy_schema_parse_and_lookup():
     text = """{"epsilons": {"a+b": 0.25},
                "defaultEpsilons": {"1": 1.0, "2": 0.1},

@@ -189,6 +189,37 @@ def test_stream_matches_batch(spark, tmp_path):
     assert stream_rows == batch_rows
 
 
+def test_stream_dp_windowed_counts_matches_batch(spark, tmp_path):
+    """The DP continual release streams: cell-keyed Catalyst noise
+    makes the streaming twin equal the batch release bit-for-bit."""
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_dp_windowed_counts(spark, d, raw.schema, epsilon=1.0, seed=3)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_dp_wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r.window_start, r.event_type): r.noisy_events
+        for r in spark.sql("SELECT * FROM t_dp_wincounts").collect()
+    }
+    batch_rows = {
+        (r.window_start, r.event_type): r.noisy_events
+        for r in ev.dp_windowed_counts(
+            load_table(spark, "/root/testdata/sf0.001", "events"), "hour", 1.0, seed=3
+        ).collect()
+    }
+    assert stream_rows == batch_rows
+
+
 def test_sessionize_gap_semantics(spark):
     import datetime as dt
 
