@@ -321,3 +321,32 @@ def test_ivf_indexed_search_prunes_partitions(spark, tables, tmp_path):
     ]
     similarity.ivf_write_index(search, path, n_cells=8)
     assert path not in similarity._IVF_CENTROID_CACHE
+
+
+def test_dp_histogram_scale_profile(spark, tables):
+    """DP histogram at 100 TB: one scan reading only the target
+    column, one O(buckets) aggregation shuffle, noise joined as a
+    broadcast spine (never a shuffle), plus the O(buckets)-row
+    ordering exchange — nothing else."""
+    from hillview_spark.operators import privacy
+
+    df = privacy.dp_histogram(
+        tables["lineitem"], "l_quantity",
+        lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
+    )
+    ex.assert_column_pruning(df, ["l_quantity"], ["l_orderkey", "l_comment"])
+    ex.assert_no_cartesian(df)
+    ex.assert_broadcast_joins(df, at_least=1)
+    # agg exchange + the tiny final-order exchange over 10 rows
+    ex.assert_max_shuffles(df, 2)
+
+
+def test_dp_windowed_counts_single_shuffle(spark, tables):
+    """The continual release is one groupBy shuffle; the noise is a
+    per-row expression on the aggregate output (no join, no second
+    exchange)."""
+    from hillview_spark.streaming import events as ev
+
+    df = ev.dp_windowed_counts(tables["events"], "hour", 1.0, seed=3)
+    ex.assert_max_shuffles(df, 1)
+    ex.assert_no_cartesian(df)

@@ -152,3 +152,62 @@ def test_chunk_documents_reconstructs_tokens(spark, doc_lens, chunk, overlap):
         parts = [t.split() for _, t in sorted(by_doc[i])]
         rebuilt = parts[0] + [tok for p in parts[1:] for tok in p[overlap:]]
         assert rebuilt == [f"w{i}_{j}" for j in range(n)]
+
+
+# --- differential privacy invariants (pure Python, cheap examples) --
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=100_000),
+    st.integers(min_value=0, max_value=5_000),
+    st.integers(min_value=2, max_value=30),
+)
+def test_kadic_decomposition_tiles_any_interval(left, span, k):
+    from hillview_spark.operators import privacy as P
+
+    right = left + span
+    nodes = P.kadic_decomposition(left, right, k)
+    pos = left
+    for start, size in nodes:
+        assert start == pos
+        p = 0
+        while k**p < size:
+            p += 1
+        assert k**p == size  # size is an exact power of k
+        pos += size
+    assert pos == right
+    # node count is O(k log_k span): the binary-mechanism cost bound
+    if span > 0:
+        bound = 2 * k * (P._ceil_log(max(right, 2), k) + 1)
+        assert len(nodes) <= bound
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=1 << 20), st.integers(min_value=0, max_value=1 << 16))
+def test_dyadic_decomposition_tiles_and_aligns(left, span):
+    from hillview_spark.operators import privacy as P
+
+    right = left + span
+    pos = left
+    for start, size in P.dyadic_decomposition(left, right):
+        assert start == pos and start % size == 0 and size & (size - 1) == 0
+        pos += size
+    assert pos == right
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=100_000), st.integers(min_value=1, max_value=512))
+def test_bucket_leaf_ranges_partition_and_invert(leaves, buckets):
+    from hillview_spark.operators import privacy as P
+
+    buckets = min(buckets, leaves)
+    ranges = P._bucket_leaf_ranges(leaves, buckets)
+    assert ranges[0][0] == 0 and ranges[-1][1] == leaves
+    for (l1, r1), (l2, r2) in zip(ranges, ranges[1:]):
+        assert r1 == l2 and l1 < r1
+    assert ranges[-1][0] < ranges[-1][1]
+    # the scan-side closed form floor(leaf*B/T) inverts the ranges
+    for i, (l, r) in enumerate(ranges):
+        for leaf in {l, r - 1, (l + r) // 2}:
+            assert leaf * buckets // leaves == i
