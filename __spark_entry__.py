@@ -173,6 +173,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_count_lineitem"] = lambda s, d: privacy.dp_count(
         _t(s, d, "lineitem"), epsilon=1.0, seed=7
     )
+    q["dp_distinct_custkey"] = lambda s, d: privacy.dp_distinct_count(
+        _t(s, d, "orders"), "o_custkey", epsilon=1.0, seed=7
+    )
+    q["dp_next_k_rows"] = lambda s, d: privacy.dp_next_k(
+        _t(s, d, "lineitem"),
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        epsilon=1.0, k=20, seed=7,
+    )
     q["dp_heatmap_qty_discount"] = lambda s, d: privacy.dp_heatmap(
         _t(s, d, "lineitem"), "l_quantity", "l_discount",
         xlo=1.0, xhi=51.0, xgranularity=1.0,
@@ -1606,6 +1614,24 @@ def oracle_sql() -> dict[str, str]:
                     + 0.5) AS BIGINT) AS noisy_rows,
                CAST({_priv.laplace_variance(1.0)!r} AS DOUBLE) AS variance
         FROM lineitem
+    """
+
+    _dst_noise = _priv.count_noise(1.0, 7, special=_priv.SPECIAL_DISTINCT_COUNT)
+    o["dp_distinct_custkey"] = f"""
+        SELECT CAST(FLOOR(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+                    + CAST({_dst_noise!r} AS DOUBLE) + 0.5) AS BIGINT)
+                   AS noisy_distinct,
+               CAST({_priv.laplace_variance(1.0)!r} AS DOUBLE) AS variance
+        FROM orders
+    """
+
+    o["dp_next_k_rows"] = f"""
+        SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt,
+               (SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                            + CAST({_cnt_noise!r} AS DOUBLE) + 0.5) AS BIGINT)
+                FROM lineitem) AS noisy_rows_scanned
+        FROM lineitem GROUP BY 1, 2, 3
+        ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
     """
 
     # pca_project: for d=2 the correlation matrix is [[1,r],[r,1]],

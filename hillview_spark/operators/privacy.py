@@ -403,6 +403,52 @@ def dp_count(
     )
 
 
+def dp_distinct_count(
+    df: DataFrame, col: str, epsilon: float, seed: int = 0, column_index: int = 0
+) -> DataFrame:
+    """Noisy distinct count — NoisyHLogLog (sketches/results/
+    NoisyHLogLog.java:12-25): the distinct-count estimate plus one
+    Laplace(1/epsilon) draw seeded by the DistinctCount special
+    bucket. Exact countDistinct here (the reference noises its HLL
+    estimate; exact keeps the result deterministic and oracle-able —
+    swap in distinct_count_approx for the sketch at extreme
+    cardinalities)."""
+    noise = count_noise(epsilon, seed, column_index, SPECIAL_DISTINCT_COUNT)
+    return df.agg(
+        F.floor(F.countDistinct(col).cast("double") + F.lit(noise) + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_distinct"),
+        F.lit(laplace_variance(1.0 / epsilon)).alias("variance"),
+    )
+
+
+def dp_next_k(
+    df: DataFrame,
+    sort_cols: list[str],
+    epsilon: float,
+    k: int = 20,
+    ascending: list[bool] | None = None,
+    start: tuple | None = None,
+    seed: int = 0,
+    column_index: int = 0,
+) -> DataFrame:
+    """Private spreadsheet page — NextKSketchNoisy (sketches/results/
+    NextKSketchNoisy.java:11-29): the next-K distinct sort keys with
+    their per-key counts (assumed pre-quantized by the curator's
+    grid, as in the reference's private views), plus the total
+    rows-scanned count perturbed by one TotalCount-bucket draw. The
+    noisy scan count rides along as a column on every row (the
+    reference returns it as NextKList.rowsScanned); the 1-row noisy
+    aggregate broadcasts — no extra shuffle on the k-row page."""
+    from hillview_spark.operators.spreadsheet import next_k
+
+    page = next_k(df, sort_cols, k, ascending, start)
+    scanned = dp_count(df, epsilon, seed, column_index).select(
+        F.col("noisy_rows").alias("noisy_rows_scanned")
+    )
+    return page.crossJoin(F.broadcast(scanned))
+
+
 def dp_histogram_string(
     df: DataFrame,
     col: str,

@@ -136,6 +136,23 @@ def test_dp_count_equals_count_plus_noise(spark, tables):
     assert P.count_noise(1.0, 13, special=P.SPECIAL_NULL_COUNT) != noise
 
 
+def test_dp_distinct_count_and_next_k(spark, tables):
+    orders = tables["orders"]
+    row = P.dp_distinct_count(orders, "o_custkey", epsilon=1.0, seed=17).collect()[0]
+    exact = orders.select("o_custkey").distinct().count()
+    noise = P.count_noise(1.0, 17, special=P.SPECIAL_DISTINCT_COUNT)
+    assert row.noisy_distinct == math.floor(exact + noise + 0.5)
+
+    page = P.dp_next_k(
+        tables["lineitem"], ["l_returnflag", "l_linestatus", "l_quantity"],
+        epsilon=1.0, k=5, seed=17,
+    ).collect()
+    assert len(page) == 5
+    exact_rows = tables["lineitem"].count()
+    expect = math.floor(exact_rows + P.count_noise(1.0, 17) + 0.5)
+    assert all(r.noisy_rows_scanned == expect for r in page)
+
+
 def test_dp_histogram_string_exact_plus_noise(spark):
     df = spark.createDataFrame(
         [("APPLE",)] * 3 + [("BANANA",)] * 5 + [("CHERRY",)] * 2 + [("AAA",)],
