@@ -76,6 +76,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontaminate_train"] = _decontaminate
+
+    def _decontaminate_bloom(s, d):
+        # generously-sized filter (4M bits vs ~50K eval 5-grams at
+        # sf0.01): zero false positives on this corpus, so the exact
+        # decontamination SQL doubles as the oracle — any FP would
+        # surface as a hash mismatch, which is the point.
+        docs = _t(s, d, "documents")
+        ev_docs = docs.where(F.col("doc_id") % 20 == 0)
+        train = docs.where(F.col("doc_id") % 20 != 0)
+        return curation.decontaminate_bloom(train, ev_docs, n=5).select(
+            "doc_id", "source", "lang"
+        )
+
+    q["decontaminate_bloom"] = _decontaminate_bloom
     q["sample_mixture"] = lambda s, d: curation.sample_to_mixture(
         _t(s, d, "documents"), {"src0": 0.5, "src1": 0.25}
     ).select("doc_id", "source")
@@ -2065,6 +2079,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id % 20 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM cont)
     """
+    o["decontaminate_bloom"] = o["decontaminate_train"]
+
     o["sample_mixture"] = f"""
         SELECT doc_id, source FROM (
             SELECT doc_id, source,

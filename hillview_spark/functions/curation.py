@@ -153,6 +153,67 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter decontamination — the scale path when the eval
+    n-gram set is too large to broadcast exactly (cross-benchmark
+    suites, eval sets in the millions of documents). The filter is
+    built distributed: each eval n-gram sets num_hashes bit positions
+    (xxhash64(s, i) mod num_bits — all codegen), positions dedupe in
+    one bounded shuffle (<= num_bits rows regardless of eval size),
+    pack into an array<long> bitmap of num_bits/64 words on the
+    driver (bounded by construction: 4M bits = 64K longs = 512 KB),
+    and broadcast as a one-row relation. The train scan probes with
+    pure bitwise expressions — no join against the n-gram set, no
+    train-side shuffle beyond the contaminated-id distinct.
+
+    One-sided error: a false positive drops a CLEAN training document
+    (never leaks a contaminated one) with probability
+    ~(1-exp(-kN/m))^k — the safe direction for decontamination. Size
+    num_bits >= ~10x the distinct eval n-gram count for <1% FPR at
+    num_hashes=5."""
+    from hillview_spark.functions.dedup import shingles_of, tokens
+
+    assert num_bits % 64 == 0
+    probes = [
+        f"pmod(xxhash64(s, {i}), cast({num_bits} as bigint))"
+        for i in range(num_hashes)
+    ]
+    ev = (
+        eval_df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(F.explode(shingles_of(F.col("__toks"), n)).alias("s"))
+        .select(F.explode(F.array(*[F.expr(p) for p in probes])).alias("p"))
+        .distinct()
+    )
+    words = ev.groupBy((F.col("p") / 64).cast("long").alias("w")).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))").alias("bits")
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words.collect():  # bounded by num_bits/64, not eval size
+        bitmap[int(r.w)] = r.bits
+    bdf = train.sparkSession.createDataFrame([(bitmap,)], "bf array<bigint>")
+
+    hit = " AND ".join(
+        f"(element_at(bf, cast(({p}) div 64 as int) + 1)"
+        f" & shiftleft(cast(1 as bigint), cast(({p}) % 64 as int))) != 0"
+        for p in probes
+    )
+    tr = train.withColumn("__toks", tokens(F.col(text_col))).select(
+        F.col(id_col), F.explode(shingles_of(F.col("__toks"), n)).alias("s")
+    )
+    contaminated = (
+        tr.crossJoin(F.broadcast(bdf)).where(F.expr(hit)).select(id_col).distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def sample_to_mixture(
     df: DataFrame,
     weights: dict[str, float],

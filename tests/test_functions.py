@@ -1129,3 +1129,29 @@ def test_group_centroids_matches_numpy_and_combines_mapside(spark):
     final = plan.split("Initial Plan")[0]  # AQE echoes the pre-AQE plan
     assert final.count("Exchange") == 1
     assert "partial_sum" in final and final.count("HashAggregate") >= 2
+
+
+def test_decontaminate_bloom_one_sided_and_matches_exact(spark, tables):
+    from hillview_spark.functions import curation
+
+    docs = tables["documents"]
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    exact = {r.doc_id for r in curation.decontaminate(train, ev, n=5).collect()}
+    # generously sized filter: FPR ~ 0 on the fixture -> equals exact
+    bloom = {
+        r.doc_id
+        for r in curation.decontaminate_bloom(
+            train, ev, n=5, num_bits=1 << 22, num_hashes=5
+        ).collect()
+    }
+    assert bloom == exact
+    # one-sided: even a deliberately under-sized filter NEVER keeps a
+    # doc the exact rule would drop (false positives only drop more)
+    tiny = {
+        r.doc_id
+        for r in curation.decontaminate_bloom(
+            train, ev, n=5, num_bits=1 << 10, num_hashes=2
+        ).collect()
+    }
+    assert tiny <= exact
