@@ -174,6 +174,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
         cdf=True,
     )
+    # rows-only by design: driver-side iterative optimization (the
+    # brief's non-SQL-expressible category) — pytest checks distance
+    # preservation on a known 2-D manifold.
+    q["metric_mds_controls"] = lambda s, d: correlation.metric_mds(
+        _t(s, d, "embeddings").select(
+            "vec_id",
+            F.col("embedding")[0].alias("e0"),
+            F.col("embedding")[1].alias("e1"),
+            F.col("embedding")[2].alias("e2"),
+            F.col("embedding")[3].alias("e3"),
+        ),
+        ["e0", "e1", "e2", "e3"],
+        n_points=60,
+        key_col="vec_id",
+    )
+
     # rows-only by design: the cell noise is xxhash64-keyed (JVM
     # codegen, shared bit-for-bit with the streaming twin) and DuckDB
     # has no xxhash64 — the streaming-equality pytest is the check.

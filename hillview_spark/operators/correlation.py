@@ -145,18 +145,97 @@ def jl_project(
     return out
 
 
+def metric_mds(
+    df: DataFrame,
+    cols: list[str],
+    n_points: int = 100,
+    low_dims: int = 2,
+    key_col: str | None = None,
+    seed: int = 42,
+    max_iterations: int = 1000,
+    learning_rate: float = 1.0,
+    decay: float = 0.999,
+    tolerance: float = 1e-5,
+) -> DataFrame:
+    """Metric MDS — squared-stress gradient descent mirroring
+    utils/MetricMDS.java:37-200: pairwise high-dim distances
+    normalized so the largest is 1, per-epoch low-dim Euclidean
+    distances, gradient steps scaled learning_rate/N with 0.999
+    decay, stopping when the gradient magnitude per point drops
+    under tolerance; the embedding is rescaled back by the
+    normalization factor so output distances reflect the originals.
+
+    Runs driver-side on a bounded sample of n_points rows — exactly
+    where the reference runs it (the root node lays out a sampled
+    control set; LAMPMap then places everything else distributed).
+    Deviation: deterministic PCA initialization instead of the
+    reference's random init — same optimum basin, reproducible.
+    O(n_points^2) distances; keep n_points in the hundreds."""
+    import numpy as np
+
+    out_cols = ([key_col] if key_col else []) + cols
+    rows = (
+        df.select(*out_cols)
+        .dropna(subset=cols)
+        .sample(fraction=1.0, seed=seed)
+        .limit(n_points)
+        .collect()
+    )
+    X = np.array([[float(r[c]) for c in cols] for r in rows])
+    n = len(X)
+    diff_h = X[:, None, :] - X[None, :, :]
+    Dh = np.sqrt((diff_h**2).sum(-1))
+    scaling = 1.0 / max(Dh.max(), 1e-12)
+    Dh = Dh * scaling
+
+    Xc = X - X.mean(axis=0)
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    Y = (Xc @ vt[:low_dims].T) * scaling
+
+    eps = 1e-9
+    lr = learning_rate
+    for _ in range(max_iterations):
+        d = Y[:, None, :] - Y[None, :, :]
+        Dl = np.sqrt((d**2).sum(-1))
+        np.fill_diagonal(Dl, 1.0)  # self-pairs contribute zero below
+        coef = 2.0 * (Dl - Dh) / np.maximum(Dl, eps)
+        np.fill_diagonal(coef, 0.0)
+        grad = (coef[:, :, None] * d).sum(axis=1)
+        Y -= grad * (lr / n)
+        lr *= decay
+        if np.linalg.norm(grad) / n < tolerance:
+            break
+    Y = Y / scaling
+
+    spark = df.sparkSession
+    out = []
+    for i, r in enumerate(rows):
+        rec = ([r[key_col]] if key_col else []) + [
+            float(round(Y[i, j], 6)) for j in range(low_dims)
+        ]
+        out.append(tuple(rec))
+    schema = (f"{key_col} long, " if key_col else "") + ", ".join(
+        f"mds_{ax} double" for ax in ("x", "y", "z", "w")[:low_dims]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def lamp_project(
     df: DataFrame,
     cols: list[str],
     n_controls: int = 100,
     key_col: str | None = None,
     seed: int = 42,
+    control_layout: str = "pca",
 ) -> DataFrame:
     """LAMP (Local Affine Multidimensional Projection) to 2-D —
     mirrors maps/LAMPMap.java. Control points are a small sample
     whose 2-D positions come from PCA (driver-side numpy on the tiny
-    control set); every other row is placed by its own weighted
-    orthogonal affine map (per-point SVD, Joia et al. 2011).
+    control set) or, with control_layout='mds', from metric MDS —
+    the layout the reference's LAMP workflow actually uses
+    (utils/MetricMDS.java lays out the sampled control set before
+    LAMPMap places the rest); every other row is placed by its own
+    weighted orthogonal affine map (per-point SVD, Joia et al. 2011).
 
     Scale shape: the control set (n_controls x d and n_controls x 2)
     broadcasts to every executor; the per-row solve runs in
@@ -174,9 +253,27 @@ def lamp_project(
     mu, sd = X.mean(axis=0), X.std(axis=0)
     sd[sd == 0] = 1.0
     Xs = (X - mu) / sd
-    # PCA for control-point 2-D positions
+    # control-point 2-D positions: PCA, or stress-minimizing MDS
     _, _, vt = np.linalg.svd(Xs, full_matrices=False)
     Y = Xs @ vt[:2].T
+    if control_layout == "mds":
+        Dh = np.sqrt(((Xs[:, None, :] - Xs[None, :, :]) ** 2).sum(-1))
+        sc = 1.0 / max(Dh.max(), 1e-12)
+        Dh, Y, lr, eps = Dh * sc, Y * sc, 1.0, 1e-9
+        for _ in range(1000):
+            dlt = Y[:, None, :] - Y[None, :, :]
+            Dl = np.sqrt((dlt**2).sum(-1))
+            np.fill_diagonal(Dl, 1.0)
+            coef = 2.0 * (Dl - Dh) / np.maximum(Dl, eps)
+            np.fill_diagonal(coef, 0.0)
+            grad = (coef[:, :, None] * dlt).sum(axis=1)
+            Y -= grad * (lr / len(Y))
+            lr *= 0.999
+            if np.linalg.norm(grad) / len(Y) < 1e-5:
+                break
+        Y = Y / sc
+    elif control_layout != "pca":
+        raise ValueError("control_layout must be 'pca' or 'mds'")
 
     out_cols = ([key_col] if key_col else []) + cols
 

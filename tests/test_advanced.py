@@ -194,3 +194,50 @@ def test_sampled_corr_matrix_close_to_exact(spark, tables):
         ).collect()
     }
     assert again == sampled
+
+
+def test_metric_mds_preserves_distances_and_is_deterministic(spark):
+    """Squared-stress MDS on points that genuinely live on a 2-D
+    manifold inside 4-D must reproduce their pairwise distances
+    almost exactly (stress ~ 0), deterministically."""
+    import itertools
+    import math as m
+
+    import numpy as np
+
+    from hillview_spark.operators import correlation
+
+    pts2d = [(0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (4.0, 3.0), (2.0, 1.5), (1.0, 2.5)]
+    # embed isometrically into 4-D via a rotation-ish orthonormal map
+    q = np.linalg.qr(np.arange(16).reshape(4, 4) + np.eye(4))[0][:, :2]
+    rows = [tuple(float(v) for v in (q @ np.array(p))) + (i,) for i, p in enumerate(pts2d)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double, id long")
+
+    out = correlation.metric_mds(df, ["a", "b", "c", "d"], n_points=6, key_col="id")
+    got = {r.id: (r.mds_x, r.mds_y) for r in out.collect()}
+    assert set(got) == set(range(6))
+    for i, j in itertools.combinations(range(6), 2):
+        want = m.dist(pts2d[i], pts2d[j])
+        have = m.dist(got[i], got[j])
+        assert abs(have - want) < 0.05 * 5.0  # within 5% of the diameter
+    again = {
+        r.id: (r.mds_x, r.mds_y)
+        for r in correlation.metric_mds(
+            df, ["a", "b", "c", "d"], n_points=6, key_col="id"
+        ).collect()
+    }
+    assert got == again
+
+
+def test_lamp_project_mds_layout(spark, tables):
+    import numpy as np
+
+    from hillview_spark.operators import correlation
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = tables["lineitem"].limit(400)
+    out = correlation.lamp_project(li, cols, n_controls=40, control_layout="mds")
+    rows = out.collect()
+    assert len(rows) == li.dropna(subset=cols).count()
+    assert {c for c in out.columns} == {"lamp_x", "lamp_y"}
+    assert all(np.isfinite(r.lamp_x) and np.isfinite(r.lamp_y) for r in rows)
