@@ -219,28 +219,97 @@ def minhash_lsh_pairs(
     `bands` bands of num_hashes/bands rows; docs sharing any band key
     are candidates. Join is on the (band, key) pair — high
     cardinality, well-distributed shuffle; no cartesian."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
-    band_structs = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-        )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.alias("key"))
-        )
     # both sides of the self-join read this — persist or the whole
     # signature DAG (shingle explode + hashing) runs twice.
-    banded = sig.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("doc", "bk.band", "bk.key").transform(cache.persist)
+    banded = _banded(df, num_hashes, bands, n, id_col, text_col).transform(
+        cache.persist
+    )
     a = banded.select(F.col("doc").alias("doc_id_1"), "band", "key")
     b = banded.select(F.col("doc").alias("doc_id_2"), "band", "key")
     return (
         a.join(b, ["band", "key"])
         .where(F.col("doc_id_1") < F.col("doc_id_2"))
         .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+
+
+def _banded(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc, band, key) bucket rows for a corpus — the exploded LSH
+    band table minhash_lsh_pairs self-joins on, factored out so an
+    index can persist it."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    band_structs = []
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+
+
+def lsh_write_index(
+    df: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's LSH band-bucket table so INCOMING batches
+    dedupe against it incrementally — the 100-TB crawl-ingest shape:
+    corpus signatures are computed once at ingest, never again at
+    query time. A params sidecar pins (num_hashes, bands, n) so a
+    query with mismatched hashing fails loudly instead of silently
+    finding nothing. mode='append' adds a new batch's bands to the
+    index after it has been deduped (incremental maintenance)."""
+    _banded(df, num_hashes, bands, n, id_col, text_col).write.mode(mode).parquet(
+        f"{path}/bands"
+    )
+    params = [(int(num_hashes), int(bands), int(n))]
+    df.sparkSession.createDataFrame(
+        params, "num_hashes int, bands int, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def lsh_query_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs between a persisted corpus index
+    and an incoming batch: band the batch with the INDEX's pinned
+    params, then equi-join on (band, key). The batch side broadcasts
+    (it is the small side by construction), so the corpus index scans
+    in place — zero shuffle of the big side, no signature recompute.
+    Returns (corpus_doc_id, new_doc_id) distinct candidates; verify
+    with verify_jaccard against the corpus text if exact Jaccard
+    gating is needed."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    banded_new = _banded(
+        new_docs, p.num_hashes, p.bands, p.n, id_col, text_col
+    ).select(F.col("doc").alias("new_doc"), "band", "key")
+    index = spark.read.parquet(f"{path}/bands")
+    return (
+        index.join(F.broadcast(banded_new), ["band", "key"])
+        .select(
+            F.col("doc").alias("corpus_doc_id"),
+            F.col("new_doc").alias("new_doc_id"),
+        )
+        .where(F.col("corpus_doc_id") != F.col("new_doc_id"))
         .distinct()
     )
 

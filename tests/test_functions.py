@@ -1155,3 +1155,33 @@ def test_decontaminate_bloom_one_sided_and_matches_exact(spark, tables):
         ).collect()
     }
     assert tiny <= exact
+
+
+def test_lsh_index_incremental_query_matches_live(spark, tables, tmp_path):
+    from hillview_spark.functions import dedup
+
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "lsh_index")
+    dedup.lsh_write_index(corpus, path, num_hashes=16, bands=4, n=3)
+
+    got = {
+        frozenset((r.corpus_doc_id, r.new_doc_id))
+        for r in dedup.lsh_query_index(spark, path, incoming).collect()
+    }
+    # live LSH over the union, restricted to cross (corpus x incoming)
+    new_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    live = {
+        frozenset((r.doc_id_1, r.doc_id_2))
+        for r in dedup.minhash_lsh_pairs(docs, 16, 4).collect()
+        if (r.doc_id_1 in new_ids) != (r.doc_id_2 in new_ids)
+    }
+    assert got == live
+    # incremental maintenance: append the batch, then a doc from it
+    # must find its own exact duplicate in the index
+    dedup.lsh_write_index(incoming, path, num_hashes=16, bands=4, n=3, mode="append")
+    one = incoming.limit(1)
+    hits = dedup.lsh_query_index(spark, path, one).collect()
+    oid = one.collect()[0].doc_id
+    assert not [r for r in hits if r.corpus_doc_id == oid]  # self-pair filtered
