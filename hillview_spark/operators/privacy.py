@@ -570,6 +570,29 @@ class PrivacySchema:
         return self.default_epsilons.get(len(cols), self.default_epsilon)
 
 
+def private_view(df: DataFrame, schema: PrivacySchema) -> DataFrame:
+    """The quantized view every sketch in a private session reads —
+    table/QuantizedTable.java via targets/DPWrapper.java: each column
+    with curator metadata snaps to its grid (numeric left edges /
+    string left boundaries) BEFORE any aggregate sees it, so no query
+    can observe sub-grid values; columns without metadata pass
+    through. Pure per-row Catalyst arithmetic — zero shuffle, and
+    downstream sketches compose unchanged."""
+    from hillview_spark.operators.maps import quantize_column, quantize_string_column
+
+    out = df
+    for name, q in schema.quantization.items():
+        if name not in df.columns:
+            continue
+        if q.type == "StringColumnQuantization":
+            out = quantize_string_column(out, name, q.left_boundaries)
+        else:
+            out = quantize_column(
+                out, name, q.global_min, q.global_max, q.leaves
+            )
+    return out
+
+
 def dp_histogram_from_schema(
     df: DataFrame,
     col: str,

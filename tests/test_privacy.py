@@ -242,3 +242,23 @@ def test_dp_histogram_from_schema(spark, tables):
         lo=1, hi=51, granularity=1, epsilon=1.0, buckets=10, seed=4,
     ).collect()
     assert via_schema == direct
+
+
+def test_private_view_quantizes_all_schema_columns(spark):
+    ps = P.PrivacySchema.from_json(
+        """{"defaultEpsilons": {"1": 1.0},
+            "quantization": {"quantization": {
+              "x": {"type": "DoubleColumnQuantization",
+                    "granularity": 5, "globalMin": 0, "globalMax": 100},
+              "s": {"type": "StringColumnQuantization",
+                    "globalMax": "z", "leftBoundaries": ["A", "M"]}}}}"""
+    )
+    df = spark.createDataFrame(
+        [(7.0, "APPLE", 1), (23.9, "NUT", 2), (99.0, "zebra", 3)],
+        "x double, s string, keep int",
+    )
+    rows = {r.keep: (r.x, r.s) for r in P.private_view(df, ps).collect()}
+    # x snaps to left edges of the 5-wide grid; s to its left boundary
+    assert rows == {1: (5.0, "A"), 2: (20.0, "M"), 3: (95.0, "M")}
+    # columns without metadata pass through untouched (keep)
+    assert set(rows) == {1, 2, 3}
