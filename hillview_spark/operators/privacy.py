@@ -439,7 +439,10 @@ def dp_next_k(
     rows-scanned count perturbed by one TotalCount-bucket draw. The
     noisy scan count rides along as a column on every row (the
     reference returns it as NextKList.rowsScanned); the 1-row noisy
-    aggregate broadcasts — no extra shuffle on the k-row page."""
+    aggregate broadcasts — no extra shuffle on the k-row page, at the
+    cost of a second scan for the total (the reference's sketch sums
+    it in the same pass; Spark would need .observe(), whose metrics
+    only surface after an action — a fair trade for a lazy plan)."""
     from hillview_spark.operators.spreadsheet import next_k
 
     page = next_k(df, sort_cols, k, ascending, start)
