@@ -211,6 +211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["l_returnflag", "l_linestatus", "l_quantity"],
         epsilon=1.0, k=20, seed=7,
     )
+    q["dp_quantiles_quantity"] = lambda s, d: privacy.dp_quantiles(
+        _t(s, d, "lineitem"), "l_quantity",
+        lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0,
+        probs=[0.25, 0.5, 0.75, 0.95], buckets=10, seed=7,
+    )
     q["dp_heatmap_qty_discount"] = lambda s, d: privacy.dp_heatmap(
         _t(s, d, "lineitem"), "l_quantity", "l_discount",
         xlo=1.0, xhi=51.0, xgranularity=1.0,
@@ -1559,6 +1564,17 @@ def oracle_sql() -> dict[str, str]:
 
     o["dp_histogram_quantity"] = _dp_hist_sql(cdf=False)
     o["dp_cdf_quantity"] = _dp_hist_sql(cdf=True)
+
+    o["dp_quantiles_quantity"] = f"""
+        WITH cdf AS ({_dp_hist_sql(cdf=True)}),
+        t AS (SELECT MAX(noisy_count) AS t FROM cdf),
+        probs(prob) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                               (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE)))
+        SELECT prob, MIN(left_edge) AS value
+        FROM cdf, t, probs
+        WHERE CAST(noisy_count AS DOUBLE) >= prob * CAST(t AS DOUBLE)
+        GROUP BY prob ORDER BY prob
+    """
 
     def _dp_heatmap_sql() -> str:
         xleaves, xbuckets = 50, 5

@@ -267,6 +267,48 @@ def dp_histogram(
     return out
 
 
+def dp_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    granularity: float,
+    epsilon: float,
+    probs: list[float],
+    buckets: int = 40,
+    seed: int = 0,
+    column_index: int = 0,
+    k: int = BRANCHING_FACTOR,
+) -> DataFrame:
+    """Private quantiles by inverting the noisy CDF — the estimate the
+    reference's private views read off the DPHistogram CDF rendering
+    (DPHistogram.java:86-124 with isCdf; no separate quantile
+    mechanism exists, and none is needed: post-processing a DP
+    release is free). For each probability p the answer is the left
+    edge of the first bucket whose noisy cumulative count reaches
+    p * (noisy total). Cost: the same single scan as the CDF; the
+    inversion runs on O(buckets) rows."""
+    cdf = dp_histogram(
+        df, col, lo, hi, granularity, epsilon, buckets, seed, column_index,
+        cdf=True, k=k,
+    ).select("bucket", "left_edge", "noisy_count")
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    total = cdf.agg(F.max("noisy_count").alias("t"))
+    hit = (
+        cdf.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(pdf))
+        .where(
+            F.col("noisy_count").cast("double")
+            >= F.col("prob") * F.col("t").cast("double")
+        )
+        .groupBy("prob")
+        .agg(F.min("left_edge").alias("value"))
+        .orderBy("prob")
+    )
+    return hit
+
+
 def dp_heatmap(
     df: DataFrame,
     xcol: str,

@@ -262,3 +262,19 @@ def test_private_view_quantizes_all_schema_columns(spark):
     assert rows == {1: (5.0, "A"), 2: (20.0, "M"), 3: (95.0, "M")}
     # columns without metadata pass through untouched (keep)
     assert set(rows) == {1, 2, 3}
+
+
+def test_dp_quantiles_invert_noisy_cdf(spark, tables):
+    li = tables["lineitem"]
+    out = {
+        r.prob: r.value
+        for r in P.dp_quantiles(
+            li, "l_quantity", lo=1.0, hi=51.0, granularity=1.0,
+            epsilon=1.0, probs=[0.0, 0.5, 1.0], buckets=10, seed=5,
+        ).collect()
+    }
+    assert set(out) == {0.0, 0.5, 1.0}
+    assert out[0.0] == 1.0  # first bucket edge
+    assert out[0.0] <= out[0.5] <= out[1.0]  # monotone in p
+    # uniform-ish l_quantity: the noisy median lands mid-range
+    assert 11.0 <= out[0.5] <= 36.0
