@@ -196,6 +196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_windowed_counts"] = lambda s, d: ev.dp_windowed_counts(
         _t(s, d, "events"), "hour", epsilon=1.0, seed=7
     )
+    # rows-only: the k-adic prefix noise needs the sha256 PRF over a
+    # variable-length node list — per-key driver spine, no static SQL.
+    q["dp_prefix_counts"] = lambda s, d: ev.dp_prefix_counts(
+        _t(s, d, "events"), epsilon=1.0, seed=7
+    )
     _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     q["dp_histogram_mktsegment"] = lambda s, d: privacy.dp_histogram_string(
         _t(s, d, "customer"), "c_mktsegment", _SEGMENTS, epsilon=1.0, seed=7

@@ -300,6 +300,209 @@ def stream_dp_windowed_counts(
     )
 
 
+def _type_index(event_type: str) -> int:
+    """Stable per-type PRF index so different event types draw
+    independent noise trees (plays the role of the column index in
+    SecureLaplace's scratch bytes)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(event_type.encode()).digest()[:4], "big") & 0x7FFFFFFF
+
+
+# Declared time horizon for the continual counter's noise tree: leaf
+# indexes are hours since epoch, so 2**20 leaves covers ~120 years.
+# scale = ceil(log_20 2^20)/epsilon = 5/epsilon, fixed up front — the
+# point of the binary mechanism is that the horizon is set once and
+# the per-release noise stays O(log T) forever after.
+CONTINUAL_HORIZON_LEAVES = 1 << 20
+
+
+def dp_prefix_counts(
+    events: DataFrame,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """DP continual counter, batch twin — THE construction of Chan,
+    Song, Shi TISSEC '11 (the paper IntervalDecomposition.java:29-31
+    cites): for each event type, release at every hour-window the
+    noisy PREFIX count of all events so far, with noise summed over
+    the k-adic decomposition of [0, leaf) — O(log T) error instead of
+    the O(T) a fresh draw per release would compound to. Leaf index =
+    hours since epoch (data-independent), horizon fixed at 2^20
+    leaves. One groupBy shuffle for the per-window counts; the
+    prefix sum + noise run on the O(windows x types) aggregate via a
+    driver spine, like dp_histogram."""
+    from hillview_spark.operators.privacy import (
+        interval_noise, noise_scale,
+    )
+
+    scale = noise_scale(epsilon, CONTINUAL_HORIZON_LEAVES)
+    counts = (
+        windowed_counts(events, "hour")
+        .drop("sum_value")
+        .withColumn(
+            "leaf",
+            (
+                F.expr(
+                    "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                    " window_start)"
+                )
+            ).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("leaf")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "event_type", "window_start", "leaf", F.sum("n_events").over(w).alias("cum")
+    )
+    # noise spine: one row per (type, leaf) present — bounded by the
+    # aggregate size, never the event count
+    keys = cum.select("event_type", "leaf").distinct().collect()
+    spine = [
+        (
+            r.event_type,
+            int(r.leaf),
+            interval_noise(0, int(r.leaf) + 1, scale, seed, _type_index(r.event_type))[0],
+        )
+        for r in keys
+    ]
+    noise_df = events.sparkSession.createDataFrame(
+        spine, "event_type string, leaf bigint, noise double"
+    )
+    return (
+        cum.join(F.broadcast(noise_df), ["event_type", "leaf"])
+        .select(
+            "event_type",
+            "window_start",
+            F.floor(F.col("cum").cast("double") + F.col("noise") + F.lit(0.5))
+            .cast("long")
+            .alias("noisy_prefix"),
+        )
+    )
+
+
+def stream_dp_prefix_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    epsilon: float = 1.0,
+    seed: int = 0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the continual counter: per event type, a
+    stateful operator buffers per-hour counts and, when the event-time
+    watermark passes an hour's end, releases that hour's noisy prefix
+    — the same seeded k-adic noise as the batch twin, so releases
+    match bit-for-bit. State is O(open hours per type), evicted on
+    release; the cumulative total is a single long carried forward —
+    the stream never re-reads history, which is the continual-release
+    point."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from hillview_spark.operators.privacy import interval_noise, noise_scale
+
+    scale = noise_scale(epsilon, CONTINUAL_HORIZON_LEAVES)
+    out_type = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("window_start", TimestampType()),
+            StructField("noisy_prefix", LongType()),
+        ]
+    )
+    # state: (cum_emitted, open-leaf list, open-count list)
+    state_type = StructType(
+        [
+            StructField("cum", LongType()),
+            StructField("leaves", StringType()),   # csv of open leaf idxs
+            StructField("counts", StringType()),   # csv of their counts
+        ]
+    )
+    HOUR_US = 3600 * 1_000_000
+
+    def _emit(etype, cum, open_map, horizon_leaf):
+        """Release every complete hour (< horizon_leaf) in order."""
+        import math
+
+        out = []
+        for leaf in sorted(open_map):
+            if leaf >= horizon_leaf:
+                break
+            cum += open_map.pop(leaf)
+            noise, _ = interval_noise(0, leaf + 1, scale, seed, _type_index(etype))
+            out.append(
+                (
+                    etype,
+                    pd.Timestamp(leaf * HOUR_US, unit="us"),
+                    math.floor(cum + noise + 0.5),  # same rounding as batch
+                )
+            )
+        return cum, out
+
+    def fn(key, pdfs, state: "GroupState"):
+        etype = key[0]
+        if state.exists:
+            cum, leaves_csv, counts_csv = state.get
+            open_map = (
+                dict(
+                    zip(
+                        (int(x) for x in leaves_csv.split(",")),
+                        (int(x) for x in counts_csv.split(",")),
+                    )
+                )
+                if leaves_csv
+                else {}
+            )
+        else:
+            cum, open_map = 0, {}
+        max_leaf = -1
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf["ts"].astype("int64") // 1000
+            leaves = us // HOUR_US
+            for leaf, cnt in leaves.value_counts().items():
+                open_map[int(leaf)] = open_map.get(int(leaf), 0) + int(cnt)
+            max_leaf = max(max_leaf, int(leaves.max()))
+        # release hours the watermark has passed
+        wm_leaf = state.getCurrentWatermarkMs() * 1000 // HOUR_US
+        cum, out = _emit(etype, cum, open_map, wm_leaf)
+        state.update(
+            (
+                cum,
+                ",".join(str(x) for x in sorted(open_map)),
+                ",".join(str(open_map[x]) for x in sorted(open_map)),
+            )
+        )
+        if open_map:
+            # wake when the watermark can close the oldest open hour
+            next_end_ms = (min(open_map) + 1) * HOUR_US // 1000
+            state.setTimeoutTimestamp(
+                max(next_end_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "window_start", "noisy_prefix"]
+            )
+
+    stream = _event_time_stream(spark, events_dir, schema)
+    return (
+        stream.select("event_type", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn, out_type, state_type, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     events_dir: str,

@@ -278,3 +278,34 @@ def test_dp_quantiles_invert_noisy_cdf(spark, tables):
     assert out[0.0] <= out[0.5] <= out[1.0]  # monotone in p
     # uniform-ish l_quantity: the noisy median lands mid-range
     assert 11.0 <= out[0.5] <= 36.0
+
+
+def test_dp_prefix_counts_binary_mechanism(spark, tables):
+    """Batch continual counter: noisy prefix = exact running total +
+    the k-adic prefix noise, per event type, at every present hour."""
+    from hillview_spark.streaming import events as ev
+
+    got = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in ev.dp_prefix_counts(tables["events"], 1.0, seed=9).collect()
+    }
+    counts = ev.windowed_counts(tables["events"], "hour").collect()
+    per_type = {}
+    for r in sorted(counts, key=lambda r: (r.event_type, r.window_start)):
+        per_type.setdefault(r.event_type, []).append(r)
+    scale = P.noise_scale(1.0, ev.CONTINUAL_HORIZON_LEAVES)
+    checked = 0
+    for etype, rows in per_type.items():
+        cum = 0
+        for r in rows:
+            cum += r.n_events
+            leaf = int(
+                (r.window_start - __import__("datetime").datetime(1970, 1, 1))
+                .total_seconds() // 3600
+            )
+            noise, _ = P.interval_noise(
+                0, leaf + 1, scale, 9, ev._type_index(etype)
+            )
+            assert got[(etype, r.window_start)] == math.floor(cum + noise + 0.5)
+            checked += 1
+    assert checked == len(got) > 0

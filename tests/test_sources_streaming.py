@@ -388,3 +388,44 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert stream_pairs == batch_pairs and len(batch_pairs) > 0
+
+
+def test_stream_dp_prefix_counts_matches_batch(spark, tmp_path):
+    """Continual counter: every hour the stream releases (watermark
+    passed) must carry exactly the batch twin's noisy prefix — same
+    seeded k-adic noise, same cumulative count."""
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_dp_prefix_counts(spark, d, raw.schema, epsilon=1.0, seed=3)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_dp_prefix")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in spark.sql("SELECT * FROM t_dp_prefix").collect()
+    }
+    batch = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in ev.dp_prefix_counts(
+            load_table(spark, "/root/testdata/sf0.001", "events"), 1.0, seed=3
+        ).collect()
+    }
+    assert streamed  # watermark passed at least the early hours
+    for k, v in streamed.items():
+        assert batch[k] == v
+    # the stream withholds only the watermark tail, nothing else
+    released_per_type = {}
+    for (et, ws) in streamed:
+        released_per_type.setdefault(et, set()).add(ws)
+    for (et, ws) in batch:
+        if any(ws < max(rel) for rel in [released_per_type.get(et, set())] if rel):
+            assert (et, ws) in streamed
