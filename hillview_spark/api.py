@@ -166,3 +166,95 @@ class TableView:
         """Row-tuple quantile boundaries under the view's sort order —
         powers proportional scroll-to-position."""
         return _stats.row_quantiles(self.df, sort_cols, k)
+
+
+class PrivateTableView:
+    """A private session over a table — targets/DPWrapper.java wrapping
+    a TableTarget: every sketch reads the curator-QUANTIZED view
+    (table/QuantizedTable.java) and returns binary-mechanism noisy
+    results, with per-column(-combination) epsilons from the
+    PrivacySchema and a deterministic seed standing in for the
+    session's secret key (security/SecureLaplace.java). Downstream
+    filters still derive views — quantization composes under
+    Catalyst like any other projection."""
+
+    def __init__(self, view: TableView, schema, seed: int = 0):
+        from hillview_spark.operators.privacy import private_view
+
+        self.schema = schema
+        self.seed = seed
+        self.df = private_view(view.df, schema)
+        # stable per-column PRF index, as the reference indexes noise
+        # by column position in the privacy schema
+        self._col_index = {c: i for i, c in enumerate(sorted(schema.quantization))}
+
+    def _derive(self, df) -> "PrivateTableView":
+        out = object.__new__(PrivateTableView)
+        out.schema, out.seed, out.df = self.schema, self.seed, df
+        out._col_index = self._col_index
+        return out
+
+    def filter_range(self, col: str, lo=None, hi=None, **kw) -> "PrivateTableView":
+        return self._derive(self.df.where(_filters.range_filter(col, lo, hi, **kw)))
+
+    def histogram(self, col: str, buckets: int = 40, cdf: bool = False) -> DataFrame:
+        from hillview_spark.operators import privacy as _priv
+
+        q = self.schema.quantization[col]
+        return _priv.dp_histogram(
+            self.df, col, q.global_min, q.global_max, q.granularity,
+            self.schema.epsilon(col), buckets, self.seed,
+            self._col_index[col], cdf,
+        )
+
+    def histogram_string(self, col: str, buckets: int | None = None) -> DataFrame:
+        from hillview_spark.operators import privacy as _priv
+
+        q = self.schema.quantization[col]
+        return _priv.dp_histogram_string(
+            self.df, col, q.left_boundaries, self.schema.epsilon(col),
+            buckets, self.seed, self._col_index[col],
+        )
+
+    def heatmap(self, xcol: str, ycol: str, xb: int = 25, yb: int = 25) -> DataFrame:
+        from hillview_spark.operators import privacy as _priv
+
+        qx, qy = self.schema.quantization[xcol], self.schema.quantization[ycol]
+        return _priv.dp_heatmap(
+            self.df, xcol, ycol,
+            qx.global_min, qx.global_max, qx.granularity,
+            qy.global_min, qy.global_max, qy.granularity,
+            self.schema.epsilon(xcol, ycol), xb, yb, self.seed,
+            self._col_index[xcol],
+        )
+
+    def quantiles(self, col: str, probs: list[float], buckets: int = 40) -> DataFrame:
+        from hillview_spark.operators import privacy as _priv
+
+        q = self.schema.quantization[col]
+        return _priv.dp_quantiles(
+            self.df, col, q.global_min, q.global_max, q.granularity,
+            self.schema.epsilon(col), probs, buckets, self.seed,
+            self._col_index[col],
+        )
+
+    def count(self, epsilon: float = 1.0) -> DataFrame:
+        from hillview_spark.operators import privacy as _priv
+
+        return _priv.dp_count(self.df, epsilon, self.seed)
+
+    def distinct_count(self, col: str, epsilon: float = 1.0) -> DataFrame:
+        from hillview_spark.operators import privacy as _priv
+
+        return _priv.dp_distinct_count(
+            self.df, col, epsilon, self.seed, self._col_index.get(col, 0)
+        )
+
+    def page(self, sort_cols: list[str], epsilon: float = 1.0, k: int = 20,
+             ascending: list[bool] | None = None,
+             start: tuple | None = None) -> DataFrame:
+        from hillview_spark.operators import privacy as _priv
+
+        return _priv.dp_next_k(
+            self.df, sort_cols, epsilon, k, ascending, start, self.seed
+        )

@@ -309,3 +309,42 @@ def test_dp_prefix_counts_binary_mechanism(spark, tables):
             assert got[(etype, r.window_start)] == math.floor(cum + noise + 0.5)
             checked += 1
     assert checked == len(got) > 0
+
+
+def test_private_table_view_session(spark, tables):
+    """DPWrapper analogue: sketches on the private session equal the
+    standalone DP operators over the quantized view, with epsilons
+    resolved from the curator schema."""
+    from hillview_spark.api import PrivateTableView, TableView
+
+    ps = P.PrivacySchema.from_json(
+        """{"epsilons": {"l_discount+l_quantity": 0.5},
+            "defaultEpsilons": {"1": 1.0},
+            "quantization": {"quantization": {
+              "l_quantity": {"type": "DoubleColumnQuantization",
+                "granularity": 1, "globalMin": 1, "globalMax": 51},
+              "l_discount": {"type": "DoubleColumnQuantization",
+                "granularity": 0.01, "globalMin": 0, "globalMax": 0.11}}}}"""
+    )
+    li = TableView(tables["lineitem"])
+    pv = PrivateTableView(li, ps, seed=7)
+    got = pv.histogram("l_quantity", buckets=10).collect()
+    want = P.dp_histogram(
+        P.private_view(tables["lineitem"], ps), "l_quantity",
+        lo=1, hi=51, granularity=1, epsilon=1.0, buckets=10, seed=7,
+        column_index=pv._col_index["l_quantity"],
+    ).collect()
+    assert got == want
+    # quantization-first: the noisy counts also match DP over the RAW
+    # table, because snap-to-left-edge preserves leaf assignment
+    raw = P.dp_histogram(
+        tables["lineitem"], "l_quantity",
+        lo=1, hi=51, granularity=1, epsilon=1.0, buckets=10, seed=7,
+        column_index=pv._col_index["l_quantity"],
+    ).collect()
+    assert got == raw
+    # 2-col epsilon resolves from the '+'-joined key (0.5, not 1.0)
+    hm = pv.heatmap("l_quantity", "l_discount", 5, 4).collect()
+    assert len(hm) == 20
+    # filters derive private views; sketches still run
+    assert pv.filter_range("l_quantity", 1, 26).count(epsilon=1.0).count() == 1
