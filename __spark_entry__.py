@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontaminate_bloom"] = _decontaminate_bloom
+    q["corpus_shuffle"] = lambda s, d: curation.shuffle_corpus(
+        _t(s, d, "documents")
+    ).select("doc_id", "shuffle_rank")
     q["sample_mixture"] = lambda s, d: curation.sample_to_mixture(
         _t(s, d, "documents"), {"src0": 0.5, "src1": 0.25}
     ).select("doc_id", "source")
@@ -2117,6 +2120,14 @@ def oracle_sql() -> dict[str, str]:
           AND doc_id NOT IN (SELECT doc_id FROM cont)
     """
     o["decontaminate_bloom"] = o["decontaminate_train"]
+
+    o["corpus_shuffle"] = """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '_shuffle1'),
+                                   1, 16), doc_id) AS BIGINT) AS shuffle_rank
+        FROM documents
+    """
 
     o["sample_mixture"] = f"""
         SELECT doc_id, source FROM (

@@ -214,6 +214,28 @@ def decontaminate_bloom(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle1",
+) -> DataFrame:
+    """Deterministic global shuffle for training: every row gets a
+    pseudo-random rank from md5(id || salt) — stable across runs,
+    engines, and re-ingests (same portable-hash trick as
+    sample_to_mixture), so a resumed job sees the identical order and
+    a different salt gives an independent epoch permutation.
+
+    Scale shape: rank assignment is a global sort on the hash — the
+    standard Spark range-partitioned sort (one sampling pass + one
+    range-exchange); at 100 TB you'd usually skip the rank
+    materialization and just write sortBy(hash) so each output file
+    is a contiguous shuffled shard. Ties (hash collisions) break on
+    the id for total determinism."""
+    h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("_" + salt))), 1, 16)
+    w = Window.orderBy(h, F.col(id_col))
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
 def sample_to_mixture(
     df: DataFrame,
     weights: dict[str, float],

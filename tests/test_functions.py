@@ -1185,3 +1185,23 @@ def test_lsh_index_incremental_query_matches_live(spark, tables, tmp_path):
     hits = dedup.lsh_query_index(spark, path, one).collect()
     oid = one.collect()[0].doc_id
     assert not [r for r in hits if r.corpus_doc_id == oid]  # self-pair filtered
+
+
+def test_shuffle_corpus_deterministic_permutation(spark, tables):
+    from hillview_spark.functions import curation
+
+    docs = tables["documents"]
+    a = {r.doc_id: r.shuffle_rank for r in curation.shuffle_corpus(docs).collect()}
+    b = {r.doc_id: r.shuffle_rank for r in curation.shuffle_corpus(docs).collect()}
+    assert a == b  # stable across runs
+    n = docs.count()
+    assert sorted(a.values()) == list(range(1, n + 1))  # a true permutation
+    # different salt -> an independent epoch order
+    c = {
+        r.doc_id: r.shuffle_rank
+        for r in curation.shuffle_corpus(docs, salt="epoch2").collect()
+    }
+    assert c != a and sorted(c.values()) == list(range(1, n + 1))
+    # not the identity order (astronomically unlikely if shuffled)
+    ids = sorted(a)
+    assert [a[i] for i in ids] != list(range(1, n + 1))
