@@ -188,6 +188,18 @@ class PrivateTableView:
         # by column position in the privacy schema
         self._col_index = {c: i for i, c in enumerate(sorted(schema.quantization))}
 
+    def _index_of(self, col: str) -> int:
+        """PRF index for any column: schema position, or a stable
+        name hash for columns outside the schema — two unlisted
+        columns must never share a draw (index-0 fallback would let
+        their releases subtract to an exactly-denoised difference)."""
+        if col in self._col_index:
+            return self._col_index[col]
+        import hashlib
+
+        h = int.from_bytes(hashlib.md5(col.encode()).digest()[:4], "big")
+        return (h & 0x7FFFFFFF) + len(self._col_index)
+
     def _derive(self, df) -> "PrivateTableView":
         out = object.__new__(PrivateTableView)
         out.schema, out.seed, out.df = self.schema, self.seed, df
@@ -225,7 +237,7 @@ class PrivateTableView:
             qx.global_min, qx.global_max, qx.granularity,
             qy.global_min, qy.global_max, qy.granularity,
             self.schema.epsilon(xcol, ycol), xb, yb, self.seed,
-            self._col_index[xcol],
+            self._col_index[xcol], self._col_index[ycol],
         )
 
     def quantiles(self, col: str, probs: list[float], buckets: int = 40) -> DataFrame:
@@ -247,7 +259,7 @@ class PrivateTableView:
         from hillview_spark.operators import privacy as _priv
 
         return _priv.dp_distinct_count(
-            self.df, col, epsilon, self.seed, self._col_index.get(col, 0)
+            self.df, col, epsilon, self.seed, self._index_of(col)
         )
 
     def page(self, sort_cols: list[str], epsilon: float = 1.0, k: int = 20,

@@ -225,15 +225,24 @@ def shuffle_corpus(
     sample_to_mixture), so a resumed job sees the identical order and
     a different salt gives an independent epoch permutation.
 
-    Scale shape: rank assignment is a global sort on the hash — the
-    standard Spark range-partitioned sort (one sampling pass + one
-    range-exchange); at 100 TB you'd usually skip the rank
-    materialization and just write sortBy(hash) so each output file
-    is a contiguous shuffled shard. Ties (hash collisions) break on
-    the id for total determinism."""
-    h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("_" + salt))), 1, 16)
-    w = Window.orderBy(h, F.col(id_col))
-    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+    Scale shape: rank assignment delegates to stats.global_rank —
+    range-partition on the hash, rank each partition locally in
+    parallel, add tiny per-partition offsets (never a
+    single-partition window; the rank VALUES are independent of the
+    partitioning, so determinism survives any cluster layout). At
+    100 TB you'd usually skip the rank materialization and just
+    write sortBy(hash) so each output file is a contiguous shuffled
+    shard. Ties (hash collisions) break on the id."""
+    from hillview_spark.operators.stats import global_rank
+
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("_" + salt))), 1, 16
+    )
+    payload = [c for c in df.columns if c != id_col]
+    ranked = global_rank(df.withColumn("__h", h), ["__h", id_col], keep_cols=payload)
+    return ranked.select(
+        *df.columns, (F.col("rnk") + 1).cast("long").alias("shuffle_rank")
+    )
 
 
 def sample_to_mixture(

@@ -274,13 +274,25 @@ def lsh_write_index(
     query with mismatched hashing fails loudly instead of silently
     finding nothing. mode='append' adds a new batch's bands to the
     index after it has been deduped (incremental maintenance)."""
+    if mode == "append":
+        # appending under different hashing would silently mix
+        # incompatible band keys — validate against the pinned params
+        # instead of overwriting them
+        p = df.sparkSession.read.parquet(f"{path}/params").collect()[0]
+        if (p.num_hashes, p.bands, p.n) != (num_hashes, bands, n):
+            raise ValueError(
+                f"index at {path} was built with (num_hashes={p.num_hashes}, "
+                f"bands={p.bands}, n={p.n}); refusing to append "
+                f"({num_hashes}, {bands}, {n})"
+            )
     _banded(df, num_hashes, bands, n, id_col, text_col).write.mode(mode).parquet(
         f"{path}/bands"
     )
-    params = [(int(num_hashes), int(bands), int(n))]
-    df.sparkSession.createDataFrame(
-        params, "num_hashes int, bands int, n int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    if mode != "append":
+        params = [(int(num_hashes), int(bands), int(n))]
+        df.sparkSession.createDataFrame(
+            params, "num_hashes int, bands int, n int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def lsh_query_index(

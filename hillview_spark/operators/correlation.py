@@ -145,6 +145,29 @@ def jl_project(
     return out
 
 
+def _mds_descent(Dh, Y, max_iterations=1000, learning_rate=1.0, decay=0.999,
+                 tolerance=1e-5):
+    """Squared-stress gradient descent on normalized distances —
+    shared by metric_mds and lamp_project(control_layout='mds');
+    Dh and Y must already be in the max-distance-1 normalized space
+    (MetricMDS.computeEmbedding, MetricMDS.java:165-200)."""
+    import numpy as np
+
+    eps, lr, n = 1e-9, learning_rate, len(Y)
+    for _ in range(max_iterations):
+        d = Y[:, None, :] - Y[None, :, :]
+        Dl = np.sqrt((d**2).sum(-1))
+        np.fill_diagonal(Dl, 1.0)  # self-pairs contribute zero below
+        coef = 2.0 * (Dl - Dh) / np.maximum(Dl, eps)
+        np.fill_diagonal(coef, 0.0)
+        grad = (coef[:, :, None] * d).sum(axis=1)
+        Y -= grad * (lr / n)
+        lr *= decay
+        if np.linalg.norm(grad) / n < tolerance:
+            break
+    return Y
+
+
 def metric_mds(
     df: DataFrame,
     cols: list[str],
@@ -174,15 +197,24 @@ def metric_mds(
     import numpy as np
 
     out_cols = ([key_col] if key_col else []) + cols
+    # deterministic bounded sample: order by a portable hash of the
+    # row's values (sample(fraction=1.0) would be a no-op, leaving
+    # limit() to take whatever rows the scan yields first — a
+    # partition-layout-dependent set); TakeOrderedAndProject keeps
+    # this bounded on any cluster
+    pick = F.md5(
+        F.concat_ws(
+            "_", F.lit(str(seed)), *[F.col(c).cast("string") for c in out_cols]
+        )
+    )
     rows = (
         df.select(*out_cols)
         .dropna(subset=cols)
-        .sample(fraction=1.0, seed=seed)
+        .orderBy(pick)
         .limit(n_points)
         .collect()
     )
     X = np.array([[float(r[c]) for c in cols] for r in rows])
-    n = len(X)
     diff_h = X[:, None, :] - X[None, :, :]
     Dh = np.sqrt((diff_h**2).sum(-1))
     scaling = 1.0 / max(Dh.max(), 1e-12)
@@ -191,20 +223,7 @@ def metric_mds(
     Xc = X - X.mean(axis=0)
     _, _, vt = np.linalg.svd(Xc, full_matrices=False)
     Y = (Xc @ vt[:low_dims].T) * scaling
-
-    eps = 1e-9
-    lr = learning_rate
-    for _ in range(max_iterations):
-        d = Y[:, None, :] - Y[None, :, :]
-        Dl = np.sqrt((d**2).sum(-1))
-        np.fill_diagonal(Dl, 1.0)  # self-pairs contribute zero below
-        coef = 2.0 * (Dl - Dh) / np.maximum(Dl, eps)
-        np.fill_diagonal(coef, 0.0)
-        grad = (coef[:, :, None] * d).sum(axis=1)
-        Y -= grad * (lr / n)
-        lr *= decay
-        if np.linalg.norm(grad) / n < tolerance:
-            break
+    Y = _mds_descent(Dh, Y, max_iterations, learning_rate, decay, tolerance)
     Y = Y / scaling
 
     spark = df.sparkSession
@@ -214,9 +233,15 @@ def metric_mds(
             float(round(Y[i, j], 6)) for j in range(low_dims)
         ]
         out.append(tuple(rec))
-    schema = (f"{key_col} long, " if key_col else "") + ", ".join(
-        f"mds_{ax} double" for ax in ("x", "y", "z", "w")[:low_dims]
-    )
+    axes = ["x", "y", "z", "w"][:low_dims] + [
+        str(i) for i in range(4, low_dims)
+    ]
+    if key_col:
+        key_type = df.schema[key_col].dataType.simpleString()
+        schema = f"{key_col} {key_type}, "
+    else:
+        schema = ""
+    schema += ", ".join(f"mds_{ax} double" for ax in axes)
     return spark.createDataFrame(out, schema)
 
 
@@ -259,19 +284,7 @@ def lamp_project(
     if control_layout == "mds":
         Dh = np.sqrt(((Xs[:, None, :] - Xs[None, :, :]) ** 2).sum(-1))
         sc = 1.0 / max(Dh.max(), 1e-12)
-        Dh, Y, lr, eps = Dh * sc, Y * sc, 1.0, 1e-9
-        for _ in range(1000):
-            dlt = Y[:, None, :] - Y[None, :, :]
-            Dl = np.sqrt((dlt**2).sum(-1))
-            np.fill_diagonal(Dl, 1.0)
-            coef = 2.0 * (Dl - Dh) / np.maximum(Dl, eps)
-            np.fill_diagonal(coef, 0.0)
-            grad = (coef[:, :, None] * dlt).sum(axis=1)
-            Y -= grad * (lr / len(Y))
-            lr *= 0.999
-            if np.linalg.norm(grad) / len(Y) < 1e-5:
-                break
-        Y = Y / sc
+        Y = _mds_descent(Dh * sc, Y * sc) / sc
     elif control_layout != "pca":
         raise ValueError("control_layout must be 'pca' or 'mds'")
 

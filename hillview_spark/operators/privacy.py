@@ -141,7 +141,10 @@ def _uniform(seed: int, column_index: int, *nodes: tuple[int, int]) -> float:
 
 def laplace_from_uniform(scale: float, unif: float) -> float:
     """Inverse-CDF Laplace(0, scale) — SecureLaplace.java:62-69,
-    identical op order so the value is bit-reproducible."""
+    identical op order so the value is bit-reproducible. The uniform
+    clamps to [2^-53, 1 - 2^-53] (as laplace_noise_col does) so a
+    PRF output of exactly 0 can't surface log(0) = -inf."""
+    unif = min(max(unif, 2.0**-53), 1.0 - 2.0**-53)
     r = 0.5 - unif
     if r < 0:
         return -scale * math.log(1.0 - 2.0 * (-r))
@@ -324,6 +327,7 @@ def dp_heatmap(
     ybuckets: int = 10,
     seed: int = 0,
     column_index: int = 0,
+    column_index_y: int = 0,
     k: int = BRANCHING_FACTOR,
 ) -> DataFrame:
     """Noisy 2-D histogram: noise per cell is one draw per PAIR of
@@ -332,10 +336,18 @@ def dp_heatmap(
     mechanism of DPHeatmapSketch (web/src/main/java/org/hillview/
     dataStructures/DPHeatmapSketch.java) seeded per node-pair
     (SecureLaplace.java:77-80 varargs index). Driver noise cost is
-    O(cells * log^2) PRF draws, independent of data size."""
+    O(cells * log^2) PRF draws, independent of data size.
+
+    BOTH columns' indexes enter the PRF key (folded into one int the
+    same way the reference's scratch bytes carry the pair identity):
+    without the y index, two heatmaps sharing an x column would draw
+    bit-identical noise and their difference would cancel it exactly
+    — a DP break. (0, 0) folds to 0, so single-pair callers and the
+    existing oracles are unchanged."""
     xleaves = max(1, math.ceil((xhi - xlo) / xgranularity))
     yleaves = max(1, math.ceil((yhi - ylo) / ygranularity))
     xbuckets, ybuckets = min(xbuckets, xleaves), min(ybuckets, yleaves)
+    column_index = column_index * 1_000_003 + column_index_y
     scale = noise_scale(epsilon, xleaves, yleaves, k=k)
     base_var = laplace_variance(scale)
     xranges = _bucket_leaf_ranges(xleaves, xbuckets)
@@ -623,7 +635,7 @@ def private_view(df: DataFrame, schema: PrivacySchema) -> DataFrame:
     can observe sub-grid values; columns without metadata pass
     through. Pure per-row Catalyst arithmetic — zero shuffle, and
     downstream sketches compose unchanged."""
-    from hillview_spark.operators.maps import quantize_column, quantize_string_column
+    from hillview_spark.operators.maps import quantize_string_column
 
     out = df
     for name, q in schema.quantization.items():
@@ -632,8 +644,19 @@ def private_view(df: DataFrame, schema: PrivacySchema) -> DataFrame:
         if q.type == "StringColumnQuantization":
             out = quantize_string_column(out, name, q.left_boundaries)
         else:
-            out = quantize_column(
-                out, name, q.global_min, q.global_max, q.leaves
+            # Snap on the curator's granularity GRID (not the
+            # (hi-lo)/leaves width quantize_column would use — the two
+            # differ whenever granularity doesn't divide the span, and
+            # a drifted grid would migrate values into wrong leaves).
+            lo, g, leaves = q.global_min, q.granularity, q.leaves
+            c = F.col(name).cast("double")
+            leaf = F.least(
+                F.greatest(F.floor((c - F.lit(float(lo))) / F.lit(float(g))), F.lit(0)),
+                F.lit(leaves - 1),
+            )
+            out = out.withColumn(
+                name,
+                F.when(c.isNotNull(), F.lit(float(lo)) + leaf * F.lit(float(g))),
             )
     return out
 

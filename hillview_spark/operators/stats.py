@@ -234,7 +234,9 @@ def string_quantiles(df: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
-def global_rank(d: DataFrame, order_cols: list[str]) -> DataFrame:
+def global_rank(
+    d: DataFrame, order_cols: list[str], keep_cols: list[str] | None = None
+) -> DataFrame:
     """Dense 0-based global rank of each (assumed-distinct) row under
     a lexicographic RecordOrder, plus the total count n — WITHOUT a
     single-partition sort.
@@ -247,7 +249,9 @@ def global_rank(d: DataFrame, order_cols: list[str]) -> DataFrame:
     tiny (num-partitions-row) relation, so its prefix-sum window and
     the broadcast join back are O(partitions), not O(rows).
 
-    Returns the input columns plus ``rnk`` (long) and ``n`` (long).
+    Returns the order columns (plus any ``keep_cols`` payload
+    columns, carried through the rank untouched) with ``rnk`` (long)
+    and ``n`` (long).
     """
     parts = max(4, int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 2)
     # localCheckpoint, not persist: the pid-tagged relation feeds both
@@ -284,6 +288,7 @@ def global_rank(d: DataFrame, order_cols: list[str]) -> DataFrame:
         tagged.join(F.broadcast(offsets), "__pid")
         .select(
             *order_cols,
+            *(keep_cols or []),
             (F.row_number().over(wlocal) - 1 + F.col("__offset")).alias("rnk"),
             "n",
         )

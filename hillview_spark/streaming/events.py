@@ -350,14 +350,19 @@ def dp_prefix_counts(
             ).cast("long"),
         )
     )
+    from hillview_spark import cache
+
     w = (
         Window.partitionBy("event_type")
         .orderBy("leaf")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # persisted: the (type, leaf) spine collect below AND the joined
+    # result both read this aggregate — without the persist the whole
+    # scan+shuffle DAG would run twice (cache.py registry pattern)
     cum = counts.select(
         "event_type", "window_start", "leaf", F.sum("n_events").over(w).alias("cum")
-    )
+    ).transform(cache.persist)
     # noise spine: one row per (type, leaf) present — bounded by the
     # aggregate size, never the event count
     keys = cum.select("event_type", "leaf").distinct().collect()

@@ -1205,3 +1205,13 @@ def test_shuffle_corpus_deterministic_permutation(spark, tables):
     # not the identity order (astronomically unlikely if shuffled)
     ids = sorted(a)
     assert [a[i] for i in ids] != list(range(1, n + 1))
+
+
+def test_lsh_index_append_validates_params(spark, tables, tmp_path):
+    from hillview_spark.functions import dedup
+
+    docs = tables["documents"].limit(30)
+    path = str(tmp_path / "lsh_guard")
+    dedup.lsh_write_index(docs, path, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="refusing to append"):
+        dedup.lsh_write_index(docs, path, num_hashes=8, bands=2, mode="append")

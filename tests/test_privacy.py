@@ -348,3 +348,29 @@ def test_private_table_view_session(spark, tables):
     assert len(hm) == 20
     # filters derive private views; sketches still run
     assert pv.filter_range("l_quantity", 1, 26).count(epsilon=1.0).count() == 1
+
+
+def test_private_view_non_dividing_granularity(spark):
+    # granularity 3 over span 10: grid must be 0,3,6,9 (curator grid),
+    # NOT multiples of 10/4=2.5
+    ps = P.PrivacySchema.from_json(
+        """{"quantization": {"quantization": {
+            "x": {"type": "DoubleColumnQuantization",
+                  "granularity": 3, "globalMin": 0, "globalMax": 10}}}}"""
+    )
+    df = spark.createDataFrame([(7.0,), (2.9,), (9.9,)], "x double")
+    got = sorted(r.x for r in P.private_view(df, ps).collect())
+    assert got == [0.0, 6.0, 9.0]
+
+
+def test_dp_heatmap_pair_identity_enters_noise():
+    # same node pair, different y-column index -> different draw;
+    # (0, 0) folds to index 0 so existing oracles are unchanged
+    a = P.node_noise(7, 0 * 1_000_003 + 1, 2.0, (0, 1), (0, 1))
+    b = P.node_noise(7, 0 * 1_000_003 + 2, 2.0, (0, 1), (0, 1))
+    assert a != b
+
+
+def test_laplace_from_uniform_zero_guarded():
+    assert math.isfinite(P.laplace_from_uniform(2.0, 0.0))
+    assert math.isfinite(P.laplace_from_uniform(2.0, 1.0))
