@@ -1421,9 +1421,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["next_k_aggregate"] = """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
-          round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                / COUNT(*), 6) AS avg_l_extendedprice,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_l_quantity,
+          round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                / COUNT(l_extendedprice), 6) AS avg_l_extendedprice,
           max(l_discount) AS max_l_discount
         FROM lineitem GROUP BY 1, 2
         ORDER BY l_returnflag, l_linestatus LIMIT 10

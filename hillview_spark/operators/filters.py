@@ -173,23 +173,45 @@ def row_comparison_filter(
     record order (table/filters/RowComparisonFilterDescription.java:31
     — the filter behind spreadsheet paging: 'rows after X'). Builds
     the standard expansion (c0 > v0) OR (c0 = v0 AND c1 > v1) OR ...
-    so every leaf stays a pushdown-eligible comparison."""
+    so every leaf stays a pushdown-eligible comparison.
+
+    NULL-aware: NULL sorts where Spark's asc/desc defaults put it
+    (first under ASC, last under DESC), and a None in the start row
+    addresses the NULL group — without this, any comparison touching
+    NULL evaluates to NULL and paging silently dead-ends on columns
+    with missing values."""
     if ascending is None:
         ascending = [True] * len(sort_cols)
     if op in ("==", "!="):
-        eq = all_of(*[F.col(c) == F.lit(v) for c, v in zip(sort_cols, row)])
+        eq = all_of(*[F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(sort_cols, row)])
         return eq if op == "==" else ~eq
     if op not in ("<", "<=", ">", ">="):
         raise ValueError(f"unknown row comparison op: {op}")
+
+    def after(cc: Column, v, asc: bool) -> Column:
+        """col sorts strictly after v in the record order."""
+        if v is None:
+            # ASC: everything non-null follows NULL; DESC: nothing does
+            return cc.isNotNull() if asc else F.lit(False)
+        if asc:
+            return cc > F.lit(v)  # NULL (first) never follows a value
+        return (cc < F.lit(v)) | cc.isNull()  # DESC: NULL sorts last
+
+    def before(cc: Column, v, asc: bool) -> Column:
+        if v is None:
+            return F.lit(False) if asc else cc.isNotNull()
+        if asc:
+            return (cc < F.lit(v)) | cc.isNull()
+        return cc > F.lit(v)
+
     strict = op.rstrip("=")
+    cmp = after if strict == ">" else before
     out = F.lit(False)
     prefix_eq = F.lit(True)
     for c, v, asc in zip(sort_cols, row, ascending):
         cc = F.col(c)
-        # direction flips per-column when the record order is DESC
-        gt = (cc > F.lit(v)) if (strict == ">") == asc else (cc < F.lit(v))
-        out = out | (prefix_eq & gt)
-        prefix_eq = prefix_eq & (cc == F.lit(v))
+        out = out | (prefix_eq & cmp(cc, v, asc))
+        prefix_eq = prefix_eq & cc.eqNullSafe(F.lit(v))
     if op.endswith("="):
         out = out | prefix_eq
     return out

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hillview_spark.operators.filters import all_of
+
 
 def heavy_hitters(df: DataFrame, cols: list[str], epsilon: float = 0.01) -> DataFrame:
     """Values (tuples) occurring in at least epsilon fraction of rows,
@@ -132,8 +134,15 @@ def heavy_hitters_sampled(
     total = obs.get["n"]
     spark = df.sparkSession
     cand = spark.createDataFrame(cand_rows, df.select(*cols).schema)
+    # null-safe semi-join: a plain equi-join drops NULL keys, and the
+    # exact heavy_hitters (groupBy) counts the NULL group — a mostly
+    # missing column would silently lose its top "value"
+    d, c = df.alias("__d"), cand.alias("__c")
+    cond = all_of(
+        *[F.col(f"__d.{k}").eqNullSafe(F.col(f"__c.{k}")) for k in cols]
+    )
     return (
-        df.join(F.broadcast(cand), cols)
+        d.join(F.broadcast(c), cond, "left_semi")
         .groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(float(epsilon * total)))

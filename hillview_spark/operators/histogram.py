@@ -200,25 +200,33 @@ def histogram_nd(df: DataFrame, specs: list[tuple[str, int]]) -> DataFrame:
     [(col, buckets), ...]; numeric columns are range-bucketed, string
     columns group by value (Hillview trellis splits on categorical
     values)."""
-    numeric = [
-        (c, b)
-        for c, b in specs
-        if dict(df.dtypes)[c] not in ("string", "boolean")
-    ]
+    dtypes = dict(df.dtypes)
+    categorical = ("string", "boolean")
+    temporal = ("date", "timestamp", "timestamp_ntz")
+
+    def axis(c):
+        # date/timestamp axes range-bucket on epoch seconds (Hillview
+        # trellis supports date axes; a raw (col - mn) on dates makes
+        # an interval and fails the division's analysis)
+        if dtypes[c] in temporal:
+            return F.col(c).cast("timestamp").cast("long")
+        return F.col(c)
+
+    numeric = [(c, b) for c, b in specs if dtypes[c] not in categorical]
     rng_aggs = []
     for c, _ in numeric:
-        rng_aggs += [F.min(c).alias(f"{c}_mn"), F.max(c).alias(f"{c}_mx")]
+        rng_aggs += [F.min(axis(c)).alias(f"{c}_mn"), F.max(axis(c)).alias(f"{c}_mx")]
     src = df.select([c for c, _ in specs]).na.drop()
     if rng_aggs:
         src = src.crossJoin(F.broadcast(df.agg(*rng_aggs)))
     outs = []
     for c, b in specs:
-        if dict(df.dtypes)[c] in ("string", "boolean"):
+        if dtypes[c] in categorical:
             outs.append(F.col(c).alias(f"{c}_bucket"))
         else:
             outs.append(
                 _bucket_expr(
-                    F.col(c), F.col(f"{c}_mn"), F.col(f"{c}_mx"), b
+                    axis(c), F.col(f"{c}_mn"), F.col(f"{c}_mx"), b
                 ).alias(f"{c}_bucket")
             )
     keys = [f"{c}_bucket" for c, _ in specs]
@@ -245,11 +253,14 @@ def histogram_string_bounded(
     bucket i covers [boundaries[i], boundaries[i+1]). Computed as the
     count of boundaries <= value over a broadcast literal array —
     JVM-side, O(B) per row, no shuffle beyond O(B) groups."""
-    barr = F.array(*[F.lit(b) for b in sorted(boundaries)])
+    if not boundaries:
+        raise ValueError("histogram_string_bounded needs >= 1 boundary")
+    bs = sorted(boundaries)
+    barr = F.array(*[F.lit(b) for b in bs])
     val = F.col(col)
     idx = F.size(F.filter(barr, lambda b: b <= val)) - F.lit(1)
     return (
-        df.where(val.isNotNull() & (val >= F.lit(sorted(boundaries)[0])))
+        df.where(val.isNotNull() & (val >= F.lit(bs[0])))
         .select(idx.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -274,8 +285,10 @@ def histogram_quantiles(
     src = df.select(F.col(xcol).alias("x"), F.col(ycol).alias("y")).where(
         F.col(xcol).isNotNull() & F.col(ycol).isNotNull()
     )
+    from hillview_spark.operators.stats import _q_alias
+
     aggs = [F.count(F.lit(1)).alias("cnt")] + [
-        F.round(F.expr(f"percentile(y, {p})"), ndigits).alias(f"q{int(p * 100):02d}")
+        F.round(F.expr(f"percentile(y, {p})"), ndigits).alias(_q_alias(p))
         for p in probs
     ]
     return (

@@ -72,15 +72,22 @@ def next_k_aggregate(
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for c, how in agg_specs:
         name = f"{how}_{c}"
+        # decimal(28,4): 24 integer digits, so epoch-nanos-scale
+        # values don't hit ANSI NUMERIC_VALUE_OUT_OF_RANGE the way
+        # (18,4) did; still lossless for 4-decimal data and
+        # order-independent across engines
         if how == "sum":
             aggs.append(
-                F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(name)
+                F.sum(F.col(c).cast("decimal(28,4)")).cast("double").alias(name)
             )
         elif how == "avg":
+            # SQL AVG semantics: null-skipping sum over NON-NULL count
+            # (dividing by the group row count biased groups with
+            # missing values low)
             aggs.append(
                 F.round(
-                    F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
-                    / F.count(F.lit(1)),
+                    F.sum(F.col(c).cast("decimal(28,4)")).cast("double")
+                    / F.count(F.col(c)),
                     6,
                 ).alias(name)
             )

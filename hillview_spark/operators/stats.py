@@ -98,9 +98,12 @@ def basic_col_stats(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFra
             F.round(F.max(c).cast("double"), ndigits).alias(f"{c}__max"),
             s.alias(f"{c}__sum"),
             F.round(s / n, 6).alias(f"{c}__mean"),
-            F.round(F.sqrt((sq - s * s / n) / (n - F.lit(1))), ndigits).alias(
-                f"{c}__stddev"
-            ),
+            # n > 1 guard: ANSI mode (Spark 4 default) turns the
+            # (n - 1) division into DIVIDE_BY_ZERO for single-value
+            # columns; DuckDB's stddev_samp is NULL there too.
+            F.when(
+                n > 1, F.round(F.sqrt((sq - s * s / n) / (n - F.lit(1))), ndigits)
+            ).alias(f"{c}__stddev"),
         ]
     wide = df.agg(*aggs)
     stack_args = []
@@ -326,10 +329,19 @@ def quantiles(
     pass with bounded state at these cardinalities. For truly massive
     columns use quantiles_approx below."""
     exprs = [
-        F.round(F.expr(f"percentile({col}, {p})"), ndigits).alias(f"q{int(p*100):02d}")
+        F.round(F.expr(f"percentile(`{col}`, {p})"), ndigits).alias(_q_alias(p))
         for p in probs
     ]
     return df.agg(*exprs)
+
+
+def _q_alias(p: float) -> str:
+    """q50-style alias, extended past whole percents (q2_5 for 0.025)
+    so sub-percent probs don't collide into duplicate column names."""
+    pct = p * 100
+    if pct == int(pct):
+        return f"q{int(pct):02d}"
+    return "q" + f"{pct:g}".replace(".", "_")
 
 
 def quantiles_approx(
@@ -339,5 +351,7 @@ def quantiles_approx(
     (percentile_approx) — the 100 TB path, mergeable per partition."""
     plist = ", ".join(str(p) for p in probs)
     return df.agg(
-        F.expr(f"percentile_approx({col}, array({plist}), {accuracy})").alias("quantiles")
+        F.expr(
+            f"percentile_approx(`{col}`, array({plist}), {accuracy})"
+        ).alias("quantiles")
     )

@@ -565,3 +565,85 @@ def test_range_join_matches_bruteforce(spark, tables):
     assert {(r.event_id, r.session_id) for r in got.collect()} == \
            {(r.event_id, r.session_id) for r in brute.collect()}
     ex.assert_no_cartesian(got)
+
+
+# --- ANSI-mode / NULL-semantics regressions (Spark 4 defaults) ------
+
+
+def test_basic_col_stats_single_value_column(spark):
+    from hillview_spark.operators import stats
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    r = stats.basic_col_stats(df, ["x"]).collect()[0]
+    assert r.mean_val == 1.0 and r.stddev_val is None  # no DIVIDE_BY_ZERO
+
+
+def test_next_k_pages_through_null_keys(spark):
+    from hillview_spark.operators import spreadsheet
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("c",)], "k string"
+    )
+    # ASC: NULL group is page 1; start=(None,) scrolls past it
+    p1 = [r.k for r in spreadsheet.next_k(df, ["k"], k=2).collect()]
+    assert p1 == [None, "a"]
+    p2 = [r.k for r in spreadsheet.next_k(df, ["k"], k=3, start=(None,)).collect()]
+    assert p2 == ["a", "b", "c"]
+    # DESC: NULL sorts last and is reachable after the smallest value
+    pd = [
+        r.k
+        for r in spreadsheet.next_k(
+            df, ["k"], k=2, ascending=[False], start=("a",)
+        ).collect()
+    ]
+    assert pd == [None]
+
+
+def test_next_k_aggregate_avg_skips_nulls_and_big_values(spark):
+    from hillview_spark.operators import spreadsheet
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", None), ("h", 1e15)], "k string, v double"
+    )
+    out = {
+        r.k: (r.avg_v, r.sum_v)
+        for r in spreadsheet.next_k_aggregate(
+            df, ["k"], [("v", "avg"), ("v", "sum")], k=10
+        ).collect()
+    }
+    assert out["g"][0] == 10.0  # null-skipping AVG, not sum/rowcount
+    assert out["h"][1] == 1e15  # no decimal overflow at epoch-nanos scale
+
+
+def test_heavy_hitters_sampled_keeps_null_group(spark):
+    from hillview_spark.operators import heavy_hitters
+
+    rows = [(None,)] * 50 + [("b",)] * 50
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r.k: r.cnt
+        for r in heavy_hitters.heavy_hitters_sampled(
+            df, ["k"], epsilon=0.3, fraction=1.0
+        ).collect()
+    }
+    assert got == {None: 50, "b": 50}
+
+
+def test_histogram_nd_date_axis(spark):
+    import datetime as dt
+
+    from hillview_spark.operators import histogram
+
+    rows = [(dt.date(2024, 1, 1 + i), float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "d date, v double")
+    out = histogram.histogram_nd(df, [("d", 4), ("v", 2)]).collect()
+    assert sum(r.cnt for r in out) == 8
+    assert {r.d_bucket for r in out} <= {0, 1, 2, 3}
+
+
+def test_quantiles_subpercent_aliases_unique(spark):
+    from hillview_spark.operators import stats
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = stats.quantiles(df, "x", [0.02, 0.025, 0.5])
+    assert out.columns == ["q02", "q2_5", "q50"]
