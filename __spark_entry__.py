@@ -1982,15 +1982,15 @@ def oracle_sql() -> dict[str, str]:
     """
     o["text_quality_filter"] = r"""
         WITH x AS (SELECT doc_id,
-            length(text) AS n_chars,
-            len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+            GREATEST(length(text), 1) AS n_chars,
+            CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
             len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
             len(regexp_extract_all(lower(text),
                 '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS stop
           FROM documents)
         SELECT doc_id FROM x
         WHERE n_tokens >= 10 AND n_tokens <= 100000
-          AND round((least(CAST(stop AS DOUBLE) / n_tokens * 2, 1.0)
+          AND round((least(CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1) * 2, 1.0)
                  + 1.0 / (1.0 + CAST(punct AS DOUBLE) / n_chars * 10)
                  + CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) / 3.0, 4)
               >= 0.5
@@ -2254,23 +2254,23 @@ def oracle_sql() -> dict[str, str]:
     # --- text analysis ---------------------------------------------------
     o["text_token_count"] = r"""
         SELECT doc_id,
-               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+               CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
                len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
                length(text) AS n_chars
         FROM documents
     """
     o["text_quality_score"] = r"""
         WITH x AS (SELECT doc_id,
-            length(text) AS n_chars,
-            len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+            GREATEST(length(text), 1) AS n_chars,
+            CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
             len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
             len(regexp_extract_all(lower(text),
                 '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS stop
           FROM documents)
         SELECT doc_id, n_tokens,
-          round(CAST(stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+          round(CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stopword_ratio,
           round(CAST(punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
-          round((least(CAST(stop AS DOUBLE) / n_tokens * 2, 1.0)
+          round((least(CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1) * 2, 1.0)
                  + 1.0 / (1.0 + CAST(punct AS DOUBLE) / n_chars * 10)
                  + CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) / 3.0, 4) AS quality
         FROM x

@@ -265,13 +265,9 @@ def sample_to_mixture(
                 f"mixture weight for {src!r} must be in [0, 1], got {w}"
                 " (weights are keep fractions, not relative shares)"
             )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("_", F.col(key_col), F.lit(salt))), 1, 7
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from hillview_spark.operators.sampling import salted_hash
+
+    h = salted_hash(F.col(key_col), salt)
     cut = None
     for src, w in sorted(weights.items()):
         branch = (F.col(source_col) == src, F.lit(int(w * (16**7))))
@@ -345,14 +341,9 @@ def pack_sequences(
     parallel after ONE hash-partition shuffle, no global order, and
     group count scales with the cluster, not the data."""
     d, c = id_cols
-    # engine-portable salted hash (same recipe as split_train_eval)
-    group = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col(d), F.lit("pack"))), 1, 7),
-            16, 10,
-        ).cast("bigint"),
-        F.lit(n_groups),
-    )
+    from hillview_spark.operators.sampling import salted_hash
+
+    group = F.pmod(salted_hash(F.col(d), "pack"), F.lit(n_groups))
     w = (
         Window.partitionBy("pack_group")
         .orderBy(d, c)
@@ -500,13 +491,9 @@ def cap_per_group(
     partitioning-independent because phase 1 keeps a superset of the
     global top-N and phase 2 applies the total (hash, key) order.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("_", F.col(key_col), F.lit(salt))), 1, 7
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from hillview_spark.operators.sampling import salted_hash
+
+    h = salted_hash(F.col(key_col), salt)
     tagged = df.withColumn("__h", h)
     w_local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
         "__h", key_col

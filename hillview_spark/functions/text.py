@@ -27,12 +27,23 @@ def _count_re(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
+def _ws_tokens(t):
+    """Whitespace token count with sane edges: 0 for empty or
+    all-whitespace text (split('') returns [''] and would count 1),
+    NULL for NULL text (size(NULL) is -1 under the legacy default)."""
+    return (
+        F.when(t.isNull(), F.lit(None))
+        .when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens plus a BPE-ish sub-token estimate (words and
     punctuation marks counted separately — a standard fast proxy for
     tokenizer load)."""
     t = F.col(text_col)
-    ws = F.size(F.split(F.trim(t), r"\s+"))
+    ws = _ws_tokens(t)
     bpe = _count_re(t, WORD_OR_PUNCT_RE)
     # long outputs: SQL engines type list-lengths as BIGINT
     return df.select(
@@ -43,23 +54,32 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality in [0,1]: rewards stopword density
-    (natural-language-ness) and reasonable length, penalizes
-    punctuation noise. Pure rational arithmetic."""
-    t = F.col(text_col)
+def _quality_terms(t):
+    """Shared score expressions for quality_score and quality_filter
+    (one definition so the reported metric and the gate can't
+    diverge). Denominators clamp to >= 1: an empty document must
+    score 0-ish, not raise DIVIDE_BY_ZERO under ANSI mode."""
     n_chars = F.length(t)
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_tokens = _ws_tokens(t)
     punct = _count_re(t, PUNCT_RE)
     stop = _count_re(F.lower(t), STOPWORD_RES["en"])
-    stop_ratio = stop.cast("double") / n_tokens
-    punct_ratio = punct.cast("double") / n_chars
+    stop_ratio = stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
     len_term = F.least(n_tokens, F.lit(200)).cast("double") / F.lit(200.0)
     score = (
         F.least(stop_ratio * 2, F.lit(1.0))
         + F.lit(1.0) / (F.lit(1.0) + punct_ratio * 10)
         + len_term
     ) / F.lit(3.0)
+    return n_tokens, stop_ratio, punct_ratio, score
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards stopword density
+    (natural-language-ness) and reasonable length, penalizes
+    punctuation noise. Pure rational arithmetic."""
+    t = F.col(text_col)
+    n_tokens, stop_ratio, punct_ratio, score = _quality_terms(t)
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
@@ -135,22 +155,11 @@ def quality_filter(
     """Corpus quality gate: keep documents inside the token-length
     band with quality >= min_quality — the standard pre-training
     filter step. The score expressions are rebuilt inline on the
-    same rows, so the whole filter is one codegen'd scan with no
-    join back."""
+    same rows (shared _quality_terms builder), so the whole filter
+    is one codegen'd scan with no join back."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
-    punct = _count_re(t, PUNCT_RE)
-    stop = _count_re(F.lower(t), STOPWORD_RES["en"])
-    score = F.round(
-        (
-            F.least(stop.cast("double") / n_tokens * 2, F.lit(1.0))
-            + F.lit(1.0) / (F.lit(1.0) + punct.cast("double") / n_chars * 10)
-            + F.least(n_tokens, F.lit(200)).cast("double") / F.lit(200.0)
-        )
-        / F.lit(3.0),
-        4,
-    )
+    n_tokens, _, _, raw_score = _quality_terms(t)
+    score = F.round(raw_score, 4)
     return df.where(
         (n_tokens >= min_tokens)
         & (n_tokens <= max_tokens)

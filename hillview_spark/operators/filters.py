@@ -21,6 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def _complement(cond: Column) -> Column:
+    """NOT under missing-is-non-matching semantics: a NULL evaluation
+    means the row did NOT match, so the complement must KEEP it
+    (~NULL is NULL and would drop the row from BOTH sides, breaking
+    the filter + complement partition invariant — Hillview's
+    RangeFilterDescription treats missing as non-matching)."""
+    return ~F.coalesce(cond, F.lit(False))
+
+
 def range_filter(
     col: str, lo=None, hi=None, include_lo: bool = True, include_hi: bool = True,
     complement: bool = False,
@@ -31,7 +40,7 @@ def range_filter(
         cond = cond & (c >= F.lit(lo) if include_lo else c > F.lit(lo))
     if hi is not None:
         cond = cond & (c <= F.lit(hi) if include_hi else c < F.lit(hi))
-    return ~cond if complement else cond
+    return _complement(cond) if complement else cond
 
 
 def range_filter_array(ranges: list[dict], complement: bool = False) -> Column:
@@ -45,7 +54,7 @@ def range_filter_array(ranges: list[dict], complement: bool = False) -> Column:
     a plain Catalyst predicate, so all ranges reach the parquet scan
     as PushedFilters."""
     cond = all_of(*[range_filter(**r) for r in ranges])
-    return ~cond if complement else cond
+    return _complement(cond) if complement else cond
 
 
 def string_filter(
@@ -71,14 +80,16 @@ def string_filter(
         cond = c.rlike(flags + pattern)
     else:
         raise ValueError(f"unknown string filter mode: {mode}")
-    return ~cond if negate else cond
+    return _complement(cond) if negate else cond
 
 
 def comparison_filter(col: str, op: str, value) -> Column:
     c = F.col(col)
+    # ==/!= are null-safe, matching maps.compare_columns: a missing
+    # value is distinct from every value, so it satisfies '!='
     ops = {
-        "==": c == F.lit(value),
-        "!=": c != F.lit(value),
+        "==": c.eqNullSafe(F.lit(value)),
+        "!=": ~c.eqNullSafe(F.lit(value)),
         "<": c < F.lit(value),
         "<=": c <= F.lit(value),
         ">": c > F.lit(value),
@@ -122,7 +133,7 @@ def string_columns_filter(
     cond = any_of(
         *[string_filter(c, pattern, mode, case_sensitive) for c in cols]
     )
-    return ~cond if negate else cond
+    return _complement(cond) if negate else cond
 
 
 def predicate_filter(expr_or_fn) -> Column:

@@ -106,7 +106,10 @@ def set_operation(a: DataFrame, b: DataFrame, op: str) -> DataFrame:
     if op == "intersect":
         return a.intersect(b)
     if op == "except":
-        return a.exceptAll(b)
+        # subtract = set-semantic EXCEPT, consistent with the
+        # set-semantic intersect above and the row-set contract
+        # (exceptAll would keep per-row multiplicities)
+        return a.subtract(b)
     raise ValueError(f"unknown set operation: {op}")
 
 

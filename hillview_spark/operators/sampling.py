@@ -52,6 +52,19 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def salted_hash(col, salt: str):
+    """THE engine-portable salted hash: first 7 hex chars of
+    md5(value '_' salt) as a bigint in [0, 16^7). Every
+    deterministic-keep decision in the engine (train/eval split,
+    mixture sampling, per-group caps, pack-group assignment) uses
+    this one recipe — a one-character drift in any copy would
+    silently migrate examples between splits across re-ingests, so
+    there are no copies."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("_", col, F.lit(salt))), 1, 7), 16, 10
+    ).cast("bigint")
+
+
 def split_train_eval(
     df: DataFrame, eval_fraction: float, key_col: str, salt: str = "v1"
 ) -> DataFrame:
@@ -60,7 +73,7 @@ def split_train_eval(
     runs, engines, and data reshuffles (the property a training
     pipeline needs so examples never migrate between splits when the
     corpus is re-ingested). Adds a `split` column."""
-    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col), F.lit(salt))), 1, 7), 16, 10).cast("bigint")
+    h = salted_hash(F.col(key_col), salt)
     cut = int(eval_fraction * (16**7))
     return df.withColumn(
         "split", F.when(h < cut, F.lit("eval")).otherwise(F.lit("train"))

@@ -101,7 +101,11 @@ def _asof_join_chunked(
     real rows (chunk start, __is_left = -1)."""
     width_us = chunk_seconds * 1_000_000
     t_us = F.expr(_EPOCH_US.format(c=time_col))
-    chunk = (t_us / width_us).cast("long")
+    # floor, not cast: cast truncates toward zero, so pre-1970
+    # timestamps would land in a chunk whose synthetic carry row
+    # (materialized at __chunk * width) sorts AFTER them and the
+    # carried payload becomes invisible
+    chunk = F.floor(t_us / width_us).cast("long")
     payload = F.struct(
         F.col(time_col).alias("__t"), *[F.col(c) for c in right_cols]
     )
@@ -260,7 +264,7 @@ def moving_aggregate(
     width_us = chunk_seconds * 1_000_000
     t_us = F.expr(_EPOCH_US.format(c=ts_col))
     base = events.select(key_col, ts_col, tiebreak_col, value_col).withColumn(
-        "__chunk", (t_us / width_us).cast("long")
+        "__chunk", F.floor(t_us / width_us).cast("long")
     )
     # per-key occupied-chunk successor map: one row per (key, chunk),
     # tiny relative to the fact table, reuses the (key, chunk)

@@ -647,3 +647,64 @@ def test_quantiles_subpercent_aliases_unique(spark):
     df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
     out = stats.quantiles(df, "x", [0.02, 0.025, 0.5])
     assert out.columns == ["q02", "q2_5", "q50"]
+
+
+def test_filter_plus_complement_partitions_with_nulls(spark):
+    from hillview_spark.operators import filters as flt
+
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (15.0,), (25.0,)], "x double"
+    )
+    n = df.count()
+    sel = df.where(flt.range_filter("x", 10, 20))
+    comp = df.where(flt.range_filter("x", 10, 20, complement=True))
+    assert sel.count() + comp.count() == n  # NULL lands in complement
+    assert comp.where(F.col("x").isNull()).count() == 1
+    # != keeps missing values (missing is distinct from every value)
+    s = spark.createDataFrame([(None,), ("en",), ("fr",)], "lang string")
+    ne = s.where(flt.comparison_filter("lang", "!=", "en"))
+    assert ne.count() == 2
+
+
+def test_quality_score_empty_doc_no_crash(spark):
+    from hillview_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "the cat is here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.quality_score(df).collect()}
+    assert out[1].n_tokens == 0 and out[2].n_tokens == 0
+    assert out[3].n_tokens is None
+    assert out[4].quality > out[1].quality
+    toks = {r.doc_id: r.ws_tokens for r in text.token_count(df).collect()}
+    assert toks == {1: 0, 2: 0, 3: None, 4: 4}
+
+
+def test_set_operation_except_is_set_semantic(spark):
+    from hillview_spark.operators import maps
+
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,)], "x int")
+    b = spark.createDataFrame([(2,)], "x int")
+    out = [r.x for r in maps.set_operation(a, b, "except").collect()]
+    assert out == [1]  # once, not three times
+
+
+def test_asof_chunked_pre_epoch_timestamps(spark):
+    import datetime as dt
+
+    from hillview_spark.operators import temporal
+
+    base = dt.datetime(1969, 12, 31, 23, 0, 0)
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=10), 100.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    left = spark.createDataFrame(
+        [(7, 1, base + dt.timedelta(minutes=50))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = temporal.asof_join(
+        left, right, "ts", ["user_id"], ["value"], chunk_seconds=3600
+    ).collect()
+    assert len(out) == 1 and out[0].value_r == 100.0  # match visible pre-1970
