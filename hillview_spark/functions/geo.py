@@ -63,8 +63,15 @@ def assign_region(
         crossing = cond & (px[:, None] < xs)
         return crossing.sum(axis=1) % 2 == 1
 
+    from pyspark.sql.types import StringType, StructField, StructType
+
     out_fields = df.schema.fieldNames() + [out_col]
-    schema = df.schema.simpleString()[7:-1] + f",{out_col} string"
+    # build the output schema as a StructType (string-munging
+    # simpleString breaks on column names that need quoting and
+    # drops nullability)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType())]
+    )
 
     def run(batches):
         import pandas as pd

@@ -362,8 +362,10 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
                     continue
                 w, h, _ = decode(p)
                 scale = min(1.0, max_side / max(w, h))
-                out_w.append(int(w * scale))
-                out_h.append(int(h * scale))
+                # max(1, ...) like resize_png/resize_jpeg: an extreme
+                # aspect ratio must not emit a zero dimension
+                out_w.append(max(1, int(w * scale)))
+                out_h.append(max(1, int(h * scale)))
                 out_c.append(p)  # stub: payload passthrough
             yield pd.DataFrame(
                 {

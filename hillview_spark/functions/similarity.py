@@ -28,7 +28,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from hillview_spark import cache
 
 # Decimal shapes for exact, order-independent vector arithmetic.
-_ELEM = "decimal(10,8)"
+# (13,8): five integer digits of headroom, so unnormalized embeddings
+# (raw logits) don't hit ANSI NUMERIC_VALUE_OUT_OF_RANGE the way a
+# (10,8) element cast would at |x| >= 100 — while keeping products at
+# decimal(27,16), still under Spark's 38-digit cap with the full
+# 16-decimal scale intact (a wider element type would force Spark to
+# shave the product scale and break bit-parity with the oracle).
+_ELEM = "decimal(13,8)"
 _ACC = "decimal(30,16)"
 
 
@@ -70,10 +76,13 @@ def squared_norm(a, exact: bool = True) -> Column:
 
 def cosine(dot: Column, na: Column, nb: Column) -> Column:
     """cosine from dot/norms; double arithmetic in a fixed shape so
-    engines agree bit-for-bit on the exact path."""
-    return dot.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
-    )
+    engines agree bit-for-bit on the exact path. A zero-norm vector
+    (padding row) yields NULL, matching the NaN the numpy twins emit
+    by dropping out of top-k/thresholds — without the guard the
+    division raises DIVIDE_BY_ZERO under ANSI mode (Spark 4
+    default)."""
+    denom = F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    return F.when(denom > 0, dot.cast("double") / denom)
 
 
 def cosine_topk(
@@ -131,11 +140,16 @@ def cosine_topk_numpy(
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             dots = m @ qv
             norms = np.linalg.norm(m, axis=1)
-            cos = dots / (norms * qn)
-            top = np.argsort(-cos)[:k]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[top], "cosine": np.round(cos[top], 6)}
-            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (norms * qn)
+            ids = pdf[id_col].to_numpy()
+            # the local cut must rank exactly like the global
+            # orderBy(desc(rounded cosine), id): lexsort on the
+            # ROUNDED score with id tiebreak — cutting on raw values
+            # can discard a row the rounded-tie global order prefers
+            r = np.round(cos, 6)
+            top = np.lexsort((ids, -r))[:k]
+            yield pd.DataFrame({id_col: ids[top], "cosine": r[top]})
 
     local = embeddings.mapInPandas(score, f"{id_col} long, cosine double")
     return local.orderBy(F.desc("cosine"), id_col).limit(k)
@@ -268,8 +282,11 @@ def ivf_index(
             out["cell"] = d2.argmin(1).astype("int32")
             yield out
 
+    # carry the INPUT element type through: hardcoding array<float>
+    # would silently truncate double embeddings to float32
+    elem = embeddings.schema[vec_col].dataType.elementType.simpleString()
     assigned = embeddings.select(id_col, vec_col).mapInPandas(
-        assign_cells, f"{id_col} long, {vec_col} array<float>, cell int"
+        assign_cells, f"{id_col} long, {vec_col} array<{elem}>, cell int"
     )
     return assigned, C
 
@@ -694,14 +711,17 @@ def pq_topk_blas(
             for j in range(m):
                 codes = (cn[j][None, :] - 2 * (X[:, j, :] @ CB[j].T)).argmin(1)
                 adc += qtab[j][codes]
-            # (adc, id) lexsort: the local cut must break score ties
-            # by id exactly like the global orderBy below, or a tied
-            # row the global order prefers could be cut locally
-            top = np.lexsort((pdf[id_col].to_numpy(), adc))[:n_results]
+            # (rounded adc, id) lexsort: the local cut must break
+            # score ties by id exactly like the global orderBy below,
+            # which ranks the ROUNDED adc_score — lexsorting the raw
+            # values would cut rounding-induced ties by raw score
+            # instead of by id and diverge from the exact twin
+            r = np.round(adc, 6)
+            top = np.lexsort((pdf[id_col].to_numpy(), r))[:n_results]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy()[top],
-                    "adc_score": np.round(adc[top], 6),
+                    "adc_score": r[top],
                 }
             )
 
@@ -890,8 +910,9 @@ def _numpy_bucketed(
                 }
             )
 
+    elem = embeddings.schema[vec_col].dataType.elementType.simpleString()
     return embeddings.select(id_col, vec_col).mapInPandas(
-        tag, f"{id_col} long, {vec_col} array<float>, bucket long"
+        tag, f"{id_col} long, {vec_col} array<{elem}>, bucket long"
     )
 
 

@@ -26,8 +26,12 @@ def _event_time_stream(
     stream = spark.readStream.schema(schema).parquet(events_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
+        # floor-division to micros via pmod: `div` truncates toward
+        # zero, which would shift pre-epoch nanos up by as much as
+        # 1us across a window boundary; double division would lose
+        # precision above 2^53 ns
         stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            "ts", F.timestamp_micros(F.expr("(ts_ns - pmod(ts_ns, 1000)) div 1000"))
         )
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn(
@@ -310,11 +314,16 @@ def _type_index(event_type: str) -> int:
 
 
 # Declared time horizon for the continual counter's noise tree: leaf
-# indexes are hours since epoch, so 2**20 leaves covers ~120 years.
-# scale = ceil(log_20 2^20)/epsilon = 5/epsilon, fixed up front — the
-# point of the binary mechanism is that the horizon is set once and
-# the per-release noise stays O(log T) forever after.
+# indexes are hours since epoch PLUS a 2^19-hour offset (~60 years),
+# so timestamps back to ~1910 get valid non-negative leaves — without
+# the offset a pre-1970 event would make interval_noise(0, leaf+1)
+# empty (zero noise released: a DP break) or negative (a crash).
+# 2**20 leaves total still covers ~60 more years forward. scale =
+# ceil(log_20 2^20)/epsilon = 5/epsilon, fixed up front — the point
+# of the binary mechanism is that the horizon is set once and the
+# per-release noise stays O(log T) forever after.
 CONTINUAL_HORIZON_LEAVES = 1 << 20
+CONTINUAL_LEAF_OFFSET = 1 << 19
 
 
 def dp_prefix_counts(
@@ -347,6 +356,7 @@ def dp_prefix_counts(
                     "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
                     " window_start)"
                 )
+                + F.lit(CONTINUAL_LEAF_OFFSET)
             ).cast("long"),
         )
     )
@@ -364,8 +374,9 @@ def dp_prefix_counts(
         "event_type", "window_start", "leaf", F.sum("n_events").over(w).alias("cum")
     ).transform(cache.persist)
     # noise spine: one row per (type, leaf) present — bounded by the
-    # aggregate size, never the event count
-    keys = cum.select("event_type", "leaf").distinct().collect()
+    # aggregate size, never the event count (cum is already unique
+    # per (type, leaf); no distinct needed)
+    keys = cum.select("event_type", "leaf").collect()
     spine = [
         (
             r.event_type,
@@ -445,7 +456,7 @@ def stream_dp_prefix_counts(
             out.append(
                 (
                     etype,
-                    pd.Timestamp(leaf * HOUR_US, unit="us"),
+                    pd.Timestamp((leaf - CONTINUAL_LEAF_OFFSET) * HOUR_US, unit="us"),
                     math.floor(cum + noise + 0.5),  # same rounding as batch
                 )
             )
@@ -472,12 +483,12 @@ def stream_dp_prefix_counts(
             if len(pdf) == 0:
                 continue
             us = pdf["ts"].astype("int64") // 1000
-            leaves = us // HOUR_US
+            leaves = us // HOUR_US + CONTINUAL_LEAF_OFFSET
             for leaf, cnt in leaves.value_counts().items():
                 open_map[int(leaf)] = open_map.get(int(leaf), 0) + int(cnt)
             max_leaf = max(max_leaf, int(leaves.max()))
         # release hours the watermark has passed
-        wm_leaf = state.getCurrentWatermarkMs() * 1000 // HOUR_US
+        wm_leaf = state.getCurrentWatermarkMs() * 1000 // HOUR_US + CONTINUAL_LEAF_OFFSET
         cum, out = _emit(etype, cum, open_map, wm_leaf)
         state.update(
             (
@@ -488,7 +499,7 @@ def stream_dp_prefix_counts(
         )
         if open_map:
             # wake when the watermark can close the oldest open hour
-            next_end_ms = (min(open_map) + 1) * HOUR_US // 1000
+            next_end_ms = (min(open_map) + 1 - CONTINUAL_LEAF_OFFSET) * HOUR_US // 1000
             state.setTimeoutTimestamp(
                 max(next_end_ms, state.getCurrentWatermarkMs() + 1)
             )

@@ -302,7 +302,7 @@ def test_dp_prefix_counts_binary_mechanism(spark, tables):
             leaf = int(
                 (r.window_start - __import__("datetime").datetime(1970, 1, 1))
                 .total_seconds() // 3600
-            )
+            ) + ev.CONTINUAL_LEAF_OFFSET
             noise, _ = P.interval_noise(
                 0, leaf + 1, scale, 9, ev._type_index(etype)
             )
