@@ -2101,7 +2101,8 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 - distinct_tokens / CAST(n_tokens AS DOUBLE), 4)
                  AS dup_token_frac,
                round(max_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
-               round(COALESCE(max_gram, 0) * 2 / CAST(n_tokens AS DOUBLE), 4)
+               round(LEAST(COALESCE(max_gram, 0) * 2 / CAST(n_tokens AS DOUBLE),
+                           1.0), 4)
                  AS top_bigram_frac
         FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
     """

@@ -98,8 +98,12 @@ def repetition_stats(
                 "dup_token_frac"
             ),
             F.round(F.col("max_tok") / n, 4).alias("top_token_frac"),
+            # 2 tokens per occurrence, clamped: overlapping repeats
+            # ('a a a') would otherwise count shared tokens twice and
+            # push the "fraction" past 1.0
             F.round(
-                F.coalesce(F.col("max_gram"), F.lit(0)) * 2 / n, 4
+                F.least(F.coalesce(F.col("max_gram"), F.lit(0)) * 2 / n, F.lit(1.0)),
+                4,
             ).alias("top_bigram_frac"),
         )
     )
@@ -233,11 +237,10 @@ def shuffle_corpus(
     100 TB you'd usually skip the rank materialization and just
     write sortBy(hash) so each output file is a contiguous shuffled
     shard. Ties (hash collisions) break on the id."""
+    from hillview_spark.operators.sampling import salted_hex
     from hillview_spark.operators.stats import global_rank
 
-    h = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("_" + salt))), 1, 16
-    )
+    h = salted_hex(F.col(id_col).cast("string"), salt, width=16)
     payload = [c for c in df.columns if c != id_col]
     ranked = global_rank(df.withColumn("__h", h), ["__h", id_col], keep_cols=payload)
     return ranked.select(
@@ -293,7 +296,10 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    # coalesce: a NULL text must still yield its one (empty) chunk —
+    # posexplode of a NULL sequence emits zero rows and the document
+    # would silently vanish from the output
+    t = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(t) - F.lit(overlap), F.lit(1)), F.lit(step)
     )
@@ -384,7 +390,6 @@ def remove_repeated_segments(
         df.select(F.col(id_col), toks.alias("__t"))
         .select(
             F.col(id_col),
-            F.size("__t").alias("__n"),
             F.posexplode(
                 F.sequence(F.lit(1), F.size("__t"), F.lit(segment_tokens))
             ).alias("seg_idx", "__start"),
@@ -399,6 +404,12 @@ def remove_repeated_segments(
         )
         .withColumn("seg_hash", F.md5(F.col("segment")))
     )
+    # segs feeds the document-frequency aggregate AND the join back —
+    # persist so the split/explode/md5 DAG runs once (the same
+    # feeds-two-consumers shape dedup persists its shingle table for)
+    from hillview_spark import cache
+
+    segs = cache.persist(segs)
     seg_df = segs.groupBy("seg_hash").agg(
         F.countDistinct(id_col).alias("seg_docs")
     )

@@ -92,11 +92,9 @@ def ngram_jaccard_pairs(
     the 100-TB path; changes semantics only for ubiquitous grams)."""
     # Join on a 60-bit hash of the shingle, not the string — the
     # shuffle carries 8-byte keys (collision odds ~n^2/2^60, nil).
-    # sh feeds sizes + both join sides — persist to scan the corpus
-    # once (MEMORY_AND_DISK; spills rather than recomputing at scale).
     sh = _shingle_table(df, id_col, text_col, n).select(
         "doc", _token_hash(F.col("s")).alias("s")
-    ).transform(cache.persist)
+    )
     if max_df is not None:
         rare = (
             sh.groupBy("s")
@@ -105,6 +103,11 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh = sh.join(rare, "s")
+    # the (possibly filtered) shingle table feeds sizes + both join
+    # sides — persist AFTER the max_df filter so none of the three
+    # consumers recomputes the df-count subtree (MEMORY_AND_DISK;
+    # spills rather than recomputing at scale)
+    sh = cache.persist(sh)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc").alias("d1"), "s")
     b = sh.select(F.col("doc").alias("d2"), "s")
@@ -245,6 +248,13 @@ def _banded(
     """(doc, band, key) bucket rows for a corpus — the exploded LSH
     band table minhash_lsh_pairs self-joins on, factored out so an
     index can persist it."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands must divide num_hashes ({num_hashes}); got {bands}"
+            " — bands > num_hashes would make every band key empty"
+            " (a quadratic self-join), a non-divisor drops trailing"
+            " hash columns"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
     band_structs = []
@@ -373,16 +383,25 @@ def simhash_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming, found via
-    4-chunk blocking (pigeonhole: <=3 differing bits over 4 chunks
-    guarantees one identical 15-bit chunk) + exact popcount filter.
-    Equi-join on (chunk index, chunk value) — no cartesian."""
+    (max_hamming+1)-chunk blocking (pigeonhole: <= h differing bits
+    over h+1 chunks guarantees one identical chunk) + exact popcount
+    filter. Equi-join on (chunk index, chunk value) — no cartesian.
+    The chunk count ADAPTS to max_hamming — a fixed 4-chunk split
+    would silently miss pairs at distance > 3."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 6 or SIMHASH_BITS % n_chunks:
+        raise ValueError(
+            f"max_hamming must be in [0, 5] (chunks must divide "
+            f"{SIMHASH_BITS} bits), got {max_hamming}"
+        )
+    width = SIMHASH_BITS // n_chunks
     fp = simhash(df, id_col, text_col)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("ci"),
-            F.shiftright("fingerprint", c * 15).bitwiseAND((1 << 15) - 1).alias("cv"),
+            F.shiftright("fingerprint", c * width).bitwiseAND((1 << width) - 1).alias("cv"),
         )
-        for c in range(4)
+        for c in range(n_chunks)
     ]
     chunked = fp.select(
         F.col(id_col).alias("doc"),

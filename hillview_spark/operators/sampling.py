@@ -52,17 +52,20 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def salted_hex(col, salt: str, width: int = 7):
+    """THE engine-portable salted hash: the first `width` hex chars
+    of md5(value '_' salt). Every deterministic-keep or
+    deterministic-order decision in the engine (train/eval split,
+    mixture sampling, per-group caps, pack groups, corpus shuffle)
+    derives from this one recipe — a one-character drift in any copy
+    would silently migrate examples between splits across
+    re-ingests, so there are no copies."""
+    return F.substring(F.md5(F.concat_ws("_", col, F.lit(salt))), 1, width)
+
+
 def salted_hash(col, salt: str):
-    """THE engine-portable salted hash: first 7 hex chars of
-    md5(value '_' salt) as a bigint in [0, 16^7). Every
-    deterministic-keep decision in the engine (train/eval split,
-    mixture sampling, per-group caps, pack-group assignment) uses
-    this one recipe — a one-character drift in any copy would
-    silently migrate examples between splits across re-ingests, so
-    there are no copies."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("_", col, F.lit(salt))), 1, 7), 16, 10
-    ).cast("bigint")
+    """salted_hex as a bigint in [0, 16^7) — the keep-fraction form."""
+    return F.conv(salted_hex(col, salt), 16, 10).cast("bigint")
 
 
 def split_train_eval(

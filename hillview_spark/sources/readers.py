@@ -45,7 +45,7 @@ LOG_PATTERNS = {
     # ZOOKEEPERLOG/HDFSNAMENODELOG/HDFSDATANODELOG aliases):
     # 2020-01-01 12:00:00,123 LEVEL message
     "hadoop": (
-        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{1,3})\s+"
+        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})\s+"
         r"(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\s+(.*)$",
         ["ts_raw", "level", "message"],
         "yyyy-MM-dd HH:mm:ss,SSS",
@@ -102,10 +102,28 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
+    # Spark only materializes the corrupt-record column when the
+    # SCHEMA contains it — an inferred or user schema without the
+    # field would silently turn malformed rows into padded NULLs.
     if schema:
-        reader = reader.schema(schema)
-    elif infer:
-        reader = reader.option("inferSchema", True)
+        if "_corrupt_record" not in schema:
+            schema = schema + ", _corrupt_record string"
+        return reader.schema(schema).csv(path)
+    if infer:
+        inferred = (
+            spark.read.option("header", header)
+            .option("sep", delimiter)
+            .option("inferSchema", True)
+            .csv(path)
+            .schema
+        )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        full = StructType(
+            [f for f in inferred.fields if f.name != "_corrupt_record"]
+            + [StructField("_corrupt_record", StringType())]
+        )
+        return reader.schema(full).csv(path)
     return reader.csv(path)
 
 
@@ -135,6 +153,11 @@ def read_jdbc(
     version of Hillview's per-worker JDBC sharding."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(the numeric key range to split into partitions)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)

@@ -1215,3 +1215,50 @@ def test_lsh_index_append_validates_params(spark, tables, tmp_path):
     dedup.lsh_write_index(docs, path, num_hashes=16, bands=4)
     with pytest.raises(ValueError, match="refusing to append"):
         dedup.lsh_write_index(docs, path, num_hashes=8, bands=2, mode="append")
+
+
+def test_banded_rejects_bad_band_counts(spark, tables):
+    docs = tables["documents"].limit(10)
+    with pytest.raises(ValueError, match="bands must divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=32).collect()
+    with pytest.raises(ValueError, match="bands must divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=5).collect()
+
+
+def test_simhash_blocking_adapts_to_max_hamming(spark, tables):
+    # blocking must be EXACT vs brute force for every supported
+    # max_hamming: at h=4/5 a fixed 4-chunk split can miss pairs
+    # (no shared chunk), so this catches non-adaptive blocking
+    docs = tables["documents"].limit(60)
+    fps = {r.doc_id: r.fingerprint for r in dedup.simhash(docs).collect()}
+    import itertools
+
+    for h in (3, 4, 5):
+        brute = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= h
+        }
+        got = {
+            (r.doc_id_1, r.doc_id_2)
+            for r in dedup.simhash_pairs(docs, max_hamming=h).collect()
+        }
+        assert got == brute, h
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_pairs(docs, max_hamming=6)
+
+
+def test_repetition_bigram_frac_capped(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    r = curation.repetition_stats(df).collect()[0]
+    assert r.top_bigram_frac == 1.0  # not 4/3
+
+
+def test_chunk_documents_null_text_yields_chunk(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    out = curation.chunk_documents(df, 2, 0).collect()
+    assert 1 in {r.doc_id for r in out}  # NULL doc keeps its one chunk

@@ -429,3 +429,22 @@ def test_stream_dp_prefix_counts_matches_batch(spark, tmp_path):
     for (et, ws) in batch:
         if any(ws < max(rel) for rel in [released_per_type.get(et, set())] if rel):
             assert (et, ws) in streamed
+
+
+def test_read_csv_corrupt_record_column_materializes(spark, tmp_path):
+    bad = str(tmp_path / "c.csv")
+    with open(bad, "w") as f:
+        f.write("id,s\n1,a\nnot_an_int,b\n")
+    # inferred path must still expose _corrupt_record for error counts
+    df = readers.read_csv(spark, bad)
+    assert "_corrupt_record" in df.columns
+    # Spark disallows queries pruned down to only the corrupt-record
+    # column — materialize whole rows and count in Python
+    df2 = readers.read_csv(spark, bad, schema="id int, s string")
+    rows = df2.collect()
+    assert sum(r._corrupt_record is not None for r in rows) == 1
+
+
+def test_read_jdbc_requires_bounds_with_partition_column(spark):
+    with pytest.raises(ValueError, match="lower_bound"):
+        readers.read_jdbc(spark, "jdbc:derby:memory:x", "t", partition_column="id")
