@@ -92,23 +92,34 @@ def read_csv(
     header: bool = True,
     infer: bool = True,
     delimiter: str = ",",
+    keep_corrupt: bool | None = None,
 ) -> DataFrame:
     """CSV with Hillview's tolerance: malformed rows are kept
     (PERMISSIVE) with a _corrupt_record column rather than failing
-    the load — mirrors CsvFileLoader's parse-error counting."""
+    the load — mirrors CsvFileLoader's parse-error counting.
+
+    keep_corrupt controls whether the _corrupt_record column appears
+    in the RESULT. Default: yes on the inferred path (exploratory
+    loads surface parse errors), no when the caller pinned a schema
+    (the contract is "exactly the columns I declared"; malformed rows
+    still come back as padded-NULL rows). Either way the column is in
+    the READ schema — Spark only materializes it when the schema
+    contains it, so dropping it afterwards is a projection, not a
+    semantics change."""
     reader = (
         spark.read.option("header", header)
         .option("sep", delimiter)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
-    # Spark only materializes the corrupt-record column when the
-    # SCHEMA contains it — an inferred or user schema without the
-    # field would silently turn malformed rows into padded NULLs.
     if schema:
-        if "_corrupt_record" not in schema:
+        caller_declared = "_corrupt_record" in schema
+        if not caller_declared:
             schema = schema + ", _corrupt_record string"
-        return reader.schema(schema).csv(path)
+        df = reader.schema(schema).csv(path)
+        if keep_corrupt or caller_declared:
+            return df
+        return df.drop("_corrupt_record")
     if infer:
         inferred = (
             spark.read.option("header", header)
@@ -123,7 +134,10 @@ def read_csv(
             [f for f in inferred.fields if f.name != "_corrupt_record"]
             + [StructField("_corrupt_record", StringType())]
         )
-        return reader.schema(full).csv(path)
+        df = reader.schema(full).csv(path)
+        if keep_corrupt is False:
+            return df.drop("_corrupt_record")
+        return df
     return reader.csv(path)
 
 

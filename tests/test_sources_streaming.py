@@ -440,9 +440,16 @@ def test_read_csv_corrupt_record_column_materializes(spark, tmp_path):
     assert "_corrupt_record" in df.columns
     # Spark disallows queries pruned down to only the corrupt-record
     # column — materialize whole rows and count in Python
-    df2 = readers.read_csv(spark, bad, schema="id int, s string")
+    df2 = readers.read_csv(
+        spark, bad, schema="id int, s string", keep_corrupt=True
+    )
     rows = df2.collect()
     assert sum(r._corrupt_record is not None for r in rows) == 1
+    # a pinned schema without the flag returns exactly the declared
+    # columns; malformed rows survive as padded NULLs
+    df3 = readers.read_csv(spark, bad, schema="id int, s string")
+    assert df3.columns == ["id", "s"]
+    assert df3.count() == 2
 
 
 def test_read_jdbc_requires_bounds_with_partition_column(spark):
