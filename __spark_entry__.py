@@ -193,9 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key_col="vec_id",
     )
 
-    # rows-only by design: the cell noise is xxhash64-keyed (JVM
-    # codegen, shared bit-for-bit with the streaming twin) and DuckDB
-    # has no xxhash64 — the streaming-equality pytest is the check.
+    # hash-oracled: the cell noise is keyed by the PORTABLE md5 PRF
+    # over (epoch seconds, event_type) — DuckDB reproduces the draw
+    # bit-for-bit; the streaming twin shares the same expression.
     q["dp_windowed_counts"] = lambda s, d: ev.dp_windowed_counts(
         _t(s, d, "events"), "hour", epsilon=1.0, seed=7
     )
@@ -2300,6 +2300,39 @@ def oracle_sql() -> dict[str, str]:
                event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+    # dp_windowed_counts: the md5-PRF cell noise is engine-portable —
+    # DuckDB rebuilds the identical 52-bit uniform ('0x'+13 hex digits
+    # of md5("secs|type|seed")) and the identical inverse-CDF op order
+    # (SecureLaplace.java:62-69); LN is within 1 ulp cross-library and
+    # the FLOOR'd integer release absorbs it, so the noisy counts
+    # hash-match. scale = 1/epsilon = 1.0, seed = 7 (gate args).
+    o["dp_windowed_counts"] = """
+        WITH counts AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), unif AS (
+            SELECT window_start, event_type, n_events,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           CAST(CAST(epoch(window_start) AS BIGINT)
+                                AS VARCHAR)
+                           || '|' || event_type || '|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM counts
+        )
+        SELECT window_start, event_type,
+               CAST(FLOOR(CAST(n_events AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_events
+        FROM unif
     """
     o["embedding_group_centroids"] = """
         SELECT label, CAST(u.i - 1 AS INT) AS dim_idx,

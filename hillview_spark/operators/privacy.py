@@ -398,10 +398,14 @@ def dp_heatmap(
 
 
 def laplace_noise_col(
-    epsilon: float, seed: int, *key_cols, scale: float | None = None
+    epsilon: float,
+    seed: int,
+    *key_cols,
+    scale: float | None = None,
+    prf: str = "xxhash64",
 ):
-    """Laplace(scale) noise as a PURE CATALYST expression: a 53-bit
-    uniform from xxhash64(*key_cols, seed) followed by the same
+    """Laplace(scale) noise as a PURE CATALYST expression: a uniform
+    from a keyed PRF over (*key_cols, seed) followed by the same
     inverse-CDF transform as SecureLaplace.uniformToLaplace
     (SecureLaplace.java:62-69). Whole-stage-codegen'd JVM arithmetic —
     no Python in the loop — and, unlike the driver-spine mechanism in
@@ -412,11 +416,32 @@ def laplace_noise_col(
     [2^-53, 1 - 2^-53] so log(0) can't surface at u = 0.
     Default scale is 1/epsilon (one draw per disjoint cell: parallel
     composition gives epsilon-DP when every event lands in exactly
-    one cell)."""
+    one cell).
+
+    prf='xxhash64' (default): 53-bit uniform from Spark's native
+    xxhash64 — fastest, but engine-specific (no DuckDB twin).
+    prf='md5': 52-bit uniform from the first 13 hex digits of
+    md5(concat_ws('|', key_cols..., seed)) — PORTABLE: any engine
+    with md5 + hex-to-int reproduces the UNIFORM bit-for-bit; the
+    final log() is within 1 ulp across math libraries (JVM Math.log
+    vs libm), which an integer release absorbs in its floor() — so
+    a release keyed this way can be audited (and hash-oracle-checked)
+    outside Spark. Callers must cast key cols to canonical strings
+    themselves (e.g. epoch seconds, not engine-formatted timestamps).
+    """
     if scale is None:
         scale = 1.0 / epsilon
-    u53 = F.shiftrightunsigned(F.xxhash64(*key_cols, F.lit(seed)), 11)
-    u = u53.cast("double") * F.lit(2.0**-53)
+    if prf == "md5":
+        key = F.concat_ws(
+            "|", *[c.cast("string") for c in key_cols], F.lit(str(seed))
+        )
+        u52 = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+        u = u52.cast("double") * F.lit(2.0**-52)
+    elif prf == "xxhash64":
+        u53 = F.shiftrightunsigned(F.xxhash64(*key_cols, F.lit(seed)), 11)
+        u = u53.cast("double") * F.lit(2.0**-53)
+    else:
+        raise ValueError("prf must be 'xxhash64' or 'md5'")
     u = F.least(F.greatest(u, F.lit(2.0**-53)), F.lit(1.0 - 2.0**-53))
     r = F.lit(0.5) - u
     return F.when(

@@ -256,10 +256,8 @@ def dp_windowed_counts(
     SAME formula runs unchanged over a stream; for noisy PREFIX
     counts over time use dp_histogram(cdf=True), which pays only
     O(log T) noise via the k-adic tree."""
-    from hillview_spark.operators.privacy import laplace_noise_col
-
     counts = windowed_counts(events, unit).drop("sum_value")
-    noise = laplace_noise_col(epsilon, seed, F.col("window_start"), F.col("event_type"))
+    noise = _cell_noise(epsilon, seed)
     return counts.select(
         "window_start",
         "event_type",
@@ -285,8 +283,6 @@ def stream_dp_windowed_counts(
     enumeration, so the private release streams incrementally. Drive
     with outputMode('append') so each cell is released exactly once
     (re-emitting a cell with fresh noise would burn budget)."""
-    from hillview_spark.operators.privacy import laplace_noise_col
-
     stream = _event_time_stream(spark, events_dir, schema)
     counts = (
         stream.withWatermark("ts", watermark)
@@ -294,13 +290,31 @@ def stream_dp_windowed_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
     )
-    noise = laplace_noise_col(epsilon, seed, F.col("window_start"), F.col("event_type"))
+    noise = _cell_noise(epsilon, seed)
     return counts.select(
         "window_start",
         "event_type",
         F.floor(F.col("n_events").cast("double") + noise + F.lit(0.5))
         .cast("long")
         .alias("noisy_events"),
+    )
+
+
+def _cell_noise(epsilon: float, seed: int):
+    """Per-(window, type) Laplace draw for the continual release,
+    keyed on the PORTABLE md5 PRF over (epoch seconds, event_type):
+    identical in the batch and streaming twins (window_start is NTZ
+    in batch, LTZ in the stream; the session TZ is pinned UTC so the
+    epoch-seconds cast is the same instant either way), and
+    reproducible in any engine with md5: the uniform is bit-exact,
+    the log within 1 ulp, and the floor()'d integer release
+    identical — which is what lets the DuckDB oracle hash-check the
+    noisy counts."""
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    return laplace_noise_col(
+        epsilon, seed, secs, F.col("event_type"), prf="md5"
     )
 
 

@@ -187,6 +187,41 @@ def test_laplace_noise_col_deterministic_linear_centered(spark):
     assert 0.5 < med < 0.95
 
 
+def test_laplace_noise_col_md5_prf_portable(spark):
+    """The md5 PRF path matches a from-scratch Python replica of the
+    published recipe (13 hex digits -> 52-bit uniform -> inverse
+    CDF) — the property the DuckDB oracle for dp_windowed_counts
+    relies on cross-engine. The uniform is bit-exact everywhere; the
+    final log() is only within-1-ulp across math libraries (JVM
+    Math.log vs libm), which the INTEGER release absorbs in floor()
+    — so the noise compares at 1e-12 rel, not bit-equal."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(500)
+    got = [
+        r.x
+        for r in df.select(
+            P.laplace_noise_col(1.0, 5, F.col("id"), prf="md5").alias("x")
+        ).collect()
+    ]
+    for i, x in enumerate(got):
+        u = int(hashlib.md5(f"{i}|5".encode()).hexdigest()[:13], 16) * 2.0**-52
+        u = min(max(u, 2.0**-53), 1.0 - 2.0**-53)
+        assert x == pytest.approx(P.laplace_from_uniform(1.0, u), rel=1e-12)
+    # same (key, seed) under the two PRFs gives independent draws
+    xx = [
+        r.x
+        for r in df.select(
+            P.laplace_noise_col(1.0, 5, F.col("id")).alias("x")
+        ).collect()
+    ]
+    assert got != xx
+    with pytest.raises(ValueError, match="prf"):
+        P.laplace_noise_col(1.0, 5, F.col("id"), prf="sha1")
+
+
 def test_dp_windowed_counts_is_noised_batch(spark, tables):
     from hillview_spark.streaming import events as ev
 
