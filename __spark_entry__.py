@@ -58,7 +58,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-1 gate already verified green come last."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # --- corpus curation (newest — gate-first) -----------------------
+    # --- round-5 additions (newest — gate-first) ---------------------
+    from hillview_spark.functions import search
+
+    q["bm25_search"] = lambda s, d: search.bm25_search(
+        _t(s, d, "documents"), ["spark", "hash", "vector"]
+    )
+
+    # --- corpus curation -------------------------------------------
     from hillview_spark.functions import curation
 
     q["text_pii_scrub"] = lambda s, d: curation.pii_scrub(
@@ -1972,6 +1979,61 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <= TIMESTAMP '1996-12-31'
     """
+    # bm25_search: mirror of functions/search.py op-for-op. The only
+    # cross-library-wobbly op (LN) is quantized through DECIMAL(20,9)
+    # right after the log in BOTH engines; all other per-row double
+    # ops are bit-identical given identical op order.
+    def _bm25_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+        tf_cols = ",\n                   ".join(
+            f"CAST(len(list_filter(toks, x -> x = '{tm}')) AS BIGINT)"
+            f" AS tf{i}"
+            for i, tm in enumerate(terms)
+        )
+        df_cols = ",\n                   ".join(
+            f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(terms))
+        )
+        rel = (
+            "(CAST(dl AS DOUBLE)"
+            " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+        )
+        contribs = []
+        for i in range(len(terms)):
+            idf = (
+                f"CAST(CAST(LN(1.0 + (CAST(n_docs AS DOUBLE)"
+                f" - CAST(df{i} AS DOUBLE) + 0.5)"
+                f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+                f" AS DECIMAL(20,9)) AS DOUBLE)"
+            )
+            contribs.append(
+                f"{idf} * (CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r})"
+                f" / (CAST(tf{i} AS DOUBLE)"
+                f" + {k1!r} * ({1.0 - b!r} + {b!r} * {rel}))"
+            )
+        score = "\n               + ".join(contribs)
+        hits = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+        return f"""
+        WITH per AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                   {tf_cols}
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(
+                             trim(lower(coalesce(text, ''))), '\\s+'),
+                             x -> x <> '') AS toks
+                  FROM documents)
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                   {df_cols}
+            FROM per
+        )
+        SELECT doc_id,
+               CAST(CAST({score} AS DECIMAL(20,8)) AS DOUBLE) AS bm25
+        FROM per, stats
+        WHERE {hits}
+        """
+
+    o["bm25_search"] = _bm25_sql(["spark", "hash", "vector"])
+
     o["text_vocab"] = r"""
         WITH toks AS (SELECT doc_id,
                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

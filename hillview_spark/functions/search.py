@@ -1,0 +1,110 @@
+"""Full-text relevance search over a document corpus: BM25 scoring
+with the Okapi/Lucene formulation.
+
+The query-term list is small and known up front, so the whole
+computation is expressed WITHOUT exploding the corpus vocabulary:
+per-document term frequencies are array expressions over the
+tokenized text (one narrow scan, zero shuffle), corpus statistics
+(N, avg doc length, per-term doc frequencies) are one tiny global
+aggregate, and the final score is a per-row expression under a
+broadcast of that 1-row stats relation. At 100 TB this is two scans
+of the text column and a broadcast join — no shuffle of user data at
+all, which is the plan you want when the query list is a handful of
+terms (the Lucene/ES shape of "score everything against this
+query").
+
+Tokenization matches functions/text.py `vocab` (lowercase,
+whitespace split, empty tokens dropped) so BM25 scores sit on the
+same vocabulary the corpus-stats operators report.
+
+Determinism note (cross-engine hash-oracle): every per-row operation
+mirrors the DuckDB oracle's op order, so doubles are bit-identical —
+except ln(), which differs by up to 1 ulp across math libraries. The
+per-TERM idf is therefore quantized through DECIMAL(20,9)
+immediately after the ln; everything downstream of the quantized idf
+is bit-identical again. (Residual risk: a 1-ulp ln wobble landing
+exactly on the 9th-decimal rounding boundary — ~1e-6 per query term,
+not per row.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _eq(tm: str):
+    """1-arg array-filter predicate. (A 2-arg lambda with a default
+    would be treated by PySpark as the (element, index) signature —
+    the index column would silently override the default.)"""
+    return lambda x: x == F.lit(tm)
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Score every document against `terms` with Okapi BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), the Lucene variant —
+    always positive). Returns (id, bm25) for documents matching at
+    least one term; top_n additionally sorts (score desc, id) and
+    truncates — TakeOrderedAndProject, never a global sort.
+    """
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    per = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(tm))).cast("long").alias(f"tf{i}")
+            for i, tm in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per.crossJoin(F.broadcast(stats))
+
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    rel = F.col("dl").cast("double") / avgdl
+    score = None
+    for i in range(len(terms)):
+        df_d = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+        )
+        # quantize the ONLY cross-library-wobbly op (see module doc)
+        idf_q = idf.cast("decimal(20,9)").cast("double")
+        tf_d = F.col(f"tf{i}").cast("double")
+        contrib = (
+            idf_q
+            * (tf_d * F.lit(k1 + 1.0))
+            / (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * rel))
+        )
+        score = contrib if score is None else score + contrib
+    hit = None
+    for i in range(len(terms)):
+        cond = F.col(f"tf{i}") > 0
+        hit = cond if hit is None else hit | cond
+    out = joined.where(hit).select(
+        F.col(id_col),
+        score.cast("decimal(20,8)").cast("double").alias("bm25"),
+    )
+    if top_n is not None:
+        out = out.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_n)
+    return out

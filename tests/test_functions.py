@@ -1262,3 +1262,46 @@ def test_chunk_documents_null_text_yields_chunk(spark):
     df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
     out = curation.chunk_documents(df, 2, 0).collect()
     assert 1 in {r.doc_id for r in out}  # NULL doc keeps its one chunk
+
+
+def test_bm25_search_hand_computed(spark):
+    import math
+
+    from hillview_spark.functions import search
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog dog dog dog"),
+            (3, "bird bird"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.bm25
+        for r in search.bm25_search(df, ["cat"], k1=1.2, b=0.75).collect()
+    }
+    assert set(out) == {1}  # only doc 1 contains 'cat'
+    # N=4 (NULL text counts as an empty doc), df=1, avgdl=9/4
+    idf = round(math.log(1.0 + (4.0 - 1.0 + 0.5) / 1.5), 9)
+    dl_rel = 3.0 / (9.0 / 4.0)
+    expected = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * dl_rel))
+    assert out[1] == pytest.approx(expected, rel=1e-9)
+    # multi-term score is the sum of per-term contributions
+    both = {
+        r.doc_id: r.bm25
+        for r in search.bm25_search(df, ["cat", "dog"]).collect()
+    }
+    assert set(both) == {1, 2}
+    only_dog = {
+        r.doc_id: r.bm25 for r in search.bm25_search(df, ["dog"]).collect()
+    }
+    assert both[1] == pytest.approx(out[1] + only_dog[1], abs=1e-7)
+    # top_n: (score desc, id) cut
+    top = search.bm25_search(df, ["cat", "dog"], top_n=1).collect()
+    assert len(top) == 1 and top[0].doc_id == max(both, key=both.get)
+    with pytest.raises(ValueError, match="non-empty"):
+        search.bm25_search(df, [])
+    with pytest.raises(ValueError, match="distinct"):
+        search.bm25_search(df, ["a", "a"])

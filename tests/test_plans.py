@@ -350,3 +350,21 @@ def test_dp_windowed_counts_single_shuffle(spark, tables):
     df = ev.dp_windowed_counts(tables["events"], "hour", 1.0, seed=3)
     ex.assert_max_shuffles(df, 1)
     ex.assert_no_cartesian(df)
+
+
+def test_bm25_search_plan_broadcast_stats_topk(spark, tables):
+    """BM25 never shuffles user data: per-doc tf/dl are array
+    expressions, the 1-row stats relation broadcasts back, and top_n
+    is a per-partition heap. The only exchanges are the scalar-agg
+    collapse (SinglePartition) and, with top_n, the tiny final
+    gather."""
+    from hillview_spark.functions import search
+
+    df = search.bm25_search(tables["documents"], ["spark", "hash"])
+    plan = ex.physical_plan(df)
+    # the 1-row stats side joins as a broadcast nested loop — the
+    # correct plan for a scalar crossJoin (same shape as q22)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    ex.assert_max_shuffles(df, 1)  # the SinglePartition stats agg only
+    top = search.bm25_search(tables["documents"], ["spark"], top_n=10)
+    ex.assert_topk_not_global_sort(top)
