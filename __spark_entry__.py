@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_search"] = lambda s, d: search.bm25_search(
         _t(s, d, "documents"), ["spark", "hash", "vector"]
     )
+    q["text_lm_nll"] = lambda s, d: text.bigram_lm_nll(
+        _t(s, d, "documents"), alpha=0.1
+    )
 
     # --- corpus curation -------------------------------------------
     from hillview_spark.functions import curation
@@ -2033,6 +2036,46 @@ def oracle_sql() -> dict[str, str]:
         """
 
     o["bm25_search"] = _bm25_sql(["spark", "hash", "vector"])
+
+    # text_lm_nll: mirror of text.bigram_lm_nll op-for-op; the
+    # per-bigram -LN(p) quantizes through DECIMAL(20,9) in both
+    # engines, and the per-doc mean is an exact decimal sum — see the
+    # operator docstring for the determinism argument.
+    _lm_a = 0.1
+    o["text_lm_nll"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\\s+'),
+                       x -> x <> '') AS t
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, t[CAST(u.i AS INT)] AS w1,
+                   t[CAST(u.i AS INT) + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+        ), uni AS (
+            SELECT w1, COUNT(*) AS cu
+            FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1
+        ), bic AS (
+            SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2
+        ), v AS (SELECT COUNT(*) AS v FROM uni)
+        SELECT doc_id,
+               CAST(SUM(nllq) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS nll,
+               COUNT(*) AS n_bigrams
+        FROM (
+            SELECT bi.doc_id,
+                   CAST(-LN((CAST(COALESCE(bic.cb, 0) AS DOUBLE)
+                             + {_lm_a!r})
+                        / (CAST(COALESCE(uni.cu, 0) AS DOUBLE)
+                           + {_lm_a!r} * CAST(v.v AS DOUBLE)))
+                        AS DECIMAL(20,9)) AS nllq
+            FROM bi
+            LEFT JOIN bic ON bi.w1 = bic.w1 AND bi.w2 = bic.w2
+            LEFT JOIN uni ON bi.w1 = uni.w1, v
+        )
+        GROUP BY doc_id
+    """
 
     o["text_vocab"] = r"""
         WITH toks AS (SELECT doc_id,

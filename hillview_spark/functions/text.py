@@ -165,3 +165,101 @@ def quality_filter(
         & (n_tokens <= max_tokens)
         & (score >= min_quality)
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Bigram language-model quality score: per document, the mean
+    negative log-likelihood under an add-alpha-smoothed bigram model
+    trained on `train_df` (default: the corpus itself) — the CCNet /
+    Wenzek et al. '20 shape, where a reference LM's perplexity ranks
+    documents for quality filtering (perplexity = exp(nll), monotone
+    — the nll is returned directly).
+
+    P(w2|w1) = (C(w1,w2) + alpha) / (C(w1) + alpha*V), with C(w1) the
+    corpus occurrence count of w1 and V the unigram vocabulary size.
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the result.
+
+    Scale shape: bigram extraction is an array expression (zero
+    shuffle); the model is two token-keyed aggregates; scoring is two
+    equi-joins on high-cardinality token keys (hot stopword bigrams
+    are skew-handled by AQE; the count sides are one row per key, so
+    Catalyst broadcasts them when the vocabulary is bounded) and one
+    groupBy(doc). Nothing driver-side, nothing quadratic.
+
+    Determinism (hash-oracle): the per-bigram -ln p is quantized
+    through DECIMAL(20,9) immediately (ln differs by up to 1 ulp
+    across math libraries); the per-doc mean is an exact DECIMAL sum
+    over the quantized values divided by the bigram count — order
+    independent, so the DuckDB oracle hash-matches.
+    """
+    if train_df is None:
+        train_df = df
+
+    def _toks(frame: DataFrame, with_id: bool):
+        t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+        cols = [F.col(id_col)] if with_id else []
+        return frame.select(*cols, toks.alias("__toks"))
+
+    def _bigrams(frame: DataFrame, with_id: bool):
+        m = F.greatest(F.size(F.col("__toks")) - 1, F.lit(0))
+        zipped = F.arrays_zip(
+            F.slice(F.col("__toks"), 1, m).alias("w1"),
+            F.slice(F.col("__toks"), 2, m).alias("w2"),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            _toks(frame, with_id)
+            .select(*cols, F.explode(zipped).alias("__bi"))
+            .select(*cols, F.col("__bi.w1").alias("w1"),
+                    F.col("__bi.w2").alias("w2"))
+        )
+
+    unigrams = (
+        _toks(train_df, False)
+        .select(F.explode(F.col("__toks")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bigram_counts = (
+        _bigrams(train_df, False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    vocab_size = unigrams.agg(F.count(F.lit(1)).alias("v"))
+
+    scored = (
+        _bigrams(df, True)
+        .join(bigram_counts, ["w1", "w2"], "left")
+        .join(unigrams, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab_size))
+    )
+    p = (
+        F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(alpha)
+    ) / (
+        F.coalesce(F.col("cu"), F.lit(0)).cast("double")
+        + F.lit(alpha) * F.col("v").cast("double")
+    )
+    nll_q = (-F.log(p)).cast("decimal(20,9)")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            # no final decimal quantization: the 9-dp decimal sum over
+            # a small integer count lands EXACTLY on half-boundaries,
+            # where Spark (HALF_UP) and other engines (half-even)
+            # disagree — the decimal-sum->double conversion and the
+            # double division are already bit-identical cross-engine
+            (
+                F.sum(nll_q).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

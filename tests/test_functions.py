@@ -1305,3 +1305,43 @@ def test_bm25_search_hand_computed(spark):
         search.bm25_search(df, [])
     with pytest.raises(ValueError, match="distinct"):
         search.bm25_search(df, ["a", "a"])
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    import math
+
+    from hillview_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.bigram_lm_nll(df, alpha=0.5).collect()}
+    # docs with <2 tokens have no bigrams and are absent
+    assert set(out) == {1, 2}
+    # corpus: tokens a,b,a,b,a,b,x -> C(a)=3 C(b)=3 C(x)=1, V=3
+    # bigrams: (a,b)x2,(b,a)x1 from doc1; (a,b)x1 from doc2
+    def p(cb, cu):
+        return (cb + 0.5) / (cu + 0.5 * 3)
+
+    nll_ab = round(-math.log(p(3, 3)), 9)
+    nll_ba = round(-math.log(p(1, 3)), 9)
+    assert out[2].n_bigrams == 1
+    assert out[2].nll == pytest.approx(nll_ab, abs=1e-9)
+    assert out[1].n_bigrams == 3
+    assert out[1].nll == pytest.approx((2 * nll_ab + nll_ba) / 3, abs=1e-9)
+    # reference-LM mode: train on one corpus, score another; an
+    # unseen bigram over a seen unigram backs off to alpha mass
+    train = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    got = {
+        r.doc_id: r.nll
+        for r in text.bigram_lm_nll(
+            spark.createDataFrame([(5, "a a")], "doc_id long, text string"),
+            train_df=train,
+            alpha=0.5,
+        ).collect()
+    }
+    # train: C(a)=1 C(b)=1 V=2; score bigram (a,a): cb=0, cu=1
+    assert got[5] == pytest.approx(
+        round(-math.log(0.5 / (1 + 0.5 * 2)), 9), abs=1e-9
+    )
