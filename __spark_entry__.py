@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lm_nll"] = lambda s, d: text.bigram_lm_nll(
         _t(s, d, "documents"), alpha=0.1
     )
+    q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
+        _t(s, d, "embeddings"), threshold=0.4, n_cells=8, stride=50
+    )
 
     # --- corpus curation -------------------------------------------
     from hillview_spark.functions import curation
@@ -1921,6 +1924,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN probe p ON a.cell = p.cell, q
         ORDER BY cosine DESC, e.vec_id LIMIT 10
     """
+    # semantic_dedup: stride-quantizer cells (same rule as
+    # ann_ivf_topk) + within-cell earlier-neighbor rule; exact
+    # decimal cosine rounded to 6, so the keep set is bit-stable.
+    o["semantic_dedup"] = f"""
+        WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm
+                   FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                        embedding AS cvec, {_nrm} AS cnrm
+                 FROM embeddings WHERE vec_id % 50 = 1
+                 ORDER BY vec_id LIMIT 8),
+        assigned AS (SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY c.cnrm - 2 * {_dot_sql('e.embedding', 'c.cvec')},
+                              c.cell) AS rn
+            FROM e, cent c) WHERE rn = 1),
+        dups AS (SELECT ab.vec_id AS id_b FROM e ea
+                 JOIN assigned aa ON ea.vec_id = aa.vec_id
+                 JOIN assigned ab ON aa.cell = ab.cell
+                                 AND aa.vec_id < ab.vec_id
+                 JOIN e eb ON eb.vec_id = ab.vec_id
+                 WHERE round({_cos_sql(_dot_sql('ea.embedding', 'eb.embedding'), 'ea.nrm', 'eb.nrm')}, 6) >= 0.4
+                 GROUP BY ab.vec_id)
+        SELECT a.vec_id, a.cell, (d.id_b IS NULL) AS keep
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.id_b
+    """
+
     o["dedup_embedding_cosine"] = f"""
         WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings
                    WHERE vec_id % 4 = 0)

@@ -412,24 +412,9 @@ def ivf_topk_exact(
     correctness anchor the gate hashes.
     """
     search = embeddings.where(F.col(id_col) != query_id)
-    cents = (
-        search.where(F.col(id_col) % stride == 1)
-        .orderBy(id_col)
-        .limit(n_cells)
-        .select(vec_col)
-        .collect()
+    cents, score_array = _stride_quantizer(
+        search, n_cells, stride, id_col, vec_col
     )
-
-    def cent_lit(vec) -> Column:
-        return F.array(*[_dec(F.lit(float(x))) for x in vec])
-
-    def cell_score(vec: Column, crow) -> Column:
-        c = cent_lit(crow[vec_col])
-        return (squared_norm(c) - F.lit(2) * dot_product(vec, c)).cast(_ACC)
-
-    def score_array(vec: Column) -> Column:
-        return F.array(*[cell_score(vec, crow) for crow in cents])
-
     q_row = embeddings.where(F.col(id_col) == query_id)
     probe = (
         q_row.select(
@@ -1040,5 +1025,113 @@ def group_centroids(
             (F.col("s").cast("double") / F.col("n_vectors"))
             .alias("centroid"),
             "n_vectors",
+        )
+    )
+
+
+def _stride_quantizer(
+    df: DataFrame, n_cells: int, stride: int, id_col: str, vec_col: str
+):
+    """Deterministic coarse quantizer shared by the exact IVF twin and
+    semantic_dedup: centroids are the first n_cells data vectors with
+    id % stride == 1 (FAISS-style data-point seeding, re-derivable in
+    SQL), and the returned score_array expression computes
+    ||c||^2 - 2*x.c per cell in exact decimal — cell(x) =
+    argmin(score), ties to the lowest index."""
+    cents = (
+        df.where(F.col(id_col) % stride == 1)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+
+    def cent_lit(vec) -> Column:
+        return F.array(*[_dec(F.lit(float(x))) for x in vec])
+
+    def score_array(vec: Column) -> Column:
+        return F.array(
+            *[
+                (
+                    squared_norm(cent_lit(crow[vec_col]))
+                    - F.lit(2) * dot_product(vec, cent_lit(crow[vec_col]))
+                ).cast(_ACC)
+                for crow in cents
+            ]
+        )
+
+    return cents, score_array
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_cells: int = 8,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23, arXiv:2303.09540): cluster the
+    embedding space coarsely, then WITHIN each cluster drop every
+    vector that has an earlier (lower-id) clustermate with cosine >=
+    threshold — one representative survives per near-duplicate
+    neighborhood without any cross-cluster pair ever being scored.
+    Returns (id, cell, keep); downstream joins `keep` back to the
+    corpus.
+
+    This twin uses the deterministic stride quantizer (same rule as
+    ivf_topk_exact) and exact decimal cosine, so a SQL oracle
+    re-derives the full result. The k-means IVF path
+    (ivf_index/ivf_assign) is the throughput sibling for real runs.
+
+    Scale shape: cell assignment is a per-row codegen expression
+    (broadcast centroid literals, no shuffle); the candidate join is
+    an equi-join on cell, so cost is sum of per-cell squares — at
+    100 TB you size n_cells so clusters stay small (SemDeDup's own
+    regime: tens of thousands of clusters), which also keeps the
+    cell equi-join skew-free; the dup set is a groupBy on the
+    already-thresholded pairs."""
+    cents, score_array = _stride_quantizer(
+        embeddings, n_cells, stride, id_col, vec_col
+    )
+    scores = score_array(F.col(vec_col))
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        squared_norm(F.col(vec_col)).alias("__n"),
+        (F.array_position(scores, F.array_min(scores)) - 1)
+        .cast("int")
+        .alias("cell"),
+    ).transform(cache.persist)
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    dups = (
+        a.join(b, ["cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(
+                cosine(dot_product("va", "vb"), F.col("na"), F.col("nb")), 6
+            )
+            >= F.lit(threshold)
+        )
+        .groupBy("id_b")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    return (
+        assigned.join(dups, assigned[id_col] == dups["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("id_b").isNull().alias("keep"),
         )
     )

@@ -1345,3 +1345,45 @@ def test_bigram_lm_nll_hand_computed(spark):
     assert got[5] == pytest.approx(
         round(-math.log(0.5 / (1 + 0.5 * 2)), 9), abs=1e-9
     )
+
+
+def test_semantic_dedup_within_cluster_rule(spark):
+    from hillview_spark.functions import similarity
+
+    # two well-separated directions; ids 1 and 51 are the stride
+    # centroids (id % 50 == 1). 1,2,3 cluster on +x; 51,52 on +y.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.14, 0.0, 0.0]),   # near-dup of 1 -> dropped
+        (3, [0.0, 0.0, 1.0, 0.0]),     # same cell, orthogonal -> kept
+        (51, [0.0, 1.0, 0.0, 0.0]),
+        (52, [0.1, 0.99, 0.0, 0.0]),   # near-dup of 51 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            df, threshold=0.9, n_cells=2, stride=50
+        ).collect()
+    }
+    assert {i for i in out if out[i].keep} == {1, 3, 51}
+    assert {i for i in out if not out[i].keep} == {2, 52}
+    # the earlier-id representative survives; cells are consistent
+    assert out[1].cell == out[2].cell
+    assert out[51].cell == out[52].cell
+    assert out[1].cell != out[51].cell
+    # cross-cluster near-dups are NOT compared (SemDeDup property):
+    # id 53 is nearly identical to 3 but lands in the +y cell? no —
+    # make it identical to 2 yet assigned to the other cell via its
+    # dominant +y component
+    rows2 = rows + [(53, [0.7, 0.72, 0.0, 0.0])]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    out2 = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            df2, threshold=0.9, n_cells=2, stride=50
+        ).collect()
+    }
+    if out2[53].cell != out2[2].cell:
+        # high cosine to 2 (~0.94) but different cell -> kept
+        assert out2[53].keep
