@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
         _t(s, d, "embeddings"), threshold=0.4, n_cells=8, stride=50
     )
+    q["tfidf_top_terms"] = lambda s, d: search.top_terms_per_doc(
+        _t(s, d, "documents"), k=3, min_df=2, max_df_frac=0.95
+    )
 
     # --- corpus curation -------------------------------------------
     from hillview_spark.functions import curation
@@ -2066,6 +2069,41 @@ def oracle_sql() -> dict[str, str]:
         """
 
     o["bm25_search"] = _bm25_sql(["spark", "hash", "vector"])
+
+    # tfidf_top_terms: idf quantizes through DECIMAL(20,9) after the
+    # LN in both engines (see bm25_search); tf is exact, ranks break
+    # ties by term.
+    o["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\\s+')) AS term
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2
+        ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY 1),
+        idf AS (
+            SELECT term,
+                   CAST(CAST(LN(CAST(n_docs AS DOUBLE)
+                        / CAST(df AS DOUBLE)) AS DECIMAL(20,9))
+                        AS DOUBLE) AS idf
+            FROM dfreq, nd
+            WHERE df >= 2
+              AND CAST(df AS DOUBLE) <= 0.95 * CAST(n_docs AS DOUBLE)
+        ), scored AS (
+            SELECT p.doc_id, p.term, p.tf,
+                   CAST(p.tf AS DOUBLE) * i.idf AS tfidf
+            FROM pairs p JOIN idf i ON p.term = i.term
+        )
+        SELECT doc_id, term, tf, tfidf, rank FROM (
+            SELECT doc_id, term, tf, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS INT) AS rank
+            FROM scored)
+        WHERE rank <= 3
+    """
 
     # text_lm_nll: mirror of text.bigram_lm_nll op-for-op; the
     # per-bigram -LN(p) quantizes through DECIMAL(20,9) in both

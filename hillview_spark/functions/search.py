@@ -108,3 +108,79 @@ def bm25_search(
     if top_n is not None:
         out = out.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_n)
     return out
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Keyword extraction: the k highest-TF-IDF terms per document
+    (tfidf = tf * ln(N / df), smooth-free idf; ties broken by term).
+    The classic "what characterizes this document" signal — also the
+    cheap feature for keyword-level clustering and near-dup triage.
+
+    min_df / max_df_frac prune the vocabulary before scoring: terms
+    in fewer than min_df docs (noise) or more than max_df_frac * N
+    docs (stopwords, idf ~ 0) drop out — at 100 TB this also caps
+    the document-frequency join's key space.
+
+    Scale shape: one explode -> groupBy(doc, term) with map-side
+    combine; document frequencies aggregate off the SAME (doc, term)
+    relation (one row per pair, so count(*) per term IS the doc
+    frequency); the scoring join is an equi-join on the term key and
+    the top-k is a per-doc window over at most |terms-in-doc| rows.
+
+    Determinism: idf quantizes through DECIMAL(20,9) after the ln
+    (cross-library 1-ulp wobble — see bm25_search); tf is exact, so
+    scores and the (score desc, term) rank reproduce in any engine.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    pairs = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from hillview_spark import cache
+
+    pairs = pairs.transform(cache.persist)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    docfreq = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    if min_df > 1:
+        docfreq = docfreq.where(F.col("df") >= min_df)
+    if max_df_frac is not None:
+        docfreq = docfreq.where(
+            F.col("df").cast("double")
+            <= F.lit(max_df_frac) * F.col("n_docs").cast("double")
+        )
+    idf_q = (
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        .cast("decimal(20,9)")
+        .cast("double")
+    )
+    scored = pairs.join(
+        docfreq.select("term", idf_q.alias("idf")), ["term"]
+    ).select(
+        F.col(id_col),
+        "term",
+        "tf",
+        (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

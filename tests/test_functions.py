@@ -1387,3 +1387,34 @@ def test_semantic_dedup_within_cluster_rule(spark):
     if out2[53].cell != out2[2].cell:
         # high cosine to 2 (~0.94) but different cell -> kept
         assert out2[53].keep
+
+
+def test_top_terms_per_doc_tfidf(spark):
+    import math
+
+    from hillview_spark.functions import search
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = search.top_terms_per_doc(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 idf=ln(3/1) beats banana tf=1 idf=ln(3/2)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["apple", "banana"]
+    assert d1[0].tfidf == pytest.approx(2 * math.log(3.0), rel=1e-9)
+    # 'common' appears in every doc -> idf = ln(1) = 0, ranks last
+    assert all(r.term != "common" or r.tfidf == 0.0 for r in out)
+    # max_df_frac prunes the universal term entirely
+    pruned = search.top_terms_per_doc(df, k=5, max_df_frac=0.9).collect()
+    assert "common" not in {r.term for r in pruned}
+    # min_df prunes singletons (apple appears in 1 doc only)
+    freq = search.top_terms_per_doc(df, k=5, min_df=2).collect()
+    assert "apple" not in {r.term for r in freq}
