@@ -1569,9 +1569,9 @@ def oracle_sql() -> dict[str, str]:
         WITH noise(bucket, left_edge, noise, n_intervals, variance) AS (
             VALUES {noise_rows}
         ), counts AS (
-            SELECT CAST(FLOOR(LEAST(GREATEST(FLOOR(
+            SELECT CAST((CAST(LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0), 49)
-                       * 10.0 / 50.0) AS INT) AS bucket,
+                       AS BIGINT) * 10) // 50 AS INT) AS bucket,
                    COUNT(*) AS cnt
             FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
         ), joined AS (
@@ -1625,13 +1625,13 @@ def oracle_sql() -> dict[str, str]:
         WITH noise(xbucket, ybucket, noise, n_intervals, variance) AS (
             VALUES {noise_rows}
         ), counts AS (
-            SELECT CAST(FLOOR(LEAST(GREATEST(FLOOR(
+            SELECT CAST((CAST(LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
-                       {xleaves - 1}) * {float(xbuckets)!r} / {float(xleaves)!r})
+                       {xleaves - 1}) AS BIGINT) * {xbuckets}) // {xleaves}
                        AS INT) AS xbucket,
-                   CAST(FLOOR(LEAST(GREATEST(FLOOR(
+                   CAST((CAST(LEAST(GREATEST(FLOOR(
                        (CAST(l_discount AS DOUBLE) - 0.0) / 0.01), 0),
-                       {yleaves - 1}) * {float(ybuckets)!r} / {float(yleaves)!r})
+                       {yleaves - 1}) AS BIGINT) * {ybuckets}) // {yleaves}
                        AS INT) AS ybucket,
                    COUNT(*) AS cnt
             FROM lineitem
@@ -1695,13 +1695,36 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
     """
 
+    # per-key counts are noised with the portable md5-PRF Laplace
+    # (key = "rf|ls|qty|column_index|seed", scale 1/epsilon = 1.0)
     o["dp_next_k_rows"] = f"""
-        SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt,
+        WITH page AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2, 3
+            ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+        ), unif AS (
+            SELECT *,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           l_returnflag || '|' || l_linestatus || '|'
+                           || CAST(l_quantity AS VARCHAR)
+                           || '|0|7'), 1, 13)) AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM page
+        )
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(FLOOR(CAST(cnt AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_cnt,
                (SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
                             + CAST({_cnt_noise!r} AS DOUBLE) + 0.5) AS BIGINT)
                 FROM lineitem) AS noisy_rows_scanned
-        FROM lineitem GROUP BY 1, 2, 3
-        ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+        FROM unif
     """
 
     # pca_project: for d=2 the correlation matrix is [[1,r],[r,1]],

@@ -187,27 +187,58 @@ class PrivateTableView:
         # stable per-column PRF index, as the reference indexes noise
         # by column position in the privacy schema
         self._col_index = {c: i for i, c in enumerate(sorted(schema.quantization))}
+        # canonical descriptions of the filters applied to this view;
+        # folded into the PRF seed so each derived view draws FRESH
+        # noise (see _seed)
+        self._lineage: tuple[str, ...] = ()
 
     def _index_of(self, col: str) -> int:
         """PRF index for any column: schema position, or a stable
         name hash for columns outside the schema — two unlisted
         columns must never share a draw (index-0 fallback would let
-        their releases subtract to an exactly-denoised difference)."""
+        their releases subtract to an exactly-denoised difference).
+        The fallback stays strictly below 2^31 - the hash range is
+        reduced so position + hash can't overflow the PRF's signed
+        32-bit index field."""
         if col in self._col_index:
             return self._col_index[col]
         import hashlib
 
         h = int.from_bytes(hashlib.md5(col.encode()).digest()[:4], "big")
-        return (h & 0x7FFFFFFF) + len(self._col_index)
+        n = len(self._col_index)
+        return n + (h % (2**31 - 1 - n))
 
-    def _derive(self, df) -> "PrivateTableView":
+    def _seed(self) -> int:
+        """Effective PRF seed for this view: the session seed on the
+        base view; on a FILTERED view, a hash of (seed, filter
+        lineage). Without this, a filtered view's histogram would
+        reuse bit-identical per-bucket noise and subtracting it from
+        the unfiltered release would cancel the noise EXACTLY
+        (integer counts + identical floor(c+n+0.5) rounding) —
+        handing an attacker the exact count of rows matching the
+        filter per bucket. Independent draws reduce the difference
+        to ordinary two-release noise; budget accounting across
+        views remains the curator's ledger, as in the reference."""
+        if not self._lineage:
+            return self.seed
+        import hashlib
+
+        key = "|".join((str(self.seed),) + self._lineage).encode()
+        h = hashlib.md5(key).digest()
+        return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+    def _derive(self, df, desc: str) -> "PrivateTableView":
         out = object.__new__(PrivateTableView)
         out.schema, out.seed, out.df = self.schema, self.seed, df
         out._col_index = self._col_index
+        out._lineage = self._lineage + (desc,)
         return out
 
     def filter_range(self, col: str, lo=None, hi=None, **kw) -> "PrivateTableView":
-        return self._derive(self.df.where(_filters.range_filter(col, lo, hi, **kw)))
+        desc = f"range:{col}:{lo!r}:{hi!r}:{sorted(kw.items())!r}"
+        return self._derive(
+            self.df.where(_filters.range_filter(col, lo, hi, **kw)), desc
+        )
 
     def histogram(self, col: str, buckets: int = 40, cdf: bool = False) -> DataFrame:
         from hillview_spark.operators import privacy as _priv
@@ -215,7 +246,7 @@ class PrivateTableView:
         q = self.schema.quantization[col]
         return _priv.dp_histogram(
             self.df, col, q.global_min, q.global_max, q.granularity,
-            self.schema.epsilon(col), buckets, self.seed,
+            self.schema.epsilon(col), buckets, self._seed(),
             self._col_index[col], cdf,
         )
 
@@ -225,7 +256,7 @@ class PrivateTableView:
         q = self.schema.quantization[col]
         return _priv.dp_histogram_string(
             self.df, col, q.left_boundaries, self.schema.epsilon(col),
-            buckets, self.seed, self._col_index[col],
+            buckets, self._seed(), self._col_index[col],
         )
 
     def heatmap(self, xcol: str, ycol: str, xb: int = 25, yb: int = 25) -> DataFrame:
@@ -236,7 +267,7 @@ class PrivateTableView:
             self.df, xcol, ycol,
             qx.global_min, qx.global_max, qx.granularity,
             qy.global_min, qy.global_max, qy.granularity,
-            self.schema.epsilon(xcol, ycol), xb, yb, self.seed,
+            self.schema.epsilon(xcol, ycol), xb, yb, self._seed(),
             self._col_index[xcol], self._col_index[ycol],
         )
 
@@ -246,20 +277,20 @@ class PrivateTableView:
         q = self.schema.quantization[col]
         return _priv.dp_quantiles(
             self.df, col, q.global_min, q.global_max, q.granularity,
-            self.schema.epsilon(col), probs, buckets, self.seed,
+            self.schema.epsilon(col), probs, buckets, self._seed(),
             self._col_index[col],
         )
 
     def count(self, epsilon: float = 1.0) -> DataFrame:
         from hillview_spark.operators import privacy as _priv
 
-        return _priv.dp_count(self.df, epsilon, self.seed)
+        return _priv.dp_count(self.df, epsilon, self._seed())
 
     def distinct_count(self, col: str, epsilon: float = 1.0) -> DataFrame:
         from hillview_spark.operators import privacy as _priv
 
         return _priv.dp_distinct_count(
-            self.df, col, epsilon, self.seed, self._index_of(col)
+            self.df, col, epsilon, self._seed(), self._index_of(col)
         )
 
     def page(self, sort_cols: list[str], epsilon: float = 1.0, k: int = 20,
@@ -268,5 +299,6 @@ class PrivateTableView:
         from hillview_spark.operators import privacy as _priv
 
         return _priv.dp_next_k(
-            self.df, sort_cols, epsilon, k, ascending, start, self.seed
+            self.df, sort_cols, epsilon, k, ascending, start, self._seed(),
+            self._index_of(",".join(sort_cols)),
         )

@@ -56,8 +56,11 @@ def bm25_search(
     """
     if not terms:
         raise ValueError("terms must be a non-empty list")
+    # document tokens are lowercased — normalize the query the same
+    # way, or an uppercase query term would silently match nothing
+    terms = [tm.lower() for tm in terms]
     if len(set(terms)) != len(terms):
-        raise ValueError("terms must be distinct")
+        raise ValueError("terms must be distinct (after lowercasing)")
 
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")

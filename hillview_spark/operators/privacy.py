@@ -180,8 +180,24 @@ def _bucket_leaf_ranges(leaves: int, buckets: int) -> list[tuple[int, int]]:
     """Evenly split leaf indexes [0, leaves) into buckets: bucket i
     covers [ceil(i*T/B), ceil((i+1)*T/B)) so that the scan-side
     assignment is the closed form floor(leaf*B/T)."""
+    if buckets <= 0 or leaves <= 0:
+        raise ValueError("buckets and leaves must be positive")
     edge = lambda i: -((-i * leaves) // buckets)  # ceil(i*T/B)
     return [(edge(i), edge(i + 1)) for i in range(buckets)]
+
+
+def _leaf_to_bucket(buckets: int, leaves: int):
+    """Scan-side inverse of _bucket_leaf_ranges over a LONG column
+    named __leaf: floor(leaf*B/T) in exact 64-bit INTEGER arithmetic
+    (`div`), matching the spine's integer ceil edges. Double
+    arithmetic here would misassign boundary leaves once leaf*B
+    exceeds 2^53 (fine-granularity curator grids) — and an oracle
+    engine computing the double division differently would diverge."""
+    if leaves * buckets >= 2**63:
+        raise ValueError("leaves*buckets overflows 64-bit bucket math")
+    return F.expr(
+        f"CAST((__leaf * {int(buckets)}L) div {int(leaves)}L AS INT)"
+    )
 
 
 def dp_histogram(
@@ -231,10 +247,10 @@ def dp_histogram(
         F.greatest(F.floor((c - F.lit(float(lo))) / F.lit(float(granularity))), F.lit(0)),
         F.lit(leaves - 1),
     )
-    bucket = F.floor(leaf * F.lit(float(buckets)) / F.lit(float(leaves))).cast("int")
     counts = (
         df.where(c.isNotNull())
-        .select(bucket.alias("bucket"))
+        .select(leaf.alias("__leaf"))
+        .select(_leaf_to_bucket(buckets, leaves).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -347,7 +363,11 @@ def dp_heatmap(
     xleaves = max(1, math.ceil((xhi - xlo) / xgranularity))
     yleaves = max(1, math.ceil((yhi - ylo) / ygranularity))
     xbuckets, ybuckets = min(xbuckets, xleaves), min(ybuckets, yleaves)
-    column_index = column_index * 1_000_003 + column_index_y
+    # mask to int31: the PRF packs this as a signed 32-bit field, and
+    # hash-fallback indexes (api.PrivateTableView._index_of) are large
+    # enough that the raw fold would overflow struct.pack. The mask
+    # keeps small-index callers (and the existing oracles) unchanged.
+    column_index = (column_index * 1_000_003 + column_index_y) & 0x7FFFFFFF
     scale = noise_scale(epsilon, xleaves, yleaves, k=k)
     base_var = laplace_variance(scale)
     xranges = _bucket_leaf_ranges(xleaves, xbuckets)
@@ -369,19 +389,28 @@ def dp_heatmap(
         spine, "xbucket int, ybucket int, noise double, n_intervals int, variance double"
     )
 
-    def leaf_bucket(c, lo, granularity, leaves, buckets):
+    def leaf_of(c, lo, granularity, leaves):
         v = F.col(c).cast("double")
-        leaf = F.least(
+        return F.least(
             F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(float(granularity))), F.lit(0)),
             F.lit(leaves - 1),
         )
-        return F.floor(leaf * F.lit(float(buckets)) / F.lit(float(leaves))).cast("int")
 
     counts = (
         df.where(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
         .select(
-            leaf_bucket(xcol, xlo, xgranularity, xleaves, xbuckets).alias("xbucket"),
-            leaf_bucket(ycol, ylo, ygranularity, yleaves, ybuckets).alias("ybucket"),
+            leaf_of(xcol, xlo, xgranularity, xleaves).alias("__xleaf"),
+            leaf_of(ycol, ylo, ygranularity, yleaves).alias("__yleaf"),
+        )
+        .select(
+            F.expr(
+                f"CAST((__xleaf * {int(xbuckets)}L) div {int(xleaves)}L"
+                " AS INT)"
+            ).alias("xbucket"),
+            F.expr(
+                f"CAST((__yleaf * {int(ybuckets)}L) div {int(yleaves)}L"
+                " AS INT)"
+            ).alias("ybucket"),
         )
         .groupBy("xbucket", "ybucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -521,10 +550,31 @@ def dp_next_k(
     aggregate broadcasts — no extra shuffle on the k-row page, at the
     cost of a second scan for the total (the reference's sketch sums
     it in the same pass; Spark would need .observe(), whose metrics
-    only surface after an action — a fair trade for a lazy plan)."""
+    only surface after an action — a fair trade for a lazy plan).
+
+    The per-key duplicate counts are THEMSELVES noised (cnt ->
+    noisy_cnt): one Laplace(1/epsilon) draw per distinct sort key,
+    from the portable md5 PRF keyed on the quantized key values plus
+    the column index — keys are disjoint cells, so parallel
+    composition gives epsilon-DP for the page body. Releasing exact
+    counts would make the epsilon parameter decorative (cnt=1
+    announces a unique individual). Key values must stringify
+    canonically across engines (they are curator-quantized grid
+    points, so they do)."""
     from hillview_spark.operators.spreadsheet import next_k
 
     page = next_k(df, sort_cols, k, ascending, start)
+    noise = laplace_noise_col(
+        epsilon,
+        seed,
+        *[F.col(c) for c in sort_cols],
+        F.lit(column_index),
+        prf="md5",
+    )
+    page = page.withColumn(
+        "noisy_cnt",
+        F.floor(F.col("cnt").cast("double") + noise + F.lit(0.5)).cast("long"),
+    ).drop("cnt")
     scanned = dp_count(df, epsilon, seed, column_index).select(
         F.col("noisy_rows").alias("noisy_rows_scanned")
     )
@@ -569,12 +619,10 @@ def dp_histogram_string(
     leaf = F.greatest(
         F.size(F.filter(arr, lambda b: b <= F.col(col))) - F.lit(1), F.lit(0)
     )
-    bucket = F.floor(
-        leaf.cast("double") * F.lit(float(buckets)) / F.lit(float(leaves))
-    ).cast("int")
     counts = (
         df.where(F.col(col).isNotNull())
-        .select(bucket.alias("bucket"))
+        .select(leaf.cast("long").alias("__leaf"))
+        .select(_leaf_to_bucket(buckets, leaves).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -318,13 +318,16 @@ def _cell_noise(epsilon: float, seed: int):
     )
 
 
-def _type_index(event_type: str) -> int:
+def _type_index(event_type: str | None) -> int:
     """Stable per-type PRF index so different event types draw
     independent noise trees (plays the role of the column index in
-    SecureLaplace's scratch bytes)."""
+    SecureLaplace's scratch bytes). A NULL type is its own group —
+    windowed_counts' groupBy keeps it, so the spine must key it too
+    rather than crash."""
     import hashlib
 
-    return int.from_bytes(hashlib.md5(event_type.encode()).digest()[:4], "big") & 0x7FFFFFFF
+    key = "" if event_type is None else event_type
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big") & 0x7FFFFFFF
 
 
 # Declared time horizon for the continual counter's noise tree: leaf
@@ -363,6 +366,9 @@ def dp_prefix_counts(
     counts = (
         windowed_counts(events, "hour")
         .drop("sum_value")
+        # NULL ts -> NULL window -> NULL leaf: no hour to index in the
+        # noise tree; drop the group instead of crashing int(None)
+        .where(F.col("window_start").isNotNull())
         .withColumn(
             "leaf",
             (
@@ -492,7 +498,6 @@ def stream_dp_prefix_counts(
             )
         else:
             cum, open_map = 0, {}
-        max_leaf = -1
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -500,9 +505,16 @@ def stream_dp_prefix_counts(
             leaves = us // HOUR_US + CONTINUAL_LEAF_OFFSET
             for leaf, cnt in leaves.value_counts().items():
                 open_map[int(leaf)] = open_map.get(int(leaf), 0) + int(cnt)
-            max_leaf = max(max_leaf, int(leaves.max()))
-        # release hours the watermark has passed
-        wm_leaf = state.getCurrentWatermarkMs() * 1000 // HOUR_US + CONTINUAL_LEAF_OFFSET
+        # release hours the watermark has passed. getCurrentWatermarkMs
+        # returns 0 when no watermark has been computed yet (first
+        # batch) — treat that as "release nothing", NOT as an epoch
+        # watermark: with the leaf offset, epoch-as-watermark would
+        # flush every buffered pre-1970 hour prematurely. (Spark's own
+        # watermark clamps at 0 ms, so pre-epoch event times are a
+        # batch-twin-only capability; the stream releases them once
+        # the watermark passes epoch.)
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_leaf = wm_ms * 1000 // HOUR_US + CONTINUAL_LEAF_OFFSET if wm_ms > 0 else 0
         cum, out = _emit(etype, cum, open_map, wm_leaf)
         state.update(
             (

@@ -409,3 +409,99 @@ def test_dp_heatmap_pair_identity_enters_noise():
 def test_laplace_from_uniform_zero_guarded():
     assert math.isfinite(P.laplace_from_uniform(2.0, 0.0))
     assert math.isfinite(P.laplace_from_uniform(2.0, 1.0))
+
+
+def test_private_view_filtered_noise_is_independent(spark, tables):
+    """The subtraction attack: filtered and unfiltered histograms
+    must NOT share per-bucket noise, or their difference releases
+    the exact count of filter-matching rows (integer counts make the
+    floor(c+n+0.5) fractional parts cancel perfectly)."""
+    from hillview_spark.api import PrivateTableView, TableView
+
+    ps = P.PrivacySchema.from_json(
+        """{"defaultEpsilons": {"1": 1.0},
+            "quantization": {"quantization": {
+              "l_quantity": {"type": "DoubleColumnQuantization",
+                "granularity": 1, "globalMin": 1, "globalMax": 51},
+              "l_discount": {"type": "DoubleColumnQuantization",
+                "granularity": 0.01, "globalMin": 0, "globalMax": 0.11}}}}"""
+    )
+    pv = PrivateTableView(TableView(tables["lineitem"]), ps, seed=7)
+    fv = pv.filter_range("l_discount", 0.0, 0.05)
+    base = {r.bucket: r.noisy_count for r in pv.histogram("l_quantity", 10).collect()}
+    filt = {r.bucket: r.noisy_count for r in fv.histogram("l_quantity", 10).collect()}
+    # recover what the attack would compute and compare to truth
+    li = P.private_view(tables["lineitem"], ps)
+    from pyspark.sql import functions as F
+
+    def exact_counts(df):
+        leaf = F.least(F.greatest(F.floor(
+            (F.col("l_quantity").cast("double") - 1.0) / 1.0), F.lit(0)), F.lit(49))
+        got = (df.where(F.col("l_quantity").isNotNull())
+                 .select(leaf.alias("__leaf"))
+                 .select(F.expr("CAST((__leaf * 10L) div 50L AS INT)").alias("b"))
+                 .groupBy("b").count().collect())
+        return {r.b: r["count"] for r in got}
+    e_all = exact_counts(li)
+    e_match = exact_counts(li.where(F.col("l_discount").between(0.0, 0.05)))
+    diffs = [
+        (base[b] - filt[b]) - (e_all.get(b, 0) - e_match.get(b, 0))
+        for b in base
+    ]
+    # with shared noise every diff would be exactly 0
+    assert any(d != 0 for d in diffs)
+    # a second identical filter derives the SAME lineage -> same noise
+    fv2 = pv.filter_range("l_discount", 0.0, 0.05)
+    assert filt == {
+        r.bucket: r.noisy_count
+        for r in fv2.histogram("l_quantity", 10).collect()
+    }
+
+
+def test_dp_next_k_counts_are_noised(spark, tables):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    page = P.dp_next_k(
+        tables["lineitem"], ["l_returnflag", "l_linestatus", "l_quantity"],
+        epsilon=1.0, k=5, seed=17,
+    ).collect()
+    assert "cnt" not in page[0].asDict()
+    exact = {
+        (r.l_returnflag, r.l_linestatus, r.l_quantity): r.n
+        for r in tables["lineitem"]
+        .groupBy("l_returnflag", "l_linestatus", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    perturbed = 0
+    for r in page:
+        key = f"{r.l_returnflag}|{r.l_linestatus}|{r.l_quantity}|0|17"
+        u = int(hashlib.md5(key.encode()).hexdigest()[:13], 16) * 2.0**-52
+        u = min(max(u, 2.0**-53), 1.0 - 2.0**-53)
+        want = math.floor(
+            exact[(r.l_returnflag, r.l_linestatus, r.l_quantity)]
+            + P.laplace_from_uniform(1.0, u)
+            + 0.5
+        )
+        assert r.noisy_cnt == want
+        if r.noisy_cnt != exact[(r.l_returnflag, r.l_linestatus, r.l_quantity)]:
+            perturbed += 1
+    assert perturbed > 0  # epsilon is not decorative
+
+
+def test_index_of_fallback_fits_int32(spark, tables):
+    from hillview_spark.api import PrivateTableView, TableView
+
+    ps = P.PrivacySchema.from_json(
+        """{"quantization": {"quantization": {
+            "l_quantity": {"type": "DoubleColumnQuantization",
+              "granularity": 1, "globalMin": 1, "globalMax": 51}}}}"""
+    )
+    pv = PrivateTableView(TableView(tables["lineitem"]), ps, seed=1)
+    for name in ("o_comment", "weird column", "x" * 200):
+        idx = pv._index_of(name)
+        assert 0 < idx < 2**31
+    # struct.pack path accepts the fallback index
+    P._uniform(1, pv._index_of("o_comment"), (0, 1))
