@@ -43,7 +43,7 @@ from hillview_spark.operators import (
     correlation, heavy_hitters, histogram, privacy, spreadsheet, stats,
     temporal,
 )
-from hillview_spark.functions import curation, dedup, similarity, text
+from hillview_spark.functions import curation, dedup, search, similarity, text
 from hillview_spark.streaming import events as ev
 
 
@@ -200,6 +200,15 @@ def headline_queries(t):
             t["lineitem"], "l_quantity",
             lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10,
             seed=7), "collect"),
+        # round-5 additions: relevance search, LM quality scoring,
+        # semantic dedup, keyword extraction
+        "bm25_search": (lambda: search.bm25_search(
+            t["documents"], ["spark", "hash", "vector"]), "noop"),
+        "text_lm_nll": (lambda: text.bigram_lm_nll(t["documents"]), "noop"),
+        "semantic_dedup": (lambda: similarity.semantic_dedup_blas(
+            t["embeddings"], threshold=0.4, n_cells=8, stride=50), "noop"),
+        "tfidf_top_terms": (lambda: search.top_terms_per_doc(
+            t["documents"], k=3, min_df=2, max_df_frac=0.95), "noop"),
     }
 
 

@@ -1135,3 +1135,73 @@ def semantic_dedup(
             F.col("id_b").isNull().alias("keep"),
         )
     )
+
+
+def semantic_dedup_blas(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_cells: int = 8,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput sibling of semantic_dedup: identical cells (stride
+    quantizer) and identical keep rule, but within-cell cosines come
+    from one per-cell gram matrix in numpy (applyInPandas) instead of
+    the interpreted decimal expression — the same exact/BLAS twin
+    split as knn_join vs knn_join_blocked. Cosines are rounded to 6
+    decimals before the threshold, so the two paths agree everywhere
+    off the 1e-6 rounding boundary (pytest-equal on the test data).
+
+    Scale note: a cell is processed by ONE task — size n_cells so
+    cells fit a worker (SemDeDup's regime has tens of thousands of
+    small clusters, which also spreads this evenly)."""
+    import numpy as np
+    import pandas as pd
+
+    cents, _ = _stride_quantizer(embeddings, n_cells, stride, id_col, vec_col)
+    cmat = np.stack(
+        [np.asarray(c[vec_col], dtype=np.float64) for c in cents]
+    )
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col].to_numpy()]
+            )
+            # argmin(||c||^2 - 2 x.c), ties to lowest index (argmin
+            # picks the first minimum — same rule as the exact twin)
+            score = cnorm[None, :] - 2.0 * (v @ cmat.T)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cell"] = score.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<double>, cell int"
+    )
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col].to_numpy()[order]])
+        nrm = np.sqrt((v * v).sum(axis=1))
+        nrm[nrm == 0] = np.nan  # zero vectors match nothing (NULL cosine)
+        cos = np.round((v @ v.T) / np.outer(nrm, nrm), 6)
+        dup = np.zeros(len(ids), dtype=bool)
+        iu, ju = np.triu_indices(len(ids), 1)  # i < j in id order
+        dup[np.unique(ju[cos[iu, ju] >= threshold])] = True
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(len(ids), pdf["cell"].iloc[0], dtype=np.int32),
+                "keep": ~dup,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, schema=f"{id_col} long, cell int, keep boolean"
+    )

@@ -1418,3 +1418,21 @@ def test_top_terms_per_doc_tfidf(spark):
     # min_df prunes singletons (apple appears in 1 doc only)
     freq = search.top_terms_per_doc(df, k=5, min_df=2).collect()
     assert "apple" not in {r.term for r in freq}
+
+
+def test_semantic_dedup_blas_equals_exact(spark, tables):
+    from hillview_spark.functions import similarity
+
+    exact = {
+        (r.vec_id, r.cell, r.keep)
+        for r in similarity.semantic_dedup(
+            tables["embeddings"], threshold=0.4, n_cells=4, stride=50
+        ).collect()
+    }
+    blas = {
+        (r.vec_id, r.cell, r.keep)
+        for r in similarity.semantic_dedup_blas(
+            tables["embeddings"], threshold=0.4, n_cells=4, stride=50
+        ).collect()
+    }
+    assert exact == blas
