@@ -88,23 +88,45 @@ def repetition_stats(
         .agg(F.max("c").alias("max_gram"))
     )
     n = F.col("n_tokens").cast("double")
+    # anchor on the INPUT ids: a NULL/whitespace-only document has no
+    # token rows and would otherwise be absent from the result — but
+    # degenerate docs are exactly what repetition filtering targets,
+    # and a stats-join pipeline would silently pass un-scored docs
+    # through. They score all-zeros (nothing to repeat).
+    ids = df.select(F.col(id_col).alias("__doc"))
     return (
-        tok_stats.join(gram_stats, "__doc", "left")
+        ids.join(tok_stats, "__doc", "left")
+        .join(gram_stats, "__doc", "left")
         .select(
             F.col("__doc").alias(id_col),
-            F.col("n_tokens"),
-            F.col("distinct_tokens"),
-            F.round(F.lit(1.0) - F.col("distinct_tokens") / n, 4).alias(
-                "dup_token_frac"
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("distinct_tokens"), F.lit(0)).alias(
+                "distinct_tokens"
             ),
-            F.round(F.col("max_tok") / n, 4).alias("top_token_frac"),
+            F.coalesce(
+                F.round(F.lit(1.0) - F.col("distinct_tokens") / n, 4),
+                F.lit(0.0),
+            ).alias("dup_token_frac"),
+            F.coalesce(F.round(F.col("max_tok") / n, 4), F.lit(0.0)).alias(
+                "top_token_frac"
+            ),
             # 2 tokens per occurrence, clamped: overlapping repeats
             # ('a a a') would otherwise count shared tokens twice and
-            # push the "fraction" past 1.0
-            F.round(
-                F.least(F.coalesce(F.col("max_gram"), F.lit(0)) * 2 / n, F.lit(1.0)),
-                4,
-            ).alias("top_bigram_frac"),
+            # push the "fraction" past 1.0. Guard on n_tokens, not a
+            # trailing coalesce: least() SKIPS nulls, so
+            # least(NULL/n, 1.0) would collapse to 1.0 for
+            # zero-token docs
+            F.when(F.col("n_tokens").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.least(
+                        F.coalesce(F.col("max_gram"), F.lit(0)) * 2 / n,
+                        F.lit(1.0),
+                    ),
+                    4,
+                )
+            )
+            .alias("top_bigram_frac"),
         )
     )
 
@@ -315,8 +337,16 @@ def chunk_documents(
             F.array_join(
                 F.slice(F.col("__t"), F.col("__start"), chunk_tokens), " "
             ).alias("chunk_text"),
-            F.least(
-                F.size(F.col("__t")) - F.col("__start") + 1, F.lit(chunk_tokens)
+            # split('') yields [''] — a phantom token; the empty
+            # chunk must report 0 tokens (consistent with
+            # text._ws_tokens), or pack_sequences budgets a phantom
+            # token per empty doc
+            F.when(F.array_join(F.col("__t"), "") == "", F.lit(0))
+            .otherwise(
+                F.least(
+                    F.size(F.col("__t")) - F.col("__start") + 1,
+                    F.lit(chunk_tokens),
+                )
             )
             .cast("long")
             .alias("n_chunk_tokens"),
@@ -384,8 +414,16 @@ def remove_repeated_segments(
     shuffled ∝ total segments (tokens / segment_tokens), never
     pairs; the hash join spreads hot segments across partitions, so
     no key is quadratic. All expressions are JVM codegen (split /
-    slice / md5 / array_sort) — no Python in the path."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    slice / md5 / array_sort) — no Python in the path.
+
+    NULL text coalesces to '' (one empty segment) — without the
+    coalesce a NULL doc silently vanishes under ANSI (sequence over
+    NULL size emits nothing) and crashes under legacy sizeOfNull=-1.
+    Note empty segments obey the same doc-frequency rule as any
+    other: when >= min_df docs are empty, their shared '' segment is
+    itself a repeated segment and those docs drop to zero kept
+    segments."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     segs = (
         df.select(F.col(id_col), toks.alias("__t"))
         .select(

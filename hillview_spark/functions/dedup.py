@@ -283,7 +283,17 @@ def lsh_write_index(
     query time. A params sidecar pins (num_hashes, bands, n) so a
     query with mismatched hashing fails loudly instead of silently
     finding nothing. mode='append' adds a new batch's bands to the
-    index after it has been deduped (incremental maintenance)."""
+    index after it has been deduped (incremental maintenance).
+
+    Torn-write protection: every bands row carries an index_version
+    that must match the sidecar's. A rebuild that dies between the
+    bands overwrite and the params write leaves old params with
+    new-version bands; without the check a query would band with the
+    STALE params, never match, and silently report zero duplicates -
+    the version mismatch turns that into a loud RuntimeError at
+    query time."""
+    import uuid
+
     if mode == "append":
         # appending under different hashing would silently mix
         # incompatible band keys — validate against the pinned params
@@ -295,13 +305,16 @@ def lsh_write_index(
                 f"bands={p.bands}, n={p.n}); refusing to append "
                 f"({num_hashes}, {bands}, {n})"
             )
-    _banded(df, num_hashes, bands, n, id_col, text_col).write.mode(mode).parquet(
-        f"{path}/bands"
-    )
+        version = p.index_version
+    else:
+        version = uuid.uuid4().hex
+    _banded(df, num_hashes, bands, n, id_col, text_col).withColumn(
+        "index_version", F.lit(version)
+    ).write.mode(mode).parquet(f"{path}/bands")
     if mode != "append":
-        params = [(int(num_hashes), int(bands), int(n))]
+        params = [(int(num_hashes), int(bands), int(n), version)]
         df.sparkSession.createDataFrame(
-            params, "num_hashes int, bands int, n int"
+            params, "num_hashes int, bands int, n int, index_version string"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
@@ -325,6 +338,16 @@ def lsh_query_index(
         new_docs, p.num_hashes, p.bands, p.n, id_col, text_col
     ).select(F.col("doc").alias("new_doc"), "band", "key")
     index = spark.read.parquet(f"{path}/bands")
+    # torn-write check (see lsh_write_index): any bands row from a
+    # different build than the sidecar means a rebuild died midway -
+    # querying would silently return zero candidates
+    stale = index.where(F.col("index_version") != F.lit(p.index_version))
+    if stale.limit(1).count() > 0:
+        raise RuntimeError(
+            f"index at {path} is torn: bands carry a different "
+            f"index_version than the params sidecar - rebuild with "
+            f"lsh_write_index(mode='overwrite')"
+        )
     return (
         index.join(F.broadcast(banded_new), ["band", "key"])
         .select(
@@ -469,7 +492,14 @@ def connected_components(
     edges_raw = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
-    if edges_raw.limit(driver_threshold + 1).count() <= driver_threshold:
+    # ONE upstream execution for both the size probe and the edge
+    # list: collecting limit(threshold+1) answers "small enough?"
+    # AND, when yes, already IS the full edge list — a separate
+    # limit().count() probe would run the whole pairs DAG (LSH
+    # self-join + verify) twice, since limits don't push through its
+    # aggregations.
+    probe = edges_raw.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -480,7 +510,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges_raw.collect():
+        for r in probe:
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 parent[ra] = rb

@@ -87,19 +87,20 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
     (the SQL oracle reproduces them analytically for d=2)."""
     import numpy as np
 
-    stats = df.agg(
+    # one fused aggregate job: moments and pairwise correlations are
+    # independent expressions over the same rows — two .agg() calls
+    # would scan the table twice for no semantic difference
+    stats = pairs = df.agg(
         *(
             [F.avg(c).alias(f"{c}__mu") for c in cols]
             + [F.stddev_samp(c).alias(f"{c}__sd") for c in cols]
+            + [
+                F.corr(a, b).alias(f"{i}|{j}")
+                for i, a in enumerate(cols)
+                for j, b in enumerate(cols)
+                if i <= j
+            ]
         )
-    ).first()
-    pairs = df.agg(
-        *[
-            F.corr(a, b).alias(f"{i}|{j}")
-            for i, a in enumerate(cols)
-            for j, b in enumerate(cols)
-            if i <= j
-        ]
     ).first()
     d = len(cols)
     m = np.eye(d)
@@ -214,6 +215,26 @@ def metric_mds(
         .limit(n_points)
         .collect()
     )
+    if low_dims > len(cols):
+        raise ValueError(
+            f"low_dims={low_dims} exceeds the {len(cols)} input columns"
+        )
+    if len(rows) < 2:
+        # 0 or 1 surviving rows: nothing to lay out (and the numpy
+        # pairwise-distance indexing below needs a 2-D array)
+        axes0 = ["x", "y", "z", "w"][:low_dims] + [
+            str(i) for i in range(4, low_dims)
+        ]
+        sch0 = (
+            f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
+            if key_col
+            else ""
+        ) + ", ".join(f"mds_{ax} double" for ax in axes0)
+        single = [
+            tuple(([r[key_col]] if key_col else []) + [0.0] * low_dims)
+            for r in rows
+        ]
+        return df.sparkSession.createDataFrame(single, sch0)
     X = np.array([[float(r[c]) for c in cols] for r in rows])
     diff_h = X[:, None, :] - X[None, :, :]
     Dh = np.sqrt((diff_h**2).sum(-1))
@@ -223,6 +244,10 @@ def metric_mds(
     Xc = X - X.mean(axis=0)
     _, _, vt = np.linalg.svd(Xc, full_matrices=False)
     Y = (Xc @ vt[:low_dims].T) * scaling
+    if Y.shape[1] < low_dims:
+        # fewer points than output dims: svd yields < low_dims
+        # singular vectors — pad the layout with zero coordinates
+        Y = np.hstack([Y, np.zeros((len(rows), low_dims - Y.shape[1]))])
     Y = _mds_descent(Dh, Y, max_iterations, learning_rate, decay, tolerance)
     Y = Y / scaling
 
@@ -267,10 +292,19 @@ def lamp_project(
     Arrow-batched mapInPandas — no shuffle at all, one scan."""
     import numpy as np
 
+    # deterministic bounded control set: portable-hash order, same
+    # rule as metric_mds (sample(fraction=1.0) is a no-op and limit()
+    # alone takes a partition-layout-dependent set — the embedding
+    # would change across clusters/re-ingests)
+    pick = F.md5(
+        F.concat_ws(
+            "_", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols]
+        )
+    )
     ctrl = (
         df.select(cols)
         .dropna()
-        .sample(fraction=1.0, seed=seed)
+        .orderBy(pick)
         .limit(n_controls)
         .collect()
     )
@@ -334,7 +368,13 @@ def lamp_project(
             yield pd.DataFrame(out)
 
     in_df = df.select(*out_cols).dropna(subset=cols)
-    schema = (f"{key_col} long, " if key_col else "") + "lamp_x double, lamp_y double"
+    # key column type from the input schema — hardcoding 'long' would
+    # crash the Arrow conversion for string/other id types
+    schema = (
+        f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
+        if key_col
+        else ""
+    ) + "lamp_x double, lamp_y double"
     return in_df.mapInPandas(project, schema)
 
 

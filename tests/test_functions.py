@@ -1436,3 +1436,76 @@ def test_semantic_dedup_blas_equals_exact(spark, tables):
         ).collect()
     }
     assert exact == blas
+
+
+def test_lsh_index_torn_write_detected(spark, tmp_path, tables):
+    from hillview_spark.functions import dedup
+
+    docs = tables["documents"].limit(50)
+    path = str(tmp_path / "idx")
+    dedup.lsh_write_index(docs, path)
+    # simulate a rebuild that died after the bands overwrite but
+    # before the params write: bands carry a fresh version, params
+    # keep the old one
+    bands = spark.read.parquet(f"{path}/bands")
+    bands.withColumn("index_version", F.lit("deadbeef")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands2")
+    import shutil
+
+    shutil.rmtree(f"{path}/bands")
+    shutil.move(f"{path}/bands2", f"{path}/bands")
+    with pytest.raises(RuntimeError, match="torn"):
+        dedup.lsh_query_index(spark, path, docs.limit(5)).collect()
+
+
+def test_curation_degenerate_docs_scored_not_dropped(spark):
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, None), (3, "   ")], "doc_id long, text string"
+    )
+    stats = {r.doc_id: r for r in curation.repetition_stats(df).collect()}
+    assert set(stats) == {1, 2, 3}  # degenerate docs present, zeroed
+    assert stats[2].n_tokens == 0 and stats[2].dup_token_frac == 0.0
+    assert stats[3].top_bigram_frac == 0.0
+    assert stats[1].n_tokens == 3
+    # chunking: the empty chunk reports 0 tokens, not the ['']
+    # phantom
+    chunks = {
+        (r.doc_id, r.chunk_id): r
+        for r in curation.chunk_documents(df, 2, 0).collect()
+    }
+    assert chunks[(2, 0)].n_chunk_tokens == 0
+    assert chunks[(2, 0)].chunk_text == ""
+    assert chunks[(1, 0)].n_chunk_tokens == 2
+    assert chunks[(1, 1)].n_chunk_tokens == 1
+    # repeated-segment removal keeps NULL docs in the corpus (their
+    # shared empty segment is below min_df here)
+    out = curation.remove_repeated_segments(
+        spark.createDataFrame(
+            [(1, "x y z"), (2, None)], "doc_id long, text string"
+        ),
+        segment_tokens=2,
+        min_df=2,
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_lamp_and_mds_degenerate_inputs(spark):
+    from hillview_spark.operators import correlation
+
+    # string key column must round-trip (schema derived, not 'long')
+    df = spark.createDataFrame(
+        [(f"d{i}", float(i), float(i * 2), float(i % 7)) for i in range(30)],
+        "k string, a double, b double, c double",
+    )
+    out = correlation.lamp_project(df, ["a", "b", "c"], n_controls=10, key_col="k")
+    assert {r.k for r in out.collect()} == {f"d{i}" for i in range(30)}
+    # metric_mds: empty input returns empty, not IndexError
+    empty = spark.createDataFrame([], "k string, a double, b double")
+    assert correlation.metric_mds(empty, ["a", "b"], key_col="k").count() == 0
+    # low_dims > columns is a loud error
+    one = spark.createDataFrame([("x", 1.0)], "k string, a double")
+    with pytest.raises(ValueError, match="low_dims"):
+        correlation.metric_mds(one, ["a"], key_col="k")
