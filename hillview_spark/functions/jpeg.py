@@ -392,17 +392,13 @@ class _RestartMarker(Exception):
 
 
 def _build_decode_table(bits: list[int], values: list[int]):
-    """(code, length) -> symbol lookup keyed by (length, code)."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    """(length, code) -> symbol lookup: the encoder's canonical table
+    with key/value inverted (ONE canonical construction — a fix to
+    the code assignment applies to both directions)."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, values).items()
+    }
 
 
 def _read_symbol(br: _BitReader, table) -> int:
@@ -443,7 +439,19 @@ def jpeg_dims(payload: bytes) -> tuple[int, int, int]:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to (width, height, channels, row-major
-    8-bit pixel bytes). Channels: 1 (gray) or 3 (RGB)."""
+    8-bit pixel bytes). Channels: 1 (gray) or 3 (RGB).
+
+    Error contract: ALL malformed input (truncated entropy data,
+    lying segment lengths, bad markers) raises ValueError — a corpus
+    job quarantining bad media with except-ValueError must not be
+    broken by a raw IndexError escaping the bit reader."""
+    try:
+        return _decode_jpeg_unchecked(payload)
+    except (IndexError, _struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg_unchecked(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qtabs: dict[int, np.ndarray] = {}

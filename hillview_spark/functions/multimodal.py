@@ -114,6 +114,11 @@ def _wav_dims(payload: bytes) -> tuple[int, int, int]:
         i += 8 + sz + (sz & 1)  # chunks are word-aligned
     if None in (channels, rate, block_align, data_size):
         raise ValueError("missing fmt/data chunk")
+    if block_align == 0:
+        # presence-checked above, but a fuzzed fmt chunk can carry 0 —
+        # keep the malformed-media contract at ValueError, not
+        # ZeroDivisionError
+        raise ValueError("WAVE fmt chunk has block_align=0")
     return rate, channels, data_size // block_align
 
 
@@ -239,13 +244,15 @@ def encode_png(w: int, h: int, ch: int, pixels: bytes) -> bytes:
     )
 
 
-def resize_png(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
-    """Real decode -> nearest-neighbor downsample -> re-encode.
-    Returns (new_w, new_h, new_payload); payload unchanged when
-    already within max_side."""
+def _nn_resize(payload, max_side, decode_fn, encode_fn):
+    """Shared real-resize core: decode -> nearest-neighbor downsample
+    -> re-encode. ONE copy of the scale / index arithmetic so a
+    rounding or aspect-ratio fix applies to every codec. Returns
+    (new_w, new_h, new_payload); payload unchanged when already
+    within max_side."""
     import numpy as np
 
-    w, h, ch, px = decode_png(payload)
+    w, h, ch, px = decode_fn(payload)
     scale = min(1.0, max_side / max(w, h))
     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
     if (nw, nh) == (w, h):
@@ -254,27 +261,29 @@ def resize_png(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
     ys = (np.arange(nh) * h) // nh
     xs = (np.arange(nw) * w) // nw
     small = arr[ys][:, xs]
-    return nw, nh, encode_png(nw, nh, ch, small.tobytes())
+    return nw, nh, encode_fn(nw, nh, ch, small.tobytes())
+
+
+def resize_png(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
+    return _nn_resize(payload, max_side, decode_png, encode_png)
 
 
 def resize_jpeg(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
-    """Real JPEG transform: full decode -> nearest-neighbor
-    downsample -> re-encode (baseline, 4:4:4). Returns
-    (new_w, new_h, new_payload); unchanged when within max_side."""
-    import numpy as np
-
     from hillview_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
-    w, h, ch, px = decode_jpeg(payload)
-    scale = min(1.0, max_side / max(w, h))
-    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-    if (nw, nh) == (w, h):
-        return w, h, payload
-    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
-    ys = (np.arange(nh) * h) // nh
-    xs = (np.arange(nw) * w) // nw
-    small = arr[ys][:, xs]
-    return nw, nh, encode_jpeg(nw, nh, ch, small.tobytes())
+    return _nn_resize(payload, max_side, decode_jpeg, encode_jpeg)
+
+
+def _stdlib_resize(payload: bytes, max_side: int):
+    """Registry resize capability for the stdlib decoder: real
+    transform for PNG and baseline JPEG, None for containers this
+    decoder can only probe (caller falls back to dims-only
+    passthrough)."""
+    if payload is not None and payload[:8] == _PNG_SIG:
+        return resize_png(payload, max_side)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        return resize_jpeg(payload, max_side)
+    return None
 
 
 def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
@@ -303,6 +312,11 @@ def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
 # 'stdlib' for real PPM/WAV bytes, 'real' as the seam where a
 # PIL/ffmpeg-backed deployment plugs in.
 DECODERS = {"fake": _fake_decode, "stdlib": _stdlib_decode, "real": _real_decode}
+# Optional per-decoder resize capability: fn(payload, max_side) ->
+# (w, h, payload) or None when the format is probe-only. Deployments
+# registering a 'real' decoder register its resizer here too —
+# otherwise resize_images falls back to dims-only passthrough for it.
+RESIZERS = {"stdlib": _stdlib_resize}
 
 PROBE_SCHEMA = (
     "media_id long, kind string, width int, height int, n_frames int, n_bytes long"
@@ -343,19 +357,18 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
     Partition/batch flow is identical either way: Arrow batches
     through mapInPandas."""
     decode = DECODERS[decoder]
+    resizer = RESIZERS.get(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_w, out_h, out_c = [], [], []
             for p in pdf["content"]:
-                if decoder == "stdlib" and p is not None and p[:8] == _PNG_SIG:
-                    nw, nh, np_ = resize_png(p, max_side)
-                    out_w.append(nw)
-                    out_h.append(nh)
-                    out_c.append(np_)
-                    continue
-                if decoder == "stdlib" and p is not None and p[:2] == b"\xff\xd8":
-                    nw, nh, np_ = resize_jpeg(p, max_side)
+                # registry seam: a decoder's resize capability (when
+                # registered) handles the formats it can transform;
+                # None means dims-only passthrough below
+                r = resizer(p, max_side) if resizer and p is not None else None
+                if r is not None:
+                    nw, nh, np_ = r
                     out_w.append(nw)
                     out_h.append(nh)
                     out_c.append(np_)

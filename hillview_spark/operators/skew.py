@@ -45,9 +45,12 @@ def salted_join(
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     replicated_right = right.select("*", salts)
+    # dataframe-qualified refs: unqualified F.col(left_key) resolves
+    # against BOTH join children when the two sides share the key
+    # name (the common equi-join shape) and raises AMBIGUOUS_REFERENCE
     out = salted_left.join(
         replicated_right,
-        (F.col(left_key) == F.col(right_key))
+        (salted_left[left_key] == replicated_right[right_key])
         & (salted_left["__salt"] == replicated_right["__salt"]),
     )
     return out.drop("__salt")

@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 # Microsecond epoch from a TIMESTAMP_NTZ (cast-to-long would truncate
 # to seconds; unix_micros would re-enter the session timezone).
-_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+# The column name is backtick-quoted (and backticks doubled) — an
+# unquoted interpolation would fail to parse for names with spaces/
+# hyphens/reserved words, and a crafted name could inject SQL.
+_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)"
+
+
+def _epoch_us(col_name: str):
+    return F.expr(_EPOCH_US.format(c=col_name.replace("`", "``")))
 
 
 def asof_join(
@@ -64,9 +71,15 @@ def asof_join(
         F.col(time_col).alias("__t"), *[F.col(c) for c in right_cols]
     )
     l = left.withColumn("__is_left", F.lit(1))
-    r = right.select(
-        *by_cols, time_col, payload.alias("__rpayload")
-    ).withColumn("__is_left", F.lit(0))
+    # a NULL right timestamp can satisfy no as-of predicate
+    # (right_ts <= left_ts is never true for NULL) — but NULL sorts
+    # FIRST in the ascending window, so without the filter it would
+    # match every left row as "earliest history"
+    r = (
+        right.where(F.col(time_col).isNotNull())
+        .select(*by_cols, time_col, payload.alias("__rpayload"))
+        .withColumn("__is_left", F.lit(0))
+    )
     u = l.unionByName(r, allowMissingColumns=True)
     # right (0) sorts before left (1) at equal times -> inclusive match
     w = (
@@ -100,7 +113,7 @@ def _asof_join_chunked(
     and injected into each chunk as a synthetic row sorting before all
     real rows (chunk start, __is_left = -1)."""
     width_us = chunk_seconds * 1_000_000
-    t_us = F.expr(_EPOCH_US.format(c=time_col))
+    t_us = _epoch_us(time_col)
     # floor, not cast: cast truncates toward zero, so pre-1970
     # timestamps would land in a chunk whose synthetic carry row
     # (materialized at __chunk * width) sorts AFTER them and the
@@ -189,9 +202,9 @@ def range_join(
     the typical interval length."""
     by_cols = by_cols or []
     width_us = bucket_seconds * 1_000_000
-    p_us = F.expr(_EPOCH_US.format(c=point_col))
-    s_us = F.expr(_EPOCH_US.format(c=start_col))
-    e_us = F.expr(_EPOCH_US.format(c=end_col))
+    p_us = _epoch_us(point_col)
+    s_us = _epoch_us(start_col)
+    e_us = _epoch_us(end_col)
     p = points.withColumn("__bucket", (p_us / width_us).cast("long"))
     i = intervals.withColumn(
         "__bucket",
@@ -262,7 +275,7 @@ def moving_aggregate(
         )
 
     width_us = chunk_seconds * 1_000_000
-    t_us = F.expr(_EPOCH_US.format(c=ts_col))
+    t_us = _epoch_us(ts_col)
     base = events.select(key_col, ts_col, tiebreak_col, value_col).withColumn(
         "__chunk", F.floor(t_us / width_us).cast("long")
     )
@@ -273,14 +286,22 @@ def moving_aggregate(
         F.count(F.lit(1)).alias("__chunk_n")
     )
     wn = Window.partitionBy(key_col).orderBy("__chunk")
-    succ = occ.withColumn("__next_chunk", F.lead("__chunk").over(wn))
+    succ = occ.withColumn(
+        "__next_chunk", F.lead("__chunk").over(wn)
+    ).withColumn("__prev_chunk", F.lag("__chunk").over(wn))
     if strict:
         # envelope check: an occupied chunk WITH a successor but fewer
         # than n_preceding rows means the successor's leading frames
-        # would silently shorten — refuse instead.
+        # would silently shorten — refuse instead. A key's FIRST
+        # occupied chunk is exempt: with no earlier history, exporting
+        # all k < n_preceding of its rows as ghosts IS the complete
+        # reachable history, so the successor's frames are exact
+        # (every real stream starts mid-chunk — flagging it would
+        # reject provably-exact workloads).
         bad = (
             succ.where(
                 F.col("__next_chunk").isNotNull()
+                & F.col("__prev_chunk").isNotNull()
                 & (F.col("__chunk_n") < n_preceding)
             )
             .orderBy("__chunk_n")

@@ -47,6 +47,10 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
 
 def joins_without_shuffle(joined: DataFrame) -> bool:
     """True if the join plan contains no shuffle exchange — the
-    co-located bucket join succeeded."""
+    co-located bucket join succeeded. Matches EVERY shuffle flavor
+    (hash, range, round-robin, single-partition), not just
+    hashpartitioning; only BroadcastExchange (no data movement
+    through the shuffle service) is exempt."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" not in plan
+    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange ")
+    return shuffles == 0

@@ -708,3 +708,75 @@ def test_asof_chunked_pre_epoch_timestamps(spark):
         left, right, "ts", ["user_id"], ["value"], chunk_seconds=3600
     ).collect()
     assert len(out) == 1 and out[0].value_r == 100.0  # match visible pre-1970
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    from hillview_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [("u", None, 5.0), ("u", "2023-12-31 00:00:00", 7.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    plain = temporal.asof_join(left, right, "ts", ["k"], ["v"]).collect()
+    # the NULL-ts right row satisfies no as-of predicate; the real
+    # 2023 row must win
+    assert plain[0].v_r == 7.0
+    chunked = temporal.asof_join(
+        left, right, "ts", ["k"], ["v"], chunk_seconds=3600
+    ).collect()
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in plain]
+    # only-NULL right history -> no match at all
+    r2 = right.where(F.col("ts").isNull())
+    assert temporal.asof_join(left, r2, "ts", ["k"], ["v"]).collect()[0].v_r is None
+
+
+def test_salted_join_same_key_name(spark):
+    from hillview_spark.operators import skew
+
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+    r = spark.createDataFrame([(1, "x"), (3, "y")], "k int, rv string")
+    rows = skew.salted_join(l, r, "k", "k").collect()
+    assert len(rows) == 1 and rows[0].lv == "a" and rows[0].rv == "x"
+
+
+def test_moving_aggregate_first_chunk_exempt_from_envelope(spark):
+    from hillview_spark.operators import temporal
+
+    # key starts mid-chunk: 1 row in its first chunk, 7 in the next.
+    # strict=True must ACCEPT this (the thin first chunk exports its
+    # whole history) and match the unchunked result exactly.
+    rows = [("u", "2024-01-01 00:29:00", 1, 1.0)] + [
+        ("u", f"2024-01-01 00:{31 + i}:00", 2 + i, 1.0) for i in range(7)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id int, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    chunked = temporal.moving_aggregate(
+        ev, n_preceding=3, key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id", value_col="value",
+        chunk_seconds=1800, strict=True,
+    ).collect()
+    plain = temporal.moving_aggregate(
+        ev, n_preceding=3, key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id", value_col="value",
+    ).collect()
+    key = lambda r: (r.user_id, r.ts, r.event_id)
+    assert sorted(map(tuple, chunked), key=lambda t: t[:3]) == sorted(
+        map(tuple, plain), key=lambda t: t[:3]
+    )
+    # a thin MIDDLE chunk (has both neighbors) still trips strict
+    ev2 = spark.createDataFrame(
+        [("u", "2024-01-01 00:29:00", 1, 1.0),
+         ("u", "2024-01-01 00:31:00", 2, 1.0),
+         ("u", "2024-01-01 01:31:00", 3, 1.0)],
+        "user_id string, ts string, event_id int, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    with pytest.raises(ValueError, match="envelope"):
+        temporal.moving_aggregate(
+            ev2, n_preceding=3, key_col="user_id", ts_col="ts",
+            tiebreak_col="event_id", value_col="value",
+            chunk_seconds=1800, strict=True,
+        ).collect()
