@@ -74,6 +74,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), k=3, min_df=2, max_df_frac=0.95
     )
 
+    # rows-only by design: BPE merge learning is inherently iterative
+    # (merge k depends on state after k-1) — no static SQL twin. The
+    # algorithm is deterministic (pytest proves merges + counts on
+    # the Sennrich reference example and train-twice equality).
+    def _bpe_count(s, d):
+        from hillview_spark.functions import bpe
+
+        docs = _t(s, d, "documents")
+        merges = bpe.bpe_train(docs, num_merges=50, max_vocab_words=20_000)
+        return bpe.bpe_encode(docs, merges)
+
+    q["bpe_token_count"] = _bpe_count
+
     # --- corpus curation -------------------------------------------
     from hillview_spark.functions import curation
 

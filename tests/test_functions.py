@@ -1509,3 +1509,33 @@ def test_lamp_and_mds_degenerate_inputs(spark):
     one = spark.createDataFrame([("x", 1.0)], "k string, a double")
     with pytest.raises(ValueError, match="low_dims"):
         correlation.metric_mds(one, ["a"], key_col="k")
+
+
+def test_bpe_train_and_encode(spark):
+    from hillview_spark.functions import bpe
+
+    # classic example: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe.bpe_train(df, num_merges=10)
+    # highest-count pair first: ('e','s') with count 9 (newest+widest)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert ("est", bpe.END) in merges or ("est", "</w>") in merges
+    # encoding uses the learned merges; same corpus -> stable counts
+    out = bpe.bpe_encode(df, merges, with_tokens=True).collect()[0]
+    assert out.n_bpe_tokens == len(out.bpe_tokens)
+    # 'newest' should now tokenize into few symbols, e.g. new + est</w>
+    enc = bpe._encode_word("newest", {p: r for r, p in enumerate(merges)})
+    assert "".join(enc) == "newest" + bpe.END
+    assert len(enc) < len("newest") + 1  # merges actually applied
+    # unseen word falls back to characters (+ learned subwords)
+    enc2 = bpe._encode_word("zzz", {p: r for r, p in enumerate(merges)})
+    assert "".join(enc2) == "zzz" + bpe.END
+    # determinism: training twice yields identical merges
+    assert merges == bpe.bpe_train(df, num_merges=10)
+    # NULL text encodes to zero tokens
+    df2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert bpe.bpe_encode(df2, merges).collect()[0].n_bpe_tokens == 0
