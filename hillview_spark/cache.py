@@ -61,11 +61,16 @@ class Registry:
             self._tracked.append(releasable)
 
     def release(self, df: DataFrame) -> DataFrame:
+        """Unpersist df IF this registry tracks it; strictly a no-op
+        otherwise — unconditionally unpersisting would evict a frame
+        persisted under ANOTHER scope's registry mid-query (forcing
+        full upstream recomputation, the exact cost the cache
+        prevents)."""
         with self._lock:
             try:
                 self._tracked.remove(df)
             except ValueError:
-                pass
+                return df
         return df.unpersist()
 
     def release_all(self) -> int:

@@ -6,9 +6,17 @@ they are also handy interactively while tuning a query:
 
     from hillview_spark.plans.explain import assert_pushdown
     assert_pushdown(df, ["l_shipdate"])   # raises if not pushed
+
+Column matching is word-boundary exact — bare substring tests would
+let a pushed `ts_ns` filter satisfy an assertion about `ts` (false
+pass) and make a legitimately-kept `ts_ns` column fail a
+"`ts` is pruned" check (false failure). Multi-scan (join) plans are
+handled by checking EVERY scan section, not just the first.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 
@@ -17,30 +25,50 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _sections(plan: str, header: str) -> list[str]:
+    """The first line of every `header` section in the plan — one per
+    file scan (joins have several; asserting on [0] alone would check
+    the wrong scan)."""
+    return [part.splitlines()[0] for part in plan.split(header)[1:]]
+
+
+def _has_col(section: str, col: str) -> bool:
+    """Word-boundary column match (identifier chars delimit)."""
+    return re.search(rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])", section) is not None
+
+
 def assert_pushdown(df: DataFrame, cols: list[str]) -> None:
-    """Every col must appear in the parquet scan's PushedFilters."""
+    """Every col must appear in SOME parquet scan's PushedFilters."""
     plan = physical_plan(df)
-    if "PushedFilters:" not in plan:
+    sections = _sections(plan, "PushedFilters:")
+    if not sections:
         raise AssertionError("no PushedFilters section in plan:\n" + plan)
-    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
-    missing = [c for c in cols if c not in pushed]
+    missing = [
+        c for c in cols if not any(_has_col(s, c) for s in sections)
+    ]
     if missing:
-        raise AssertionError(f"filters not pushed for {missing}: {pushed}")
+        raise AssertionError(
+            f"filters not pushed for {missing}: {sections}"
+        )
 
 
 def assert_column_pruning(
     df: DataFrame, expected: list[str], forbidden: list[str]
 ) -> None:
-    """The scan's ReadSchema must include expected and exclude
-    forbidden columns."""
+    """Some scan's ReadSchema must include each expected column, and
+    NO scan's ReadSchema may include a forbidden one."""
     plan = physical_plan(df)
-    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    sections = _sections(plan, "ReadSchema:")
+    if not sections:
+        raise AssertionError("no ReadSchema section in plan:\n" + plan)
     for c in expected:
-        if c not in schema:
-            raise AssertionError(f"column {c} missing from ReadSchema: {schema}")
+        if not any(_has_col(s, c) for s in sections):
+            raise AssertionError(
+                f"column {c} missing from ReadSchema: {sections}"
+            )
     for c in forbidden:
-        if c in schema:
-            raise AssertionError(f"column {c} not pruned: {schema}")
+        if any(_has_col(s, c) for s in sections):
+            raise AssertionError(f"column {c} not pruned: {sections}")
 
 
 def assert_no_cartesian(df: DataFrame) -> None:
@@ -66,26 +94,29 @@ def assert_topk_not_global_sort(df: DataFrame) -> None:
 def assert_max_shuffles(df: DataFrame, n: int) -> None:
     """At most n shuffle exchanges — the scale contract for operators
     that promise 'no shuffle' (pure per-row projections) or 'one
-    shuffle' (single aggregation). Counts every Exchange flavor:
-    hash/range partitioning AND SinglePartition — a global collapse
-    to one partition is the worst shuffle of all at 100 TB, so a
-    'zero shuffle' assertion must fail on it too."""
+    shuffle' (single aggregation). Counts EVERY shuffle Exchange
+    flavor — hash, range, round-robin/rebalance, AND SinglePartition
+    (a global collapse to one partition is the worst shuffle of all
+    at 100 TB) — by counting 'Exchange ' nodes and exempting only
+    BroadcastExchange, which moves data through the driver broadcast,
+    not the shuffle service. ReusedExchange nodes are pointers to an
+    exchange already counted — no second data movement."""
     plan = physical_plan(df)
     got = (
-        plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning")
-        + plan.count("Exchange SinglePartition")
+        plan.count("Exchange ")
+        - plan.count("BroadcastExchange ")
+        - plan.count("ReusedExchange ")
     )
     if got > n:
         raise AssertionError(f"expected <= {n} shuffles, got {got}:\n" + plan)
 
 
 def assert_partition_pruning(df: DataFrame, col: str) -> None:
-    """The scan must prune on a hive-style partition column (the
+    """Some scan must prune on a hive-style partition column (the
     PartitionFilters section of a partitioned parquet read)."""
     plan = physical_plan(df)
-    if "PartitionFilters:" not in plan:
+    sections = _sections(plan, "PartitionFilters:")
+    if not sections:
         raise AssertionError("no PartitionFilters section in plan:\n" + plan)
-    sect = plan.split("PartitionFilters:")[1].splitlines()[0]
-    if col not in sect:
-        raise AssertionError(f"{col} not in PartitionFilters: {sect}")
+    if not any(_has_col(s, col) for s in sections):
+        raise AssertionError(f"{col} not in PartitionFilters: {sections}")

@@ -50,9 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def ns_to_ntz(ns_col_name: str):
     """Epoch-nanos bigint → TIMESTAMP_NTZ at micros, exactly and
-    independent of the session timezone."""
+    independent of the session timezone. FLOOR division (via pmod),
+    not bare `div`: `div` truncates toward zero, which would shift
+    pre-epoch nanos up by as much as 1us (and put ts_ns = -1 exactly
+    AT the epoch) — and would disagree with the streaming path's
+    identical normalization (streaming/events.py)."""
     return F.expr(
-        f"timestampadd(MICROSECOND, {ns_col_name} div 1000,"
+        f"timestampadd(MICROSECOND,"
+        f" ({ns_col_name} - pmod({ns_col_name}, 1000)) div 1000,"
         " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     )
 

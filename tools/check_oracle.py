@@ -35,7 +35,13 @@ def canon(v):
 
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # sort by repr: canon'd rows can mix None with values (left-join
+    # misses, empty-group aggregates), and Python's sorted() raises
+    # TypeError on None < str — any total order works here as long as
+    # both engines' rows pass through the SAME one
+    return sorted(
+        (tuple(canon(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 # Normalize engine type names into comparable classes.
@@ -78,6 +84,11 @@ def main():
 
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd key must not produce a green "0 failures" run
+        print(f"unknown query keys: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -89,9 +100,11 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            cache.release_all()
             continue
         if name not in os_:
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
+            cache.release_all()
             continue
         try:
             rel = con.sql(os_[name])
@@ -101,6 +114,7 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            cache.release_all()
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
