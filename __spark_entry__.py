@@ -1396,9 +1396,9 @@ def oracle_sql() -> dict[str, str]:
           round(CAST(max({c}) AS DOUBLE), 4) AS max_val,
           CAST(SUM({dec4}) AS DOUBLE) AS sum_val,
           round(CAST(SUM({dec4}) AS DOUBLE) / count({c}), 6) AS mean_val,
-          round(sqrt((CAST(SUM({sq}) AS DOUBLE)
+          round(sqrt(GREATEST((CAST(SUM({sq}) AS DOUBLE)
             - CAST(SUM({dec4}) AS DOUBLE) * CAST(SUM({dec4}) AS DOUBLE)
-              / count({c})) / (count({c}) - 1)), 4) AS stddev_val
+              / count({c})) / (count({c}) - 1), 0.0)), 4) AS stddev_val
         FROM lineitem
         """
 

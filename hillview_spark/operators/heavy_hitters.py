@@ -43,9 +43,16 @@ def heavy_hitters(df: DataFrame, cols: list[str], epsilon: float = 0.01) -> Data
 
 def exact_freq(df: DataFrame, col: str, candidates: list) -> DataFrame:
     """ExactFreqSketch: exact counts for an explicit candidate list.
-    The IN-filter pushes to the scan; counts come back tiny."""
+    The IN-filter pushes to the scan; counts come back tiny. A None
+    candidate matches NULL rows (isin() alone never matches NULL —
+    a mostly-missing column's top 'value' would silently vanish, the
+    same trap heavy_hitters_sampled guards with eqNullSafe)."""
+    non_null = [v for v in candidates if v is not None]
+    cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in candidates):
+        cond = cond | F.col(col).isNull()
     return (
-        df.where(F.col(col).isin(candidates))
+        df.where(cond)
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "value")
@@ -69,13 +76,19 @@ def progressive_heavy_hitters(
     Columns per stage: stage, fraction, cols..., cnt (sample count),
     est_cnt (cnt/fraction). Lazy generator — consumers stop early
     once the candidate set stabilizes."""
-    if not stages or list(stages) != sorted(stages) or stages[-1] != 1.0:
-        raise ValueError("stages must be increasing and end at 1.0")
-    for i, frac in enumerate(stages):
+    from hillview_spark.operators.histogram import _validate_stages
+
+    _validate_stages(stages)
+
+    def _gen():
+        for i, frac in enumerate(stages):
+            yield _stage(i, frac)
+
+    def _stage(i, frac):
         sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
         counts = sampled.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
         total = counts.agg(F.sum("cnt").alias("__total"))
-        yield (
+        return (
             counts.join(F.broadcast(total))
             .where(F.col("cnt") >= F.lit(epsilon) * F.col("__total"))
             .select(
@@ -87,6 +100,8 @@ def progressive_heavy_hitters(
             )
             .orderBy(F.desc("cnt"), *cols)
         )
+
+    return _gen()
 
 
 def heavy_hitters_sampled(

@@ -23,14 +23,52 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _validate_stages(stages) -> None:
+    """Eager validation for progressive operators: strictly increasing
+    fractions in (0, 1], ending at exactly 1.0. Strictness rejects
+    duplicate stages (a silently redundant identical job) and a 0.0
+    stage (cnt/0.0 -> DIVIDE_BY_ZERO under ANSI). Called BEFORE the
+    generator is constructed so a bad tuple raises at call time, not
+    at first next()."""
+    ss = list(stages)
+    if not ss or ss != sorted(set(ss)) or ss[-1] != 1.0 or ss[0] <= 0.0:
+        raise ValueError(
+            "stages must be strictly increasing, in (0, 1], and end at 1.0"
+        )
+
+
+def _finite(df: DataFrame, col: str) -> Column:
+    """Present-and-usable predicate: NOT NULL, and for float/double
+    columns also NOT NaN. Spark orders NaN ABOVE every double, so a
+    single NaN row would poison max() -> bucket width NaN ->
+    floor((x-mn)/NaN) casts to bucket 0 for EVERY row — the whole
+    histogram silently collapses. NaN counts as missing, like
+    Hillview's Double converters treat non-finite values."""
+    c = F.col(col)
+    cond = c.isNotNull()
+    if dict(df.dtypes).get(col) in ("double", "float"):
+        cond = cond & ~F.isnan(c)
+    return cond
+
+
+def _range_of(df: DataFrame, col: str) -> DataFrame:
+    """1-row (mn, mx) relation over the finite values of col."""
+    c = F.col(col)
+    if dict(df.dtypes).get(col) in ("double", "float"):
+        c = F.when(~F.isnan(F.col(col)), F.col(col))
+    return df.agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
+
+
 def data_range(df: DataFrame, col: str) -> DataFrame:
     """Min/max/count/missing of a column — one scan, tiny result.
     Mirrors DoubleDataRangeSketch."""
+    fin = _finite(df, col)
+    c = F.when(fin, F.col(col))
     return df.agg(
-        F.min(col).alias("min_val"),
-        F.max(col).alias("max_val"),
-        F.count(col).alias("present_count"),
-        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("missing_count"),
+        F.min(c).alias("min_val"),
+        F.max(c).alias("max_val"),
+        F.sum(fin.cast("long")).alias("present_count"),
+        F.sum((~fin).cast("long")).alias("missing_count"),
     )
 
 
@@ -57,7 +95,11 @@ def _bucket_expr(col: Column, mn: Column, mx: Column, buckets: int) -> Column:
     w = (mx - mn) / F.lit(float(buckets))
     idx = F.floor((col - mn) / w)
     clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(buckets - 1)).cast("int")
-    return F.when(mx == mn, F.lit(0)).otherwise(clamped)
+    # explicit NULL guard: greatest/least SKIP nulls, so without it a
+    # NULL x would silently land in bucket 0 instead of staying NULL
+    return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(
+        F.when(mx == mn, F.lit(0)).otherwise(clamped)
+    )
 
 
 def histogram1d(df: DataFrame, col: str, buckets: int = 40) -> DataFrame:
@@ -65,7 +107,7 @@ def histogram1d(df: DataFrame, col: str, buckets: int = 40) -> DataFrame:
     [0, buckets). Range discovered in the same job via a broadcast
     1-row aggregate (two scans total at worst; Catalyst reuses the
     cached relation when available)."""
-    rng = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    rng = _range_of(df, col)
     return _histogram_counts(df, col, buckets, rng)
 
 
@@ -75,7 +117,7 @@ def _histogram_counts(
     """Dense bucket counts against a caller-supplied 1-row range
     relation (mn, mx). Factored out so progressive stages share one
     set of bucket boundaries."""
-    src = df.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    src = df.select(F.col(col).alias("x")).where(_finite(df, col))
     counted = (
         src.crossJoin(F.broadcast(rng))
         .select(_bucket_expr(F.col("x"), F.col("mn"), F.col("mx"), buckets).alias("bucket"))
@@ -121,19 +163,22 @@ def progressive_histogram(
     paint, and callers can stop consuming the generator once the
     estimate stabilizes (lazy: nothing runs until a stage is acted on).
     """
-    if not stages or list(stages) != sorted(stages) or stages[-1] != 1.0:
-        raise ValueError("stages must be increasing and end at 1.0")
-    rng = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
-    for i, frac in enumerate(stages):
-        sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
-        h = _histogram_counts(sampled, col, buckets, rng)
-        yield h.select(
-            F.lit(i).alias("stage"),
-            F.lit(float(frac)).alias("fraction"),
-            "bucket",
-            "cnt",
-            (F.col("cnt") / F.lit(float(frac))).alias("est_cnt"),
-        )
+    _validate_stages(stages)
+    rng = _range_of(df, col)
+
+    def _gen():
+        for i, frac in enumerate(stages):
+            sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
+            h = _histogram_counts(sampled, col, buckets, rng)
+            yield h.select(
+                F.lit(i).alias("stage"),
+                F.lit(float(frac)).alias("fraction"),
+                "bucket",
+                "cnt",
+                (F.col("cnt") / F.lit(float(frac))).alias("est_cnt"),
+            )
+
+    return _gen()
 
 
 def progressive_histogram_final(
@@ -174,14 +219,20 @@ def histogram2d(
     no information; the UI fills them — we keep the dense spine for
     the 1-D case and sparse here to bound result size at high
     resolutions)."""
+    def fin_col(c):
+        col_ = F.col(c)
+        if dict(df.dtypes).get(c) in ("double", "float"):
+            return F.when(~F.isnan(col_), col_)
+        return col_
+
     rng = df.agg(
-        F.min(xcol).alias("xmn"),
-        F.max(xcol).alias("xmx"),
-        F.min(ycol).alias("ymn"),
-        F.max(ycol).alias("ymx"),
+        F.min(fin_col(xcol)).alias("xmn"),
+        F.max(fin_col(xcol)).alias("xmx"),
+        F.min(fin_col(ycol)).alias("ymn"),
+        F.max(fin_col(ycol)).alias("ymx"),
     )
     src = df.select(F.col(xcol).alias("x"), F.col(ycol).alias("y")).where(
-        F.col(xcol).isNotNull() & F.col(ycol).isNotNull()
+        _finite(df, xcol) & _finite(df, ycol)
     )
     return (
         src.crossJoin(F.broadcast(rng))
@@ -207,16 +258,29 @@ def histogram_nd(df: DataFrame, specs: list[tuple[str, int]]) -> DataFrame:
     def axis(c):
         # date/timestamp axes range-bucket on epoch seconds (Hillview
         # trellis supports date axes; a raw (col - mn) on dates makes
-        # an interval and fails the division's analysis)
-        if dtypes[c] in temporal:
-            return F.col(c).cast("timestamp").cast("long")
+        # an interval and fails the division's analysis). NTZ/date go
+        # through a timezone-free diff — cast('timestamp') would
+        # re-enter the session timezone, whose DST jumps would shift
+        # bucket spacing per-session (trunc_ntz documents the same
+        # trap).
+        if dtypes[c] in ("date", "timestamp_ntz"):
+            return F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                f" CAST(`{c}` AS TIMESTAMP_NTZ))"
+            )
+        if dtypes[c] == "timestamp":
+            return F.col(c).cast("long")
         return F.col(c)
 
     numeric = [(c, b) for c, b in specs if dtypes[c] not in categorical]
     rng_aggs = []
     for c, _ in numeric:
         rng_aggs += [F.min(axis(c)).alias(f"{c}_mn"), F.max(axis(c)).alias(f"{c}_mx")]
-    src = df.select([c for c, _ in specs]).na.drop()
+    fin = None
+    for c, _ in specs:
+        cond = _finite(df, c)
+        fin = cond if fin is None else fin & cond
+    src = df.select([c for c, _ in specs]).where(fin)
     if rng_aggs:
         src = src.crossJoin(F.broadcast(df.agg(*rng_aggs)))
     outs = []
@@ -281,9 +345,9 @@ def histogram_quantiles(
     HistogramQuantilesSketch.java). One scan + groupBy on the small
     bucket key; percentile state is per-bucket and mergeable, so the
     shuffle stays O(xbuckets), not O(rows)."""
-    rng = df.agg(F.min(xcol).alias("mn"), F.max(xcol).alias("mx"))
+    rng = _range_of(df, xcol)
     src = df.select(F.col(xcol).alias("x"), F.col(ycol).alias("y")).where(
-        F.col(xcol).isNotNull() & F.col(ycol).isNotNull()
+        _finite(df, xcol) & _finite(df, ycol)
     )
     from hillview_spark.operators.stats import _q_alias
 
@@ -341,8 +405,8 @@ def histogram_and_singleton(df: DataFrame, col: str, buckets: int = 40) -> DataF
     results/CountAndSingleton.java:30 — the UI renders the exact
     point instead of a bar). min(x) doubles as the singleton carrier:
     with cnt = 1 the min IS the row's value, so no extra state."""
-    rng = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
-    src = df.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    rng = _range_of(df, col)
+    src = df.select(F.col(col).alias("x")).where(_finite(df, col))
     counted = (
         src.crossJoin(F.broadcast(rng))
         .select(

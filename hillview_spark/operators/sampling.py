@@ -59,8 +59,26 @@ def salted_hex(col, salt: str, width: int = 7):
     mixture sampling, per-group caps, pack groups, corpus shuffle)
     derives from this one recipe — a one-character drift in any copy
     would silently migrate examples between splits across
-    re-ingests, so there are no copies."""
-    return F.substring(F.md5(F.concat_ws("_", col, F.lit(salt))), 1, width)
+    re-ingests, so there are no copies.
+
+    NULL keys raise at execution: concat_ws SKIPS nulls, so a NULL
+    key would hash to the constant md5(salt) and every NULL-key row
+    would silently land in the SAME split/keep bucket (20% NULL keys
+    -> all of them in one split). A key with no identity has no
+    deterministic assignment — fail loudly; callers with legitimately
+    nullable keys must coalesce to an explicit sentinel first."""
+    guarded = F.when(
+        col.isNull(),
+        F.raise_error(
+            F.lit(
+                "salted_hex: NULL key has no deterministic hash — "
+                "coalesce nullable keys to a sentinel first"
+            )
+        ),
+    ).otherwise(col)
+    return F.substring(
+        F.md5(F.concat_ws("_", guarded, F.lit(salt))), 1, width
+    )
 
 
 def salted_hash(col, salt: str):

@@ -101,8 +101,18 @@ def basic_col_stats(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFra
             # n > 1 guard: ANSI mode (Spark 4 default) turns the
             # (n - 1) division into DIVIDE_BY_ZERO for single-value
             # columns; DuckDB's stddev_samp is NULL there too.
+            # greatest(.., 0): the moment formula cancels to a TINY
+            # NEGATIVE for constant columns (e.g. constant 0.1, n=2
+            # -> -3.5e-18) and sqrt(negative) is NaN where
+            # stddev_samp/DuckDB return 0.0.
             F.when(
-                n > 1, F.round(F.sqrt((sq - s * s / n) / (n - F.lit(1))), ndigits)
+                n > 1,
+                F.round(
+                    F.sqrt(
+                        F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+                    ),
+                    ndigits,
+                ),
             ).alias(f"{c}__stddev"),
         ]
     wide = df.agg(*aggs)

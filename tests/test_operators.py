@@ -780,3 +780,64 @@ def test_moving_aggregate_first_chunk_exempt_from_envelope(spark):
             tiebreak_col="event_id", value_col="value",
             chunk_seconds=1800, strict=True,
         ).collect()
+
+
+def test_histogram_nan_treated_as_missing(spark):
+    from hillview_spark.operators import histogram as H
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),), (None,)], "x double"
+    )
+    # range ignores NaN (one NaN used to poison max -> every row in
+    # bucket 0)
+    rng = H.data_range(df, "x").collect()[0]
+    assert rng.min_val == 1.0 and rng.max_val == 3.0
+    assert rng.present_count == 3 and rng.missing_count == 2
+    h = {r.bucket: r.cnt for r in H.histogram1d(df, "x", 3).collect()}
+    assert h == {0: 1, 1: 1, 2: 1}  # finite rows spread; NaN dropped
+    # 2-D path too
+    df2 = df.withColumn("y", F.col("x"))
+    h2 = H.histogram2d(df2, "x", "y", 3, 3).collect()
+    assert sum(r.cnt for r in h2) == 3
+
+
+def test_basic_col_stats_constant_column_stddev_zero(spark):
+    from hillview_spark.operators import stats as S
+
+    df = spark.createDataFrame([(0.1,), (0.1,)], "v double")
+    row = S.basic_col_stats(df, ["v"]).collect()[0]
+    # moment cancellation used to give sqrt(-3.5e-18) = NaN
+    assert row.stddev_val == 0.0
+
+
+def test_exact_freq_null_candidate(spark):
+    from hillview_spark.operators import heavy_hitters as HH
+
+    df = spark.createDataFrame([("a",), (None,), (None,), ("b",)], "s string")
+    out = {r.value: r.cnt for r in HH.exact_freq(df, "s", [None, "a"]).collect()}
+    assert out == {None: 2, "a": 1}
+
+
+def test_progressive_stage_validation_is_eager(spark, tables):
+    from hillview_spark.operators import heavy_hitters as HH
+    from hillview_spark.operators import histogram as H
+
+    with pytest.raises(ValueError, match="stages"):
+        H.progressive_histogram(tables["lineitem"], "l_quantity", stages=(0.0, 1.0))
+    with pytest.raises(ValueError, match="stages"):
+        H.progressive_histogram(tables["lineitem"], "l_quantity", stages=(0.5, 0.5, 1.0))
+    with pytest.raises(ValueError, match="stages"):
+        HH.progressive_heavy_hitters(tables["lineitem"], ["l_returnflag"], stages=(1.0, 0.5))
+
+
+def test_salted_hex_null_key_raises(spark):
+    from hillview_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(1, "k"), (2, None)], "id int, k string")
+    with pytest.raises(Exception, match="NULL key"):
+        df.select(SA.salted_hex(F.col("k"), "s").alias("h")).collect()
+    # non-null keys unaffected
+    ok = df.where(F.col("k").isNotNull()).select(
+        SA.salted_hex(F.col("k"), "s").alias("h")
+    ).collect()
+    assert len(ok) == 1
