@@ -968,7 +968,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
           AND l_orderkey = o_orderkey
           AND o_orderdate < TIMESTAMP '1998-03-15'
-          AND l_shipdate > TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10

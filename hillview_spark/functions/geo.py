@@ -65,13 +65,18 @@ def assign_region(
 
     from pyspark.sql.types import StringType, StructField, StructType
 
-    out_fields = df.schema.fieldNames() + [out_col]
+    # withColumn-style REPLACEMENT when out_col already exists (e.g.
+    # re-assignment or input data carrying a 'region' column) — naive
+    # append would emit a duplicate field and break every downstream
+    # F.col(out_col)
+    base_fields = [f for f in df.schema.fields if f.name != out_col]
+    out_fields = [f.name for f in base_fields] + [out_col]
+    if len(base_fields) != len(df.schema.fields):
+        df = df.drop(out_col)
     # build the output schema as a StructType (string-munging
     # simpleString breaks on column names that need quoting and
     # drops nullability)
-    schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, StringType())]
-    )
+    schema = StructType(base_fields + [StructField(out_col, StringType())])
 
     def run(batches):
         import pandas as pd

@@ -129,14 +129,17 @@ def quantize_column(
     observe quantized values (the DP noise layer then works on bucket
     counts). Pure Catalyst arithmetic in a fixed op order —
     bit-identical across engines; values outside [lo, hi) clamp to
-    the edge buckets, NULL stays NULL."""
+    the edge buckets, NULL — and NaN — stay missing (NaN passes
+    isNotNull and its clamped floor would silently land on the LOWEST
+    bucket's left edge, inflating that bucket's noisy count in the DP
+    layer; missing is the only faithful reading of a non-value)."""
     width = (hi - lo) / buckets
     c = F.col(col).cast("double")
     idx = F.least(
         F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(buckets - 1),
     )
-    q = F.when(c.isNotNull(), F.lit(lo) + idx * F.lit(width))
+    q = F.when(c.isNotNull() & ~F.isnan(c), F.lit(lo) + idx * F.lit(width))
     return df.withColumn(out_col or col, q)
 
 

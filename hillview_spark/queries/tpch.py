@@ -52,14 +52,16 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
 def q3_shipping_priority(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
-    """Top-10 orders by revenue for one market segment. customer is
-    broadcast; orders⋈lineitem is the only shuffle. The final ORDER
-    BY+LIMIT is TakeOrderedAndProject (no global sort)."""
+    """Top-10 orders by revenue for one market segment that are NOT
+    fully shipped as of the cutoff date (orders placed before D,
+    line items shipped after D — one shared D, per TPC-H Q3).
+    customer is broadcast; orders⋈lineitem is the only shuffle. The
+    final ORDER BY+LIMIT is TakeOrderedAndProject (no global sort)."""
     cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     ord_f = orders.where(F.col("o_orderdate") < F.lit("1998-03-15")).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )
-    li = lineitem.where(F.col("l_shipdate") > F.lit("1995-03-15")).select(
+    li = lineitem.where(F.col("l_shipdate") > F.lit("1998-03-15")).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
@@ -594,7 +596,7 @@ def q16_supplier_part_counts(
     bad_sups = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
     pairs = (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(bad_sups.withColumnRenamed("s_suppkey", "bad_key"),
+        .join(broadcast(bad_sups.withColumnRenamed("s_suppkey", "bad_key")),
               F.col("l_suppkey") == F.col("bad_key"), "left_anti")
         .join(broadcast(
             part.where(F.col("p_brand") != exclude_brand)

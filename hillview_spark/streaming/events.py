@@ -176,8 +176,14 @@ def stream_sessionize(
             yield _frame([(user_id, start_us, last_us, count)])
             return
         (start_us, last_us, count) = state.get if state.exists else (None, None, 0)
-        # one global sort over the whole batch for this group
-        ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        # one global sort over the whole batch for this group. NaT
+        # (NULL event time) drops: int(NaT) is the int64-min sentinel,
+        # which would open a garbage year-1677 session and inflate
+        # counts — NULL-ts rows are a batch-twin-only capability
+        # (stream event time requires a real timestamp).
+        ts_all = (
+            pd.concat([pdf["ts"] for pdf in pdfs]).dropna().sort_values()
+        )
         closed = []
         for t in ts_all:
             us = int(t.value // 1000)  # pandas ns -> us
@@ -257,14 +263,7 @@ def dp_windowed_counts(
     counts over time use dp_histogram(cdf=True), which pays only
     O(log T) noise via the k-adic tree."""
     counts = windowed_counts(events, unit).drop("sum_value")
-    noise = _cell_noise(epsilon, seed)
-    return counts.select(
-        "window_start",
-        "event_type",
-        F.floor(F.col("n_events").cast("double") + noise + F.lit(0.5))
-        .cast("long")
-        .alias("noisy_events"),
-    )
+    return _noisy_counts(counts, epsilon, seed)
 
 
 def stream_dp_windowed_counts(
@@ -283,13 +282,17 @@ def stream_dp_windowed_counts(
     enumeration, so the private release streams incrementally. Drive
     with outputMode('append') so each cell is released exactly once
     (re-emitting a cell with fresh noise would burn budget)."""
-    stream = _event_time_stream(spark, events_dir, schema)
-    counts = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    counts = stream_windowed_counts(
+        spark, events_dir, schema, window_duration, watermark
     )
+    return _noisy_counts(counts, epsilon, seed)
+
+
+def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
+    """ONE noisy-release select shared by the batch and streaming
+    twins — the twins must stay bit-identical for the DP/oracle
+    contract, so there is exactly one copy of the floor(c+n+0.5)
+    rounding and the cell-noise expression."""
     noise = _cell_noise(epsilon, seed)
     return counts.select(
         "window_start",
@@ -499,9 +502,15 @@ def stream_dp_prefix_counts(
         else:
             cum, open_map = 0, {}
         for pdf in pdfs:
-            if len(pdf) == 0:
+            # NaT drops (batch twin filters NULL windows the same
+            # way): astype(int64) turns NaT into the int64-min
+            # sentinel -> a hugely negative leaf that interval_noise
+            # rejects — a PERMANENT poison pill, since the crash
+            # repeats on every restart from checkpoint
+            ts = pdf["ts"].dropna()
+            if len(ts) == 0:
                 continue
-            us = pdf["ts"].astype("int64") // 1000
+            us = ts.astype("int64") // 1000
             leaves = us // HOUR_US + CONTINUAL_LEAF_OFFSET
             for leaf, cnt in leaves.value_counts().items():
                 open_map[int(leaf)] = open_map.get(int(leaf), 0) + int(cnt)

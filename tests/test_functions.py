@@ -1539,3 +1539,15 @@ def test_bpe_train_and_encode(spark):
     # NULL text encodes to zero tokens
     df2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
     assert bpe.bpe_encode(df2, merges).collect()[0].n_bpe_tokens == 0
+
+
+def test_assign_region_replaces_existing_column(spark):
+    from hillview_spark.functions import geo
+
+    regions = [("r1", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])]
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0, "stale")], "id long, lon double, lat double, region string"
+    )
+    out = geo.assign_region(df, "lon", "lat", regions)
+    assert out.columns.count("region") == 1
+    assert out.collect()[0].region == "r1"

@@ -841,3 +841,13 @@ def test_salted_hex_null_key_raises(spark):
         SA.salted_hex(F.col("k"), "s").alias("h")
     ).collect()
     assert len(ok) == 1
+
+
+def test_quantize_column_nan_stays_missing(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,)], "x double"
+    )
+    out = [r.x for r in maps.quantize_column(df, "x", 0.0, 50.0, 10).collect()]
+    # NaN must NOT snap to the lowest bucket's left edge (0.0)
+    assert sorted(v for v in out if v is not None) == [0.0]
+    assert sum(v is None for v in out) == 2
