@@ -1865,7 +1865,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_simhash"] = _simhash_pairs_sql()
     o["text_fingerprint"] = r"""
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+               md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         FROM documents
     """
 
@@ -2192,7 +2192,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality_filter"] = r"""
         WITH x AS (SELECT doc_id,
             GREATEST(length(text), 1) AS n_chars,
-            CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+            CASE WHEN text IS NULL THEN NULL ELSE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) END AS n_tokens,
             len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
             len(regexp_extract_all(lower(text),
                 '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS stop
@@ -2464,7 +2464,7 @@ def oracle_sql() -> dict[str, str]:
     # --- text analysis ---------------------------------------------------
     o["text_token_count"] = r"""
         SELECT doc_id,
-               CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+               CASE WHEN text IS NULL THEN NULL ELSE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) END AS ws_tokens,
                len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
                length(text) AS n_chars
         FROM documents
@@ -2472,7 +2472,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality_score"] = r"""
         WITH x AS (SELECT doc_id,
             GREATEST(length(text), 1) AS n_chars,
-            CASE WHEN text IS NULL THEN NULL WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+            CASE WHEN text IS NULL THEN NULL ELSE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) END AS n_tokens,
             len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
             len(regexp_extract_all(lower(text),
                 '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS stop

@@ -37,12 +37,9 @@ def _word_counts(
     lowercase: bool,
     max_vocab_words: int,
 ) -> list[tuple[str, int]]:
-    t = F.col(text_col)
-    if lowercase:
-        t = F.lower(t)
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(t, F.lit(""))), r"\s+"), lambda x: x != ""
-    )
+    from hillview_spark.functions.text import tokens_expr
+
+    toks = tokens_expr(F.col(text_col), lowercase=lowercase)
     rows = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")

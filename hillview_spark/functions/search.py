@@ -62,8 +62,9 @@ def bm25_search(
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct (after lowercasing)")
 
-    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    from hillview_spark.functions.text import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
     per = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("dl"),
@@ -141,8 +142,9 @@ def top_terms_per_doc(
     (cross-library 1-ulp wobble — see bm25_search); tf is exact, so
     scores and the (score desc, term) rank reproduce in any engine.
     """
-    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    from hillview_spark.functions.text import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
     pairs = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")

@@ -137,6 +137,8 @@ def cosine_topk_numpy(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             dots = m @ qv
             norms = np.linalg.norm(m, axis=1)
@@ -146,8 +148,14 @@ def cosine_topk_numpy(
             # the local cut must rank exactly like the global
             # orderBy(desc(rounded cosine), id): lexsort on the
             # ROUNDED score with id tiebreak — cutting on raw values
-            # can discard a row the rounded-tie global order prefers
+            # can discard a row the rounded-tie global order prefers.
+            # NaN (zero-norm vector or query) DROPS here: Spark's
+            # desc sort ranks NaN ABOVE every real score, so a leaked
+            # NaN row would top the global top-k — the expression
+            # twin scores these NULL, which sorts last
             r = np.round(cos, 6)
+            ok = np.isfinite(r)
+            ids, r = ids[ok], r[ok]
             top = np.lexsort((ids, -r))[:k]
             yield pd.DataFrame({id_col: ids[top], "cosine": r[top]})
 
@@ -199,7 +207,21 @@ def lsh_bucket_expr(
                 lambda acc, v: acc + v,
             )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    # loud length check: zip_with pads the SHORTER side with NULL, so
+    # a dims mismatch (128-dim vectors, default dims=64 planes) would
+    # make every dot NULL -> every bit '0' -> ONE bucket holding the
+    # whole table, silently turning the blocked join quadratic
+    dims = len(planes[0])
+    return F.when(
+        F.size(F.col(vec_col)) == dims, F.concat(*bits)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"lsh bucket: vector length != hyperplane dims={dims}"
+                " — pass dims= matching the embedding width"
+            )
+        )
+    )
 
 
 def ann_lsh(
@@ -276,6 +298,8 @@ def ivf_index(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             out = pdf[[id_col, vec_col]].copy()
@@ -632,6 +656,8 @@ def pq_encode_blas(
 
         for pdf in batches:
             n = len(pdf)
+            if n == 0:
+                continue
             X = (
                 np.stack(pdf[vec_col].to_numpy())
                 .astype(np.float64)
@@ -676,10 +702,14 @@ def pq_topk_blas(
     cents = _pq_centroids(search, k, stride, id_col, vec_col)
     CB = _pq_codebook_np(cents, m, sub, vec_col)
     cn = [(CB[j] ** 2).sum(1) for j in range(m)]
-    qv = np.asarray(
-        embeddings.where(F.col(id_col) == query_id).first()[vec_col],
-        dtype=np.float64,
-    ).reshape(m, sub)
+    qrow = embeddings.where(F.col(id_col) == query_id).first()
+    if qrow is None:
+        # degrade like the exact twin: an absent query id yields an
+        # empty result, not a driver TypeError on None[vec_col]
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, adc_score double"
+        )
+    qv = np.asarray(qrow[vec_col], dtype=np.float64).reshape(m, sub)
     qtab = np.stack([cn[j] - 2 * (CB[j] @ qv[j]) for j in range(m)])  # m x k
 
     def run(batches):
@@ -687,6 +717,8 @@ def pq_topk_blas(
 
         for pdf in batches:
             n = len(pdf)
+            if n == 0:
+                continue
             X = (
                 np.stack(pdf[vec_col].to_numpy())
                 .astype(np.float64)
@@ -884,7 +916,15 @@ def _numpy_bucketed(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if M.shape[1] != W.shape[1]:
+                raise ValueError(
+                    f"lsh bucket: vector length {M.shape[1]} != "
+                    f"hyperplane dims={W.shape[1]} — pass dims= "
+                    "matching the embedding width"
+                )
             bits = (M @ W.T) >= 0
             bucket = (bits * (1 << np.arange(planes))).sum(1)
             yield pd.DataFrame(
@@ -928,6 +968,13 @@ def knn_join_blocked(
 
         M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         ids = pdf[id_col].to_numpy()
+        # zero-norm (padding) vectors have no cosine direction: the
+        # expression twin scores them NULL (never ranked into top-k);
+        # here they drop entirely — without the mask their rows/cols
+        # are NaN, and Spark's desc sort ranks NaN above every real
+        # cosine
+        nz = np.linalg.norm(M, axis=1) > 0
+        M, ids = M[nz], ids[nz]
         n = len(ids)
         if n < 2:
             return pd.DataFrame(
@@ -978,6 +1025,8 @@ def cosine_dup_pairs_blocked(
 
         M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         ids = pdf[id_col].to_numpy()
+        nz = np.linalg.norm(M, axis=1) > 0  # see block_topk
+        M, ids = M[nz], ids[nz]
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}

@@ -23,18 +23,32 @@ STOPWORD_RES = {
 CJK_RE = r"[\x{4e00}-\x{9fff}]"
 
 
+def tokens_expr(col: Column, lowercase: bool = True) -> Column:
+    """THE canonical whitespace tokenizer: lowercase, NULL->'',
+    split on \\s+, empty tokens dropped. vocab / bm25_search /
+    top_terms_per_doc / bigram_lm_nll / bpe all tokenize through
+    this one expression so their vocabularies are identical by
+    construction (hand-rolled copies had already drifted on
+    trailing-newline handling)."""
+    t = F.coalesce(col, F.lit(""))
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+
+
 def _count_re(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
 def _ws_tokens(t):
     """Whitespace token count with sane edges: 0 for empty or
-    all-whitespace text (split('') returns [''] and would count 1),
-    NULL for NULL text (size(NULL) is -1 under the legacy default)."""
-    return (
-        F.when(t.isNull(), F.lit(None))
-        .when(F.length(F.trim(t)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    all-whitespace text, NULL for NULL text. Counts NON-EMPTY tokens:
+    F.trim strips only SPACES, and split keeps trailing empty
+    strings, so 'hello world\\n' would otherwise count 3 and
+    '\\n' would count 2."""
+    return F.when(
+        t.isNotNull(),
+        F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")),
     )
 
 
@@ -112,7 +126,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Content fingerprint over whitespace-normalized lowercase text
     (md5 — stable across engines and runs; the rolling/shingle
     variants live in dedup.py)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # collapse ALL whitespace runs first, THEN trim: trim-first
+    # strips only spaces, leaving '\n'-padded docs with a stray
+    # edge space after the collapse — trivially-identical documents
+    # fingerprinted differently
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
@@ -203,12 +221,11 @@ def bigram_lm_nll(
         train_df = df
 
     def _toks(frame: DataFrame, with_id: bool):
-        t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-        toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+        toks = tokens_expr(F.col(text_col))
         cols = [F.col(id_col)] if with_id else []
         return frame.select(*cols, toks.alias("__toks"))
 
-    def _bigrams(frame: DataFrame, with_id: bool):
+    def _bigrams_over(toks_df: DataFrame, with_id: bool = False):
         m = F.greatest(F.size(F.col("__toks")) - 1, F.lit(0))
         zipped = F.arrays_zip(
             F.slice(F.col("__toks"), 1, m).alias("w1"),
@@ -216,20 +233,30 @@ def bigram_lm_nll(
         )
         cols = [F.col(id_col)] if with_id else []
         return (
-            _toks(frame, with_id)
-            .select(*cols, F.explode(zipped).alias("__bi"))
+            toks_df.select(*cols, F.explode(zipped).alias("__bi"))
             .select(*cols, F.col("__bi.w1").alias("w1"),
                     F.col("__bi.w2").alias("w2"))
         )
 
+    def _bigrams(frame: DataFrame, with_id: bool):
+        return _bigrams_over(_toks(frame, with_id), with_id)
+
+    from hillview_spark import cache
+
+    # the train tokens feed TWO explodes (unigrams, bigrams) and the
+    # unigram table feeds TWO consumers (scoring join, vocab size) —
+    # persist both so one call tokenizes the corpus once, not four
+    # times (the same feeds-two-consumers shape top_terms_per_doc
+    # persists its pairs relation for)
+    train_toks = _toks(train_df, False).transform(cache.persist)
     unigrams = (
-        _toks(train_df, False)
-        .select(F.explode(F.col("__toks")).alias("w1"))
+        train_toks.select(F.explode(F.col("__toks")).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("cu"))
+        .transform(cache.persist)
     )
     bigram_counts = (
-        _bigrams(train_df, False)
+        _bigrams_over(train_toks)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
@@ -247,7 +274,11 @@ def bigram_lm_nll(
         F.coalesce(F.col("cu"), F.lit(0)).cast("double")
         + F.lit(alpha) * F.col("v").cast("double")
     )
-    nll_q = (-F.log(p)).cast("decimal(20,9)")
+    # v == 0 (empty training vocabulary): the smoothing denominator
+    # is exactly 0.0 and the division raises DIVIDE_BY_ZERO under
+    # ANSI — an untrained model scores NULL instead (CASE branches
+    # evaluate lazily, so the division never runs)
+    nll_q = F.when(F.col("v") > 0, -F.log(p)).cast("decimal(20,9)")
     return (
         scored.groupBy(id_col)
         .agg(

@@ -1551,3 +1551,63 @@ def test_assign_region_replaces_existing_column(spark):
     out = geo.assign_region(df, "lon", "lat", regions)
     assert out.columns.count("region") == 1
     assert out.collect()[0].region == "r1"
+
+
+def test_text_whitespace_edges(spark):
+    from hillview_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\n"), (3, "Hello World"),
+         (4, "Hello World\n"), (5, None)],
+        "doc_id long, text string",
+    )
+    tc = {r.doc_id: r.ws_tokens for r in text.token_count(df).collect()}
+    # trailing \n must not add a phantom token; all-\n counts 0
+    assert tc[1] == 2 and tc[2] == 0 and tc[5] is None
+    fp = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    # docs differing only by a trailing newline fingerprint identically
+    assert fp[3] == fp[4]
+
+
+def test_bigram_lm_nll_empty_vocab_no_crash(spark):
+    from hillview_spark.functions import text
+
+    train = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    score = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = text.bigram_lm_nll(score, train_df=train).collect()
+    # untrained model: NULL score, not DIVIDE_BY_ZERO
+    assert rows[0].nll is None
+
+
+def test_cosine_topk_numpy_zero_vectors_never_top(spark):
+    from hillview_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cosine_topk_numpy(df, [1.0, 0.0], k=3).collect()
+    # the zero vector must not appear (NaN would sort first in Spark)
+    assert 2 not in {r.vec_id for r in out}
+    assert out[0].vec_id == 0  # genuine best match tops
+
+
+def test_lsh_dims_mismatch_is_loud(spark):
+    from hillview_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 128) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dims"):
+        similarity.cosine_dup_pairs(df, planes=4, dims=64).collect()
+    with pytest.raises(Exception, match="dims"):
+        similarity.knn_join_blocked(df, k=2, planes=4, dims=64).collect()
+
+
+def test_pq_topk_blas_missing_query_returns_empty(spark, tables):
+    from hillview_spark.functions import similarity
+
+    out = similarity.pq_topk_blas(tables["embeddings"], query_id=10**9)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "adc_score"]
