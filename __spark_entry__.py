@@ -52,10 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Key order = driver-gate execution order. The LLM-pipeline and
-    streaming keys lead (round 1's gate stopped after 50 keys and
-    never reached them); round-2 additions follow; the 46 keys the
-    round-1 gate already verified green come last."""
+    """Key order = driver-gate execution order: each round's newest
+    or longest-unverified keys are rotated to the FRONT (the driver
+    gate checks ~50 keys per round). Round 5: the new operators lead,
+    then the 50 core sketch/map keys whose last driver row was
+    round 1 (re-proof rotation), then everything else."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- round-5 additions (newest — gate-first) ---------------------
@@ -410,8 +411,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), 0.1, "doc_id"
     ).select("doc_id", "split")
     def _asof(s, d):
-        from hillview_spark.operators import temporal
-
         ev_t = _t(s, d, "events")
         us = (
             "CAST(timestampdiff(MICROSECOND,"
@@ -440,8 +439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join_events"] = _asof
 
     def _range_join(s, d):
-        from hillview_spark.operators import temporal
-
         ev_t = _t(s, d, "events")
         sessions = ev.sessionize(ev_t, gap_minutes=30)
         return temporal.range_join(

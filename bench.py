@@ -139,10 +139,11 @@ def headline_queries(t):
             t["documents"], threshold=0.3), "noop"),
         "ann_cosine_topk": (lambda: similarity.cosine_topk(
             t["embeddings"], 0, k=10, exact=False), "collect"),
-        "ann_topk_numpy": (lambda: similarity.cosine_topk_numpy(
-            t["embeddings"],
-            t["embeddings"].where(F.col("vec_id") == 0).first().embedding,
-            k=10), "collect"),
+        # query vector fetched ONCE here (factory-build time), not
+        # inside the timed region — otherwise every sample measures a
+        # filter+collect job on top of the BLAS top-k it claims to
+        "ann_topk_numpy": (lambda qv=_query_vec(t): similarity.cosine_topk_numpy(
+            t["embeddings"], qv, k=10), "collect"),
         # LSH-blocked pair mining / k-NN join, BLAS-backed: same
         # candidate semantics as the expression path (pytest-verified
         # equal), one bucket shuffle + per-bucket gram matrix.
@@ -231,17 +232,29 @@ R2_ANCHORS = frozenset({
 })
 
 
+def _query_vec(t):
+    row = t["embeddings"].where(F.col("vec_id") == 0).first()
+    if row is None:
+        raise ValueError("bench: embeddings fixture has no vec_id=0 query row")
+    return row.embedding
+
+
 def materialize(df, how: str) -> None:
     if how == "collect":
         df.collect()
-    else:
+    elif how == "noop":
         df.write.format("noop").mode("overwrite").save()
+    else:
+        raise ValueError(f"unknown materialization tag {how!r}")
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except (ValueError, IndexError):
+        sf = -1.0  # path carries no sf<float> suffix
 
     spark = get_spark(
         app_name="hillview-spark-bench",
@@ -256,10 +269,17 @@ def main():
     t["documents"].count()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    queries = headline_queries(t)
+    # a renamed/removed anchor must fail loudly, not silently shrink
+    # the cross-round comparable subtotal
+    missing_anchors = R2_ANCHORS - set(queries)
+    if missing_anchors:
+        raise ValueError(f"bench anchors missing: {sorted(missing_anchors)}")
     timings = {}
     total = 0.0
     comparable_total = 0.0
-    for name, (factory, how) in headline_queries(t).items():
+    comparable_n = 0
+    for name, (factory, how) in queries.items():
         # median-of-N: the machine is shared, so single samples mix
         # scheduler noise into the measurement; the median is robust
         # to both slow outliers (noise) and the one cold first run.
@@ -277,6 +297,7 @@ def main():
         total += dt
         if name in R2_ANCHORS:
             comparable_total += dt
+            comparable_n += 1
         print(f"# {name}: {dt:.3f}s (median of {repeats})", file=sys.stderr)
 
     print(json.dumps({
@@ -288,7 +309,7 @@ def main():
         "cpus": cpus,
         "repeats": repeats,
         "comparable_total": round(comparable_total, 3),
-        "comparable_n": len(R2_ANCHORS),
+        "comparable_n": comparable_n,
     }))
     spark.stop()
 
