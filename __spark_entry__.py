@@ -41,6 +41,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Shared parameters of the dp_session_heatmap gate key — ONE source of
+# truth for the queries() lambda and the oracle builder (the oracle
+# recomputes the lineage-derived seed and noise spine from these).
+_DP_SESSION_SEED = 7
+_DP_SESSION_FILTER = ("l_quantity", 6.0, 45.0)
+
+
+def _dp_session_schema():
+    from hillview_spark.operators.privacy import (
+        ColumnQuantization, PrivacySchema,
+    )
+
+    return PrivacySchema(
+        quantization={
+            "l_quantity": ColumnQuantization(
+                type="DoubleColumnQuantization",
+                granularity=1.0, global_min=1.0, global_max=51.0,
+            ),
+            "l_discount": ColumnQuantization(
+                type="DoubleColumnQuantization",
+                granularity=0.01, global_min=0.0, global_max=0.11,
+            ),
+        },
+        epsilons={"l_discount+l_quantity": 1.0},
+    )
+
+
+def _dp_session_view(lineitem: DataFrame):
+    """quantize -> filter: the session state every noisy release in
+    the composed gate query reads."""
+    from hillview_spark import api
+
+    col, lo, hi = _DP_SESSION_FILTER
+    pv = api.PrivateTableView(
+        api.TableView(lineitem), _dp_session_schema(), seed=_DP_SESSION_SEED
+    )
+    return pv.filter_range(col, lo, hi)
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -229,10 +268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_windowed_counts"] = lambda s, d: ev.dp_windowed_counts(
         _t(s, d, "events"), "hour", epsilon=1.0, seed=7
     )
-    # rows-only: the k-adic prefix noise needs the sha256 PRF over a
-    # variable-length node list — per-key driver spine, no static SQL.
+    # hash-oracled since r6: with the engine-portable md5str PRF the
+    # whole Chan-Song-Shi release — hour leaf, base-20 digit
+    # decomposition of the prefix, per-node draw, ordered noise sum —
+    # is re-derived in DuckDB SQL and hash-checked.
     q["dp_prefix_counts"] = lambda s, d: ev.dp_prefix_counts(
-        _t(s, d, "events"), epsilon=1.0, seed=7
+        _t(s, d, "events"), epsilon=1.0, seed=7, prf="md5str"
     )
     _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     q["dp_histogram_mktsegment"] = lambda s, d: privacy.dp_histogram_string(
@@ -260,6 +301,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ylo=0.0, yhi=0.11, ygranularity=0.01,
         epsilon=1.0, xbuckets=5, ybuckets=4, seed=7,
     )
+    # the composed private SESSION a DPWrapper user actually runs:
+    # curator-quantized view -> range filter (fresh lineage seed) ->
+    # noisy heatmap, all through api.PrivateTableView. Hash-oracled:
+    # the oracle recomputes the lineage seed + folded column index +
+    # node-pair spine with the same library code and replays the
+    # quantize/filter/bucket arithmetic in SQL.
+    q["dp_session_heatmap"] = lambda s, d: _dp_session_view(
+        _t(s, d, "lineitem")
+    ).heatmap("l_quantity", "l_discount", xb=5, yb=4)
 
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
@@ -392,11 +442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["row_quantiles"] = lambda s, d: stats.row_quantiles(
         _t(s, d, "customer"), ["c_nationkey", "c_name"], 8
     )
-    # rows-only: Bernoulli sampling differs across engines by design
+    # hash-oracled since r6: the portable md5 Bernoulli coin on the
+    # row key makes the sampled subset engine-reproducible; round(4)
+    # absorbs aggregation-order float drift as in corr_matrix.
     q["corr_matrix_sampled"] = lambda s, d: correlation.corr_matrix(
         _t(s, d, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
         sample_fraction=0.5,
+        sample_key=["l_orderkey", "l_linenumber"],
     )
     q["text_vocab"] = lambda s, d: text.vocab(
         _t(s, d, "documents"), min_count=5
@@ -670,12 +723,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_freq"] = lambda s, d: heavy_hitters.exact_freq(
         _t(s, d, "events"), "event_type", ["click", "view", "error"]
     )
+    # hash-oracled since r6: the sampling coin is the PORTABLE md5
+    # Bernoulli on the (orderkey, linenumber) row key, so candidates
+    # AND confirmed counts are pure functions of the data — DuckDB
+    # replays the whole two-scan sketch.
     q["heavy_hitters_sampled"] = lambda s, d: heavy_hitters.heavy_hitters_sampled(
-        _t(s, d, "lineitem"), ["l_returnflag"], epsilon=0.2
+        _t(s, d, "lineitem"), ["l_returnflag"], epsilon=0.2,
+        sample_key=["l_orderkey", "l_linenumber"],
     )
+    # hash-oracled since r6: at gate SF the GK sketch's rank error
+    # eps*n = n/accuracy < 1, so the engine-native percentile_approx
+    # is PROVABLY exact and equals DuckDB's quantile_disc (verified
+    # at sf0.001 and sf0.01) — the sketch code path still runs;
+    # production callers keep the default accuracy=10000.
+    # one row per probe (cross-engine array typing is flaky to hash)
     q["quantiles_approx"] = lambda s, d: stats.quantiles_approx(
-        _t(s, d, "lineitem"), "l_extendedprice", [0.25, 0.5, 0.75]
-    )
+        _t(s, d, "lineitem"), "l_extendedprice", [0.25, 0.5, 0.75],
+        accuracy=1_000_000,
+    ).select(F.posexplode("quantiles").alias("idx", "value"))
 
     # --- filters / maps ---------------------------------------------
     q["range_filter"] = lambda s, d: _t(s, d, "lineitem").where(
@@ -774,38 +839,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    # --- round-5 gate rotation ---------------------------------------
+    # --- round-6 gate rotation ---------------------------------------
     # The driver gate checks ~50 keys per round in dict insertion
-    # order. Rounds 2-4 re-verified the LLM-pipeline / TPC-H / temporal
-    # surface but left 50 keys whose only green row is
-    # CORRECTNESS_r01.json — the core Hillview sketch/map surface
-    # (histograms, stats, next-K, filters, maps, correlation,
-    # exploration) last checked two code-rounds ago. Rotate exactly
-    # those 50 to the front so the round-5 gate re-proves them under
-    # current code (VERDICT r4 directive #2). Everything else keeps
-    # its relative order behind the priority block.
+    # order. Priority this round (VERDICT r5 directives #1/#2/#5):
+    # (a) the 19 keys that have NEVER had a driver CORRECTNESS row —
+    #     the whole DP surface, bm25/tfidf/lm-nll/semantic-dedup/
+    #     bloom/shuffle/logs, plus bpe/mds which now carry declared
+    #     rows+schema oracles;
+    # (b) the new composed-session key dp_session_heatmap;
+    # (c) the four ex-`no_oracle` keys, upgraded this round to real
+    #     oracles (portable-Bernoulli sampling twins, exact-at-SF
+    #     quantile sketch, full SQL continual-counter replay,
+    #     rows+schema for the iterative lamp);
+    # (d) the 20 keys whose latest green row is CORRECTNESS_r02;
+    # (e) a handful of r4 keys whose code paths changed in r5/r6.
+    # Everything else keeps its relative order behind the block —
+    # all of it was driver-green in r4/r5.
     priority = [
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-        "q6_revenue_forecast",
-        "histogram1d_numeric", "cdf_numeric", "histogram2d_heatmap",
-        "histogram3d_trellis", "histogram_string",
-        "histogram_string_bounded", "histogram4d_trellis",
-        "histogram_date_month", "data_range", "data_range_interval",
-        "histogram_with_cdf", "histogram_quantiles",
-        "quantiles_price", "basic_col_stats", "distinct_count",
-        "distinct_values", "table_summary", "string_quantiles",
-        "num_items_threshold", "table_profile",
-        "next_k_rows", "next_k_after", "next_k_aggregate",
-        "find_substring",
-        "heavy_hitters", "exact_freq", "heavy_hitters_sampled",
-        "quantiles_approx",
-        "range_filter", "string_filter_regex", "project_columns",
-        "convert_column", "computed_column", "extract_json_value",
-        "set_operation", "interval_column", "systematic_sample",
-        "corr_matrix", "category_centroids", "jl_project", "pca_project",
-        "lamp_project",
-        "top_customers_revenue", "part_type_stats", "events_user_topk",
-        "docs_source_lang_matrix",
+        # (a) never-driver-checked: DP surface first
+        "dp_histogram_quantity", "dp_cdf_quantity",
+        "dp_heatmap_qty_discount", "dp_quantiles_quantity",
+        "dp_histogram_mktsegment", "dp_count_lineitem",
+        "dp_distinct_custkey", "dp_next_k_rows",
+        "dp_windowed_counts", "dp_prefix_counts",
+        # (b) new composed private session
+        "dp_session_heatmap",
+        # (a) never-driver-checked: round-5 additions
+        "bm25_search", "text_lm_nll", "semantic_dedup",
+        "tfidf_top_terms", "decontaminate_bloom", "corpus_shuffle",
+        "logs_parse_syslog", "bpe_token_count", "metric_mds_controls",
+        # (c) upgraded ex-no_oracle keys
+        "heavy_hitters_sampled", "quantiles_approx",
+        "corr_matrix_sampled", "lamp_project",
+        # (d) r2-stale keys
+        "remove_repeated_segments", "geo_region_counts",
+        "text_fingerprint", "text_token_count", "text_quality_score",
+        "text_lang_id", "orders_status_by_month", "orders_rollup",
+        "range_filter_array", "row_quantiles", "text_vocab",
+        "text_quality_filter", "split_train_eval",
+        "histogram_singleton", "string_columns_filter",
+        "row_comparison_filter", "quantized_histogram",
+        "q4_late_orders", "q10_returned_items", "q14_promo_revenue",
+        # (e) r4 keys with r5/r6 code-path changes (persisted LSH
+        # intermediates, IVF sidecar memoization, NULL-window filter)
+        "dedup_corpus_pipeline", "ann_ivf_topk",
+        "events_windowed_counts", "asof_join_events", "dedup_exact",
+        "progressive_histogram",
     ]
     missing = [k for k in priority if k not in q]
     assert not missing, f"priority rotation names unknown keys: {missing}"
@@ -826,6 +905,18 @@ _SHINGLES = r"""
 
 # Exact decimal vector ops mirroring functions/similarity.py: elements
 # double→DECIMAL(10,8), exact sums, double math in the same shape.
+def _prf_field_sql(expr: str) -> str:
+    """DuckDB twin of privacy._prf_field: cast to VARCHAR, double
+    backslashes, escape '|', NULL -> the '\\N' sentinel. chr(92)
+    spells the backslash so the SQL text can't be bitten by literal
+    escape-mode differences. Identity on the fixture values — the
+    twinning matters for '|'/backslash/NULL keys."""
+    return (
+        f"COALESCE(REPLACE(REPLACE(CAST({expr} AS VARCHAR), "
+        "chr(92), chr(92)||chr(92)), '|', chr(92)||'|'), chr(92)||'N')"
+    )
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"list_sum([CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(10,8))"
@@ -1522,6 +1613,56 @@ def oracle_sql() -> dict[str, str]:
     )
     o["corr_matrix"] = pair_rows
 
+    # Portable-Bernoulli twins (operators/sampling.portable_bernoulli):
+    # keep iff first-7-hex of md5(key fields '_'-joined || '_bern42')
+    # < fraction * 16^7 — the same subset in any engine.
+    def _bern_sql(key_exprs: list[str], fraction: float, seed: int = 42) -> str:
+        key = " || '_' || ".join(f"CAST({k} AS VARCHAR)" for k in key_exprs)
+        cut = int(fraction * 16**7)
+        return (
+            f"CAST(('0x' || substr(md5({key} || '_bern{seed}'), 1, 7))"
+            f" AS BIGINT) < {cut}"
+        )
+
+    _li_coin_half = _bern_sql(["l_orderkey", "l_linenumber"], 0.5)
+    o["corr_matrix_sampled"] = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"round(corr({a}, {b}), 4) AS corr FROM lineitem "
+        f"WHERE {_li_coin_half}"
+        for i, a in enumerate(["l_quantity", "l_extendedprice", "l_discount"])
+        for b in ["l_quantity", "l_extendedprice", "l_discount"][i:]
+    )
+
+    # full replay of the two-scan sampled sketch: portable-coin sample
+    # -> sample-internal candidate threshold (0.5 * eps * sampled
+    # rows) -> exact confirmation counts at eps * N
+    _li_coin_hh = _bern_sql(["l_orderkey", "l_linenumber"], 0.01)
+    o["heavy_hitters_sampled"] = f"""
+        WITH sampled AS (
+            SELECT l_returnflag FROM lineitem WHERE {_li_coin_hh}
+        ), st AS (SELECT COUNT(*) AS st FROM sampled),
+        cand AS (
+            SELECT l_returnflag FROM sampled, st
+            GROUP BY l_returnflag, st
+            HAVING COUNT(*) >= 0.5 * 0.2 * st
+        ), n AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS cnt
+        FROM lineitem, n
+        WHERE l_returnflag IN (SELECT l_returnflag FROM cand)
+        GROUP BY l_returnflag, n
+        HAVING COUNT(*) >= 0.2 * n
+    """
+
+    # exact at gate SF: rank error eps*n = n/1e6 < 1, and Spark's
+    # returned element convention equals DuckDB's quantile_disc
+    # (verified sf0.001 + sf0.01)
+    o["quantiles_approx"] = """
+        WITH q AS (SELECT quantile_disc(l_extendedprice,
+                       [0.25, 0.5, 0.75]) AS qs FROM lineitem)
+        SELECT CAST(u.i - 1 AS INT) AS idx, qs[u.i] AS value
+        FROM q, UNNEST(generate_series(1, 3)) u(i)
+    """
+
     o["category_centroids"] = """
         SELECT event_type AS category, round(avg(value), 4) AS value_mean
         FROM events GROUP BY 1
@@ -1658,6 +1799,78 @@ def oracle_sql() -> dict[str, str]:
 
     o["dp_heatmap_qty_discount"] = _dp_heatmap_sql()
 
+    def _dp_session_heatmap_sql() -> str:
+        """Replay of the composed private session (quantize -> range
+        filter -> noisy heatmap): the lineage seed and folded column
+        index come from the SAME library code the session uses
+        (api.effective_seed / range_filter_desc + the schema
+        constants), the node-pair spine is embedded as literals, and
+        the quantize/filter/bucket arithmetic is replayed op-for-op
+        (the y re-bucketing of the quantized value must run the
+        IDENTICAL double expression in both engines)."""
+        from hillview_spark import api as _api
+
+        schema = _dp_session_schema()
+        col, lo, hi = _DP_SESSION_FILTER
+        seed_eff = _api.effective_seed(
+            _DP_SESSION_SEED, (_api.range_filter_desc(col, lo, hi),)
+        )
+        idx = {c: i for i, c in enumerate(sorted(schema.quantization))}
+        ci = (idx["l_quantity"] * 1_000_003 + idx["l_discount"]) & 0x7FFFFFFF
+        xleaves, xb, yleaves, yb = 50, 5, 11, 4
+        scale = _priv.noise_scale(
+            schema.epsilon("l_quantity", "l_discount"), xleaves, yleaves
+        )
+        vals = []
+        for i, (xl, xr) in enumerate(_priv._bucket_leaf_ranges(xleaves, xb)):
+            xnodes = _priv.kadic_decomposition(xl, xr)
+            for j, (yl, yr) in enumerate(_priv._bucket_leaf_ranges(yleaves, yb)):
+                ynodes = _priv.kadic_decomposition(yl, yr)
+                noise = sum(
+                    _priv.node_noise(seed_eff, ci, scale, xn, yn)
+                    for xn in xnodes
+                    for yn in ynodes
+                )
+                n = len(xnodes) * len(ynodes)
+                vals.append(
+                    f"({i}, {j}, {noise!r}, {n}, "
+                    f"{n * _priv.laplace_variance(scale)!r})"
+                )
+        noise_rows = ",\n               ".join(vals)
+        return f"""
+        WITH noise(xbucket, ybucket, noise, n_intervals, variance) AS (
+            VALUES {noise_rows}
+        ), quant AS (
+            SELECT 1.0 + LEAST(GREATEST(FLOOR(
+                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
+                       {xleaves - 1}) * 1.0 AS qx,
+                   0.0 + LEAST(GREATEST(FLOOR(
+                       (CAST(l_discount AS DOUBLE) - 0.0) / 0.01), 0),
+                       {yleaves - 1}) * 0.01 AS qy
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ), counts AS (
+            SELECT CAST((CAST(LEAST(GREATEST(FLOOR((qx - 1.0) / 1.0), 0),
+                       {xleaves - 1}) AS BIGINT) * {xb}) // {xleaves}
+                       AS INT) AS xbucket,
+                   CAST((CAST(LEAST(GREATEST(FLOOR((qy - 0.0) / 0.01), 0),
+                       {yleaves - 1}) AS BIGINT) * {yb}) // {yleaves}
+                       AS INT) AS ybucket,
+                   COUNT(*) AS cnt
+            FROM quant
+            WHERE qx >= {lo!r} AND qx <= {hi!r}
+            GROUP BY 1, 2)
+        SELECT n.xbucket, n.ybucket,
+               CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                    + CAST(n.noise AS DOUBLE) + 0.5) AS BIGINT) AS noisy_count,
+               n.n_intervals, CAST(n.variance AS DOUBLE) AS variance
+        FROM noise n LEFT JOIN counts c
+          ON n.xbucket = c.xbucket AND n.ybucket = c.ybucket
+        ORDER BY n.xbucket, n.ybucket
+        """
+
+    o["dp_session_heatmap"] = _dp_session_heatmap_sql()
+
     def _dp_string_sql() -> str:
         segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
         scale = _priv.noise_scale(1.0, len(segs))
@@ -1706,7 +1919,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # per-key counts are noised with the portable md5-PRF Laplace
-    # (key = "rf|ls|qty|column_index|seed", scale 1/epsilon = 1.0)
+    # (key = "rf|ls|qty|column_index|seed", scale 1/epsilon = 1.0).
+    # Each field goes through the same escaping as privacy._prf_field
+    # (backslash doubled, '|' -> '\|', NULL -> '\N') — identity on
+    # these values, but the recipes must stay textually twinned.
     o["dp_next_k_rows"] = f"""
         WITH page AS (
             SELECT l_returnflag, l_linestatus, l_quantity,
@@ -1717,8 +1933,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT *,
                    LEAST(GREATEST(
                        CAST(('0x' || substr(md5(
-                           l_returnflag || '|' || l_linestatus || '|'
-                           || CAST(l_quantity AS VARCHAR)
+                           {_prf_field_sql('l_returnflag')} || '|'
+                           || {_prf_field_sql('l_linestatus')} || '|'
+                           || {_prf_field_sql('l_quantity')}
                            || '|0|7'), 1, 13)) AS BIGINT)
                        * POWER(CAST(2.0 AS DOUBLE), -52),
                        POWER(CAST(2.0 AS DOUBLE), -53)),
@@ -2513,19 +2730,20 @@ def oracle_sql() -> dict[str, str]:
     # (SecureLaplace.java:62-69); LN is within 1 ulp cross-library and
     # the FLOOR'd integer release absorbs it, so the noisy counts
     # hash-match. scale = 1/epsilon = 1.0, seed = 7 (gate args).
-    o["dp_windowed_counts"] = """
+    o["dp_windowed_counts"] = f"""
         WITH counts AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
                        AS window_start,
                    event_type, COUNT(*) AS n_events
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         ), unif AS (
             SELECT window_start, event_type, n_events,
                    LEAST(GREATEST(
                        CAST(('0x' || substr(md5(
-                           CAST(CAST(epoch(window_start) AS BIGINT)
-                                AS VARCHAR)
-                           || '|' || event_type || '|7'), 1, 13))
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('event_type')}
+                           || '|7'), 1, 13))
                            AS BIGINT)
                        * POWER(CAST(2.0 AS DOUBLE), -52),
                        POWER(CAST(2.0 AS DOUBLE), -53)),
@@ -2540,6 +2758,105 @@ def oracle_sql() -> dict[str, str]:
                     + 0.5) AS BIGINT) AS noisy_events
         FROM unif
     """
+    # ------------------------------------------------------------------
+    # ROWS+SCHEMA-ONLY oracles (VERDICT r5 directive #2): these three
+    # keys are iterative / driver-side numeric optimization whose
+    # VALUES no SQL engine can re-derive (LAMP per-point affine solve,
+    # MDS gradient descent, learned BPE merges). The oracle pins what
+    # IS checkable — exact row count and exact schema — so the driver
+    # records rows_match=true/schema_match=true instead of a bare
+    # err:no_oracle. hash_match=false is EXPECTED BY DESIGN for these
+    # three keys (the value columns are intentionally zeroed); pytest
+    # owns their value semantics (distance preservation, reference
+    # merges).
+    o["lamp_project"] = """
+        -- rows+schema oracle only: lamp_x/lamp_y are iterative
+        -- per-point solves; hash_match=false expected by design
+        SELECT p_partkey, CAST(0 AS DOUBLE) AS lamp_x,
+               CAST(0 AS DOUBLE) AS lamp_y
+        FROM part
+    """
+    o["metric_mds_controls"] = """
+        -- rows+schema oracle only: mds_x/mds_y are gradient-descent
+        -- output; hash_match=false expected by design
+        SELECT vec_id, CAST(0 AS DOUBLE) AS mds_x,
+               CAST(0 AS DOUBLE) AS mds_y
+        FROM embeddings ORDER BY vec_id LIMIT 60
+    """
+    o["bpe_token_count"] = """
+        -- rows+schema oracle only: n_bpe_tokens depends on learned
+        -- merge ranks; hash_match=false expected by design
+        SELECT doc_id, CAST(0 AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """
+
+    # dp_prefix_counts: full SQL re-derivation of the continual
+    # counter (streaming/events.py:dp_prefix_counts, prf='md5str').
+    # leaf = hours-since-epoch + 2^19; the k-adic (k=20) decomposition
+    # of the prefix [0, leaf+1) is the BASE-20 DIGIT expansion of
+    # n = leaf+1 (greedy largest-aligned-block = digit blocks), one
+    # md5str draw per node ('seed|type_index|start:size'), noise
+    # summed in node order (size desc, start asc) to match the Python
+    # spine's sequential sum; scale = ceil(log20 2^20)/eps = 5.0.
+    # (The n==20 k-unit-leaves special case can't occur: leaves sit
+    # near 2^19.) type_index = first 4 md5 bytes of the type & 2^31-1.
+    o["dp_prefix_counts"] = """
+        WITH pow(p, v) AS (
+            VALUES (0, 1), (1, 20), (2, 400), (3, 8000),
+                   (4, 160000), (5, 3200000)
+        ), counts AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   COUNT(*) AS n_events
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, window_start,
+                   CAST(epoch(window_start) AS BIGINT) // 3600
+                       + 524288 AS leaf,
+                   SUM(n_events) OVER (
+                       PARTITION BY event_type ORDER BY window_start
+                   ) AS cum,
+                   CAST(('0x' || substr(md5(COALESCE(event_type, '')),
+                        1, 8)) AS BIGINT) & 2147483647 AS ci
+            FROM counts
+        ), nodes AS (
+            SELECT c.event_type, c.leaf, c.ci, pl.p, u.i,
+                   ((c.leaf + 1) // ph.v) * ph.v + u.i * pl.v AS start,
+                   pl.v AS size
+            FROM cum c
+            JOIN pow pl ON pl.p <= 4
+            JOIN pow ph ON ph.p = pl.p + 1
+            CROSS JOIN UNNEST(generate_series(0, 18)) u(i)
+            WHERE u.i < ((c.leaf + 1) // pl.v) % 20
+        ), draws AS (
+            SELECT event_type, leaf, p, i,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           '7|' || CAST(ci AS VARCHAR) || '|'
+                           || CAST(start AS VARCHAR) || ':'
+                           || CAST(size AS VARCHAR)), 1, 13)) AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM nodes
+        ), noise AS (
+            SELECT event_type, leaf,
+                   list_sum(list(
+                       CASE WHEN 0.5 - u < 0
+                            THEN -(5.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 5.0 * LN(1.0 - 2.0 * (0.5 - u)) END
+                       ORDER BY p DESC, i ASC)) AS noise
+            FROM draws GROUP BY 1, 2
+        )
+        SELECT c.event_type, c.window_start,
+               CAST(FLOOR(CAST(c.cum AS DOUBLE) + n.noise + 0.5)
+                   AS BIGINT) AS noisy_prefix
+        FROM cum c JOIN noise n
+          ON c.event_type IS NOT DISTINCT FROM n.event_type
+         AND c.leaf = n.leaf
+    """
+
     o["embedding_group_centroids"] = """
         SELECT label, CAST(u.i - 1 AS INT) AS dim_idx,
                CAST(SUM(CAST(CAST(embedding[u.i] AS DOUBLE)

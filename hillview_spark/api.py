@@ -168,6 +168,28 @@ class TableView:
         return _stats.row_quantiles(self.df, sort_cols, k)
 
 
+def range_filter_desc(col: str, lo=None, hi=None, **kw) -> str:
+    """Canonical lineage description of a range filter — module-level
+    (not buried in the method) so an out-of-engine auditor/oracle can
+    rebuild a session's effective seed from the filter parameters
+    alone."""
+    return f"range:{col}:{lo!r}:{hi!r}:{sorted(kw.items())!r}"
+
+
+def effective_seed(seed: int, lineage: tuple[str, ...]) -> int:
+    """The lineage-derived PRF seed (see PrivateTableView._seed for
+    why filtered views must draw fresh noise). Exposed so the DuckDB
+    oracle for the composed-session gate key recomputes the SAME
+    seed from (session seed, filter descriptions)."""
+    if not lineage:
+        return seed
+    import hashlib
+
+    key = "|".join((str(seed),) + tuple(lineage)).encode()
+    h = hashlib.md5(key).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
 class PrivateTableView:
     """A private session over a table — targets/DPWrapper.java wrapping
     a TableTarget: every sketch reads the curator-QUANTIZED view
@@ -219,13 +241,7 @@ class PrivateTableView:
         filter per bucket. Independent draws reduce the difference
         to ordinary two-release noise; budget accounting across
         views remains the curator's ledger, as in the reference."""
-        if not self._lineage:
-            return self.seed
-        import hashlib
-
-        key = "|".join((str(self.seed),) + self._lineage).encode()
-        h = hashlib.md5(key).digest()
-        return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+        return effective_seed(self.seed, self._lineage)
 
     def _derive(self, df, desc: str) -> "PrivateTableView":
         out = object.__new__(PrivateTableView)
@@ -235,7 +251,7 @@ class PrivateTableView:
         return out
 
     def filter_range(self, col: str, lo=None, hi=None, **kw) -> "PrivateTableView":
-        desc = f"range:{col}:{lo!r}:{hi!r}:{sorted(kw.items())!r}"
+        desc = range_filter_desc(col, lo, hi, **kw)
         return self._derive(
             self.df.where(_filters.range_filter(col, lo, hi, **kw)), desc
         )

@@ -175,7 +175,10 @@ def bpe_encode(
                 out["bpe_tokens"] = toks_out
             yield pd.DataFrame(out)
 
-    schema = f"{id_col} long, n_bpe_tokens long"
+    # key type read from the input schema — hardcoding 'long' would
+    # crash the Arrow conversion for string/other id types
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bpe_tokens long"
     if with_tokens:
         schema += ", bpe_tokens array<string>"
     return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -144,14 +144,14 @@ def vocab(
     """Corpus vocabulary: token -> total count and document frequency
     — the vocab-building / BPE-seeding scan every tokenizer pipeline
     runs. One explode + one groupBy with map-side combine; the token
-    key is high-cardinality so the shuffle distributes well."""
-    t = F.col(text_col)
-    if lowercase:
-        t = F.lower(t)
+    key is high-cardinality so the shuffle distributes well.
+    Tokenizes through tokens_expr — literally the one canonical
+    tokenizer expression, so the vocab can never drift from
+    bm25/tfidf/bigram-LM/bpe."""
     toks = df.select(
         F.col(id_col).alias("__doc"),
-        F.explode(F.split(F.trim(t), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
+        F.explode(tokens_expr(F.col(text_col), lowercase)).alias("token"),
+    )
     return (
         toks.groupBy("token")
         .agg(

@@ -30,6 +30,7 @@ def corr_matrix(
     ndigits: int = 4,
     sample_fraction: float | None = None,
     seed: int = 42,
+    sample_key: list[str] | None = None,
 ) -> DataFrame:
     """Pearson correlation for every pair, one scan. Output: one row
     per (col_x, col_y) ordered pair with x <= y.
@@ -40,8 +41,20 @@ def corr_matrix(
     every row-group but the aggregation state and CPU drop by the
     sampling rate, which is the point at 100 TB (correlation is
     O(1)-state but the per-row multiply-accumulate across d^2/2
-    pairs dominates). Deterministic for a fixed seed."""
-    if sample_fraction is not None:
+    pairs dominates). Deterministic for a fixed seed.
+
+    sample_key (with sample_fraction) switches the row draw from
+    Spark's engine-native Bernoulli to a PORTABLE md5-hash coin on
+    the named key columns — same row subset on any engine/run, so
+    the sampled matrix is oracle-checkable cross-engine (the
+    round(ndigits) already absorbs aggregation-order float drift,
+    exactly as in the unsampled oracle). Same single-scan plan; the
+    coin is one codegen md5 per row."""
+    if sample_fraction is not None and sample_key is not None:
+        from hillview_spark.operators.sampling import portable_bernoulli
+
+        df = df.where(portable_bernoulli(sample_key, sample_fraction, seed))
+    elif sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
     aggs = []
     names = []

@@ -107,6 +107,7 @@ def progressive_heavy_hitters(
 def heavy_hitters_sampled(
     df: DataFrame, cols: list[str], epsilon: float = 0.01,
     seed: int = 42, fraction: float = 0.01,
+    sample_key: list[str] | None = None,
 ) -> DataFrame:
     """SampleHeavyHittersSketch: candidate mining on a Bernoulli
     sample, then one exact confirmation pass — the 100-TB path for
@@ -131,13 +132,24 @@ def heavy_hitters_sampled(
 
     Hillview sizes its sample from table metadata it holds up front
     (SampleHeavyHittersSketch.java); Spark has no free row count, so
-    the rate is a parameter and N arrives via the observation."""
+    the rate is a parameter and N arrives via the observation.
+
+    sample_key switches the sampling coin from Spark's engine-native
+    Bernoulli to the portable md5 coin on the named key columns
+    (operators/sampling.portable_bernoulli) — the candidate-mining
+    subset becomes a pure function of the data, so the whole sketch
+    (candidates AND confirmed counts) is deterministic cross-engine
+    and hash-oracle-checkable. Same plan shape either way."""
     from pyspark.sql import Observation
 
     obs = Observation()
-    sampled = df.observe(obs, F.count(F.lit(1)).alias("n")).sample(
-        fraction=fraction, seed=seed
-    )
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    if sample_key is not None:
+        from hillview_spark.operators.sampling import portable_bernoulli
+
+        sampled = observed.where(portable_bernoulli(sample_key, fraction, seed))
+    else:
+        sampled = observed.sample(fraction=fraction, seed=seed)
     scounts = sampled.groupBy(*cols).agg(F.count(F.lit(1)).alias("scnt"))
     stotal = scounts.agg(F.sum("scnt").alias("__st"))
     cand_rows = (

@@ -126,12 +126,27 @@ def laplace_variance(scale: float) -> float:
     return 2.0 * scale * scale
 
 
-def _uniform(seed: int, column_index: int, *nodes: tuple[int, int]) -> float:
-    """Deterministic uniform in [0, 1) as a multiple of 2^-53, from a
-    SHA-256 PRF over (seed, column index, node intervals) — the same
+def _uniform(
+    seed: int, column_index: int, *nodes: tuple[int, int], prf: str = "sha256"
+) -> float:
+    """Deterministic uniform in [0, 1) from a keyed PRF over
+    (seed, column index, node intervals) — the same
     keyed-PRF-per-tree-node construction as SecureLaplace.sampleUniform
-    (SecureLaplace.java:42-60; AES there, SHA-256 here — any PRF works,
-    the privacy argument only needs pseudorandomness + a secret seed)."""
+    (SecureLaplace.java:42-60; AES there — any PRF works, the privacy
+    argument only needs pseudorandomness + a secret seed).
+
+    prf='sha256' (default): 53-bit uniform from SHA-256 over the
+    binary-packed key — the house default for driver-spine mechanisms
+    whose noise is embedded as literals in oracles.
+    prf='md5str': 52-bit uniform from the first 13 hex digits of
+    md5('seed|index|a:s|a:s|...') — ENGINE-PORTABLE (the same recipe
+    as laplace_noise_col's md5 path): any engine with md5 can rebuild
+    the draw from the node list alone, which is what lets the DP
+    continual counter's O(log T) per-release noise be re-derived and
+    hash-checked in DuckDB SQL rather than trusted as a literal."""
+    if prf == "md5str":
+        key = f"{seed}|{column_index}|" + "|".join(f"{a}:{s}" for a, s in nodes)
+        return int(hashlib.md5(key.encode()).hexdigest()[:13], 16) * 2.0**-52
     h = hashlib.sha256()
     h.update(struct.pack(">qi", seed, column_index))
     for a, s in nodes:
@@ -152,10 +167,16 @@ def laplace_from_uniform(scale: float, unif: float) -> float:
 
 
 def node_noise(
-    seed: int, column_index: int, scale: float, *nodes: tuple[int, int]
+    seed: int,
+    column_index: int,
+    scale: float,
+    *nodes: tuple[int, int],
+    prf: str = "sha256",
 ) -> float:
     """Noise for one tree node (or one node-pair in 2-D)."""
-    return laplace_from_uniform(scale, _uniform(seed, column_index, *nodes))
+    return laplace_from_uniform(
+        scale, _uniform(seed, column_index, *nodes, prf=prf)
+    )
 
 
 def interval_noise(
@@ -165,14 +186,18 @@ def interval_noise(
     seed: int,
     column_index: int = 0,
     k: int = BRANCHING_FACTOR,
+    prf: str = "sha256",
 ) -> tuple[float, int]:
     """Total noise for the leaf interval [left, right): sum of one
     independent draw per covering k-adic node (DPHistogram.
-    noiseForRange, DPHistogram.java:41-52). Returns (noise, n_nodes)."""
+    noiseForRange, DPHistogram.java:41-52). Returns (noise, n_nodes).
+    Summation runs in node order (descending size, ascending start) —
+    the engine-portable prf='md5str' oracle must sum in the SAME
+    order for bit-parity."""
     total = 0.0
     nodes = kadic_decomposition(left, right, k)
     for node in nodes:
-        total += node_noise(seed, column_index, scale, node)
+        total += node_noise(seed, column_index, scale, node, prf=prf)
     return total, len(nodes)
 
 
@@ -426,6 +451,25 @@ def dp_heatmap(
     )
 
 
+def _prf_field(c) -> F.Column:
+    """Canonical PRF key field: cast to string, escape the '|' cell
+    delimiter ('\\'->'\\\\' first, then '|'->'\\|') and map NULL to
+    the sentinel '\\N' — unreachable from any non-NULL value because
+    real backslashes are doubled. Without this, concat_ws would
+    silently DROP a null field (shifting its neighbors into its
+    place) and a value containing '|' could forge another cell's key
+    — either way two DISTINCT cells could share one Laplace draw,
+    which breaks the per-cell parallel-composition argument.
+    Identity on values without '|' or '\\', so all existing releases
+    (and their DuckDB oracle twins, which apply the same
+    REPLACE/COALESCE) are bit-unchanged."""
+    s = c.cast("string")
+    esc = F.replace(
+        F.replace(s, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|")
+    )
+    return F.coalesce(esc, F.lit("\\N"))
+
+
 def laplace_noise_col(
     epsilon: float,
     seed: int,
@@ -462,12 +506,17 @@ def laplace_noise_col(
         scale = 1.0 / epsilon
     if prf == "md5":
         key = F.concat_ws(
-            "|", *[c.cast("string") for c in key_cols], F.lit(str(seed))
+            "|", *[_prf_field(c) for c in key_cols], F.lit(str(seed))
         )
         u52 = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
         u = u52.cast("double") * F.lit(2.0**-52)
     elif prf == "xxhash64":
-        u53 = F.shiftrightunsigned(F.xxhash64(*key_cols, F.lit(seed)), 11)
+        # same escaped-string canonicalization as md5: xxhash64 also
+        # skips NULL arguments, which would let (NULL, x) and (x,)
+        # cells collide on one draw
+        u53 = F.shiftrightunsigned(
+            F.xxhash64(*[_prf_field(c) for c in key_cols], F.lit(seed)), 11
+        )
         u = u53.cast("double") * F.lit(2.0**-53)
     else:
         raise ValueError("prf must be 'xxhash64' or 'md5'")

@@ -67,23 +67,46 @@ def salted_hex(col, salt: str, width: int = 7):
     -> all of them in one split). A key with no identity has no
     deterministic assignment — fail loudly; callers with legitimately
     nullable keys must coalesce to an explicit sentinel first."""
-    guarded = F.when(
-        col.isNull(),
-        F.raise_error(
-            F.lit(
-                "salted_hex: NULL key has no deterministic hash — "
-                "coalesce nullable keys to a sentinel first"
-            )
-        ),
-    ).otherwise(col)
     return F.substring(
-        F.md5(F.concat_ws("_", guarded, F.lit(salt))), 1, width
+        F.md5(F.concat_ws("_", salted_guard(col), F.lit(salt))), 1, width
     )
 
 
 def salted_hash(col, salt: str):
     """salted_hex as a bigint in [0, 16^7) — the keep-fraction form."""
     return F.conv(salted_hex(col, salt), 16, 10).cast("bigint")
+
+
+def portable_bernoulli(key_cols: list[str], fraction: float, seed: int = 42):
+    """Engine-portable Bernoulli keep-coin on a (possibly composite)
+    row key: keep iff salted_hash('_'-joined key fields, 'bern<seed>')
+    < fraction * 16^7. Unlike Spark's .sample() (engine-native RNG,
+    partition-order dependent across engines) the drawn subset is a
+    pure function of the key — the same rows survive in any engine,
+    which is what lets SAMPLED sketches (heavy_hitters_sampled,
+    corr_matrix sample path) hash-check against a DuckDB oracle.
+    One codegen md5 per row, no shuffle; inherits salted_hex's loud
+    NULL-key failure (a NULL field would silently collapse into its
+    neighbor under concat_ws)."""
+    key = F.concat_ws(
+        "_", *[salted_guard(F.col(c).cast("string")) for c in key_cols]
+    )
+    cut = int(fraction * (16**7))
+    return salted_hash(key, f"bern{seed}") < F.lit(cut)
+
+
+def salted_guard(col):
+    """The NULL-key loud-failure guard shared by salted_hex and
+    portable_bernoulli's per-field keys."""
+    return F.when(
+        col.isNull(),
+        F.raise_error(
+            F.lit(
+                "salted key: NULL field has no deterministic hash — "
+                "coalesce nullable keys to a sentinel first"
+            )
+        ),
+    ).otherwise(col)
 
 
 def split_train_eval(

@@ -101,14 +101,25 @@ def assert_max_shuffles(df: DataFrame, n: int) -> None:
     BroadcastExchange, which moves data through the driver broadcast,
     not the shuffle service. ReusedExchange nodes are pointers to an
     exchange already counted — no second data movement."""
+    got = count_shuffles(df)
+    if got > n:
+        raise AssertionError(
+            f"expected <= {n} shuffles, got {got}:\n" + physical_plan(df)
+        )
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of real shuffle exchanges in the executed plan — the
+    ONE counting rule (also used by sources/bucketing.py): every
+    'Exchange ' flavor counts except BroadcastExchange (driver
+    broadcast, not the shuffle service) and ReusedExchange (a pointer
+    to an exchange already counted — no second data movement)."""
     plan = physical_plan(df)
-    got = (
+    return (
         plan.count("Exchange ")
         - plan.count("BroadcastExchange ")
         - plan.count("ReusedExchange ")
     )
-    if got > n:
-        raise AssertionError(f"expected <= {n} shuffles, got {got}:\n" + plan)
 
 
 def assert_partition_pruning(df: DataFrame, col: str) -> None:

@@ -47,10 +47,11 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
 
 def joins_without_shuffle(joined: DataFrame) -> bool:
     """True if the join plan contains no shuffle exchange — the
-    co-located bucket join succeeded. Matches EVERY shuffle flavor
-    (hash, range, round-robin, single-partition), not just
-    hashpartitioning; only BroadcastExchange (no data movement
-    through the shuffle service) is exempt."""
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange ")
-    return shuffles == 0
+    co-located bucket join succeeded. Delegates to the ONE counting
+    rule in plans/explain.py (every shuffle flavor counts;
+    BroadcastExchange and ReusedExchange are exempt — a reused
+    broadcast is no data movement, and counting it here used to
+    misreport a shuffle-free plan)."""
+    from hillview_spark.plans.explain import count_shuffles
+
+    return count_shuffles(joined) == 0

@@ -262,7 +262,15 @@ def dp_windowed_counts(
     SAME formula runs unchanged over a stream; for noisy PREFIX
     counts over time use dp_histogram(cdf=True), which pays only
     O(log T) noise via the k-adic tree."""
-    counts = windowed_counts(events, unit).drop("sum_value")
+    # NULL ts -> NULL window: the streaming twin's watermark drops
+    # event-time-less rows entirely, so the batch release must too or
+    # the twins (and the DuckDB oracle) diverge on NULL-ts input —
+    # same rule dp_prefix_counts already applies.
+    counts = (
+        windowed_counts(events, unit)
+        .drop("sum_value")
+        .where(F.col("window_start").isNotNull())
+    )
     return _noisy_counts(counts, epsilon, seed)
 
 
@@ -350,6 +358,7 @@ def dp_prefix_counts(
     events: DataFrame,
     epsilon: float = 1.0,
     seed: int = 0,
+    prf: str = "sha256",
 ) -> DataFrame:
     """DP continual counter, batch twin — THE construction of Chan,
     Song, Shi TISSEC '11 (the paper IntervalDecomposition.java:29-31
@@ -360,7 +369,13 @@ def dp_prefix_counts(
     hours since epoch (data-independent), horizon fixed at 2^20
     leaves. One groupBy shuffle for the per-window counts; the
     prefix sum + noise run on the O(windows x types) aggregate via a
-    driver spine, like dp_histogram."""
+    driver spine, like dp_histogram.
+
+    prf='md5str' switches the per-node draw to the engine-portable
+    md5-over-string PRF (privacy._uniform) — same construction, a
+    PRF any engine can replay, which is what lets the DuckDB oracle
+    re-derive the whole O(log T) release from SQL and hash-check it.
+    The streaming twin takes the same flag; keep them identical."""
     from hillview_spark.operators.privacy import (
         interval_noise, noise_scale,
     )
@@ -404,7 +419,10 @@ def dp_prefix_counts(
         (
             r.event_type,
             int(r.leaf),
-            interval_noise(0, int(r.leaf) + 1, scale, seed, _type_index(r.event_type))[0],
+            interval_noise(
+                0, int(r.leaf) + 1, scale, seed,
+                _type_index(r.event_type), prf=prf,
+            )[0],
         )
         for r in keys
     ]
@@ -430,6 +448,7 @@ def stream_dp_prefix_counts(
     epsilon: float = 1.0,
     seed: int = 0,
     watermark: str = "2 hours",
+    prf: str = "sha256",
 ) -> DataFrame:
     """Streaming twin of the continual counter: per event type, a
     stateful operator buffers per-hour counts and, when the event-time
@@ -475,7 +494,9 @@ def stream_dp_prefix_counts(
             if leaf >= horizon_leaf:
                 break
             cum += open_map.pop(leaf)
-            noise, _ = interval_noise(0, leaf + 1, scale, seed, _type_index(etype))
+            noise, _ = interval_noise(
+                0, leaf + 1, scale, seed, _type_index(etype), prf=prf
+            )
             out.append(
                 (
                     etype,

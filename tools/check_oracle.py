@@ -128,6 +128,14 @@ def main():
                     problems.append(f"type drift {c}: spark={stypes[c]} duckdb={dtypes.get(c)}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        # declared rows+schema-only oracle (iterative/driver-side
+        # values, see oracle_sql comments): value hash is expected to
+        # differ — rows+schema are the checkable surface
+        rows_schema_only = "rows+schema oracle only" in os_[name]
+        if not problems and rows_schema_only:
+            print(f"OK   {name} ({len(srows)} rows, rows+schema only)")
+            cache.release_all()
+            continue
         if not problems:
             a = rows_to_multiset(scols, [[r[c] for c in scols] for r in srows])
             b = rows_to_multiset(dcols, drows)
