@@ -733,9 +733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # hash-oracled since r6: at gate SF the GK sketch's rank error
     # eps*n = n/accuracy < 1, so the engine-native percentile_approx
-    # is PROVABLY exact and equals DuckDB's quantile_disc (verified
-    # at sf0.001 and sf0.01) — the sketch code path still runs;
-    # production callers keep the default accuracy=10000.
+    # is PROVABLY exact; and the gate fixtures' row counts (6e3/6e4)
+    # make every p*n an integer, where Spark's and DuckDB
+    # quantile_disc's rank conventions provably coincide (verified
+    # sf0.001 + sf0.01; at non-round n, e.g. sf0.1, the conventions
+    # can differ by one neighboring element — the driver gate runs
+    # sf0.01). The sketch code path still runs; production callers
+    # keep the default accuracy=10000.
     # one row per probe (cross-engine array typing is flaky to hash)
     q["quantiles_approx"] = lambda s, d: stats.quantiles_approx(
         _t(s, d, "lineitem"), "l_extendedprice", [0.25, 0.5, 0.75],

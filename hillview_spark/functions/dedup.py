@@ -332,7 +332,16 @@ def lsh_query_index(
     in place — zero shuffle of the big side, no signature recompute.
     Returns (corpus_doc_id, new_doc_id) distinct candidates; verify
     with verify_jaccard against the corpus text if exact Jaccard
-    gating is needed."""
+    gating is needed.
+
+    Staleness contract: RE-READ AND INVALIDATE. Every call re-lists
+    the index path (spark.read.parquet builds a fresh file index), so
+    appended/rebuilt bands are visible to the next query; and a write
+    to the path also invalidates any OLDER persisted scan of it
+    (InsertIntoHadoopFsRelation refreshes the target path's caches),
+    so a resident service's held handle cannot serve a stale
+    snapshot either. Pinned by
+    tests/test_functions.py::test_lsh_index_mutated_upstream_not_stale."""
     p = spark.read.parquet(f"{path}/params").collect()[0]
     banded_new = _banded(
         new_docs, p.num_hashes, p.bands, p.n, id_col, text_col

@@ -102,8 +102,8 @@ def salted_guard(col):
         col.isNull(),
         F.raise_error(
             F.lit(
-                "salted key: NULL field has no deterministic hash — "
-                "coalesce nullable keys to a sentinel first"
+                "salted key: NULL key field has no deterministic hash "
+                "— coalesce nullable keys to a sentinel first"
             )
         ),
     ).otherwise(col)

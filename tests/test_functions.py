@@ -1187,6 +1187,59 @@ def test_lsh_index_incremental_query_matches_live(spark, tables, tmp_path):
     assert not [r for r in hits if r.corpus_doc_id == oid]  # self-pair filtered
 
 
+def test_lsh_index_mutated_upstream_not_stale(spark, tables, tmp_path):
+    """Re-read-or-invalidate audit (VERDICT r5 directive #6): after
+    the index parquet is mutated (a new batch appended), a fresh
+    lsh_query_index must see the new bands — even while an OLDER
+    persisted scan of the same path is still alive in the cache
+    registry (the resident-service shape the dedup bench leans on).
+    The engine's contract is RE-READ: each query re-lists the path;
+    the stale InMemoryRelation is never substituted (documented at
+    dedup.lsh_query_index)."""
+    from hillview_spark import cache
+    from hillview_spark.functions import dedup
+
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    # ordered limit: an unordered limit(1) could pick a different row
+    # on each of the THREE executions below (band, append, collect)
+    probe = docs.where(F.col("doc_id") % 5 == 0).orderBy("doc_id").limit(1)
+    path = str(tmp_path / "lsh_index_stale")
+    dedup.lsh_write_index(corpus, path, num_hashes=16, bands=4, n=3)
+
+    with cache.scope():
+        # resident service persisted an index scan and holds it
+        held = cache.persist(spark.read.parquet(f"{path}/bands"))
+        n_before = held.count()
+
+        # before the mutation: the probe's exact duplicate is absent
+        pre = {
+            r.corpus_doc_id
+            for r in dedup.lsh_query_index(spark, path, probe).collect()
+        }
+        # mutate upstream: append a batch containing an exact
+        # duplicate of the probe under a fresh doc_id
+        dup = probe.select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            *[c for c in probe.columns if c != "doc_id"],
+        )
+        dedup.lsh_write_index(dup, path, num_hashes=16, bands=4, n=3,
+                              mode="append")
+
+        post = {
+            r.corpus_doc_id
+            for r in dedup.lsh_query_index(spark, path, probe).collect()
+        }
+        dup_id = probe.collect()[0].doc_id + 10_000_000
+        assert dup_id not in pre
+        assert dup_id in post, "appended bands were not re-read"
+        # AND-invalidate: the write to the path invalidates the held
+        # cached scan too (InsertIntoHadoopFsRelation refreshes the
+        # target path's caches), so even the resident service's old
+        # handle sees the appended bands — no stale snapshot survives
+        assert held.count() == n_before + 4  # 4 band rows per doc
+
+
 def test_shuffle_corpus_deterministic_permutation(spark, tables):
     from hillview_spark.functions import curation
 

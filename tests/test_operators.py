@@ -851,3 +851,76 @@ def test_quantize_column_nan_stays_missing(spark):
     # NaN must NOT snap to the lowest bucket's left edge (0.0)
     assert sorted(v for v in out if v is not None) == [0.0]
     assert sum(v is None for v in out) == 2
+
+
+def test_portable_bernoulli_deterministic_and_unbiased(spark, tables):
+    from hillview_spark.operators.sampling import portable_bernoulli
+
+    li = tables["lineitem"]
+    key = ["l_orderkey", "l_linenumber"]
+    a = li.where(portable_bernoulli(key, 0.5)).count()
+    b = li.where(portable_bernoulli(key, 0.5)).count()
+    assert a == b  # pure function of the key — no engine RNG
+    n = li.count()
+    assert abs(a / n - 0.5) < 0.03  # md5 uniformity at 6k rows
+    # different seeds draw different subsets
+    c = li.where(portable_bernoulli(key, 0.5, seed=1)).count()
+    ab = li.where(
+        portable_bernoulli(key, 0.5) & portable_bernoulli(key, 0.5, seed=1)
+    ).count()
+    assert abs(ab / n - 0.25) < 0.04  # near-independent coins
+    assert c == li.where(portable_bernoulli(key, 0.5, seed=1)).count()
+    # NULL key field fails loudly instead of collapsing into a bucket
+    nullable = spark.createDataFrame([(1,), (None,)], "k int")
+    with pytest.raises(Exception, match="deterministic hash"):
+        nullable.where(
+            portable_bernoulli(["k"], 0.5)
+        ).count()
+
+
+def test_heavy_hitters_sampled_portable_key_matches_exact(spark, tables):
+    from hillview_spark.operators import heavy_hitters
+
+    li = tables["lineitem"]
+    exact = {
+        tuple(r)[:-1]: r.cnt
+        for r in heavy_hitters.heavy_hitters(li, ["l_returnflag"], 0.2).collect()
+    }
+    runs = []
+    for _ in range(2):
+        runs.append(
+            {
+                tuple(r)[:-1]: r.cnt
+                for r in heavy_hitters.heavy_hitters_sampled(
+                    li, ["l_returnflag"], 0.2,
+                    sample_key=["l_orderkey", "l_linenumber"],
+                ).collect()
+            }
+        )
+    assert runs[0] == runs[1] == exact  # deterministic AND correct
+
+
+def test_corr_matrix_sampled_portable_deterministic(spark, tables):
+    from hillview_spark.operators import correlation
+
+    li = tables["lineitem"]
+    kw = dict(
+        sample_fraction=0.5, sample_key=["l_orderkey", "l_linenumber"]
+    )
+    cols = ["l_quantity", "l_extendedprice"]
+    a = {
+        (r.col_x, r.col_y): r.corr
+        for r in correlation.corr_matrix(li, cols, **kw).collect()
+    }
+    b = {
+        (r.col_x, r.col_y): r.corr
+        for r in correlation.corr_matrix(li, cols, **kw).collect()
+    }
+    assert a == b
+    full = {
+        (r.col_x, r.col_y): r.corr
+        for r in correlation.corr_matrix(li, cols).collect()
+    }
+    for k in full:  # half-sample estimate tracks the population value
+        assert abs(a[k] - full[k]) < 0.05
+    assert a[("l_quantity", "l_quantity")] == pytest.approx(1.0)

@@ -455,3 +455,151 @@ def test_read_csv_corrupt_record_column_materializes(spark, tmp_path):
 def test_read_jdbc_requires_bounds_with_partition_column(spark):
     with pytest.raises(ValueError, match="lower_bound"):
         readers.read_jdbc(spark, "jdbc:derby:memory:x", "t", partition_column="id")
+
+
+# ------------------------------------------------- reference sample logs
+
+REF_LOGS = "/root/reference/data/sample_logs"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LOGS), reason="reference absent")
+def test_read_logs_reference_sample_files(spark, tmp_path):
+    """End-to-end over BYTE-COPIES of the reference's own sample logs
+    (data/sample_logs/*, the fixtures storage/HillviewLogs.java and
+    its grok patterns were built against) — typed ts where the format
+    carries one, exact parse accounting elsewhere."""
+    import shutil
+
+    def load(name, pattern):
+        dst = str(tmp_path / f"{name}.txt")
+        shutil.copyfile(os.path.join(REF_LOGS, name), dst)
+        return readers.read_logs(spark, dst, pattern=pattern).collect()
+
+    # %{HADOOP}-family (zookeeperlog/hdfsnamenodelog parse fully)
+    for name, nrows in [("zookeeperlog", 12), ("hdfsnamenodelog", 9)]:
+        rows = load(name, "hadoop")
+        assert len(rows) == nrows
+        assert all(not r.parse_error for r in rows)
+        assert all(r.ts is not None for r in rows)  # typed TIMESTAMP
+        assert {r.level for r in rows} <= {
+            "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"
+        }
+
+    # yarnlog interleaves multi-line continuation dumps: exactly the
+    # 113 true log lines parse, the 87 continuation lines surface as
+    # parse_error with the raw line intact (ParseErrorsSketch shape)
+    rows = load("yarnlog", "hadoop")
+    parsed = [r for r in rows if not r.parse_error]
+    assert (len(rows), len(parsed)) == (200, 113)
+    assert all(r.ts is not None and r.message for r in parsed)
+
+    # syslog: all 42 lines parse; pid is typed long where present
+    rows = load("syslog", "syslog")
+    assert len(rows) == 42 and all(not r.parse_error for r in rows)
+    assert {r.host for r in rows} == {"hillview-leaf-1"}
+    assert any(isinstance(r.pid, int) for r in rows)
+
+    # rfc5424: 8 real lines parse with ISO ts + int priority; the
+    # trailing empty line is a parse_error row
+    rows = load("rfc5424log", "rfc5424")
+    parsed = [r for r in rows if not r.parse_error]
+    assert (len(rows), len(parsed)) == (9, 8)
+    assert all(r.ts is not None and r.priority >= 0 for r in parsed)
+
+
+# --------------------------------------- DP prefix counter restart proof
+
+
+def test_stream_dp_prefix_counts_restart_no_double_draw(spark, tmp_path):
+    """Kill-restart across a checkpoint: the continual counter's
+    released cumulative counts must stay BIT-IDENTICAL to the batch
+    twin across the restart boundary — state (cumulative + open
+    hours) must survive, and the Chan-Song-Shi per-node noise must
+    not be re-drawn with a different key."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def mk_rows(start_min, step_min, count, id0):
+        return [
+            (
+                id0 + i,
+                base + dt.timedelta(minutes=start_min + step_min * i),
+                1,
+                "click" if i % 3 else "view",
+                1.0,
+            )
+            for i in range(count)
+        ]
+
+    schema_str = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    rows1 = mk_rows(0, 7, 40, 0)        # ~0h .. 4.6h
+    rows2 = mk_rows(300, 11, 40, 100)   # 5h .. ~12.2h
+
+    def add_batch(rows, name):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema_str).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.copyfile(part, os.path.join(src, f"{name}.parquet"))
+
+    schema = spark.createDataFrame([], schema_str).schema
+
+    def run_once():
+        sdf = ev.stream_dp_prefix_counts(spark, src, schema, epsilon=1.0, seed=11)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    add_batch(rows1, "b1")
+    run_once()  # first life of the query
+    first_life = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first_life  # watermark released the early hours
+
+    add_batch(rows2, "b2")
+    run_once()  # RESTART from the same checkpoint, only b2 is new
+
+    released = spark.read.parquet(out).collect()
+    got = {}
+    for r in released:
+        k = (r.event_type, r.window_start)
+        assert k not in got, f"hour released twice across restart: {k}"
+        got[k] = r.noisy_prefix
+
+    batch = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in ev.dp_prefix_counts(
+            spark.createDataFrame(rows1 + rows2, schema_str), 1.0, seed=11
+        ).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v, f"restart drifted from batch twin at {k}"
+    # second life released hours whose prefix INCLUDES first-life
+    # events — proves the cumulative survived the restart
+    second_life = {k for k in got if k not in first_life}
+    assert any(ws >= base + dt.timedelta(hours=5) for _, ws in second_life)
+    late = max(second_life, key=lambda k: k[1])
+    phase2_only = sum(
+        1 for r in rows2
+        if r[3] == late[0] and r[1] < late[1] + dt.timedelta(hours=1)
+    )
+    assert batch[late] > phase2_only  # noise can't hide ~40 phase-1 rows
