@@ -114,10 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), k=3, min_df=2, max_df_frac=0.95
     )
 
-    # rows-only by design: BPE merge learning is inherently iterative
-    # (merge k depends on state after k-1) — no static SQL twin. The
-    # algorithm is deterministic (pytest proves merges + counts on
-    # the Sennrich reference example and train-twice equality).
+    # rows+schema oracle (r6): BPE merge learning is inherently
+    # iterative (merge k depends on state after k-1) — no static SQL
+    # value twin; the oracle pins row count + schema. The algorithm
+    # is deterministic (pytest proves merges + counts on the Sennrich
+    # reference example and train-twice equality).
     def _bpe_count(s, d):
         from hillview_spark.functions import bpe
 
@@ -246,9 +247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
         cdf=True,
     )
-    # rows-only by design: driver-side iterative optimization (the
-    # brief's non-SQL-expressible category) — pytest checks distance
-    # preservation on a known 2-D manifold.
+    # rows+schema oracle (r6): driver-side iterative optimization
+    # (the brief's non-SQL-expressible category) — the oracle pins
+    # row count + schema; pytest checks distance preservation on a
+    # known 2-D manifold.
     q["metric_mds_controls"] = lambda s, d: correlation.metric_mds(
         _t(s, d, "embeddings").select(
             "vec_id",

@@ -210,7 +210,21 @@ def headline_queries(t):
             t["embeddings"], threshold=0.4, n_cells=8, stride=50), "noop"),
         "tfidf_top_terms": (lambda: search.top_terms_per_doc(
             t["documents"], k=3, min_df=2, max_df_frac=0.95), "noop"),
+        # round-6 additions: the DP continual counter (driver spine +
+        # one groupBy) and the composed private session (quantize ->
+        # filter -> noisy heatmap through PrivateTableView)
+        "dp_prefix_counts": (lambda: ev.dp_prefix_counts(
+            t["events"], epsilon=1.0, seed=7, prf="md5str"), "noop"),
+        "dp_session_heatmap": (lambda: _dp_session_heatmap(t), "collect"),
     }
+
+
+def _dp_session_heatmap(t):
+    import __spark_entry__ as entry_mod
+
+    return entry_mod._dp_session_view(t["lineitem"]).heatmap(
+        "l_quantity", "l_discount", xb=5, yb=4
+    )
 
 
 # The bench queries present since BENCH_r02 — the stable cross-round

@@ -376,9 +376,7 @@ def dp_prefix_counts(
     PRF any engine can replay, which is what lets the DuckDB oracle
     re-derive the whole O(log T) release from SQL and hash-check it.
     The streaming twin takes the same flag; keep them identical."""
-    from hillview_spark.operators.privacy import (
-        interval_noise, noise_scale,
-    )
+    from hillview_spark.operators.privacy import noise_scale
 
     scale = noise_scale(epsilon, CONTINUAL_HORIZON_LEAVES)
     counts = (
@@ -415,14 +413,33 @@ def dp_prefix_counts(
     # aggregate size, never the event count (cum is already unique
     # per (type, leaf); no distinct needed)
     keys = cum.select("event_type", "leaf").collect()
+    # Consecutive-hour prefixes [0, L+1) share almost all of their
+    # k-adic nodes (only the lowest digits churn), so memoizing the
+    # per-node draw collapses the spine from O(rows * log T) PRF
+    # calls to O(distinct nodes) — ~80x fewer md5/sha256 evaluations
+    # on an hourly spine, same released values bit-for-bit.
+    from hillview_spark.operators.privacy import (
+        kadic_decomposition, node_noise,
+    )
+
+    node_memo: dict = {}
+
+    def _prefix_noise(leaf: int, ci: int) -> float:
+        total = 0.0
+        for node in kadic_decomposition(0, leaf + 1):
+            k = (ci, node)
+            draw = node_memo.get(k)
+            if draw is None:
+                draw = node_noise(seed, ci, scale, node, prf=prf)
+                node_memo[k] = draw
+            total += draw
+        return total
+
     spine = [
         (
             r.event_type,
             int(r.leaf),
-            interval_noise(
-                0, int(r.leaf) + 1, scale, seed,
-                _type_index(r.event_type), prf=prf,
-            )[0],
+            _prefix_noise(int(r.leaf), _type_index(r.event_type)),
         )
         for r in keys
     ]
