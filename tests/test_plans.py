@@ -368,3 +368,40 @@ def test_bm25_search_plan_broadcast_stats_topk(spark, tables):
     ex.assert_max_shuffles(df, 1)  # the SinglePartition stats agg only
     top = search.bm25_search(tables["documents"], ["spark"], top_n=10)
     ex.assert_topk_not_global_sort(top)
+
+
+def test_dp_session_heatmap_single_scan_broadcast_noise(spark, tables):
+    """The composed private session (quantize -> filter -> noisy
+    heatmap) stays one fact scan + one O(cells) groupBy shuffle;
+    the noise spine joins in as a broadcast literal relation."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod._dp_session_view(tables["lineitem"]).heatmap(
+        "l_quantity", "l_discount", xb=5, yb=4
+    )
+    # 1 = the O(cells) groupBy; the 2nd is the presentation orderBy
+    # range-exchange over the 20-row RESULT (O(cells), not O(rows))
+    ex.assert_max_shuffles(df, 2)
+    ex.assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in ex.physical_plan(df)
+
+
+def test_dp_prefix_counts_single_count_shuffle(spark, tables):
+    """The continual counter's data path is ONE groupBy shuffle for
+    the hourly counts (the window prefix-sum reuses that
+    partitioning); the O(windows x types) noise spine broadcasts."""
+    from hillview_spark.streaming import events as ev
+
+    df = ev.dp_prefix_counts(tables["events"], 1.0, seed=3)
+    # two REAL exchanges, both over map-side-combined aggregate rows
+    # (O(hours x types), never O(events)): the (hour, type) groupBy
+    # and the re-key to (type) for the window prefix sum. The plan
+    # string shows each twice — the persisted `cum` relation embeds
+    # its build plan inside InMemoryRelation and the live DAG prints
+    # it again — so the textual count is at most 4.
+    ex.assert_no_cartesian(df)
+    plan = ex.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert ex.count_shuffles(df) <= 4
+    # and the noise spine must broadcast, never shuffle-join
+    assert "BroadcastExchange" in plan

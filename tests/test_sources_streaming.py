@@ -390,20 +390,25 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert stream_pairs == batch_pairs and len(batch_pairs) > 0
 
 
-def test_stream_dp_prefix_counts_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("prf", ["sha256", "md5str"])
+def test_stream_dp_prefix_counts_matches_batch(spark, tmp_path, prf):
     """Continual counter: every hour the stream releases (watermark
     passed) must carry exactly the batch twin's noisy prefix — same
-    seeded k-adic noise, same cumulative count."""
+    seeded k-adic noise, same cumulative count. Both PRF modes: the
+    reference-parity sha256 and the engine-portable md5str the gate
+    key ships with."""
     d = str(tmp_path / "events_dir")
     os.makedirs(d)
     os.symlink(
         "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
     )
     raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    sdf = ev.stream_dp_prefix_counts(spark, d, raw.schema, epsilon=1.0, seed=3)
+    sdf = ev.stream_dp_prefix_counts(
+        spark, d, raw.schema, epsilon=1.0, seed=3, prf=prf
+    )
     q = (
         sdf.writeStream.format("memory")
-        .queryName("t_dp_prefix")
+        .queryName(f"t_dp_prefix_{prf}")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -411,12 +416,13 @@ def test_stream_dp_prefix_counts_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     streamed = {
         (r.event_type, r.window_start): r.noisy_prefix
-        for r in spark.sql("SELECT * FROM t_dp_prefix").collect()
+        for r in spark.sql(f"SELECT * FROM t_dp_prefix_{prf}").collect()
     }
     batch = {
         (r.event_type, r.window_start): r.noisy_prefix
         for r in ev.dp_prefix_counts(
-            load_table(spark, "/root/testdata/sf0.001", "events"), 1.0, seed=3
+            load_table(spark, "/root/testdata/sf0.001", "events"), 1.0,
+            seed=3, prf=prf,
         ).collect()
     }
     assert streamed  # watermark passed at least the early hours
