@@ -505,3 +505,117 @@ def test_index_of_fallback_fits_int32(spark, tables):
         assert 0 < idx < 2**31
     # struct.pack path accepts the fallback index
     P._uniform(1, pv._index_of("o_comment"), (0, 1))
+
+
+def test_prf_field_escaping_cross_engine(spark):
+    """The ADVICE-r5 fix, proven end-to-end on HOSTILE keys: cell
+    values containing the '|' delimiter, backslashes, and NULL must
+    (a) draw distinct noise per distinct cell — no key forgery
+    ('a|b', 'c') vs ('a', 'b|c') — and (b) still match a DuckDB
+    replica applying the twinned REPLACE/COALESCE recipe."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a|b", "c"), ("a", "b|c"),        # forgery pair under naive concat
+        ("x\\", "y"), ("x", "\\y"),        # backslash forgery pair
+        (None, "z"), ("\\N", "z"),          # NULL vs literal sentinel text
+        ("plain", "val"),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string")
+    got = [
+        r.x
+        for r in df.select(
+            P.laplace_noise_col(
+                1.0, 5, F.col("k1"), F.col("k2"), prf="md5"
+            ).alias("x")
+        ).collect()
+    ]
+    # (a) all seven cells draw distinct noise
+    assert len(set(got)) == len(rows)
+
+    # (b) DuckDB replays the draw through the twinned escaping
+    con = duckdb.connect()
+    esc = (
+        "COALESCE(REPLACE(REPLACE({c}, chr(92), chr(92)||chr(92)),"
+        " '|', chr(92)||'|'), chr(92)||'N')"
+    )
+    for (k1, k2), want in zip(rows, got):
+        q = f"""
+        SELECT CASE WHEN 0.5 - u < 0
+                    THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                    ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END AS x
+        FROM (SELECT LEAST(GREATEST(
+                 CAST(('0x' || substr(md5(
+                     {esc.format(c='$k1')} || '|' ||
+                     {esc.format(c='$k2')} || '|5'), 1, 13)) AS BIGINT)
+                 * POWER(CAST(2.0 AS DOUBLE), -52),
+                 POWER(CAST(2.0 AS DOUBLE), -53)),
+                 1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u)
+        """
+        (duck,) = con.execute(q, {"k1": k1, "k2": k2}).fetchone()
+        assert duck == pytest.approx(want, rel=1e-12), (k1, k2)
+
+
+def test_bpe_encode_non_long_id_types(spark):
+    """ADVICE-r5 fix: the mapInPandas schema reads the id type from
+    the input instead of hardcoding long — string ids must work."""
+    from hillview_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [("d1", "low lower lowest"), ("d2", "low low")],
+        "doc_id string, text string",
+    )
+    merges = bpe.bpe_train(docs, num_merges=5)
+    out = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_encode(docs, merges).collect()}
+    assert set(out) == {"d1", "d2"} and all(v > 0 for v in out.values())
+
+
+def test_dp_windowed_counts_null_ts_and_type_match_oracle(spark):
+    """ADVICE-r5 fix #2 end-to-end: NULL event times are dropped
+    (matching the streaming twin's watermark behavior) and a NULL
+    event_type group draws well-defined sentinel-keyed noise — and
+    the gate's actual DuckDB oracle SQL agrees on this crafted data."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from hillview_spark.streaming import events as ev
+
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=5), 1, None, 1.0),   # NULL type
+        (3, None, 1, "click", 1.0),                          # NULL ts
+        (4, base + dt.timedelta(hours=1), 2, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    got = {
+        (r.event_type, r.window_start): r.noisy_events
+        for r in ev.dp_windowed_counts(df, "hour", 1.0, seed=7).collect()
+    }
+    # NULL ts contributes no cell; NULL type is its own released cell
+    assert len(got) == 3 and (None, base) in got
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ),
+    )
+    oracle = {
+        (etype, ws): v
+        for ws, etype, v in con.sql(
+            "SELECT window_start, event_type, noisy_events FROM ("
+            + entry_mod.oracle_sql()["dp_windowed_counts"]
+            + ")"
+        ).fetchall()
+    }
+    assert got == oracle
