@@ -312,6 +312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_session_heatmap"] = lambda s, d: _dp_session_view(
         _t(s, d, "lineitem")
     ).heatmap("l_quantity", "l_discount", xb=5, yb=4)
+    # the most common session query shape: noisy 1-D histogram over
+    # the same quantized+filtered view (same lineage-derived seed)
+    q["dp_session_histogram"] = lambda s, d: _dp_session_view(
+        _t(s, d, "lineitem")
+    ).histogram("l_quantity", buckets=10)
 
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
@@ -1876,6 +1881,57 @@ def oracle_sql() -> dict[str, str]:
         """
 
     o["dp_session_heatmap"] = _dp_session_heatmap_sql()
+
+    def _dp_session_hist_sql() -> str:
+        """1-D sibling of _dp_session_heatmap_sql: same lineage seed,
+        l_quantity's own column index, interval_noise spine over the
+        50-leaf/10-bucket grid, counts from the quantized+filtered
+        view."""
+        from hillview_spark import api as _api
+
+        schema = _dp_session_schema()
+        col, lo, hi = _DP_SESSION_FILTER
+        seed_eff = _api.effective_seed(
+            _DP_SESSION_SEED, (_api.range_filter_desc(col, lo, hi),)
+        )
+        idx = {c: i for i, c in enumerate(sorted(schema.quantization))}
+        ci = idx["l_quantity"]
+        leaves, buckets = 50, 10
+        scale = _priv.noise_scale(schema.epsilon("l_quantity"), leaves)
+        vals = []
+        for i, (l, r) in enumerate(_priv._bucket_leaf_ranges(leaves, buckets)):
+            noise, n = _priv.interval_noise(l, r, scale, seed_eff, ci)
+            vals.append(
+                f"({i}, {float(1.0 + l)!r}, {noise!r}, {n}, "
+                f"{n * _priv.laplace_variance(scale)!r})"
+            )
+        noise_rows = ",\n               ".join(vals)
+        return f"""
+        WITH noise(bucket, left_edge, noise, n_intervals, variance) AS (
+            VALUES {noise_rows}
+        ), quant AS (
+            SELECT 1.0 + LEAST(GREATEST(FLOOR(
+                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
+                       {leaves - 1}) * 1.0 AS qx
+            FROM lineitem WHERE l_quantity IS NOT NULL
+        ), counts AS (
+            SELECT CAST((CAST(LEAST(GREATEST(FLOOR((qx - 1.0) / 1.0), 0),
+                       {leaves - 1}) AS BIGINT) * {buckets}) // {leaves}
+                       AS INT) AS bucket,
+                   COUNT(*) AS cnt
+            FROM quant
+            WHERE qx >= {lo!r} AND qx <= {hi!r}
+            GROUP BY 1)
+        SELECT n.bucket, CAST(n.left_edge AS DOUBLE) AS left_edge,
+               CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                    + CAST(n.noise AS DOUBLE) + 0.5) AS BIGINT)
+                   AS noisy_count,
+               n.n_intervals, CAST(n.variance AS DOUBLE) AS variance
+        FROM noise n LEFT JOIN counts c ON n.bucket = c.bucket
+        ORDER BY n.bucket
+        """
+
+    o["dp_session_histogram"] = _dp_session_hist_sql()
 
     def _dp_string_sql() -> str:
         segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]

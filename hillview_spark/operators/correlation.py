@@ -224,7 +224,10 @@ def metric_mds(
     rows = (
         df.select(*out_cols)
         .dropna(subset=cols)
-        .orderBy(pick)
+        # value-tuple tiebreak: duplicate rows hash to the same pick,
+        # and orderBy(pick) alone would then take a partition-layout-
+        # dependent subset of the ties
+        .orderBy(pick, *out_cols)
         .limit(n_points)
         .collect()
     )
@@ -317,7 +320,9 @@ def lamp_project(
     ctrl = (
         df.select(cols)
         .dropna()
-        .orderBy(pick)
+        # same value-tuple tiebreak as metric_mds: equal rows share a
+        # pick hash and must not be broken by partition layout
+        .orderBy(pick, *cols)
         .limit(n_controls)
         .collect()
     )
