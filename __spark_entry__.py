@@ -317,6 +317,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_session_histogram"] = lambda s, d: _dp_session_view(
         _t(s, d, "lineitem")
     ).histogram("l_quantity", buckets=10)
+    # private spreadsheet page through the same session: next-K
+    # distinct quantized sort keys, per-key noisy duplicate counts
+    # (md5 PRF on the key values + the fallback column-combination
+    # index), noisy rows-scanned riding along
+    q["dp_session_page"] = lambda s, d: _dp_session_view(
+        _t(s, d, "lineitem")
+    ).page(["l_returnflag", "l_linestatus", "l_quantity"], epsilon=1.0)
 
     # --- dedup (LLM-pipeline) ----------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
@@ -1932,6 +1939,67 @@ def oracle_sql() -> dict[str, str]:
         """
 
     o["dp_session_histogram"] = _dp_session_hist_sql()
+
+    def _dp_session_page_sql() -> str:
+        """Replay of the private session page: quantize + filter the
+        view, take the next-20 distinct (rf, ls, quantized qty) keys,
+        noise each key's duplicate count with the md5 PRF keyed on
+        the PRF-escaped key values + the fallback column-combination
+        index, and attach the session's noisy rows-scanned count."""
+        from hillview_spark import api as _api
+
+        schema = _dp_session_schema()
+        col, lo, hi = _DP_SESSION_FILTER
+        seed_eff = _api.effective_seed(
+            _DP_SESSION_SEED, (_api.range_filter_desc(col, lo, hi),)
+        )
+        ci = _api.fallback_index(
+            "l_returnflag,l_linestatus,l_quantity", len(schema.quantization)
+        )
+        scanned_noise = _priv.count_noise(1.0, seed_eff, ci)
+        var = _priv.laplace_variance(1.0)
+        return f"""
+        WITH quant AS (
+            SELECT l_returnflag, l_linestatus,
+                   1.0 + LEAST(GREATEST(FLOOR(
+                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
+                       49) * 1.0 AS l_quantity
+            FROM lineitem WHERE l_quantity IS NOT NULL
+        ), view_rows AS (
+            SELECT * FROM quant
+            WHERE l_quantity >= {lo!r} AND l_quantity <= {hi!r}
+        ), page AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   COUNT(*) AS cnt
+            FROM view_rows GROUP BY 1, 2, 3
+            ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+        ), unif AS (
+            SELECT *,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('l_returnflag')} || '|'
+                           || {_prf_field_sql('l_linestatus')} || '|'
+                           || {_prf_field_sql('l_quantity')} || '|'
+                           || '{ci}' || '|{seed_eff}'), 1, 13)) AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM page
+        )
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(FLOOR(CAST(cnt AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_cnt,
+               (SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                            + CAST({scanned_noise!r} AS DOUBLE) + 0.5)
+                       AS BIGINT)
+                FROM view_rows) AS noisy_rows_scanned
+        FROM unif
+    """
+
+    o["dp_session_page"] = _dp_session_page_sql()
 
     def _dp_string_sql() -> str:
         segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]

@@ -176,6 +176,17 @@ def range_filter_desc(col: str, lo=None, hi=None, **kw) -> str:
     return f"range:{col}:{lo!r}:{hi!r}:{sorted(kw.items())!r}"
 
 
+def fallback_index(col: str, n_schema_cols: int) -> int:
+    """Stable PRF index for a column (or column combination) outside
+    the privacy schema: schema positions own [0, n); everything else
+    hashes into [n, 2^31-1) so no two names share a draw. Module-
+    level so the session oracle can recompute it."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(col.encode()).digest()[:4], "big")
+    return n_schema_cols + (h % (2**31 - 1 - n_schema_cols))
+
+
 def effective_seed(seed: int, lineage: tuple[str, ...]) -> int:
     """The lineage-derived PRF seed (see PrivateTableView._seed for
     why filtered views must draw fresh noise). Exposed so the DuckDB
@@ -224,11 +235,7 @@ class PrivateTableView:
         32-bit index field."""
         if col in self._col_index:
             return self._col_index[col]
-        import hashlib
-
-        h = int.from_bytes(hashlib.md5(col.encode()).digest()[:4], "big")
-        n = len(self._col_index)
-        return n + (h % (2**31 - 1 - n))
+        return fallback_index(col, len(self._col_index))
 
     def _seed(self) -> int:
         """Effective PRF seed for this view: the session seed on the
