@@ -115,6 +115,12 @@ def headline_queries(t):
         "col_stats": (lambda: stats.basic_col_stats(
             t["lineitem"],
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]), "collect"),
+        # reference-parity double moments (BasicColStatSketch
+        # semantics) — the throughput path; non-anchor (added r6)
+        "col_stats_fast": (lambda: stats.basic_col_stats(
+            t["lineitem"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            exact=False), "collect"),
         "corr_matrix": (lambda: correlation.corr_matrix(
             t["lineitem"],
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]), "collect"),

@@ -60,7 +60,9 @@ def table_summary(df: DataFrame) -> DataFrame:
     )
 
 
-def basic_col_stats(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFrame:
+def basic_col_stats(
+    df: DataFrame, cols: list[str], ndigits: int = 4, exact: bool = True
+) -> DataFrame:
     """BasicColStatSketch: one output row per column with presence,
     missing, min, max, sum, mean, stddev (sample). Computed as a
     single wide aggregate (one scan for all columns), then unpivoted
@@ -82,12 +84,24 @@ def basic_col_stats(df: DataFrame, cols: list[str], ndigits: int = 4) -> DataFra
     final subtraction runs in double, so when |mean| >> stddev the
     moment-formula cancellation costs relative precision (~1e-3 at
     mean/sd ~ 10^7) — sums and means stay exact regardless.
+
+    exact=False is the REFERENCE's own semantics — BasicColStatSketch
+    (BasicColStatSketch.java:31) accumulates plain doubles — and the
+    throughput path: ~9x faster at sf0.1 (0.16s vs 1.50s, four
+    columns) because the per-row math stays in native double instead
+    of 128-bit decimal. The price is reduction-order dependence in
+    the last ulp (not reproducible bit-for-bit across partitionings
+    or engines), so the oracle gate pins the exact path and the fast
+    path is tolerance-tested against it.
     """
     scale = 4
     aggs = []
     for c in cols:
-        dec = F.col(c).cast(f"decimal(28,{scale})")
-        dsq = F.col(c).cast(f"decimal(18,{scale})")
+        if exact:
+            dec = F.col(c).cast(f"decimal(28,{scale})")
+            dsq = F.col(c).cast(f"decimal(18,{scale})")
+        else:
+            dec = dsq = F.col(c).cast("double")
         n = F.count(c)
         s = F.sum(dec).cast("double")
         sq = F.sum(dsq * dsq).cast("double")

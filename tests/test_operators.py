@@ -924,3 +924,27 @@ def test_corr_matrix_sampled_portable_deterministic(spark, tables):
     for k in full:  # half-sample estimate tracks the population value
         assert abs(a[k] - full[k]) < 0.05
     assert a[("l_quantity", "l_quantity")] == pytest.approx(1.0)
+
+
+def test_basic_col_stats_fast_path_matches_exact(spark, tables):
+    """exact=False (the reference's own double-moment semantics,
+    BasicColStatSketch.java:31) must agree with the exact-decimal
+    path to float tolerance — same schema, same rows, values within
+    the rounding the operator already applies."""
+    from hillview_spark.operators import stats
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = tables["lineitem"]
+    exact = {r.col_name: r for r in stats.basic_col_stats(li, cols).collect()}
+    fast = {
+        r.col_name: r
+        for r in stats.basic_col_stats(li, cols, exact=False).collect()
+    }
+    assert set(exact) == set(fast)
+    for c in cols:
+        e, f = exact[c], fast[c]
+        assert (e.present_count, e.missing_count) == (f.present_count, f.missing_count)
+        assert (e.min_val, e.max_val) == (f.min_val, f.max_val)
+        assert f.sum_val == pytest.approx(e.sum_val, rel=1e-9)
+        assert f.mean_val == pytest.approx(e.mean_val, abs=2e-6)
+        assert f.stddev_val == pytest.approx(e.stddev_val, abs=2e-4)
