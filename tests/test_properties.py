@@ -211,3 +211,53 @@ def test_bucket_leaf_ranges_partition_and_invert(leaves, buckets):
     for i, (l, r) in enumerate(ranges):
         for leaf in {l, r - 1, (l + r) // 2}:
             assert leaf * buckets // leaves == i
+
+
+def _esc_py(v):
+    """Pure-Python replica of privacy._prf_field / the DuckDB twin."""
+    if v is None:
+        return "\\N"
+    return v.replace("\\", "\\\\").replace("|", "\\|")
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.text(max_size=6)), min_size=1, max_size=4),
+    st.lists(st.one_of(st.none(), st.text(max_size=6)), min_size=1, max_size=4),
+)
+def test_prf_field_escaping_is_injective(a, b):
+    """The escaped '|'-join is INJECTIVE on key tuples (same arity):
+    two distinct cells can never forge the same PRF key — the
+    property the per-cell parallel-composition DP argument needs.
+    Pure-Python replica of the expression (no Spark per example)."""
+    ka = "|".join(_esc_py(x) for x in a)
+    kb = "|".join(_esc_py(x) for x in b)
+    if len(a) == len(b):
+        assert (ka == kb) == (a == b)
+    elif a != b and ka == kb:
+        # different arity may only collide when one key's extra
+        # fields are absorbed by... nothing: the seed is appended as
+        # a fixed final field, so same-query keys always share arity.
+        # Cross-arity collisions are out of scope by construction.
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=10))
+def test_prf_escape_roundtrip_unambiguous(s):
+    """Escaped field text never contains a BARE '|' (every delimiter
+    in the joined key comes from the join itself), and the NULL
+    sentinel is unreachable from any non-NULL value."""
+    e = _esc_py(s)
+    # every '|' in the escaped text is preceded by a backslash run of
+    # odd length (i.e. it is escaped)
+    i = 0
+    for i, ch in enumerate(e):
+        if ch == "|":
+            back = 0
+            j = i - 1
+            while j >= 0 and e[j] == "\\":
+                back += 1
+                j -= 1
+            assert back % 2 == 1
+    assert e != "\\N" or s is None
