@@ -277,6 +277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_prefix_counts"] = lambda s, d: ev.dp_prefix_counts(
         _t(s, d, "events"), epsilon=1.0, seed=7, prf="md5str"
     )
+    # continual HISTOGRAM release (r6): per-window value-bucket cells
+    # under the same portable cell noise; streaming twin tested
+    q["dp_windowed_histogram"] = lambda s, d: ev.dp_windowed_histogram(
+        _t(s, d, "events"), "hour", "value",
+        lo=0.0, hi=500.0, buckets=10, epsilon=1.0, seed=7,
+    )
     _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     q["dp_histogram_mktsegment"] = lambda s, d: privacy.dp_histogram_string(
         _t(s, d, "customer"), "c_mktsegment", _SEGMENTS, epsilon=1.0, seed=7
@@ -2985,6 +2991,44 @@ def oracle_sql() -> dict[str, str]:
         FROM cum c JOIN noise n
           ON c.event_type IS NOT DISTINCT FROM n.event_type
          AND c.leaf = n.leaf
+    """
+
+    # dp_windowed_histogram: same md5 cell-noise replay as
+    # dp_windowed_counts, keyed on (epoch secs, value bucket); the
+    # bucket arithmetic mirrors events._value_bucket op-for-op
+    # (width = (500-0)/10 = 50.0).
+    o["dp_windowed_histogram"] = f"""
+        WITH counts AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   CAST(LEAST(GREATEST(FLOOR(
+                       (CAST(value AS DOUBLE) - 0.0) / 50.0), 0), 9)
+                       AS INT) AS bucket,
+                   COUNT(*) AS n_events
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), unif AS (
+            SELECT window_start, bucket, n_events,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('bucket')}
+                           || '|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM counts
+        )
+        SELECT window_start, bucket,
+               CAST(FLOOR(CAST(n_events AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_events
+        FROM unif
     """
 
     o["embedding_group_centroids"] = """

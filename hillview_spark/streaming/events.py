@@ -311,6 +311,122 @@ def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
+def windowed_histogram(
+    events: DataFrame,
+    unit: str = "hour",
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    buckets: int = 10,
+) -> DataFrame:
+    """Per-window histogram of a numeric column: (window_start,
+    bucket, n_events) — the telemetry-over-time shape (each window's
+    value distribution, not just its count). Pure bucket arithmetic
+    on the scan + ONE groupBy on (window, small int); shuffle is
+    O(windows x buckets) after map-side combine. Sparse: cells with
+    no events produce no row (same convention as windowed_counts)."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    return (
+        events.where(F.col(col).isNotNull())
+        .groupBy(
+            trunc_ntz(F.col("ts"), unit).alias("window_start"),
+            _value_bucket(col, lo, hi, buckets).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _value_bucket(col: str, lo: float, hi: float, buckets: int):
+    """Shared bucket expression for the windowed-histogram twins:
+    clamp(floor((v - lo) / width)) with width = (hi - lo)/buckets —
+    written in exactly this op order so the DuckDB oracle reproduces
+    the float arithmetic bit-for-bit."""
+    width = (hi - lo) / buckets
+    v = F.col(col).cast("double")
+    return F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(float(width))), F.lit(0)
+        ),
+        F.lit(buckets - 1),
+    ).cast("int")
+
+
+def dp_windowed_histogram(
+    events: DataFrame,
+    unit: str = "hour",
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    buckets: int = 10,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Differentially-private continual HISTOGRAM release: each
+    event lands in exactly one (window, value-bucket) cell, so one
+    portable md5-PRF Laplace(1/epsilon) draw per cell is epsilon-DP
+    by parallel composition — the 2-D telemetry generalization of
+    dp_windowed_counts (same release convention: observed cells
+    only). The noise expression is pure Catalyst keyed on
+    (epoch seconds, bucket), so the SAME formula streams unchanged
+    in stream_dp_windowed_histogram and replays in DuckDB."""
+    counts = windowed_histogram(events, unit, col, lo, hi, buckets).where(
+        F.col("window_start").isNotNull()
+    )
+    return _noisy_hist(counts, epsilon, seed)
+
+
+def stream_dp_windowed_histogram(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    buckets: int = 10,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of dp_windowed_histogram: watermarked tumbling
+    windows x value buckets, perturbed by the identical cell-keyed
+    noise expression — each cell's noise is derivable the moment the
+    watermark closes its window. Drive with outputMode('append') so
+    every cell is released exactly once."""
+    stream = _event_time_stream(spark, events_dir, schema)
+    counts = (
+        stream.where(F.col(col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("win"),
+            _value_bucket(col, lo, hi, buckets).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "n_events")
+    )
+    return _noisy_hist(counts, epsilon, seed)
+
+
+def _noisy_hist(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
+    """ONE noisy-release select shared by the histogram twins (the
+    dp_windowed_counts pattern: a single copy of the rounding and
+    the cell-noise expression keeps the twins bit-identical)."""
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    noise = laplace_noise_col(
+        epsilon, seed, secs, F.col("bucket"), prf="md5"
+    )
+    return counts.select(
+        "window_start",
+        "bucket",
+        F.floor(F.col("n_events").cast("double") + noise + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_events"),
+    )
+
+
 def _cell_noise(epsilon: float, seed: int):
     """Per-(window, type) Laplace draw for the continual release,
     keyed on the PORTABLE md5 PRF over (epoch seconds, event_type):

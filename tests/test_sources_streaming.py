@@ -609,3 +609,53 @@ def test_stream_dp_prefix_counts_restart_no_double_draw(spark, tmp_path):
         if r[3] == late[0] and r[1] < late[1] + dt.timedelta(hours=1)
     )
     assert batch[late] > phase2_only  # noise can't hide ~40 phase-1 rows
+
+
+def test_stream_dp_windowed_histogram_matches_batch(spark, tmp_path):
+    """Continual histogram release: the streaming twin's released
+    (window, value-bucket) noisy counts must equal the batch twin's
+    bit-for-bit (shared cell-noise expression), minus only the
+    watermark tail."""
+    d = str(tmp_path / "events_hist")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_dp_windowed_histogram(
+        spark, d, raw.schema, lo=0.0, hi=500.0, buckets=10,
+        epsilon=1.0, seed=3,
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_dp_whist")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.window_start, r.bucket): r.noisy_events
+        for r in spark.sql("SELECT * FROM t_dp_whist").collect()
+    }
+    batch = {
+        (r.window_start, r.bucket): r.noisy_events
+        for r in ev.dp_windowed_histogram(
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            "hour", "value", lo=0.0, hi=500.0, buckets=10,
+            epsilon=1.0, seed=3,
+        ).collect()
+    }
+    assert streamed and set(streamed) <= set(batch)
+    for k, v in streamed.items():
+        assert batch[k] == v
+    # noise is real: at least one released cell differs from its
+    # exact count
+    exact = {
+        (r.window_start, r.bucket): r.n_events
+        for r in ev.windowed_histogram(
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            "hour", "value", 0.0, 500.0, 10,
+        ).collect()
+    }
+    assert any(streamed[k] != exact[k] for k in streamed)
