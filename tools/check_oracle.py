@@ -65,6 +65,16 @@ def type_class(t: str) -> str:
     return _TYPE_CLASS.get(t, t)
 
 
+# Keys whose Spark/DuckDB value agreement is PROVEN only at the gate
+# fixtures (sf0.001/sf0.01): quantiles_approx needs integral p*n for
+# the two engines' discrete-rank conventions to provably coincide
+# (documented at its queries() entry); at e.g. sf0.1 they may differ
+# by one neighboring element. Reported as a documented SKIP at other
+# scale factors rather than a FAIL.
+GATE_SF_ONLY = {"quantiles_approx"}
+GATE_SF_DIRS = ("sf0.001", "sf0.01")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -90,8 +100,12 @@ def main():
         print(f"unknown query keys: {sorted(unknown)}")
         return 2
     failures = []
+    at_gate_sf = sf_dir.rstrip("/").endswith(GATE_SF_DIRS)
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in GATE_SF_ONLY and not at_gate_sf:
+            print(f"SKIP {name}: value agreement proven at gate SFs only")
             continue
         try:
             sdf = fn(spark, sf_dir)
