@@ -3007,6 +3007,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))
             GROUP BY 1, 2
         ), unif AS (
             SELECT window_start, bucket, n_events,

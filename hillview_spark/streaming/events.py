@@ -328,7 +328,7 @@ def windowed_histogram(
     from hillview_spark.operators.histogram import trunc_ntz
 
     return (
-        events.where(F.col(col).isNotNull())
+        events.where(_present(col))
         .groupBy(
             trunc_ntz(F.col("ts"), unit).alias("window_start"),
             _value_bucket(col, lo, hi, buckets).alias("bucket"),
@@ -337,11 +337,24 @@ def windowed_histogram(
     )
 
 
+def _present(col: str):
+    """NULL and NaN count as missing, exactly as histogram1d's range
+    scan treats them (histogram.py:42-50) — without the NaN drop a
+    NaN value would bucket-clamp instead of staying out."""
+    return F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+
+
 def _value_bucket(col: str, lo: float, hi: float, buckets: int):
     """Shared bucket expression for the windowed-histogram twins:
     clamp(floor((v - lo) / width)) with width = (hi - lo)/buckets —
     written in exactly this op order so the DuckDB oracle reproduces
-    the float arithmetic bit-for-bit."""
+    the float arithmetic bit-for-bit. Callers filter NULL/NaN first
+    (_present): Spark's greatest/least SKIP nulls, so an unfiltered
+    NULL would silently land in bucket 0."""
+    if not hi > lo:
+        raise ValueError(f"empty value range [{lo}, {hi})")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
     width = (hi - lo) / buckets
     v = F.col(col).cast("double")
     return F.least(
@@ -396,7 +409,7 @@ def stream_dp_windowed_histogram(
     every cell is released exactly once."""
     stream = _event_time_stream(spark, events_dir, schema)
     counts = (
-        stream.where(F.col(col).isNotNull())
+        stream.where(_present(col))
         .withWatermark("ts", watermark)
         .groupBy(
             F.window("ts", window_duration).alias("win"),
