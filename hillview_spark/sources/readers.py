@@ -76,6 +76,16 @@ LOG_PATTERNS = {
     ),
 }
 
+# The reference's pattern library names each Hadoop-family service
+# log separately, all delegating to %{HADOOP}
+# (platform/src/main/resources/patterns/log-patterns:19-25) — accept
+# the same names so a Hillview user's pattern string works verbatim.
+for _alias in (
+    "datanodelog", "hbaselog", "yarnlog", "oozielog", "zookeeperlog",
+    "hdfsnamenodelog", "hdfsdatanodelog",
+):
+    LOG_PATTERNS[_alias] = LOG_PATTERNS["hadoop"]
+
 # Patterns whose ts_raw is ISO8601 and parses with Spark's default
 # to_timestamp (no explicit format string needed).
 _ISO_TS_PATTERNS = {"rfc5424", "app_rfc3339"}

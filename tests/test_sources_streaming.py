@@ -481,9 +481,10 @@ def test_read_logs_reference_sample_files(spark, tmp_path):
         shutil.copyfile(os.path.join(REF_LOGS, name), dst)
         return readers.read_logs(spark, dst, pattern=pattern).collect()
 
-    # %{HADOOP}-family (zookeeperlog/hdfsnamenodelog parse fully)
+    # %{HADOOP}-family, addressed by the REFERENCE's own pattern
+    # names (log-patterns:19-25 aliases) — parse fully
     for name, nrows in [("zookeeperlog", 12), ("hdfsnamenodelog", 9)]:
-        rows = load(name, "hadoop")
+        rows = load(name, name)
         assert len(rows) == nrows
         assert all(not r.parse_error for r in rows)
         assert all(r.ts is not None for r in rows)  # typed TIMESTAMP
