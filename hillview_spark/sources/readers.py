@@ -66,6 +66,43 @@ LOG_PATTERNS = {
          "procid", "message_id", "structured_data", "message"],
         None,  # ISO8601 with offset — parsed via to_timestamp default
     ),
+    # %{VSANTRACE} (log-patterns:VSANTRACE): ISO-T ts, [counter],
+    # [cpuN], [op who what on other], command:line, {args}
+    "vsantrace": (
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+) \[(\d+)\]"
+        r" \[cpu(\d+)\] \[([^\] ]+)(?: ([^\] ]+))?(?: ([^\] ]+))?"
+        r"(?: ([^\] ]+))?(?: ([^\]]+))?\] ([^:]+:\d+): (\{.*\})$",
+        ["ts_raw", "counter:int", "cpu:int", "operation", "who",
+         "what", "on", "other", "command", "arguments"],
+        None,  # ISO8601 — parsed via to_timestamp default
+    ),
+    # %{BLOCKTRACE} (blktrace output): dev major,minor cpu seq
+    # rel-time pid ACTION OP [offset [+ size]] [process] extra
+    "blocktrace": (
+        r"^(\d+),(\d+)\s+(\d+)\s+(\d+)\s+(-?\d+\.\d+)\s+(\d+)\s+"
+        r"([A-Z]+)\s+([A-Z]+)(?:\s+(\d+))?(?:\s+\+\s+(\d+))?\s+"
+        r"(\[[^\]]*\])(.*)$",
+        ["device_major:int", "device_minor:int", "cpu:int",
+         "sequence:int", "time:double", "pid:int", "action", "op",
+         "offset:int", "size:int", "process", "extra"],
+        None,  # relative seconds, no wall-clock ts
+    ),
+    # %{NSXT_PROTON} / %{NSXT_PROXY}: ISO ts [host] - "VERB uri
+    # HTTP/v" response bytes first second
+    "nsxt_proton": (
+        r'^(\S+) - "(?:(\w+) (\S+)(?: HTTP/(\S+))?|-)"'
+        r"\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)$",
+        ["ts_raw", "verb", "uri", "http_version", "response:int",
+         "bytes:int", "first", "second"],
+        None,  # ISO8601 with Z
+    ),
+    "nsxt_proxy": (
+        r'^(\S+) (\S+) - "(?:(\w+) (\S+)(?: HTTP/(\S+))?|-)"'
+        r"\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)$",
+        ["ts_raw", "hostname", "verb", "uri", "http_version",
+         "response:int", "bytes:int", "first", "second"],
+        None,  # ISO8601 with Z
+    ),
     # RFC3339-timestamped application logs:
     # 2020-01-01T12:00:00.123Z LEVEL logger message
     "app_rfc3339": (
@@ -88,7 +125,9 @@ for _alias in (
 
 # Patterns whose ts_raw is ISO8601 and parses with Spark's default
 # to_timestamp (no explicit format string needed).
-_ISO_TS_PATTERNS = {"rfc5424", "app_rfc3339"}
+_ISO_TS_PATTERNS = {
+    "rfc5424", "app_rfc3339", "vsantrace", "nsxt_proton", "nsxt_proxy",
+}
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -513,6 +513,29 @@ def test_read_logs_reference_sample_files(spark, tmp_path):
     assert (len(rows), len(parsed)) == (9, 8)
     assert all(r.ts is not None and r.priority >= 0 for r in parsed)
 
+    # vsantrace: all 287 lines, typed ts + counter/cpu + arguments
+    rows = load("vsantracelog", "vsantrace")
+    assert len(rows) == 287 and all(not r.parse_error for r in rows)
+    assert all(
+        r.ts is not None and r.counter > 0 and r.arguments.startswith("{")
+        for r in rows
+    )
+
+    # blocktrace: 199 of 200 parse (one malformed '+848' offset line
+    # the reference grok also rejects); typed device/cpu/time fields
+    rows = load("blockTracelog", "blocktrace")
+    parsed = [r for r in rows if not r.parse_error]
+    assert (len(rows), len(parsed)) == (200, 199)
+    assert all(r.time >= 0 and r.action and r.process for r in parsed)
+
+    # nsxt proton/proxy: API-access logs, ISO ts + int response/bytes
+    rows = load("nsxtprotonlog", "nsxt_proton")
+    assert len(rows) == 8 and all(not r.parse_error for r in rows)
+    assert all(r.ts is not None and r.response == 200 for r in rows)
+    rows = load("nsxtproxylog", "nsxt_proxy")
+    assert len(rows) == 5 and all(not r.parse_error for r in rows)
+    assert all(r.hostname and r.uri.startswith("/") for r in rows)
+
 
 # --------------------------------------- DP prefix counter restart proof
 
