@@ -222,6 +222,9 @@ def headline_queries(t):
         "dp_prefix_counts": (lambda: ev.dp_prefix_counts(
             t["events"], epsilon=1.0, seed=7, prf="md5str"), "noop"),
         "dp_session_heatmap": (lambda: _dp_session_heatmap(t), "collect"),
+        "dp_windowed_histogram": (lambda: ev.dp_windowed_histogram(
+            t["events"], "hour", "value", lo=0.0, hi=500.0, buckets=10,
+            epsilon=1.0, seed=7), "noop"),
     }
 
 
