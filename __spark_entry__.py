@@ -904,11 +904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_singleton", "string_columns_filter",
         "row_comparison_filter", "quantized_histogram",
         "q4_late_orders", "q10_returned_items", "q14_promo_revenue",
+        # (b') the other round-6 additions — never driver-checked, so
+        # they outrank unchanged r4-green keys for the last slots
+        "dp_session_histogram", "dp_session_page",
+        "dp_windowed_histogram",
         # (e) r4 keys with r5/r6 code-path changes (persisted LSH
         # intermediates, IVF sidecar memoization, NULL-window filter)
         "dedup_corpus_pipeline", "ann_ivf_topk",
-        "events_windowed_counts", "asof_join_events", "dedup_exact",
-        "progressive_histogram",
+        "events_windowed_counts",
     ]
     missing = [k for k in priority if k not in q]
     assert not missing, f"priority rotation names unknown keys: {missing}"
