@@ -87,7 +87,15 @@ def portable_bernoulli(key_cols: list[str], fraction: float, seed: int = 42):
     corr_matrix sample path) hash-check against a DuckDB oracle.
     One codegen md5 per row, no shuffle; inherits salted_hex's loud
     NULL-key failure (a NULL field would silently collapse into its
-    neighbor under concat_ws)."""
+    neighbor under concat_ws).
+
+    Composite-key caveat: fields join with '_' UNescaped, so string
+    keys containing '_' can alias (('a_b','c') and ('a','b_c') share
+    one coin). Each row's marginal coin stays uniform and both
+    engines replay the same aliasing, so sampling results remain
+    correct and oracle-checkable — the coins of aliasing rows are
+    merely correlated. Use keys without '_' (ints, uuids) when
+    independence across all rows matters."""
     key = F.concat_ws(
         "_", *[salted_guard(F.col(c).cast("string")) for c in key_cols]
     )
