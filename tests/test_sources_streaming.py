@@ -683,3 +683,84 @@ def test_stream_dp_windowed_histogram_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert any(streamed[k] != exact[k] for k in streamed)
+
+
+def test_stream_dp_windowed_histogram_restart_append_once(spark, tmp_path):
+    """Kill-restart across a checkpoint for the continual histogram:
+    each (window, bucket) cell is released exactly once across the
+    restart boundary, and every released cell stays bit-identical to
+    the batch twin (the cell noise is keyed on the cell, so a restart
+    can neither re-draw nor re-release)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src_h")
+    ckpt = str(tmp_path / "ckpt_h")
+    out = str(tmp_path / "out_h")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema_str = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    def mk_rows(start_min, count, id0):
+        return [
+            (id0 + i, base + dt.timedelta(minutes=start_min + 9 * i), 1,
+             "click", float((i * 37) % 500))
+            for i in range(count)
+        ]
+
+    def add_batch(rows, name):
+        tmp = str(tmp_path / f"stage_h_{name}")
+        spark.createDataFrame(rows, schema_str).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.copyfile(part, os.path.join(src, f"{name}.parquet"))
+
+    schema = spark.createDataFrame([], schema_str).schema
+
+    def run_once():
+        sdf = ev.stream_dp_windowed_histogram(
+            spark, src, schema, lo=0.0, hi=500.0, buckets=10,
+            epsilon=1.0, seed=5,
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    rows1 = mk_rows(0, 40, 0)        # ~0h .. 6h
+    rows2 = mk_rows(420, 40, 100)    # 7h .. ~13h
+    add_batch(rows1, "b1")
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first > 0
+
+    add_batch(rows2, "b2")
+    run_once()  # restart from the same checkpoint
+
+    released = spark.read.parquet(out).collect()
+    got = {}
+    for r in released:
+        k = (r.window_start, r.bucket)
+        assert k not in got, f"cell released twice across restart: {k}"
+        got[k] = r.noisy_events
+    batch = {
+        (r.window_start, r.bucket): r.noisy_events
+        for r in ev.dp_windowed_histogram(
+            spark.createDataFrame(rows1 + rows2, schema_str),
+            "hour", "value", lo=0.0, hi=500.0, buckets=10,
+            epsilon=1.0, seed=5,
+        ).collect()
+    }
+    assert len(got) > first  # the second life released new cells
+    for k, v in got.items():
+        assert batch[k] == v
