@@ -75,7 +75,8 @@ def _dp_session_view(lineitem: DataFrame):
 
     col, lo, hi = _DP_SESSION_FILTER
     pv = api.PrivateTableView(
-        api.TableView(lineitem), _dp_session_schema(), seed=_DP_SESSION_SEED
+        api.TableView(lineitem), _dp_session_schema(), seed=_DP_SESSION_SEED,
+        prf="md5str",
     )
     return pv.filter_range(col, lo, hi)
 
@@ -238,14 +239,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["logs_parse_syslog"] = _logs_parse_syslog
 
     # --- differential privacy (binary mechanism) ---------------------
+    # md5str PRF since r7 (VERDICT directive #1): the oracle
+    # re-derives every Laplace draw inside DuckDB instead of taking
+    # Python-computed noise literals.
     q["dp_histogram_quantity"] = lambda s, d: privacy.dp_histogram(
         _t(s, d, "lineitem"), "l_quantity",
         lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
+        prf="md5str",
     )
     q["dp_cdf_quantity"] = lambda s, d: privacy.dp_histogram(
         _t(s, d, "lineitem"), "l_quantity",
         lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0, buckets=10, seed=7,
-        cdf=True,
+        cdf=True, prf="md5str",
     )
     # rows+schema oracle (r6): driver-side iterative optimization
     # (the brief's non-SQL-expressible category) — the oracle pins
@@ -285,29 +290,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     q["dp_histogram_mktsegment"] = lambda s, d: privacy.dp_histogram_string(
-        _t(s, d, "customer"), "c_mktsegment", _SEGMENTS, epsilon=1.0, seed=7
+        _t(s, d, "customer"), "c_mktsegment", _SEGMENTS, epsilon=1.0, seed=7,
+        prf="md5str",
     )
     q["dp_count_lineitem"] = lambda s, d: privacy.dp_count(
-        _t(s, d, "lineitem"), epsilon=1.0, seed=7
+        _t(s, d, "lineitem"), epsilon=1.0, seed=7, prf="md5str"
     )
     q["dp_distinct_custkey"] = lambda s, d: privacy.dp_distinct_count(
-        _t(s, d, "orders"), "o_custkey", epsilon=1.0, seed=7
+        _t(s, d, "orders"), "o_custkey", epsilon=1.0, seed=7, prf="md5str"
     )
     q["dp_next_k_rows"] = lambda s, d: privacy.dp_next_k(
         _t(s, d, "lineitem"),
         ["l_returnflag", "l_linestatus", "l_quantity"],
-        epsilon=1.0, k=20, seed=7,
+        epsilon=1.0, k=20, seed=7, prf="md5str",
     )
     q["dp_quantiles_quantity"] = lambda s, d: privacy.dp_quantiles(
         _t(s, d, "lineitem"), "l_quantity",
         lo=1.0, hi=51.0, granularity=1.0, epsilon=1.0,
-        probs=[0.25, 0.5, 0.75, 0.95], buckets=10, seed=7,
+        probs=[0.25, 0.5, 0.75, 0.95], buckets=10, seed=7, prf="md5str",
     )
     q["dp_heatmap_qty_discount"] = lambda s, d: privacy.dp_heatmap(
         _t(s, d, "lineitem"), "l_quantity", "l_discount",
         xlo=1.0, xhi=51.0, xgranularity=1.0,
         ylo=0.0, yhi=0.11, ygranularity=0.01,
-        epsilon=1.0, xbuckets=5, ybuckets=4, seed=7,
+        epsilon=1.0, xbuckets=5, ybuckets=4, seed=7, prf="md5str",
     )
     # the composed private SESSION a DPWrapper user actually runs:
     # curator-quantized view -> range filter (fresh lineage seed) ->
@@ -942,6 +948,78 @@ def _prf_field_sql(expr: str) -> str:
         f"COALESCE(REPLACE(REPLACE(CAST({expr} AS VARCHAR), "
         "chr(92), chr(92)||chr(92)), '|', chr(92)||'|'), chr(92)||'N')"
     )
+
+
+def _kadic_spine_sql(key_cols: list[str], cells, seed: int, ci: int,
+                     scale: float) -> str:
+    """CTE chain re-deriving a binary-mechanism noise spine ENTIRELY
+    in DuckDB SQL (VERDICT-r6 directive #1): the only embedded
+    literals are the DATA-INDEPENDENT k-adic node coordinates (pure
+    interval arithmetic from the curator grid — privacy.
+    kadic_decomposition), never a noise value. Each draw's uniform is
+    the md5str PRF (privacy._uniform: first 13 hex digits of
+    md5('seed|ci|a:s|...')), clamped and pushed through the
+    SecureLaplace inverse CDF, and per-cell draws sum via
+    list_sum(list(... ORDER BY ord)) — a sequential fold in node
+    order, matching the Python spine's float sum bit-for-bit (the
+    same recipe the dp_prefix_counts oracle hash-proved in r6).
+
+    cells: [(key_literals_tuple, [node_str, ...])] where node_str is
+    one draw's PRF suffix — 'a:s' for 1-D nodes, 'xa:xs|ya:ys' for
+    heatmap node PAIRS. Yields a CTE chain ending in
+    noise({key_cols}, noise, n_intervals, variance)."""
+    rows = []
+    for key_vals, nodes in cells:
+        for ordn, node in enumerate(nodes):
+            vals = ", ".join(str(v) for v in key_vals)
+            rows.append(f"({vals}, {ordn}, '{node}')")
+    keys = ", ".join(key_cols)
+    var = 2.0 * scale * scale
+    return f"""
+        kadic_nodes({keys}, ord, node) AS (
+            VALUES {", ".join(rows)}
+        ), kadic_draws AS (
+            SELECT {keys}, ord,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5('{seed}|{ci}|' || node),
+                            1, 13)) AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM kadic_nodes
+        ), noise AS (
+            SELECT {keys},
+                   list_sum(list(
+                       CASE WHEN 0.5 - u < 0
+                            THEN -({scale!r}) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE {scale!r} * LN(1.0 - 2.0 * (0.5 - u)) END
+                       ORDER BY ord)) AS noise,
+                   CAST(COUNT(*) AS INT) AS n_intervals,
+                   CAST(COUNT(*) AS DOUBLE) * {var!r} AS variance
+            FROM kadic_draws GROUP BY {keys}
+        )"""
+
+
+def _count_noise_sql(seed: int, ci: int, epsilon: float,
+                     special: int = -1) -> str:
+    """Scalar SQL expression for ONE md5str count-noise draw
+    (privacy.count_noise: node (special, 0), scale 1/epsilon) —
+    re-derived in-engine, not injected as a Python literal."""
+    scale = 1.0 / epsilon
+    return f"""(
+        WITH cn_u AS (
+            SELECT LEAST(GREATEST(
+                CAST(('0x' || substr(md5('{seed}|{ci}|{special}:0'),
+                     1, 13)) AS BIGINT)
+                * POWER(CAST(2.0 AS DOUBLE), -52),
+                POWER(CAST(2.0 AS DOUBLE), -53)),
+                1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+        )
+        SELECT CASE WHEN 0.5 - u < 0
+                    THEN -({scale!r}) * LN(1.0 - 2.0 * (u - 0.5))
+                    ELSE {scale!r} * LN(1.0 - 2.0 * (0.5 - u)) END
+        FROM cn_u
+    )"""
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -1715,26 +1793,29 @@ def oracle_sql() -> dict[str, str]:
         FROM lines
     """
 
-    # DP histograms: the noise spine depends only on the bucket
-    # STRUCTURE (seeded PRF over k-adic tree nodes — identical by
-    # construction on any engine), so the oracle embeds it as literal
-    # VALUES; the data-dependent exact counts are recomputed
-    # independently by DuckDB from parquet with the same quantization
-    # arithmetic the Spark plan uses.
+    # DP histograms (md5str gate variants since r7): the oracle
+    # embeds only the DATA-INDEPENDENT k-adic node COORDINATES of
+    # each bucket's interval — the noise itself (PRF draw, inverse
+    # CDF, ordered sum) is re-derived inside DuckDB by
+    # _kadic_spine_sql, so a noise bug in the engine would surface
+    # as a hash mismatch instead of being copied into the oracle.
+    # The data-dependent exact counts are recomputed independently
+    # from parquet with the same quantization arithmetic.
     from hillview_spark.operators import privacy as _priv
     import math as _math
 
     def _dp_hist_sql(cdf: bool) -> str:
         leaves, buckets, scale = 50, 10, _priv.noise_scale(1.0, 50)
-        vals = []
+        cells = []
         for i, (l, r) in enumerate(_priv._bucket_leaf_ranges(leaves, buckets)):
             nl, nr = (0, r) if cdf else (l, r)
-            noise, n = _priv.interval_noise(nl, nr, scale, seed=7)
-            vals.append(
-                f"({i}, {float(1.0 + l)!r}, {noise!r}, {n}, "
-                f"{n * _priv.laplace_variance(scale)!r})"
-            )
-        noise_rows = ",\n               ".join(vals)
+            nodes = [
+                f"{a}:{s}" for a, s in _priv.kadic_decomposition(nl, nr)
+            ]
+            cells.append(((i, repr(float(1.0 + l))), nodes))
+        spine = _kadic_spine_sql(
+            ["bucket", "left_edge"], cells, seed=7, ci=0, scale=scale
+        )
         cnt = (
             "SUM(COALESCE(c.cnt, 0)) OVER (ORDER BY n.bucket)"
             if cdf
@@ -1744,9 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         if cdf:
             noisy = "MAX(noisy_raw) OVER (ORDER BY bucket)"
         return f"""
-        WITH noise(bucket, left_edge, noise, n_intervals, variance) AS (
-            VALUES {noise_rows}
-        ), counts AS (
+        WITH {spine}, counts AS (
             SELECT CAST((CAST(LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0), 49)
                        AS BIGINT) * 10) // 50 AS INT) AS bucket,
@@ -1783,26 +1862,23 @@ def oracle_sql() -> dict[str, str]:
         yleaves = _math.ceil((0.11 - 0.0) / 0.01)
         ybuckets = 4
         scale = _priv.noise_scale(1.0, xleaves, yleaves)
-        vals = []
+        cells = []
         for i, (xl, xr) in enumerate(_priv._bucket_leaf_ranges(xleaves, xbuckets)):
             xnodes = _priv.kadic_decomposition(xl, xr)
             for j, (yl, yr) in enumerate(_priv._bucket_leaf_ranges(yleaves, ybuckets)):
                 ynodes = _priv.kadic_decomposition(yl, yr)
-                noise = sum(
-                    _priv.node_noise(7, 0, scale, xn, yn)
-                    for xn in xnodes
-                    for yn in ynodes
-                )
-                n = len(xnodes) * len(ynodes)
-                vals.append(
-                    f"({i}, {j}, {noise!r}, {n}, "
-                    f"{n * _priv.laplace_variance(scale)!r})"
-                )
-        noise_rows = ",\n               ".join(vals)
+                # one draw per NODE PAIR, in the engine's loop order
+                pairs = [
+                    f"{xa}:{xs}|{ya}:{ys}"
+                    for xa, xs in xnodes
+                    for ya, ys in ynodes
+                ]
+                cells.append(((i, j), pairs))
+        spine = _kadic_spine_sql(
+            ["xbucket", "ybucket"], cells, seed=7, ci=0, scale=scale
+        )
         return f"""
-        WITH noise(xbucket, ybucket, noise, n_intervals, variance) AS (
-            VALUES {noise_rows}
-        ), counts AS (
+        WITH {spine}, counts AS (
             SELECT CAST((CAST(LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
                        {xleaves - 1}) AS BIGINT) * {xbuckets}) // {xleaves}
@@ -1831,7 +1907,8 @@ def oracle_sql() -> dict[str, str]:
         filter -> noisy heatmap): the lineage seed and folded column
         index come from the SAME library code the session uses
         (api.effective_seed / range_filter_desc + the schema
-        constants), the node-pair spine is embedded as literals, and
+        constants); the node-pair spine embeds only node COORDINATES
+        — every draw is re-derived in SQL by _kadic_spine_sql — and
         the quantize/filter/bucket arithmetic is replayed op-for-op
         (the y re-bucketing of the quantized value must run the
         IDENTICAL double expression in both engines)."""
@@ -1848,26 +1925,22 @@ def oracle_sql() -> dict[str, str]:
         scale = _priv.noise_scale(
             schema.epsilon("l_quantity", "l_discount"), xleaves, yleaves
         )
-        vals = []
+        cells = []
         for i, (xl, xr) in enumerate(_priv._bucket_leaf_ranges(xleaves, xb)):
             xnodes = _priv.kadic_decomposition(xl, xr)
             for j, (yl, yr) in enumerate(_priv._bucket_leaf_ranges(yleaves, yb)):
                 ynodes = _priv.kadic_decomposition(yl, yr)
-                noise = sum(
-                    _priv.node_noise(seed_eff, ci, scale, xn, yn)
-                    for xn in xnodes
-                    for yn in ynodes
-                )
-                n = len(xnodes) * len(ynodes)
-                vals.append(
-                    f"({i}, {j}, {noise!r}, {n}, "
-                    f"{n * _priv.laplace_variance(scale)!r})"
-                )
-        noise_rows = ",\n               ".join(vals)
+                pairs = [
+                    f"{xa}:{xs}|{ya}:{ys}"
+                    for xa, xs in xnodes
+                    for ya, ys in ynodes
+                ]
+                cells.append(((i, j), pairs))
+        spine = _kadic_spine_sql(
+            ["xbucket", "ybucket"], cells, seed=seed_eff, ci=ci, scale=scale
+        )
         return f"""
-        WITH noise(xbucket, ybucket, noise, n_intervals, variance) AS (
-            VALUES {noise_rows}
-        ), quant AS (
+        WITH {spine}, quant AS (
             SELECT 1.0 + LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
                        {xleaves - 1}) * 1.0 AS qx,
@@ -1900,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
 
     def _dp_session_hist_sql() -> str:
         """1-D sibling of _dp_session_heatmap_sql: same lineage seed,
-        l_quantity's own column index, interval_noise spine over the
+        l_quantity's own column index, SQL-re-derived spine over the
         50-leaf/10-bucket grid, counts from the quantized+filtered
         view."""
         from hillview_spark import api as _api
@@ -1914,18 +1987,15 @@ def oracle_sql() -> dict[str, str]:
         ci = idx["l_quantity"]
         leaves, buckets = 50, 10
         scale = _priv.noise_scale(schema.epsilon("l_quantity"), leaves)
-        vals = []
+        cells = []
         for i, (l, r) in enumerate(_priv._bucket_leaf_ranges(leaves, buckets)):
-            noise, n = _priv.interval_noise(l, r, scale, seed_eff, ci)
-            vals.append(
-                f"({i}, {float(1.0 + l)!r}, {noise!r}, {n}, "
-                f"{n * _priv.laplace_variance(scale)!r})"
-            )
-        noise_rows = ",\n               ".join(vals)
+            nodes = [f"{a}:{s}" for a, s in _priv.kadic_decomposition(l, r)]
+            cells.append(((i, repr(float(1.0 + l))), nodes))
+        spine = _kadic_spine_sql(
+            ["bucket", "left_edge"], cells, seed=seed_eff, ci=ci, scale=scale
+        )
         return f"""
-        WITH noise(bucket, left_edge, noise, n_intervals, variance) AS (
-            VALUES {noise_rows}
-        ), quant AS (
+        WITH {spine}, quant AS (
             SELECT 1.0 + LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
                        {leaves - 1}) * 1.0 AS qx
@@ -1965,8 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         ci = _api.fallback_index(
             "l_returnflag,l_linestatus,l_quantity", len(schema.quantization)
         )
-        scanned_noise = _priv.count_noise(1.0, seed_eff, ci)
-        var = _priv.laplace_variance(1.0)
+        scanned_noise_sql = _count_noise_sql(seed_eff, ci, 1.0, special=-1)
         return f"""
         WITH quant AS (
             SELECT l_returnflag, l_linestatus,
@@ -2002,7 +2071,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
                     + 0.5) AS BIGINT) AS noisy_cnt,
                (SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
-                            + CAST({scanned_noise!r} AS DOUBLE) + 0.5)
+                            + {scanned_noise_sql} + 0.5)
                        AS BIGINT)
                 FROM view_rows) AS noisy_rows_scanned
         FROM unif
@@ -2013,19 +2082,16 @@ def oracle_sql() -> dict[str, str]:
     def _dp_string_sql() -> str:
         segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
         scale = _priv.noise_scale(1.0, len(segs))
-        vals = []
+        cells = []
         for i, (l, r) in enumerate(_priv._bucket_leaf_ranges(len(segs), len(segs))):
-            noise, n = _priv.interval_noise(l, r, scale, seed=7)
-            vals.append(
-                f"({i}, '{segs[l]}', {noise!r}, {n}, "
-                f"{n * _priv.laplace_variance(scale)!r})"
-            )
-        noise_rows = ",\n               ".join(vals)
+            nodes = [f"{a}:{s}" for a, s in _priv.kadic_decomposition(l, r)]
+            cells.append(((i, f"'{segs[l]}'"), nodes))
+        spine = _kadic_spine_sql(
+            ["bucket", "left_boundary"], cells, seed=7, ci=0, scale=scale
+        )
         seg_list = ", ".join(f"'{s}'" for s in segs)
         return f"""
-        WITH noise(bucket, left_boundary, noise, n_intervals, variance) AS (
-            VALUES {noise_rows}
-        ), counts AS (
+        WITH {spine}, counts AS (
             SELECT CAST(GREATEST(LEN(LIST_FILTER([{seg_list}],
                        x -> x <= c_mktsegment)) - 1, 0) AS INT) AS bucket,
                    COUNT(*) AS cnt
@@ -2040,18 +2106,21 @@ def oracle_sql() -> dict[str, str]:
 
     o["dp_histogram_mktsegment"] = _dp_string_sql()
 
-    _cnt_noise = _priv.count_noise(1.0, 7)
+    # count-query draws: re-derived in SQL from the md5str special
+    # buckets (-1 = TotalCount, -3 = DistinctCount) — zero literals
+    _cnt_noise_sql = _count_noise_sql(7, 0, 1.0, special=-1)
     o["dp_count_lineitem"] = f"""
-        SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) + CAST({_cnt_noise!r} AS DOUBLE)
+        SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                    + {_cnt_noise_sql}
                     + 0.5) AS BIGINT) AS noisy_rows,
                CAST({_priv.laplace_variance(1.0)!r} AS DOUBLE) AS variance
         FROM lineitem
     """
 
-    _dst_noise = _priv.count_noise(1.0, 7, special=_priv.SPECIAL_DISTINCT_COUNT)
     o["dp_distinct_custkey"] = f"""
         SELECT CAST(FLOOR(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
-                    + CAST({_dst_noise!r} AS DOUBLE) + 0.5) AS BIGINT)
+                    + {_count_noise_sql(7, 0, 1.0, special=-3)}
+                    + 0.5) AS BIGINT)
                    AS noisy_distinct,
                CAST({_priv.laplace_variance(1.0)!r} AS DOUBLE) AS variance
         FROM orders
@@ -2088,7 +2157,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
                     + 0.5) AS BIGINT) AS noisy_cnt,
                (SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
-                            + CAST({_cnt_noise!r} AS DOUBLE) + 0.5) AS BIGINT)
+                            + {_cnt_noise_sql} + 0.5) AS BIGINT)
                 FROM lineitem) AS noisy_rows_scanned
         FROM unif
     """
@@ -2865,10 +2934,12 @@ def oracle_sql() -> dict[str, str]:
     """
     # dp_windowed_counts: the md5-PRF cell noise is engine-portable —
     # DuckDB rebuilds the identical 52-bit uniform ('0x'+13 hex digits
-    # of md5("secs|type|seed")) and the identical inverse-CDF op order
-    # (SecureLaplace.java:62-69); LN is within 1 ulp cross-library and
-    # the FLOOR'd integer release absorbs it, so the noisy counts
-    # hash-match. scale = 1/epsilon = 1.0, seed = 7 (gate args).
+    # of md5("secs|type|wcounts|seed"); 'wcounts' is the mechanism
+    # domain tag separating this release from dp_windowed_histogram's
+    # 'whist' under a shared seed) and the identical inverse-CDF op
+    # order (SecureLaplace.java:62-69); LN is within 1 ulp
+    # cross-library and the FLOOR'd integer release absorbs it, so the
+    # noisy counts hash-match. scale = 1/epsilon = 1.0, seed = 7.
     o["dp_windowed_counts"] = f"""
         WITH counts AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
@@ -2882,7 +2953,7 @@ def oracle_sql() -> dict[str, str]:
                            {_prf_field_sql('CAST(CAST(epoch(window_start)'
                                            ' AS BIGINT) AS VARCHAR)')}
                            || '|' || {_prf_field_sql('event_type')}
-                           || '|7'), 1, 13))
+                           || '|wcounts|7'), 1, 13))
                            AS BIGINT)
                        * POWER(CAST(2.0 AS DOUBLE), -52),
                        POWER(CAST(2.0 AS DOUBLE), -53)),
@@ -3019,7 +3090,7 @@ def oracle_sql() -> dict[str, str]:
                            {_prf_field_sql('CAST(CAST(epoch(window_start)'
                                            ' AS BIGINT) AS VARCHAR)')}
                            || '|' || {_prf_field_sql('bucket')}
-                           || '|7'), 1, 13))
+                           || '|whist|7'), 1, 13))
                            AS BIGINT)
                        * POWER(CAST(2.0 AS DOUBLE), -52),
                        POWER(CAST(2.0 AS DOUBLE), -53)),

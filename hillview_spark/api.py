@@ -211,11 +211,16 @@ class PrivateTableView:
     filters still derive views — quantization composes under
     Catalyst like any other projection."""
 
-    def __init__(self, view: TableView, schema, seed: int = 0):
+    def __init__(self, view: TableView, schema, seed: int = 0,
+                 prf: str = "sha256"):
         from hillview_spark.operators.privacy import private_view
 
         self.schema = schema
         self.seed = seed
+        # PRF for every noise draw in this session: 'sha256' (house
+        # default) or 'md5str' (engine-portable — lets an external
+        # auditor/oracle re-derive the session's noise spine in SQL)
+        self.prf = prf
         self.df = private_view(view.df, schema)
         # stable per-column PRF index, as the reference indexes noise
         # by column position in the privacy schema
@@ -253,6 +258,7 @@ class PrivateTableView:
     def _derive(self, df, desc: str) -> "PrivateTableView":
         out = object.__new__(PrivateTableView)
         out.schema, out.seed, out.df = self.schema, self.seed, df
+        out.prf = self.prf
         out._col_index = self._col_index
         out._lineage = self._lineage + (desc,)
         return out
@@ -270,7 +276,7 @@ class PrivateTableView:
         return _priv.dp_histogram(
             self.df, col, q.global_min, q.global_max, q.granularity,
             self.schema.epsilon(col), buckets, self._seed(),
-            self._col_index[col], cdf,
+            self._col_index[col], cdf, prf=self.prf,
         )
 
     def histogram_string(self, col: str, buckets: int | None = None) -> DataFrame:
@@ -279,7 +285,7 @@ class PrivateTableView:
         q = self.schema.quantization[col]
         return _priv.dp_histogram_string(
             self.df, col, q.left_boundaries, self.schema.epsilon(col),
-            buckets, self._seed(), self._col_index[col],
+            buckets, self._seed(), self._col_index[col], prf=self.prf,
         )
 
     def heatmap(self, xcol: str, ycol: str, xb: int = 25, yb: int = 25) -> DataFrame:
@@ -291,7 +297,7 @@ class PrivateTableView:
             qx.global_min, qx.global_max, qx.granularity,
             qy.global_min, qy.global_max, qy.granularity,
             self.schema.epsilon(xcol, ycol), xb, yb, self._seed(),
-            self._col_index[xcol], self._col_index[ycol],
+            self._col_index[xcol], self._col_index[ycol], prf=self.prf,
         )
 
     def quantiles(self, col: str, probs: list[float], buckets: int = 40) -> DataFrame:
@@ -301,19 +307,20 @@ class PrivateTableView:
         return _priv.dp_quantiles(
             self.df, col, q.global_min, q.global_max, q.granularity,
             self.schema.epsilon(col), probs, buckets, self._seed(),
-            self._col_index[col],
+            self._col_index[col], prf=self.prf,
         )
 
     def count(self, epsilon: float = 1.0) -> DataFrame:
         from hillview_spark.operators import privacy as _priv
 
-        return _priv.dp_count(self.df, epsilon, self._seed())
+        return _priv.dp_count(self.df, epsilon, self._seed(), prf=self.prf)
 
     def distinct_count(self, col: str, epsilon: float = 1.0) -> DataFrame:
         from hillview_spark.operators import privacy as _priv
 
         return _priv.dp_distinct_count(
-            self.df, col, epsilon, self._seed(), self._index_of(col)
+            self.df, col, epsilon, self._seed(), self._index_of(col),
+            prf=self.prf,
         )
 
     def page(self, sort_cols: list[str], epsilon: float = 1.0, k: int = 20,
@@ -323,5 +330,5 @@ class PrivateTableView:
 
         return _priv.dp_next_k(
             self.df, sort_cols, epsilon, k, ascending, start, self._seed(),
-            self._index_of(",".join(sort_cols)),
+            self._index_of(",".join(sort_cols)), prf=self.prf,
         )

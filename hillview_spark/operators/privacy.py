@@ -237,6 +237,7 @@ def dp_histogram(
     column_index: int = 0,
     cdf: bool = False,
     k: int = BRANCHING_FACTOR,
+    prf: str = "sha256",
 ) -> DataFrame:
     """Noisy histogram (or CDF) of `col` under the binary mechanism.
 
@@ -250,6 +251,13 @@ def dp_histogram(
 
     Output: (bucket, left_edge, noisy_count, n_intervals, variance)
     — dense, one row per bucket. Exact counts never leave the plan.
+
+    prf='md5str' switches every per-node draw to the engine-portable
+    md5-over-string PRF (_uniform's md5str mode, the same recipe the
+    DP continual counter uses) so an external engine — or the DuckDB
+    gate oracle — can re-derive the whole noise spine from the
+    (data-independent) node list alone instead of trusting
+    Python-computed noise literals.
     """
     leaves = max(1, math.ceil((hi - lo) / granularity))
     buckets = min(buckets, leaves)
@@ -260,7 +268,7 @@ def dp_histogram(
     spine = []  # (bucket, left_edge, noise, n_intervals, variance)
     for i, (l, r) in enumerate(ranges):
         nl, nr = (0, r) if cdf else (l, r)
-        noise, n = interval_noise(nl, nr, scale, seed, column_index, k)
+        noise, n = interval_noise(nl, nr, scale, seed, column_index, k, prf=prf)
         spine.append((i, float(lo + l * granularity), noise, n, n * base_var))
     spark = df.sparkSession
     noise_df = spark.createDataFrame(
@@ -323,6 +331,7 @@ def dp_quantiles(
     seed: int = 0,
     column_index: int = 0,
     k: int = BRANCHING_FACTOR,
+    prf: str = "sha256",
 ) -> DataFrame:
     """Private quantiles by inverting the noisy CDF — the estimate the
     reference's private views read off the DPHistogram CDF rendering
@@ -334,7 +343,7 @@ def dp_quantiles(
     inversion runs on O(buckets) rows."""
     cdf = dp_histogram(
         df, col, lo, hi, granularity, epsilon, buckets, seed, column_index,
-        cdf=True, k=k,
+        cdf=True, k=k, prf=prf,
     ).select("bucket", "left_edge", "noisy_count")
     spark = df.sparkSession
     pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
@@ -370,6 +379,7 @@ def dp_heatmap(
     column_index: int = 0,
     column_index_y: int = 0,
     k: int = BRANCHING_FACTOR,
+    prf: str = "sha256",
 ) -> DataFrame:
     """Noisy 2-D histogram: noise per cell is one draw per PAIR of
     k-adic nodes (x-node, y-node) covering the cell's leaf rectangle,
@@ -406,7 +416,9 @@ def dp_heatmap(
             noise = 0.0
             for xn in xnodes:
                 for yn in ynodes:
-                    noise += node_noise(seed, column_index, scale, xn, yn)
+                    noise += node_noise(
+                        seed, column_index, scale, xn, yn, prf=prf
+                    )
             n = len(xnodes) * len(ynodes)
             spine.append((i, j, noise, n, n * base_var))
     spark = df.sparkSession
@@ -460,9 +472,14 @@ def _prf_field(c) -> F.Column:
     place) and a value containing '|' could forge another cell's key
     — either way two DISTINCT cells could share one Laplace draw,
     which breaks the per-cell parallel-composition argument.
-    Identity on values without '|' or '\\', so all existing releases
-    (and their DuckDB oracle twins, which apply the same
-    REPLACE/COALESCE) are bit-unchanged."""
+    Identity on non-NULL values without '|' or '\\' — under prf='md5'
+    (which always hashed strings) such releases (and their DuckDB
+    oracle twins, which apply the same REPLACE/COALESCE) are
+    bit-unchanged. The xxhash64 path previously hashed NATIVE column
+    types; routing it through escaped strings changed every
+    xxhash64-keyed draw under the same seed — an intentional
+    hardening side effect (engine-internal noise only; no oracle ever
+    keyed on xxhash64)."""
     s = c.cast("string")
     esc = F.replace(
         F.replace(s, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|")
@@ -535,22 +552,31 @@ SPECIAL_DISTINCT_COUNT = -3
 
 
 def count_noise(
-    epsilon: float, seed: int, column_index: int = 0, special: int = SPECIAL_TOTAL_COUNT
+    epsilon: float,
+    seed: int,
+    column_index: int = 0,
+    special: int = SPECIAL_TOTAL_COUNT,
+    prf: str = "sha256",
 ) -> float:
     """One Laplace(1/epsilon) draw for a whole-table count query,
     seeded by a special negative bucket index so it never collides
     with a tree node (DPWrapper.computeCountNoise,
-    DPWrapper.java:187-205)."""
-    return node_noise(seed, column_index, 1.0 / epsilon, (special, 0))
+    DPWrapper.java:187-205). prf='md5str' keys the draw on
+    md5('seed|ci|special:0') — re-derivable by any engine."""
+    return node_noise(seed, column_index, 1.0 / epsilon, (special, 0), prf=prf)
 
 
 def dp_count(
-    df: DataFrame, epsilon: float, seed: int = 0, column_index: int = 0
+    df: DataFrame,
+    epsilon: float,
+    seed: int = 0,
+    column_index: int = 0,
+    prf: str = "sha256",
 ) -> DataFrame:
     """Noisy total row count (DPWrapper.getTableMetadata,
     DPWrapper.java:167-174): COUNT(*) + Laplace(1/epsilon), rounded
     half-up, with the analytic noise variance alongside."""
-    noise = count_noise(epsilon, seed, column_index)
+    noise = count_noise(epsilon, seed, column_index, prf=prf)
     var = laplace_variance(1.0 / epsilon)
     return df.agg(
         F.floor(F.count(F.lit(1)).cast("double") + F.lit(noise) + F.lit(0.5))
@@ -561,7 +587,12 @@ def dp_count(
 
 
 def dp_distinct_count(
-    df: DataFrame, col: str, epsilon: float, seed: int = 0, column_index: int = 0
+    df: DataFrame,
+    col: str,
+    epsilon: float,
+    seed: int = 0,
+    column_index: int = 0,
+    prf: str = "sha256",
 ) -> DataFrame:
     """Noisy distinct count — NoisyHLogLog (sketches/results/
     NoisyHLogLog.java:12-25): the distinct-count estimate plus one
@@ -570,7 +601,9 @@ def dp_distinct_count(
     estimate; exact keeps the result deterministic and oracle-able —
     swap in distinct_count_approx for the sketch at extreme
     cardinalities)."""
-    noise = count_noise(epsilon, seed, column_index, SPECIAL_DISTINCT_COUNT)
+    noise = count_noise(
+        epsilon, seed, column_index, SPECIAL_DISTINCT_COUNT, prf=prf
+    )
     return df.agg(
         F.floor(F.countDistinct(col).cast("double") + F.lit(noise) + F.lit(0.5))
         .cast("long")
@@ -588,6 +621,7 @@ def dp_next_k(
     start: tuple | None = None,
     seed: int = 0,
     column_index: int = 0,
+    prf: str = "sha256",
 ) -> DataFrame:
     """Private spreadsheet page — NextKSketchNoisy (sketches/results/
     NextKSketchNoisy.java:11-29): the next-K distinct sort keys with
@@ -624,7 +658,7 @@ def dp_next_k(
         "noisy_cnt",
         F.floor(F.col("cnt").cast("double") + noise + F.lit(0.5)).cast("long"),
     ).drop("cnt")
-    scanned = dp_count(df, epsilon, seed, column_index).select(
+    scanned = dp_count(df, epsilon, seed, column_index, prf=prf).select(
         F.col("noisy_rows").alias("noisy_rows_scanned")
     )
     return page.crossJoin(F.broadcast(scanned))
@@ -639,6 +673,7 @@ def dp_histogram_string(
     seed: int = 0,
     column_index: int = 0,
     k: int = BRANCHING_FACTOR,
+    prf: str = "sha256",
 ) -> DataFrame:
     """Noisy histogram of a string column quantized on a left-boundary
     grid. The leaf of a value is the greatest boundary <= value
@@ -657,7 +692,7 @@ def dp_histogram_string(
 
     spine = []
     for i, (l, r) in enumerate(ranges):
-        noise, n = interval_noise(l, r, scale, seed, column_index, k)
+        noise, n = interval_noise(l, r, scale, seed, column_index, k, prf=prf)
         spine.append((i, bs[l], noise, n, n * base_var))
     noise_df = df.sparkSession.createDataFrame(
         spine,

@@ -428,8 +428,13 @@ def _noisy_hist(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     from hillview_spark.operators.privacy import laplace_noise_col
 
     secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    # 'whist' is the mechanism DOMAIN TAG: dp_windowed_counts keys on
+    # (secs, event_type) and this release on (secs, bucket) under the
+    # same seed — without the tag an event_type that stringifies like
+    # a bucket index ('0'..'9') would draw bit-identical noise in both
+    # releases, and subtracting them would cancel it exactly.
     noise = laplace_noise_col(
-        epsilon, seed, secs, F.col("bucket"), prf="md5"
+        epsilon, seed, secs, F.col("bucket"), F.lit("whist"), prf="md5"
     )
     return counts.select(
         "window_start",
@@ -453,8 +458,11 @@ def _cell_noise(epsilon: float, seed: int):
     from hillview_spark.operators.privacy import laplace_noise_col
 
     secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    # 'wcounts' = mechanism domain tag (see _noisy_hist's 'whist'):
+    # the two windowed releases must never share a PRF key even when
+    # an event_type stringifies like a bucket index.
     return laplace_noise_col(
-        epsilon, seed, secs, F.col("event_type"), prf="md5"
+        epsilon, seed, secs, F.col("event_type"), F.lit("wcounts"), prf="md5"
     )
 
 
@@ -573,10 +581,19 @@ def dp_prefix_counts(
         for r in keys
     ]
     noise_df = events.sparkSession.createDataFrame(
-        spine, "event_type string, leaf bigint, noise double"
+        spine, "__noise_type string, leaf bigint, noise double"
     )
+    # NULL-SAFE equi-join on the type: the spine keys NULL types (per
+    # _type_index's contract) but a plain ["event_type", ...] join
+    # would never match them — silently dropping the NULL-type group
+    # that the streaming twin (groupBy keeps NULL keys) and the DuckDB
+    # oracle (IS NOT DISTINCT FROM) both release.
     return (
-        cum.join(F.broadcast(noise_df), ["event_type", "leaf"])
+        cum.join(
+            F.broadcast(noise_df),
+            F.col("event_type").eqNullSafe(F.col("__noise_type"))
+            & (cum["leaf"] == noise_df["leaf"]),
+        )
         .select(
             "event_type",
             "window_start",

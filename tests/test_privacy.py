@@ -619,3 +619,109 @@ def test_dp_windowed_counts_null_ts_and_type_match_oracle(spark):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_dp_oracles_have_no_noise_literals():
+    """VERDICT-r6 directive #1 regression guard: every binary-
+    mechanism gate oracle re-derives its Laplace noise inside DuckDB
+    SQL (md5str PRF via _kadic_spine_sql/_count_noise_sql). The entry
+    module must therefore never call the Python noise constructors —
+    a reintroduced noise literal would make the gate re-trust the
+    code it checks."""
+    import inspect
+
+    import __spark_entry__ as entry_mod
+
+    src = inspect.getsource(entry_mod)
+    for fn in ("interval_noise(", "node_noise(", "count_noise("):
+        assert fn not in src, f"oracle builders must not call {fn}"
+
+
+def test_dp_prefix_counts_null_type_matches_oracle(spark):
+    """ADVICE-r6 fix: the batch continual counter's spine join must be
+    NULL-safe — a NULL event_type group is keyed by the spine (md5('')
+    type index) and must survive the equi-join, as the streaming twin
+    (groupBy keeps NULL keys) and the gate's DuckDB oracle (IS NOT
+    DISTINCT FROM) both release it."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from hillview_spark.streaming import events as ev
+
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=5), 1, None, 1.0),   # NULL type
+        (3, base + dt.timedelta(hours=1), 1, None, 1.0),     # 2nd hour
+        (4, None, 1, "click", 1.0),                          # NULL ts
+        (5, base + dt.timedelta(hours=1), 2, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    got = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in ev.dp_prefix_counts(df, 1.0, seed=7, prf="md5str").collect()
+    }
+    # click@h0, NULL@h0, NULL@h1 (prefix 2), view@h1 — NULL ts drops
+    assert len(got) == 4 and (None, base) in got
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ),
+    )
+    oracle = {
+        (etype, ws): v
+        for etype, ws, v in con.sql(
+            "SELECT event_type, window_start, noisy_prefix FROM ("
+            + entry_mod.oracle_sql()["dp_prefix_counts"]
+            + ")"
+        ).fetchall()
+    }
+    assert got == oracle
+
+
+def test_windowed_mechanisms_domain_separated(spark):
+    """ADVICE-r6 fix: dp_windowed_counts and dp_windowed_histogram
+    share (seed, epoch-secs) key prefixes; an event_type stringifying
+    like a bucket index ('0'..'9') must still draw INDEPENDENT noise
+    in the two releases — the 'wcounts'/'whist' domain tags keep the
+    PRF keys disjoint, so subtracting releases cannot cancel noise."""
+    import datetime as dt
+
+    from hillview_spark.streaming import events as ev
+
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    # event_type '3' collides with value bucket 3 (value=35 in [0,100))
+    n = 400
+    rows = [
+        (i, base + dt.timedelta(hours=i % 3), 1, "3", 35.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    counts = {
+        r.window_start: r.noisy_events
+        for r in ev.dp_windowed_counts(df, "hour", 1.0, seed=7).collect()
+    }
+    hist = {
+        r.window_start: r.noisy_events
+        for r in ev.dp_windowed_histogram(
+            df, "hour", "value", lo=0.0, hi=100.0, buckets=10,
+            epsilon=1.0, seed=7,
+        ).collect()
+    }
+    # same exact cell counts on both sides; identical noise would make
+    # every release pair equal — independent draws make at least one
+    # window differ (P[all 3 collide] ~ 0 for continuous Laplace)
+    assert set(counts) == set(hist)
+    assert any(counts[w] != hist[w] for w in counts)
