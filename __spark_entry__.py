@@ -1719,10 +1719,17 @@ def oracle_sql() -> dict[str, str]:
     o["corr_matrix"] = pair_rows
 
     # Portable-Bernoulli twins (operators/sampling.portable_bernoulli):
-    # keep iff first-7-hex of md5(key fields '_'-joined || '_bern42')
-    # < fraction * 16^7 — the same subset in any engine.
+    # keep iff first-7-hex of md5(length-prefixed key fields
+    # '_'-joined || '_bern42') < fraction * 16^7 — the same subset in
+    # any engine. Fields are '<len>:<value>' (r7) so distinct
+    # composite keys can never alias on one coin even with '_' in
+    # string values.
     def _bern_sql(key_exprs: list[str], fraction: float, seed: int = 42) -> str:
-        key = " || '_' || ".join(f"CAST({k} AS VARCHAR)" for k in key_exprs)
+        key = " || '_' || ".join(
+            f"(CAST(LENGTH(CAST({k} AS VARCHAR)) AS VARCHAR)"
+            f" || ':' || CAST({k} AS VARCHAR))"
+            for k in key_exprs
+        )
         cut = int(fraction * 16**7)
         return (
             f"CAST(('0x' || substr(md5({key} || '_bern{seed}'), 1, 7))"

@@ -89,18 +89,25 @@ def portable_bernoulli(key_cols: list[str], fraction: float, seed: int = 42):
     NULL-key failure (a NULL field would silently collapse into its
     neighbor under concat_ws).
 
-    Composite-key caveat: fields join with '_' UNescaped, so string
-    keys containing '_' can alias (('a_b','c') and ('a','b_c') share
-    one coin). Each row's marginal coin stays uniform and both
-    engines replay the same aliasing, so sampling results remain
-    correct and oracle-checkable — the coins of aliasing rows are
-    merely correlated. Use keys without '_' (ints, uuids) when
-    independence across all rows matters."""
-    key = F.concat_ws(
-        "_", *[salted_guard(F.col(c).cast("string")) for c in key_cols]
-    )
+    Each field is LENGTH-PREFIXED ('<len>:<value>') before the '_'
+    join, so distinct composite keys always map to distinct coin
+    inputs — without the prefix, string fields containing '_' could
+    alias (('a_b','c') vs ('a','b_c')) and two distinct rows would
+    share one coin, correlating draws that callers assume are
+    independent (the same forged-key failure _prf_field escapes for
+    the DP PRF). The prefix is unambiguous to parse (the length is
+    digits, ':' terminates it), engine-portable (character counts
+    match across engines for the stringified values used here), and
+    cheap (two extra concats per field, still one md5 per row)."""
+    key = F.concat_ws("_", *[_len_prefixed(c) for c in key_cols])
     cut = int(fraction * (16**7))
     return salted_hash(key, f"bern{seed}") < F.lit(cut)
+
+
+def _len_prefixed(c: str):
+    """'<len>:<value>' coin field — see portable_bernoulli."""
+    s = salted_guard(F.col(c).cast("string"))
+    return F.concat(F.length(s).cast("string"), F.lit(":"), s)
 
 
 def salted_guard(col):

@@ -878,6 +878,59 @@ def test_portable_bernoulli_deterministic_and_unbiased(spark, tables):
         ).count()
 
 
+def test_portable_bernoulli_composite_keys_never_alias(spark):
+    """VERDICT-r6 directive #3: fields are length-prefixed
+    ('<len>:<value>') before the '_' join, so distinct composite keys
+    always produce distinct coin inputs — previously ('a_b','c') and
+    ('a','b_c') joined to the same string and shared one coin."""
+    from pyspark.sql import functions as F
+
+    from hillview_spark.operators import sampling
+
+    pairs = [
+        ("a_b", "c"), ("a", "b_c"),      # the classic alias
+        ("", "_"), ("_", ""),            # empty vs underscore fields
+        ("1_2:3", "x"), ("1", "2:3_x"),  # prefix chars inside values
+    ]
+    df = spark.createDataFrame(pairs, "x string, y string")
+    coins = df.select(
+        "x", "y",
+        sampling.salted_hash(
+            F.concat_ws(
+                "_", sampling._len_prefixed("x"), sampling._len_prefixed("y")
+            ),
+            "bern42",
+        ).alias("h"),
+    ).collect()
+    hashes = [r.h for r in coins]
+    assert len(set(hashes)) == len(pairs), "composite keys aliased"
+
+    # the DuckDB twin of the recipe (entry _bern_sql) draws the SAME
+    # coin per row even for underscore-laden string keys
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(pairs, columns=["x", "y"]))
+    oracle = {
+        (x, y): h
+        for x, y, h in con.sql(
+            """
+            SELECT x, y,
+                   CAST(('0x' || substr(md5(
+                       (CAST(LENGTH(CAST(x AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(x AS VARCHAR))
+                       || '_' ||
+                       (CAST(LENGTH(CAST(y AS VARCHAR)) AS VARCHAR)
+                        || ':' || CAST(y AS VARCHAR))
+                       || '_bern42'), 1, 7)) AS BIGINT) AS h
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert {(r.x, r.y): r.h for r in coins} == oracle
+
+
 def test_heavy_hitters_sampled_portable_key_matches_exact(spark, tables):
     from hillview_spark.operators import heavy_hitters
 
