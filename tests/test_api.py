@@ -81,3 +81,14 @@ def test_view_brush_search_quantize_scroll(spark, tables):
 
     sq = v.scroll_quantiles(["l_returnflag", "l_linestatus"], 4)
     assert sq.count() >= 1
+
+
+def test_every_query_key_has_an_oracle():
+    """VERDICT-r6 directive #8: every queries() key must ship an
+    oracle_sql() entry (full-hash, or declared rows+schema-only for
+    iterative ops) and vice versa — an oracle-less key would silently
+    bypass the driver's correctness gate."""
+    import __spark_entry__ as entry_mod
+
+    q, o = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert q == o, f"missing oracles: {sorted(q - o)}; orphans: {sorted(o - q)}"

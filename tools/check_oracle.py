@@ -117,7 +117,10 @@ def main():
             cache.release_all()
             continue
         if name not in os_:
-            print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows")
+            # every key must ship an oracle (rows+schema at minimum) —
+            # a silent SKIP here let an oracle-less key look green
+            failures.append(name)
+            print(f"FAIL {name}: no oracle_sql entry — {len(srows)} rows")
             cache.release_all()
             continue
         try:
