@@ -1,0 +1,63 @@
+"""Golden-VALUE fixtures for the three declared rows-only gate keys
+(VERDICT-r6 directive #4).
+
+`lamp_project`, `metric_mds_controls`, and `bpe_token_count` are
+iterative / driver-side numeric optimization: no SQL oracle can
+re-derive their values, so the driver gate checks rows+schema only
+and pytest owns the value semantics (manifold distance preservation,
+Sennrich reference merges). These tests close the remaining evidence
+gap: with the gate's fixed seeds on the sf0.001 fixture the results
+are fully deterministic (verified identical under local[4]/sp=4 and
+local[2]/sp=7), so their canonical md5 is pinned here — any change
+to the VALUES of these three releases now fails a committed test
+instead of sliding through a shape-only oracle.
+
+If an intentional algorithm change moves a hash, re-derive it with
+the canon_hash below and update the constant in the same commit that
+changes the algorithm.
+"""
+
+import hashlib
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (gate key) -> (row count, canonical md5 at sf0.001, gate seeds)
+GOLDEN = {
+    "lamp_project": (200, "5507d8830f8c1305d78e6f3cd64d3870"),
+    "metric_mds_controls": (60, "e9af65748e42fe8d7045ab7ab85c956c"),
+    "bpe_token_count": (500, "1ca04a9acfa5e5c0b02ae7886c42ccaf"),
+}
+
+
+def canon_hash(df, ndigits=6):
+    """Order-insensitive value hash: columns sorted by name, floats
+    rounded to `ndigits` (absorbs sub-ulp noise; the iterative solves
+    are deterministic well past 6 decimals), -0.0 normalized."""
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.collect():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = round(v, ndigits)
+                if v == 0.0:
+                    v = 0.0
+            vals.append(repr(v))
+        rows.append("|".join(vals))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def test_rows_only_keys_match_golden_values(spark):
+    qs = entry_mod.queries()
+    for key, (n_rows, digest) in GOLDEN.items():
+        df = qs[key](spark, SF_DIR)
+        got_rows = df.count()
+        got_hash = canon_hash(df)
+        assert (got_rows, got_hash) == (n_rows, digest), (
+            f"{key}: rows={got_rows} hash={got_hash} "
+            f"(expected rows={n_rows} hash={digest})"
+        )
