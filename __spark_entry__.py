@@ -33,7 +33,7 @@ from hillview_spark.operators import (
     stats,
     temporal,
 )
-from hillview_spark.functions import dedup, similarity, text
+from hillview_spark.functions import dedup, multimodal, similarity, text
 from hillview_spark.streaming import events as ev
 
 
@@ -213,6 +213,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["geo_region_counts"] = _geo_counts
+
+    def _geo_polygon_counts(s, d):
+        # NON-rectangular gate coverage for the ray-casting path
+        # (VERDICT-r6 directive #7): CCW CONVEX polygons, so the SQL
+        # oracle expresses containment as ANDed half-plane cross-
+        # product inequalities while the operator still runs its
+        # general even-odd ray cast — two independent formulations
+        # that agree exactly because every edge keeps |cross| >=
+        # 0.005 from every representable (acctbal, nationkey) lattice
+        # point (verified over the full lattice), 8 orders above
+        # double rounding. The polygons overlap on purpose: first-
+        # region-wins in assign_region == CASE WHEN order in SQL.
+        from hillview_spark.functions import geo
+
+        regions = [
+            ("tri", [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]),
+            ("quad", [(4000.505, 1.5), (9900.505, 3.5),
+                      (9500.505, 21.5), (4500.505, 19.5)]),
+        ]
+        return geo.count_by_region(
+            _t(s, d, "customer"), "c_acctbal", "c_nationkey", regions
+        )
+
+    q["geo_polygon_counts"] = _geo_polygon_counts
+
+    # real-codec multimodal gate coverage (VERDICT-r6 directive #6):
+    # synthesize real PNG/JPEG payloads whose dims are a closed form
+    # of doc_id, then probe the actual bytes back — the oracle derives
+    # dims arithmetically, so encode or header-parse corruption shows
+    # up as a hash mismatch.
+    q["media_dims_histogram"] = lambda s, d: multimodal.dims_histogram(
+        multimodal.synthesize_media(_t(s, d, "documents")), decoder="stdlib"
+    )
 
     def _logs_parse_syslog(s, d):
         # Grok surface cross-engine: format syslog-style lines from
@@ -2833,6 +2866,56 @@ def oracle_sql() -> dict[str, str]:
         WHERE region IS NOT NULL
         GROUP BY 1
     """
+    # convex-polygon containment as half-plane inequalities: point
+    # strictly inside a CCW polygon iff every edge's cross product
+    # (x2-x1)(py-y1) - (y2-y1)(px-x1) > 0. Edge margins >= 0.005 on
+    # the data lattice make the two formulations (SQL half-planes vs
+    # the operator's numpy ray cast) agree exactly. CASE order = the
+    # operator's first-region-wins order.
+    def _halfplanes(verts) -> str:
+        n = len(verts)
+        terms = []
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            # explicit DOUBLE casts: DuckDB would otherwise parse the
+            # long float literals as DECIMAL and overflow the product
+            terms.append(
+                f"(CAST({x2 - x1!r} AS DOUBLE)"
+                f" * (CAST(c_nationkey AS DOUBLE) - CAST({y1!r} AS DOUBLE))"
+                f" - CAST({y2 - y1!r} AS DOUBLE)"
+                f" * (CAST(c_acctbal AS DOUBLE) - CAST({x1!r} AS DOUBLE))) > 0"
+            )
+        return " AND ".join(terms)
+
+    _tri = [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]
+    _quad = [(4000.505, 1.5), (9900.505, 3.5),
+             (9500.505, 21.5), (4500.505, 19.5)]
+    o["geo_polygon_counts"] = f"""
+        SELECT region, COUNT(*) AS cnt
+        FROM (
+            SELECT CASE WHEN {_halfplanes(_tri)} THEN 'tri'
+                        WHEN {_halfplanes(_quad)} THEN 'quad'
+                   END AS region
+            FROM customer
+        )
+        WHERE region IS NOT NULL
+        GROUP BY 1
+    """
+
+    # media dims re-derived arithmetically: synthesize_media pins
+    # w = 1 + doc_id % 13, h = 1 + doc_id % 7, PNG for even ids /
+    # baseline JPEG for odd — the Spark side must round-trip real
+    # encoded bytes through the header probes to agree.
+    o["media_dims_histogram"] = """
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+               CAST(1 + doc_id % 13 AS INT) AS width,
+               CAST(1 + doc_id % 7 AS INT) AS height,
+               COUNT(*) AS cnt
+        FROM documents
+        GROUP BY 1, 2, 3
+    """
+
     o["asof_join_events"] = """
         WITH clicks AS (SELECT event_id, user_id, ts FROM events
                         WHERE event_type = 'click'),

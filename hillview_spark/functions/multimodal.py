@@ -345,6 +345,58 @@ def probe_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.mapInPandas(run, PROBE_SCHEMA)
 
 
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media payloads derived from a key column —
+    the driver-gate multimodal fixture (and a codec load generator):
+    even keys encode a real PNG (encode_png: zlib IDAT, CRCs), odd
+    keys a real baseline JPEG (functions/jpeg.py: DCT + Huffman),
+    with dimensions a CLOSED FORM of the key (w = 1 + id % 13,
+    h = 1 + id % 7) and a fixed per-id pixel pattern. An
+    out-of-engine oracle re-derives the expected dims arithmetically,
+    while the Spark side must round-trip real bytes — encode here,
+    header-parse in probe_media — to agree, so a corrupted encoder or
+    prober surfaces as a gate mismatch. Only the id column is read
+    (column pruning reaches the scan); payload build is Arrow-batched
+    mapInPandas, one row per input row, no shuffle."""
+    from hillview_spark.functions.jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            kinds, payloads = [], []
+            for i in ids:
+                i = int(i)
+                w, h = 1 + i % 13, 1 + i % 7
+                px = bytes((x * 31 + i) % 256 for x in range(w * h * 3))
+                if i % 2 == 0:
+                    kinds.append("png")
+                    payloads.append(encode_png(w, h, 3, px))
+                else:
+                    kinds.append("jpeg")
+                    payloads.append(encode_jpeg(w, h, 3, px))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, kind string, content binary"
+    )
+
+
+def dims_histogram(media: DataFrame, decoder: str = "stdlib") -> DataFrame:
+    """Resolution histogram over a media-payload table: probe every
+    payload's container header, then count by (kind, width, height)
+    — the 'what resolutions are in my corpus' sketch a multimodal
+    training pipeline runs before bucketing resize work. One scan,
+    Arrow-batched header decode, O(distinct dims) shuffle after
+    map-side combine — the same sketch shape as histogram2d."""
+    return (
+        probe_media(media, decoder)
+        .groupBy("kind", "width", "height")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
 
 

@@ -1664,3 +1664,26 @@ def test_pq_topk_blas_missing_query_returns_empty(spark, tables):
     out = similarity.pq_topk_blas(tables["embeddings"], query_id=10**9)
     assert out.count() == 0
     assert out.columns == ["vec_id", "adc_score"]
+
+
+def test_synthesize_media_roundtrips_real_codecs(spark):
+    """The gate's multimodal fixture: synthesized payloads are REAL
+    PNG/JPEG bytes whose probed dims equal the closed form of the id
+    — exercising encode_png/encode_jpeg and both header probes
+    end-to-end through the Arrow mapInPandas plumbing."""
+    from hillview_spark.functions import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    media = mm.synthesize_media(ids)
+    probed = {r.media_id: r for r in mm.probe_media(media, "stdlib").collect()}
+    assert len(probed) == 40
+    for i, r in probed.items():
+        assert r.width == 1 + i % 13 and r.height == 1 + i % 7
+        assert r.kind == ("png" if i % 2 == 0 else "jpeg")
+    # histogram aggregates the probed dims, not the closed form
+    hist = {
+        (r.kind, r.width, r.height): r.cnt
+        for r in mm.dims_histogram(media).collect()
+    }
+    assert sum(hist.values()) == 40
+    assert all(k[1] <= 13 and k[2] <= 7 for k in hist)
