@@ -228,6 +228,80 @@ def headline_queries(t):
     }
 
 
+def ab_pairs(t):
+    """Interleaved same-session A/B pairs (VERDICT-r6 directive #5):
+    any commit claiming a perf win registers (current, predecessor)
+    factories here; the harness alternates A,B,A,B,... inside ONE
+    session so both medians see the same box state, and emits both
+    in the JSON under "ab" — the record then carries the evidence,
+    not just the claim (cross-process runs on this shared box swing
+    +-40%, which can invert a real same-process win)."""
+
+    def q1_wide():
+        # q1 exactly as before commit 785d0e7: generic decimal(18,2)
+        # casts instead of the _DEC_WIDTHS column-fitted widths; the
+        # plan is otherwise identical.
+        d = lambda c: F.col(c).cast("decimal(18,2)")
+        disc_price = d("l_extendedprice") * (F.lit(1) - d("l_discount"))
+        charge = disc_price * (F.lit(1) + d("l_tax"))
+        n = F.count(F.lit(1))
+        return (
+            t["lineitem"].where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                F.sum(charge).cast("double").alias("sum_charge"),
+                F.round(F.sum(d("l_quantity")).cast("double") / n, 4).alias("avg_qty"),
+                F.round(
+                    F.sum(d("l_extendedprice")).cast("double") / n, 4
+                ).alias("avg_price"),
+                F.round(F.sum(d("l_discount")).cast("double") / n, 4).alias("avg_disc"),
+                n.alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    return {
+        "q1_dec_widths": {
+            "a": (lambda: tpch.q1_pricing_summary(t["lineitem"]), "collect"),
+            "b": (q1_wide, "collect"),
+            "a_desc": "column-fitted _DEC_WIDTHS decimals",
+            "b_desc": "generic decimal(18,2) casts",
+        },
+    }
+
+
+def run_ab(t, repeats: int) -> dict:
+    out = {}
+    for name, spec in ab_pairs(t).items():
+        (fa, ha), (fb, hb) = spec["a"], spec["b"]
+        sa, sb = [], []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            materialize(fa(), ha)
+            sa.append(time.perf_counter() - start)
+            start = time.perf_counter()
+            materialize(fb(), hb)
+            sb.append(time.perf_counter() - start)
+        cache.release_all()
+        out[name] = {
+            "a_median": round(statistics.median(sa), 3),
+            "b_median": round(statistics.median(sb), 3),
+            "a": spec["a_desc"],
+            "b": spec["b_desc"],
+            "repeats": repeats,
+        }
+        print(
+            f"# ab {name}: a={out[name]['a_median']:.3f}s"
+            f" ({spec['a_desc']}) vs b={out[name]['b_median']:.3f}s"
+            f" ({spec['b_desc']})",
+            file=sys.stderr,
+        )
+    return out
+
+
 def _dp_session_heatmap(t):
     import __spark_entry__ as entry_mod
 
@@ -323,6 +397,8 @@ def main():
             comparable_n += 1
         print(f"# {name}: {dt:.3f}s (median of {repeats})", file=sys.stderr)
 
+    ab = run_ab(t, repeats)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -333,6 +409,7 @@ def main():
         "repeats": repeats,
         "comparable_total": round(comparable_total, 3),
         "comparable_n": comparable_n,
+        "ab": ab,
     }))
     spark.stop()
 
