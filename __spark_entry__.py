@@ -81,6 +81,41 @@ def _dp_session_view(lineitem: DataFrame):
     return pv.filter_range(col, lo, hi)
 
 
+def _run_stream(s: SparkSession, d: str, builder, name: str, **kw) -> DataFrame:
+    """Drive a Structured Streaming twin END-TO-END inside a gate
+    callable: symlink the events fixture into a fresh dir (file-
+    stream sources read directories), run the stream with
+    trigger(availableNow) + complete mode into a memory sink, await
+    termination, and hand the released rows back as a batch
+    DataFrame. This upgrades the streaming twins from pytest-only
+    stream==batch evidence to DRIVER-GATE hash rows: the oracle is
+    the same SQL as the batch release, so the stream must reproduce
+    it through real watermark/state machinery, not by sharing code.
+    Deterministic (seeded noise, availableNow drains the source
+    fully); the memory table is uniquely named per invocation."""
+    import os
+    import tempfile
+    import uuid
+
+    events_dir = tempfile.mkdtemp(prefix="gate-stream-")
+    os.symlink(
+        os.path.join(d, "events.parquet"),
+        os.path.join(events_dir, "events.parquet"),
+    )
+    raw = s.read.parquet(os.path.join(d, "events.parquet"))
+    qname = f"gate_{name}_{uuid.uuid4().hex[:8]}"
+    sdf = builder(s, events_dir, raw.schema, **kw)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return s.table(qname)
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -453,6 +488,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- streaming-semantics (batch-checkable) ------------------------
     q["events_windowed_counts"] = lambda s, d: ev.windowed_counts(
         _t(s, d, "events"), "hour"
+    )
+    # the ACTUAL Structured Streaming twins, driven to completion
+    # inside the gate (r7): hash-oracled against the same SQL as the
+    # batch release — the stream must reproduce it through real
+    # watermark + state machinery.
+    q["events_windowed_counts_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_windowed_counts, "wincounts"
+    )
+    q["dp_windowed_counts_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_dp_windowed_counts, "dpwincounts",
+        epsilon=1.0, seed=7,
     )
     q["events_sessionize"] = lambda s, d: ev.sessionize(
         _t(s, d, "events"), gap_minutes=30
@@ -925,8 +971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # invisible on the gate fixtures (no NULL event types) and its
     # r6 row re-derived the full release in SQL already.
     priority = [
-        # (a) first driver row ever
+        # (a) first driver row ever (incl. the end-to-end streaming
+        # twins driven inside the gate)
         "media_dims_histogram", "geo_polygon_counts",
+        "events_windowed_counts_stream", "dp_windowed_counts_stream",
         # (b) changed releases: binary-mechanism DP surface
         "dp_histogram_quantity", "dp_cdf_quantity",
         "dp_heatmap_qty_discount", "dp_quantiles_quantity",
@@ -3034,6 +3082,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """
+    # streaming twins, hash-oracled (r7): identical SQL to the batch
+    # releases (count-only; the watermark drops NULL event times)
+    o["events_windowed_counts_stream"] = """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """
     # dp_windowed_counts: the md5-PRF cell noise is engine-portable —
     # DuckDB rebuilds the identical 52-bit uniform ('0x'+13 hex digits
     # of md5("secs|type|wcounts|seed"); 'wcounts' is the mechanism
@@ -3070,6 +3125,8 @@ def oracle_sql() -> dict[str, str]:
                     + 0.5) AS BIGINT) AS noisy_events
         FROM unif
     """
+    # the streaming twin releases the identical noisy cells
+    o["dp_windowed_counts_stream"] = o["dp_windowed_counts"]
     # ------------------------------------------------------------------
     # ROWS+SCHEMA-ONLY oracles (VERDICT r5 directive #2): these three
     # keys are iterative / driver-side numeric optimization whose
