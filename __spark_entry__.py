@@ -357,9 +357,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo=0.0, hi=500.0, buckets=10, epsilon=1.0, seed=7,
     )
     _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    # column_index=1: c_mktsegment owns its own PRF tree — with the
+    # default index 0 its 5-leaf unit nodes would draw the SAME noise
+    # as l_quantity's (seed 7, ci 0) leading nodes, and subtracting
+    # the two releases would cancel noise on the shared nodes (the
+    # reference prevents this by giving every schema column a
+    # distinct index; the standalone gate calls must too).
     q["dp_histogram_mktsegment"] = lambda s, d: privacy.dp_histogram_string(
         _t(s, d, "customer"), "c_mktsegment", _SEGMENTS, epsilon=1.0, seed=7,
-        prf="md5str",
+        column_index=1, prf="md5str",
     )
     q["dp_count_lineitem"] = lambda s, d: privacy.dp_count(
         _t(s, d, "lineitem"), epsilon=1.0, seed=7, prf="md5str"
@@ -2187,7 +2193,7 @@ def oracle_sql() -> dict[str, str]:
             nodes = [f"{a}:{s}" for a, s in _priv.kadic_decomposition(l, r)]
             cells.append(((i, f"'{segs[l]}'"), nodes))
         spine = _kadic_spine_sql(
-            ["bucket", "left_boundary"], cells, seed=7, ci=0, scale=scale
+            ["bucket", "left_boundary"], cells, seed=7, ci=1, scale=scale
         )
         seg_list = ", ".join(f"'{s}'" for s in segs)
         return f"""

@@ -621,6 +621,28 @@ def test_dp_windowed_counts_null_ts_and_type_match_oracle(spark):
     assert got == oracle
 
 
+def test_md5str_uniform_recipe_is_pinned():
+    """The md5str PRF key format ('seed|ci|a:s' for 1-D nodes,
+    'seed|ci|xa:xs|ya:ys' for heatmap node pairs) is what every
+    SQL-re-derived oracle rebuilds — pin it against a hand-computed
+    md5 so a format drift in _uniform breaks HERE, not as a cryptic
+    gate hash mismatch."""
+    import hashlib
+
+    from hillview_spark.operators import privacy as priv
+
+    for nodes in [((40, 5),), ((0, 20), (3, 1))]:
+        key = f"7|3|" + "|".join(f"{a}:{s}" for a, s in nodes)
+        want = int(hashlib.md5(key.encode()).hexdigest()[:13], 16) * 2.0**-52
+        got = priv._uniform(7, 3, *nodes, prf="md5str")
+        assert got == want
+    # distinct column indexes → distinct trees (the gate relies on
+    # this to keep c_mktsegment's draws off l_quantity's tree)
+    assert priv._uniform(7, 0, (0, 1), prf="md5str") != priv._uniform(
+        7, 1, (0, 1), prf="md5str"
+    )
+
+
 def test_dp_oracles_have_no_noise_literals():
     """VERDICT-r6 directive #1 regression guard: every binary-
     mechanism gate oracle re-derives its Laplace noise inside DuckDB
