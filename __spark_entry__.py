@@ -506,6 +506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, ev.stream_dp_windowed_counts, "dpwincounts",
         epsilon=1.0, seed=7,
     )
+    q["events_sliding_counts_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_sliding_counts, "slidecounts"
+    )
+    q["dp_windowed_histogram_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_dp_windowed_histogram, "dpwinhist",
+        col="value", lo=0.0, hi=500.0, buckets=10, epsilon=1.0, seed=7,
+    )
     q["events_sessionize"] = lambda s, d: ev.sessionize(
         _t(s, d, "events"), gap_minutes=30
     )
@@ -981,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins driven inside the gate)
         "media_dims_histogram", "geo_polygon_counts",
         "events_windowed_counts_stream", "dp_windowed_counts_stream",
+        "events_sliding_counts_stream", "dp_windowed_histogram_stream",
         # (b) changed releases: binary-mechanism DP surface
         "dp_histogram_quantity", "dp_cdf_quantity",
         "dp_heatmap_qty_discount", "dp_quantiles_quantity",
@@ -3133,6 +3141,17 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming twin releases the identical noisy cells
     o["dp_windowed_counts_stream"] = o["dp_windowed_counts"]
+    # sliding stream twin: count-only (no sum_value), NULL ts dropped
+    # by the watermark; 4 overlapping 15-min-slide windows per event
+    o["events_sliding_counts_stream"] = """
+        SELECT CAST(make_timestamp(
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+                 - i.i * 900000000) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events CROSS JOIN generate_series(0, 3) i(i)
+        WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    """
     # ------------------------------------------------------------------
     # ROWS+SCHEMA-ONLY oracles (VERDICT r5 directive #2): these three
     # keys are iterative / driver-side numeric optimization whose
@@ -3270,6 +3289,8 @@ def oracle_sql() -> dict[str, str]:
                     + 0.5) AS BIGINT) AS noisy_events
         FROM unif
     """
+    # the streaming twin releases the identical noisy cells
+    o["dp_windowed_histogram_stream"] = o["dp_windowed_histogram"]
 
     o["embedding_group_centroids"] = """
         SELECT label, CAST(u.i - 1 AS INT) AS dim_idx,
