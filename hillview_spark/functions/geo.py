@@ -108,9 +108,13 @@ def count_by_region(
 ) -> DataFrame:
     """Choropleth counts: rows per containing region (NULL = outside
     all regions, dropped — matching the map view, which only shades
-    known shapes). One scan + one small groupBy."""
+    known shapes). One scan + one small groupBy. The projection down
+    to the two coordinate columns happens BEFORE the Arrow map:
+    mapInPandas is a pruning barrier (the worker's input schema is
+    whatever reaches it), so without the select every table column
+    would be scanned and shipped through Python just to be counted."""
     return (
-        assign_region(df, lon_col, lat_col, regions)
+        assign_region(df.select(lon_col, lat_col), lon_col, lat_col, regions)
         .where(F.col("region").isNotNull())
         .groupBy("region")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -405,3 +405,42 @@ def test_dp_prefix_counts_single_count_shuffle(spark, tables):
     assert ex.count_shuffles(df) <= 4
     # and the noise spine must broadcast, never shuffle-join
     assert "BroadcastExchange" in plan
+
+
+def test_media_dims_histogram_scale_profile(spark, tables):
+    """Multimodal sketch shape: synthesize reads ONLY the id column
+    (column pruning reaches the scan), probe runs in Arrow batches
+    (ArrowEvalPython/mapInPandas, never row-python), and the
+    histogram shuffles once on the tiny (kind, w, h) key after
+    map-side partial aggregation."""
+    from hillview_spark.functions import multimodal as mm
+
+    df = mm.dims_histogram(mm.synthesize_media(tables["documents"]))
+    ex.assert_column_pruning(
+        df, expected=["doc_id"], forbidden=["text", "source", "lang"]
+    )
+    ex.assert_max_shuffles(df, 1)
+    plan = ex.physical_plan(df)
+    assert "BatchEvalPython" not in plan  # Arrow batches only
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_geo_polygon_counts_scale_profile(spark, tables):
+    """Choropleth sketch shape: the ray-cast assignment is one Arrow
+    map over a pruned 2-column scan, then a single O(|regions|)
+    shuffle."""
+    from hillview_spark.functions import geo
+
+    regions = [
+        ("tri", [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]),
+    ]
+    df = geo.count_by_region(
+        tables["customer"], "c_acctbal", "c_nationkey", regions
+    )
+    ex.assert_column_pruning(
+        df,
+        expected=["c_acctbal", "c_nationkey"],
+        forbidden=["c_name", "c_address", "c_phone"],
+    )
+    ex.assert_max_shuffles(df, 1)
+    assert "BatchEvalPython" not in ex.physical_plan(df)
