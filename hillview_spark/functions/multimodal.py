@@ -342,7 +342,13 @@ def probe_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, PROBE_SCHEMA)
+    # select the three read columns BEFORE the Arrow map —
+    # mapInPandas is a column-pruning barrier, so a wider media
+    # table (extra metadata columns) would otherwise ship every
+    # column through the Python worker
+    return df.select("media_id", "kind", "content").mapInPandas(
+        run, PROBE_SCHEMA
+    )
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -441,7 +447,12 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
                 }
             )
 
-    return df.where(F.col("kind") == "image").mapInPandas(run, RESIZE_SCHEMA)
+    # pruning-barrier guard: only the id + payload cross into Python
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, RESIZE_SCHEMA)
+    )
 
 
 FRAMES_SCHEMA = "media_id long, frame_idx int"
@@ -462,7 +473,12 @@ def sample_frames(df: DataFrame, every_n: int = 30, decoder: str = "fake") -> Da
                     idxs.append(i)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs})
 
-    return df.where(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)
+    # pruning-barrier guard: only the id + payload cross into Python
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(run, FRAMES_SCHEMA)
+    )
 
 
 FEATURES_SCHEMA = "media_id long, kind string, features array<float>"
@@ -509,4 +525,7 @@ def extract_features(
                 }
             )
 
-    return df.mapInPandas(run, FEATURES_SCHEMA)
+    # pruning-barrier guard (see probe_media)
+    return df.select("media_id", "kind", "content").mapInPandas(
+        run, FEATURES_SCHEMA
+    )

@@ -159,7 +159,11 @@ def cosine_topk_numpy(
             top = np.lexsort((ids, -r))[:k]
             yield pd.DataFrame({id_col: ids[top], "cosine": r[top]})
 
-    local = embeddings.mapInPandas(score, f"{id_col} long, cosine double")
+    # mapInPandas is a pruning barrier: without the select, extra
+    # table columns (label, ...) would ship through Python per row
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, cosine double"
+    )
     return local.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
