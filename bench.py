@@ -225,7 +225,46 @@ def headline_queries(t):
         "dp_windowed_histogram": (lambda: ev.dp_windowed_histogram(
             t["events"], "hour", "value", lo=0.0, hi=500.0, buckets=10,
             epsilon=1.0, seed=7), "noop"),
+        # round-7 additions: real-codec probe histogram and the
+        # non-rectangular choropleth (both Arrow maps over pruned
+        # scans + one tiny-key shuffle). The media table materializes
+        # ONCE at factory-build time (like _query_vec) — at 100 TB
+        # media lives in parquet, so the operator under measurement
+        # is probe+histogram over stored payloads, not the synthetic
+        # encoder that builds the fixture.
+        "media_dims_histogram": (
+            lambda md=_media_table(t): _media_dims(md), "collect"),
+        "geo_polygon_counts": (lambda: _geo_polygons(t), "collect"),
     }
+
+
+def _media_table(t):
+    import tempfile
+
+    from hillview_spark.functions import multimodal as mm
+
+    path = tempfile.mkdtemp(prefix="bench-media-") + "/media.parquet"
+    mm.synthesize_media(t["documents"]).write.parquet(path)
+    return t["documents"].sparkSession.read.parquet(path)
+
+
+def _media_dims(media):
+    from hillview_spark.functions import multimodal as mm
+
+    return mm.dims_histogram(media)
+
+
+def _geo_polygons(t):
+    from hillview_spark.functions import geo
+
+    regions = [
+        ("tri", [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]),
+        ("quad", [(4000.505, 1.5), (9900.505, 3.5),
+                  (9500.505, 21.5), (4500.505, 19.5)]),
+    ]
+    return geo.count_by_region(
+        t["customer"], "c_acctbal", "c_nationkey", regions
+    )
 
 
 def ab_pairs(t):
