@@ -471,6 +471,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), query_id=0, k=10, n_cells=8, n_probe=3,
         stride=50,
     )
+
+    # the PERSISTED index path (r7): write the exact-twin cell-
+    # partitioned layout to a temp dir, then search it — n_probe
+    # becomes partition pruning, and the result must hash-match the
+    # same oracle as the live twin (bit-identical by construction).
+    def _ivf_indexed(s, d):
+        import tempfile
+
+        emb = _t(s, d, "embeddings")
+        path = tempfile.mkdtemp(prefix="gate-ivf-") + "/index"
+        similarity.ivf_write_index_exact(emb, path, n_cells=8, stride=50)
+        qv = emb.where(F.col("vec_id") == 0).first().embedding
+        return similarity.ivf_topk_indexed_exact(
+            s, path, qv, query_id=0, k=10, n_probe=3
+        )
+
+    q["ann_ivf_topk_indexed"] = _ivf_indexed
     # Product quantization: compressed codes + asymmetric-distance
     # search, both decimal-exact twins (same stride codebook rule)
     q["pq_encode"] = lambda s, d: similarity.pq_encode_exact(
@@ -989,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims_histogram", "geo_polygon_counts",
         "events_windowed_counts_stream", "dp_windowed_counts_stream",
         "events_sliding_counts_stream", "dp_windowed_histogram_stream",
+        "ann_ivf_topk_indexed",
         # (b) changed releases: binary-mechanism DP surface
         "dp_histogram_quantity", "dp_cdf_quantity",
         "dp_heatmap_qty_discount", "dp_quantiles_quantity",
@@ -2499,6 +2517,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN probe p ON a.cell = p.cell, q
         ORDER BY cosine DESC, e.vec_id LIMIT 10
     """
+    # the persisted exact-twin index returns bit-identical results
+    # to the live twin (pytest-proved), so it shares the oracle —
+    # the gate then proves the parquet round-trip + partition-pruned
+    # read reproduce the live release
+    o["ann_ivf_topk_indexed"] = o["ann_ivf_topk"]
     # semantic_dedup: stride-quantizer cells (same rule as
     # ann_ivf_topk) + within-cell earlier-neighbor rule; exact
     # decimal cosine rounded to 6, so the keep set is bit-stable.

@@ -409,6 +409,126 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_write_index_exact(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the ORACLE-EXACT IVF layout: the same cell-partitioned
+    parquet shape as ivf_write_index, but cells come from the
+    deterministic stride quantizer of ivf_topk_exact (data-point
+    centroids by the id rule, exact-decimal argmin assignment) — so a
+    search over the STORED index is bit-identical to the live exact
+    twin and the same SQL oracle hash-checks it. The centroid sidecar
+    stores the raw centroid vectors; assignment happens once at write
+    time and n_probe becomes PARTITION pruning at query time."""
+    cents, score_array = _stride_quantizer(
+        embeddings, n_cells, stride, id_col, vec_col
+    )
+    scores = score_array(F.col(vec_col))
+    (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.array_position(scores, F.array_min(scores)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/data")
+    )
+    rows = [
+        (i, [float(x) for x in crow[vec_col]]) for i, crow in enumerate(cents)
+    ]
+    embeddings.sparkSession.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed_exact(
+    spark,
+    path: str,
+    query_vec,
+    query_id: int | None = None,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the exact-twin persisted index. The probe scores are
+    re-derived from the centroid sidecar with the IDENTICAL decimal
+    expression the live twin uses (||c||^2 - 2 q.c, ties to lowest
+    cell), the n_probe winning cells collect driver-side (n_probe
+    ints), and the data read scans ONLY those partitions — cell IN
+    (...) reaches the scan as a PartitionFilter, so a 100-TB index
+    touches n_probe/n_cells of its files. Final scoring repeats the
+    live twin's decimal cosine op-for-op; every cast routes through
+    double first, so the float→double literal round-trip through the
+    sidecar preserves bit-identical values. query_id (when given)
+    excludes the query's own stored row, matching ivf_topk_exact."""
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cell
+    )
+
+    def cent_lit(vec) -> Column:
+        return F.array(*[_dec(F.lit(float(x))) for x in vec])
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_scored = sorted(
+        (
+            spark.range(1)
+            .select(
+                *[
+                    (
+                        squared_norm(cent_lit(r.centroid))
+                        - F.lit(2) * dot_product(qlit, cent_lit(r.centroid))
+                    )
+                    .cast(_ACC)
+                    .alias(f"c{r.cell}")
+                    for r in cents_rows
+                ]
+            )
+            .first()
+            .asDict()
+            .items()
+        ),
+        key=lambda kv: (kv[1], int(kv[0][1:])),
+    )
+    probe = [int(name[1:]) for name, _ in probe_scored[:n_probe]]
+
+    data = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))
+    if query_id is not None:
+        data = data.where(F.col(id_col) != query_id)
+    qv = spark.range(1).select(
+        qlit.alias("__q"), squared_norm(qlit).alias("__qn")
+    )
+    return (
+        data.select(
+            F.col(id_col),
+            F.col(vec_col),
+            squared_norm(F.col(vec_col)).alias("__n"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    dot_product(F.col(vec_col), F.col("__q")),
+                    F.col("__n"),
+                    F.col("__qn"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def ivf_topk_exact(
     embeddings: DataFrame,
     query_id: int,

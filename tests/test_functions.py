@@ -1687,3 +1687,29 @@ def test_synthesize_media_roundtrips_real_codecs(spark):
     }
     assert sum(hist.values()) == 40
     assert all(k[1] <= 13 and k[2] <= 7 for k in hist)
+
+
+def test_ivf_indexed_exact_matches_live_twin(spark, tmp_path):
+    """The persisted exact-twin IVF index returns bit-identical
+    results to ivf_topk_exact: same centroids (stride id rule), same
+    decimal assignment (written once into the partition layout), same
+    probe cells, same decimal cosine — and the read plan prunes to
+    the n_probe cell partitions."""
+    from hillview_spark.functions import similarity
+    from hillview_spark.plans import explain as ex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_exact")
+    similarity.ivf_write_index_exact(emb, path, n_cells=8, stride=50)
+
+    qv = emb.where(F.col("vec_id") == 0).first().embedding
+    got = similarity.ivf_topk_indexed_exact(
+        spark, path, qv, query_id=0, k=10, n_probe=3
+    )
+    live = similarity.ivf_topk_exact(
+        emb, 0, k=10, n_cells=8, n_probe=3, stride=50
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in live.collect()]
+    # the probe reaches the scan as PartitionFilters on cell
+    plan = ex.physical_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
