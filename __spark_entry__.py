@@ -488,6 +488,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_ivf_topk_indexed"] = _ivf_indexed
+
+    # the persisted LSH index's crawl-ingest shape (r7): write the
+    # corpus (doc_id % 20 != 0) band table to a temp dir, then dedupe
+    # the incoming batch (doc_id % 20 == 0) against it — signatures
+    # are per-doc, so the oracle re-derives the same candidate pairs
+    # by banding everything and restricting to corpus x batch.
+    def _lsh_indexed(s, d):
+        import tempfile
+
+        docs = _t(s, d, "documents")
+        path = tempfile.mkdtemp(prefix="gate-lsh-") + "/index"
+        dedup.lsh_write_index(
+            docs.where(F.col("doc_id") % 20 != 0), path, 16, 4
+        )
+        return dedup.lsh_query_index(
+            s, path, docs.where(F.col("doc_id") % 20 == 0)
+        )
+
+    q["dedup_lsh_index_query"] = _lsh_indexed
     # Product quantization: compressed codes + asymmetric-distance
     # search, both decimal-exact twins (same stride codebook rule)
     q["pq_encode"] = lambda s, d: similarity.pq_encode_exact(
@@ -1006,7 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims_histogram", "geo_polygon_counts",
         "events_windowed_counts_stream", "dp_windowed_counts_stream",
         "events_sliding_counts_stream", "dp_windowed_histogram_stream",
-        "ann_ivf_topk_indexed",
+        "ann_ivf_topk_indexed", "dedup_lsh_index_query",
         # (b) changed releases: binary-mechanism DP surface
         "dp_histogram_quantity", "dp_cdf_quantity",
         "dp_heatmap_qty_discount", "dp_quantiles_quantity",
@@ -2399,6 +2418,16 @@ def oracle_sql() -> dict[str, str]:
         FROM j WHERE rk = 1
     """
     o["dedup_minhash_lsh"] = _minhash_sql()
+    # persisted-index query: same banding, pairs restricted to
+    # corpus (doc_id % 20 != 0) x incoming batch (doc_id % 20 = 0)
+    o["dedup_lsh_index_query"] = f"""
+        WITH inner_pairs AS ({_minhash_sql().replace(
+            "a.doc_id < b.doc_id",
+            "a.doc_id % 20 != 0 AND b.doc_id % 20 = 0"
+        )})
+        SELECT doc_id_1 AS corpus_doc_id, doc_id_2 AS new_doc_id
+        FROM inner_pairs
+    """
     o["dedup_lsh_verify"] = f"""
         WITH cand AS ({_minhash_sql()}),
         {_SHINGLES},
