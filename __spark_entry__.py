@@ -81,7 +81,8 @@ def _dp_session_view(lineitem: DataFrame):
     return pv.filter_range(col, lo, hi)
 
 
-def _run_stream(s: SparkSession, d: str, builder, name: str, **kw) -> DataFrame:
+def _run_stream(s: SparkSession, d: str, builder, name: str,
+                mode: str = "complete", **kw) -> DataFrame:
     """Drive a Structured Streaming twin END-TO-END inside a gate
     callable: symlink the events fixture into a fresh dir (file-
     stream sources read directories), run the stream with
@@ -92,7 +93,11 @@ def _run_stream(s: SparkSession, d: str, builder, name: str, **kw) -> DataFrame:
     the same SQL as the batch release, so the stream must reproduce
     it through real watermark/state machinery, not by sharing code.
     Deterministic (seeded noise, availableNow drains the source
-    fully); the memory table is uniquely named per invocation."""
+    fully); the memory table is uniquely named per invocation.
+    Aggregations use complete mode (append would withhold the final
+    watermark tail); the stream-stream join uses append — inner
+    joins emit every match eagerly, so availableNow drains ALL
+    pairs."""
     import os
     import tempfile
     import uuid
@@ -108,7 +113,7 @@ def _run_stream(s: SparkSession, d: str, builder, name: str, **kw) -> DataFrame:
     q = (
         sdf.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -544,6 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_sliding_counts_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_sliding_counts, "slidecounts"
+    )
+    q["events_click_purchase_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_click_purchase_join, "ssjoin", mode="append"
     )
     q["dp_windowed_histogram_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_dp_windowed_histogram, "dpwinhist",
@@ -1026,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_counts_stream", "dp_windowed_counts_stream",
         "events_sliding_counts_stream", "dp_windowed_histogram_stream",
         "ann_ivf_topk_indexed", "dedup_lsh_index_query",
+        "events_click_purchase_stream",
         # (b) changed releases: binary-mechanism DP surface
         "dp_histogram_quantity", "dp_cdf_quantity",
         "dp_heatmap_qty_discount", "dp_quantiles_quantity",
@@ -3193,6 +3202,17 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming twin releases the identical noisy cells
     o["dp_windowed_counts_stream"] = o["dp_windowed_counts"]
+    # stream-stream join twin: the batch attribution pairs minus the
+    # derived gap column (the stream emits ids only)
+    o["events_click_purchase_stream"] = """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c JOIN events p ON c.user_id = p.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND epoch_us(CAST(p.ts AS TIMESTAMP))
+              > epoch_us(CAST(c.ts AS TIMESTAMP))
+          AND epoch_us(CAST(p.ts AS TIMESTAMP))
+              <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 1800000000
+    """
     # sliding stream twin: count-only (no sum_value), NULL ts dropped
     # by the watermark; 4 overlapping 15-min-slide windows per event
     o["events_sliding_counts_stream"] = """
