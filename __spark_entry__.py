@@ -41,6 +41,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Convex CCW gate polygons over (c_acctbal, c_nationkey) — ONE source
+# of truth for the gate query, the oracle's half-plane inequalities,
+# bench.py, and the plan tests. Geometry invariant: every edge keeps
+# |cross| >= 0.005 from every representable data-lattice point
+# (verified over the full lattice), so the SQL half-plane and numpy
+# ray-cast formulations agree exactly.
+GEO_POLYGON_REGIONS = [
+    ("tri", [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]),
+    ("quad", [(4000.505, 1.5), (9900.505, 3.5),
+              (9500.505, 21.5), (4500.505, 19.5)]),
+]
+
+
 # Shared parameters of the dp_session_heatmap gate key — ONE source of
 # truth for the queries() lambda and the oracle builder (the oracle
 # recomputes the lineage-derived seed and noise spine from these).
@@ -81,6 +94,20 @@ def _dp_session_view(lineitem: DataFrame):
     return pv.filter_range(col, lo, hi)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: gate callables write per-invocation
+    scratch (stream source dirs, persisted indexes) — without the
+    cleanup a 153-key gate run leaves dozens of parquet copies in
+    /tmp on a long-lived box."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def _run_stream(s: SparkSession, d: str, builder, name: str,
                 mode: str = "complete", **kw) -> DataFrame:
     """Drive a Structured Streaming twin END-TO-END inside a gate
@@ -99,10 +126,9 @@ def _run_stream(s: SparkSession, d: str, builder, name: str,
     joins emit every match eagerly, so availableNow drains ALL
     pairs."""
     import os
-    import tempfile
     import uuid
 
-    events_dir = tempfile.mkdtemp(prefix="gate-stream-")
+    events_dir = _scratch_dir("gate-stream-")
     os.symlink(
         os.path.join(d, "events.parquet"),
         os.path.join(events_dir, "events.parquet"),
@@ -117,7 +143,13 @@ def _run_stream(s: SparkSession, d: str, builder, name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # a timed-out stream must fail LOUDLY: returning the partially
+    # populated memory table would surface as a baffling hash
+    # mismatch on a correct implementation, and the abandoned query
+    # would keep executors busy under every later gate key
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"gate stream {name} did not drain in 300s")
     return s.table(qname)
 
 
@@ -267,13 +299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # region-wins in assign_region == CASE WHEN order in SQL.
         from hillview_spark.functions import geo
 
-        regions = [
-            ("tri", [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]),
-            ("quad", [(4000.505, 1.5), (9900.505, 3.5),
-                      (9500.505, 21.5), (4500.505, 19.5)]),
-        ]
         return geo.count_by_region(
-            _t(s, d, "customer"), "c_acctbal", "c_nationkey", regions
+            _t(s, d, "customer"), "c_acctbal", "c_nationkey",
+            GEO_POLYGON_REGIONS,
         )
 
     q["geo_polygon_counts"] = _geo_polygon_counts
@@ -482,10 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # becomes partition pruning, and the result must hash-match the
     # same oracle as the live twin (bit-identical by construction).
     def _ivf_indexed(s, d):
-        import tempfile
-
         emb = _t(s, d, "embeddings")
-        path = tempfile.mkdtemp(prefix="gate-ivf-") + "/index"
+        path = _scratch_dir("gate-ivf-") + "/index"
         similarity.ivf_write_index_exact(emb, path, n_cells=8, stride=50)
         qv = emb.where(F.col("vec_id") == 0).first().embedding
         return similarity.ivf_topk_indexed_exact(
@@ -500,10 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are per-doc, so the oracle re-derives the same candidate pairs
     # by banding everything and restricting to corpus x batch.
     def _lsh_indexed(s, d):
-        import tempfile
-
         docs = _t(s, d, "documents")
-        path = tempfile.mkdtemp(prefix="gate-lsh-") + "/index"
+        path = _scratch_dir("gate-lsh-") + "/index"
         dedup.lsh_write_index(
             docs.where(F.col("doc_id") % 20 != 0), path, 16, 4
         )
@@ -2435,8 +2459,13 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = _minhash_sql()
     # persisted-index query: same banding, pairs restricted to
     # corpus (doc_id % 20 != 0) x incoming batch (doc_id % 20 = 0)
+    _mh = _minhash_sql()
+    # the corpus x batch restriction rewrites the pair predicate —
+    # assert the anchor text exists so a reformat of _minhash_sql
+    # can't silently turn the rewrite into a no-op
+    assert "a.doc_id < b.doc_id" in _mh, "_minhash_sql pair predicate moved"
     o["dedup_lsh_index_query"] = f"""
-        WITH inner_pairs AS ({_minhash_sql().replace(
+        WITH inner_pairs AS ({_mh.replace(
             "a.doc_id < b.doc_id",
             "a.doc_id % 20 != 0 AND b.doc_id % 20 = 0"
         )})
@@ -2540,7 +2569,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM embeddings WHERE vec_id <> 0),
         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                         embedding AS cvec, {_nrm} AS cnrm
-                 FROM embeddings WHERE vec_id <> 0 AND vec_id % 50 = 1
+                 FROM embeddings WHERE vec_id % 50 = 1
                  ORDER BY vec_id LIMIT 8),
         q AS (SELECT embedding AS qv, {_nrm} AS qn
               FROM embeddings WHERE vec_id = 0),
@@ -3029,14 +3058,14 @@ def oracle_sql() -> dict[str, str]:
             )
         return " AND ".join(terms)
 
-    _tri = [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]
-    _quad = [(4000.505, 1.5), (9900.505, 3.5),
-             (9500.505, 21.5), (4500.505, 19.5)]
+    _whens = " ".join(
+        f"WHEN {_halfplanes(verts)} THEN '{name}'"
+        for name, verts in GEO_POLYGON_REGIONS
+    )
     o["geo_polygon_counts"] = f"""
         SELECT region, COUNT(*) AS cnt
         FROM (
-            SELECT CASE WHEN {_halfplanes(_tri)} THEN 'tri'
-                        WHEN {_halfplanes(_quad)} THEN 'quad'
+            SELECT CASE {_whens}
                    END AS region
             FROM customer
         )
@@ -3049,9 +3078,10 @@ def oracle_sql() -> dict[str, str]:
     # baseline JPEG for odd — the Spark side must round-trip real
     # encoded bytes through the header probes to agree.
     o["media_dims_histogram"] = """
-        SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
-               CAST(1 + doc_id % 13 AS INT) AS width,
-               CAST(1 + doc_id % 7 AS INT) AS height,
+        SELECT CASE WHEN abs(doc_id) % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                   AS kind,
+               CAST(1 + abs(doc_id) % 13 AS INT) AS width,
+               CAST(1 + abs(doc_id) % 7 AS INT) AS height,
                COUNT(*) AS cnt
         FROM documents
         GROUP BY 1, 2, 3

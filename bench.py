@@ -255,15 +255,12 @@ def _media_dims(media):
 
 
 def _geo_polygons(t):
+    import __spark_entry__ as entry_mod
     from hillview_spark.functions import geo
 
-    regions = [
-        ("tri", [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]),
-        ("quad", [(4000.505, 1.5), (9900.505, 3.5),
-                  (9500.505, 21.5), (4500.505, 19.5)]),
-    ]
     return geo.count_by_region(
-        t["customer"], "c_acctbal", "c_nationkey", regions
+        t["customer"], "c_acctbal", "c_nationkey",
+        entry_mod.GEO_POLYGON_REGIONS,
     )
 
 

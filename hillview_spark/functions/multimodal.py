@@ -356,8 +356,9 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the driver-gate multimodal fixture (and a codec load generator):
     even keys encode a real PNG (encode_png: zlib IDAT, CRCs), odd
     keys a real baseline JPEG (functions/jpeg.py: DCT + Huffman),
-    with dimensions a CLOSED FORM of the key (w = 1 + id % 13,
-    h = 1 + id % 7) and a fixed per-id pixel pattern. An
+    with dimensions a CLOSED FORM of the key (w = 1 + abs(id) % 13,
+    h = 1 + abs(id) % 7; abs folds SQL's sign-of-dividend modulo
+    onto Python's) and a fixed per-id pixel pattern. An
     out-of-engine oracle re-derives the expected dims arithmetically,
     while the Spark side must round-trip real bytes — encode here,
     header-parse in probe_media — to agree, so a corrupted encoder or
@@ -371,7 +372,12 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf[id_col].astype("int64")
             kinds, payloads = [], []
             for i in ids:
-                i = int(i)
+                # abs(): Python % returns non-negative values while
+                # SQL % follows the dividend's sign — without the
+                # fold a negative id would give the two engines
+                # different closed-form dims (and a negative Python
+                # modulo would crash the encoders)
+                i = abs(int(i))
                 w, h = 1 + i % 13, 1 + i % 7
                 px = bytes((x * 31 + i) % 256 for x in range(w * h * 3))
                 if i % 2 == 0:

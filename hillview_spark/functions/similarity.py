@@ -560,8 +560,14 @@ def ivf_topk_exact(
     correctness anchor the gate hashes.
     """
     search = embeddings.where(F.col(id_col) != query_id)
+    # the quantizer is a property of the CORPUS (built over the full
+    # table, query row included) — building it over `search` would
+    # make the centroid set depend on which row queries, so a
+    # persisted index (ivf_write_index_exact, necessarily
+    # query-independent) could never be bit-identical to this live
+    # twin for centroid-eligible query ids
     cents, score_array = _stride_quantizer(
-        search, n_cells, stride, id_col, vec_col
+        embeddings, n_cells, stride, id_col, vec_col
     )
     q_row = embeddings.where(F.col(id_col) == query_id)
     probe = (

@@ -1673,19 +1673,24 @@ def test_synthesize_media_roundtrips_real_codecs(spark):
     end-to-end through the Arrow mapInPandas plumbing."""
     from hillview_spark.functions import multimodal as mm
 
-    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # include negative ids: the closed form folds abs() so Python's
+    # non-negative modulo and SQL's sign-of-dividend modulo agree
+    ids = spark.createDataFrame(
+        [(i,) for i in range(40)] + [(-3,), (-14,)], "doc_id long"
+    )
     media = mm.synthesize_media(ids)
     probed = {r.media_id: r for r in mm.probe_media(media, "stdlib").collect()}
-    assert len(probed) == 40
+    assert len(probed) == 42
     for i, r in probed.items():
-        assert r.width == 1 + i % 13 and r.height == 1 + i % 7
-        assert r.kind == ("png" if i % 2 == 0 else "jpeg")
+        a = abs(i)
+        assert r.width == 1 + a % 13 and r.height == 1 + a % 7
+        assert r.kind == ("png" if a % 2 == 0 else "jpeg")
     # histogram aggregates the probed dims, not the closed form
     hist = {
         (r.kind, r.width, r.height): r.cnt
         for r in mm.dims_histogram(media).collect()
     }
-    assert sum(hist.values()) == 40
+    assert sum(hist.values()) == 42
     assert all(k[1] <= 13 and k[2] <= 7 for k in hist)
 
 
@@ -1710,6 +1715,19 @@ def test_ivf_indexed_exact_matches_live_twin(spark, tmp_path):
         emb, 0, k=10, n_cells=8, n_probe=3, stride=50
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in live.collect()]
+    # CENTROID-ELIGIBLE query id (1 % 50 == 1): the quantizer is a
+    # corpus property in both twins, so the persisted index still
+    # matches the live release bit-for-bit
+    qv1 = emb.where(F.col("vec_id") == 1).first().embedding
+    got1 = similarity.ivf_topk_indexed_exact(
+        spark, path, qv1, query_id=1, k=10, n_probe=3
+    )
+    live1 = similarity.ivf_topk_exact(
+        emb, 1, k=10, n_cells=8, n_probe=3, stride=50
+    )
+    assert [tuple(r) for r in got1.collect()] == [
+        tuple(r) for r in live1.collect()
+    ]
     # the probe reaches the scan as PartitionFilters on cell
     plan = ex.physical_plan(got)
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]

@@ -431,11 +431,11 @@ def test_geo_polygon_counts_scale_profile(spark, tables):
     shuffle."""
     from hillview_spark.functions import geo
 
-    regions = [
-        ("tri", [(100.505, -0.5), (9900.505, 8.5), (2000.505, 23.5)]),
-    ]
+    import __spark_entry__ as entry_mod
+
     df = geo.count_by_region(
-        tables["customer"], "c_acctbal", "c_nationkey", regions
+        tables["customer"], "c_acctbal", "c_nationkey",
+        entry_mod.GEO_POLYGON_REGIONS,
     )
     ex.assert_column_pruning(
         df,
