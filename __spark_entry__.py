@@ -536,6 +536,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_lsh_index_query"] = _lsh_indexed
+
+    # sources layer end-to-end (r7): write the orders table out as
+    # CSV (headers, quoting, timestamp formatting) and read it back
+    # with the declared schema — the gate hashes the round-tripped
+    # VALUES against the parquet originals, so a lossy writer/parser
+    # (float formatting, timestamp truncation, quote handling) fails
+    # the driver gate, not just pytest.
+    def _csv_roundtrip(s, d):
+        from hillview_spark.sources import readers, writers
+
+        orders = _t(s, d, "orders")
+        path = _scratch_dir("gate-csv-") + "/orders_csv"
+        writers.write_csv(orders, path)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in orders.schema.fields
+        )
+        return readers.read_csv(s, path, schema=schema)
+
+    q["csv_roundtrip_orders"] = _csv_roundtrip
     # Product quantization: compressed codes + asymmetric-distance
     # search, both decimal-exact twins (same stride codebook rule)
     q["pq_encode"] = lambda s, d: similarity.pq_encode_exact(
@@ -1064,7 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_counts_stream", "dp_windowed_counts_stream",
         "events_sliding_counts_stream", "dp_windowed_histogram_stream",
         "ann_ivf_topk_indexed", "dedup_lsh_index_query",
-        "events_click_purchase_stream",
+        "events_click_purchase_stream", "csv_roundtrip_orders",
         # (b) changed releases: binary-mechanism DP surface
         "dp_histogram_quantity", "dp_cdf_quantity",
         "dp_heatmap_qty_discount", "dp_quantiles_quantity",
@@ -2464,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
     # assert the anchor text exists so a reformat of _minhash_sql
     # can't silently turn the rewrite into a no-op
     assert "a.doc_id < b.doc_id" in _mh, "_minhash_sql pair predicate moved"
+    o["csv_roundtrip_orders"] = "SELECT * FROM orders"
     o["dedup_lsh_index_query"] = f"""
         WITH inner_pairs AS ({_mh.replace(
             "a.doc_id < b.doc_id",
