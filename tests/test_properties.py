@@ -261,3 +261,26 @@ def test_prf_escape_roundtrip_unambiguous(s):
                 j -= 1
             assert back % 2 == 1
     assert e != "\\N" or s is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=8), st.text(max_size=8)),
+        min_size=2, max_size=6, unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_len_prefix_coin_encoding_injective(pairs):
+    """portable_bernoulli's '<len>:<value>' field encoding joined by
+    '_' must map DISTINCT composite keys to DISTINCT coin inputs for
+    ARBITRARY strings (underscores, colons, digits, empty) — the
+    invariant the r7 aliasing fix rests on. Pure-Python replica of
+    the column expression (length = character count, as both Spark
+    length() and DuckDB LENGTH() count it)."""
+    def encode(fields):
+        return "_".join(f"{len(f)}:{f}" for f in fields)
+
+    encoded = [encode(p) for p in pairs]
+    assert len(set(encoded)) == len(pairs), (
+        f"aliased keys: {pairs} -> {encoded}"
+    )
