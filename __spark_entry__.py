@@ -548,12 +548,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         orders = _t(s, d, "orders")
         path = _scratch_dir("gate-csv-") + "/orders_csv"
-        writers.write_csv(orders, path)
+        # the FAITHFUL combo: '\N' null sentinel + quoted empties +
+        # multiLine parse, so NULL/''-aliasing and embedded newlines
+        # cannot silently pass (see write_csv/read_csv docstrings)
+        writers.write_csv(orders, path, null_value="\\N")
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in orders.schema.fields
         )
-        return readers.read_csv(s, path, schema=schema)
+        return readers.read_csv(
+            s, path, schema=schema, multiline=True, null_value="\\N"
+        )
 
     q["csv_roundtrip_orders"] = _csv_roundtrip
     # Product quantization: compressed codes + asymmetric-distance

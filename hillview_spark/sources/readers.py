@@ -142,10 +142,20 @@ def read_csv(
     infer: bool = True,
     delimiter: str = ",",
     keep_corrupt: bool | None = None,
+    multiline: bool = False,
+    null_value: str | None = None,
 ) -> DataFrame:
     """CSV with Hillview's tolerance: malformed rows are kept
     (PERMISSIVE) with a _corrupt_record column rather than failing
     the load — mirrors CsvFileLoader's parse-error counting.
+
+    multiline=True parses quoted embedded newlines per standard CSV
+    (without it a writer-quoted multi-line field SHREDS into garbage
+    rows). The trade-off is real at scale: a multiLine file cannot be
+    split on newlines, so each file parses as one stream — keep file
+    sizes bounded, or keep embedded newlines out of 100-TB CSV.
+    null_value: the NULL sentinel matching write_csv's (e.g. '\\N'),
+    which lets '' and NULL round-trip distinctly.
 
     keep_corrupt controls whether the _corrupt_record column appears
     in the RESULT. Default: yes on the inferred path (exploratory
@@ -161,6 +171,10 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
+    if multiline:
+        reader = reader.option("multiLine", True)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
     if schema:
         caller_declared = "_corrupt_record" in schema
         if not caller_declared:

@@ -17,8 +17,26 @@ def write_parquet(
     w.parquet(path)
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
-    df.write.mode(mode).option("header", header).csv(path)
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    null_value: str | None = None,
+) -> None:
+    """CSV writer. Plain CSV cannot distinguish NULL from '' (both
+    default to an empty cell) — pass null_value (e.g. the MySQL-
+    convention '\\N') to write NULLs as a sentinel and '' as a quoted
+    empty, making the write->read round-trip FAITHFUL for string
+    columns when read_csv gets the same null_value. The residual
+    ambiguity is a literal field equal to the sentinel (it reads back
+    NULL); pick a sentinel outside the data domain. Embedded newlines
+    are quoted per standard CSV either way — reading them back needs
+    read_csv(multiline=True)."""
+    w = df.write.mode(mode).option("header", header)
+    if null_value is not None:
+        w = w.option("nullValue", null_value).option("emptyValue", '""')
+    w.csv(path)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

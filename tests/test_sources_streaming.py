@@ -764,3 +764,34 @@ def test_stream_dp_windowed_histogram_restart_append_once(spark, tmp_path):
     assert len(got) > first  # the second life released new cells
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_csv_roundtrip_faithful_edges(spark, tmp_path):
+    """The faithful CSV combo (null sentinel + quoted empties +
+    multiLine) round-trips the cases plain CSV silently corrupts:
+    '' vs NULL stay distinct, and a quoted field with embedded
+    newlines / commas / quotes comes back byte-identical instead of
+    shredding into garbage rows."""
+    from hillview_spark.sources import writers
+
+    rows = [
+        (1, ""), (2, None), (3, 'x,y\n"q"'), (4, "plain"),
+        (5, "a\nb\nc"), (6, ","),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    p = str(tmp_path / "csv_edges")
+    writers.write_csv(df, p, null_value="\\N")
+    back = readers.read_csv(
+        spark, p, schema="id long, s string", multiline=True,
+        null_value="\\N",
+    )
+    assert sorted((r.id, r.s) for r in back.collect()
+                  if r.id is not None) == sorted(rows)
+    # the documented residual: a literal sentinel field reads as NULL
+    df2 = spark.createDataFrame([(9, "\\N")], "id long, s string")
+    p2 = str(tmp_path / "csv_sentinel")
+    writers.write_csv(df2, p2, null_value="\\N")
+    got = readers.read_csv(
+        spark, p2, schema="id long, s string", null_value="\\N"
+    ).first()
+    assert got.s is None
