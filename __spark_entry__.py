@@ -3451,10 +3451,14 @@ def oracle_sql() -> dict[str, str]:
             / COUNT(*) OVER w AS rolling_avg,
           COUNT(*) OVER w AS rolling_n
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY CAST(ts AS TIMESTAMP), event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """
+    # WHERE ts IS NOT NULL: Spark's window() generator silently drops
+    # NULL event times; without the filter the oracle would emit a
+    # NULL-window group Spark never produces
     o["events_sliding_counts"] = """
         SELECT CAST(make_timestamp(
                  (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
@@ -3462,6 +3466,7 @@ def oracle_sql() -> dict[str, str]:
                event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events CROSS JOIN generate_series(0, 3) i(i)
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """
     o["events_click_purchase"] = """
@@ -3477,7 +3482,8 @@ def oracle_sql() -> dict[str, str]:
               <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 1800000000
     """
     o["events_sessionize"] = """
-        WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+                   FROM events WHERE ts IS NOT NULL),
         g AS (SELECT user_id, event_id, tsu,
                 CASE WHEN epoch_us(tsu) - lag(epoch_us(tsu)) OVER w IS NULL
                        OR epoch_us(tsu) - lag(epoch_us(tsu)) OVER w > 30*60*1000000

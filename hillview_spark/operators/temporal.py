@@ -257,7 +257,13 @@ def moving_aggregate(
     chunk_seconds or pass strict=False to accept shortened frames on
     those rows. Hot keys — the reason to chunk — satisfy the
     envelope by orders of magnitude; leave chunk_seconds unset for
-    sparse keys."""
+    sparse keys.
+
+    Rows with NULL event time are DROPPED: they have no position in
+    the rolling timeline, and the engines' opposite NULL sort
+    conventions (Spark NULLS FIRST, DuckDB NULLS LAST) would
+    otherwise shift every frame near them."""
+    events = events.where(F.col(ts_col).isNotNull())
     if chunk_seconds is None:
         w = (
             Window.partitionBy(key_col)

@@ -63,6 +63,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     since the previous event exceeds gap_minutes. Two window passes
     over data partitioned by user — shuffle once on user_id, both
     windows reuse that partitioning (no second shuffle)."""
+    # NULL event time has no position on a session timeline — and the
+    # engines disagree on where NULLs SORT inside the window (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST), which would renumber every
+    # session around them. Drop them, like the streaming twin's
+    # watermark and the windowed twins already do.
+    events = events.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Microsecond-exact, timezone-free gap (cast-to-long truncates to
     # seconds; unix_micros on NTZ would re-enter the session TZ).

@@ -76,3 +76,87 @@ def test_oracle_matches_on_edge_docs(spark, edge_df, edge_con, key):
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on edge docs"
+
+# ---------------------------------------------------------------- events
+# The events surface is the historical NULL-bug hotspot (ADVICE r5-r7):
+# Spark's window()/watermark machinery silently drops NULL event times
+# while SQL GROUP BY keeps NULL groups, and the engines sort NULLs to
+# opposite ends of a window frame. These fixtures put NULL ts /
+# event_type / user_id / value rows (plus tie-broken duplicate
+# timestamps and a session-gap boundary) through the gate's own oracle
+# SQL so the batch operators' declared NULL semantics stay pinned.
+
+_TS = lambda m: __import__("datetime").datetime(2024, 1, 1, 10, m)
+
+EDGE_EVENTS = [
+    # (event_id, user_id, event_type, ts, value)
+    (1, 1, "click", _TS(0), 1.5),
+    (2, 1, "view", _TS(10), 2.25),
+    (3, 1, "purchase", _TS(50), 4.0),      # 40min gap -> new session
+    (4, 1, "view", None, 9.0),             # NULL ts
+    (5, 2, "click", _TS(0), 0.5),
+    (6, 2, None, _TS(5), 1.0),             # NULL event_type
+    (7, 2, "purchase", _TS(20), 3.5),      # click+20min -> attributed
+    (8, None, "click", _TS(15), 2.0),      # NULL user_id
+    (9, 2, "view", _TS(5), None),          # NULL value, ts tie w/ 6
+    (10, 2, "view", _TS(5), 0.125),        # second tie on (user, ts)
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_df(spark):
+    return spark.createDataFrame(
+        EDGE_EVENTS,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_events_con():
+    con = duckdb.connect()
+    # TIMESTAMP_NS mirrors the gate fixture's parquet TIMESTAMP(NANOS)
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, ts TIMESTAMP_NS, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?)", EDGE_EVENTS
+    )
+    return con
+
+
+def _events_cases():
+    from hillview_spark.operators import temporal
+    from hillview_spark.streaming import events as ev
+
+    return {
+        "events_windowed_counts": lambda df: ev.windowed_counts(df),
+        "events_sessionize": lambda df: ev.sessionize(df, gap_minutes=30),
+        "events_sliding_counts": lambda df: ev.sliding_window_counts(
+            df, window_minutes=60, slide_minutes=15
+        ),
+        "events_click_purchase": lambda df: ev.click_purchase_pairs(
+            df, gap_minutes=30
+        ),
+        "events_moving_avg": lambda df: temporal.moving_aggregate(
+            df, n_preceding=3
+        ),
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_events_cases()))
+def test_oracle_matches_on_edge_events(
+    spark, edge_events_df, edge_events_con, key
+):
+    sdf = _events_cases()[key](edge_events_df)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_events_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols, f"{key}: column drift {dcols} vs {cols}"
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on edge events"
