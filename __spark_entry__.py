@@ -1231,10 +1231,18 @@ def _count_noise_sql(seed: int, ci: int, epsilon: float,
 
 
 def _dot_sql(a: str, b: str) -> str:
+    """Decimal-exact dot product, length-aware: a pair of unequal
+    widths is NULL (Spark's zip_with NULL-pads the shorter side, so
+    the whole decimal fold is NULL there — a hardcoded upper bound
+    here would instead make list_sum SKIP the out-of-range NULL
+    products and return a bogus partial dot for a malformed vector,
+    which is exactly the divergence the edge-vector parity test
+    pins)."""
     return (
-        f"list_sum([CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(10,8))"
+        f"CASE WHEN len({a}) = len({b}) THEN"
+        f" list_sum([CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(10,8))"
         f" * CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(10,8))"
-        f" FOR i IN generate_series(1, 64)])"
+        f" FOR i IN generate_series(1, len({a}))]) END"
     )
 
 
@@ -1305,7 +1313,9 @@ def _bucket_sql(planes: int) -> str:
             f" * ({wl})[i] FOR i IN generate_series(1, 64)])"
         )
         bit_exprs.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
-    return "||".join(bit_exprs)
+    # dim-mismatched vectors get a NULL bucket (they drop out of the
+    # bucket equi-join), mirroring lsh_bucket_expr's length guard
+    return f"CASE WHEN len(embedding) = 64 THEN {'||'.join(bit_exprs)} END"
 
 
 def _ann_lsh_sql(planes: int = 4, k: int = 10) -> str:
@@ -1317,8 +1327,10 @@ def _ann_lsh_sql(planes: int = 4, k: int = 10) -> str:
                           {_dot_sql('embedding', 'embedding')} AS nrm
                    FROM embeddings),
         q AS (SELECT embedding AS qv, bucket AS qb, nrm AS qn FROM b WHERE vec_id = 0)
-        SELECT vec_id, round({cos}, 6) AS cosine
-        FROM b, q WHERE bucket = qb AND vec_id <> 0
+        SELECT * FROM (
+          SELECT vec_id, round({cos}, 6) AS cosine
+          FROM b, q WHERE bucket = qb AND vec_id <> 0)
+        WHERE cosine IS NOT NULL
         ORDER BY cosine DESC, vec_id LIMIT {k}
     """
 
@@ -2527,9 +2539,11 @@ def oracle_sql() -> dict[str, str]:
     o["ann_cosine_topk"] = f"""
         WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm FROM embeddings),
         q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0)
-        SELECT vec_id,
-               round({_cos_sql(_dot_sql('embedding', 'qv'), 'nrm', 'qn')}, 6) AS cosine
-        FROM e, q WHERE vec_id <> 0
+        SELECT * FROM (
+          SELECT vec_id,
+                 round({_cos_sql(_dot_sql('embedding', 'qv'), 'nrm', 'qn')}, 6) AS cosine
+          FROM e, q WHERE vec_id <> 0)
+        WHERE cosine IS NOT NULL
         ORDER BY cosine DESC, vec_id LIMIT 10
     """
     o["ann_lsh_topk"] = _ann_lsh_sql(planes=4, k=10)
@@ -2554,10 +2568,13 @@ def oracle_sql() -> dict[str, str]:
         for j in range(4)
     )
     _pq_prefix = f"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        WITH e AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id <> 0 AND len(embedding) = 64),
         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                         embedding AS cvec
-                 FROM embeddings WHERE vec_id <> 0 AND vec_id % 50 = 1
+                 FROM embeddings
+                 WHERE vec_id <> 0 AND vec_id % 50 = 1
+                   AND len(embedding) = 64
                  ORDER BY vec_id LIMIT 8),
         sub AS ({_pq_sub_union}),
         codes AS (SELECT vec_id, j, cid AS code FROM (
@@ -2579,7 +2596,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["pq_topk"] = f"""
         {_pq_prefix},
-        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        q AS (SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = 0 AND len(embedding) = 64),
         qd AS ({_pq_qd_union}),
         adc AS (SELECT codes.vec_id, SUM(qd.qdist) AS s
                 FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.cid
@@ -2600,21 +2618,24 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT embedding AS qv, {_nrm} AS qn
               FROM embeddings WHERE vec_id = 0),
         probe AS (SELECT cell FROM cent, q
-                  ORDER BY cnrm - 2 * {_dot_sql('cvec', 'qv')}, cell
+                  ORDER BY cnrm - 2 * {_dot_sql('cvec', 'qv')} NULLS LAST, cell
                   LIMIT 3),
         assigned AS (SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY c.cnrm - 2 * {_dot_sql('e.embedding', 'c.cvec')},
                               c.cell) AS rn
-            FROM e, cent c) WHERE rn = 1)
-        SELECT e.vec_id,
-               round({_cos_sql(_dot_sql('e.embedding', 'qv'), 'e.nrm', 'qn')}, 6)
-                 AS cosine
-        FROM e
-        JOIN assigned a ON e.vec_id = a.vec_id
-        JOIN probe p ON a.cell = p.cell, q
-        ORDER BY cosine DESC, e.vec_id LIMIT 10
+            FROM e, cent c
+            WHERE c.cnrm - 2 * {_dot_sql('e.embedding', 'c.cvec')} IS NOT NULL) WHERE rn = 1)
+        SELECT * FROM (
+          SELECT e.vec_id,
+                 round({_cos_sql(_dot_sql('e.embedding', 'qv'), 'e.nrm', 'qn')}, 6)
+                   AS cosine
+          FROM e
+          JOIN assigned a ON e.vec_id = a.vec_id
+          JOIN probe p ON a.cell = p.cell, q)
+        WHERE cosine IS NOT NULL
+        ORDER BY cosine DESC, vec_id LIMIT 10
     """
     # the persisted exact-twin index returns bit-identical results
     # to the live twin (pytest-proved), so it shares the oracle —
@@ -2636,7 +2657,8 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY c.cnrm - 2 * {_dot_sql('e.embedding', 'c.cvec')},
                               c.cell) AS rn
-            FROM e, cent c) WHERE rn = 1),
+            FROM e, cent c
+            WHERE c.cnrm - 2 * {_dot_sql('e.embedding', 'c.cvec')} IS NOT NULL) WHERE rn = 1),
         dups AS (SELECT ab.vec_id AS id_b FROM e ea
                  JOIN assigned aa ON ea.vec_id = aa.vec_id
                  JOIN assigned ab ON aa.cell = ab.cell
@@ -2668,7 +2690,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, neighbor_id, cosine,
                  CAST(row_number() OVER (PARTITION BY vec_id
                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-          FROM c) WHERE rank <= 3
+          FROM c WHERE cosine IS NOT NULL) WHERE rank <= 3
     """
 
     # LSH-blocked scale paths on the FULL table: the bucket string is
@@ -2686,7 +2708,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, neighbor_id, cosine,
                  CAST(row_number() OVER (PARTITION BY vec_id
                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-          FROM c) WHERE rank <= 3
+          FROM c WHERE cosine IS NOT NULL) WHERE rank <= 3
     """
     o["dedup_embedding_cosine_lsh"] = f"""
         WITH e AS (SELECT vec_id, embedding, {_nrm} AS nrm,

@@ -114,7 +114,15 @@ def cosine_topk(
             ).alias("cosine"),
         )
     )
-    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+    # zero-norm or dim-mismatched vectors score NULL (cosine()'s
+    # guard / zip_with padding) — drop them so they can't occupy
+    # top-k slots; this is the same cut the numpy twin makes by
+    # filtering non-finite scores
+    return (
+        scored.where(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
 
 
 def cosine_topk_numpy(
@@ -137,6 +145,10 @@ def cosine_topk_numpy(
         import pandas as pd
 
         for pdf in batches:
+            # dim-mismatched vectors can't score (and would make the
+            # batch np.stack ragged-raise): quarantine them, like the
+            # expression twin's NULL-cosine drop
+            pdf = pdf[pdf[vec_col].map(len, na_action="ignore") == len(qv)]
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -211,21 +223,18 @@ def lsh_bucket_expr(
                 lambda acc, v: acc + v,
             )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    # loud length check: zip_with pads the SHORTER side with NULL, so
-    # a dims mismatch (128-dim vectors, default dims=64 planes) would
-    # make every dot NULL -> every bit '0' -> ONE bucket holding the
-    # whole table, silently turning the blocked join quadratic
+    # Length guard: zip_with pads the SHORTER side with NULL, so a
+    # dims mismatch would make every dot NULL -> every bit '0' -> ONE
+    # bucket holding all mismatched rows, silently turning the blocked
+    # join quadratic. Mismatched vectors get a NULL bucket instead:
+    # they drop out of the bucket equi-join (a NULL key never matches)
+    # the same way their cosine would be NULL anyway — malformed rows
+    # are quarantined, not job-fatal, per the engine-wide
+    # missing-on-parse-failure convention. A caller who passes the
+    # wrong dims= for a uniformly-wider table sees an all-NULL bucket
+    # column (empty results), not a crashed 100-TB job.
     dims = len(planes[0])
-    return F.when(
-        F.size(F.col(vec_col)) == dims, F.concat(*bits)
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"lsh bucket: vector length != hyperplane dims={dims}"
-                " — pass dims= matching the embedding width"
-            )
-        )
-    )
+    return F.when(F.size(F.col(vec_col)) == dims, F.concat(*bits))
 
 
 def ann_lsh(
@@ -260,7 +269,12 @@ def ann_lsh(
             ).alias("cosine"),
         )
     )
-    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+    # same NULL-cosine cut as cosine_topk (zero-norm bucketmates)
+    return (
+        scored.where(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
 
 
 def ivf_index(
@@ -287,7 +301,18 @@ def ivf_index(
     # partitions answer first; ordering by id makes the centroids (and
     # hence the index) reproducible across runs and cluster layouts
     sample = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
-    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    # train on the first sampled row's width; rows of any other width
+    # (malformed) are quarantined here and in assignment below
+    dim0 = next(
+        len(r[vec_col]) for r in sample if r[vec_col] is not None
+    )
+    X = np.stack(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in sample
+            if r[vec_col] is not None and len(r[vec_col]) == dim0
+        ]
+    )
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):
@@ -302,6 +327,10 @@ def ivf_index(
         import pandas as pd
 
         for pdf in batches:
+            # quarantine rows that don't match the trained width
+            pdf = pdf[
+                pdf[vec_col].map(len, na_action="ignore") == C.shape[1]
+            ]
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -437,6 +466,10 @@ def ivf_write_index_exact(
             .cast("int")
             .alias("cell"),
         )
+        # unassignable (dim-mismatched) vectors would otherwise land
+        # in a NULL-cell partition no probe ever reads — exclude them
+        # at write time, matching the live twin's cell join
+        .where(F.col("cell").isNotNull())
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/data")
@@ -524,6 +557,8 @@ def ivf_topk_indexed_exact(
                 6,
             ).alias("cosine"),
         )
+        # same NULL-cosine cut as the live twin (mixed-width cells)
+        .where(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -574,7 +609,11 @@ def ivf_topk_exact(
         q_row.select(
             F.posexplode(score_array(F.col(vec_col))).alias("cell", "__score")
         )
-        .orderBy("__score", "cell")
+        # NULLS LAST: a centroid the query can't score against (dim
+        # mismatch) probes after every scorable cell — and matches the
+        # oracle engine's null ordering (Spark's bare asc is NULLS
+        # FIRST, which would probe unscorable cells first)
+        .orderBy(F.asc_nulls_last("__score"), "cell")
         .limit(n_probe)
         .select(F.col("cell").cast("int").alias("cell"))
     )
@@ -605,6 +644,10 @@ def ivf_topk_exact(
                 6,
             ).alias("cosine"),
         )
+        # a probed cell can still hold vectors of a different width
+        # than the query (mixed-width corpus): their cosine is NULL —
+        # same cut as cosine_topk
+        .where(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -654,6 +697,10 @@ def pq_encode_exact(
     Scale shape: one projection over the scan (m·k decimal dots per
     row, no shuffle); the codebook collect is k rows."""
     sub = dims // m
+    # PQ declares its dims: a vector of any other width has no valid
+    # sub-vectors (slices would NULL-pad), so exclude it up front —
+    # quarantined like every other malformed-vector path here
+    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
     cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
 
     def sub_scores(j: int) -> Column:
@@ -712,6 +759,10 @@ def pq_topk_exact(
     array lookups; output is a top-k heap. At 100 TB the codes column
     would be precomputed once and stored."""
     sub = dims // m
+    # same quarantine as pq_encode_exact — applied before the search/
+    # codebook/query splits so a malformed vector can't become a
+    # codebook entry or a garbage all-NULL query table
+    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
     search = embeddings.where(F.col(id_col) != query_id)
     cents = _pq_centroids(search, k, stride, id_col, vec_col)
     q_row = embeddings.where(F.col(id_col) == query_id)
@@ -777,6 +828,8 @@ def pq_encode_blas(
     import numpy as np
 
     sub = dims // m
+    # same malformed-vector quarantine as the exact twin
+    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
     cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
     CB = _pq_codebook_np(cents, m, sub, vec_col)
     cn = [(CB[j] ** 2).sum(1) for j in range(m)]
@@ -828,6 +881,9 @@ def pq_topk_blas(
     import numpy as np
 
     sub = dims // m
+    # same malformed-vector quarantine as the exact twin (also makes
+    # an off-width query row degrade to the empty result below)
+    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
     search = embeddings.where(F.col(id_col) != query_id)
     cents = _pq_centroids(search, k, stride, id_col, vec_col)
     CB = _pq_codebook_np(cents, m, sub, vec_col)
@@ -1026,7 +1082,11 @@ def knn_join(
 
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # NULL cosine (zero-norm or dim-mismatched neighbor) is not a
+        # neighbor: filter before ranking so such rows can't take one
+        # of the k slots when a vector has few scorable candidates
+        scored.where(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
@@ -1046,15 +1106,14 @@ def _numpy_bucketed(
         import pandas as pd
 
         for pdf in batches:
+            # quarantine dim-mismatched vectors (they'd ragged-raise
+            # the stack); lsh_bucket_expr NULL-buckets the same rows
+            pdf = pdf[
+                pdf[vec_col].map(len, na_action="ignore") == W.shape[1]
+            ]
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if M.shape[1] != W.shape[1]:
-                raise ValueError(
-                    f"lsh bucket: vector length {M.shape[1]} != "
-                    f"hyperplane dims={W.shape[1]} — pass dims= "
-                    "matching the embedding width"
-                )
             bits = (M @ W.T) >= 0
             bucket = (bits * (1 << np.arange(planes))).sum(1)
             yield pd.DataFrame(
@@ -1282,6 +1341,12 @@ def semantic_dedup(
         .cast("int")
         .alias("cell"),
     ).transform(cache.persist)
+    # a vector whose distance to every centroid is NULL (dim mismatch
+    # with the whole codebook) has no cell: it is excluded from the
+    # release — dedup does not judge rows it cannot score; callers
+    # keep unjudged rows by anti-joining the release. Same quarantine
+    # rule as ivf_topk_exact's cell join.
+    assigned = assigned.where(F.col("cell").isNotNull())
     a = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("id_a"),
@@ -1346,6 +1411,11 @@ def semantic_dedup_blas(
 
     def assign(batches):
         for pdf in batches:
+            # quarantine dim-mismatched vectors (no cell — excluded
+            # from the release, same rule as the exact twin)
+            pdf = pdf[
+                pdf[vec_col].map(len, na_action="ignore") == cmat.shape[1]
+            ]
             if len(pdf) == 0:
                 continue
             v = np.stack(

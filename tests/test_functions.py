@@ -1645,17 +1645,29 @@ def test_cosine_topk_numpy_zero_vectors_never_top(spark):
     assert out[0].vec_id == 0  # genuine best match tops
 
 
-def test_lsh_dims_mismatch_is_loud(spark):
+def test_lsh_dims_mismatch_quarantines(spark):
+    """Dim-mismatched vectors get a NULL LSH bucket (round-7 semantics:
+    quarantined, not job-fatal, and never all-'0'-bits in ONE bucket
+    turning the blocked join quadratic). A uniformly-mismatched table
+    therefore yields EMPTY results; a mixed table quarantines only the
+    mismatched rows and still pairs the valid ones."""
     from hillview_spark.functions import similarity
 
     df = spark.createDataFrame(
         [(i, [float(i)] * 128) for i in range(4)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(Exception, match="dims"):
-        similarity.cosine_dup_pairs(df, planes=4, dims=64).collect()
-    with pytest.raises(Exception, match="dims"):
-        similarity.knn_join_blocked(df, k=2, planes=4, dims=64).collect()
+    assert similarity.cosine_dup_pairs(df, planes=4, dims=64).count() == 0
+    assert similarity.knn_join_blocked(df, k=2, planes=4, dims=64).count() == 0
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64), (3, [1.0] * 128)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = similarity.cosine_dup_pairs(
+        mixed, threshold=0.9, planes=1, dims=64
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
 def test_pq_topk_blas_missing_query_returns_empty(spark, tables):

@@ -160,3 +160,114 @@ def test_oracle_matches_on_edge_events(
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on edge events"
+
+# ------------------------------------------------------------ embeddings
+# Malformed-vector quarantine (round 7): a zero-norm, NULL, or
+# dim-mismatched embedding must drop out of every similarity release the
+# same way in both engines. Historically divergent three ways: Spark's
+# zip_with NULL-pads unequal widths (NULL dot) while a hardcoded
+# generate_series(1, 64) made DuckDB's list_sum skip the NULLs and emit a
+# bogus partial dot; the LSH bucket expression raise_error'd (one bad row
+# killing a 100-TB job); and NULL cosines could occupy top-k slots. Now:
+# NULL bucket/cell -> excluded from candidates, NULL cosine -> never
+# ranked, PQ filters to its declared dims. The 16-dim pair (12, 16) pins
+# the complement: vectors of EQUAL (if nonstandard) width remain
+# comparable to each other in the exact pairwise paths.
+
+_EDGE_VECS = None
+
+
+def _edge_vec_rows():
+    global _EDGE_VECS
+    if _EDGE_VECS is None:
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        rows = []
+        for i in range(8):
+            rows.append(
+                (i, [float(round(x, 4)) for x in rng.normal(size=64)], i % 3)
+            )
+        rows.append((8, [0.0] * 64, 0))       # zero-norm
+        rows.append((9, None, 1))             # NULL embedding
+        rows.append((10, [1.0] * 16, 2))      # dim mismatch
+        rows.append((12, [1.0] * 16, 0))      # same-width pair w/ 16
+        rows.append((16, [2.0] * 16, 1))      # parallel to 12 (cos 1.0)
+        _EDGE_VECS = rows
+    return _EDGE_VECS
+
+
+@pytest.fixture(scope="module")
+def edge_vec_df(spark):
+    return spark.createDataFrame(
+        _edge_vec_rows(), "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_vec_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[],"
+        " label INT)"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?, ?)", _edge_vec_rows()
+    )
+    return con
+
+
+def _vec_cases():
+    from pyspark.sql import functions as F
+
+    from hillview_spark.functions import similarity as sim
+
+    return {
+        "ann_cosine_topk": lambda df: sim.cosine_topk(df, query_id=0, k=10),
+        "ann_lsh_topk": lambda df: sim.ann_lsh(
+            df, query_id=0, k=10, planes=4
+        ),
+        "ann_knn_join": lambda df: sim.knn_join(
+            df.where(F.col("vec_id") % 4 == 0), k=3
+        ),
+        "ann_knn_join_lsh": lambda df: sim.knn_join(df, k=3, planes=8),
+        "dedup_embedding_cosine": lambda df: sim.cosine_dup_pairs(
+            df.where(F.col("vec_id") % 4 == 0), threshold=0.4
+        ),
+        "dedup_embedding_cosine_lsh": lambda df: sim.cosine_dup_pairs(
+            df, threshold=0.4, planes=4
+        ),
+        "semantic_dedup": lambda df: sim.semantic_dedup(
+            df, threshold=0.4, n_cells=8, stride=50
+        ),
+        "embedding_group_centroids": lambda df: sim.group_centroids(
+            df, "label"
+        ),
+        "ann_ivf_topk": lambda df: sim.ivf_topk_exact(
+            df, query_id=0, k=10, n_cells=8, n_probe=3, stride=50
+        ),
+        "pq_encode": lambda df: sim.pq_encode_exact(
+            df.where("vec_id <> 0"), m=4, k=8, stride=50
+        ),
+        "pq_topk": lambda df: sim.pq_topk_exact(
+            df, query_id=0, n_results=10, m=4, k=8, stride=50
+        ),
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_vec_cases()))
+def test_oracle_matches_on_edge_vectors(spark, edge_vec_df, edge_vec_con, key):
+    sdf = _vec_cases()[key](edge_vec_df)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_vec_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols, f"{key}: column drift {dcols} vs {cols}"
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on edge vectors"
+    if key == "dedup_embedding_cosine":
+        # the equal-width 16-dim pair must have been judged, not dropped
+        assert any("12, 16" in g or "(1.0, 12, 16)" in g for g in got), got
