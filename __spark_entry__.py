@@ -1656,12 +1656,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     def hist1d(col: str, table: str, nb: int) -> str:
+        # present = FINITE (isfinite(NULL) is NULL -> WHERE drops it),
+        # matching histogram._finite: NaN/±Inf are missing and never
+        # poison the range
         return f"""
-        WITH rng AS (SELECT min({col}) mn, max({col}) mx FROM {table}),
+        WITH rng AS (SELECT min(CASE WHEN isfinite({col}) THEN {col} END) mn,
+                            max(CASE WHEN isfinite({col}) THEN {col} END) mx
+                     FROM {table}),
         counted AS (
           SELECT CAST(least(greatest(CAST(floor(({col} - mn) / ((mx - mn) / {nb}.0))
                  AS BIGINT), 0), {nb - 1}) AS INT) AS bucket, COUNT(*) AS cnt
-          FROM {table}, rng WHERE {col} IS NOT NULL GROUP BY 1)
+          FROM {table}, rng WHERE isfinite({col}) GROUP BY 1)
         SELECT CAST(s.i AS INT) AS bucket, COALESCE(c.cnt, 0) AS cnt
         FROM generate_series(0, {nb - 1}) s(i)
         LEFT JOIN counted c ON c.bucket = s.i
@@ -1680,8 +1685,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["histogram2d_heatmap"] = """
-        WITH rng AS (SELECT min(l_quantity) xmn, max(l_quantity) xmx,
-                            min(l_extendedprice) ymn, max(l_extendedprice) ymx
+        WITH rng AS (SELECT min(CASE WHEN isfinite(l_quantity) THEN l_quantity END) xmn,
+                            max(CASE WHEN isfinite(l_quantity) THEN l_quantity END) xmx,
+                            min(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) ymn,
+                            max(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) ymx
                      FROM lineitem)
         SELECT
           CAST(least(greatest(CAST(floor((l_quantity - xmn) / ((xmx - xmn) / 10.0))
@@ -1690,13 +1697,15 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT), 0), 9) AS INT) AS ybucket,
           COUNT(*) AS cnt
         FROM lineitem, rng
-        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
         GROUP BY 1, 2
     """
 
     o["histogram3d_trellis"] = """
-        WITH rng AS (SELECT min(l_quantity) q_mn, max(l_quantity) q_mx,
-                            min(l_extendedprice) e_mn, max(l_extendedprice) e_mx
+        WITH rng AS (SELECT min(CASE WHEN isfinite(l_quantity) THEN l_quantity END) q_mn,
+                            max(CASE WHEN isfinite(l_quantity) THEN l_quantity END) q_mx,
+                            min(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) e_mn,
+                            max(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) e_mx
                      FROM lineitem)
         SELECT l_returnflag AS l_returnflag_bucket,
           CAST(least(greatest(CAST(floor((l_quantity - q_mn) / ((q_mx - q_mn) / 5.0))
@@ -1705,6 +1714,8 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT), 0), 4) AS INT) AS l_extendedprice_bucket,
           COUNT(*) AS cnt
         FROM lineitem, rng
+        WHERE l_returnflag IS NOT NULL
+          AND isfinite(l_quantity) AND isfinite(l_extendedprice)
         GROUP BY 1, 2, 3
     """
 
@@ -1722,8 +1733,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["histogram4d_trellis"] = """
-        WITH rng AS (SELECT min(l_quantity) q_mn, max(l_quantity) q_mx,
-                            min(l_discount) d_mn, max(l_discount) d_mx
+        WITH rng AS (SELECT min(CASE WHEN isfinite(l_quantity) THEN l_quantity END) q_mn,
+                            max(CASE WHEN isfinite(l_quantity) THEN l_quantity END) q_mx,
+                            min(CASE WHEN isfinite(l_discount) THEN l_discount END) d_mn,
+                            max(CASE WHEN isfinite(l_discount) THEN l_discount END) d_mx
                      FROM lineitem)
         SELECT l_returnflag AS l_returnflag_bucket,
                l_linestatus AS l_linestatus_bucket,
@@ -1733,6 +1746,8 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT), 0), 3) AS INT) AS l_discount_bucket,
           COUNT(*) AS cnt
         FROM lineitem, rng
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+          AND isfinite(l_quantity) AND isfinite(l_discount)
         GROUP BY 1, 2, 3, 4
     """
 
@@ -1743,9 +1758,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["data_range"] = """
-        SELECT min(l_extendedprice) AS min_val, max(l_extendedprice) AS max_val,
-               count(l_extendedprice) AS present_count,
-               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
+        SELECT min(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS min_val,
+               max(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS max_val,
+               count(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS present_count,
+               CAST(SUM(CASE WHEN COALESCE(isfinite(l_extendedprice), false)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS missing_count
         FROM lineitem
     """
 
@@ -1761,7 +1778,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["histogram_quantiles"] = """
-        WITH rng AS (SELECT min(l_quantity) mn, max(l_quantity) mx FROM lineitem)
+        WITH rng AS (SELECT min(CASE WHEN isfinite(l_quantity) THEN l_quantity END) mn,
+                            max(CASE WHEN isfinite(l_quantity) THEN l_quantity END) mx
+                     FROM lineitem)
         SELECT
           CAST(least(greatest(CAST(floor((l_quantity - mn) / ((mx - mn) / 8.0))
                AS BIGINT), 0), 7) AS INT) AS bucket,
@@ -1770,7 +1789,7 @@ def oracle_sql() -> dict[str, str]:
           round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
           round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
         FROM lineitem, rng
-        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
         GROUP BY 1
     """
 
@@ -1789,29 +1808,33 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["quantiles_price"] = """
-        SELECT round(quantile_cont(l_extendedprice, 0.1), 4) AS q10,
-               round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
-               round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
-               round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
-               round(quantile_cont(l_extendedprice, 0.9), 4) AS q90
+        SELECT round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.1), 4) AS q10,
+               round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.25), 4) AS q25,
+               round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.5), 4) AS q50,
+               round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.75), 4) AS q75,
+               round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.9), 4) AS q90
         FROM lineitem
     """
 
     def colstat(c: str) -> str:
-        dec4 = f"CAST({c} AS DECIMAL(12,4))"
+        # present = FINITE (stats.basic_col_stats rule): NaN/±Inf are
+        # missing and excluded from every moment
+        v = f"(CASE WHEN isfinite({c}) THEN {c} END)"
+        dec4 = f"CAST({v} AS DECIMAL(12,4))"
         # DECIMAL(20,*) operands force DuckDB onto int128 storage so
         # the square of a 12-digit decimal cannot overflow.
-        sq = f"CAST({c} AS DECIMAL(20,4)) * CAST({c} AS DECIMAL(20,4))"
+        sq = f"CAST({v} AS DECIMAL(20,4)) * CAST({v} AS DECIMAL(20,4))"
         return f"""
-        SELECT '{c}' AS col_name, count({c}) AS present_count,
-          CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
-          round(CAST(min({c}) AS DOUBLE), 4) AS min_val,
-          round(CAST(max({c}) AS DOUBLE), 4) AS max_val,
+        SELECT '{c}' AS col_name, count({v}) AS present_count,
+          CAST(SUM(CASE WHEN COALESCE(isfinite({c}), false) THEN 0 ELSE 1 END)
+               AS BIGINT) AS missing_count,
+          round(CAST(min({v}) AS DOUBLE), 4) AS min_val,
+          round(CAST(max({v}) AS DOUBLE), 4) AS max_val,
           CAST(SUM({dec4}) AS DOUBLE) AS sum_val,
-          round(CAST(SUM({dec4}) AS DOUBLE) / count({c}), 6) AS mean_val,
+          round(CAST(SUM({dec4}) AS DOUBLE) / count({v}), 6) AS mean_val,
           round(sqrt(GREATEST((CAST(SUM({sq}) AS DOUBLE)
             - CAST(SUM({dec4}) AS DOUBLE) * CAST(SUM({dec4}) AS DOUBLE)
-              / count({c})) / (count({c}) - 1), 0.0)), 4) AS stddev_val
+              / count({v})) / (count({v}) - 1), 0.0)), 4) AS stddev_val
         FROM lineitem
         """
 
@@ -1863,10 +1886,16 @@ def oracle_sql() -> dict[str, str]:
     """
     o["next_k_aggregate"] = """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_l_quantity,
-          round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
-                / COUNT(l_extendedprice), 6) AS avg_l_extendedprice,
-          max(l_discount) AS max_l_discount
+          CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END
+                        AS DECIMAL(28,4))) AS DOUBLE) AS sum_l_quantity,
+          round(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice)
+                                   THEN l_extendedprice END
+                              AS DECIMAL(28,4))) AS DOUBLE)
+                / COUNT(CASE WHEN isfinite(l_extendedprice)
+                             THEN l_extendedprice END), 6)
+            AS avg_l_extendedprice,
+          max(CASE WHEN isfinite(l_discount) THEN l_discount END)
+            AS max_l_discount
         FROM lineitem GROUP BY 1, 2
         ORDER BY l_returnflag, l_linestatus LIMIT 10
     """
@@ -1989,7 +2018,8 @@ def oracle_sql() -> dict[str, str]:
     # returned element convention equals DuckDB's quantile_disc
     # (verified sf0.001 + sf0.01)
     o["quantiles_approx"] = """
-        WITH q AS (SELECT quantile_disc(l_extendedprice,
+        WITH q AS (SELECT quantile_disc(CASE WHEN isfinite(l_extendedprice)
+                            THEN l_extendedprice END,
                        [0.25, 0.5, 0.75]) AS qs FROM lineitem)
         SELECT CAST(u.i - 1 AS INT) AS idx, qs[u.i] AS value
         FROM q, UNNEST(generate_series(1, 3)) u(i)
@@ -2057,7 +2087,7 @@ def oracle_sql() -> dict[str, str]:
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0), 49)
                        AS BIGINT) * 10) // 50 AS INT) AS bucket,
                    COUNT(*) AS cnt
-            FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+            FROM lineitem WHERE isfinite(l_quantity) GROUP BY 1
         ), joined AS (
             SELECT n.bucket, CAST(n.left_edge AS DOUBLE) AS left_edge,
                    CAST(FLOOR(CAST({cnt} AS DOUBLE)
@@ -2116,7 +2146,7 @@ def oracle_sql() -> dict[str, str]:
                        AS INT) AS ybucket,
                    COUNT(*) AS cnt
             FROM lineitem
-            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            WHERE isfinite(l_quantity) AND isfinite(l_discount)
             GROUP BY 1, 2)
         SELECT n.xbucket, n.ybucket,
                CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
@@ -2175,7 +2205,7 @@ def oracle_sql() -> dict[str, str]:
                        (CAST(l_discount AS DOUBLE) - 0.0) / 0.01), 0),
                        {yleaves - 1}) * 0.01 AS qy
             FROM lineitem
-            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            WHERE isfinite(l_quantity) AND isfinite(l_discount)
         ), counts AS (
             SELECT CAST((CAST(LEAST(GREATEST(FLOOR((qx - 1.0) / 1.0), 0),
                        {xleaves - 1}) AS BIGINT) * {xb}) // {xleaves}
@@ -2226,7 +2256,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1.0 + LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
                        {leaves - 1}) * 1.0 AS qx
-            FROM lineitem WHERE l_quantity IS NOT NULL
+            FROM lineitem WHERE isfinite(l_quantity)
         ), counts AS (
             SELECT CAST((CAST(LEAST(GREATEST(FLOOR((qx - 1.0) / 1.0), 0),
                        {leaves - 1}) AS BIGINT) * {buckets}) // {leaves}
@@ -2269,7 +2299,7 @@ def oracle_sql() -> dict[str, str]:
                    1.0 + LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
                        49) * 1.0 AS l_quantity
-            FROM lineitem WHERE l_quantity IS NOT NULL
+            FROM lineitem WHERE isfinite(l_quantity)
         ), view_rows AS (
             SELECT * FROM quant
             WHERE l_quantity >= {lo!r} AND l_quantity <= {hi!r}
@@ -3149,13 +3179,14 @@ def oracle_sql() -> dict[str, str]:
           ON c.user_id = e.user_id AND c.ts >= e.ts
     """
     o["histogram_singleton"] = """
-        WITH rng AS (SELECT min(p_retailprice) mn, max(p_retailprice) mx
+        WITH rng AS (SELECT min(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END) mn,
+                            max(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END) mx
                      FROM part),
         counted AS (
           SELECT CAST(least(greatest(CAST(floor((p_retailprice - mn)
                    / ((mx - mn) / 100.0)) AS BIGINT), 0), 99) AS INT) AS bucket,
                  COUNT(*) AS cnt, min(p_retailprice) AS mnv
-          FROM part, rng WHERE p_retailprice IS NOT NULL GROUP BY 1)
+          FROM part, rng WHERE isfinite(p_retailprice) GROUP BY 1)
         SELECT CAST(s.i AS INT) AS bucket, COALESCE(c.cnt, 0) AS cnt,
                CASE WHEN c.cnt = 1 THEN c.mnv END AS singleton
         FROM generate_series(0, 99) s(i)
@@ -3176,7 +3207,7 @@ def oracle_sql() -> dict[str, str]:
                      floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
                            / ((105000.0 - 900.0) / 16)), 0), 15)
                    * ((105000.0 - 900.0) / 16) AS q_price
-                   FROM lineitem WHERE l_extendedprice IS NOT NULL)
+                   FROM lineitem WHERE isfinite(l_extendedprice))
         SELECT q_price, COUNT(*) AS cnt FROM q GROUP BY 1
     """
     o["row_quantiles"] = """

@@ -39,23 +39,30 @@ def _validate_stages(stages) -> None:
 
 def _finite(df: DataFrame, col: str) -> Column:
     """Present-and-usable predicate: NOT NULL, and for float/double
-    columns also NOT NaN. Spark orders NaN ABOVE every double, so a
+    columns also FINITE. Spark orders NaN ABOVE every double, so a
     single NaN row would poison max() -> bucket width NaN ->
     floor((x-mn)/NaN) casts to bucket 0 for EVERY row — the whole
-    histogram silently collapses. NaN counts as missing, like
-    Hillview's Double converters treat non-finite values."""
+    histogram silently collapses; a single ±Inf row degenerates the
+    range the same way (width Inf -> every finite value in bucket 0).
+    Non-finite counts as missing, like Hillview's Double converters
+    treat non-finite values. The two strict comparisons against the
+    ±Inf literals are false for NaN as well, so one predicate shape
+    covers both — and it is expressible identically in any SQL engine
+    (the oracle uses isfinite())."""
     c = F.col(col)
     cond = c.isNotNull()
     if dict(df.dtypes).get(col) in ("double", "float"):
-        cond = cond & ~F.isnan(c)
+        cond = (
+            cond
+            & (c > F.lit(float("-inf")))
+            & (c < F.lit(float("inf")))
+        )
     return cond
 
 
 def _range_of(df: DataFrame, col: str) -> DataFrame:
     """1-row (mn, mx) relation over the finite values of col."""
-    c = F.col(col)
-    if dict(df.dtypes).get(col) in ("double", "float"):
-        c = F.when(~F.isnan(F.col(col)), F.col(col))
+    c = F.when(_finite(df, col), F.col(col))
     return df.agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
 
 
@@ -220,10 +227,7 @@ def histogram2d(
     the 1-D case and sparse here to bound result size at high
     resolutions)."""
     def fin_col(c):
-        col_ = F.col(c)
-        if dict(df.dtypes).get(c) in ("double", "float"):
-            return F.when(~F.isnan(col_), col_)
-        return col_
+        return F.when(_finite(df, c), F.col(c))
 
     rng = df.agg(
         F.min(fin_col(xcol)).alias("xmn"),
@@ -275,7 +279,11 @@ def histogram_nd(df: DataFrame, specs: list[tuple[str, int]]) -> DataFrame:
     numeric = [(c, b) for c, b in specs if dtypes[c] not in categorical]
     rng_aggs = []
     for c, _ in numeric:
-        rng_aggs += [F.min(axis(c)).alias(f"{c}_mn"), F.max(axis(c)).alias(f"{c}_mx")]
+        # range over FINITE values only — a single NaN/±Inf would
+        # otherwise poison the axis range and squash every row into
+        # one bucket even though the rows themselves are filtered
+        ax = F.when(_finite(df, c), axis(c))
+        rng_aggs += [F.min(ax).alias(f"{c}_mn"), F.max(ax).alias(f"{c}_mx")]
     fin = None
     for c, _ in specs:
         cond = _finite(df, c)

@@ -128,8 +128,9 @@ def quantize_column(
     BEFORE any sketch sees it, so downstream aggregates can only
     observe quantized values (the DP noise layer then works on bucket
     counts). Pure Catalyst arithmetic in a fixed op order —
-    bit-identical across engines; values outside [lo, hi) clamp to
-    the edge buckets, NULL — and NaN — stay missing (NaN passes
+    bit-identical across engines; FINITE values outside [lo, hi)
+    clamp to the edge buckets, NULL and non-finite (NaN, ±Inf) stay
+    missing (NaN passes
     isNotNull and its clamped floor would silently land on the LOWEST
     bucket's left edge, inflating that bucket's noisy count in the DP
     layer; missing is the only faithful reading of a non-value)."""
@@ -139,7 +140,12 @@ def quantize_column(
         F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(buckets - 1),
     )
-    q = F.when(c.isNotNull() & ~F.isnan(c), F.lit(lo) + idx * F.lit(width))
+    # finite-only (NaN AND ±Inf are missing): ±Inf would otherwise
+    # clamp into an edge bucket and inflate its noisy count exactly
+    # like the NaN case the docstring describes; the two strict
+    # comparisons are false for NaN too
+    fin = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf")))
+    q = F.when(fin, F.lit(lo) + idx * F.lit(width))
     return df.withColumn(out_col or col, q)
 
 

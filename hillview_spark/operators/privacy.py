@@ -225,6 +225,20 @@ def _leaf_to_bucket(buckets: int, leaves: int):
     )
 
 
+
+def _finite_double(c: "F.Column") -> "F.Column":
+    """Present-and-usable predicate on a cast-to-double column: NULL,
+    NaN, and ±Inf are MISSING (the engine-wide rule, see
+    histogram._finite). The strict comparisons against the ±Inf
+    literals are false for NaN too, and the oracle expresses the same
+    predicate as isfinite()."""
+    return (
+        c.isNotNull()
+        & (c > F.lit(float("-inf")))
+        & (c < F.lit(float("inf")))
+    )
+
+
 def dp_histogram(
     df: DataFrame,
     col: str,
@@ -281,7 +295,7 @@ def dp_histogram(
         F.lit(leaves - 1),
     )
     counts = (
-        df.where(c.isNotNull())
+        df.where(_finite_double(c))
         .select(leaf.alias("__leaf"))
         .select(_leaf_to_bucket(buckets, leaves).alias("bucket"))
         .groupBy("bucket")
@@ -434,7 +448,10 @@ def dp_heatmap(
         )
 
     counts = (
-        df.where(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
+        df.where(
+            _finite_double(F.col(xcol).cast("double"))
+            & _finite_double(F.col(ycol).cast("double"))
+        )
         .select(
             leaf_of(xcol, xlo, xgranularity, xleaves).alias("__xleaf"),
             leaf_of(ycol, ylo, ygranularity, yleaves).alias("__yleaf"),
@@ -813,7 +830,9 @@ def private_view(df: DataFrame, schema: PrivacySchema) -> DataFrame:
             )
             out = out.withColumn(
                 name,
-                F.when(c.isNotNull(), F.lit(float(lo)) + leaf * F.lit(float(g))),
+                F.when(
+                    _finite_double(c), F.lit(float(lo)) + leaf * F.lit(float(g))
+                ),
             )
     return out
 

@@ -69,16 +69,30 @@ def next_k_aggregate(
         ascending = [True] * len(sort_cols)
     if start is not None:
         df = df.where(_after_start(sort_cols, ascending, start))
+    dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for c, how in agg_specs:
         name = f"{how}_{c}"
+        # present = FINITE for float/double aggregate columns (the
+        # engine-wide rule, histogram._finite): explicit, rather than
+        # leaning on the non-ANSI NaN->decimal->NULL cast accident —
+        # under ANSI the cast would make one NaN row job-fatal, and
+        # ±Inf would poison the sums either way
+        if dtypes.get(c) in ("double", "float"):
+            vc = F.when(
+                (F.col(c) > F.lit(float("-inf")))
+                & (F.col(c) < F.lit(float("inf"))),
+                F.col(c),
+            )
+        else:
+            vc = F.col(c)
         # decimal(28,4): 24 integer digits, so epoch-nanos-scale
         # values don't hit ANSI NUMERIC_VALUE_OUT_OF_RANGE the way
         # (18,4) did; still lossless for 4-decimal data and
         # order-independent across engines
         if how == "sum":
             aggs.append(
-                F.sum(F.col(c).cast("decimal(28,4)")).cast("double").alias(name)
+                F.sum(vc.cast("decimal(28,4)")).cast("double").alias(name)
             )
         elif how == "avg":
             # SQL AVG semantics: null-skipping sum over NON-NULL count
@@ -86,13 +100,13 @@ def next_k_aggregate(
             # missing values low)
             aggs.append(
                 F.round(
-                    F.sum(F.col(c).cast("decimal(28,4)")).cast("double")
-                    / F.count(F.col(c)),
+                    F.sum(vc.cast("decimal(28,4)")).cast("double")
+                    / F.count(vc),
                     6,
                 ).alias(name)
             )
         elif how in ("min", "max"):
-            aggs.append(getattr(F, how)(c).alias(name))
+            aggs.append(getattr(F, how)(vc).alias(name))
         else:
             raise ValueError(f"unknown aggregate: {how}")
     order = [

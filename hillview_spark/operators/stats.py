@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from hillview_spark import cache
+from hillview_spark.operators.histogram import _finite as _hist_finite
 
 
 class _LocalCheckpointHandle:
@@ -111,24 +112,37 @@ def basic_col_stats(
     path is tolerance-tested against it.
     """
     scale = 4
+    dtypes = dict(df.dtypes)
     aggs = []
     for c in cols:
+        # present = FINITE for float/double columns (NaN/±Inf are
+        # missing, the same rule as histogram._finite): a single NaN
+        # would otherwise poison min/max and raise on the decimal
+        # casts; ±Inf would poison the sums
+        if dtypes.get(c) in ("double", "float"):
+            vc = F.when(
+                (F.col(c) > F.lit(float("-inf")))
+                & (F.col(c) < F.lit(float("inf"))),
+                F.col(c),
+            )
+        else:
+            vc = F.col(c)
         if exact and widths and c in widths:
             p, ws = widths[c]
-            dec = dsq = F.col(c).cast(f"decimal({p},{ws})")
+            dec = dsq = vc.cast(f"decimal({p},{ws})")
         elif exact:
-            dec = F.col(c).cast(f"decimal(28,{scale})")
-            dsq = F.col(c).cast(f"decimal(18,{scale})")
+            dec = vc.cast(f"decimal(28,{scale})")
+            dsq = vc.cast(f"decimal(18,{scale})")
         else:
-            dec = dsq = F.col(c).cast("double")
-        n = F.count(c)
+            dec = dsq = vc.cast("double")
+        n = F.count(vc)
         s = F.sum(dec).cast("double")
         sq = F.sum(dsq * dsq).cast("double")
         aggs += [
             n.alias(f"{c}__present"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
-            F.round(F.min(c).cast("double"), ndigits).alias(f"{c}__min"),
-            F.round(F.max(c).cast("double"), ndigits).alias(f"{c}__max"),
+            F.sum(F.when(vc.isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
+            F.round(F.min(vc).cast("double"), ndigits).alias(f"{c}__min"),
+            F.round(F.max(vc).cast("double"), ndigits).alias(f"{c}__max"),
             s.alias(f"{c}__sum"),
             F.round(s / n, 6).alias(f"{c}__mean"),
             # n > 1 guard: ANSI mode (Spark 4 default) turns the
@@ -375,7 +389,7 @@ def quantiles(
         F.round(F.expr(f"percentile(`{col}`, {p})"), ndigits).alias(_q_alias(p))
         for p in probs
     ]
-    return df.agg(*exprs)
+    return df.where(_hist_finite(df, col)).agg(*exprs)
 
 
 def _q_alias(p: float) -> str:
@@ -393,7 +407,7 @@ def quantiles_approx(
     """Approximate quantiles via Greenwald-Khanna style sketch
     (percentile_approx) — the 100 TB path, mergeable per partition."""
     plist = ", ".join(str(p) for p in probs)
-    return df.agg(
+    return df.where(_hist_finite(df, col)).agg(
         F.expr(
             f"percentile_approx(`{col}`, array({plist}), {accuracy})"
         ).alias("quantiles")

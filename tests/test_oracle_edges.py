@@ -271,3 +271,152 @@ def test_oracle_matches_on_edge_vectors(spark, edge_vec_df, edge_vec_con, key):
     if key == "dedup_embedding_cosine":
         # the equal-width 16-dim pair must have been judged, not dropped
         assert any("12, 16" in g or "(1.0, 12, 16)" in g for g in got), got
+
+# ---------------------------------------------------------- numeric sketches
+# Non-finite rule (round 7): NULL, NaN, and ±Inf are MISSING in every
+# numeric sketch, identically in both engines. Historically: a single
+# NaN/Inf poisoned the Spark-side range (every row squashed into bucket
+# 0), the oracles' NULL-only guards let DuckDB crash on CAST(nan AS
+# BIGINT) or count NaN as present, and DP quantization clamped ±Inf
+# into an edge bucket, inflating its noisy count.
+
+_EDGE_LI = None
+
+
+def _edge_li_rows():
+    global _EDGE_LI
+    if _EDGE_LI is None:
+        import random
+
+        nan, inf = float("nan"), float("inf")
+        rnd = random.Random(7)
+        rows = [
+            (
+                i, "N", "O",
+                float(rnd.randint(1, 50)),
+                round(1000 + 900.0 * i, 2),
+                round(rnd.randint(0, 10) / 100.0, 2),
+            )
+            for i in range(40)
+        ]
+        rows += [
+            (100, "R", "F", nan, 5000.0, 0.05),
+            (101, "A", "F", 25.0, nan, 0.01),
+            (102, "N", "O", inf, 7000.0, 0.02),
+            (103, "N", "O", 30.0, -inf, 0.03),
+            (104, "R", "F", None, None, None),
+        ]
+        _EDGE_LI = rows
+    return _EDGE_LI
+
+
+@pytest.fixture(scope="module")
+def edge_li_df(spark):
+    return spark.createDataFrame(
+        _edge_li_rows(),
+        "l_orderkey long, l_returnflag string, l_linestatus string,"
+        " l_quantity double, l_extendedprice double, l_discount double",
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_li_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_returnflag VARCHAR,"
+        " l_linestatus VARCHAR, l_quantity DOUBLE,"
+        " l_extendedprice DOUBLE, l_discount DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?)", _edge_li_rows()
+    )
+    return con
+
+
+def _li_cases():
+    from pyspark.sql import functions as F
+
+    from hillview_spark.operators import (
+        histogram,
+        maps,
+        privacy,
+        spreadsheet,
+        stats,
+    )
+
+    return {
+        "histogram1d_numeric": lambda df: histogram.histogram1d(
+            df, "l_extendedprice", 40
+        ),
+        "cdf_numeric": lambda df: histogram.cdf(df, "l_extendedprice", 100),
+        "histogram2d_heatmap": lambda df: histogram.histogram2d(
+            df, "l_quantity", "l_extendedprice", 10, 10
+        ),
+        "histogram3d_trellis": lambda df: histogram.histogram_nd(
+            df, [("l_returnflag", 0), ("l_quantity", 5), ("l_extendedprice", 5)]
+        ),
+        "histogram4d_trellis": lambda df: histogram.histogram_nd(
+            df,
+            [("l_returnflag", 0), ("l_linestatus", 0),
+             ("l_quantity", 4), ("l_discount", 4)],
+        ),
+        "histogram_with_cdf": lambda df: histogram.histogram_with_cdf(
+            df, "l_extendedprice", 50
+        ),
+        "histogram_quantiles": lambda df: histogram.histogram_quantiles(
+            df, "l_quantity", 8, "l_extendedprice", [0.25, 0.5, 0.75]
+        ),
+        "data_range": lambda df: histogram.data_range(df, "l_extendedprice"),
+        "quantiles_price": lambda df: stats.quantiles(
+            df, "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9]
+        ),
+        "quantiles_approx": lambda df: stats.quantiles_approx(
+            df, "l_extendedprice", [0.25, 0.5, 0.75], accuracy=1_000_000
+        ).select(F.posexplode("quantiles").alias("idx", "value")),
+        "basic_col_stats": lambda df: stats.basic_col_stats(
+            df, ["l_quantity", "l_extendedprice", "l_discount"]
+        ),
+        "quantized_histogram": lambda df: (
+            maps.quantize_column(
+                df, "l_extendedprice", 900.0, 105000.0, 16, out_col="q_price"
+            )
+            .where(F.col("q_price").isNotNull())
+            .groupBy("q_price")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        ),
+        "dp_histogram_quantity": lambda df: privacy.dp_histogram(
+            df, "l_quantity", lo=1.0, hi=51.0, granularity=1.0,
+            epsilon=1.0, buckets=10, seed=7, prf="md5str",
+        ),
+        "dp_heatmap_qty_discount": lambda df: privacy.dp_heatmap(
+            df, "l_quantity", "l_discount",
+            xlo=1.0, xhi=51.0, xgranularity=1.0,
+            ylo=0.0, yhi=0.11, ygranularity=0.01,
+            epsilon=1.0, xbuckets=5, ybuckets=4, seed=7, prf="md5str",
+        ),
+        "next_k_rows": lambda df: spreadsheet.next_k(
+            df, ["l_returnflag", "l_linestatus", "l_quantity"], k=20
+        ),
+        "next_k_aggregate": lambda df: spreadsheet.next_k_aggregate(
+            df,
+            ["l_returnflag", "l_linestatus"],
+            [("l_quantity", "sum"), ("l_extendedprice", "avg"),
+             ("l_discount", "max")],
+            k=10,
+        ),
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_li_cases()))
+def test_oracle_matches_on_nonfinite_numerics(spark, edge_li_df, edge_li_con, key):
+    sdf = _li_cases()[key](edge_li_df)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_li_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols, f"{key}: column drift {dcols} vs {cols}"
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on non-finite numerics"
