@@ -2026,7 +2026,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["category_centroids"] = """
-        SELECT event_type AS category, round(avg(value), 4) AS value_mean
+        SELECT event_type AS category, round(avg(CASE WHEN isfinite(value) THEN value END), 4) AS value_mean
         FROM events GROUP BY 1
     """
     o["jl_project"] = _jl_sql()
@@ -3269,7 +3269,7 @@ def oracle_sql() -> dict[str, str]:
     o["events_windowed_counts"] = """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """
     # streaming twins, hash-oracled (r7): identical SQL to the batch
@@ -3498,9 +3498,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["events_moving_avg"] = """
         SELECT user_id, event_id,
-          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+          CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) OVER w AS DOUBLE)
             AS rolling_sum,
-          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+          CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) OVER w AS DOUBLE)
             / COUNT(*) OVER w AS rolling_avg,
           COUNT(*) OVER w AS rolling_n
         FROM events
@@ -3517,7 +3517,7 @@ def oracle_sql() -> dict[str, str]:
                  (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
                  - i.i * 900000000) AS TIMESTAMP) AS window_start,
                event_type, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events CROSS JOIN generate_series(0, 3) i(i)
         WHERE ts IS NOT NULL
         GROUP BY 1, 2

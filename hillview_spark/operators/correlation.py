@@ -400,7 +400,23 @@ def category_centroids(
     df: DataFrame, category_col: str, numeric_cols: list[str], ndigits: int = 4
 ) -> DataFrame:
     """CategoryCentroidsSketch: mean of each numeric column per
-    category value — a plain groupBy aggregate."""
+    category value — a plain groupBy aggregate. Means run over FINITE
+    values only (the engine-wide numeric rule): one NaN reading would
+    otherwise turn its whole category's centroid into NaN."""
+    dtypes = dict(df.dtypes)
+
+    def fin(c):
+        col_ = F.col(c)
+        if dtypes.get(c) in ("double", "float"):
+            return F.when(
+                (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf"))),
+                col_,
+            )
+        return col_
+
     return df.groupBy(F.col(category_col).alias("category")).agg(
-        *[F.round(F.avg(c), ndigits).alias(f"{c}_mean") for c in numeric_cols]
+        *[
+            F.round(F.avg(fin(c)), ndigits).alias(f"{c}_mean")
+            for c in numeric_cols
+        ]
     )

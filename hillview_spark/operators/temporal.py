@@ -219,6 +219,18 @@ def range_join(
     return joined.drop("__bucket")
 
 
+def _fin_val(df, col: str):
+    """FINITE value or NULL (the engine-wide numeric rule,
+    histogram._finite): a NaN/±Inf reading must not poison — or, on
+    the DECIMAL cast, job-kill — a rolling sum; it is missing."""
+    c = F.col(col)
+    if dict(df.dtypes).get(col) in ("double", "float"):
+        return F.when(
+            (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
+        )
+    return c
+
+
 def moving_aggregate(
     events: DataFrame,
     key_col: str = "user_id",
@@ -270,7 +282,7 @@ def moving_aggregate(
             .orderBy(F.col(ts_col), F.col(tiebreak_col))
             .rowsBetween(-n_preceding, 0)
         )
-        dec_v = F.col(value_col).cast("decimal(18,6)")
+        dec_v = _fin_val(events, value_col).cast("decimal(18,6)")
         return events.select(
             F.col(key_col),
             F.col(tiebreak_col),
@@ -349,7 +361,7 @@ def moving_aggregate(
         .orderBy(F.col(ts_col), F.col(tiebreak_col))
         .rowsBetween(-n_preceding, 0)
     )
-    dec_v = F.col(value_col).cast("decimal(18,6)")
+    dec_v = _fin_val(u, value_col).cast("decimal(18,6)")
     return (
         u.select(
             F.col(key_col),

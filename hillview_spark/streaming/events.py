@@ -40,6 +40,19 @@ def _event_time_stream(
     return stream
 
 
+def _fin_value(df: DataFrame, col: str = "value"):
+    """FINITE value or NULL for the decimal value sums (the
+    engine-wide numeric rule): NaN/±Inf readings are missing — the
+    DECIMAL cast would otherwise be job-fatal under ANSI and crash
+    the DuckDB oracle outright."""
+    c = F.col(col)
+    if dict(df.dtypes).get(col) in ("double", "float"):
+        return F.when(
+            (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
+        )
+    return c
+
+
 def windowed_counts(events: DataFrame, unit: str = "hour") -> DataFrame:
     """Tumbling-window event counts and value sums per event type.
     events.value is exact to 6 decimals → DECIMAL sum is lossless and
@@ -53,7 +66,8 @@ def windowed_counts(events: DataFrame, unit: str = "hour") -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(_fin_value(events).cast("decimal(18,6)"))
+            .cast("double").alias("sum_value"),
         )
     )
 
@@ -813,7 +827,7 @@ def sliding_window_counts(
         events.groupBy(w.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            F.sum(_fin_value(events).cast("decimal(18,6)")).cast("double")
             .alias("sum_value"),
         )
         .select(F.col("win.start").alias("window_start"),

@@ -100,6 +100,13 @@ EDGE_EVENTS = [
     (8, None, "click", _TS(15), 2.0),      # NULL user_id
     (9, 2, "view", _TS(5), None),          # NULL value, ts tie w/ 6
     (10, 2, "view", _TS(5), 0.125),        # second tie on (user, ts)
+    # non-finite values (engine-wide numeric rule: missing) — a NaN
+    # would otherwise crash the oracles' DECIMAL casts outright and
+    # ±Inf would poison the rolling/window sums
+    (11, 3, "view", _TS(2), float("nan")),
+    (12, 3, "view", _TS(4), float("inf")),
+    (13, 3, "view", _TS(6), float("-inf")),
+    (14, 3, "view", _TS(8), 2.5),
 ]
 
 
@@ -142,6 +149,9 @@ def _events_cases():
         "events_moving_avg": lambda df: temporal.moving_aggregate(
             df, n_preceding=3
         ),
+        "category_centroids": lambda df: __import__(
+            "hillview_spark.operators.correlation", fromlist=["x"]
+        ).category_centroids(df, "event_type", ["value"]),
     }
 
 
