@@ -1959,9 +1959,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # pairwise-finite deletion, mirroring corr_matrix: only rows
+    # finite in BOTH columns enter a pair's moments
     pair_rows = " UNION ALL ".join(
         f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
-        f"round(corr({a}, {b}), 4) AS corr FROM lineitem"
+        f"round(corr(CASE WHEN isfinite({a}) AND isfinite({b}) THEN {a} END, "
+        f"CASE WHEN isfinite({a}) AND isfinite({b}) THEN {b} END), 4) AS corr "
+        f"FROM lineitem"
         for i, a in enumerate(cols)
         for b in cols[i:]
     )
@@ -1988,8 +1992,9 @@ def oracle_sql() -> dict[str, str]:
     _li_coin_half = _bern_sql(["l_orderkey", "l_linenumber"], 0.5)
     o["corr_matrix_sampled"] = " UNION ALL ".join(
         f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
-        f"round(corr({a}, {b}), 4) AS corr FROM lineitem "
-        f"WHERE {_li_coin_half}"
+        f"round(corr(CASE WHEN isfinite({a}) AND isfinite({b}) THEN {a} END, "
+        f"CASE WHEN isfinite({a}) AND isfinite({b}) THEN {b} END), 4) AS corr "
+        f"FROM lineitem WHERE {_li_coin_half}"
         for i, a in enumerate(["l_quantity", "l_extendedprice", "l_discount"])
         for b in ["l_quantity", "l_extendedprice", "l_discount"][i:]
     )
@@ -2432,9 +2437,13 @@ def oracle_sql() -> dict[str, str]:
     o["pca_project"] = f"""
         WITH s AS (
             SELECT avg(p_size) AS mu1, stddev_samp(p_size) AS sd1,
-                   avg(p_retailprice) AS mu2,
-                   stddev_samp(p_retailprice) AS sd2,
-                   corr(p_size, p_retailprice) AS r
+                   avg(CASE WHEN isfinite(p_retailprice)
+                            THEN p_retailprice END) AS mu2,
+                   stddev_samp(CASE WHEN isfinite(p_retailprice)
+                                    THEN p_retailprice END) AS sd2,
+                   corr(CASE WHEN isfinite(p_retailprice) THEN p_size END,
+                        CASE WHEN isfinite(p_retailprice)
+                             THEN p_retailprice END) AS r
             FROM part)
         SELECT p_partkey,
                round(0.0 + {_pca_z1} * {_pca_c}

@@ -56,11 +56,30 @@ def corr_matrix(
         df = df.where(portable_bernoulli(sample_key, sample_fraction, seed))
     elif sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
+    dtypes = dict(df.dtypes)
+
+    def _fin(c):
+        col_ = F.col(c)
+        if dtypes.get(c) in ("double", "float"):
+            return (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf")))
+        return col_.isNotNull()
+
     aggs = []
     names = []
     for i, a in enumerate(cols):
         for b in cols[i:]:
-            aggs.append(F.round(F.corr(a, b), ndigits).alias(f"{a}|{b}"))
+            # pairwise-finite deletion (the engine-wide numeric rule):
+            # corr skips NULL pairs natively, but one NaN/±Inf row
+            # would otherwise turn EVERY pair touching its column into
+            # NaN — gate both sides on the joint predicate so only
+            # rows finite in BOTH columns enter the pair's moments
+            both = _fin(a) & _fin(b)
+            aggs.append(
+                F.round(
+                    F.corr(F.when(both, F.col(a)), F.when(both, F.col(b))),
+                    ndigits,
+                ).alias(f"{a}|{b}")
+            )
             names.append((a, b))
     wide = df.agg(*aggs)
     structs = F.array(
@@ -100,15 +119,37 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
     (the SQL oracle reproduces them analytically for d=2)."""
     import numpy as np
 
+    dtypes = dict(df.dtypes)
+
+    def _finv(c):
+        col_ = F.col(c)
+        if dtypes.get(c) in ("double", "float"):
+            return F.when(
+                (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf"))),
+                col_,
+            )
+        return col_
+
     # one fused aggregate job: moments and pairwise correlations are
     # independent expressions over the same rows — two .agg() calls
-    # would scan the table twice for no semantic difference
+    # would scan the table twice for no semantic difference. The
+    # MOMENTS run over finite values only (engine-wide numeric rule):
+    # one NaN row would otherwise poison mu/sd/corr and hence every
+    # projection weight. Per-ROW projections below keep the raw
+    # column — a non-finite row projects to NaN, in any engine.
     stats = pairs = df.agg(
         *(
-            [F.avg(c).alias(f"{c}__mu") for c in cols]
-            + [F.stddev_samp(c).alias(f"{c}__sd") for c in cols]
+            [F.avg(_finv(c)).alias(f"{c}__mu") for c in cols]
+            + [F.stddev_samp(_finv(c)).alias(f"{c}__sd") for c in cols]
             + [
-                F.corr(a, b).alias(f"{i}|{j}")
+                F.corr(
+                    F.when(
+                        _finv(a).isNotNull() & _finv(b).isNotNull(), F.col(a)
+                    ),
+                    F.when(
+                        _finv(a).isNotNull() & _finv(b).isNotNull(), F.col(b)
+                    ),
+                ).alias(f"{i}|{j}")
                 for i, a in enumerate(cols)
                 for j, b in enumerate(cols)
                 if i <= j

@@ -306,15 +306,16 @@ def _edge_li_rows():
                 float(rnd.randint(1, 50)),
                 round(1000 + 900.0 * i, 2),
                 round(rnd.randint(0, 10) / 100.0, 2),
+                round(rnd.randint(0, 8) / 100.0, 2),
             )
             for i in range(40)
         ]
         rows += [
-            (100, "R", "F", nan, 5000.0, 0.05),
-            (101, "A", "F", 25.0, nan, 0.01),
-            (102, "N", "O", inf, 7000.0, 0.02),
-            (103, "N", "O", 30.0, -inf, 0.03),
-            (104, "R", "F", None, None, None),
+            (100, "R", "F", nan, 5000.0, 0.05, 0.02),
+            (101, "A", "F", 25.0, nan, 0.01, 0.03),
+            (102, "N", "O", inf, 7000.0, 0.02, 0.01),
+            (103, "N", "O", 30.0, -inf, 0.03, nan),
+            (104, "R", "F", None, None, None, None),
         ]
         _EDGE_LI = rows
     return _EDGE_LI
@@ -325,7 +326,8 @@ def edge_li_df(spark):
     return spark.createDataFrame(
         _edge_li_rows(),
         "l_orderkey long, l_returnflag string, l_linestatus string,"
-        " l_quantity double, l_extendedprice double, l_discount double",
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double",
     )
 
 
@@ -335,10 +337,10 @@ def edge_li_con():
     con.execute(
         "CREATE TABLE lineitem(l_orderkey BIGINT, l_returnflag VARCHAR,"
         " l_linestatus VARCHAR, l_quantity DOUBLE,"
-        " l_extendedprice DOUBLE, l_discount DOUBLE)"
+        " l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE)"
     )
     con.executemany(
-        "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?)", _edge_li_rows()
+        "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?, ?)", _edge_li_rows()
     )
     return con
 
@@ -414,6 +416,11 @@ def _li_cases():
              ("l_discount", "max")],
             k=10,
         ),
+        "corr_matrix": lambda df: __import__(
+            "hillview_spark.operators.correlation", fromlist=["x"]
+        ).corr_matrix(
+            df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
     }
 
 
@@ -430,3 +437,80 @@ def test_oracle_matches_on_nonfinite_numerics(spark, edge_li_df, edge_li_con, ke
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on non-finite numerics"
+
+
+# ------------------------------------------------------------------- part
+# Driver-parameterized projections: the PROJECTION WEIGHTS come from a
+# moments aggregate (mu/sd/corr) that must follow the finite rule — one
+# NaN retail price would otherwise turn every weight (hence every
+# projected row) into NaN. Per-row projections keep the raw columns: a
+# non-finite row projects to NaN identically in both engines.
+
+_EDGE_PART = None
+
+
+def _edge_part_rows():
+    global _EDGE_PART
+    if _EDGE_PART is None:
+        import random
+
+        nan, inf = float("nan"), float("inf")
+        rnd = random.Random(3)
+        rows = [
+            (i, rnd.randint(1, 50), round(900 + 13.5 * i, 2))
+            for i in range(50)
+        ]
+        rows += [
+            (100, 5, nan),
+            (101, 7, inf),
+            (102, None, 1000.0),
+            (103, 9, None),
+        ]
+        _EDGE_PART = rows
+    return _EDGE_PART
+
+
+@pytest.fixture(scope="module")
+def edge_part_df(spark):
+    return spark.createDataFrame(
+        _edge_part_rows(), "p_partkey long, p_size int, p_retailprice double"
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_part_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE part(p_partkey BIGINT, p_size INT,"
+        " p_retailprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO part VALUES (?, ?, ?)", _edge_part_rows())
+    return con
+
+
+def _part_cases():
+    from hillview_spark.operators import correlation as corr
+
+    return {
+        "pca_project": lambda df: corr.pca_project(
+            df, ["p_size", "p_retailprice"], k=2
+        ).select("p_partkey", "pc0", "pc1"),
+        "jl_project": lambda df: corr.jl_project(
+            df, ["p_size", "p_retailprice"], k=2
+        ).select("p_partkey", "jl0", "jl1"),
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_part_cases()))
+def test_oracle_matches_on_edge_part(spark, edge_part_df, edge_part_con, key):
+    sdf = _part_cases()[key](edge_part_df)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_part_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols, f"{key}: column drift {dcols} vs {cols}"
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on edge part rows"
