@@ -3120,7 +3120,8 @@ def oracle_sql() -> dict[str, str]:
                   AND c_nationkey > 12.5 AND c_nationkey < 24.5 THEN 'upper'
                END AS region, COUNT(*) AS cnt
         FROM customer
-        WHERE region IS NOT NULL
+        WHERE isfinite(c_acctbal) AND isfinite(c_nationkey)
+          AND region IS NOT NULL
         GROUP BY 1
     """
     # convex-polygon containment as half-plane inequalities: point
@@ -3155,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE {_whens}
                    END AS region
             FROM customer
+            WHERE isfinite(c_acctbal) AND isfinite(c_nationkey)
         )
         WHERE region IS NOT NULL
         GROUP BY 1

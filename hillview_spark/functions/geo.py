@@ -85,7 +85,14 @@ def assign_region(
             px = pdf[lon_col].to_numpy(dtype=np.float64)
             py = pdf[lat_col].to_numpy(dtype=np.float64)
             assigned = np.full(len(pdf), None, dtype=object)
-            todo = np.ones(len(pdf), dtype=bool)
+            # a point with a NULL/NaN/±Inf coordinate is in NO region
+            # (engine-wide non-finite rule). numpy's IEEE comparisons
+            # would exclude NaN anyway, but ±Inf can make an edge
+            # cross evaluate 0*inf = NaN — and a SQL engine whose
+            # comparisons rank NaN ABOVE zero (DuckDB) would then
+            # call the point INSIDE. Masking here makes the contract
+            # explicit on both sides (the oracle guards isfinite()).
+            todo = np.isfinite(px) & np.isfinite(py)
             for name, V in polys:
                 if not todo.any():
                     break

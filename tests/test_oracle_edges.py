@@ -514,3 +514,87 @@ def test_oracle_matches_on_edge_part(spark, edge_part_df, edge_part_con, key):
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on edge part rows"
+
+# --------------------------------------------------------------- geo
+# A point with a NULL/NaN/±Inf coordinate is in NO region. The polygon
+# half-plane oracle is the dangerous one: px = ±Inf makes an edge cross
+# evaluate 0*inf = NaN, and DuckDB's NaN-greatest comparisons then call
+# the point INSIDE while numpy's IEEE ray cast says outside. Both sides
+# now guard finiteness explicitly.
+
+_EDGE_CUST = None
+
+
+def _edge_cust_rows():
+    global _EDGE_CUST
+    if _EDGE_CUST is None:
+        nan, inf = float("nan"), float("inf")
+        rows = [(i, round(100.0 + 400.0 * i, 2), i % 25) for i in range(25)]
+        rows += [
+            (100, nan, 5),
+            (101, inf, 5),
+            (102, None, 5),
+            (103, 500.0, None),
+            (104, -inf, 3),
+        ]
+        _EDGE_CUST = rows
+    return _EDGE_CUST
+
+
+_GEO_RECTS = [
+    ("low_a", [(0.005, -0.5), (5000.005, -0.5),
+               (5000.005, 12.5), (0.005, 12.5)]),
+    ("high_a", [(5000.005, -0.5), (9999.005, -0.5),
+                (9999.005, 12.5), (5000.005, 12.5)]),
+    ("upper", [(0.005, 12.5), (9999.005, 12.5),
+               (9999.005, 24.5), (0.005, 24.5)]),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_cust_df(spark):
+    return spark.createDataFrame(
+        _edge_cust_rows(),
+        "c_custkey long, c_acctbal double, c_nationkey long",
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_cust_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer(c_custkey BIGINT, c_acctbal DOUBLE,"
+        " c_nationkey BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?, ?)", _edge_cust_rows()
+    )
+    return con
+
+
+def _geo_cases():
+    from hillview_spark.functions import geo
+
+    return {
+        "geo_region_counts": lambda df: geo.count_by_region(
+            df, "c_acctbal", "c_nationkey", _GEO_RECTS
+        ),
+        "geo_polygon_counts": lambda df: geo.count_by_region(
+            df, "c_acctbal", "c_nationkey", entry_mod.GEO_POLYGON_REGIONS
+        ),
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_geo_cases()))
+def test_oracle_matches_on_edge_coords(spark, edge_cust_df, edge_cust_con, key):
+    sdf = _geo_cases()[key](edge_cust_df)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_cust_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols, f"{key}: column drift {dcols} vs {cols}"
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on edge coordinates"
