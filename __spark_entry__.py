@@ -3186,8 +3186,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
                COALESCE(epoch_us(e.ts), -1) AS err_ts_us,
                COALESCE(e.err_value, -1.0) AS err_value_r
-        FROM clicks c ASOF LEFT JOIN errors e
+        FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+        ASOF LEFT JOIN errors e
           ON c.user_id = e.user_id AND c.ts >= e.ts
+        UNION ALL
+        -- a NULL left time satisfies no as-of predicate: the row is
+        -- kept with the no-match sentinels. DuckDB's ASOF binary
+        -- search would otherwise sort the NULL ts LAST and hand it
+        -- the user's latest error row.
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               -1 AS err_ts_us, -1.0 AS err_value_r
+        FROM clicks WHERE ts IS NULL
     """
     o["histogram_singleton"] = """
         WITH rng AS (SELECT min(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END) mn,

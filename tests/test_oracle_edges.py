@@ -107,6 +107,12 @@ EDGE_EVENTS = [
     (12, 3, "view", _TS(4), float("inf")),
     (13, 3, "view", _TS(6), float("-inf")),
     (14, 3, "view", _TS(8), 2.5),
+    # error events for the as-of join: one NULL-ts error (satisfies no
+    # as-of predicate) and a NULL-ts click already exists via user 1's
+    # event 4 pattern — event 18 gives user 2 a preceding error
+    (15, 1, "error", _TS(1), 2.0),
+    (17, 2, "error", None, 3.0),
+    (18, 2, "error", _TS(1), 4.0),
 ]
 
 
@@ -152,7 +158,41 @@ def _events_cases():
         "category_centroids": lambda df: __import__(
             "hillview_spark.operators.correlation", fromlist=["x"]
         ).category_centroids(df, "event_type", ["value"]),
+        "asof_join_events": _edge_asof,
+        "range_join_sessions": lambda df: temporal.range_join(
+            df.select("event_id", "user_id", "ts"),
+            ev.sessionize(df, gap_minutes=30),
+            "ts", "session_start", "session_end", ["user_id"],
+            bucket_seconds=1800,
+        ).select("event_id", "user_id", "session_id"),
     }
+
+
+def _edge_asof(df):
+    """The gate's asof wrapper: clicks as-of errors, sentinel fills.
+    A NULL left (click) time satisfies no as-of predicate — kept with
+    sentinels; the oracle's DuckDB ASOF would otherwise sort it LAST
+    and hand it the user's latest error."""
+    from pyspark.sql import functions as F
+
+    from hillview_spark.operators import temporal
+
+    us = ("timestampdiff(MICROSECOND,"
+          " TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")
+    clicks = df.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = df.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = temporal.asof_join(clicks, errors, "ts", ["user_id"], ["err_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr(us.format(c="ts")).alias("ts_us"),
+        F.coalesce(F.expr(us.format(c="ts_r")), F.lit(-1)).alias("err_ts_us"),
+        F.coalesce("err_value_r", F.lit(-1.0)).alias("err_value_r"),
+    )
 
 
 @pytest.mark.parametrize("key", sorted(_events_cases()))
