@@ -325,12 +325,30 @@ PROBE_SCHEMA = (
 
 def probe_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode headers → dimensions/frame counts. mapInPandas streams
-    Arrow batches; each batch is decoded vectorized in Python."""
+    Arrow batches; each batch is decoded vectorized in Python.
+
+    A payload the decoder can't parse (NULL, truncated header, wrong
+    magic, corrupt chunk) probes to NULL dims — quarantined, not
+    job-fatal: at 100 TB a corpus WILL contain broken files, and the
+    engine-wide missing-on-parse-failure convention applies (the
+    reference accounts parse errors the same way, ParseErrorsSketch).
+    NULL-dims rows stay in the output so dims_histogram and callers
+    can COUNT the breakage instead of silently dropping it. Only
+    parse-level errors are caught; a missing decoder (the declared
+    'real' MP3/H.264 seam, NotImplementedError) still raises."""
     decode = DECODERS[decoder]
+
+    def _safe(p):
+        try:
+            return decode(p)
+        except NotImplementedError:
+            raise
+        except Exception:
+            return (None, None, None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode(p) for p in pdf["content"]]
+            dims = [_safe(p) for p in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -338,7 +356,9 @@ def probe_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "n_frames": [d[2] for d in dims],
-                    "n_bytes": pdf["content"].map(len),
+                    # na_action: a NULL payload has no byte length
+                    # (len(None) would raise)
+                    "n_bytes": pdf["content"].map(len, na_action="ignore"),
                 }
             )
 

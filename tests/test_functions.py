@@ -1743,3 +1743,47 @@ def test_ivf_indexed_exact_matches_live_twin(spark, tmp_path):
     # the probe reaches the scan as PartitionFilters on cell
     plan = ex.physical_plan(got)
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_probe_media_quarantines_corrupt_payloads(spark):
+    """A payload the decoder can't parse (truncated header, wrong
+    magic, NULL) probes to NULL dims instead of killing the job — at
+    100 TB a corpus WILL contain broken files. dims_histogram then
+    COUNTS the breakage as (kind, NULL, NULL) groups rather than
+    silently dropping it; intact payloads in the same batch still
+    probe exactly. The declared native-codec seam stays loud."""
+    from hillview_spark.functions import multimodal as mm
+
+    media = mm.synthesize_media(spark.range(6).selectExpr("id AS doc_id"))
+    bad = spark.createDataFrame(
+        [
+            (100, "png", bytearray(b"\x89PNG\r\n\x1a\nXXXX")),
+            (101, "jpeg", bytearray(b"\xff\xd8\xff")),
+            (102, "png", None),
+            (103, "ppm", bytearray(b"P6 garbage")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    both = media.select("media_id", "kind", "content").unionByName(bad)
+    probed = {r.media_id: r for r in mm.probe_media(both, "stdlib").collect()}
+    assert len(probed) == 10
+    for mid in (100, 101, 102, 103):
+        assert probed[mid].width is None and probed[mid].height is None
+    assert probed[102].n_bytes is None  # NULL payload has no length
+    for mid in range(6):  # intact rows unaffected by bad batchmates
+        assert probed[mid].width == 1 + mid % 13
+        assert probed[mid].height == 1 + mid % 7
+    hist = {
+        (r.kind, r.width, r.height): r.cnt
+        for r in mm.dims_histogram(both, decoder="stdlib").collect()
+    }
+    assert hist[("png", None, None)] == 2
+    assert hist[("jpeg", None, None)] == 1
+    assert hist[("ppm", None, None)] == 1
+
+    # the 'real' decoder seam is a missing DECODER, not bad data —
+    # still loud
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="native media decoders"):
+        mm.probe_media(bad, decoder="real").collect()
