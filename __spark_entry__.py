@@ -1761,8 +1761,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT min(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS min_val,
                max(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS max_val,
                count(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS present_count,
-               CAST(SUM(CASE WHEN COALESCE(isfinite(l_extendedprice), false)
-                             THEN 0 ELSE 1 END) AS BIGINT) AS missing_count
+               CAST(COALESCE(SUM(CASE WHEN COALESCE(isfinite(l_extendedprice), false)
+                             THEN 0 ELSE 1 END), 0) AS BIGINT) AS missing_count
         FROM lineitem
     """
 
@@ -1826,15 +1826,18 @@ def oracle_sql() -> dict[str, str]:
         sq = f"CAST({v} AS DECIMAL(20,4)) * CAST({v} AS DECIMAL(20,4))"
         return f"""
         SELECT '{c}' AS col_name, count({v}) AS present_count,
-          CAST(SUM(CASE WHEN COALESCE(isfinite({c}), false) THEN 0 ELSE 1 END)
+          CAST(COALESCE(SUM(CASE WHEN COALESCE(isfinite({c}), false)
+                                  THEN 0 ELSE 1 END), 0)
                AS BIGINT) AS missing_count,
           round(CAST(min({v}) AS DOUBLE), 4) AS min_val,
           round(CAST(max({v}) AS DOUBLE), 4) AS max_val,
           CAST(SUM({dec4}) AS DOUBLE) AS sum_val,
           round(CAST(SUM({dec4}) AS DOUBLE) / count({v}), 6) AS mean_val,
-          round(sqrt(GREATEST((CAST(SUM({sq}) AS DOUBLE)
-            - CAST(SUM({dec4}) AS DOUBLE) * CAST(SUM({dec4}) AS DOUBLE)
-              / count({v})) / (count({v}) - 1), 0.0)), 4) AS stddev_val
+          CASE WHEN count({v}) > 1 THEN
+            round(sqrt(GREATEST((CAST(SUM({sq}) AS DOUBLE)
+              - CAST(SUM({dec4}) AS DOUBLE) * CAST(SUM({dec4}) AS DOUBLE)
+                / count({v})) / (count({v}) - 1), 0.0)), 4)
+          END AS stddev_val
         FROM lineitem
         """
 

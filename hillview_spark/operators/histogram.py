@@ -71,11 +71,13 @@ def data_range(df: DataFrame, col: str) -> DataFrame:
     Mirrors DoubleDataRangeSketch."""
     fin = _finite(df, col)
     c = F.when(fin, F.col(col))
+    # coalesce: COUNTS are 0 on an empty table (SUM over zero rows is
+    # NULL) — a count has a value even when the data does not
     return df.agg(
         F.min(c).alias("min_val"),
         F.max(c).alias("max_val"),
-        F.sum(fin.cast("long")).alias("present_count"),
-        F.sum((~fin).cast("long")).alias("missing_count"),
+        F.coalesce(F.sum(fin.cast("long")), F.lit(0)).alias("present_count"),
+        F.coalesce(F.sum((~fin).cast("long")), F.lit(0)).alias("missing_count"),
     )
 
 
@@ -89,7 +91,10 @@ def data_range_interval(df: DataFrame, col: str) -> DataFrame:
         F.min(s).alias("min_start"),
         F.max(e).alias("max_end"),
         F.count(F.col(col)).alias("present_count"),
-        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("missing_count"),
+        # coalesce: 0 (not NULL) on an empty table, like data_range
+        F.coalesce(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("missing_count"),
     )
 
 

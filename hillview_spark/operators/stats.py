@@ -140,7 +140,9 @@ def basic_col_stats(
         sq = F.sum(dsq * dsq).cast("double")
         aggs += [
             n.alias(f"{c}__present"),
-            F.sum(F.when(vc.isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
+            F.coalesce(
+                F.sum(F.when(vc.isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"{c}__missing"),
             F.round(F.min(vc).cast("double"), ndigits).alias(f"{c}__min"),
             F.round(F.max(vc).cast("double"), ndigits).alias(f"{c}__max"),
             s.alias(f"{c}__sum"),

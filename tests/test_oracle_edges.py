@@ -638,3 +638,119 @@ def test_oracle_matches_on_edge_coords(spark, edge_cust_df, edge_cust_con, key):
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on edge coordinates"
+
+# ---------------------------------------------------------- empty tables
+# Zero-row inputs: every sketch must agree with its oracle on the
+# aggregation identities (counts are 0, moments/ranges are NULL, spines
+# still emit their full bucket range, top-k/dedup are empty). Caught
+# live: SUM over zero rows is NULL in both engines but count() is 0, so
+# present/missing counts diverged, and DuckDB's NULL-skipping GREATEST
+# turned an empty stddev into 0.0.
+
+_EMPTY_DEFS = {
+    "lineitem": (
+        "l_orderkey long, l_returnflag string, l_linestatus string,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_linenumber int, l_shipdate timestamp_ntz",
+        "l_orderkey BIGINT, l_returnflag VARCHAR, l_linestatus VARCHAR,"
+        " l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE,"
+        " l_tax DOUBLE, l_linenumber INT, l_shipdate TIMESTAMP_NS",
+    ),
+    "documents": (
+        "doc_id long, text string, source string, lang string",
+        "doc_id BIGINT, text VARCHAR, source VARCHAR, lang VARCHAR",
+    ),
+    "events": (
+        "event_id long, user_id long, event_type string,"
+        " ts timestamp_ntz, value double",
+        "event_id BIGINT, user_id BIGINT, event_type VARCHAR,"
+        " ts TIMESTAMP_NS, value DOUBLE",
+    ),
+    "embeddings": (
+        "vec_id long, embedding array<float>, label int",
+        "vec_id BIGINT, embedding FLOAT[], label INT",
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def empty_dfs(spark):
+    return {
+        t: spark.createDataFrame([], sschema)
+        for t, (sschema, _) in _EMPTY_DEFS.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def empty_con():
+    con = duckdb.connect()
+    for t, (_, dschema) in _EMPTY_DEFS.items():
+        con.execute(f"CREATE TABLE {t}({dschema})")
+    return con
+
+
+def _empty_cases():
+    from pyspark.sql import functions as F
+
+    from hillview_spark.functions import dedup, similarity, text
+    from hillview_spark.operators import (
+        heavy_hitters as hh,
+        histogram,
+        privacy,
+        spreadsheet,
+        stats,
+    )
+    from hillview_spark.streaming import events as ev
+
+    return {
+        "histogram1d_numeric": lambda d: histogram.histogram1d(
+            d["lineitem"], "l_extendedprice", 40
+        ),
+        "data_range": lambda d: histogram.data_range(
+            d["lineitem"], "l_extendedprice"
+        ),
+        "quantiles_price": lambda d: stats.quantiles(
+            d["lineitem"], "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9]
+        ),
+        "basic_col_stats": lambda d: stats.basic_col_stats(
+            d["lineitem"], ["l_quantity", "l_extendedprice", "l_discount"]
+        ),
+        "next_k_rows": lambda d: spreadsheet.next_k(
+            d["lineitem"], ["l_returnflag", "l_linestatus", "l_quantity"],
+            k=20,
+        ),
+        "heavy_hitters": lambda d: hh.heavy_hitters(
+            d["documents"], ["lang"], epsilon=0.13
+        ),
+        "dedup_exact": lambda d: dedup.exact_dedup(d["documents"]),
+        "text_token_count": lambda d: text.token_count(d["documents"]),
+        "events_sessionize": lambda d: ev.sessionize(
+            d["events"], gap_minutes=30
+        ),
+        "events_windowed_counts": lambda d: ev.windowed_counts(d["events"]),
+        "ann_cosine_topk": lambda d: similarity.cosine_topk(
+            d["embeddings"], query_id=0, k=10
+        ),
+        "dp_histogram_quantity": lambda d: privacy.dp_histogram(
+            d["lineitem"], "l_quantity", lo=1.0, hi=51.0, granularity=1.0,
+            epsilon=1.0, buckets=10, seed=7, prf="md5str",
+        ),
+        "dp_count_lineitem": lambda d: privacy.dp_count(
+            d["lineitem"], epsilon=1.0, seed=7, prf="md5str"
+        ),
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_empty_cases()))
+def test_oracle_matches_on_empty_tables(spark, empty_dfs, empty_con, key):
+    sdf = _empty_cases()[key](empty_dfs)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = empty_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols, f"{key}: column drift {dcols} vs {cols}"
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on an empty table"
