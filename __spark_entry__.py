@@ -3028,14 +3028,25 @@ def oracle_sql() -> dict[str, str]:
                     UNNEST(generate_series(1, len(t) - 1)) u(i)),
         gc AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
         gs AS (SELECT doc_id, max(c) AS max_gram FROM gc GROUP BY 1)
-        SELECT ts.doc_id, n_tokens, distinct_tokens,
-               round(1.0 - distinct_tokens / CAST(n_tokens AS DOUBLE), 4)
+        -- anchored on the INPUT ids, like the operator: a NULL or
+        -- whitespace-only document has no token rows but must still
+        -- be scored (all-zeros) — un-scored docs would silently pass
+        -- a stats-join filter pipeline
+        SELECT d.doc_id,
+               COALESCE(n_tokens, 0) AS n_tokens,
+               COALESCE(distinct_tokens, 0) AS distinct_tokens,
+               COALESCE(round(1.0 - distinct_tokens
+                              / CAST(n_tokens AS DOUBLE), 4), 0.0)
                  AS dup_token_frac,
-               round(max_tok / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
-               round(LEAST(COALESCE(max_gram, 0) * 2 / CAST(n_tokens AS DOUBLE),
-                           1.0), 4)
-                 AS top_bigram_frac
-        FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+               COALESCE(round(max_tok / CAST(n_tokens AS DOUBLE), 4), 0.0)
+                 AS top_token_frac,
+               CASE WHEN n_tokens IS NULL THEN 0.0
+                    ELSE round(LEAST(COALESCE(max_gram, 0) * 2
+                                     / CAST(n_tokens AS DOUBLE), 1.0), 4)
+               END AS top_bigram_frac
+        FROM documents d
+        LEFT JOIN ts ON d.doc_id = ts.doc_id
+        LEFT JOIN gs ON d.doc_id = gs.doc_id
     """
     o["decontaminate_train"] = r"""
         WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

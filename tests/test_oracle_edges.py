@@ -26,6 +26,8 @@ EDGE_DOCS = [
     (6, "alpha beta gamma delta zeta", "web", "en"),      # near dup
     (7, None, "web", "en"),                               # NULL text
     (8, "hello world hello", None, None),                 # NULL meta
+    (9, "spark hash vector spark", "src0", "en"),         # search hits
+    (20, "alpha beta gamma delta epsilon", "src1", "en"), # eval-doc id
 ]
 
 
@@ -60,6 +62,30 @@ CASES = {
         df, num_hashes=16, bands=4
     ),
     "text_pii_scrub": lambda df: curation.pii_scrub(df),
+    # round-7 additions: search/LM/repetition/curation surfaces on the
+    # same adversarial docs (the repetition oracle's missing input-id
+    # anchor — un-scored empty/NULL docs — was caught exactly here)
+    "bm25_search": lambda df: __import__(
+        "hillview_spark.functions.search", fromlist=["x"]
+    ).bm25_search(df, ["spark", "hash", "vector"]),
+    "tfidf_top_terms": lambda df: __import__(
+        "hillview_spark.functions.search", fromlist=["x"]
+    ).top_terms_per_doc(df, k=3, min_df=2, max_df_frac=0.95),
+    "text_lm_nll": lambda df: text.bigram_lm_nll(df, alpha=0.1),
+    "dedup_simhash": lambda df: dedup.simhash_pairs(df, max_hamming=3),
+    "text_repetition_stats": lambda df: curation.repetition_stats(df),
+    "corpus_shuffle": lambda df: curation.shuffle_corpus(df).select(
+        "doc_id", "shuffle_rank"
+    ),
+    "sample_mixture": lambda df: curation.sample_to_mixture(
+        df, {"src0": 0.5, "src1": 0.25}
+    ).select("doc_id", "source"),
+    "split_train_eval": lambda df: __import__(
+        "hillview_spark.operators.sampling", fromlist=["x"]
+    ).split_train_eval(df, 0.1, "doc_id").select("doc_id", "split"),
+    "dedup_corpus_pipeline": lambda df: dedup.dedup_corpus(
+        df, threshold=0.3
+    ).select("doc_id"),
 }
 
 
