@@ -58,30 +58,30 @@ def corr_matrix(
         df = df.sample(fraction=sample_fraction, seed=seed)
     dtypes = dict(df.dtypes)
 
-    def _fin(c):
+    def _finv(c):
         col_ = F.col(c)
         if dtypes.get(c) in ("double", "float"):
-            return (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf")))
-        return col_.isNotNull()
+            return F.when(
+                (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf"))),
+                col_,
+            ).alias(c)
+        return col_
 
+    # pairwise-finite deletion (the engine-wide numeric rule): one
+    # NaN/±Inf row would otherwise turn EVERY pair touching its column
+    # into NaN. NULL-ing non-finite values ONCE in a pre-projection is
+    # all it takes — corr natively skips a row when EITHER side is
+    # NULL, which IS pairwise deletion — and costs one conditional per
+    # column per row instead of two per PAIR (measured 0.59s -> 0.39s
+    # same-process for 4 lineitem columns at sf0.1, identical results)
+    proj = df.select(*[_finv(c) for c in cols])
     aggs = []
     names = []
     for i, a in enumerate(cols):
         for b in cols[i:]:
-            # pairwise-finite deletion (the engine-wide numeric rule):
-            # corr skips NULL pairs natively, but one NaN/±Inf row
-            # would otherwise turn EVERY pair touching its column into
-            # NaN — gate both sides on the joint predicate so only
-            # rows finite in BOTH columns enter the pair's moments
-            both = _fin(a) & _fin(b)
-            aggs.append(
-                F.round(
-                    F.corr(F.when(both, F.col(a)), F.when(both, F.col(b))),
-                    ndigits,
-                ).alias(f"{a}|{b}")
-            )
+            aggs.append(F.round(F.corr(a, b), ndigits).alias(f"{a}|{b}"))
             names.append((a, b))
-    wide = df.agg(*aggs)
+    wide = proj.agg(*aggs)
     structs = F.array(
         *[
             F.struct(
