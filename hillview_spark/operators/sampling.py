@@ -112,7 +112,18 @@ def _len_prefixed(c: str):
 
 def salted_guard(col):
     """The NULL-key loud-failure guard shared by salted_hex and
-    portable_bernoulli's per-field keys."""
+    portable_bernoulli's per-field keys.
+
+    Deliberately LOUD, unlike the engine-wide quarantine of malformed
+    VALUES (NaN readings, ragged vectors, corrupt payloads): a broken
+    value costs one cell of one row, but a NULL KEY makes the row's
+    identity ambiguous — every NULL-keyed row would share one coin
+    (correlated draws callers assume independent) or one shuffle-rank
+    hash (nondeterministic order among them, unstable across runs and
+    engines). There is no correct silent answer, so the caller must
+    decide: coalesce to a sentinel (NULL-keyed rows become ONE
+    deterministic identity) or filter. The error message says exactly
+    that."""
     return F.when(
         col.isNull(),
         F.raise_error(

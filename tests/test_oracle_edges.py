@@ -780,3 +780,26 @@ def test_oracle_matches_on_empty_tables(spark, empty_dfs, empty_con, key):
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on an empty table"
+
+def test_salted_key_ops_fail_loud_on_null_keys(spark):
+    """Identity keys are the one place the malformed-data contract is
+    LOUD instead of quarantining: a NULL key makes a row's identity
+    ambiguous — every NULL-keyed row would share one sampling coin
+    (correlated draws) or one shuffle-rank hash (nondeterministic
+    order among them), and no silent answer is correct. The declared
+    behavior is an actionable raise telling the caller to coalesce to
+    a sentinel or filter (sampling.salted_guard)."""
+    from hillview_spark.functions import curation
+    from hillview_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "a", "web", "en"), (None, "b", "web", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    with pytest.raises(Exception, match="NULL key field"):
+        curation.shuffle_corpus(docs).collect()
+    with pytest.raises(Exception, match="NULL key field"):
+        sampling.split_train_eval(docs, 0.1, "doc_id").collect()
+    # the documented remedy works: sentinel-coalesced keys rank fine
+    fixed = docs.fillna({"doc_id": -1})
+    assert curation.shuffle_corpus(fixed).count() == 2
