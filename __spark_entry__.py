@@ -1948,7 +1948,13 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
     """
     o["extract_json_value"] = """
-        SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
+        SELECT event_id,
+               -- malformed JSON extracts NULL (missing on parse
+               -- failure, like Spark's get_json_object) instead of
+               -- crashing the whole query on one bad document
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS k_value
+        FROM events
     """
     o["set_operation"] = """
         SELECT doc_id FROM documents WHERE contains(text, 'spark')

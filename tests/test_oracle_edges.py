@@ -803,3 +803,33 @@ def test_salted_key_ops_fail_loud_on_null_keys(spark):
     # the documented remedy works: sentinel-coalesced keys rank fine
     fixed = docs.fillna({"doc_id": -1})
     assert curation.shuffle_corpus(fixed).count() == 2
+
+def test_extract_json_value_matches_oracle_on_malformed_json(spark):
+    """Malformed JSON extracts NULL in both engines (missing on parse
+    failure). Spark's get_json_object is naturally lenient; DuckDB's
+    json_extract_string raises on the first bad document — the oracle
+    guards with json_valid so one bad props string can't crash the
+    comparison (or, at scale, the release)."""
+    from hillview_spark.operators import maps
+
+    rows = [
+        (1, '{"k": "v1", "n": 2}'),
+        (2, '{"k": null}'),
+        (3, '{"other": 1}'),
+        (4, "not json at all"),
+        (5, None),
+        (6, ""),
+        (7, '{"k": {"nested": true}}'),
+        (8, "[1,2,3]"),
+    ]
+    sdf = spark.createDataFrame(rows, "event_id long, props string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    sr = maps.extract_json_value(sdf, "props", "k", "k_value").select(
+        "event_id", "k_value"
+    )
+    got = sorted(repr((r.event_id, r.k_value)) for r in sr.collect())
+    rel = con.sql(entry_mod.oracle_sql()["extract_json_value"])
+    want = sorted(repr(tuple(row)) for row in rel.fetchall())
+    assert got == want
