@@ -429,6 +429,23 @@ def dims_histogram(media: DataFrame, decoder: str = "stdlib") -> DataFrame:
     )
 
 
+def _safe_decode(decode):
+    """Wrap a decoder with the probe_media quarantine: parse-level
+    failures (corrupt/truncated/NULL payloads) return NULL dims
+    instead of killing the scan; a missing decoder (the declared
+    native-codec seam) still raises."""
+
+    def safe(p):
+        try:
+            return decode(p)
+        except NotImplementedError:
+            raise
+        except Exception:
+            return (None, None, None)
+
+    return safe
+
+
 RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
 
 
@@ -449,15 +466,31 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
             for p in pdf["content"]:
                 # registry seam: a decoder's resize capability (when
                 # registered) handles the formats it can transform;
-                # None means dims-only passthrough below
-                r = resizer(p, max_side) if resizer and p is not None else None
-                if r is not None:
-                    nw, nh, np_ = r
-                    out_w.append(nw)
-                    out_h.append(nh)
-                    out_c.append(np_)
+                # None means dims-only passthrough below. An
+                # undecodable payload (corrupt/NULL) quarantines to
+                # NULL dims with the payload passed through untouched
+                # — callers see WHICH rows failed instead of losing
+                # the whole 100-TB scan to one broken file.
+                try:
+                    r = (
+                        resizer(p, max_side)
+                        if resizer and p is not None
+                        else None
+                    )
+                    if r is not None:
+                        nw, nh, np_ = r
+                        out_w.append(nw)
+                        out_h.append(nh)
+                        out_c.append(np_)
+                        continue
+                    w, h, _ = decode(p)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    out_w.append(None)
+                    out_h.append(None)
+                    out_c.append(p)
                     continue
-                w, h, _ = decode(p)
                 scale = min(1.0, max_side / max(w, h))
                 # max(1, ...) like resize_png/resize_jpeg: an extreme
                 # aspect ratio must not emit a zero dimension
@@ -492,8 +525,15 @@ def sample_frames(df: DataFrame, every_n: int = 30, decoder: str = "fake") -> Da
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs = [], []
+            safe = _safe_decode(decode)
             for mid, p in zip(pdf["media_id"], pdf["content"]):
-                _, _, nf = decode(p)
+                _, _, nf = safe(p)
+                if nf is None:
+                    # undecodable video: one (id, NULL) marker row so
+                    # the breakage is countable, not silently dropped
+                    ids.append(mid)
+                    idxs.append(None)
+                    continue
                 for i in range(0, nf, every_n):
                     ids.append(mid)
                     idxs.append(i)
@@ -533,8 +573,15 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
+            safe = _safe_decode(decode)
             for p in pdf["content"]:
-                w, h, nf = decode(p)
+                w, h, nf = safe(p)
+                if w is None:
+                    # undecodable payload embeds to NULL — it drops
+                    # out of downstream similarity exactly like a
+                    # malformed vector (NULL cosine/bucket)
+                    feats.append(None)
+                    continue
                 digest = hashlib.md5(p if p is not None else b"").digest()
                 seed = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
                 base = np.concatenate(

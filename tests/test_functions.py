@@ -1787,3 +1787,45 @@ def test_probe_media_quarantines_corrupt_payloads(spark):
 
     with _pytest.raises(Exception, match="native media decoders"):
         mm.probe_media(bad, decoder="real").collect()
+
+
+def test_media_transform_stages_quarantine_corrupt_payloads(spark):
+    """resize/frame-sample/feature-extract follow probe_media's rule:
+    an undecodable payload quarantines (NULL dims / NULL frame marker
+    / NULL features) instead of killing the scan, and intact
+    batchmates are unaffected. NULL features then drop out of
+    downstream similarity exactly like malformed vectors."""
+    from hillview_spark.functions import multimodal as mm
+
+    good = spark.createDataFrame(
+        [
+            (1, "image", bytearray(mm.make_fake_payload(1, "image"))),
+            (2, "video", bytearray(mm.make_fake_payload(2, "video"))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    bad = spark.createDataFrame(
+        [
+            (100, "image", bytearray(b"\x89PNG\r\n\x1a\nXX")),
+            (101, "image", None),
+            (102, "video", bytearray(b"garbage")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    both = good.unionByName(bad)
+
+    resized = {r.media_id: r for r in mm.resize_images(both, 32, "fake").collect()}
+    assert resized[1].width is not None
+    assert resized[100].width is None and resized[100].content is not None
+    assert resized[101].width is None
+
+    frames = mm.sample_frames(both, every_n=100, decoder="fake").collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(i is not None for i in by_id[2])
+    assert by_id[102] == [None]  # countable marker, not a silent drop
+
+    feats = {r.media_id: r.features for r in mm.extract_features(both, 8, "fake").collect()}
+    assert feats[1] is not None and feats[2] is not None
+    assert feats[100] is None and feats[101] is None and feats[102] is None
