@@ -851,9 +851,24 @@ def dp_histogram_from_schema(
     hillview/targets/DPWrapper.java) minus the UI session."""
     q = schema.quantization[col]
     if q.type == "StringColumnQuantization":
-        raise NotImplementedError(
-            "string DP histograms quantize via quantize_string_column; "
-            "numeric grids only here"
+        # route to the string-grid mechanism (the same k-adic noise
+        # tree over left-boundary leaf indexes). CDF stays numeric-only
+        # like the reference's CDF view — a cumulative count over an
+        # arbitrary string collation is not a release the curator
+        # metadata defines.
+        if cdf:
+            raise ValueError(
+                "CDF is defined for numeric grids only; "
+                f"{col!r} is StringColumnQuantization"
+            )
+        return dp_histogram_string(
+            df,
+            col,
+            q.left_boundaries,
+            epsilon=schema.epsilon(col),
+            buckets=buckets,
+            seed=seed,
+            column_index=column_index,
         )
     return dp_histogram(
         df,

@@ -747,3 +747,35 @@ def test_windowed_mechanisms_domain_separated(spark):
     # window differ (P[all 3 collide] ~ 0 for continuous Laplace)
     assert set(counts) == set(hist)
     assert any(counts[w] != hist[w] for w in counts)
+
+
+def test_dp_histogram_from_schema_routes_string_grids(spark, tables):
+    """The DPWrapper schema router handles BOTH quantization kinds:
+    a StringColumnQuantization column routes to dp_histogram_string
+    with the schema's boundaries and budget (bit-equal to calling it
+    directly), and a string CDF is rejected with a clear error (the
+    reference's CDF view is numeric-only)."""
+    import pytest as _pytest
+
+    ps = P.PrivacySchema.from_json(
+        """{"defaultEpsilons": {"1": 1.0},
+            "quantization": {"quantization": {
+              "c_mktsegment": {"type": "StringColumnQuantization",
+                "globalMax": "Z",
+                "leftBoundaries": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                   "HOUSEHOLD", "MACHINERY"]}}}}"""
+    )
+    via_schema = P.dp_histogram_from_schema(
+        tables["customer"], "c_mktsegment", ps, seed=4
+    ).collect()
+    direct = P.dp_histogram_string(
+        tables["customer"], "c_mktsegment",
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        epsilon=1.0, seed=4,
+    ).collect()
+    assert via_schema == direct
+    assert len(via_schema) > 0
+    with _pytest.raises(ValueError, match="numeric grids only"):
+        P.dp_histogram_from_schema(
+            tables["customer"], "c_mktsegment", ps, seed=4, cdf=True
+        )
