@@ -286,16 +286,74 @@ def _stdlib_resize(payload: bytes, max_side: int):
     return None
 
 
+def _gif_dims(payload: bytes) -> tuple[int, int, int]:
+    """GIF87a/GIF89a logical screen descriptor (GIF spec §18): width
+    and height as little-endian u16 at offsets 6 and 8. Frame count
+    = number of image descriptors (0x2C introducers at block level) —
+    a block-level walk, not a byte scan, so 0x2C inside pixel data
+    can't inflate the count."""
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    (w, h) = _struct.unpack("<HH", payload[6:10])
+    i = 13
+    flags = payload[10]
+    if flags & 0x80:  # global color table present
+        i += 3 * (2 << (flags & 0x07))
+    frames = 0
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            if i + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            lflags = payload[i + 9]
+            i += 10
+            if lflags & 0x80:  # local color table
+                i += 3 * (2 << (lflags & 0x07))
+            i += 1  # LZW minimum code size
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        else:
+            raise ValueError("bad GIF block introducer")
+    if frames == 0:
+        raise ValueError("GIF has no image descriptor")
+    return w, h, frames
+
+
+def _bmp_dims(payload: bytes) -> tuple[int, int, int]:
+    """BMP BITMAPINFOHEADER (Windows DIB): signed little-endian i32
+    width/height at offset 18; a negative height means top-down row
+    order (same pixels, |height| rows)."""
+    if len(payload) < 26:
+        raise ValueError("truncated BMP header")
+    (w, h) = _struct.unpack("<ii", payload[18:26])
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    return w, abs(h), 1
+
+
 def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
-    """Real-format decoder with no third-party deps: P6 PPM and
-    RIFF/WAVE headers byte-for-byte, full PNG (zlib inflate +
-    scanline unfilter), and baseline JPEG (full DCT/Huffman codec,
-    functions/jpeg.py). Remaining codecs (MP3/H.264) belong to the
-    'real' slot."""
+    """Real-format decoder with no third-party deps: P6 PPM,
+    RIFF/WAVE, GIF (with a block-level frame count), and BMP headers
+    byte-for-byte, full PNG (zlib inflate + scanline unfilter), and
+    baseline JPEG (full DCT/Huffman codec, functions/jpeg.py).
+    Remaining codecs (MP3/H.264) belong to the 'real' slot."""
     if payload is None:
         raise ValueError("null payload")
     if payload[:2] == b"P6":
         return _ppm_dims(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_dims(payload)
+    if payload[:2] == b"BM":
+        return _bmp_dims(payload)
     if payload[:4] == b"RIFF":
         return _wav_dims(payload)
     if payload[:8] == _PNG_SIG:

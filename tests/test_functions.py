@@ -1829,3 +1829,43 @@ def test_media_transform_stages_quarantine_corrupt_payloads(spark):
     feats = {r.media_id: r.features for r in mm.extract_features(both, 8, "fake").collect()}
     assert feats[1] is not None and feats[2] is not None
     assert feats[100] is None and feats[101] is None and feats[102] is None
+
+
+def test_stdlib_probe_gif_and_bmp_headers(spark):
+    """GIF (incl. multi-frame + extensions + color tables) and BMP
+    (incl. top-down negative height) probe real header bytes; the
+    usual quarantine applies to truncated variants."""
+    import struct
+
+    from hillview_spark.functions import multimodal as mm
+
+    def gif(w, h, frames, ext=False, gct=False):
+        flags = (0x80 | 0x00) if gct else 0
+        out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([flags, 0, 0])
+        if gct:
+            out += b"\x00" * (3 * 2)  # 2-entry global color table
+        for _ in range(frames):
+            if ext:  # graphics-control extension before each frame
+                out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            out += b"\x02\x01\x00\x00"  # min code size + 1 data block + end
+        return out + b"\x3b"
+
+    def bmp(w, h):
+        return (b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+                + b"\x00" * 20)
+
+    rows = [
+        (1, "image", bytearray(gif(12, 7, 1))),
+        (2, "video", bytearray(gif(64, 48, 3, ext=True, gct=True))),
+        (3, "image", bytearray(bmp(33, 21))),
+        (4, "image", bytearray(bmp(9, -5))),       # top-down BMP
+        (5, "image", bytearray(b"GIF89a\x01\x00")),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    probed = {r.media_id: r for r in mm.probe_media(df, "stdlib").collect()}
+    assert (probed[1].width, probed[1].height, probed[1].n_frames) == (12, 7, 1)
+    assert (probed[2].width, probed[2].height, probed[2].n_frames) == (64, 48, 3)
+    assert (probed[3].width, probed[3].height) == (33, 21)
+    assert (probed[4].width, probed[4].height) == (9, 5)
+    assert probed[5].width is None  # quarantined, not fatal
