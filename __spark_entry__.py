@@ -306,11 +306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_polygon_counts"] = _geo_polygon_counts
 
-    # real-codec multimodal gate coverage (VERDICT-r6 directive #6):
-    # synthesize real PNG/JPEG payloads whose dims are a closed form
-    # of doc_id, then probe the actual bytes back — the oracle derives
-    # dims arithmetically, so encode or header-parse corruption shows
-    # up as a hash mismatch.
+    # real-codec multimodal gate coverage (VERDICT r6 #6, r7 #5):
+    # synthesize real PNG/JPEG/GIF/BMP payloads whose dims are a
+    # closed form of doc_id, then probe the actual bytes back — the
+    # oracle derives dims arithmetically, so encode or header-parse
+    # corruption in ANY of the four codecs shows up as a hash
+    # mismatch.
     q["media_dims_histogram"] = lambda s, d: multimodal.dims_histogram(
         multimodal.synthesize_media(_t(s, d, "documents")), decoder="stdlib"
     )
@@ -626,16 +627,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # ROLLUP: hierarchical totals in one pass (Spark expands grouping
     # sets before the shuffle — still a single scan + one aggregate)
-    q["orders_rollup"] = lambda s, d: (
-        _t(s, d, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").alias("sum_total"),
-            F.grouping_id().cast("long").alias("lvl"),
+    def _orders_rollup(s, d):
+        # present = FINITE (engine-wide rule): explicit guard so one
+        # Inf/NaN totalprice can't crash the ANSI/DuckDB DECIMAL cast
+        # or poison the rollup sums (r7 probe bug)
+        fin = (F.col("o_totalprice") > F.lit(float("-inf"))) & (
+            F.col("o_totalprice") < F.lit(float("inf"))
         )
-    )
+        return (
+            _t(s, d, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.when(fin, F.col("o_totalprice")).cast("decimal(18,2)"))
+                .cast("double").alias("sum_total"),
+                F.grouping_id().cast("long").alias("lvl"),
+            )
+        )
+
+    q["orders_rollup"] = _orders_rollup
     q["events_moving_avg"] = lambda s, d: temporal.moving_aggregate(
         _t(s, d, "events"), n_preceding=3
     )
@@ -683,11 +693,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clicks = ev_t.where(F.col("event_type") == "click").select(
             "event_id", "user_id", "ts"
         )
+        # present = FINITE (engine-wide numeric rule): explicit guard
+        # rather than the non-ANSI NaN/Inf->decimal->NULL cast accident
+        # (which is job-fatal under ANSI, and was job-fatal in the
+        # DuckDB oracle's DECIMAL cast)
+        fin = (F.col("value") > F.lit(float("-inf"))) & (
+            F.col("value") < F.lit(float("inf"))
+        )
         errors = (
             ev_t.where(F.col("event_type") == "error")
             .groupBy("user_id", "ts")
-            .agg(F.max(F.col("value").cast("decimal(18,6)")).cast("double")
-                 .alias("err_value"))
+            .agg(F.max(F.when(fin, F.col("value")).cast("decimal(18,6)"))
+                 .cast("double").alias("err_value"))
         )
         out = temporal.asof_join(clicks, errors, "ts", ["user_id"], ["err_value"])
         # unmatched rows -> sentinels (NULLs don't sort in the hash
@@ -1874,18 +1891,26 @@ def oracle_sql() -> dict[str, str]:
         for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
 
+    # Reference record order: missing sorts LAST ascending
+    # (IDoubleColumn.java:70-78) — explicit NULLS LAST, and the paging
+    # predicate carries IS NULL terms so the NULL group pages correctly.
     o["next_k_rows"] = """
         SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
         FROM lineitem GROUP BY 1, 2, 3
-        ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+                 l_quantity NULLS LAST LIMIT 20
     """
     o["next_k_after"] = """
         SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
         FROM lineitem
-        WHERE (l_returnflag > 'N') OR (l_returnflag = 'N' AND l_linestatus > 'O')
-           OR (l_returnflag = 'N' AND l_linestatus = 'O' AND l_quantity > 10.0)
+        WHERE (l_returnflag > 'N' OR l_returnflag IS NULL)
+           OR (l_returnflag = 'N'
+               AND (l_linestatus > 'O' OR l_linestatus IS NULL))
+           OR (l_returnflag = 'N' AND l_linestatus = 'O'
+               AND (l_quantity > 10.0 OR l_quantity IS NULL))
         GROUP BY 1, 2, 3
-        ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+                 l_quantity NULLS LAST LIMIT 20
     """
     o["next_k_aggregate"] = """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
@@ -1900,7 +1925,7 @@ def oracle_sql() -> dict[str, str]:
           max(CASE WHEN isfinite(l_discount) THEN l_discount END)
             AS max_l_discount
         FROM lineitem GROUP BY 1, 2
-        ORDER BY l_returnflag, l_linestatus LIMIT 10
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST LIMIT 10
     """
     o["find_substring"] = """
         SELECT COUNT(*) AS match_count FROM documents
@@ -2407,7 +2432,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, l_quantity,
                    COUNT(*) AS cnt
             FROM lineitem GROUP BY 1, 2, 3
-            ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+            ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+                     l_quantity NULLS LAST LIMIT 20
         ), unif AS (
             SELECT *,
                    LEAST(GREATEST(
@@ -3088,13 +3114,21 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src1' THEN {int(0.25 * 16**7)}
                               ELSE {16**7} END
     """
+    # coalesce + zero-token mirror (curation.chunk_documents): a NULL/
+    # empty/whitespace doc yields exactly one ('', 0) chunk — without
+    # the coalesce the NULL doc vanished into a (NULL, 40) row, and
+    # split('') = [''] budgeted a phantom token per empty doc
     o["chunk_documents"] = r"""
-        WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        WITH tk AS (SELECT doc_id,
+                           string_split_regex(trim(coalesce(text, '')),
+                                              '\s+') AS t
                     FROM documents)
         SELECT doc_id,
                CAST((i - 1) // 32 AS BIGINT) AS chunk_id,
                array_to_string(t[i:least(i + 39, len(t))], ' ') AS chunk_text,
-               CAST(least(len(t) - i + 1, 40) AS BIGINT) AS n_chunk_tokens
+               CAST(CASE WHEN array_to_string(t, '') = '' THEN 0
+                         ELSE least(len(t) - i + 1, 40) END AS BIGINT)
+                 AS n_chunk_tokens
         FROM tk, UNNEST(generate_series(1, greatest(len(t) - 8, 1), 32)) u(i)
     """
     o["remove_repeated_segments"] = r"""
@@ -3187,8 +3221,8 @@ def oracle_sql() -> dict[str, str]:
     # baseline JPEG for odd — the Spark side must round-trip real
     # encoded bytes through the header probes to agree.
     o["media_dims_histogram"] = """
-        SELECT CASE WHEN abs(doc_id) % 2 = 0 THEN 'png' ELSE 'jpeg' END
-                   AS kind,
+        SELECT CASE abs(doc_id) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
                CAST(1 + abs(doc_id) % 13 AS INT) AS width,
                CAST(1 + abs(doc_id) % 7 AS INT) AS height,
                COUNT(*) AS cnt
@@ -3200,7 +3234,9 @@ def oracle_sql() -> dict[str, str]:
         WITH clicks AS (SELECT event_id, user_id, ts FROM events
                         WHERE event_type = 'click'),
         errors AS (SELECT user_id, ts,
-                          CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                          CAST(max(CAST(CASE WHEN isfinite(value)
+                                             THEN value END
+                                        AS DECIMAL(18,6))) AS DOUBLE)
                             AS err_value
                    FROM events WHERE event_type = 'error' GROUP BY 1, 2)
         SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
@@ -3237,6 +3273,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE contains(lower(text), 'merge') OR contains(lower(source), 'merge')
     """
     o["row_comparison_filter"] = """
+        -- record order '<' with missing-sorts-LAST (reference
+        -- semantics): NULL is the maximum, so NULL keys are correctly
+        -- excluded by the plain < comparisons (SQL NULL -> not kept)
         SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
         FROM lineitem
         WHERE (l_returnflag < 'N')
@@ -3530,8 +3569,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["orders_rollup"] = """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 AS sum_total,
+               CAST(SUM(CAST(CASE WHEN isfinite(o_totalprice)
+                                  THEN o_totalprice END
+                             AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
                  AS lvl
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)

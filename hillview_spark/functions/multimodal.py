@@ -244,6 +244,67 @@ def encode_png(w: int, h: int, ch: int, pixels: bytes) -> bytes:
     )
 
 
+def encode_bmp(w: int, h: int, ch: int, pixels: bytes) -> bytes:
+    """Encode raw row-major RGB pixels as a valid 24-bit Windows BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    assert ch == 3, "BMP encoder writes 24-bit RGB"
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = pixels[y * row_bytes : (y + 1) * row_bytes]
+        # RGB -> BGR per-pixel (BMP stores little-endian channel order)
+        for x in range(w):
+            body += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
+        body += b"\x00" * pad
+    dib = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return hdr + dib + bytes(body)
+
+
+def encode_gif(w: int, h: int, frames: int, pixels: bytes) -> bytes:
+    """Encode 8-bit indexed pixels as a valid GIF89a with a 256-entry
+    grayscale global color table and `frames` full-size image
+    descriptors, each carrying a spec-correct LZW stream (min code
+    size 8: one CLEAR, then 9-bit literal codes, then END — the
+    dictionary never reaches 512 for the tiny fixture frames, so the
+    code width never grows). GIF spec §§17-22."""
+    n_px = w * h
+    assert len(pixels) >= n_px
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", w, h)
+    out += bytes((0x80 | 0x07, 0, 0))  # GCT present, 2^8 entries
+    for v in range(256):  # grayscale global color table
+        out += bytes((v, v, v))
+    clear, end = 256, 257
+    for _ in range(frames):
+        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW minimum code size
+        # bit-pack codes LSB-first at a fixed 9-bit width
+        codes = [clear] + [pixels[i] for i in range(n_px)] + [end]
+        assert len(codes) < 255  # width stays 9 bits
+        acc = nbits = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):  # sub-block framing
+            blk = data[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
 def _nn_resize(payload, max_side, decode_fn, encode_fn):
     """Shared real-resize core: decode -> nearest-neighbor downsample
     -> re-encode. ONE copy of the scale / index arithmetic so a
@@ -331,9 +392,16 @@ def _gif_dims(payload: bytes) -> tuple[int, int, int]:
 def _bmp_dims(payload: bytes) -> tuple[int, int, int]:
     """BMP BITMAPINFOHEADER (Windows DIB): signed little-endian i32
     width/height at offset 18; a negative height means top-down row
-    order (same pixels, |height| rows)."""
+    order (same pixels, |height| rows). The DIB header size at offset
+    14 gates the parse: a BITMAPCOREHEADER (OS/2, size 12) stores u16
+    dims at that offset instead — reading i32 there would yield large
+    garbage dims that pass the sanity check, so anything below the
+    40-byte BITMAPINFOHEADER quarantines as unparseable."""
     if len(payload) < 26:
         raise ValueError("truncated BMP header")
+    (dib_size,) = _struct.unpack("<I", payload[14:18])
+    if dib_size < 40:
+        raise ValueError("unsupported BMP DIB header (BITMAPCOREHEADER)")
     (w, h) = _struct.unpack("<ii", payload[18:26])
     if w <= 0 or h == 0:
         raise ValueError("bad BMP dimensions")
@@ -432,11 +500,14 @@ def probe_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL media payloads derived from a key column —
     the driver-gate multimodal fixture (and a codec load generator):
-    even keys encode a real PNG (encode_png: zlib IDAT, CRCs), odd
-    keys a real baseline JPEG (functions/jpeg.py: DCT + Huffman),
-    with dimensions a CLOSED FORM of the key (w = 1 + abs(id) % 13,
-    h = 1 + abs(id) % 7; abs folds SQL's sign-of-dividend modulo
-    onto Python's) and a fixed per-id pixel pattern. An
+    id % 4 picks the container — 0: real PNG (encode_png: zlib IDAT,
+    CRCs), 1: real baseline JPEG (functions/jpeg.py: DCT + Huffman),
+    2: real GIF89a (encode_gif: block-structured LZW, 1 + id % 3
+    frames), 3: real 24-bit BMP (encode_bmp) — so the gate hash
+    exercises all four header probes. Dimensions stay a CLOSED FORM
+    of the key (w = 1 + abs(id) % 13, h = 1 + abs(id) % 7; abs folds
+    SQL's sign-of-dividend modulo onto Python's) with a fixed
+    per-id pixel pattern. An
     out-of-engine oracle re-derives the expected dims arithmetically,
     while the Spark side must round-trip real bytes — encode here,
     header-parse in probe_media — to agree, so a corrupted encoder or
@@ -458,12 +529,19 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = abs(int(i))
                 w, h = 1 + i % 13, 1 + i % 7
                 px = bytes((x * 31 + i) % 256 for x in range(w * h * 3))
-                if i % 2 == 0:
+                r = i % 4
+                if r == 0:
                     kinds.append("png")
                     payloads.append(encode_png(w, h, 3, px))
-                else:
+                elif r == 1:
                     kinds.append("jpeg")
                     payloads.append(encode_jpeg(w, h, 3, px))
+                elif r == 2:
+                    kinds.append("gif")
+                    payloads.append(encode_gif(w, h, 1 + i % 3, px))
+                else:
+                    kinds.append("bmp")
+                    payloads.append(encode_bmp(w, h, 3, px))
             yield pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "content": payloads}
             )

@@ -186,11 +186,14 @@ def row_comparison_filter(
     the standard expansion (c0 > v0) OR (c0 = v0 AND c1 > v1) OR ...
     so every leaf stays a pushdown-eligible comparison.
 
-    NULL-aware: NULL sorts where Spark's asc/desc defaults put it
-    (first under ASC, last under DESC), and a None in the start row
-    addresses the NULL group — without this, any comparison touching
-    NULL evaluates to NULL and paging silently dead-ends on columns
-    with missing values."""
+    NULL-aware with REFERENCE semantics: Hillview compares a missing
+    value as GREATER than every present one (IDoubleColumn.java:70-78
+    `iMissing → return 1`; Converters.compareStrings,
+    utils/Converters.java:140-150), so NULL sorts LAST under ASC and
+    FIRST under DESC. A None in the start row addresses the NULL
+    group — without explicit branches, any comparison touching NULL
+    evaluates to NULL and paging silently dead-ends on columns with
+    missing values."""
     if ascending is None:
         ascending = [True] * len(sort_cols)
     if op in ("==", "!="):
@@ -200,20 +203,22 @@ def row_comparison_filter(
         raise ValueError(f"unknown row comparison op: {op}")
 
     def after(cc: Column, v, asc: bool) -> Column:
-        """col sorts strictly after v in the record order."""
+        """col sorts strictly after v in the record order (missing is
+        greatest: NULLS LAST under ASC, NULLS FIRST under DESC)."""
         if v is None:
-            # ASC: everything non-null follows NULL; DESC: nothing does
-            return cc.isNotNull() if asc else F.lit(False)
+            # ASC: NULL is the maximum — nothing follows it;
+            # DESC: NULL is first — every present value follows it
+            return F.lit(False) if asc else cc.isNotNull()
         if asc:
-            return cc > F.lit(v)  # NULL (first) never follows a value
-        return (cc < F.lit(v)) | cc.isNull()  # DESC: NULL sorts last
+            return (cc > F.lit(v)) | cc.isNull()  # NULL (last) follows
+        return cc < F.lit(v)  # DESC: NULL (first) never follows a value
 
     def before(cc: Column, v, asc: bool) -> Column:
         if v is None:
-            return F.lit(False) if asc else cc.isNotNull()
+            return cc.isNotNull() if asc else F.lit(False)
         if asc:
-            return (cc < F.lit(v)) | cc.isNull()
-        return cc > F.lit(v)
+            return cc < F.lit(v)
+        return (cc > F.lit(v)) | cc.isNull()
 
     strict = op.rstrip("=")
     cmp = after if strict == ">" else before

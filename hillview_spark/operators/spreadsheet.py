@@ -19,6 +19,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _reference_order(sort_cols: list[str], ascending: list[bool]) -> list[Column]:
+    """Hillview's record order treats a missing value as GREATER than
+    every present value (IDoubleColumn.java:70-78 `iMissing → return 1`;
+    Converters.compareStrings, utils/Converters.java:140-150), so NULL
+    sorts LAST ascending and FIRST descending — the opposite of Spark's
+    asc()/desc() defaults. Every spreadsheet surface must use this."""
+    return [
+        F.col(c).asc_nulls_last() if asc else F.col(c).desc_nulls_first()
+        for c, asc in zip(sort_cols, ascending)
+    ]
+
+
 def _after_start(sort_cols: list[str], ascending: list[bool], start: tuple) -> Column:
     """Lexicographic 'row > start' predicate over the sort order
     (RowComparisonFilterDescription — shared with the filter API)."""
@@ -40,10 +52,7 @@ def next_k(
         ascending = [True] * len(sort_cols)
     if start is not None:
         df = df.where(_after_start(sort_cols, ascending, start))
-    order = [
-        F.col(c).asc() if asc else F.col(c).desc()
-        for c, asc in zip(sort_cols, ascending)
-    ]
+    order = _reference_order(sort_cols, ascending)
     return (
         df.groupBy(*sort_cols)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -109,10 +118,7 @@ def next_k_aggregate(
             aggs.append(getattr(F, how)(vc).alias(name))
         else:
             raise ValueError(f"unknown aggregate: {how}")
-    order = [
-        F.col(c).asc() if asc else F.col(c).desc()
-        for c, asc in zip(sort_cols, ascending)
-    ]
+    order = _reference_order(sort_cols, ascending)
     return df.groupBy(*sort_cols).agg(*aggs).orderBy(*order).limit(k)
 
 

@@ -1680,8 +1680,8 @@ def test_pq_topk_blas_missing_query_returns_empty(spark, tables):
 
 def test_synthesize_media_roundtrips_real_codecs(spark):
     """The gate's multimodal fixture: synthesized payloads are REAL
-    PNG/JPEG bytes whose probed dims equal the closed form of the id
-    — exercising encode_png/encode_jpeg and both header probes
+    PNG/JPEG/GIF/BMP bytes whose probed dims equal the closed form of
+    the id — exercising all four encoders and header probes
     end-to-end through the Arrow mapInPandas plumbing."""
     from hillview_spark.functions import multimodal as mm
 
@@ -1696,7 +1696,12 @@ def test_synthesize_media_roundtrips_real_codecs(spark):
     for i, r in probed.items():
         a = abs(i)
         assert r.width == 1 + a % 13 and r.height == 1 + a % 7
-        assert r.kind == ("png" if a % 2 == 0 else "jpeg")
+        assert r.kind == {0: "png", 1: "jpeg", 2: "gif", 3: "bmp"}[a % 4]
+        # GIF frame count survives the block-level walk
+        if a % 4 == 2:
+            assert r.n_frames == 1 + a % 3
+        else:
+            assert r.n_frames == 1
     # histogram aggregates the probed dims, not the closed form
     hist = {
         (r.kind, r.width, r.height): r.cnt
@@ -1851,9 +1856,9 @@ def test_stdlib_probe_gif_and_bmp_headers(spark):
             out += b"\x02\x01\x00\x00"  # min code size + 1 data block + end
         return out + b"\x3b"
 
-    def bmp(w, h):
-        return (b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
-                + b"\x00" * 20)
+    def bmp(w, h, dib=40):
+        return (b"BM" + b"\x00" * 12 + struct.pack("<I", dib)
+                + struct.pack("<ii", w, h) + b"\x00" * 20)
 
     rows = [
         (1, "image", bytearray(gif(12, 7, 1))),
@@ -1861,6 +1866,10 @@ def test_stdlib_probe_gif_and_bmp_headers(spark):
         (3, "image", bytearray(bmp(33, 21))),
         (4, "image", bytearray(bmp(9, -5))),       # top-down BMP
         (5, "image", bytearray(b"GIF89a\x01\x00")),  # truncated
+        # OS/2 BITMAPCOREHEADER stores u16 dims where INFOHEADER has
+        # i32 — parsing it as i32 would yield garbage dims, so it
+        # quarantines on the DIB-size gate instead
+        (6, "image", bytearray(bmp(33, 21, dib=12))),
     ]
     df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
     probed = {r.media_id: r for r in mm.probe_media(df, "stdlib").collect()}
@@ -1869,3 +1878,43 @@ def test_stdlib_probe_gif_and_bmp_headers(spark):
     assert (probed[3].width, probed[3].height) == (33, 21)
     assert (probed[4].width, probed[4].height) == (9, 5)
     assert probed[5].width is None  # quarantined, not fatal
+    assert probed[6].width is None  # COREHEADER quarantined, not garbage
+
+
+def test_encode_gif_bmp_are_structurally_valid():
+    """The r8 fixture encoders write spec-correct bytes: the GIF LZW
+    stream actually decodes back to the input indices (a block-walk
+    probe alone would accept garbage data bytes), and the BMP
+    round-trips its dims through the strict INFOHEADER parse."""
+    from hillview_spark.functions import multimodal as mm
+
+    w, h = 13, 7
+    px = bytes((x * 31 + 5) % 256 for x in range(w * h * 3))
+    b = mm.encode_bmp(w, h, 3, px)
+    assert mm._bmp_dims(b) == (w, h, 1)
+
+    g = mm.encode_gif(w, h, 2, px)
+    assert mm._gif_dims(g) == (w, h, 2)
+    # decode the first frame's LZW stream: fixed 9-bit codes —
+    # CLEAR, the pixel indices verbatim, END
+    i = 13 + 3 * 256  # header + screen descriptor + 256-entry GCT
+    assert g[i] == 0x2C
+    i += 10
+    assert g[i] == 8  # min code size
+    i += 1
+    data = bytearray()
+    while g[i] != 0:
+        n = g[i]
+        data += g[i + 1 : i + 1 + n]
+        i += 1 + n
+    acc = nbits = 0
+    codes = []
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= 9:
+            codes.append(acc & 0x1FF)
+            acc >>= 9
+            nbits -= 9
+    assert codes[0] == 256 and codes[-1] == 257
+    assert bytes(codes[1:-1]) == px[: w * h]

@@ -584,19 +584,22 @@ def test_next_k_pages_through_null_keys(spark):
     df = spark.createDataFrame(
         [(None,), ("a",), ("b",), ("c",)], "k string"
     )
-    # ASC: NULL group is page 1; start=(None,) scrolls past it
-    p1 = [r.k for r in spreadsheet.next_k(df, ["k"], k=2).collect()]
-    assert p1 == [None, "a"]
-    p2 = [r.k for r in spreadsheet.next_k(df, ["k"], k=3, start=(None,)).collect()]
-    assert p2 == ["a", "b", "c"]
-    # DESC: NULL sorts last and is reachable after the smallest value
+    # Reference record order (IDoubleColumn.java:70-78): missing is the
+    # MAXIMUM — ASC pages end with the NULL group; start=(None,) means
+    # "past everything"
+    p1 = [r.k for r in spreadsheet.next_k(df, ["k"], k=4).collect()]
+    assert p1 == ["a", "b", "c", None]
+    p2 = [r.k for r in spreadsheet.next_k(df, ["k"], k=3, start=("c",)).collect()]
+    assert p2 == [None]
+    assert spreadsheet.next_k(df, ["k"], k=3, start=(None,)).count() == 0
+    # DESC: NULL sorts first; scrolling starts from the NULL group
     pd = [
         r.k
         for r in spreadsheet.next_k(
-            df, ["k"], k=2, ascending=[False], start=("a",)
+            df, ["k"], k=2, ascending=[False], start=(None,)
         ).collect()
     ]
-    assert pd == [None]
+    assert pd == ["c", "b"]
 
 
 def test_next_k_aggregate_avg_skips_nulls_and_big_values(spark):

@@ -62,6 +62,15 @@ CASES = {
         df, num_hashes=16, bands=4
     ),
     "text_pii_scrub": lambda df: curation.pii_scrub(df),
+    # r8: NULL/empty/whitespace docs must chunk to one ('', 0) chunk in
+    # BOTH engines (the r7 probe found the oracle emitting (NULL, 40)
+    # and a phantom ('', 1) token)
+    "chunk_documents": lambda df: curation.chunk_documents(
+        df, chunk_tokens=40, overlap=8
+    ),
+    "pack_sequences": lambda df: curation.pack_sequences(
+        curation.chunk_documents(df, 40, 8), budget_tokens=120, n_groups=16
+    ).select("doc_id", "chunk_id", "pack_group", "seq_id"),
     # round-7 additions: search/LM/repetition/curation surfaces on the
     # same adversarial docs (the repetition oracle's missing input-id
     # anchor — un-scored empty/NULL docs — was caught exactly here)
@@ -139,6 +148,11 @@ EDGE_EVENTS = [
     (15, 1, "error", _TS(1), 2.0),
     (17, 2, "error", None, 3.0),
     (18, 2, "error", _TS(1), 4.0),
+    # NaN error value + a user-3 click that as-of matches it: the
+    # matched err_value must come back as missing (sentinel -1.0), not
+    # NaN, and must not crash the oracle's DECIMAL cast (r7 probe bug)
+    (19, 3, "error", _TS(1), float("nan")),
+    (20, 3, "click", _TS(3), 1.0),
 ]
 
 
@@ -208,8 +222,16 @@ def _edge_asof(df):
     clicks = df.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    errors = df.where(F.col("event_type") == "error").select(
-        "user_id", "ts", F.col("value").alias("err_value")
+    # mirror the gate's errors construction exactly: finite-guarded
+    # DECIMAL max per (user, ts) — a NaN error value is missing
+    fin = (F.col("value") > F.lit(float("-inf"))) & (
+        F.col("value") < F.lit(float("inf"))
+    )
+    errors = (
+        df.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.when(fin, F.col("value")).cast("decimal(18,6)"))
+             .cast("double").alias("err_value"))
     )
     out = temporal.asof_join(clicks, errors, "ts", ["user_id"], ["err_value"])
     return out.select(
@@ -368,7 +390,7 @@ def _edge_li_rows():
         rnd = random.Random(7)
         rows = [
             (
-                i, "N", "O",
+                i, i % 7 + 1, "N", "O",
                 float(rnd.randint(1, 50)),
                 round(1000 + 900.0 * i, 2),
                 round(rnd.randint(0, 10) / 100.0, 2),
@@ -377,11 +399,17 @@ def _edge_li_rows():
             for i in range(40)
         ]
         rows += [
-            (100, "R", "F", nan, 5000.0, 0.05, 0.02),
-            (101, "A", "F", 25.0, nan, 0.01, 0.03),
-            (102, "N", "O", inf, 7000.0, 0.02, 0.01),
-            (103, "N", "O", 30.0, -inf, 0.03, nan),
-            (104, "R", "F", None, None, None, None),
+            (100, 1, "R", "F", nan, 5000.0, 0.05, 0.02),
+            (101, 2, "A", "F", 25.0, nan, 0.01, 0.03),
+            (102, 3, "N", "O", inf, 7000.0, 0.02, 0.01),
+            (103, 4, "N", "O", 30.0, -inf, 0.03, nan),
+            (104, 5, "R", "F", None, None, None, None),
+            # NULL sort keys: the reference sorts missing LAST ascending
+            # (IDoubleColumn.java:70-78) — these rows pin next_k /
+            # next_k_after / row_comparison_filter's record order
+            (105, 6, None, "O", 10.0, 1500.0, 0.01, 0.0),
+            (106, 7, "N", None, 10.0, 1600.0, 0.02, 0.0),
+            (107, 1, None, None, None, 1700.0, 0.0, 0.0),
         ]
         _EDGE_LI = rows
     return _EDGE_LI
@@ -391,9 +419,9 @@ def _edge_li_rows():
 def edge_li_df(spark):
     return spark.createDataFrame(
         _edge_li_rows(),
-        "l_orderkey long, l_returnflag string, l_linestatus string,"
-        " l_quantity double, l_extendedprice double, l_discount double,"
-        " l_tax double",
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_linestatus string, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double",
     )
 
 
@@ -401,12 +429,13 @@ def edge_li_df(spark):
 def edge_li_con():
     con = duckdb.connect()
     con.execute(
-        "CREATE TABLE lineitem(l_orderkey BIGINT, l_returnflag VARCHAR,"
-        " l_linestatus VARCHAR, l_quantity DOUBLE,"
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_linenumber INT,"
+        " l_returnflag VARCHAR, l_linestatus VARCHAR, l_quantity DOUBLE,"
         " l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE)"
     )
     con.executemany(
-        "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?, ?)", _edge_li_rows()
+        "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+        _edge_li_rows(),
     )
     return con
 
@@ -475,6 +504,19 @@ def _li_cases():
         "next_k_rows": lambda df: spreadsheet.next_k(
             df, ["l_returnflag", "l_linestatus", "l_quantity"], k=20
         ),
+        "next_k_after": lambda df: spreadsheet.next_k(
+            df,
+            ["l_returnflag", "l_linestatus", "l_quantity"],
+            k=20,
+            start=("N", "O", 10.0),
+        ),
+        "row_comparison_filter": lambda df: df.where(
+            __import__(
+                "hillview_spark.operators.filters", fromlist=["x"]
+            ).row_comparison_filter(
+                ["l_returnflag", "l_linestatus"], ("N", "F"), "<"
+            )
+        ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
         "next_k_aggregate": lambda df: spreadsheet.next_k_aggregate(
             df,
             ["l_returnflag", "l_linestatus"],
@@ -580,6 +622,87 @@ def test_oracle_matches_on_edge_part(spark, edge_part_df, edge_part_con, key):
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on edge part rows"
+
+# ------------------------------------------------------------- orders
+# orders_rollup is an exploration key (not one of the benchmark-
+# verbatim TPC-H 22), so it owes the engine-wide finite rule: a single
+# Inf/NaN o_totalprice crashed the oracle's CAST(... AS DECIMAL(18,2))
+# outright and would poison the rollup sums (r7 probe bug).
+
+_EDGE_ORD = None
+
+
+def _edge_ord_rows():
+    global _EDGE_ORD
+    if _EDGE_ORD is None:
+        nan, inf = float("nan"), float("inf")
+        rows = [
+            (i, "OF"[i % 2], f"{i % 3}-PRIO", round(100.0 + 37.5 * i, 2))
+            for i in range(30)
+        ]
+        rows += [
+            (100, "O", "0-PRIO", inf),
+            (101, "F", "1-PRIO", -inf),
+            (102, "O", "2-PRIO", nan),
+            (103, "F", None, 500.0),   # NULL rollup key vs grouping NULL
+            (104, None, "0-PRIO", None),
+        ]
+        _EDGE_ORD = rows
+    return _EDGE_ORD
+
+
+@pytest.fixture(scope="module")
+def edge_ord_df(spark):
+    return spark.createDataFrame(
+        _edge_ord_rows(),
+        "o_orderkey long, o_orderstatus string, o_orderpriority string,"
+        " o_totalprice double",
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_ord_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_orderstatus VARCHAR,"
+        " o_orderpriority VARCHAR, o_totalprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?, ?)", _edge_ord_rows()
+    )
+    return con
+
+
+def test_orders_rollup_oracle_matches_on_nonfinite_totalprice(
+    spark, edge_ord_df, edge_ord_con
+):
+    # mirror the gate's orders_rollup plan directly (the gate closure
+    # reads parquet, this fixture is in-memory)
+    from pyspark.sql import functions as F
+
+    fin = (F.col("o_totalprice") > F.lit(float("-inf"))) & (
+        F.col("o_totalprice") < F.lit(float("inf"))
+    )
+    sdf = (
+        edge_ord_df.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(fin, F.col("o_totalprice")).cast("decimal(18,2)"))
+            .cast("double").alias("sum_total"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_ord_con.sql(entry_mod.oracle_sql()["orders_rollup"])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, "orders_rollup diverged on non-finite totalprice"
+
 
 # --------------------------------------------------------------- geo
 # A point with a NULL/NaN/±Inf coordinate is in NO region. The polygon
