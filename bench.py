@@ -314,6 +314,107 @@ def ab_pairs(t):
         )
 
     _stat_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    # --- round-8 pairs (VERDICT r7 directive #4): settle whether the
+    # r7 malformed-vector quarantine caused the similarity-family
+    # regression. Three probes: the Arrow-batch guard (the only
+    # per-row Python cost the quarantine added), the expression-side
+    # NULL-cosine filter (expected free), and an A/A pair on
+    # dedup_corpus — whose files were untouched between r6 and r7
+    # (git log 306176b..0358561 is empty for dedup/curation/text/
+    # search), so its 1.65x swing can only be box noise; the A/A
+    # spread measures that floor directly in-session.
+
+    def ann_topk_numpy_r7_guard(qv=_query_vec(t)):
+        # predecessor: the r7 per-row map(len) guard on EVERY batch
+        # (current code stacks once and only falls back on a
+        # malformed batch — similarity._stack_batch)
+        import numpy as np
+
+        q = np.asarray(qv, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+
+        def score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                pdf = pdf[
+                    pdf["embedding"].map(len, na_action="ignore") == len(q)
+                ]
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                dots = m @ q
+                norms = np.linalg.norm(m, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (norms * qn)
+                ids = pdf["vec_id"].to_numpy()
+                r = np.round(cos, 6)
+                ok = np.isfinite(r)
+                ids, r = ids[ok], r[ok]
+                top = np.lexsort((ids, -r))[:10]
+                yield pd.DataFrame({"vec_id": ids[top], "cosine": r[top]})
+
+        local = t["embeddings"].select("vec_id", "embedding").mapInPandas(
+            score, "vec_id long, cosine double"
+        )
+        return local.orderBy(F.desc("cosine"), "vec_id").limit(10)
+
+    def lsh_tag_r7_guard():
+        # predecessor of similarity._numpy_bucketed's tag stage: the
+        # per-row len() scan before every stack
+        import numpy as np
+
+        W = np.array([[float(w) for w in row]
+                      for row in similarity.hyperplanes(64, 8)])
+
+        def tag(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                pdf = pdf[
+                    pdf["embedding"].map(len, na_action="ignore") == 64
+                ]
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                bits = (M @ W.T) >= 0
+                bucket = (bits * (1 << np.arange(8))).sum(1)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "bucket": bucket.astype("int64"),
+                })
+
+        return t["embeddings"].select("vec_id", "embedding").mapInPandas(
+            tag, "vec_id long, embedding array<float>, bucket long"
+        )
+
+    def ann_cosine_topk_unfiltered():
+        # predecessor: no NULL-cosine cut before the top-k heap
+        # (expression-side guard — expected free; this pins it)
+        q = t["embeddings"].where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__q")
+        )
+        return (
+            t["embeddings"].where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                F.col("vec_id"),
+                F.round(
+                    similarity.cosine(
+                        similarity.dot_product(
+                            F.col("embedding"), F.col("__q"), False),
+                        similarity.squared_norm(F.col("embedding"), False),
+                        similarity.squared_norm(F.col("__q"), False),
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(10)
+        )
+
     return {
         "col_stats_widths": {
             "a": (lambda: stats.basic_col_stats(
@@ -329,6 +430,35 @@ def ab_pairs(t):
             "a_desc": "column-fitted _DEC_WIDTHS decimals",
             "b_desc": "generic decimal(18,2) casts",
         },
+        "ann_topk_numpy_guard": {
+            "a": (lambda qv=_query_vec(t): similarity.cosine_topk_numpy(
+                t["embeddings"], qv, k=10), "collect"),
+            "b": (lambda: ann_topk_numpy_r7_guard(), "collect"),
+            "a_desc": "one-stack fast-path quarantine (r8)",
+            "b_desc": "per-row map(len) guard on every batch (r7)",
+        },
+        "lsh_bucket_tag_guard": {
+            "a": (lambda: similarity._numpy_bucketed(
+                t["embeddings"], "vec_id", "embedding", 8, 64), "noop"),
+            "b": (lambda: lsh_tag_r7_guard(), "noop"),
+            "a_desc": "one-stack fast-path quarantine (r8)",
+            "b_desc": "per-row map(len) guard on every batch (r7)",
+        },
+        "ann_cosine_topk_guard": {
+            "a": (lambda: similarity.cosine_topk(
+                t["embeddings"], 0, k=10, exact=False), "collect"),
+            "b": (lambda: ann_cosine_topk_unfiltered(), "collect"),
+            "a_desc": "NULL-cosine filtered before top-k (r7 guard)",
+            "b_desc": "unguarded top-k (pre-r7)",
+        },
+        "dedup_corpus_noise": {
+            "a": (lambda: dedup.dedup_corpus(
+                t["documents"], threshold=0.3), "noop"),
+            "b": (lambda: dedup.dedup_corpus(
+                t["documents"], threshold=0.3), "noop"),
+            "a_desc": "A/A: identical code both sides",
+            "b_desc": "A/A: in-session noise floor (dedup untouched r7)",
+        },
     }
 
 
@@ -337,13 +467,19 @@ def run_ab(t, repeats: int) -> dict:
     for name, spec in ab_pairs(t).items():
         (fa, ha), (fb, hb) = spec["a"], spec["b"]
         sa, sb = [], []
-        for _ in range(repeats):
-            start = time.perf_counter()
-            materialize(fa(), ha)
-            sa.append(time.perf_counter() - start)
-            start = time.perf_counter()
-            materialize(fb(), hb)
-            sb.append(time.perf_counter() - start)
+        for i in range(repeats):
+            # alternate which side runs first: the first run of a
+            # repeat pays any persist()/cache warmup, so a fixed
+            # A-then-B order systematically penalizes A (the r8 A/A
+            # pair measured a 1.4x 'difference' between identical
+            # factories before this)
+            order = [(fa, ha, sa), (fb, hb, sb)]
+            if i % 2:
+                order.reverse()
+            for f, h, s in order:
+                start = time.perf_counter()
+                materialize(f(), h)
+                s.append(time.perf_counter() - start)
         cache.release_all()
         out[name] = {
             "a_median": round(statistics.median(sa), 3),

@@ -85,6 +85,30 @@ def cosine(dot: Column, na: Column, nb: Column) -> Column:
     return F.when(denom > 0, dot.cast("double") / denom)
 
 
+def _stack_batch(pdf, vec_col: str, width: int):
+    """Stack one Arrow batch's vectors into an (n, width) float64
+    matrix under the malformed-vector quarantine (NULL / off-width
+    rows drop). Clean-data fast path: ONE np.stack attempt — the
+    per-row len() scan runs only when the batch actually contains a
+    malformed row (ragged/NULL stack raises) or is uniformly the
+    wrong width. The r7 guards paid the per-row scan on every batch;
+    at 100 TB the clean case is ~all batches, so the guard must be
+    free there (see BENCH ab_pairs 'quarantine_guard')."""
+    import numpy as np
+
+    vals = pdf[vec_col].to_numpy()
+    try:
+        m = np.stack(vals).astype(np.float64)
+        if m.ndim == 2 and m.shape[1] == width:
+            return pdf, m
+    except (ValueError, TypeError):
+        pass
+    pdf = pdf[pdf[vec_col].map(len, na_action="ignore") == width]
+    if len(pdf) == 0:
+        return pdf, np.empty((0, width))
+    return pdf, np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -147,11 +171,11 @@ def cosine_topk_numpy(
         for pdf in batches:
             # dim-mismatched vectors can't score (and would make the
             # batch np.stack ragged-raise): quarantine them, like the
-            # expression twin's NULL-cosine drop
-            pdf = pdf[pdf[vec_col].map(len, na_action="ignore") == len(qv)]
+            # expression twin's NULL-cosine drop — free on clean
+            # batches (_stack_batch's one-stack fast path)
+            pdf, m = _stack_batch(pdf, vec_col, len(qv))
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             dots = m @ qv
             norms = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -232,9 +256,36 @@ def lsh_bucket_expr(
     # are quarantined, not job-fatal, per the engine-wide
     # missing-on-parse-failure convention. A caller who passes the
     # wrong dims= for a uniformly-wider table sees an all-NULL bucket
-    # column (empty results), not a crashed 100-TB job.
+    # column (empty results), not a crashed 100-TB job — run
+    # check_vector_width() on a debug path to distinguish "ragged
+    # data" from "misconfigured dims=" loudly.
     dims = len(planes[0])
     return F.when(F.size(F.col(vec_col)) == dims, F.concat(*bits))
+
+
+def check_vector_width(
+    embeddings: DataFrame, dims: int, vec_col: str = "embedding"
+) -> dict:
+    """Debug-path companion to the silent per-row quarantine: ONE
+    aggregate pass reporting how many rows are scoreable at `dims`.
+    The quarantine is right for ragged data (a few bad rows must not
+    kill a 100-TB job), but it makes a uniformly-misconfigured dims=
+    look like an empty corpus — callers on interactive/debug paths
+    assert matching > 0 (or mismatched == 0) to get a loud signal
+    instead. Returns {'matching', 'mismatched', 'null'} counts."""
+    row = embeddings.agg(
+        F.count(F.when(F.size(F.col(vec_col)) == dims, 1)).alias("matching"),
+        F.count(
+            F.when(
+                F.col(vec_col).isNotNull()
+                & (F.size(F.col(vec_col)) != dims),
+                1,
+            )
+        ).alias("mismatched"),
+        F.count(F.when(F.col(vec_col).isNull(), 1)).alias("null"),
+    ).first()
+    return {"matching": row.matching, "mismatched": row.mismatched,
+            "null": row["null"]}
 
 
 def ann_lsh(
@@ -304,8 +355,13 @@ def ivf_index(
     # train on the first sampled row's width; rows of any other width
     # (malformed) are quarantined here and in assignment below
     dim0 = next(
-        len(r[vec_col]) for r in sample if r[vec_col] is not None
+        (len(r[vec_col]) for r in sample if r[vec_col] is not None), None
     )
+    if dim0 is None:
+        raise ValueError(
+            "ivf_index: no non-NULL vectors in the training sample — "
+            f"the first {sample_n} rows of {vec_col!r} are all NULL"
+        )
     X = np.stack(
         [
             np.asarray(r[vec_col], dtype=np.float64)
@@ -328,12 +384,10 @@ def ivf_index(
 
         for pdf in batches:
             # quarantine rows that don't match the trained width
-            pdf = pdf[
-                pdf[vec_col].map(len, na_action="ignore") == C.shape[1]
-            ]
+            # (clean batches stack once, no per-row scan)
+            pdf, M = _stack_batch(pdf, vec_col, C.shape[1])
             if len(pdf) == 0:
                 continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             out = pdf[[id_col, vec_col]].copy()
             out["cell"] = d2.argmin(1).astype("int32")
@@ -529,7 +583,11 @@ def ivf_topk_indexed_exact(
             .asDict()
             .items()
         ),
-        key=lambda kv: (kv[1], int(kv[0][1:])),
+        # NULLS LAST: a centroid whose stored width differs from the
+        # query scores None — it must probe after every scorable cell
+        # (the live twin's asc_nulls_last), and Python's tuple compare
+        # would otherwise raise on None < Decimal
+        key=lambda kv: (kv[1] is None, kv[1], int(kv[0][1:])),
     )
     probe = [int(name[1:]) for name, _ in probe_scored[:n_probe]]
 
@@ -1107,13 +1165,11 @@ def _numpy_bucketed(
 
         for pdf in batches:
             # quarantine dim-mismatched vectors (they'd ragged-raise
-            # the stack); lsh_bucket_expr NULL-buckets the same rows
-            pdf = pdf[
-                pdf[vec_col].map(len, na_action="ignore") == W.shape[1]
-            ]
+            # the stack); lsh_bucket_expr NULL-buckets the same rows.
+            # Clean batches stack once — no per-row len() scan
+            pdf, M = _stack_batch(pdf, vec_col, W.shape[1])
             if len(pdf) == 0:
                 continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (M @ W.T) >= 0
             bucket = (bits * (1 << np.arange(planes))).sum(1)
             yield pd.DataFrame(
@@ -1412,15 +1468,11 @@ def semantic_dedup_blas(
     def assign(batches):
         for pdf in batches:
             # quarantine dim-mismatched vectors (no cell — excluded
-            # from the release, same rule as the exact twin)
-            pdf = pdf[
-                pdf[vec_col].map(len, na_action="ignore") == cmat.shape[1]
-            ]
+            # from the release, same rule as the exact twin); clean
+            # batches stack once, no per-row scan
+            pdf, v = _stack_batch(pdf, vec_col, cmat.shape[1])
             if len(pdf) == 0:
                 continue
-            v = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col].to_numpy()]
-            )
             # argmin(||c||^2 - 2 x.c), ties to lowest index (argmin
             # picks the first minimum — same rule as the exact twin)
             score = cnorm[None, :] - 2.0 * (v @ cmat.T)

@@ -199,6 +199,11 @@ def _events_cases():
             "hillview_spark.operators.correlation", fromlist=["x"]
         ).category_centroids(df, "event_type", ["value"]),
         "asof_join_events": _edge_asof,
+        # r8 (VERDICT r7 #6): the Grok/dissect surface on degenerate
+        # lines — NULL user_id/event_type make the formatted line NULL
+        # or structurally off-pattern; parse_error accounting and the
+        # typed NULL fields must agree with the oracle's SQL mirror
+        "logs_parse_syslog": _edge_logs,
         "range_join_sessions": lambda df: temporal.range_join(
             df.select("event_id", "user_id", "ts"),
             ev.sessionize(df, gap_minutes=30),
@@ -206,6 +211,30 @@ def _events_cases():
             bucket_seconds=1800,
         ).select("event_id", "user_id", "session_id"),
     }
+
+
+def _edge_logs(df):
+    """The gate's syslog construction verbatim (concat of user_id /
+    event_type / event_id) — NULL components NULL the whole line."""
+    from pyspark.sql import functions as F
+
+    from hillview_spark.sources import readers
+
+    lines = df.select(
+        F.concat(
+            F.lit("Jan  2 03:04:05 host"),
+            F.col("user_id").cast("string"),
+            F.lit(" "),
+            F.col("event_type"),
+            F.lit("["),
+            F.col("event_id").cast("string"),
+            F.lit("]: seen user "),
+            F.col("user_id").cast("string"),
+        ).alias("line")
+    )
+    return readers.dissect_lines(lines, "line", "syslog").select(
+        "raw_line", "parse_error", "host", "proc", "pid", "message"
+    )
 
 
 def _edge_asof(df):
@@ -258,6 +287,72 @@ def test_oracle_matches_on_edge_events(
         repr(tuple(row[i] for i in order)) for row in rel.fetchall()
     )
     assert got == want, f"{key} diverged on edge events"
+
+# ------------------------------------------------- streaming twins (r8)
+# VERDICT r7 #6: the batch twins are pinned on the NULL-ts/NULL-type
+# edge events above; the STREAM twins were not — a NULL event time
+# takes a different path through the watermark/window machinery than
+# through a batch GROUP BY, and the two must still agree with the one
+# shared oracle. Reuses the gate's own _run_stream driver
+# (availableNow drain into a memory sink) on an edge-events parquet.
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, edge_events_df, tmp_path_factory):
+    # the gate fixture's events.parquet is a single FILE (the file-
+    # stream source does not recurse into a nested directory), so
+    # extract the one part file from a staging write
+    import glob
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("edge-stream"))
+    staging = d + "/staging"
+    edge_events_df.coalesce(1).write.parquet(staging)
+    (part,) = glob.glob(staging + "/part-*.parquet")
+    shutil.copy(part, d + "/events.parquet")
+    shutil.rmtree(staging)
+    return d
+
+
+def _stream_cases():
+    from hillview_spark.streaming import events as ev
+
+    return {
+        "events_windowed_counts_stream": (
+            ev.stream_windowed_counts, "complete", {}),
+        "dp_windowed_counts_stream": (
+            ev.stream_dp_windowed_counts, "complete",
+            {"epsilon": 1.0, "seed": 7}),
+        "events_sliding_counts_stream": (
+            ev.stream_sliding_counts, "complete", {}),
+        "events_click_purchase_stream": (
+            ev.stream_click_purchase_join, "append", {}),
+        "dp_windowed_histogram_stream": (
+            ev.stream_dp_windowed_histogram, "complete",
+            {"col": "value", "lo": 0.0, "hi": 500.0, "buckets": 10,
+             "epsilon": 1.0, "seed": 7}),
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_stream_cases()))
+def test_stream_twins_match_oracle_on_edge_events(
+    spark, edge_events_dir, edge_events_con, key
+):
+    builder, mode, kw = _stream_cases()[key]
+    sdf = entry_mod._run_stream(
+        spark, edge_events_dir, builder, f"edge_{key}", mode=mode, **kw
+    )
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_events_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols, f"{key}: column drift {dcols} vs {cols}"
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} stream twin diverged on edge events"
+
 
 # ------------------------------------------------------------ embeddings
 # Malformed-vector quarantine (round 7): a zero-norm, NULL, or
@@ -410,6 +505,13 @@ def _edge_li_rows():
             (105, 6, None, "O", 10.0, 1500.0, 0.01, 0.0),
             (106, 7, "N", None, 10.0, 1600.0, 0.02, 0.0),
             (107, 1, None, None, None, 1700.0, 0.0, 0.0),
+            # quantization boundaries for the DP session surface
+            # (grid [1,51) gran 1.0 / [0,0.11) gran 0.01): values at
+            # the exclusive max, below min, and mid-cell must land in
+            # the same bucket (or be excluded) in both engines
+            (108, 2, "N", "O", 51.0, 2000.0, 0.11, 0.01),
+            (109, 3, "N", "O", 0.5, 2100.0, 0.005, 0.02),
+            (110, 4, "N", "O", 50.5, 2200.0, 0.105, 0.03),
         ]
         _EDGE_LI = rows
     return _EDGE_LI
@@ -500,6 +602,27 @@ def _li_cases():
             xlo=1.0, xhi=51.0, xgranularity=1.0,
             ylo=0.0, yhi=0.11, ygranularity=0.01,
             epsilon=1.0, xbuckets=5, ybuckets=4, seed=7, prf="md5str",
+        ),
+        # r8 (VERDICT r7 #6): the composed DP session trio and the
+        # private spreadsheet page on quantization-boundary + NULL +
+        # non-finite values — the PRF field escaping ('\\N' for NULL
+        # sort keys) and the quantize/filter/bucket arithmetic must
+        # agree cross-engine on exactly these shapes
+        "dp_session_heatmap": lambda df: entry_mod._dp_session_view(
+            df
+        ).heatmap("l_quantity", "l_discount", xb=5, yb=4),
+        "dp_session_histogram": lambda df: entry_mod._dp_session_view(
+            df
+        ).histogram("l_quantity", buckets=10),
+        "dp_session_page": lambda df: entry_mod._dp_session_view(
+            df
+        ).page(["l_returnflag", "l_linestatus", "l_quantity"], epsilon=1.0),
+        "dp_next_k_rows": lambda df: __import__(
+            "hillview_spark.operators.privacy", fromlist=["x"]
+        ).dp_next_k(
+            df,
+            ["l_returnflag", "l_linestatus", "l_quantity"],
+            epsilon=1.0, k=20, seed=7, prf="md5str",
         ),
         "next_k_rows": lambda df: spreadsheet.next_k(
             df, ["l_returnflag", "l_linestatus", "l_quantity"], k=20
@@ -926,6 +1049,26 @@ def test_salted_key_ops_fail_loud_on_null_keys(spark):
     # the documented remedy works: sentinel-coalesced keys rank fine
     fixed = docs.fillna({"doc_id": -1})
     assert curation.shuffle_corpus(fixed).count() == 2
+    # the SAMPLED sketches share the same coin (portable_bernoulli on
+    # a composite key) and the same contract: a NULL field in the
+    # sample key raises, it does not silently correlate draws
+    from hillview_spark.operators import correlation, heavy_hitters
+
+    li = spark.createDataFrame(
+        [(1, 1, "N", 1.0, 2.0, 0.1), (None, 2, "R", 2.0, 3.0, 0.2)],
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_quantity double, l_extendedprice double, l_discount double",
+    )
+    with pytest.raises(Exception, match="NULL key field"):
+        heavy_hitters.heavy_hitters_sampled(
+            li, ["l_returnflag"], epsilon=0.2,
+            sample_key=["l_orderkey", "l_linenumber"],
+        ).collect()
+    with pytest.raises(Exception, match="NULL key field"):
+        correlation.corr_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount"],
+            sample_fraction=0.5, sample_key=["l_orderkey", "l_linenumber"],
+        ).collect()
 
 def test_extract_json_value_matches_oracle_on_malformed_json(spark):
     """Malformed JSON extracts NULL in both engines (missing on parse
