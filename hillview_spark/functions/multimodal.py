@@ -65,10 +65,231 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 def _real_decode(payload: bytes):
     raise NotImplementedError(
-        "native media decoders (MP3/H.264) are not available in this "
-        "environment; register one in DECODERS (images: PNG/JPEG/PPM "
-        "are real under the 'stdlib' decoder)"
+        "full-fidelity native decode (pixel/sample data for MP3 audio "
+        "or H.264 video) is not available in this environment; "
+        "register a PIL/ffmpeg-backed decoder in DECODERS. Header "
+        "PROBES for every supported container — including MP3 frame "
+        "walks and H.264 SPS parsing — are real under 'stdlib'."
     )
+
+
+# ------------------------------------------------------------- MP3
+# MPEG audio frame-header walk (ISO/IEC 11172-3 / 13818-3 public
+# tables): no third-party deps — sync on 0xFFE, read version/layer/
+# bitrate/samplerate/padding, hop frame to frame by the computed
+# frame length. Probe slots mirror _wav_dims: (sample_rate,
+# n_channels, n_frames).
+
+_MP3_BITRATES = {
+    # (version_group, layer) -> kbps table indexed by bitrate_index
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+}
+_MP3_RATES = {  # version bits (00=2.5, 10=2, 11=1) -> Hz table
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+
+def _mp3_frame(payload: bytes, i: int):
+    """Parse one MPEG audio frame header at offset i; returns
+    (rate, channels, frame_bytes) or raises ValueError."""
+    if i + 4 > len(payload):
+        raise ValueError("truncated MP3 frame header")
+    b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    if payload[i] != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("lost MP3 frame sync")
+    ver_bits = (b1 >> 3) & 0x03          # 00=MPEG2.5, 10=MPEG2, 11=MPEG1
+    layer_bits = (b1 >> 1) & 0x03        # 01=III, 10=II, 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        raise ValueError("reserved MPEG version/layer")
+    layer = 4 - layer_bits               # 1, 2, or 3
+    vgroup = 1 if ver_bits == 3 else 2
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("free/bad bitrate or reserved sample rate")
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    padding = (b2 >> 1) & 0x01
+    channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+    if layer == 1:
+        frame_bytes = (12 * bitrate // rate + padding) * 4
+    else:
+        # layer III halves samples-per-frame under MPEG2/2.5
+        factor = 144 if (layer == 2 or vgroup == 1) else 72
+        frame_bytes = factor * bitrate // rate + padding
+    return rate, channels, frame_bytes
+
+
+def _mp3_dims(payload: bytes) -> tuple[int, int, int]:
+    """MP3 probe: skip an optional ID3v2 tag (syncsafe length), then
+    walk frame headers to a (sample_rate, n_channels, n_frames)
+    triple, mapped onto the probe's (width, height, n_frames) slots
+    like _wav_dims. A payload that loses sync mid-walk is malformed
+    (ValueError -> the probe quarantine)."""
+    i = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 tag")
+        sz = 0
+        for b in payload[6:10]:  # syncsafe: 7 bits per byte
+            if b & 0x80:
+                raise ValueError("bad ID3v2 syncsafe length")
+            sz = (sz << 7) | b
+        i = 10 + sz
+    rate = channels = None
+    frames = 0
+    while i + 4 <= len(payload):
+        r, c, nbytes = _mp3_frame(payload, i)
+        if i + nbytes > len(payload):
+            # a frame header promising bytes past EOF is corruption,
+            # not a shorter last frame — quarantine, don't count it
+            raise ValueError("truncated final MP3 frame")
+        if rate is None:
+            rate, channels = r, c
+        elif (r, c) != (rate, channels):
+            raise ValueError("MP3 stream changes rate/channels mid-file")
+        frames += 1
+        i += nbytes
+    if frames == 0:
+        raise ValueError("no MP3 frames")
+    return rate, channels, frames
+
+
+# ------------------------------------------------------------ H.264
+# Annex-B NAL walk + SPS parse (ITU-T H.264 §7.3.2.1): start-code
+# scan, emulation-prevention removal, Exp-Golomb bit reader, and the
+# SPS field sequence down to pic_width/height + cropping. Frame count
+# = slice NALs (types 1/5) with first_mb_in_slice == 0.
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _h264_nals(payload: bytes):
+    """Yield (nal_type, rbsp_bytes) for each Annex-B NAL unit, with
+    emulation-prevention bytes (00 00 03) removed."""
+    i, n = 0, len(payload)
+    starts = []
+    while i + 3 <= n:
+        if payload[i : i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise ValueError("no H.264 start codes")
+    for s, e in zip(starts, starts[1:] + [n + 3]):
+        # strip the next start code (and its 0-byte prefix) off the
+        # end; the n+3 sentinel makes the final NAL end at n
+        end = e - 3
+        while end > s and payload[end - 1] == 0:
+            end -= 1
+        nal = payload[s:end]
+        if not nal:
+            continue
+        rbsp = nal[1:].replace(b"\x00\x00\x03", b"\x00\x00")
+        yield nal[0] & 0x1F, rbsp
+
+
+def _h264_sps_dims(rbsp: bytes) -> tuple[int, int]:
+    br = _BitReader(rbsp)
+    profile = br.u(8)
+    br.u(8)  # constraint flags + reserved
+    br.u(8)  # level_idc
+    br.ue()  # seq_parameter_set_id
+    chroma = 1
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+                   134, 135):
+        chroma = br.ue()
+        if chroma == 3:
+            br.u(1)  # separate_colour_plane_flag
+        br.ue()  # bit_depth_luma_minus8
+        br.ue()  # bit_depth_chroma_minus8
+        br.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if br.u(1):  # seq_scaling_matrix_present_flag
+            raise ValueError("SPS scaling matrices unsupported in probe")
+    br.ue()  # log2_max_frame_num_minus4
+    poc_type = br.ue()
+    if poc_type == 0:
+        br.ue()
+    elif poc_type == 1:
+        br.u(1)
+        br.se()
+        br.se()
+        for _ in range(br.ue()):
+            br.se()
+    br.ue()  # max_num_ref_frames
+    br.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = br.ue() + 1
+    h_units = br.ue() + 1
+    frame_mbs_only = br.u(1)
+    if not frame_mbs_only:
+        br.u(1)  # mb_adaptive_frame_field_flag
+    br.u(1)  # direct_8x8_inference_flag
+    width = w_mbs * 16
+    height = (2 - frame_mbs_only) * h_units * 16
+    if br.u(1):  # frame_cropping_flag
+        cl, cr, ct, cb = br.ue(), br.ue(), br.ue(), br.ue()
+        # 4:2:0 crop units: x2 horizontally, x2 (xframe factor) vert.
+        cx = 2 if chroma in (1, 2) else 1
+        cy = (2 if chroma == 1 else 1) * (2 - frame_mbs_only)
+        width -= (cl + cr) * cx
+        height -= (ct + cb) * cy
+    return width, height
+
+
+def _h264_dims(payload: bytes) -> tuple[int, int, int]:
+    """H.264 Annex-B probe: (width, height) from the first SPS,
+    n_frames = slice NALs (type 1/5) whose first_mb_in_slice is 0
+    (one per picture)."""
+    dims = None
+    frames = 0
+    for nal_type, rbsp in _h264_nals(payload):
+        if nal_type == 7 and dims is None:
+            dims = _h264_sps_dims(rbsp)
+        elif nal_type in (1, 5) and rbsp:
+            if _BitReader(rbsp).ue() == 0:  # first_mb_in_slice
+                frames += 1
+    if dims is None:
+        raise ValueError("no SPS NAL in H.264 stream")
+    if frames == 0:
+        raise ValueError("no slice NALs in H.264 stream")
+    return dims[0], dims[1], frames
 
 
 def _ppm_dims(payload: bytes) -> tuple[int, int, int]:
@@ -411,9 +632,10 @@ def _bmp_dims(payload: bytes) -> tuple[int, int, int]:
 def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
     """Real-format decoder with no third-party deps: P6 PPM,
     RIFF/WAVE, GIF (with a block-level frame count), and BMP headers
-    byte-for-byte, full PNG (zlib inflate + scanline unfilter), and
-    baseline JPEG (full DCT/Huffman codec, functions/jpeg.py).
-    Remaining codecs (MP3/H.264) belong to the 'real' slot."""
+    byte-for-byte, full PNG (zlib inflate + scanline unfilter),
+    baseline JPEG (full DCT/Huffman codec, functions/jpeg.py), MP3
+    frame-header walks, and H.264 Annex-B SPS parsing. Full-fidelity
+    sample/pixel DECODE for MP3/H.264 belongs to the 'real' slot."""
     if payload is None:
         raise ValueError("null payload")
     if payload[:2] == b"P6":
@@ -431,6 +653,16 @@ def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
 
         w, h, _ch = jpeg_dims(payload)
         return w, h, 1
+    # MP3: ID3v2-tagged, or a bare 0xFFE frame sync (JPEG's FF D8
+    # fails the sync mask, so the checks can't collide)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _mp3_dims(payload)
+    if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        return _h264_dims(payload)
     raise ValueError("unrecognized media container")
 
 

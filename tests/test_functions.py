@@ -1790,7 +1790,7 @@ def test_probe_media_quarantines_corrupt_payloads(spark):
     # still loud
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="native media decoders"):
+    with _pytest.raises(Exception, match="full-fidelity native decode"):
         mm.probe_media(bad, decoder="real").collect()
 
 
@@ -1879,6 +1879,132 @@ def test_stdlib_probe_gif_and_bmp_headers(spark):
     assert (probed[4].width, probed[4].height) == (9, 5)
     assert probed[5].width is None  # quarantined, not fatal
     assert probed[6].width is None  # COREHEADER quarantined, not garbage
+
+
+def test_stdlib_probe_mp3_frame_walk(spark):
+    """MP3 probe: real MPEG audio frame headers (public ISO tables),
+    ID3v2 skip, and the malformed-payload quarantine."""
+    from hillview_spark.functions import multimodal as mm
+
+    def mp3_frame(ver_bits, layer_bits, br_idx, sr_idx, mono, pad=0):
+        b1 = 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1
+        b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+        b3 = 0xC0 if mono else 0x00
+        hdr = bytes((0xFF, b1, b2, b3))
+        if layer_bits == 3:  # layer I
+            raise NotImplementedError
+        rate = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+                0: [11025, 12000, 8000]}[ver_bits][sr_idx]
+        kbps = mm._MP3_BITRATES[
+            (1 if ver_bits == 3 else 2, 4 - layer_bits)][br_idx]
+        factor = 144 if (layer_bits == 2 or ver_bits == 3) else 72
+        n = factor * kbps * 1000 // rate + pad
+        return hdr + b"\x00" * (n - 4)
+
+    # MPEG1 layer III, 128 kbps, 44100 Hz, stereo, 3 frames + ID3 tag
+    f = mp3_frame(3, 1, 9, 0, mono=False)
+    id3 = b"ID3\x04\x00\x00" + bytes((0, 0, 0, 10)) + b"x" * 10
+    assert mm._mp3_dims(id3 + f * 3) == (44100, 2, 3)
+    # MPEG2 layer III mono at 22050 (half samples-per-frame factor)
+    f2 = mp3_frame(2, 1, 4, 0, mono=True, pad=1)
+    assert mm._mp3_dims(f2 * 2) == (22050, 1, 2)
+    # layer II MPEG1
+    fl2 = mp3_frame(3, 2, 5, 1, mono=False)
+    assert mm._mp3_dims(fl2) == (48000, 2, 1)
+    # mid-stream desync and truncated tail quarantine via probe_media
+    bad = f[: len(f) // 2]
+    rows = [
+        (1, "audio", bytearray(id3 + f * 3)),
+        (2, "audio", bytearray(f + b"\x12\x34" + f)),  # lost sync
+        (3, "audio", bytearray(bad)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    probed = {r.media_id: r for r in mm.probe_media(df, "stdlib").collect()}
+    assert (probed[1].width, probed[1].height, probed[1].n_frames) == (
+        44100, 2, 3)
+    assert probed[2].width is None  # quarantined, not fatal
+    assert probed[3].width is None
+
+
+def _eg_bits():
+    """Tiny Exp-Golomb bit writer for crafting SPS test vectors."""
+    bits = []
+
+    class W:
+        def u(self, v, n):
+            for i in range(n - 1, -1, -1):
+                bits.append((v >> i) & 1)
+
+        def ue(self, v):
+            code = v + 1
+            n = code.bit_length()
+            self.u(0, n - 1)
+            self.u(code, n)
+
+        def bytes(self):
+            while len(bits) % 8:
+                bits.append(0)
+            return bytes(
+                sum(b << (7 - i) for i, b in enumerate(bits[j : j + 8]))
+                for j in range(0, len(bits), 8)
+            )
+
+    return W()
+
+
+def test_stdlib_probe_h264_sps(spark):
+    """H.264 probe: Annex-B NAL walk + Exp-Golomb SPS parse
+    (ITU-T H.264 §7.3.2.1), including frame cropping and the slice
+    NAL frame count."""
+    from hillview_spark.functions import multimodal as mm
+
+    def sps(w_mbs, h_units, crop_bottom=0):
+        w = _eg_bits()
+        w.u(66, 8)   # baseline profile
+        w.u(0, 8)    # constraint flags
+        w.u(30, 8)   # level
+        w.ue(0)      # sps id
+        w.ue(0)      # log2_max_frame_num_minus4
+        w.ue(0)      # pic_order_cnt_type -> lsb field
+        w.ue(0)
+        w.ue(1)      # max_num_ref_frames
+        w.u(0, 1)    # gaps allowed
+        w.ue(w_mbs - 1)
+        w.ue(h_units - 1)
+        w.u(1, 1)    # frame_mbs_only
+        w.u(0, 1)    # direct_8x8
+        if crop_bottom:
+            w.u(1, 1)
+            w.ue(0); w.ue(0); w.ue(0); w.ue(crop_bottom)
+        else:
+            w.u(0, 1)
+        w.u(0, 1)    # vui
+        return b"\x00\x00\x00\x01\x67" + w.bytes()
+
+    idr = b"\x00\x00\x01\x65\x88"      # type-5 slice, first_mb 0
+    nonidr = b"\x00\x00\x01\x41\x88"   # type-1 slice, first_mb 0
+    clip = sps(4, 3) + idr + nonidr + nonidr
+    assert mm._h264_dims(clip) == (64, 48, 3)
+    # 1920x1088 coded, cropped to 1080 (crop unit 2 vertically at
+    # 4:2:0 frame-mbs-only)
+    clip2 = sps(120, 68, crop_bottom=4) + idr
+    assert mm._h264_dims(clip2) == (1920, 1080, 1)
+    # quarantine: no SPS, and garbage NAL soup
+    rows = [
+        (1, "video", bytearray(clip)),
+        (2, "video", bytearray(idr + nonidr)),      # no SPS
+        (3, "video", bytearray(b"\x00\x00\x01\x67\xff")),  # truncated SPS
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    probed = {r.media_id: r for r in mm.probe_media(df, "stdlib").collect()}
+    assert (probed[1].width, probed[1].height, probed[1].n_frames) == (
+        64, 48, 3)
+    assert probed[2].width is None
+    assert probed[3].width is None
 
 
 def test_encode_gif_bmp_are_structurally_valid():
