@@ -32,10 +32,22 @@ def write_csv(
     ambiguity is a literal field equal to the sentinel (it reads back
     NULL); pick a sentinel outside the data domain. Embedded newlines
     are quoted per standard CSV either way — reading them back needs
-    read_csv(multiline=True)."""
+    read_csv(multiline=True).
+
+    The faithful combo also disables the writer's whitespace
+    trimming: Spark's CSV WRITE options ignoreLeading/
+    TrailingWhiteSpace default TRUE, so ' padded ' would silently
+    write as 'padded' and the round-trip would corrupt exactly the
+    strings it claims to preserve (the read side defaults to no
+    trimming, so only the writer needs the override)."""
     w = df.write.mode(mode).option("header", header)
     if null_value is not None:
-        w = w.option("nullValue", null_value).option("emptyValue", '""')
+        w = (
+            w.option("nullValue", null_value)
+            .option("emptyValue", '""')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+        )
     w.csv(path)
 
 

@@ -719,6 +719,46 @@ def test_geo_point_in_polygon_counts(spark):
     assert counts == {"square": 2, "triangle": 2}
 
 
+def test_geo_degenerate_polygons(spark):
+    """Degenerate shapes keep well-defined even-odd semantics: a
+    zero-area (collinear) polygon contains nothing, duplicate
+    consecutive vertices are harmless zero-length edges, and a
+    self-intersecting bow-tie assigns its two lobes but not the
+    even-odd 'outside' at its waist; first-region-wins ordering holds
+    when shapes overlap."""
+    from hillview_spark.functions import geo
+
+    degenerate = ("line", [(0.0, 0.0), (10.0, 10.0), (5.0, 5.0)])
+    dup_vertex = ("dupsq", [(0.0, 0.0), (10.0, 0.0), (10.0, 0.0),
+                            (10.0, 10.0), (0.0, 10.0)])
+    bowtie = ("bowtie", [(20.0, 0.0), (30.0, 10.0), (30.0, 0.0),
+                         (20.0, 10.0)])
+    pts = [
+        (1, 5.0, 5.0),     # on the degenerate line; inside dupsq
+        (2, 2.0, 7.0),     # dupsq only
+        (3, 21.0, 5.0),    # bowtie left lobe
+        (4, 29.0, 5.0),    # bowtie right lobe
+        (5, 25.0, 1.0),    # even-odd OUTSIDE at the bow-tie waist
+        (6, 50.0, 50.0),   # nowhere
+    ]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    assigned = {
+        r.id: r.region
+        for r in geo.assign_region(
+            df, "lon", "lat", [degenerate, dup_vertex, bowtie]
+        ).collect()
+    }
+    assert assigned == {1: "dupsq", 2: "dupsq", 3: "bowtie",
+                        4: "bowtie", 5: None, 6: None}
+    counts = {
+        r.region: r.cnt
+        for r in geo.count_by_region(
+            df, "lon", "lat", [degenerate, dup_vertex, bowtie]
+        ).collect()
+    }
+    assert counts == {"dupsq": 2, "bowtie": 2}
+
+
 def test_geo_bbox_filter_pushdown(spark, tmp_path):
     from hillview_spark.functions import geo
     from hillview_spark.plans import explain as ex

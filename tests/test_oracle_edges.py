@@ -95,6 +95,16 @@ CASES = {
     "dedup_corpus_pipeline": lambda df: dedup.dedup_corpus(
         df, threshold=0.3
     ).select("doc_id"),
+    # r8: progressive final stage on NULL-meta docs — shares the full
+    # heavy_hitters oracle; partial stages must not leak into the
+    # released final values
+    "progressive_heavy_hitters": lambda df: list(
+        __import__(
+            "hillview_spark.operators.heavy_hitters", fromlist=["x"]
+        ).progressive_heavy_hitters(
+            df, ["lang"], epsilon=0.13, stages=(0.1, 1.0)
+        )
+    )[-1],
 }
 
 
@@ -465,6 +475,63 @@ def test_oracle_matches_on_edge_vectors(spark, edge_vec_df, edge_vec_con, key):
         # the equal-width 16-dim pair must have been judged, not dropped
         assert any("12, 16" in g or "(1.0, 12, 16)" in g for g in got), got
 
+def test_persisted_ivf_index_matches_oracle_on_edge_vectors(
+    spark, edge_vec_df, edge_vec_con, tmp_path
+):
+    """r8: the persisted-index path on the same crafted zero/NULL/
+    ragged vectors the live-twin suite pins — unassignable vectors
+    must be excluded at WRITE time and the pruned search must still
+    hash-match the shared oracle."""
+    from hillview_spark.functions import similarity as sim
+
+    path = str(tmp_path / "ivf_edge")
+    sim.ivf_write_index_exact(edge_vec_df, path, n_cells=8, stride=50)
+    qv = edge_vec_df.where("vec_id = 0").first().embedding
+    sdf = sim.ivf_topk_indexed_exact(
+        spark, path, qv, query_id=0, k=10, n_probe=3
+    )
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_vec_con.sql(entry_mod.oracle_sql()["ann_ivf_topk_indexed"])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, "persisted IVF index diverged on edge vectors"
+
+
+def test_persisted_lsh_index_matches_oracle_on_edge_docs(
+    spark, edge_df, edge_con, tmp_path
+):
+    """r8: the crawl-ingest LSH index on the adversarial docs — the
+    corpus index (NULL/empty/short docs included) written to disk,
+    the incoming batch deduped against it, oracle re-derives the
+    corpus x batch candidates."""
+    from hillview_spark.functions import dedup
+
+    path = str(tmp_path / "lsh_edge")
+    dedup.lsh_write_index(
+        edge_df.where("doc_id % 20 != 0"), path, 16, 4
+    )
+    sdf = dedup.lsh_query_index(
+        spark, path, edge_df.where("doc_id % 20 = 0")
+    )
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = edge_con.sql(entry_mod.oracle_sql()["dedup_lsh_index_query"])
+    dcols = list(rel.columns)
+    assert sorted(dcols) == cols
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, "persisted LSH index diverged on edge docs"
+    # the exact-dup batch doc (20) must actually have been judged
+    assert got, "expected at least one corpus x batch candidate"
+
+
 # ---------------------------------------------------------- numeric sketches
 # Non-finite rule (round 7): NULL, NaN, and ±Inf are MISSING in every
 # numeric sketch, identically in both engines. Historically: a single
@@ -556,6 +623,12 @@ def _li_cases():
     return {
         "histogram1d_numeric": lambda df: histogram.histogram1d(
             df, "l_extendedprice", 40
+        ),
+        # r8: the progressive final stage shares the full-data
+        # histogram's oracle — its partial stages must not perturb
+        # the released (final) values on non-finite/NULL inputs
+        "progressive_histogram": lambda df: (
+            histogram.progressive_histogram_final(df, "l_extendedprice", 40)
         ),
         "cdf_numeric": lambda df: histogram.cdf(df, "l_extendedprice", 100),
         "histogram2d_heatmap": lambda df: histogram.histogram2d(

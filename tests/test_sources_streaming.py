@@ -777,6 +777,12 @@ def test_csv_roundtrip_faithful_edges(spark, tmp_path):
     rows = [
         (1, ""), (2, None), (3, 'x,y\n"q"'), (4, "plain"),
         (5, "a\nb\nc"), (6, ","),
+        # exotic quoting/whitespace (r8): a bare quote, quote-heavy
+        # '""a""', CRLF inside a field, preserved leading/trailing
+        # whitespace (the writer's trim options default ON and would
+        # silently corrupt these), tabs, and non-ASCII text
+        (7, '"'), (8, '""a""'), (9, "a\r\nb"), (10, "  padded  "),
+        (11, "\ttab\t"), (12, "héllo 🌍 مرحبا"),
     ]
     df = spark.createDataFrame(rows, "id long, s string")
     p = str(tmp_path / "csv_edges")
