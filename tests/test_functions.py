@@ -1790,6 +1790,67 @@ def test_ivf_indexed_exact_matches_live_twin(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_indexed_probe_handles_mixed_width_centroid(spark, tmp_path):
+    """A centroid whose stored width differs from the query scores
+    None in the driver-side probe ranking — it must sort NULLS LAST
+    (probed only if scorable cells run out), not crash Python's tuple
+    compare. Mirrors the live twin's asc_nulls_last."""
+    import numpy as np
+
+    from hillview_spark.functions import similarity
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i,
+         [1.0] * 16 if i == 51 else
+         [float(round(x, 4)) for x in rng.normal(size=64)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_mixed")
+    # stride 50 -> centroid ids 1 and 51; id 51 is 16-wide
+    similarity.ivf_write_index_exact(emb, path, n_cells=8, stride=50)
+    qv = emb.where("vec_id = 0").first().embedding
+    got = similarity.ivf_topk_indexed_exact(
+        spark, path, qv, query_id=0, k=5, n_probe=1
+    ).collect()
+    assert len(got) == 5  # probed the scorable cell, no TypeError
+    live = similarity.ivf_topk_exact(
+        emb, 0, k=5, n_cells=8, n_probe=1, stride=50
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in live]
+
+
+def test_check_vector_width_reports_quarantine_split(spark):
+    """The debug-path companion to the silent per-row quarantine: one
+    aggregate distinguishing 'ragged data' from 'misconfigured dims='
+    (which otherwise both look like empty ANN results)."""
+    from hillview_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 16), (2, None), (3, [2.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    assert similarity.check_vector_width(df, 64) == {
+        "matching": 2, "mismatched": 1, "null": 1}
+    # uniformly-wrong dims= shows up as matching == 0, loud and clear
+    assert similarity.check_vector_width(df, 128)["matching"] == 0
+
+
+def test_ivf_index_raises_clearly_on_all_null_sample(spark):
+    """An all-NULL embedding column must produce the documented
+    descriptive error, not a bare StopIteration."""
+    import pytest as _pytest
+
+    from hillview_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="no non-NULL vectors"):
+        similarity.ivf_index(df, n_cells=2)
+
+
 def test_probe_media_quarantines_corrupt_payloads(spark):
     """A payload the decoder can't parse (truncated header, wrong
     magic, NULL) probes to NULL dims instead of killing the job — at

@@ -579,6 +579,11 @@ def _edge_li_rows():
             (108, 2, "N", "O", 51.0, 2000.0, 0.11, 0.01),
             (109, 3, "N", "O", 0.5, 2100.0, 0.005, 0.02),
             (110, 4, "N", "O", 50.5, 2200.0, 0.105, 0.03),
+            # ('A','F',NULL) sorts INSIDE the k=20 page (the other
+            # NULL sort keys land past it under NULLS LAST), so
+            # dp_next_k's PRF NULL-field escaping ('\\N') is actually
+            # exercised against the oracle's _prf_field_sql
+            (111, 5, "A", "F", None, 2300.0, 0.04, 0.01),
         ]
         _EDGE_LI = rows
     return _EDGE_LI
