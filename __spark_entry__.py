@@ -1881,6 +1881,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
                  l_quantity NULLS LAST LIMIT 20
     """
+    # INCLUSIVE anchor (NextKSketch.java:100-103, compareTo <= 0):
+    # the start row's own group is the first row of the page
     o["next_k_after"] = """
         SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
         FROM lineitem
@@ -1888,7 +1890,7 @@ def oracle_sql() -> dict[str, str]:
            OR (l_returnflag = 'N'
                AND (l_linestatus > 'O' OR l_linestatus IS NULL))
            OR (l_returnflag = 'N' AND l_linestatus = 'O'
-               AND (l_quantity > 10.0 OR l_quantity IS NULL))
+               AND (l_quantity >= 10.0 OR l_quantity IS NULL))
         GROUP BY 1, 2, 3
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
                  l_quantity NULLS LAST LIMIT 20

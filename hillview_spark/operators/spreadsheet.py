@@ -31,12 +31,22 @@ def _reference_order(sort_cols: list[str], ascending: list[bool]) -> list[Column
     ]
 
 
-def _after_start(sort_cols: list[str], ascending: list[bool], start: tuple) -> Column:
-    """Lexicographic 'row > start' predicate over the sort order
-    (RowComparisonFilterDescription — shared with the filter API)."""
+def _after_start(
+    sort_cols: list[str], ascending: list[bool], start: tuple,
+    inclusive: bool,
+) -> Column:
+    """Lexicographic 'row at-or-after start' predicate over the sort
+    order (RowComparisonFilterDescription — shared with the filter
+    API). The reference's paging is INCLUSIVE of the anchor row:
+    NextKSketch.java:100-103 keeps rows with
+    `topRow.compareTo(row) <= 0`, so the UI's topRow reappears as the
+    first row of the next page (the scroll anchor). inclusive=False
+    gives the strictly-after variant for callers composing their own
+    pagination."""
     from hillview_spark.operators.filters import row_comparison_filter
 
-    return row_comparison_filter(sort_cols, start, ">", ascending)
+    op = ">=" if inclusive else ">"
+    return row_comparison_filter(sort_cols, start, op, ascending)
 
 
 def next_k(
@@ -45,13 +55,15 @@ def next_k(
     k: int = 20,
     ascending: list[bool] | None = None,
     start: tuple | None = None,
+    inclusive: bool = True,
 ) -> DataFrame:
-    """NextKList: the next k distinct sort-key rows after `start`,
-    each with its duplicate count."""
+    """NextKList: the next k distinct sort-key rows at-or-after
+    `start` (inclusive anchor, reference semantics — see
+    _after_start), each with its duplicate count."""
     if ascending is None:
         ascending = [True] * len(sort_cols)
     if start is not None:
-        df = df.where(_after_start(sort_cols, ascending, start))
+        df = df.where(_after_start(sort_cols, ascending, start, inclusive))
     order = _reference_order(sort_cols, ascending)
     return (
         df.groupBy(*sort_cols)
@@ -68,6 +80,7 @@ def next_k_aggregate(
     k: int = 20,
     ascending: list[bool] | None = None,
     start: tuple | None = None,
+    inclusive: bool = True,
 ) -> DataFrame:
     """NextKSketchAggregate (sketches/NextKSketchAggregate.java): the
     spreadsheet view with aggregated numeric columns per distinct
@@ -77,7 +90,7 @@ def next_k_aggregate(
     if ascending is None:
         ascending = [True] * len(sort_cols)
     if start is not None:
-        df = df.where(_after_start(sort_cols, ascending, start))
+        df = df.where(_after_start(sort_cols, ascending, start, inclusive))
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for c, how in agg_specs:

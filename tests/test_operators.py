@@ -91,13 +91,20 @@ def test_histogram2d_totals(spark, tables):
 
 def test_next_k_pagination_covers_everything(spark, tables):
     """Scrolling through next_k pages must enumerate every distinct
-    sort key exactly once — the spreadsheet invariant."""
+    sort key exactly once — the spreadsheet invariant. Reference
+    paging is anchor-INCLUSIVE (NextKSketch.java:100-103): the next
+    page's first row repeats the previous page's last row, exactly
+    like the UI's scroll anchor, so the walk drops that overlap row."""
     li = tables["lineitem"]
     cols = ["l_returnflag", "l_linestatus"]
     total_groups = li.select(*cols).distinct().count()
     seen, start = [], None
     for _ in range(100):
         page = spreadsheet.next_k(li, cols, k=3, start=start).collect()
+        if start is not None and page:
+            anchor = (page[0].l_returnflag, page[0].l_linestatus)
+            assert anchor == start  # the inclusive anchor row
+            page = page[1:]
         if not page:
             break
         seen.extend([(r.l_returnflag, r.l_linestatus) for r in page])
@@ -584,22 +591,30 @@ def test_next_k_pages_through_null_keys(spark):
     df = spark.createDataFrame(
         [(None,), ("a",), ("b",), ("c",)], "k string"
     )
-    # Reference record order (IDoubleColumn.java:70-78): missing is the
-    # MAXIMUM — ASC pages end with the NULL group; start=(None,) means
-    # "past everything"
+    # Reference record order (IDoubleColumn.java:70-78): missing is
+    # the MAXIMUM — ASC pages end with the NULL group; paging is
+    # anchor-inclusive (NextKSketch.java:100-103), so start=(None,)
+    # under ASC addresses exactly the NULL group
     p1 = [r.k for r in spreadsheet.next_k(df, ["k"], k=4).collect()]
     assert p1 == ["a", "b", "c", None]
     p2 = [r.k for r in spreadsheet.next_k(df, ["k"], k=3, start=("c",)).collect()]
-    assert p2 == [None]
-    assert spreadsheet.next_k(df, ["k"], k=3, start=(None,)).count() == 0
-    # DESC: NULL sorts first; scrolling starts from the NULL group
+    assert p2 == ["c", None]
+    pn = [r.k for r in spreadsheet.next_k(df, ["k"], k=3, start=(None,)).collect()]
+    assert pn == [None]
+    # the strictly-after variant for custom pagination
+    assert (
+        spreadsheet.next_k(df, ["k"], k=3, start=(None,), inclusive=False)
+        .count() == 0
+    )
+    # DESC: NULL sorts first; the anchor-inclusive page from the NULL
+    # group walks down into the values
     pd = [
         r.k
         for r in spreadsheet.next_k(
             df, ["k"], k=2, ascending=[False], start=(None,)
         ).collect()
     ]
-    assert pd == ["c", "b"]
+    assert pd == [None, "c"]
 
 
 def test_next_k_aggregate_avg_skips_nulls_and_big_values(spark):
