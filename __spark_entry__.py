@@ -926,6 +926,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=20,
         start=("N", "O", 10.0),
     )
+    # the complete NextKList (r8): page + start_position (scrollbar
+    # thumb) + rows_scanned, anchor-inclusive
+    q["next_k_list"] = lambda s, d: spreadsheet.next_k_list(
+        _t(s, d, "lineitem"),
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        k=20,
+        start=("N", "O", 10.0),
+    )
     q["next_k_aggregate"] = lambda s, d: spreadsheet.next_k_aggregate(
         _t(s, d, "lineitem"),
         ["l_returnflag", "l_linestatus"],
@@ -1096,7 +1104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     round. Everything else keeps its relative order behind the
     #     block — all of it was driver-green in r5-r7.
     priority = [
-        # (a) changed operators/oracles this round
+        # (a) changed operators/oracles this round (next_k_list is
+        # first-ever: the complete NextKList with start_position)
+        "next_k_list",
         "next_k_rows", "next_k_after", "next_k_aggregate",
         "row_comparison_filter", "dp_next_k_rows",
         "asof_join_events", "orders_rollup",
@@ -1885,6 +1895,27 @@ def oracle_sql() -> dict[str, str]:
     # the start row's own group is the first row of the page
     o["next_k_after"] = """
         SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
+        FROM lineitem
+        WHERE (l_returnflag > 'N' OR l_returnflag IS NULL)
+           OR (l_returnflag = 'N'
+               AND (l_linestatus > 'O' OR l_linestatus IS NULL))
+           OR (l_returnflag = 'N' AND l_linestatus = 'O'
+               AND (l_quantity >= 10.0 OR l_quantity IS NULL))
+        GROUP BY 1, 2, 3
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+                 l_quantity NULLS LAST LIMIT 20
+    """
+    # start_position = rows strictly BEFORE the anchor in the record
+    # order (missing-last: NULL keys are never before a value);
+    # rows_scanned = total rows (NextKList.java:40-48)
+    o["next_k_list"] = """
+        SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE (l_returnflag < 'N')
+                   OR (l_returnflag = 'N' AND l_linestatus < 'O')
+                   OR (l_returnflag = 'N' AND l_linestatus = 'O'
+                       AND l_quantity < 10.0)) AS start_position,
+               (SELECT COUNT(*) FROM lineitem) AS rows_scanned
         FROM lineitem
         WHERE (l_returnflag > 'N' OR l_returnflag IS NULL)
            OR (l_returnflag = 'N'

@@ -135,6 +135,38 @@ def next_k_aggregate(
     return df.groupBy(*sort_cols).agg(*aggs).orderBy(*order).limit(k)
 
 
+def next_k_list(
+    df: DataFrame,
+    sort_cols: list[str],
+    k: int = 20,
+    ascending: list[bool] | None = None,
+    start: tuple | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """The COMPLETE NextKList (sketches/results/NextKList.java:21-48):
+    the next-k page plus `start_position` (the anchor's row number —
+    rows strictly before topRow in the record order, the reference's
+    `position++` branch at NextKSketch.java:104) and `rows_scanned`
+    (total rows the sketch saw), which power the UI scrollbar
+    thumb/extent. Both are one broadcast 1-row aggregate riding along
+    on every page row — a second scan, no extra shuffle on the page
+    (same trade as dp_next_k's noisy_rows_scanned)."""
+    from hillview_spark.operators.filters import row_comparison_filter
+
+    if ascending is None:
+        ascending = [True] * len(sort_cols)
+    page = next_k(df, sort_cols, k, ascending, start, inclusive)
+    if start is None:
+        before = F.lit(False)
+    else:
+        before = row_comparison_filter(sort_cols, start, "<", ascending)
+    stats = df.agg(
+        F.count(F.when(before, F.lit(1))).alias("start_position"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+    )
+    return page.crossJoin(F.broadcast(stats))
+
+
 def find_rows(
     df: DataFrame,
     col: str,

@@ -119,6 +119,26 @@ def test_next_k_pagination_covers_everything(spark, tables):
     assert sum(cnts.values()) == li.count()
 
 
+def test_next_k_list_position_and_scan_count(spark):
+    """NextKList parity: start_position counts rows strictly before
+    the anchor in the record order (NULL keys, sorting last, are
+    never 'before'), rows_scanned is the full row count, and the page
+    itself is the anchor-inclusive next_k."""
+    from hillview_spark.operators import spreadsheet
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5), (None, 6)],
+        "k string, v int",
+    )
+    rows = spreadsheet.next_k_list(df, ["k"], k=2, start=("b",)).collect()
+    assert [(r.k, r.cnt) for r in rows] == [("b", 2), ("c", 1)]
+    assert all(r.start_position == 2 for r in rows)  # the two 'a' rows
+    assert all(r.rows_scanned == 6 for r in rows)
+    # no anchor: position 0
+    top = spreadsheet.next_k_list(df, ["k"], k=1).collect()
+    assert top[0].start_position == 0 and top[0].rows_scanned == 6
+
+
 def test_next_k_descending(spark, tables):
     page = spreadsheet.next_k(
         tables["orders"], ["o_orderpriority"], k=2, ascending=[False]

@@ -705,6 +705,12 @@ def _li_cases():
         "next_k_rows": lambda df: spreadsheet.next_k(
             df, ["l_returnflag", "l_linestatus", "l_quantity"], k=20
         ),
+        "next_k_list": lambda df: spreadsheet.next_k_list(
+            df,
+            ["l_returnflag", "l_linestatus", "l_quantity"],
+            k=20,
+            start=("N", "O", 10.0),
+        ),
         "next_k_after": lambda df: spreadsheet.next_k(
             df,
             ["l_returnflag", "l_linestatus", "l_quantity"],
