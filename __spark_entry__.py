@@ -944,6 +944,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["find_substring"] = lambda s, d: spreadsheet.find_rows(
         _t(s, d, "documents"), "text", "spark merge", mode="substring"
     )
+    # the complete FindSketch Result (r8): before/at/after counts
+    # around the anchor plus the first match's sort key
+    q["find_first_row"] = lambda s, d: spreadsheet.find_first(
+        _t(s, d, "documents"), "text", "spark merge", ["doc_id"],
+        start=(100,),
+    )
 
     # --- heavy hitters ----------------------------------------------
     q["heavy_hitters"] = lambda s, d: heavy_hitters.heavy_hitters(
@@ -1104,9 +1110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     round. Everything else keeps its relative order behind the
     #     block — all of it was driver-green in r5-r7.
     priority = [
-        # (a) changed operators/oracles this round (next_k_list is
-        # first-ever: the complete NextKList with start_position)
-        "next_k_list",
+        # (a) changed operators/oracles this round (next_k_list and
+        # find_first_row are first-ever: the complete NextKList and
+        # FindSketch Results)
+        "next_k_list", "find_first_row",
         "next_k_rows", "next_k_after", "next_k_aggregate",
         "row_comparison_filter", "dp_next_k_rows",
         "asof_join_events", "orders_rollup",
@@ -1940,6 +1947,24 @@ def oracle_sql() -> dict[str, str]:
             AS max_l_discount
         FROM lineitem GROUP BY 1, 2
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST LIMIT 10
+    """
+    # FindSketch Result: before = matches strictly before the anchor
+    # in the record order; at = matches equal (on the sort schema) to
+    # the first match at-or-after it; after = the rest of the
+    # candidates (FindSketch.java:147-201)
+    o["find_first_row"] = """
+        WITH m AS (SELECT doc_id FROM documents
+                   WHERE contains(lower(text), 'spark merge')),
+        c AS (SELECT doc_id FROM m WHERE doc_id >= 100),
+        f AS (SELECT min(doc_id) AS first_doc_id FROM c)
+        SELECT (SELECT COUNT(*) FROM m WHERE doc_id < 100) AS before,
+               (SELECT COUNT(*) FROM c, f
+                WHERE c.doc_id IS NOT DISTINCT FROM f.first_doc_id) AS at,
+               (SELECT COUNT(*) FROM c, f
+                WHERE NOT (c.doc_id IS NOT DISTINCT FROM f.first_doc_id))
+                 AS after,
+               f.first_doc_id
+        FROM f
     """
     o["find_substring"] = """
         SELECT COUNT(*) AS match_count FROM documents

@@ -174,10 +174,104 @@ def find_rows(
     mode: str = "substring",
     case_sensitive: bool = False,
 ) -> DataFrame:
-    """FindSketch: count of matching rows (the UI jumps to the first
-    match; the count powers 'n matches'). mode: substring | regex |
-    exact | prefix — mirrors StringFilterDescription's kinds."""
+    """FindSketch's count surface: total matching rows (powers the
+    UI's 'n matches'). mode: substring | regex | exact | prefix —
+    mirrors StringFilterDescription's kinds. The full Result (first
+    matching row + before/at/after counts) is find_first."""
     from hillview_spark.operators.filters import string_filter
 
     pred = string_filter(col, pattern, mode=mode, case_sensitive=case_sensitive)
     return df.where(pred).agg(F.count(F.lit(1)).alias("match_count"))
+
+
+def find_first(
+    df: DataFrame,
+    col: str,
+    pattern: str,
+    sort_cols: list[str],
+    mode: str = "substring",
+    case_sensitive: bool = False,
+    ascending: list[bool] | None = None,
+    start: tuple | None = None,
+    exclude_start: bool = False,
+    forward: bool = True,
+) -> DataFrame:
+    """The COMPLETE FindSketch Result (sketches/FindSketch.java:
+    21-45, create() at :147-201): given a string filter, a record
+    order, and an anchor row, return ONE row with
+    `before` (matching rows strictly before the anchor — or at it,
+    when excluded), `at` (rows equal on the sort schema to the FIRST
+    match at-or-after the anchor — the row the UI scrolls to),
+    `after` (matches past that first match), and the first match's
+    sort-key values as first_<col> columns (NULL when no match).
+    forward=False is the reference's next=false: search UP — the
+    record order reverses, the anchor is always excluded
+    (FindSketch.java:144), and before/after swap back at the end so
+    they stay oriented in the ORIGINAL order.
+
+    Scale shape: one scan for the filtered counts, a 1-row
+    TakeOrderedAndProject for the first match, broadcast back — no
+    shuffle proportional to matches."""
+    from hillview_spark.operators.filters import (
+        row_comparison_filter,
+        string_filter,
+    )
+
+    if ascending is None:
+        ascending = [True] * len(sort_cols)
+    if not forward:
+        if start is None:
+            raise ValueError("find_first(forward=False) requires a start row")
+        ascending = [not a for a in ascending]
+        exclude_start = True
+    matches = df.where(
+        string_filter(col, pattern, mode=mode, case_sensitive=case_sensitive)
+    ).select(*sort_cols)
+    if start is None:
+        before_pred = F.lit(False)
+        cand = matches
+    else:
+        # complementary predicates (NOT a negation: ~(NULL) would
+        # silently drop NULL-key rows from both sides — the explicit
+        # at-or-after branch keeps missing-sorts-last rows candidates)
+        before_pred = row_comparison_filter(
+            sort_cols, start, "<=" if exclude_start else "<", ascending
+        )
+        cand = matches.where(
+            row_comparison_filter(
+                sort_cols, start, ">" if exclude_start else ">=", ascending
+            )
+        )
+    # the first match as a GLOBAL AGGREGATE over the 1-row limit:
+    # exactly one output row even when there are no candidates (NULL
+    # firsts), so the final crossJoin never loses the counts row
+    first = (
+        cand.orderBy(*_reference_order(sort_cols, ascending))
+        .limit(1)
+        .agg(*[F.first(F.col(c)).alias(f"first_{c}") for c in sort_cols])
+    )
+    eq_first = F.lit(True)
+    for c in sort_cols:
+        eq_first = eq_first & F.col(c).eqNullSafe(F.col(f"first_{c}"))
+    counts = matches.agg(
+        F.count(F.when(before_pred, F.lit(1))).alias("before")
+    )
+    at_after = cand.crossJoin(F.broadcast(first)).agg(
+        F.count(F.when(eq_first, F.lit(1))).alias("at"),
+        F.count(F.when(~eq_first, F.lit(1))).alias("after"),
+    )
+    row = counts.crossJoin(F.broadcast(at_after)).crossJoin(
+        F.broadcast(first)
+    )
+    if not forward:
+        # re-orient the counts in the ORIGINAL order
+        # (FindSketch.java:195-199 swaps before/after back)
+        return row.select(
+            F.col("after").alias("before"),
+            F.col("at"),
+            F.col("before").alias("after"),
+            *[F.col(f"first_{c}") for c in sort_cols],
+        )
+    return row.select(
+        "before", "at", "after", *[F.col(f"first_{c}") for c in sort_cols]
+    )

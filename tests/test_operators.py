@@ -139,6 +139,45 @@ def test_next_k_list_position_and_scan_count(spark):
     assert top[0].start_position == 0 and top[0].rows_scanned == 6
 
 
+def test_find_first_semantics(spark):
+    """FindSketch Result parity: before/at/after partition the
+    matches around the anchor under the record order; at groups ties
+    on the sort schema; forward=False searches up with the anchor
+    excluded and re-oriented counts; NULL sort keys (missing-last)
+    stay findable after every value."""
+    from hillview_spark.operators import spreadsheet
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "ox"), (3, "no"), (4, "ox"), (5, "oxo"),
+         (None, "ox")],
+        "k long, s string",
+    )
+    r = spreadsheet.find_first(df, "s", "ox", ["k"], start=(3,)).first()
+    # matches: k in {2, 4, 5, NULL}; anchor 3 -> before {2},
+    # first at-or-after = 4
+    assert (r.before, r.at, r.after, r.first_k) == (1, 1, 2, 4)
+    # ties on the sort key share 'at'
+    df2 = spark.createDataFrame(
+        [(1, "ox"), (2, "ox"), (2, "oxo"), (3, "ox")], "k long, s string"
+    )
+    r2 = spreadsheet.find_first(df2, "s", "ox", ["k"], start=(2,)).first()
+    assert (r2.before, r2.at, r2.after, r2.first_k) == (1, 2, 1, 2)
+    # the NULL key sorts last: from anchor 5 exclusive, it is the find
+    r3 = spreadsheet.find_first(
+        df, "s", "ox", ["k"], start=(5,), exclude_start=True
+    ).first()
+    assert (r3.before, r3.at, r3.after, r3.first_k) == (3, 1, 0, None)
+    # search UP from 4 (reference next=false: anchor excluded,
+    # counts re-oriented in the original order)
+    r4 = spreadsheet.find_first(
+        df, "s", "ox", ["k"], start=(4,), forward=False
+    ).first()
+    assert (r4.before, r4.at, r4.after, r4.first_k) == (0, 1, 3, 2)
+    # no match at all: NULL first, zero counts
+    r5 = spreadsheet.find_first(df, "s", "zzz", ["k"]).first()
+    assert (r5.before, r5.at, r5.after, r5.first_k) == (0, 0, 0, None)
+
+
 def test_next_k_descending(spark, tables):
     page = spreadsheet.next_k(
         tables["orders"], ["o_orderpriority"], k=2, ascending=[False]

@@ -62,6 +62,11 @@ CASES = {
         df, num_hashes=16, bands=4
     ),
     "text_pii_scrub": lambda df: curation.pii_scrub(df),
+    # r8: the full FindSketch Result on NULL/empty docs (a NULL text
+    # never matches; counts must partition identically cross-engine)
+    "find_first_row": lambda df: __import__(
+        "hillview_spark.operators.spreadsheet", fromlist=["x"]
+    ).find_first(df, "text", "spark merge", ["doc_id"], start=(100,)),
     # r8: NULL/empty/whitespace docs must chunk to one ('', 0) chunk in
     # BOTH engines (the r7 probe found the oracle emitting (NULL, 40)
     # and a phantom ('', 1) token)
