@@ -1139,9 +1139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier", "q6_revenue_forecast",
         "histogram1d_numeric", "cdf_numeric", "histogram2d_heatmap",
         "histogram_string", "heavy_hitters", "corr_matrix",
-        "basic_col_stats", "quantiles_price", "data_range",
-        "find_substring", "table_summary",
+        "basic_col_stats", "quantiles_price", "find_substring",
     ]
+    assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
     assert not missing, f"priority rotation names unknown keys: {missing}"
     return {k: q[k] for k in priority} | {
@@ -2161,11 +2161,15 @@ def oracle_sql() -> dict[str, str]:
             noisy = "MAX(noisy_raw) OVER (ORDER BY bucket)"
         return f"""
         WITH {spine}, counts AS (
+            -- out-of-range EXCLUDED, not clamped (reference
+            -- bucketIndex -1 / GroupBy guard); [lo, hi) half-open
             SELECT CAST((CAST(LEAST(GREATEST(FLOOR(
                        (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0), 49)
                        AS BIGINT) * 10) // 50 AS INT) AS bucket,
                    COUNT(*) AS cnt
-            FROM lineitem WHERE isfinite(l_quantity) GROUP BY 1
+            FROM lineitem WHERE isfinite(l_quantity)
+              AND l_quantity >= 1.0 AND l_quantity < 51.0
+            GROUP BY 1
         ), joined AS (
             SELECT n.bucket, CAST(n.left_edge AS DOUBLE) AS left_edge,
                    CAST(FLOOR(CAST({cnt} AS DOUBLE)
@@ -2225,6 +2229,9 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM lineitem
             WHERE isfinite(l_quantity) AND isfinite(l_discount)
+              -- out-of-range EXCLUDED per axis (reference rule)
+              AND l_quantity >= 1.0 AND l_quantity < 51.0
+              AND l_discount >= 0.0 AND l_discount < 0.11
             GROUP BY 1, 2)
         SELECT n.xbucket, n.ybucket,
                CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
@@ -2276,14 +2283,21 @@ def oracle_sql() -> dict[str, str]:
         )
         return f"""
         WITH {spine}, quant AS (
-            SELECT 1.0 + LEAST(GREATEST(FLOOR(
-                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
-                       {xleaves - 1}) * 1.0 AS qx,
-                   0.0 + LEAST(GREATEST(FLOOR(
-                       (CAST(l_discount AS DOUBLE) - 0.0) / 0.01), 0),
-                       {yleaves - 1}) * 0.01 AS qy
+            -- roundDown semantics: below the grid min -> missing
+            -- (row dropped), >= grid max -> the max itself (whose
+            -- leaf index == leaves, excluded by the bucketing range
+            -- below, as the reference's GroupBy guard drops it)
+            SELECT CASE WHEN CAST(l_quantity AS DOUBLE) >= 51.0 THEN 51.0
+                        ELSE 1.0 + GREATEST(FLOOR(
+                            (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0)
+                            * 1.0 END AS qx,
+                   CASE WHEN CAST(l_discount AS DOUBLE) >= 0.11 THEN 0.11
+                        ELSE 0.0 + GREATEST(FLOOR(
+                            (CAST(l_discount AS DOUBLE) - 0.0) / 0.01), 0)
+                            * 0.01 END AS qy
             FROM lineitem
             WHERE isfinite(l_quantity) AND isfinite(l_discount)
+              AND l_quantity >= 1.0 AND l_discount >= 0.0
         ), counts AS (
             SELECT CAST((CAST(LEAST(GREATEST(FLOOR((qx - 1.0) / 1.0), 0),
                        {xleaves - 1}) AS BIGINT) * {xb}) // {xleaves}
@@ -2294,6 +2308,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM quant
             WHERE qx >= {lo!r} AND qx <= {hi!r}
+              AND qx >= 1.0 AND qx < 51.0
+              AND qy >= 0.0 AND qy < 0.11
             GROUP BY 1, 2)
         SELECT n.xbucket, n.ybucket,
                CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
@@ -2331,10 +2347,12 @@ def oracle_sql() -> dict[str, str]:
         )
         return f"""
         WITH {spine}, quant AS (
-            SELECT 1.0 + LEAST(GREATEST(FLOOR(
-                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
-                       {leaves - 1}) * 1.0 AS qx
-            FROM lineitem WHERE isfinite(l_quantity)
+            -- roundDown: below min dropped, >= max -> the max itself
+            SELECT CASE WHEN CAST(l_quantity AS DOUBLE) >= 51.0 THEN 51.0
+                        ELSE 1.0 + GREATEST(FLOOR(
+                            (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0)
+                            * 1.0 END AS qx
+            FROM lineitem WHERE isfinite(l_quantity) AND l_quantity >= 1.0
         ), counts AS (
             SELECT CAST((CAST(LEAST(GREATEST(FLOOR((qx - 1.0) / 1.0), 0),
                        {leaves - 1}) AS BIGINT) * {buckets}) // {leaves}
@@ -2342,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM quant
             WHERE qx >= {lo!r} AND qx <= {hi!r}
+              AND qx >= 1.0 AND qx < 51.0
             GROUP BY 1)
         SELECT n.bucket, CAST(n.left_edge AS DOUBLE) AS left_edge,
                CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
@@ -2373,11 +2392,13 @@ def oracle_sql() -> dict[str, str]:
         scanned_noise_sql = _count_noise_sql(seed_eff, ci, 1.0, special=-1)
         return f"""
         WITH quant AS (
+            -- roundDown: below min dropped, >= max -> the max itself
             SELECT l_returnflag, l_linestatus,
-                   1.0 + LEAST(GREATEST(FLOOR(
-                       (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0),
-                       49) * 1.0 AS l_quantity
-            FROM lineitem WHERE isfinite(l_quantity)
+                   CASE WHEN CAST(l_quantity AS DOUBLE) >= 51.0 THEN 51.0
+                        ELSE 1.0 + GREATEST(FLOOR(
+                            (CAST(l_quantity AS DOUBLE) - 1.0) / 1.0), 0)
+                            * 1.0 END AS l_quantity
+            FROM lineitem WHERE isfinite(l_quantity) AND l_quantity >= 1.0
         ), view_rows AS (
             SELECT * FROM quant
             WHERE l_quantity >= {lo!r} AND l_quantity <= {hi!r}
@@ -2385,7 +2406,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, l_quantity,
                    COUNT(*) AS cnt
             FROM view_rows GROUP BY 1, 2, 3
-            ORDER BY l_returnflag, l_linestatus, l_quantity LIMIT 20
+            ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+                     l_quantity NULLS LAST LIMIT 20
         ), unif AS (
             SELECT *,
                    LEAST(GREATEST(
@@ -2427,10 +2449,13 @@ def oracle_sql() -> dict[str, str]:
         seg_list = ", ".join(f"'{s}'" for s in segs)
         return f"""
         WITH {spine}, counts AS (
+            -- below the first boundary EXCLUDED (reference
+            -- StringColumnQuantization.outOfRange -> bucketIndex -1)
             SELECT CAST(GREATEST(LEN(LIST_FILTER([{seg_list}],
                        x -> x <= c_mktsegment)) - 1, 0) AS INT) AS bucket,
                    COUNT(*) AS cnt
-            FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1)
+            FROM customer WHERE c_mktsegment IS NOT NULL
+              AND c_mktsegment >= '{segs[0]}' GROUP BY 1)
         SELECT n.bucket, n.left_boundary,
                CAST(FLOOR(CAST(COALESCE(c.cnt, 0) AS DOUBLE)
                     + CAST(n.noise AS DOUBLE) + 0.5) AS BIGINT) AS noisy_count,
@@ -3321,11 +3346,15 @@ def oracle_sql() -> dict[str, str]:
            OR (l_returnflag = 'N' AND l_linestatus < 'F')
     """
     o["quantized_histogram"] = """
+        -- out-of-range quantizes to MISSING (reference bucketIndex
+        -- -1); value == hi stays in the last bucket (closed max)
         WITH q AS (SELECT 900.0 + least(greatest(
                      floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
                            / ((105000.0 - 900.0) / 16)), 0), 15)
                    * ((105000.0 - 900.0) / 16) AS q_price
-                   FROM lineitem WHERE isfinite(l_extendedprice))
+                   FROM lineitem WHERE isfinite(l_extendedprice)
+                     AND l_extendedprice >= 900.0
+                     AND l_extendedprice <= 105000.0)
         SELECT q_price, COUNT(*) AS cnt FROM q GROUP BY 1
     """
     o["row_quantiles"] = """
@@ -3569,8 +3598,8 @@ def oracle_sql() -> dict[str, str]:
                        AS INT) AS bucket,
                    COUNT(*) AS n_events
             FROM events
-            WHERE ts IS NOT NULL AND value IS NOT NULL
-              AND NOT isnan(CAST(value AS DOUBLE))
+            WHERE ts IS NOT NULL
+              AND value >= 0.0 AND value < 500.0
             GROUP BY 1, 2
         ), unif AS (
             SELECT window_start, bucket, n_events,

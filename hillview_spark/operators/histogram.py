@@ -324,18 +324,34 @@ def histogram_string(df: DataFrame, col: str, max_buckets: int = 100) -> DataFra
 
 
 def histogram_string_bounded(
-    df: DataFrame, col: str, boundaries: list[str]
+    df: DataFrame, col: str, boundaries: list[str],
+    max_value: str | None = None,
 ) -> DataFrame:
-    """Explicit-boundary string histogram (StringHistogramBuckets):
-    bucket i covers [boundaries[i], boundaries[i+1]). Computed as the
-    count of boundaries <= value over a broadcast literal array —
-    JVM-side, O(B) per row, no shuffle beyond O(B) groups."""
+    """Explicit-boundary string histogram (StringHistogramBuckets /
+    ExplicitHistogramBuckets.indexOf, results/
+    ExplicitHistogramBuckets.java:51-74): bucket i covers
+    [boundaries[i], boundaries[i+1]); values below boundaries[0] are
+    excluded (the reference's -1), values >= the last boundary land
+    in the last bucket, and — when the explicit `max_value` is given
+    (the 3-arg constructor) — values strictly ABOVE it land in an
+    OVERFLOW bucket indexed len(boundaries), checked before the
+    last-bucket rule as in the reference. Computed as the count of
+    boundaries <= value over a broadcast literal array — JVM-side,
+    O(B) per row, no shuffle beyond O(B) groups.
+
+    Ordering note: comparisons use Spark's binary string order
+    (UTF-8 bytes = code-point order); Java's String.compareTo orders
+    by UTF-16 units, which disagrees only between supplementary-plane
+    characters and U+E000..U+FFFF — boundary strings in that corner
+    would bucket differently than the reference."""
     if not boundaries:
         raise ValueError("histogram_string_bounded needs >= 1 boundary")
     bs = sorted(boundaries)
     barr = F.array(*[F.lit(b) for b in bs])
     val = F.col(col)
     idx = F.size(F.filter(barr, lambda b: b <= val)) - F.lit(1)
+    if max_value is not None:
+        idx = F.when(val > F.lit(max_value), F.lit(len(bs))).otherwise(idx)
     return (
         df.where(val.isNotNull() & (val >= F.lit(bs[0])))
         .select(idx.alias("bucket"))

@@ -128,24 +128,26 @@ def quantize_column(
     BEFORE any sketch sees it, so downstream aggregates can only
     observe quantized values (the DP noise layer then works on bucket
     counts). Pure Catalyst arithmetic in a fixed op order —
-    bit-identical across engines; FINITE values outside [lo, hi)
-    clamp to the edge buckets, NULL and non-finite (NaN, ±Inf) stay
-    missing (NaN passes
-    isNotNull and its clamped floor would silently land on the LOWEST
-    bucket's left edge, inflating that bucket's noisy count in the DP
-    layer; missing is the only faithful reading of a non-value)."""
+    bit-identical across engines. Out-of-range rule (r8, reference
+    parity): FINITE values outside [lo, hi] quantize to MISSING —
+    DoubleColumnQuantization.bucketIndex returns -1 there and the
+    GroupBy guard drops it (GroupBySketch.java:78-80); the old edge
+    clamp inflated the boundary buckets with rows the curator's grid
+    never covered. value == hi stays in the last bucket
+    (DoubleHistogramBuckets' closed max). NULL and non-finite (NaN,
+    ±Inf) stay missing (NaN passes isNotNull and its clamped floor
+    would silently land on the LOWEST bucket's left edge; missing is
+    the only faithful reading of a non-value)."""
     width = (hi - lo) / buckets
     c = F.col(col).cast("double")
     idx = F.least(
         F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(buckets - 1),
     )
-    # finite-only (NaN AND ±Inf are missing): ±Inf would otherwise
-    # clamp into an edge bucket and inflate its noisy count exactly
-    # like the NaN case the docstring describes; the two strict
-    # comparisons are false for NaN too
-    fin = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf")))
-    q = F.when(fin, F.lit(lo) + idx * F.lit(width))
+    # finite-only (NaN AND ±Inf are missing) + in-range-only; the two
+    # strict comparisons are false for NaN too
+    keep = (c >= F.lit(lo)) & (c <= F.lit(hi))
+    q = F.when(keep, F.lit(lo) + idx * F.lit(width))
     return df.withColumn(out_col or col, q)
 
 
@@ -154,16 +156,21 @@ def quantize_string_column(
     col: str,
     boundaries: list[str],
     out_col: str | None = None,
+    global_max: str | None = None,
 ) -> DataFrame:
     """String quantization: snap each value to the greatest boundary
     <= value (boundaries sorted ascending — the same left-boundary
-    convention StringHistogramBuckets uses). Values below the first
-    boundary quantize to it; NULL stays NULL."""
+    convention StringHistogramBuckets uses). Out-of-range rule (r8,
+    StringColumnQuantization.roundDown:31-47): values BELOW the first
+    boundary quantize to MISSING (the reference throws; one
+    out-of-grid row must not kill a 100-TB job — the engine-wide
+    quarantine — and its bucketIndex is -1/dropped anyway), values at
+    or above the explicit `global_max` (when declared) snap to
+    global_max itself; NULL stays NULL."""
     bs = sorted(boundaries)
     arr = F.array(*[F.lit(b) for b in bs])
     pos = F.size(F.filter(arr, lambda b: b <= F.col(col)))
-    q = F.when(
-        F.col(col).isNotNull(),
-        F.element_at(arr, F.greatest(pos, F.lit(1))),
-    )
+    q = F.when(F.col(col) >= F.lit(bs[0]), F.element_at(arr, pos))
+    if global_max is not None:
+        q = F.when(F.col(col) >= F.lit(global_max), F.lit(global_max)).otherwise(q)
     return df.withColumn(out_col or col, q)

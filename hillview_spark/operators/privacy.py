@@ -294,8 +294,17 @@ def dp_histogram(
         F.greatest(F.floor((c - F.lit(float(lo))) / F.lit(float(granularity))), F.lit(0)),
         F.lit(leaves - 1),
     )
+    # out-of-range values are EXCLUDED, not clamped: the reference's
+    # DoubleColumnQuantization.bucketIndex returns -1 outside
+    # [globalMin, globalMax) and GroupBySketch.increment drops
+    # index < 0 / >= bucketCount (GroupBySketch.java:78-80) — clamping
+    # would inflate the edge buckets with rows the curator's grid
+    # never covered. The half-open top: value == hi has leaf index ==
+    # leaves, which the reference guard also drops. The clamp above is
+    # now a no-op kept for floating-point safety at the edges.
+    in_range = (c >= F.lit(float(lo))) & (c < F.lit(float(hi)))
     counts = (
-        df.where(_finite_double(c))
+        df.where(_finite_double(c) & in_range)
         .select(leaf.alias("__leaf"))
         .select(_leaf_to_bucket(buckets, leaves).alias("bucket"))
         .groupBy("bucket")
@@ -447,10 +456,18 @@ def dp_heatmap(
             F.lit(leaves - 1),
         )
 
+    def in_range(c, lo, hi):
+        # reference exclusion rule (see dp_histogram): [lo, hi) per
+        # axis; a row outside EITHER axis's grid is dropped entirely
+        v = F.col(c).cast("double")
+        return (v >= F.lit(float(lo))) & (v < F.lit(float(hi)))
+
     counts = (
         df.where(
             _finite_double(F.col(xcol).cast("double"))
             & _finite_double(F.col(ycol).cast("double"))
+            & in_range(xcol, xlo, xhi)
+            & in_range(ycol, ylo, yhi)
         )
         .select(
             leaf_of(xcol, xlo, xgranularity, xleaves).alias("__xleaf"),
@@ -691,15 +708,21 @@ def dp_histogram_string(
     column_index: int = 0,
     k: int = BRANCHING_FACTOR,
     prf: str = "sha256",
+    global_max: str | None = None,
 ) -> DataFrame:
     """Noisy histogram of a string column quantized on a left-boundary
     grid. The leaf of a value is the greatest boundary <= value
-    (StringColumnQuantization.bucketIndex; values below the first
-    boundary clamp to leaf 0), and buckets are ranges of leaf indexes
-    fed through the SAME k-adic noise tree as numeric columns —
-    StringIntervalDecomposition.java:23-35 delegates to the shared
-    kadicDecomposition. Output rows carry the bucket's left boundary
-    string instead of a numeric edge."""
+    (StringColumnQuantization.bucketIndex), and buckets are ranges of
+    leaf indexes fed through the SAME k-adic noise tree as numeric
+    columns — StringIntervalDecomposition.java:23-35 delegates to the
+    shared kadicDecomposition. Output rows carry the bucket's left
+    boundary string instead of a numeric edge.
+
+    Out-of-range rule (StringColumnQuantization.outOfRange:49-55):
+    values BELOW the first boundary are excluded — bucketIndex
+    returns -1 and GroupBySketch drops it — and, when the curator's
+    explicit `global_max` is given, values strictly above it are
+    excluded too (value == global_max stays in the last leaf)."""
     bs = sorted(left_boundaries)
     leaves = len(bs)
     buckets = min(buckets or leaves, leaves)
@@ -720,8 +743,14 @@ def dp_histogram_string(
     leaf = F.greatest(
         F.size(F.filter(arr, lambda b: b <= F.col(col))) - F.lit(1), F.lit(0)
     )
+    # reference exclusion: below the first boundary -> dropped (the
+    # greatest() clamp above is a no-op under the filter); above the
+    # explicit global max (when declared) -> dropped
+    in_range = F.col(col) >= F.lit(bs[0])
+    if global_max is not None:
+        in_range = in_range & (F.col(col) <= F.lit(global_max))
     counts = (
-        df.where(F.col(col).isNotNull())
+        df.where(F.col(col).isNotNull() & in_range)
         .select(leaf.cast("long").alias("__leaf"))
         .select(_leaf_to_bucket(buckets, leaves).alias("bucket"))
         .groupBy("bucket")
@@ -822,16 +851,26 @@ def private_view(df: DataFrame, schema: PrivacySchema) -> DataFrame:
             # (hi-lo)/leaves width quantize_column would use — the two
             # differ whenever granularity doesn't divide the span, and
             # a drifted grid would migrate values into wrong leaves).
-            lo, g, leaves = q.global_min, q.granularity, q.leaves
+            # roundDown semantics (DoubleColumnQuantization.java:
+            # 34-41): value >= globalMax snaps to globalMax itself
+            # (whose leaf index == leaves, so downstream bucketing
+            # drops it, as the reference's GroupBy guard does); value
+            # BELOW globalMin quantizes to missing — the reference
+            # throws there, but one out-of-grid row must not kill a
+            # 100-TB job (engine-wide quarantine rule), and missing is
+            # what its bucketIndex -1 becomes anyway.
+            lo, g, hi = q.global_min, q.granularity, q.global_max
             c = F.col(name).cast("double")
-            leaf = F.least(
-                F.greatest(F.floor((c - F.lit(float(lo))) / F.lit(float(g))), F.lit(0)),
-                F.lit(leaves - 1),
+            leaf = F.greatest(
+                F.floor((c - F.lit(float(lo))) / F.lit(float(g))), F.lit(0)
             )
             out = out.withColumn(
                 name,
                 F.when(
-                    _finite_double(c), F.lit(float(lo)) + leaf * F.lit(float(g))
+                    _finite_double(c) & (c >= F.lit(float(lo))),
+                    F.when(c >= F.lit(float(hi)), F.lit(float(hi))).otherwise(
+                        F.lit(float(lo)) + leaf * F.lit(float(g))
+                    ),
                 ),
             )
     return out

@@ -348,7 +348,7 @@ def windowed_histogram(
     from hillview_spark.operators.histogram import trunc_ntz
 
     return (
-        events.where(_present(col))
+        events.where(_present_in_range(col, lo, hi))
         .groupBy(
             trunc_ntz(F.col("ts"), unit).alias("window_start"),
             _value_bucket(col, lo, hi, buckets).alias("bucket"),
@@ -362,6 +362,17 @@ def _present(col: str):
     scan treats them (histogram.py:42-50) — without the NaN drop a
     NaN value would bucket-clamp instead of staying out."""
     return F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+
+
+def _present_in_range(col: str, lo: float, hi: float):
+    """Fixed-grid presence for the windowed-histogram twins: present
+    AND inside the curator's [lo, hi) grid. Out-of-range values are
+    EXCLUDED, not clamped (reference rule: DoubleColumnQuantization.
+    bucketIndex -1 / GroupBySketch.java:78-80 drop) — clamping would
+    inflate the edge buckets, and ±Inf (which passes _present's NaN
+    check) fails the range comparisons here too."""
+    v = F.col(col).cast("double")
+    return (v >= F.lit(float(lo))) & (v < F.lit(float(hi)))
 
 
 def _value_bucket(col: str, lo: float, hi: float, buckets: int):
@@ -429,7 +440,7 @@ def stream_dp_windowed_histogram(
     every cell is released exactly once."""
     stream = _event_time_stream(spark, events_dir, schema)
     counts = (
-        stream.where(_present(col))
+        stream.where(_present_in_range(col, lo, hi))
         .withWatermark("ts", watermark)
         .groupBy(
             F.window("ts", window_duration).alias("win"),

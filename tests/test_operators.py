@@ -139,6 +139,35 @@ def test_next_k_list_position_and_scan_count(spark):
     assert top[0].start_position == 0 and top[0].rows_scanned == 6
 
 
+def test_histogram_string_bounded_reference_index_rules(spark):
+    """ExplicitHistogramBuckets.indexOf parity: below-min excluded,
+    at-or-past the last boundary lands in the last bucket, and with
+    an explicit max the values strictly above it go to the OVERFLOW
+    bucket (index = len(boundaries)) instead."""
+    from hillview_spark.operators import histogram
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("bz",), ("m",), ("mz",), ("z",), (None,)],
+        "s string",
+    )
+    got = {
+        r.bucket: r.cnt
+        for r in histogram.histogram_string_bounded(
+            df, "s", ["b", "m"]
+        ).collect()
+    }
+    # 'a' excluded; b,bz -> 0; m,mz,z -> 1 (>= last boundary)
+    assert got == {0: 2, 1: 3}
+    got_max = {
+        r.bucket: r.cnt
+        for r in histogram.histogram_string_bounded(
+            df, "s", ["b", "m"], max_value="mz"
+        ).collect()
+    }
+    # 'z' > max -> overflow bucket 2; 'mz' == max stays in bucket 1
+    assert got_max == {0: 2, 1: 2, 2: 1}
+
+
 def test_find_first_semantics(spark):
     """FindSketch Result parity: before/at/after partition the
     matches around the anchor under the record order; at groups ties
@@ -490,7 +519,9 @@ def test_quantize_string_column(spark):
             df, "w", ["b", "c"], out_col="qw"
         ).collect()
     }
-    assert out == {"apple": "b", "aardvark": "b", "banana": "b",
+    # below the first boundary -> MISSING (r8 reference rule:
+    # StringColumnQuantization.roundDown rejects, bucketIndex -1)
+    assert out == {"apple": None, "aardvark": None, "banana": "b",
                    "cherry": "c", None: None}
 
 

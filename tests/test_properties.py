@@ -71,12 +71,16 @@ def test_quantize_idempotent_and_grid_bound(spark, xs, buckets):
     df = spark.createDataFrame([(x,) for x in xs], "x double")
     q1 = maps.quantize_column(df, "x", lo, hi, buckets)
     q2 = maps.quantize_column(q1, "x", lo, hi, buckets)
-    a = sorted(r.x for r in q1.collect())
-    b = sorted(r.x for r in q2.collect())
-    assert a == b  # idempotent: grid values map to themselves
+    key = lambda v: (v is None, v)
+    a = sorted((r.x for r in q1.collect()), key=key)
+    b = sorted((r.x for r in q2.collect()), key=key)
+    assert a == b  # idempotent: grid values (and missing) map to themselves
     width = (hi - lo) / buckets
     grid = {lo + i * width for i in range(buckets)}
-    assert set(a) <= grid
+    # out-of-range values quantize to MISSING (r8 reference rule),
+    # in-range values land on the grid
+    assert {v for v in a if v is not None} <= grid
+    assert sum(v is None for v in a) == sum(x < lo or x > hi for x in xs)
 
 
 @settings(max_examples=6, deadline=None)
