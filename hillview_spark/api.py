@@ -145,11 +145,16 @@ class TableView:
         return _hh.heavy_hitters(self.df, cols, epsilon)
 
     def page(self, sort_cols: list[str], k: int = 20,
-             ascending: list[bool] | None = None, start: tuple | None = None) -> DataFrame:
+             ascending: list[bool] | None = None, start: tuple | None = None,
+             inclusive: bool = True) -> DataFrame:
         """One spreadsheet page: the next k distinct sort-key rows
-        (with duplicate counts) after `start` — scrolling = repeated
-        page() with the previous page's last key."""
-        return _sheet.next_k(self.df, sort_cols, k, ascending, start)
+        (with duplicate counts) at-or-after `start` — the reference's
+        anchor-INCLUSIVE contract (NextKSketch.java:100-103: the UI's
+        topRow reappears as the first row of the next page).
+        inclusive=False gives strictly-after for callers composing
+        their own pagination."""
+        return _sheet.next_k(self.df, sort_cols, k, ascending, start,
+                             inclusive=inclusive)
 
     def find(self, col: str, pattern: str, mode: str = "substring") -> DataFrame:
         return _sheet.find_rows(self.df, col, pattern, mode)

@@ -33,13 +33,27 @@ def test_exploration_session(spark):
     rows1 = page1.collect()
     assert len(rows1) == 2
     last = rows1[-1]
+    # reference UI contract (NextKSketch.java:100-103): the anchor is
+    # INCLUSIVE — page 2 starts with page 1's last row, then continues
     page2 = v.page(
         ["l_returnflag", "l_linestatus"], k=2,
         start=(last.l_returnflag, last.l_linestatus),
     ).collect()
+    assert (page2[0].l_returnflag, page2[0].l_linestatus) == (
+        last.l_returnflag, last.l_linestatus,
+    )
+    assert all(
+        (r.l_returnflag, r.l_linestatus) >= (last.l_returnflag, last.l_linestatus)
+        for r in page2
+    )
+    # inclusive=False composes strictly-after pagination
+    page2x = v.page(
+        ["l_returnflag", "l_linestatus"], k=2,
+        start=(last.l_returnflag, last.l_linestatus), inclusive=False,
+    ).collect()
     assert all(
         (r.l_returnflag, r.l_linestatus) > (last.l_returnflag, last.l_linestatus)
-        for r in page2
+        for r in page2x
     )
 
     hh = v.heavy_hitters(["l_returnflag"], epsilon=0.2).collect()

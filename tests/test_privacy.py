@@ -162,8 +162,10 @@ def test_dp_histogram_string_exact_plus_noise(spark):
     out = P.dp_histogram_string(df, "s", bs, epsilon=1.0, seed=21).collect()
     assert [r.left_boundary for r in out] == bs
     scale = P.noise_scale(1.0, 3)
-    # 'AAA' < first boundary clamps into leaf 0 (APPLE): 3+1=4
-    for r, exact in zip(out, [4, 5, 2]):
+    # 'AAA' < first boundary is OUT OF RANGE and excluded — the
+    # reference drops it (StringColumnQuantization.outOfRange:74-80),
+    # so APPLE stays at its exact count of 3
+    for r, exact in zip(out, [3, 5, 2]):
         noise, n = P.interval_noise(r.bucket, r.bucket + 1, scale, 21)
         assert r.n_intervals == n
         assert r.noisy_count == math.floor(exact + noise + 0.5)

@@ -37,16 +37,51 @@ def test_histogram_conserves_rows_and_is_dense(spark, xs, buckets):
     st.integers(min_value=1, max_value=4),
 )
 def test_next_k_pagination_enumerates_exactly(spark, pairs, k):
+    # strictly-after paging (inclusive=False): each page starts past
+    # the previous page's last key, so the walk enumerates every
+    # distinct key exactly once, in order
     df = spark.createDataFrame(pairs, "a int, b int")
     expected = sorted(set(pairs))
     seen, start = [], None
     for _ in range(100):
-        page = spreadsheet.next_k(df, ["a", "b"], k=k, start=start).collect()
+        page = spreadsheet.next_k(
+            df, ["a", "b"], k=k, start=start, inclusive=False
+        ).collect()
         if not page:
             break
         seen.extend((r.a, r.b) for r in page)
         start = (page[-1].a, page[-1].b)
     assert seen == expected  # in order, complete, no duplicates
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=1, max_size=40
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_next_k_default_anchor_inclusive(spark, pairs, k):
+    # the reference default (NextKSketch.java:100-103, compareTo <= 0):
+    # paging from the last row of a page re-yields that row as the
+    # anchor — the UI scroll contract. Walk with the inclusive default
+    # and k+1, dropping the repeated anchor each step.
+    df = spark.createDataFrame(pairs, "a int, b int")
+    expected = sorted(set(pairs))
+    first = spreadsheet.next_k(df, ["a", "b"], k=k).collect()
+    seen = [(r.a, r.b) for r in first]
+    start = seen[-1] if seen else None
+    for _ in range(100):
+        if start is None:
+            break
+        page = spreadsheet.next_k(df, ["a", "b"], k=k + 1, start=start).collect()
+        keys = [(r.a, r.b) for r in page]
+        assert keys and keys[0] == start  # anchor row reappears first
+        if len(keys) == 1:
+            break
+        seen.extend(keys[1:])
+        start = keys[-1]
+    assert seen == expected
 
 
 @settings(max_examples=8, deadline=None)
