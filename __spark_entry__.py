@@ -1051,27 +1051,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- further exploration queries ---------------------------------
-    q["top_customers_revenue"] = lambda s, d: (
-        _t(s, d, "orders")
-        .join(F.broadcast(_t(s, d, "customer")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("double").alias("total_spent"))
-        .orderBy(F.desc("total_spent"), "c_custkey")
-        .limit(10)
-    )
-    q["part_type_stats"] = lambda s, d: (
-        _t(s, d, "part")
-        .groupBy("p_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
-            .cast("double").alias("sum_price"),
-            F.min("p_size").alias("min_size"),
-            F.max("p_size").alias("max_size"),
+    def _top_customers_revenue(s, d):
+        # present = FINITE (engine-wide rule, same guard as
+        # orders_rollup): one Inf/NaN totalprice must not crash the
+        # ANSI/DuckDB DECIMAL cast or poison the sum (r8 probe bug)
+        fin = (F.col("o_totalprice") > F.lit(float("-inf"))) & (
+            F.col("o_totalprice") < F.lit(float("inf"))
         )
-    )
+        return (
+            _t(s, d, "orders")
+            .join(F.broadcast(_t(s, d, "customer")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(F.when(fin, F.col("o_totalprice"))
+                       .cast("decimal(18,2)"))
+                 .cast("double").alias("total_spent"))
+            .orderBy(F.desc("total_spent"), "c_custkey")
+            .limit(10)
+        )
+
+    q["top_customers_revenue"] = _top_customers_revenue
+
+    def _part_type_stats(s, d):
+        fin = (F.col("p_retailprice") > F.lit(float("-inf"))) & (
+            F.col("p_retailprice") < F.lit(float("inf"))
+        )
+        return (
+            _t(s, d, "part")
+            .groupBy("p_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_parts"),
+                F.sum(F.when(fin, F.col("p_retailprice"))
+                      .cast("decimal(18,2)"))
+                .cast("double").alias("sum_price"),
+                F.min("p_size").alias("min_size"),
+                F.max("p_size").alias("max_size"),
+            )
+        )
+
+    q["part_type_stats"] = _part_type_stats
     q["events_user_topk"] = lambda s, d: (
         _t(s, d, "events")
         .groupBy("user_id")
@@ -2557,16 +2575,18 @@ def oracle_sql() -> dict[str, str]:
     # --- further exploration queries -------------------------------------
     o["top_customers_revenue"] = """
         SELECT c_custkey, c_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total_spent
+               CAST(SUM(CAST(CASE WHEN isfinite(o_totalprice)
+                                  THEN o_totalprice END
+                             AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_custkey, c_name
         ORDER BY total_spent DESC, c_custkey LIMIT 10
     """
     o["part_type_stats"] = """
         SELECT p_type, COUNT(*) AS n_parts,
-               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price,
+               CAST(SUM(CAST(CASE WHEN isfinite(p_retailprice)
+                                  THEN p_retailprice END
+                             AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                min(p_size) AS min_size, max(p_size) AS max_size
         FROM part GROUP BY p_type
     """
