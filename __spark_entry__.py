@@ -1006,8 +1006,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["computed_column"] = lambda s, d: maps.computed_column(
         _t(s, d, "lineitem"),
         "revenue",
-        "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
-        " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)",
+        # finite-guarded demo expression: identity on clean data, but
+        # a non-finite price/discount yields NULL on BOTH engines
+        # instead of crashing DuckDB's DECIMAL cast (engine-wide rule)
+        "CAST(CAST(CASE WHEN l_extendedprice > double('-inf')"
+        " AND l_extendedprice < double('inf') THEN l_extendedprice END"
+        " AS DECIMAL(18,2))"
+        " * (1 - CAST(CASE WHEN l_discount > double('-inf')"
+        " AND l_discount < double('inf') THEN l_discount END"
+        " AS DECIMAL(18,2))) AS DOUBLE)",
     ).select("l_orderkey", "l_linenumber", "revenue")
     q["extract_json_value"] = lambda s, d: maps.extract_json_value(
         _t(s, d, "events"), "props", "k", "k_value"
@@ -1263,18 +1270,40 @@ def _count_noise_sql(seed: int, ci: int, epsilon: float,
     )"""
 
 
-def _dot_sql(a: str, b: str) -> str:
-    """Decimal-exact dot product, length-aware: a pair of unequal
-    widths is NULL (Spark's zip_with NULL-pads the shorter side, so
-    the whole decimal fold is NULL there — a hardcoded upper bound
-    here would instead make list_sum SKIP the out-of-range NULL
-    products and return a bogus partial dot for a malformed vector,
-    which is exactly the divergence the edge-vector parity test
-    pins)."""
+def _fin_elem_sql(x: str) -> str:
+    """Crash-proof element cast: a non-finite component becomes a
+    NULL DECIMAL instead of a DuckDB ConversionException. Paired with
+    _vec_clean_sql's whole-vector gate — the guard alone would let
+    list_sum SKIP the NULL product and return a bogus partial dot."""
     return (
-        f"CASE WHEN len({a}) = len({b}) THEN"
-        f" list_sum([CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(10,8))"
-        f" * CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(10,8))"
+        f"CAST(CASE WHEN isfinite(CAST({x} AS DOUBLE))"
+        f" THEN CAST({x} AS DOUBLE) END AS DECIMAL(10,8))"
+    )
+
+
+def _vec_clean_sql(v: str) -> str:
+    """TRUE iff every component of vector `v` is present and finite —
+    the oracle twin of Spark's decimal fold, where one NULL/NaN/±Inf
+    element NULLs the entire dot (acc + NULL stays NULL)."""
+    return (
+        f"COALESCE(list_bool_and([COALESCE(isfinite(CAST(x AS DOUBLE)),"
+        f" false) FOR x IN {v}]), false)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Decimal-exact dot product, length-aware and finiteness-aware:
+    a pair of unequal widths is NULL (Spark's zip_with NULL-pads the
+    shorter side, so the whole decimal fold is NULL there), and a
+    vector with ANY non-finite/NULL component is NULL too (Spark's
+    fold goes NULL at that element and stays NULL; the naked DuckDB
+    cast was job-fatal instead — the r9 edge-vector probe). The
+    element guards stay as well so no branch can ever crash."""
+    return (
+        f"CASE WHEN len({a}) = len({b})"
+        f" AND {_vec_clean_sql(a)} AND {_vec_clean_sql(b)} THEN"
+        f" list_sum([{_fin_elem_sql(f'{a}[i]')}"
+        f" * {_fin_elem_sql(f'{b}[i]')}"
         f" FOR i IN generate_series(1, len({a}))]) END"
     )
 
@@ -1342,13 +1371,19 @@ def _bucket_sql(planes: int) -> str:
     for row in hp:
         wl = "[" + ", ".join(f"CAST({w} AS DECIMAL(12,10))" for w in row) + "]"
         dot = (
-            f"list_sum([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(10,8))"
+            f"list_sum([{_fin_elem_sql('embedding[i]')}"
             f" * ({wl})[i] FOR i IN generate_series(1, 64)])"
         )
         bit_exprs.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
-    # dim-mismatched vectors get a NULL bucket (they drop out of the
-    # bucket equi-join), mirroring lsh_bucket_expr's length guard
-    return f"CASE WHEN len(embedding) = 64 THEN {'||'.join(bit_exprs)} END"
+    # dim-mismatched OR non-finite vectors get a NULL bucket (they
+    # drop out of the bucket equi-join), mirroring lsh_bucket_expr's
+    # width + all-finite quarantine; element casts are additionally
+    # guarded so no branch can throw
+    return (
+        f"CASE WHEN len(embedding) = 64"
+        f" AND {_vec_clean_sql('embedding')}"
+        f" THEN {'||'.join(bit_exprs)} END"
+    )
 
 
 def _ann_lsh_sql(planes: int = 4, k: int = 10) -> str:
@@ -1387,8 +1422,23 @@ def _jl_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Naked-DECIMAL domain proof (r8 probe follow-up): dec()/revenue
+    # feed ONLY the verbatim TPC-H queries, whose columns are
+    # DECIMAL(15,2) by the TPC-H schema — non-finite doubles are
+    # impossible in that domain, so the casts stay unguarded to keep
+    # the SQL verbatim. Every key whose inputs are NOT schema-bound
+    # decimals (exploration family, rollup, next_k_aggregate, col
+    # stats, asof, moving_avg, computed_column) carries an explicit
+    # isfinite guard on both engines; the embedding DECIMAL(10,8)
+    # casts are covered by the similarity quarantine (non-finite
+    # components -> NULL dot/bucket, edge-pinned).
     dec = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
     revenue = f"{dec('l_extendedprice')} * (1 - {dec('l_discount')})"
+    fin = lambda c: f"(CASE WHEN isfinite({c}) THEN {c} END)"  # noqa: E731
+    fin_revenue = (
+        f"CAST({fin('l_extendedprice')} AS DECIMAL(18,2))"
+        f" * (1 - CAST({fin('l_discount')} AS DECIMAL(18,2)))"
+    )
 
     o: dict[str, str] = {}
 
@@ -2021,7 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS cust_str FROM orders"
     )
     o["computed_column"] = f"""
-        SELECT l_orderkey, l_linenumber, CAST({revenue} AS DOUBLE) AS revenue
+        SELECT l_orderkey, l_linenumber, CAST({fin_revenue} AS DOUBLE) AS revenue
         FROM lineitem
     """
     o["interval_column"] = """
@@ -2710,9 +2760,12 @@ def oracle_sql() -> dict[str, str]:
     # decimal sub-distance (||c_j||^2 - 2 x_j.c_j), lowest-code ties —
     # mirrors similarity.pq_encode_exact / pq_topk_exact (m=4 x 16 dims)
     def _pq_dist(vec: str, cvec: str, lo: int, hi: int) -> str:
+        # crash-proof element casts (r9): the PQ CTEs already
+        # quarantine non-finite vectors, so the guards are
+        # belt-and-braces against a future caller skipping the filter
         n = hi - lo + 1
         a, c = f"({vec}[{lo}:{hi}])", f"({cvec}[{lo}:{hi}])"
-        d8 = lambda x: f"CAST(CAST({x} AS DOUBLE) AS DECIMAL(10,8))"  # noqa: E731
+        d8 = _fin_elem_sql
         dot = (f"list_sum([{d8(a + '[i]')} * {d8(c + '[i]')}"
                f" FOR i IN generate_series(1, {n})])")
         cn = (f"list_sum([{d8(c + '[i]')} * {d8(c + '[i]')}"
@@ -2727,12 +2780,14 @@ def oracle_sql() -> dict[str, str]:
     )
     _pq_prefix = f"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings
-                   WHERE vec_id <> 0 AND len(embedding) = 64),
+                   WHERE vec_id <> 0 AND len(embedding) = 64
+                     AND {_vec_clean_sql('embedding')}),
         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                         embedding AS cvec
                  FROM embeddings
                  WHERE vec_id <> 0 AND vec_id % 50 = 1
                    AND len(embedding) = 64
+                   AND {_vec_clean_sql('embedding')}
                  ORDER BY vec_id LIMIT 8),
         sub AS ({_pq_sub_union}),
         codes AS (SELECT vec_id, j, cid AS code FROM (
@@ -2755,7 +2810,8 @@ def oracle_sql() -> dict[str, str]:
     o["pq_topk"] = f"""
         {_pq_prefix},
         q AS (SELECT embedding AS qv FROM embeddings
-              WHERE vec_id = 0 AND len(embedding) = 64),
+              WHERE vec_id = 0 AND len(embedding) = 64
+                AND {_vec_clean_sql('embedding')}),
         qd AS ({_pq_qd_union}),
         adc AS (SELECT codes.vec_id, SUM(qd.qdist) AS s
                 FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.cid
@@ -3646,11 +3702,10 @@ def oracle_sql() -> dict[str, str]:
     # the streaming twin releases the identical noisy cells
     o["dp_windowed_histogram_stream"] = o["dp_windowed_histogram"]
 
-    o["embedding_group_centroids"] = """
+    o["embedding_group_centroids"] = f"""
         SELECT label, CAST(u.i - 1 AS INT) AS dim_idx,
-               CAST(SUM(CAST(CAST(embedding[u.i] AS DOUBLE)
-                             AS DECIMAL(10,8)))
-                    AS DOUBLE) / COUNT(*) AS centroid,
+               CAST(SUM({_fin_elem_sql('embedding[u.i]')}) AS DOUBLE)
+                 / COUNT({_fin_elem_sql('embedding[u.i]')}) AS centroid,
                COUNT(*) AS n_vectors
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i)
         GROUP BY 1, 2

@@ -42,6 +42,23 @@ def _dec(c: Column) -> Column:
     return c.cast("double").cast(_ELEM)
 
 
+def all_finite(vec_col: str) -> Column:
+    """TRUE iff every component is present and finite — the
+    malformed-vector quarantine predicate (r9): one NaN/±Inf/NULL
+    element makes the decimal fold NULL anyway, so paths that need a
+    hard row cut (PQ codes, LSH buckets) use this up front instead of
+    letting a NULL score mint a garbage code/bucket. Codegen forall,
+    no extra pass."""
+    return F.forall(
+        F.col(vec_col),
+        lambda x: F.coalesce(
+            (x.cast("double") > F.lit(float("-inf")))
+            & (x.cast("double") < F.lit(float("inf"))),
+            F.lit(False),
+        ),
+    )
+
+
 def dot_product(a, b, exact: bool = True) -> Column:
     """Dot product of two array<float|double> columns. exact=True
     routes through DECIMAL (order-independent, engine-portable — the
@@ -259,8 +276,18 @@ def lsh_bucket_expr(
     # column (empty results), not a crashed 100-TB job — run
     # check_vector_width() on a debug path to distinguish "ragged
     # data" from "misconfigured dims=" loudly.
+    # Finiteness guard (r9): a NULL dot (any NaN/±Inf/NULL component
+    # poisons the decimal fold) would otherwise take the `otherwise`
+    # branch and silently file the malformed vector under a real '0'
+    # bit — same quarantine as the width guard: NULL bucket, row
+    # drops out of the candidate equi-join instead of polluting one
+    # bucket. The predicate is codegen (forall over the array), no
+    # extra pass.
     dims = len(planes[0])
-    return F.when(F.size(F.col(vec_col)) == dims, F.concat(*bits))
+    return F.when(
+        (F.size(F.col(vec_col)) == dims) & all_finite(vec_col),
+        F.concat(*bits),
+    )
 
 
 def check_vector_width(
@@ -756,9 +783,14 @@ def pq_encode_exact(
     row, no shuffle); the codebook collect is k rows."""
     sub = dims // m
     # PQ declares its dims: a vector of any other width has no valid
-    # sub-vectors (slices would NULL-pad), so exclude it up front —
-    # quarantined like every other malformed-vector path here
-    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
+    # sub-vectors (slices would NULL-pad), and a non-finite component
+    # would NULL one subspace's whole score array, minting a NULL code
+    # next to valid ones — exclude both up front, quarantined like
+    # every other malformed-vector path here (also keeps a malformed
+    # stride row out of the codebook)
+    embeddings = embeddings.where(
+        (F.size(F.col(vec_col)) == dims) & all_finite(vec_col)
+    )
     cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
 
     def sub_scores(j: int) -> Column:
@@ -817,10 +849,13 @@ def pq_topk_exact(
     array lookups; output is a top-k heap. At 100 TB the codes column
     would be precomputed once and stored."""
     sub = dims // m
-    # same quarantine as pq_encode_exact — applied before the search/
-    # codebook/query splits so a malformed vector can't become a
-    # codebook entry or a garbage all-NULL query table
-    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
+    # same quarantine as pq_encode_exact (width + all-finite) —
+    # applied before the search/codebook/query splits so a malformed
+    # vector can't become a codebook entry or a garbage all-NULL
+    # query table
+    embeddings = embeddings.where(
+        (F.size(F.col(vec_col)) == dims) & all_finite(vec_col)
+    )
     search = embeddings.where(F.col(id_col) != query_id)
     cents = _pq_centroids(search, k, stride, id_col, vec_col)
     q_row = embeddings.where(F.col(id_col) == query_id)
@@ -1307,17 +1342,22 @@ def group_centroids(
     x = emb.select(
         F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim_idx", "v")
     )
+    # present = FINITE elements (r9): a NaN/±Inf/NULL component is
+    # missing from BOTH the sum and the divisor — dividing the
+    # null-skipping sum by the raw row count biased contaminated
+    # centroids toward zero (the next_k_aggregate avg bug class).
+    # n_vectors stays the count of vectors having this dim.
     return (
         x.groupBy(group_col, "dim_idx")
         .agg(
             F.sum(_dec(F.col("v"))).alias("s"),
+            F.count(_dec(F.col("v"))).alias("__np"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
         .select(
             F.col(group_col),
             F.col("dim_idx"),
-            (F.col("s").cast("double") / F.col("n_vectors"))
-            .alias("centroid"),
+            (F.col("s").cast("double") / F.col("__np")).alias("centroid"),
             "n_vectors",
         )
     )

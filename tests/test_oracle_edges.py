@@ -401,6 +401,20 @@ def _edge_vec_rows():
         rows.append((10, [1.0] * 16, 2))      # dim mismatch
         rows.append((12, [1.0] * 16, 0))      # same-width pair w/ 16
         rows.append((16, [2.0] * 16, 1))      # parallel to 12 (cos 1.0)
+        # r9: non-finite / NULL COMPONENTS in full-width vectors — a
+        # vector with any NaN/±Inf/NULL element is malformed and must
+        # be quarantined (NULL dot/bucket/cell) identically in both
+        # engines; historically Spark NULL'd the decimal dot while
+        # DuckDB's CAST(nan AS DECIMAL) was job-fatal
+        nanv = [1.0] * 64
+        nanv[7] = float("nan")
+        infv = [0.5] * 64
+        infv[0] = float("inf")
+        nullv = [1.0] * 64
+        nullv[63] = None
+        rows.append((17, nanv, 2))
+        rows.append((18, infv, 0))
+        rows.append((19, nullv, 1))
         _EDGE_VECS = rows
     return _EDGE_VECS
 
@@ -668,6 +682,19 @@ def _li_cases():
         "basic_col_stats": lambda df: stats.basic_col_stats(
             df, ["l_quantity", "l_extendedprice", "l_discount"]
         ),
+        # r9: the gate's finite-guarded computed-column expression —
+        # non-finite price/discount must yield NULL revenue on both
+        # engines, never a DuckDB DECIMAL-cast crash
+        "computed_column": lambda df: maps.computed_column(
+            df,
+            "revenue",
+            "CAST(CAST(CASE WHEN l_extendedprice > double('-inf')"
+            " AND l_extendedprice < double('inf') THEN l_extendedprice END"
+            " AS DECIMAL(18,2))"
+            " * (1 - CAST(CASE WHEN l_discount > double('-inf')"
+            " AND l_discount < double('inf') THEN l_discount END"
+            " AS DECIMAL(18,2))) AS DOUBLE)",
+        ).select("l_orderkey", "l_linenumber", "revenue"),
         "quantized_histogram": lambda df: (
             maps.quantize_column(
                 df, "l_extendedprice", 900.0, 105000.0, 16, out_col="q_price"
