@@ -390,13 +390,17 @@ def ab_pairs(t):
             tag, "vec_id long, embedding array<float>, bucket long"
         )
 
-    def ann_cosine_topk_unfiltered():
-        # predecessor: no NULL-cosine cut before the top-k heap
-        # (expression-side guard — expected free; this pins it)
+    def ann_cosine_topk_postfilter():
+        # predecessor (r7): the NULL-cosine cut as a Filter ABOVE the
+        # scoring Project — referenced the aliased score, so the
+        # collapsed filter re-evaluated the (non-codegen, higher-
+        # order) fold expressions; measured 20-40% vs unguarded in
+        # r7/r8. r9 hoists the cut to cheap array predicates on the
+        # INPUT rows (see similarity.cosine_topk).
         q = t["embeddings"].where(F.col("vec_id") == 0).select(
             F.col("embedding").alias("__q")
         )
-        return (
+        scored = (
             t["embeddings"].where(F.col("vec_id") != 0)
             .crossJoin(F.broadcast(q))
             .select(
@@ -411,6 +415,9 @@ def ab_pairs(t):
                     6,
                 ).alias("cosine"),
             )
+        )
+        return (
+            scored.where(F.col("cosine").isNotNull())
             .orderBy(F.desc("cosine"), "vec_id")
             .limit(10)
         )
@@ -447,9 +454,9 @@ def ab_pairs(t):
         "ann_cosine_topk_guard": {
             "a": (lambda: similarity.cosine_topk(
                 t["embeddings"], 0, k=10, exact=False), "collect"),
-            "b": (lambda: ann_cosine_topk_unfiltered(), "collect"),
-            "a_desc": "NULL-cosine filtered before top-k (r7 guard)",
-            "b_desc": "unguarded top-k (pre-r7)",
+            "b": (lambda: ann_cosine_topk_postfilter(), "collect"),
+            "a_desc": "hoisted input-row quarantine (r9)",
+            "b_desc": "post-Project NULL-cosine filter (r7)",
         },
         "dedup_corpus_noise": {
             "a": (lambda: dedup.dedup_corpus(

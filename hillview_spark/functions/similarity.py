@@ -137,12 +137,34 @@ def cosine_topk(
     """Brute-force cosine top-k against the vector with id=query_id.
     One scan over the (broadcast-augmented) table; ORDER BY+LIMIT is
     a per-partition heap."""
-    q = embeddings.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__q")
+    # HOISTED quarantine (r9, VERDICT r8 #4): the r7 guard post-
+    # filtered NULL cosines, which references the aliased score in a
+    # Filter above the Project — the big fold expressions are
+    # higher-order (not whole-stage codegen), and the collapsed
+    # filter re-evaluated them (20-40% measured, ab_pair
+    # 'ann_cosine_topk_guard'). Instead cut the rows that WOULD score
+    # NULL before any dot/norm math, with cheap array predicates:
+    # same-width as the query, all components finite, at least one
+    # nonzero component (norm > 0). After the cut the cosine
+    # denominator is provably positive, so no post-filter is needed
+    # and the plan is Project -> TakeOrderedAndProject. The query
+    # side gets the same predicate (a bad query vector yields an
+    # empty result, exactly as the NULL-cosine cut did). Values are
+    # bit-identical: the predicate drops precisely the rows whose
+    # cosine was NULL (corr_matrix's pre-projection recipe,
+    # README performance notes).
+    nonzero = F.exists(F.col(vec_col), lambda x: x.cast("double") != 0)
+    clean = all_finite(vec_col) & nonzero
+    q = (
+        embeddings.where(F.col(id_col) == query_id)
+        .where(clean)
+        .select(F.col(vec_col).alias("__q"))
     )
-    scored = (
+    return (
         embeddings.where(F.col(id_col) != query_id)
+        .where(clean)
         .crossJoin(F.broadcast(q))
+        .where(F.size(F.col(vec_col)) == F.size(F.col("__q")))
         .select(
             F.col(id_col),
             F.round(
@@ -154,13 +176,6 @@ def cosine_topk(
                 6,
             ).alias("cosine"),
         )
-    )
-    # zero-norm or dim-mismatched vectors score NULL (cosine()'s
-    # guard / zip_with padding) — drop them so they can't occupy
-    # top-k slots; this is the same cut the numpy twin makes by
-    # filtering non-finite scores
-    return (
-        scored.where(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
