@@ -3360,11 +3360,22 @@ def oracle_sql() -> dict[str, str]:
     # w = 1 + doc_id % 13, h = 1 + doc_id % 7, PNG for even ids /
     # baseline JPEG for odd — the Spark side must round-trip real
     # encoded bytes through the header probes to agree.
+    # closed-form twin of synthesize_media's six containers (r9): the
+    # Spark side must ENCODE real bytes and header-PARSE them back,
+    # so a corrupted encoder or prober (incl. the MP3 frame walk and
+    # the H.264 SPS Exp-Golomb reader) surfaces as a gate mismatch
     o["media_dims_histogram"] = """
-        SELECT CASE abs(doc_id) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                    WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
-               CAST(1 + abs(doc_id) % 13 AS INT) AS width,
-               CAST(1 + abs(doc_id) % 7 AS INT) AS height,
+        SELECT CASE abs(doc_id) % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+                    WHEN 4 THEN 'mp3' ELSE 'h264' END AS kind,
+               CAST(CASE WHEN abs(doc_id) % 6 = 4 THEN 44100
+                         WHEN abs(doc_id) % 6 = 5
+                           THEN 16 * (1 + abs(doc_id) % 8)
+                         ELSE 1 + abs(doc_id) % 13 END AS INT) AS width,
+               CAST(CASE WHEN abs(doc_id) % 6 = 4 THEN 2
+                         WHEN abs(doc_id) % 6 = 5
+                           THEN 16 * (1 + abs(doc_id) % 4)
+                         ELSE 1 + abs(doc_id) % 7 END AS INT) AS height,
                COUNT(*) AS cnt
         FROM documents
         GROUP BY 1, 2, 3

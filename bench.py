@@ -601,7 +601,17 @@ def main():
 
     ab = run_ab(t, repeats)
 
+    # The driver records only the LAST 2000 chars of stdout plus the
+    # parsed final JSON line — r8's single fat line blew that budget
+    # and every per-query number was lost (VERDICT r8 #6). So: full
+    # detail (queries + ab with descriptions) on its own line FIRST,
+    # then a compact final line guaranteed under the tail budget.
     print(json.dumps({
+        "detail": "full",
+        "queries": timings,
+        "ab": ab,
+    }, separators=(",", ":")))
+    compact = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -611,8 +621,18 @@ def main():
         "repeats": repeats,
         "comparable_total": round(comparable_total, 3),
         "comparable_n": comparable_n,
-        "ab": ab,
-    }))
+        "ab": {
+            k: [v["a_median"], v["b_median"]] for k, v in ab.items()
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # never let growth re-break the tail capture: shed the ab
+        # medians first (they're on the detail line), then assert
+        compact.pop("ab")
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, f"bench final line {len(line)}B > tail budget"
+    print(line)
     spark.stop()
 
 

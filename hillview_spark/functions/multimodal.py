@@ -526,6 +526,90 @@ def encode_gif(w: int, h: int, frames: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
+def encode_mp3(n_frames: int, id3_pad: int = 0) -> bytes:
+    """Emit a valid MPEG1 Layer III stream: an optional ID3v2.3 tag
+    (`id3_pad` filler bytes, syncsafe length — exercises the probe's
+    tag skip in-gate) followed by `n_frames` frames at 128 kbps /
+    44100 Hz stereo, each a real 4-byte header (sync 0xFFFB, bitrate
+    index 9, sample-rate index 0) plus zero side-info/main data —
+    silence as far as any decoder cares, but every field the
+    frame-walk probe reads (ISO/IEC 11172-3 header tables) is live.
+    _mp3_dims maps it to (44100, 2, n_frames)."""
+    assert n_frames >= 1 and 0 <= id3_pad < 128
+    out = bytearray()
+    if id3_pad:
+        out += b"ID3\x03\x00\x00" + bytes((0, 0, 0, id3_pad))
+        out += b"\x00" * id3_pad
+    frame_bytes = 144 * 128000 // 44100  # 417
+    for _ in range(n_frames):
+        out += b"\xff\xfb\x90\x00" + b"\x00" * (frame_bytes - 4)
+    return bytes(out)
+
+
+class _BitWriter:
+    """MSB-first bit packer with Exp-Golomb, the SPS-writing inverse
+    of _BitReader (ITU-T H.264 §7.3/§9.1)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, n: int, v: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def ue(self, v: int) -> None:
+        n = (v + 1).bit_length()
+        self.u(n - 1, 0)
+        self.u(n, v + 1)
+
+    def rbsp(self) -> bytes:
+        # rbsp_stop_one_bit + byte alignment
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            sum(b << (7 - j) for j, b in enumerate(bits[i : i + 8]))
+            for i in range(0, len(bits), 8)
+        )
+
+
+def encode_h264(width: int, height: int, n_frames: int) -> bytes:
+    """Emit a parseable H.264 Annex-B stream: one baseline-profile
+    SPS NAL carrying the real Exp-Golomb field sequence down to
+    pic_width/height (macroblock-aligned, no cropping) and `n_frames`
+    IDR slice NALs with first_mb_in_slice == 0 — everything
+    _h264_dims walks, nothing a full decoder would accept as coded
+    picture data (the sample-decode seam stays 'real')."""
+    assert width % 16 == 0 and height % 16 == 0 and n_frames >= 1
+    bw = _BitWriter()
+    bw.u(8, 66)   # profile_idc: Baseline (no chroma branch)
+    bw.u(8, 0)    # constraint flags + reserved
+    bw.u(8, 30)   # level_idc
+    bw.ue(0)      # seq_parameter_set_id
+    bw.ue(0)      # log2_max_frame_num_minus4
+    bw.ue(0)      # pic_order_cnt_type -> log2_max_poc_lsb_minus4
+    bw.ue(0)
+    bw.ue(1)      # max_num_ref_frames
+    bw.u(1, 0)    # gaps_in_frame_num_value_allowed_flag
+    bw.ue(width // 16 - 1)    # pic_width_in_mbs_minus1
+    bw.ue(height // 16 - 1)   # pic_height_in_map_units_minus1
+    bw.u(1, 1)    # frame_mbs_only_flag
+    bw.u(1, 1)    # direct_8x8_inference_flag
+    bw.u(1, 0)    # frame_cropping_flag
+    bw.u(1, 0)    # vui_parameters_present_flag
+    sps = bw.rbsp()
+    # the tiny field values above can't produce 16 consecutive zero
+    # bits, so no emulation-prevention bytes are needed — assert it
+    # rather than silently emitting a start-code collision
+    assert b"\x00\x00" not in sps
+    out = bytearray(b"\x00\x00\x01\x67") + sps
+    for _ in range(n_frames):
+        # 0x65: nal_ref_idc 3, type 5 (IDR); rbsp 0x88 leads with a
+        # 1-bit -> first_mb_in_slice ue(0)
+        out += b"\x00\x00\x01\x65\x88\x84"
+    return bytes(out)
+
+
 def _nn_resize(payload, max_side, decode_fn, encode_fn):
     """Shared real-resize core: decode -> nearest-neighbor downsample
     -> re-encode. ONE copy of the scale / index arithmetic so a
@@ -732,14 +816,18 @@ def probe_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL media payloads derived from a key column —
     the driver-gate multimodal fixture (and a codec load generator):
-    id % 4 picks the container — 0: real PNG (encode_png: zlib IDAT,
+    id % 6 picks the container — 0: real PNG (encode_png: zlib IDAT,
     CRCs), 1: real baseline JPEG (functions/jpeg.py: DCT + Huffman),
     2: real GIF89a (encode_gif: block-structured LZW, 1 + id % 3
-    frames), 3: real 24-bit BMP (encode_bmp) — so the gate hash
-    exercises all four header probes. Dimensions stay a CLOSED FORM
-    of the key (w = 1 + abs(id) % 13, h = 1 + abs(id) % 7; abs folds
+    frames), 3: real 24-bit BMP (encode_bmp), 4: real MPEG1-L3 MP3
+    (encode_mp3: ID3v2 skip + frame walk, 1 + id % 5 frames), 5: real
+    H.264 Annex-B (encode_h264: SPS Exp-Golomb + IDR slices,
+    16·(1 + id % 8) × 16·(1 + id % 4), 1 + id % 3 frames) — so the
+    gate hash exercises all six container probes (r9, VERDICT r8 #7).
+    Image dimensions stay a CLOSED FORM of the key
+    (w = 1 + abs(id) % 13, h = 1 + abs(id) % 7; abs folds
     SQL's sign-of-dividend modulo onto Python's) with a fixed
-    per-id pixel pattern. An
+    per-id pixel pattern; MP3 probes to (44100, 2, frames). An
     out-of-engine oracle re-derives the expected dims arithmetically,
     while the Spark side must round-trip real bytes — encode here,
     header-parse in probe_media — to agree, so a corrupted encoder or
@@ -761,7 +849,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = abs(int(i))
                 w, h = 1 + i % 13, 1 + i % 7
                 px = bytes((x * 31 + i) % 256 for x in range(w * h * 3))
-                r = i % 4
+                r = i % 6
                 if r == 0:
                     kinds.append("png")
                     payloads.append(encode_png(w, h, 3, px))
@@ -771,9 +859,19 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 elif r == 2:
                     kinds.append("gif")
                     payloads.append(encode_gif(w, h, 1 + i % 3, px))
-                else:
+                elif r == 3:
                     kinds.append("bmp")
                     payloads.append(encode_bmp(w, h, 3, px))
+                elif r == 4:
+                    kinds.append("mp3")
+                    payloads.append(encode_mp3(1 + i % 5, id3_pad=i % 17))
+                else:
+                    kinds.append("h264")
+                    payloads.append(
+                        encode_h264(
+                            16 * (1 + i % 8), 16 * (1 + i % 4), 1 + i % 3
+                        )
+                    )
             yield pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "content": payloads}
             )

@@ -1720,9 +1720,9 @@ def test_pq_topk_blas_missing_query_returns_empty(spark, tables):
 
 def test_synthesize_media_roundtrips_real_codecs(spark):
     """The gate's multimodal fixture: synthesized payloads are REAL
-    PNG/JPEG/GIF/BMP bytes whose probed dims equal the closed form of
-    the id — exercising all four encoders and header probes
-    end-to-end through the Arrow mapInPandas plumbing."""
+    PNG/JPEG/GIF/BMP/MP3/H.264 bytes whose probed dims equal the
+    closed form of the id — exercising all six encoders and header
+    probes end-to-end through the Arrow mapInPandas plumbing."""
     from hillview_spark.functions import multimodal as mm
 
     # include negative ids: the closed form folds abs() so Python's
@@ -1735,20 +1735,23 @@ def test_synthesize_media_roundtrips_real_codecs(spark):
     assert len(probed) == 42
     for i, r in probed.items():
         a = abs(i)
-        assert r.width == 1 + a % 13 and r.height == 1 + a % 7
-        assert r.kind == {0: "png", 1: "jpeg", 2: "gif", 3: "bmp"}[a % 4]
-        # GIF frame count survives the block-level walk
-        if a % 4 == 2:
-            assert r.n_frames == 1 + a % 3
+        assert r.kind == {0: "png", 1: "jpeg", 2: "gif", 3: "bmp",
+                          4: "mp3", 5: "h264"}[a % 6]
+        if a % 6 == 4:  # MP3: (sample_rate, channels, frame count)
+            assert (r.width, r.height, r.n_frames) == (44100, 2, 1 + a % 5)
+        elif a % 6 == 5:  # H.264: SPS dims, IDR slice count
+            assert (r.width, r.height, r.n_frames) == (
+                16 * (1 + a % 8), 16 * (1 + a % 4), 1 + a % 3)
         else:
-            assert r.n_frames == 1
+            assert r.width == 1 + a % 13 and r.height == 1 + a % 7
+            # GIF frame count survives the block-level walk
+            assert r.n_frames == (1 + a % 3 if a % 6 == 2 else 1)
     # histogram aggregates the probed dims, not the closed form
     hist = {
         (r.kind, r.width, r.height): r.cnt
         for r in mm.dims_histogram(media).collect()
     }
     assert sum(hist.values()) == 42
-    assert all(k[1] <= 13 and k[2] <= 7 for k in hist)
 
 
 def test_ivf_indexed_exact_matches_live_twin(spark, tmp_path):
@@ -1876,9 +1879,11 @@ def test_probe_media_quarantines_corrupt_payloads(spark):
     for mid in (100, 101, 102, 103):
         assert probed[mid].width is None and probed[mid].height is None
     assert probed[102].n_bytes is None  # NULL payload has no length
-    for mid in range(6):  # intact rows unaffected by bad batchmates
+    for mid in range(4):  # intact rows unaffected by bad batchmates
         assert probed[mid].width == 1 + mid % 13
         assert probed[mid].height == 1 + mid % 7
+    assert (probed[4].width, probed[4].height) == (44100, 2)   # mp3
+    assert (probed[5].width, probed[5].height) == (96, 32)     # h264
     hist = {
         (r.kind, r.width, r.height): r.cnt
         for r in mm.dims_histogram(both, decoder="stdlib").collect()
