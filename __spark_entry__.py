@@ -1983,23 +1983,31 @@ def oracle_sql() -> dict[str, str]:
     # start_position = rows strictly BEFORE the anchor in the record
     # order (missing-last: NULL keys are never before a value);
     # rows_scanned = total rows (NextKList.java:40-48)
+    # stats LEFT JOIN page (ADVICE r8): an empty page still reports
+    # start_position/rows_scanned on ONE all-NULL page row, like the
+    # reference NextKList's empty rows table
     o["next_k_list"] = """
-        SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt,
-               (SELECT COUNT(*) FROM lineitem
-                WHERE (l_returnflag < 'N')
-                   OR (l_returnflag = 'N' AND l_linestatus < 'O')
-                   OR (l_returnflag = 'N' AND l_linestatus = 'O'
-                       AND l_quantity < 10.0)) AS start_position,
-               (SELECT COUNT(*) FROM lineitem) AS rows_scanned
-        FROM lineitem
-        WHERE (l_returnflag > 'N' OR l_returnflag IS NULL)
-           OR (l_returnflag = 'N'
-               AND (l_linestatus > 'O' OR l_linestatus IS NULL))
-           OR (l_returnflag = 'N' AND l_linestatus = 'O'
-               AND (l_quantity >= 10.0 OR l_quantity IS NULL))
-        GROUP BY 1, 2, 3
-        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
-                 l_quantity NULLS LAST LIMIT 20
+        WITH page AS (
+          SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
+          FROM lineitem
+          WHERE (l_returnflag > 'N' OR l_returnflag IS NULL)
+             OR (l_returnflag = 'N'
+                 AND (l_linestatus > 'O' OR l_linestatus IS NULL))
+             OR (l_returnflag = 'N' AND l_linestatus = 'O'
+                 AND (l_quantity >= 10.0 OR l_quantity IS NULL))
+          GROUP BY 1, 2, 3
+          ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+                   l_quantity NULLS LAST LIMIT 20),
+        stats AS (
+          SELECT (SELECT COUNT(*) FROM lineitem
+                  WHERE (l_returnflag < 'N')
+                     OR (l_returnflag = 'N' AND l_linestatus < 'O')
+                     OR (l_returnflag = 'N' AND l_linestatus = 'O'
+                         AND l_quantity < 10.0)) AS start_position,
+                 (SELECT COUNT(*) FROM lineitem) AS rows_scanned)
+        SELECT p.l_returnflag, p.l_linestatus, p.l_quantity, p.cnt,
+               s.start_position, s.rows_scanned
+        FROM stats s LEFT JOIN page p ON true
     """
     o["next_k_aggregate"] = """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
@@ -2020,10 +2028,17 @@ def oracle_sql() -> dict[str, str]:
     # in the record order; at = matches equal (on the sort schema) to
     # the first match at-or-after it; after = the rest of the
     # candidates (FindSketch.java:147-201)
+    # NULL-key matches mirror the operator's missing-sorts-last rule
+    # (ADVICE r8): a NULL doc_id sorts AFTER every value, so it is a
+    # CANDIDATE (at-or-after any anchor), never 'before'; min() skips
+    # NULLs, giving the first non-NULL candidate — or NULL when every
+    # candidate key is missing, in which case the NULL-key rows ARE
+    # the first match ('at' via IS NOT DISTINCT FROM)
     o["find_first_row"] = """
         WITH m AS (SELECT doc_id FROM documents
                    WHERE contains(lower(text), 'spark merge')),
-        c AS (SELECT doc_id FROM m WHERE doc_id >= 100),
+        c AS (SELECT doc_id FROM m
+              WHERE doc_id >= 100 OR doc_id IS NULL),
         f AS (SELECT min(doc_id) AS first_doc_id FROM c)
         SELECT (SELECT COUNT(*) FROM m WHERE doc_id < 100) AS before,
                (SELECT COUNT(*) FROM c, f

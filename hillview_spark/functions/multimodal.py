@@ -149,9 +149,19 @@ def _mp3_dims(payload: bytes) -> tuple[int, int, int]:
                 raise ValueError("bad ID3v2 syncsafe length")
             sz = (sz << 7) | b
         i = 10 + sz
+        # footer flag (ID3v2.4 §3.1, header byte 5 bit 0x10): the tag
+        # is followed by a 10-byte footer copy not counted in the
+        # syncsafe size — without this adjustment a footered tag
+        # quarantined the whole (valid) file as lost sync
+        if payload[5] & 0x10:
+            i += 10
     rate = channels = None
     frames = 0
     while i + 4 <= len(payload):
+        # a trailing 128-byte ID3v1 'TAG' block after >=1 valid frame
+        # is the classic real-world MP3 tail, not lost sync
+        if frames and payload[i : i + 3] == b"TAG" and len(payload) - i == 128:
+            break
         r, c, nbytes = _mp3_frame(payload, i)
         if i + nbytes > len(payload):
             # a frame header promising bytes past EOF is corruption,

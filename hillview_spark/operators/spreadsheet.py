@@ -164,7 +164,15 @@ def next_k_list(
         F.count(F.when(before, F.lit(1))).alias("start_position"),
         F.count(F.lit(1)).alias("rows_scanned"),
     )
-    return page.crossJoin(F.broadcast(stats))
+    # LEFT join from the 1-row stats side (ADVICE r8): an anchor past
+    # the last group yields an EMPTY page, but the reference NextKList
+    # still reports start_position/rows_scanned with an empty rows
+    # table — so one all-NULL page row carrying the stats survives.
+    # The page (<= k rows) is the broadcast side; same BNLJ cost as
+    # the old crossJoin.
+    return stats.join(F.broadcast(page), F.lit(True), "left").select(
+        *page.columns, "start_position", "rows_scanned"
+    )
 
 
 def find_rows(

@@ -338,17 +338,26 @@ def windowed_histogram(
     lo: float = 0.0,
     hi: float = 100.0,
     buckets: int = 10,
+    include_max: bool = True,
 ) -> DataFrame:
     """Per-window histogram of a numeric column: (window_start,
     bucket, n_events) — the telemetry-over-time shape (each window's
     value distribution, not just its count). Pure bucket arithmetic
     on the scan + ONE groupBy on (window, small int); shuffle is
     O(windows x buckets) after map-side combine. Sparse: cells with
-    no events produce no row (same convention as windowed_counts)."""
+    no events produce no row (same convention as windowed_counts).
+
+    Range rule (r9, ADVICE r8): the PLAIN histogram is CLOSED at max
+    — value == hi lands in the last bucket (the _value_bucket clamp),
+    only value > hi is dropped — matching the reference's
+    DoubleHistogramBuckets.indexOf. The DP twins pass
+    include_max=False: their grid is quantization intervals
+    [left, right) where hi itself is out of range
+    (DoubleColumnQuantization.outOfRange)."""
     from hillview_spark.operators.histogram import trunc_ntz
 
     return (
-        events.where(_present_in_range(col, lo, hi))
+        events.where(_present_in_range(col, lo, hi, include_max))
         .groupBy(
             trunc_ntz(F.col("ts"), unit).alias("window_start"),
             _value_bucket(col, lo, hi, buckets).alias("bucket"),
@@ -364,15 +373,21 @@ def _present(col: str):
     return F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
 
 
-def _present_in_range(col: str, lo: float, hi: float):
+def _present_in_range(col: str, lo: float, hi: float,
+                      include_max: bool = False):
     """Fixed-grid presence for the windowed-histogram twins: present
-    AND inside the curator's [lo, hi) grid. Out-of-range values are
-    EXCLUDED, not clamped (reference rule: DoubleColumnQuantization.
-    bucketIndex -1 / GroupBySketch.java:78-80 drop) — clamping would
-    inflate the edge buckets, and ±Inf (which passes _present's NaN
-    check) fails the range comparisons here too."""
+    AND inside the range. Out-of-range values are EXCLUDED, not
+    clamped — clamping would inflate the edge buckets, and ±Inf
+    (which passes _present's NaN check) fails the range comparisons
+    here too. include_max selects which reference rule applies:
+    False = quantization grid [lo, hi) (DoubleColumnQuantization.
+    bucketIndex -1 / GroupBySketch.java:78-80 drop, the DP paths);
+    True = plain histogram [lo, hi] (DoubleHistogramBuckets.indexOf:
+    value == max belongs to the last bucket, only value > max
+    drops)."""
     v = F.col(col).cast("double")
-    return (v >= F.lit(float(lo))) & (v < F.lit(float(hi)))
+    upper = (v <= F.lit(float(hi))) if include_max else (v < F.lit(float(hi)))
+    return (v >= F.lit(float(lo))) & upper
 
 
 def _value_bucket(col: str, lo: float, hi: float, buckets: int):
@@ -414,9 +429,9 @@ def dp_windowed_histogram(
     only). The noise expression is pure Catalyst keyed on
     (epoch seconds, bucket), so the SAME formula streams unchanged
     in stream_dp_windowed_histogram and replays in DuckDB."""
-    counts = windowed_histogram(events, unit, col, lo, hi, buckets).where(
-        F.col("window_start").isNotNull()
-    )
+    counts = windowed_histogram(
+        events, unit, col, lo, hi, buckets, include_max=False
+    ).where(F.col("window_start").isNotNull())
     return _noisy_hist(counts, epsilon, seed)
 
 

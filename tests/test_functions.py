@@ -2017,6 +2017,20 @@ def test_stdlib_probe_mp3_frame_walk(spark):
     # layer II MPEG1
     fl2 = mp3_frame(3, 2, 5, 1, mono=False)
     assert mm._mp3_dims(fl2) == (48000, 2, 1)
+    # ID3v2.4 footer flag (header byte 5 bit 0x10): tag length gets
+    # +10 for the footer copy — previously quarantined as lost sync
+    id3f = (b"ID3\x04\x00\x10" + bytes((0, 0, 0, 10)) + b"x" * 10
+            + b"3DI\x04\x00\x10" + bytes((0, 0, 0, 10)))
+    assert mm._mp3_dims(id3f + f * 2) == (44100, 2, 2)
+    # trailing 128-byte ID3v1 'TAG' block after valid frames: the
+    # classic real-world MP3 tail, counted as end-of-stream
+    id3v1 = b"TAG" + b"\x00" * 125
+    assert mm._mp3_dims(f * 3 + id3v1) == (44100, 2, 3)
+    assert mm._mp3_dims(id3 + f + id3v1) == (44100, 2, 1)
+    # a 'TAG' blob of the WRONG size is still lost sync (quarantine)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm._mp3_dims(f + b"TAG" + b"\x00" * 60)
     # mid-stream desync and truncated tail quarantine via probe_media
     bad = f[: len(f) // 2]
     rows = [

@@ -137,6 +137,18 @@ def test_next_k_list_position_and_scan_count(spark):
     # no anchor: position 0
     top = spreadsheet.next_k_list(df, ["k"], k=1).collect()
     assert top[0].start_position == 0 and top[0].rows_scanned == 6
+    # anchor past the last group (NULL keys sort last, so past them
+    # too via exclusion... use inclusive=False past 'c' against the
+    # NULL group): an EMPTY page still reports the stats on one
+    # all-NULL page row, like the reference NextKList's empty rows
+    # table (ADVICE r8)
+    nn = df.where("k IS NOT NULL")
+    empty = spreadsheet.next_k_list(
+        nn, ["k"], k=2, start=("c",), inclusive=False
+    ).collect()
+    assert len(empty) == 1
+    assert empty[0].k is None and empty[0].cnt is None
+    assert empty[0].start_position == 5 and empty[0].rows_scanned == 5
 
 
 def test_histogram_string_bounded_reference_index_rules(spark):

@@ -29,6 +29,10 @@ EDGE_DOCS = [
     (9, "spark hash vector spark", "src0", "en"),         # search hits
     (20, "alpha beta gamma delta epsilon", "src1", "en"), # eval-doc id
 ]
+# NULL-KEY match rows live in a SEPARATE fixture
+# (test_find_first_row_null_key_matches): the identity-keyed cases
+# (shuffle/mixture/split) fail LOUDLY on a NULL doc_id by declared
+# contract (salted_hex), so they cannot share a NULL-id row.
 
 
 @pytest.fixture(scope="module")
@@ -43,7 +47,11 @@ def edge_con():
     con = duckdb.connect()
     con.register(
         "documents",
-        pd.DataFrame(EDGE_DOCS, columns=["doc_id", "text", "source", "lang"]),
+        # nullable Int64: a plain int column with the NULL-key row
+        # would silently become float64 (doc_id 1 -> 1.0 cross-engine)
+        pd.DataFrame(
+            EDGE_DOCS, columns=["doc_id", "text", "source", "lang"]
+        ).astype({"doc_id": "Int64"}),
     )
     return con
 
@@ -111,6 +119,50 @@ CASES = {
         )
     )[-1],
 }
+
+
+def test_find_first_row_null_key_matches(spark):
+    """ADVICE-r8 fix: a match with a NULL sort key is a CANDIDATE at
+    any anchor (missing-sorts-last, IDoubleColumn.java:70-78), never
+    'before' — the old oracle's doc_id >= 100 dropped it from both
+    sides. Both engines must agree on before/at/after with NULL-key
+    matches present, including the all-NULL-candidates case where the
+    NULL-key rows ARE the first match."""
+    from hillview_spark.operators import spreadsheet
+
+    rows = EDGE_DOCS + [
+        (None, "the spark merge doc with no id", "web", "en"),
+        (None, "another spark merge with no id", "web", "en"),
+        (150, "late spark merge match", "web", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "source", "lang"]
+        ).astype({"doc_id": "Int64"}),
+    )
+    got = spreadsheet.find_first(
+        df, "text", "spark merge", ["doc_id"], start=(100,)
+    ).collect()[0]
+    want = con.sql(entry_mod.oracle_sql()["find_first_row"]).fetchall()[0]
+    cols = con.sql(entry_mod.oracle_sql()["find_first_row"]).columns
+    w = dict(zip(cols, want))
+    assert (got.before, got.at, got.after, got.first_doc_id) == (
+        w["before"], w["at"], w["after"], w["first_doc_id"]
+    )
+    # first match at-or-after 100 is doc 150; the two NULL-key rows
+    # sort after it
+    assert got.first_doc_id == 150 and got.after == 2
+    # anchor past every real key: the NULL-key rows are the first
+    # match — 'at' counts them, first_doc_id is NULL
+    got2 = spreadsheet.find_first(
+        df, "text", "spark merge", ["doc_id"], start=(10_000,)
+    ).collect()[0]
+    assert got2.first_doc_id is None and got2.at == 2 and got2.after == 0
 
 
 @pytest.mark.parametrize("key", sorted(CASES))

@@ -801,3 +801,39 @@ def test_csv_roundtrip_faithful_edges(spark, tmp_path):
         spark, p2, schema="id long, s string", null_value="\\N"
     ).first()
     assert got.s is None
+
+
+def test_windowed_histogram_range_rules(spark):
+    """ADVICE-r8 fix: the PLAIN windowed histogram is CLOSED at max —
+    value == hi lands in the LAST bucket (DoubleHistogramBuckets.
+    indexOf: only value > max drops), while the DP twin keeps the
+    quantization-grid rule where hi itself is out of range
+    (DoubleColumnQuantization.outOfRange)."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 0.0),     # lo -> bucket 0
+            (2, t0, 99.9),    # interior -> bucket 9
+            (3, t0, 100.0),   # == hi: last bucket in plain, OUT in DP
+            (4, t0, 100.1),   # > hi: out in both
+            (5, t0, -0.1),    # < lo: out in both
+        ],
+        "event_id long, ts timestamp_ntz, value double",
+    )
+    plain = {
+        r.bucket: r.n_events
+        for r in ev.windowed_histogram(df, "hour", "value", 0.0, 100.0, 10)
+        .collect()
+    }
+    assert plain == {0: 1, 9: 2}  # 99.9 and 100.0 share the last bucket
+    dp_grid = {
+        r.bucket: r.n_events
+        for r in ev.windowed_histogram(
+            df, "hour", "value", 0.0, 100.0, 10, include_max=False
+        ).collect()
+    }
+    assert dp_grid == {0: 1, 9: 1}  # 100.0 excluded from the grid
