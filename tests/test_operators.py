@@ -148,7 +148,8 @@ def test_next_k_list_position_and_scan_count(spark):
     ).collect()
     assert len(empty) == 1
     assert empty[0].k is None and empty[0].cnt is None
-    assert empty[0].start_position == 5 and empty[0].rows_scanned == 5
+    # strictly before ('c',): the two 'a' and two 'b' rows
+    assert empty[0].start_position == 4 and empty[0].rows_scanned == 5
 
 
 def test_histogram_string_bounded_reference_index_rules(spark):
