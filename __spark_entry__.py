@@ -1110,61 +1110,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    # --- round-8 gate rotation ---------------------------------------
+    # --- round-9 gate rotation ---------------------------------------
     # The driver gate checks ~50 keys per round in dict insertion
-    # order. Priority this round (VERDICT r7 directives #1/#2/#3/#5/#7):
-    # (a) the 10 keys whose operators or oracles CHANGED this round
-    #     and must re-prove: the NULL-sort-order fix (next_k trio +
-    #     row_comparison_filter + dp_next_k_rows, which pages through
-    #     next_k), the three oracle-contract fixes (asof NaN guard,
-    #     rollup finite guard, chunk/pack NULL-text mirror), and the
-    #     media histogram now exercising all four codecs (GIF/BMP
-    #     joined PNG/JPEG in synthesize_media);
-    # (b) the 22 keys whose latest green row is CORRECTNESS_r04 —
-    #     directive #3 verbatim: they would be 4 rounds stale
-    #     otherwise (the r7 judge re-proved all 22 at sf0.01
-    #     independently, so this converts that evidence into driver
-    #     rows);
-    # (c) the 3 rows-only keys (directive #7): their driver rows are
-    #     r6 and the golden value hashes in tests/test_golden.py must
-    #     stay in lockstep;
-    # (d) 15 high-traffic r5 keys (TPC-H q1/q3/q5/q6 + the core
-    #     sketch surface) — the 47-key r5 block cannot all fit under
-    #     the cutoff; these are the keys most load-bearing for
-    #     downstream users, and the remaining 32 r5 keys rotate next
-    #     round. Everything else keeps its relative order behind the
-    #     block — all of it was driver-green in r5-r7.
+    # order. Priority this round (VERDICT r8 directives #2/#4/#7):
+    # (a) the keys whose operators or oracles CHANGED this round and
+    #     must re-prove: the whole exact-similarity family (the r9
+    #     non-finite-component quarantine touched _dot_sql/_bucket_sql
+    #     and the PQ/centroid twins; cosine_topk's guard was hoisted),
+    #     media_dims_histogram (now SIX containers: MP3 + H.264 joined
+    #     PNG/JPEG/GIF/BMP), next_k_list (empty-page stats row),
+    #     find_first_row (NULL-key candidate oracle), computed_column
+    #     (finite-guarded expression), and the two exploration keys
+    #     whose oracles were job-fatal on Inf/NaN (directive #2);
+    # (b) ALL 31 keys whose latest green row is CORRECTNESS_r05 —
+    #     directive #4 verbatim (three overlap with (a));
+    # (c) the remaining slots go to the oldest r6 keys (the TPC-H
+    #     stragglers + events_windowed_counts); the rest of the r6
+    #     cohort rotates in r10. The rows-only trio is r8-fresh and
+    #     its golden hashes are pinned in tests/test_golden.py.
     priority = [
-        # (a) changed operators/oracles this round (next_k_list and
-        # find_first_row are first-ever: the complete NextKList and
-        # FindSketch Results)
-        "next_k_list", "find_first_row",
-        "next_k_rows", "next_k_after", "next_k_aggregate",
-        "row_comparison_filter", "dp_next_k_rows",
-        "asof_join_events", "orders_rollup",
-        "chunk_documents", "pack_sequences",
-        "media_dims_histogram",
-        # (b) r4-stale: TPC-H block
-        "q2_min_cost_supplier", "q8_market_share",
-        "q9_product_type_profit", "q11_important_parts",
-        "q12_shipmode_priority", "q13_customer_order_distribution",
-        "q15_top_supplier", "q16_supplier_part_counts",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_discounted_revenue", "q20_part_promotion",
-        "q21_suppliers_kept_waiting", "q22_sales_opportunity",
-        # (b) r4-stale: dedup/ANN tail + temporal
-        "dedup_simhash", "dedup_lsh_verify", "dedup_components",
-        "ann_knn_join_lsh", "pq_topk",
-        "events_sessionize", "range_join_sessions",
-        "text_repetition_stats",
-        # (c) rows-only trio (golden hashes pinned in pytest)
-        "bpe_token_count", "lamp_project", "metric_mds_controls",
-        # (d) high-traffic r5 keys
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier", "q6_revenue_forecast",
-        "histogram1d_numeric", "cdf_numeric", "histogram2d_heatmap",
-        "histogram_string", "heavy_hitters", "corr_matrix",
-        "basic_col_stats", "quantiles_price", "find_substring",
+        # (a) changed operators/oracles this round
+        "media_dims_histogram", "next_k_list", "find_first_row",
+        "computed_column", "top_customers_revenue", "part_type_stats",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_knn_join",
+        "ann_knn_join_lsh", "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh", "semantic_dedup",
+        "ann_ivf_topk", "ann_ivf_topk_indexed", "pq_encode", "pq_topk",
+        "embedding_group_centroids",
+        # (b) the full r5 cohort (minus the three already in (a))
+        "category_centroids", "convert_column", "data_range",
+        "data_range_interval", "distinct_count", "distinct_values",
+        "docs_source_lang_matrix", "events_user_topk", "exact_freq",
+        "extract_json_value", "histogram3d_trellis",
+        "histogram4d_trellis", "histogram_date_month",
+        "histogram_quantiles", "histogram_string_bounded",
+        "histogram_with_cdf", "interval_column", "jl_project",
+        "num_items_threshold", "pca_project", "project_columns",
+        "range_filter", "set_operation", "string_filter_regex",
+        "string_quantiles", "systematic_sample", "table_profile",
+        "table_summary",
+        # (c) oldest r6 stragglers
+        "q4_late_orders", "q10_returned_items", "q14_promo_revenue",
+        "events_windowed_counts",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
