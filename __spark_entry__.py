@@ -1258,23 +1258,26 @@ def _count_noise_sql(seed: int, ci: int, epsilon: float,
 
 
 def _fin_elem_sql(x: str) -> str:
-    """Crash-proof element cast: a non-finite component becomes a
-    NULL DECIMAL instead of a DuckDB ConversionException. Paired with
-    _vec_clean_sql's whole-vector gate — the guard alone would let
-    list_sum SKIP the NULL product and return a bogus partial dot."""
-    return (
-        f"CAST(CASE WHEN isfinite(CAST({x} AS DOUBLE))"
-        f" THEN CAST({x} AS DOUBLE) END AS DECIMAL(10,8))"
-    )
+    """Crash-proof element cast: a non-finite OR out-of-domain
+    component (decimal(13,8) holds |x| < 1e5) becomes a NULL DECIMAL
+    instead of a DuckDB ConversionException — TRY_CAST, the exact
+    mirror of Spark's try_cast in similarity._dec (same width, same
+    half-up rounding at the domain edge). Paired with _vec_clean_sql's
+    whole-vector gate — the guard alone would let list_sum SKIP the
+    NULL product and return a bogus partial dot."""
+    return f"TRY_CAST(CAST({x} AS DOUBLE) AS DECIMAL(13,8))"
 
 
 def _vec_clean_sql(v: str) -> str:
-    """TRUE iff every component of vector `v` is present and finite —
-    the oracle twin of Spark's decimal fold, where one NULL/NaN/±Inf
-    element NULLs the entire dot (acc + NULL stays NULL)."""
+    """TRUE iff every component of vector `v` is present, finite, and
+    inside the exact-decimal element domain (|x| < 1e5, similarity.
+    _ELEM_BOUND) — the oracle twin of Spark's decimal fold, where one
+    bad element NULLs the entire dot (acc + NULL stays NULL)."""
     return (
-        f"COALESCE(list_bool_and([COALESCE(isfinite(CAST(x AS DOUBLE)),"
-        f" false) FOR x IN {v}]), false)"
+        f"COALESCE(list_bool_and(["
+        f"COALESCE(CAST(x AS DOUBLE) > -100000.0"
+        f" AND CAST(x AS DOUBLE) < 100000.0, false)"
+        f" FOR x IN {v}]), false)"
     )
 
 

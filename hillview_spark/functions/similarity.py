@@ -38,22 +38,32 @@ _ELEM = "decimal(13,8)"
 _ACC = "decimal(30,16)"
 
 
+# The exact-decimal ELEMENT DOMAIN: decimal(13,8) holds |x| < 1e5.
+# A finite component outside it is as malformed as a NaN — under
+# ANSI (Spark 4 default) a plain cast would be JOB-FATAL
+# (NUMERIC_VALUE_OUT_OF_RANGE), so every element cast is a try_cast
+# (overflow -> NULL -> the whole fold NULLs -> row quarantined) and
+# the hard-cut predicate below bounds magnitude explicitly.
+_ELEM_BOUND = 1e5
+
+
 def _dec(c: Column) -> Column:
-    return c.cast("double").cast(_ELEM)
+    return c.cast("double").try_cast(_ELEM)
 
 
 def all_finite(vec_col: str) -> Column:
-    """TRUE iff every component is present and finite — the
-    malformed-vector quarantine predicate (r9): one NaN/±Inf/NULL
-    element makes the decimal fold NULL anyway, so paths that need a
-    hard row cut (PQ codes, LSH buckets) use this up front instead of
-    letting a NULL score mint a garbage code/bucket. Codegen forall,
-    no extra pass."""
+    """TRUE iff every component is present, finite, AND inside the
+    exact-decimal element domain (|x| < 1e5) — the malformed-vector
+    quarantine predicate (r9): one bad element makes the decimal fold
+    NULL anyway, so paths that need a hard row cut (PQ codes, LSH
+    buckets) use this up front instead of letting a NULL score mint a
+    garbage code/bucket. The strict comparisons reject NaN/±Inf for
+    free (both compare false). Codegen forall, no extra pass."""
     return F.forall(
         F.col(vec_col),
         lambda x: F.coalesce(
-            (x.cast("double") > F.lit(float("-inf")))
-            & (x.cast("double") < F.lit(float("inf"))),
+            (x.cast("double") > F.lit(-_ELEM_BOUND))
+            & (x.cast("double") < F.lit(_ELEM_BOUND)),
             F.lit(False),
         ),
     )

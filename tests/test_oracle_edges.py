@@ -467,6 +467,14 @@ def _edge_vec_rows():
         rows.append((17, nanv, 2))
         rows.append((18, infv, 0))
         rows.append((19, nullv, 1))
+        # r9b: FINITE but out-of-domain component (decimal(13,8)
+        # holds |x| < 1e5) — under ANSI a plain cast made the whole
+        # Spark job fatal (NUMERIC_VALUE_OUT_OF_RANGE) and the
+        # narrower DuckDB cast crashed the oracle; both engines must
+        # quarantine instead (try_cast -> NULL fold)
+        bigv = [0.25] * 64
+        bigv[31] = 1.0e6
+        rows.append((21, bigv, 0))
         _EDGE_VECS = rows
     return _EDGE_VECS
 
