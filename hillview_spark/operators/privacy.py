@@ -497,6 +497,39 @@ def dp_heatmap(
     )
 
 
+def canonical_grid_col(c, dtype: str | None) -> F.Column:
+    """LOUD canonical-rendering guard for double/float PRF key fields
+    (r9 probe): the portable PRF hashes the STRING rendering of each
+    key, and the engines' shortest-roundtrip formatters disagree
+    outside [1e-3, 1e7) — Spark/Java '1.0E-7' vs DuckDB '1e-07', and
+    '-0.0' vs '0.0' — so a grid point there would draw DIFFERENT
+    noise per engine, silently breaking reproducibility. Like the
+    salted-key NULL guard, there is no correct silent answer: the
+    curator must rescale the grid (the declared contract is
+    curator-quantized grid points, which render identically). -0.0
+    is canonicalized to 0.0 rather than raised: both engines hold
+    the same grid point, only Spark renders the sign."""
+    if dtype not in ("double", "float"):
+        return c
+    v = c.cast("double")
+    ok = (F.abs(v) >= F.lit(1e-3)) & (F.abs(v) < F.lit(1e7))
+    return (
+        F.when(v == F.lit(0.0), F.lit(0.0))  # folds -0.0 -> 0.0
+        .when(ok, v)
+        .when(v.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "dp PRF key: double grid point outside [1e-3, 1e7) "
+                    "renders differently across engines (scientific "
+                    "notation) — rescale the curator grid or hash the "
+                    "bucket index instead"
+                )
+            ).cast("double")
+        )
+    )
+
+
 def _prf_field(c) -> F.Column:
     """Canonical PRF key field: cast to string, escape the '|' cell
     delimiter ('\\'->'\\\\' first, then '|'->'\\|') and map NULL to
@@ -681,10 +714,11 @@ def dp_next_k(
     from hillview_spark.operators.spreadsheet import next_k
 
     page = next_k(df, sort_cols, k, ascending, start)
+    dtypes = dict(df.dtypes)
     noise = laplace_noise_col(
         epsilon,
         seed,
-        *[F.col(c) for c in sort_cols],
+        *[canonical_grid_col(F.col(c), dtypes.get(c)) for c in sort_cols],
         F.lit(column_index),
         prf="md5",
     )

@@ -781,3 +781,38 @@ def test_dp_histogram_from_schema_routes_string_grids(spark, tables):
         P.dp_histogram_from_schema(
             tables["customer"], "c_mktsegment", ps, seed=4, cdf=True
         )
+
+
+def test_dp_next_k_double_key_rendering_contract(spark):
+    """r9 probe: the portable PRF hashes each key's STRING rendering,
+    and Spark/Java vs DuckDB shortest-roundtrip formatters disagree
+    outside [1e-3, 1e7) ('1.0E-7' vs '1e-07') and on '-0.0' — so
+    dp_next_k folds -0.0 to 0.0 and fails LOUDLY on a double grid
+    point in the scientific-notation range instead of silently
+    drawing engine-dependent noise (the salted-key loud-contract
+    class)."""
+    ok = spark.createDataFrame(
+        [("N", 10.0), ("N", 0.001), ("A", 9999999.0)],
+        "k string, v double",
+    )
+    rows = P.dp_next_k(ok, ["k", "v"], epsilon=1.0, k=5, seed=7,
+                       prf="md5str").collect()
+    assert len(rows) == 3  # boundary grid points render identically
+
+    import pyspark.errors as pe
+
+    bad = spark.createDataFrame([("N", 1e-7)], "k string, v double")
+    with pytest.raises(pe.PySparkException, match="renders differently"):
+        P.dp_next_k(bad, ["k", "v"], epsilon=1.0, k=5, seed=7,
+                    prf="md5str").collect()
+    big = spark.createDataFrame([("N", 1e7)], "k string, v double")
+    with pytest.raises(pe.PySparkException, match="renders differently"):
+        P.dp_next_k(big, ["k", "v"], epsilon=1.0, k=5, seed=7,
+                    prf="md5str").collect()
+    # -0.0 and 0.0 are the SAME grid point: one group, one draw
+    z = spark.createDataFrame(
+        [("N", -0.0), ("N", 0.0)], "k string, v double"
+    )
+    zr = P.dp_next_k(z, ["k", "v"], epsilon=1.0, k=5, seed=7,
+                     prf="md5str").collect()
+    assert len(zr) == 1 and zr[0].v == 0.0
