@@ -1275,3 +1275,34 @@ def test_extract_json_value_matches_oracle_on_malformed_json(spark):
     rel = con.sql(entry_mod.oracle_sql()["extract_json_value"])
     want = sorted(repr(tuple(row)) for row in rel.fetchall())
     assert got == want
+
+
+def test_unicode_case_folding_oracle_domain(spark, edge_con):
+    """r9 probe result, pinned as a DOCUMENTED oracle-domain limit:
+    case-insensitive surfaces (string_filter mode-insensitive,
+    text_fingerprint, stopword matching) follow the JVM's Unicode
+    case mapping — the same library the Java reference uses — while
+    the DuckDB oracle's utf8proc disagrees on exactly two classes:
+    Turkish İ (U+0130: JVM lowers to 'i'+combining dot, utf8proc to
+    plain 'i') and Greek final sigma (JVM picks ς at word end,
+    utf8proc always σ). ASCII and 1:1 mappings (ß, ǅ, accents) agree.
+    Oracle fixtures therefore stay out of those two classes; this
+    test fails if either engine's mapping shifts, so the exclusion
+    list stays honest."""
+    from pyspark.sql import functions as F
+
+    vals = ["İstanbul", "STRASSE", "ΣΟΦΟΣ", "ẞ", "ǅungla", "ÁBC"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = dict(zip(vals, [
+        r.l for r in sdf.select(F.lower("t").alias("l")).collect()
+    ]))
+    duck = {
+        v: edge_con.sql("SELECT lower(?)", params=[v]).fetchone()[0]
+        for v in vals
+    }
+    # agreement domain: everything except the two documented classes
+    for v in ["STRASSE", "ẞ", "ǅungla", "ÁBC"]:
+        assert got[v] == duck[v], (v, got[v], duck[v])
+    # the two divergent classes, pinned exactly
+    assert got["İstanbul"] == "i̇stanbul" and duck["İstanbul"] == "istanbul"
+    assert got["ΣΟΦΟΣ"] == "σοφος" and duck["ΣΟΦΟΣ"] == "σοφοσ"
