@@ -174,7 +174,19 @@ def read_csv(
     if multiline:
         reader = reader.option("multiLine", True)
     if null_value is not None:
-        reader = reader.option("nullValue", null_value)
+        from hillview_spark.sources.writers import (
+            CSV_TS_FORMAT,
+            CSV_TS_NTZ_FORMAT,
+        )
+
+        # faithful mode mirrors write_csv's microsecond timestamp
+        # patterns — the default .SSS parse would misread the
+        # 6-digit fractions the faithful writer emits
+        reader = (
+            reader.option("nullValue", null_value)
+            .option("timestampFormat", CSV_TS_FORMAT)
+            .option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
+        )
     if schema:
         caller_declared = "_corrupt_record" in schema
         if not caller_declared:

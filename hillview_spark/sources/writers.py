@@ -6,6 +6,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Microsecond-lossless CSV timestamp patterns for the faithful-mode
+# round-trip (write_csv/read_csv share them): Spark's defaults carry
+# only .SSS, truncating the last three digits of Spark's
+# microsecond-precision timestamps on write.
+CSV_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+CSV_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def write_parquet(
     df: DataFrame, path: str, mode: str = "overwrite",
@@ -39,7 +46,12 @@ def write_csv(
     TrailingWhiteSpace default TRUE, so ' padded ' would silently
     write as 'padded' and the round-trip would corrupt exactly the
     strings it claims to preserve (the read side defaults to no
-    trimming, so only the writer needs the override)."""
+    trimming, so only the writer needs the override). It also pins
+    MICROSECOND timestamp formats (r9 probe): Spark's default CSV
+    timestamp patterns carry 3 fractional digits, so 23:59:59.999999
+    silently came back .999000 — read_csv applies the same patterns
+    so the round-trip is lossless at Spark's full timestamp
+    precision."""
     w = df.write.mode(mode).option("header", header)
     if null_value is not None:
         w = (
@@ -47,6 +59,8 @@ def write_csv(
             .option("emptyValue", '""')
             .option("ignoreLeadingWhiteSpace", False)
             .option("ignoreTrailingWhiteSpace", False)
+            .option("timestampFormat", CSV_TS_FORMAT)
+            .option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
         )
     w.csv(path)
 

@@ -62,6 +62,14 @@ def _orders_rows():
         # separately in test_csv_sentinel_collision_reads_null below.
         (107, 6, "O\nF", 1000.0, _D(7), 'say "go"'),
         (108, 6, "a,b", 0.0, _D(8), ""),
+        # extreme timestamps (r9 probe: both engines truncate
+        # proleptic-Gregorian identically, incl. inside the 1582 gap)
+        (109, 0, "O", 10.0, datetime.datetime(1, 1, 1, 0, 0, 0), "x"),
+        (110, 1, "F", 11.0, datetime.datetime(1582, 10, 5, 12, 0), "x"),
+        (111, 2, "O", 12.0,
+         datetime.datetime(9999, 12, 31, 23, 59, 59, 999999), "x"),
+        (112, 3, "F", 13.0,
+         datetime.datetime(1969, 12, 31, 23, 59, 59, 999999), "x"),
     ]
     return rows
 
