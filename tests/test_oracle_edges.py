@@ -1306,3 +1306,64 @@ def test_unicode_case_folding_oracle_domain(spark, edge_con):
     # the two divergent classes, pinned exactly
     assert got["İstanbul"] == "i̇stanbul" and duck["İstanbul"] == "istanbul"
     assert got["ΣΟΦΟΣ"] == "σοφος" and duck["ΣΟΦΟΣ"] == "σοφοσ"
+
+
+def test_json_extract_rendering_oracle_domain(spark):
+    """r9 probe, pinned as a documented oracle-domain limit:
+    get_json_object and DuckDB's json_extract_string agree on
+    duplicate keys (first wins), JSON null (NULL), nested objects
+    (minified), booleans, integers, plain decimals (both normalize
+    1.50 -> '1.5'), and malformed docs (NULL) — but a numeric literal
+    WRITTEN in scientific notation re-renders engine-specifically
+    (Spark '1.0E-7' vs DuckDB '1e-7'). Oracle fixtures therefore keep
+    numeric props out of scientific notation; this test fails if
+    either engine's rendering shifts."""
+    from pyspark.sql import functions as F
+
+    vals = [
+        '{"k": 1, "k": 2}', '{"k": null}', '{"k": {"x": 1}}',
+        '{"k": 1.50}', '{"k": 42}', '{"k": true}', '{"k": 1.0}',
+        "not json", None, '{"k": 1e-7}',
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "props string")
+    got = [
+        r.v for r in sdf.select(
+            F.get_json_object("props", "$.k").alias("v")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT CASE WHEN json_valid(?) THEN"
+            " json_extract_string(CAST(? AS JSON), '$.k') END",
+            [v, v],
+        ).fetchone()[0] if v is not None else None
+        for v in vals
+    ]
+    assert got[:-1] == duck[:-1], (got, duck)  # the agreement domain
+    assert got[-1] == "1.0E-7" and duck[-1] == "1e-7"  # the exclusion
+
+
+def test_heavy_hitters_threshold_boundary_inclusive(spark):
+    """r9 probe: a value whose count is EXACTLY epsilon * totalRows
+    is KEPT — the reference's fkFilter removes strictly-below only
+    (FreqKList.java:121-127, `if (count < threshold) remove`), and
+    the oracle's HAVING COUNT(*) >= eps * total matches. 20 rows,
+    eps=0.25: a count of exactly 5 survives, 4 does not."""
+    from hillview_spark.operators import heavy_hitters
+
+    rows = [("a",)] * 5 + [("b",)] * 4 + [("c",)] * 11
+    df = spark.createDataFrame(rows, "lang string")
+    got = {
+        r.lang: r.cnt
+        for r in heavy_hitters.heavy_hitters(df, ["lang"], epsilon=0.25)
+        .collect()
+    }
+    assert got == {"a": 5, "c": 11}  # 5 == 0.25*20 kept, 4 dropped
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["lang"]))
+    want = dict(con.sql(
+        "SELECT lang, COUNT(*) c FROM documents GROUP BY 1"
+        " HAVING COUNT(*) >= 0.25 * (SELECT COUNT(*) FROM documents)"
+    ).fetchall())
+    assert got == want
