@@ -472,9 +472,24 @@ def ivf_topk(
 
     assigned, C = ivf_index(embeddings, n_cells, id_col, vec_col)
     qv = np.asarray(query_vec, dtype=np.float64)
+    _check_query_dims(qv, C)
     probe = np.argsort(((C - qv) ** 2).sum(1))[:n_probe].tolist()
     candidates = assigned.where(F.col("cell").isin(probe)).select(id_col, vec_col)
     return cosine_topk_numpy(candidates, query_vec, k, id_col, vec_col)
+
+
+def _check_query_dims(qv, C) -> None:
+    """Driver-side loud guard: a query vector whose width differs
+    from the trained/stored centroids can never match — the raw
+    numpy broadcast error said 'shapes (8,) (16,)' with no hint it
+    was the CALLER's query. Same loud-identity class as the LSH
+    index's params sidecar (data quarantines; configs fail loud)."""
+    if qv.ndim != 1 or qv.shape[0] != C.shape[1]:
+        raise ValueError(
+            f"query vector has {qv.shape[0] if qv.ndim == 1 else qv.shape} "
+            f"dims but the index/centroids were built at {C.shape[1]} — "
+            "re-embed the query or point at the matching index"
+        )
 
 
 # Per-process memo of centroid sidecars by index path: the sidecar is
@@ -537,6 +552,7 @@ def ivf_topk_indexed(
         C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cents])
         _IVF_CENTROID_CACHE[path] = C
     qv = np.asarray(query_vec, dtype=np.float64)
+    _check_query_dims(qv, C)
     probe = [int(c) for c in np.argsort(((C - qv) ** 2).sum(1))[:n_probe]]
     data = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))
     return cosine_topk_numpy(

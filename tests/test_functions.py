@@ -2164,3 +2164,26 @@ def test_encode_gif_bmp_are_structurally_valid():
             nbits -= 9
     assert codes[0] == 256 and codes[-1] == 257
     assert bytes(codes[1:-1]) == px[: w * h]
+
+
+def test_ivf_query_dims_mismatch_fails_loud(spark, tmp_path):
+    """r9: a query vector whose width differs from the trained
+    centroids gets a clear ValueError naming both widths (config
+    fails loud; the raw numpy broadcast error said only
+    'shapes (4,8) (16,)')."""
+    import numpy as np
+
+    from hillview_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf8")
+    sim.ivf_write_index(df, path, n_cells=4)
+    with pytest.raises(ValueError, match="built at 8"):
+        sim.ivf_topk_indexed(spark, path, [0.1] * 16, k=3)
+    with pytest.raises(ValueError, match="built at 8"):
+        sim.ivf_topk(df, [0.1] * 16, k=3, n_cells=4)
+    assert sim.ivf_topk_indexed(spark, path, [0.1] * 8, k=3).count() == 3
