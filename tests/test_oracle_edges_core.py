@@ -364,6 +364,20 @@ _KEYS = [
     "dedup_lsh_verify",
     # events
     "exact_freq",
+    # standalone DP keys (the composed DP sessions were edge-pinned in
+    # r8; these are the per-mechanism keys): data values quantize onto
+    # FIXED grids baked into the oracles, so out-of-range / NULL /
+    # non-finite rows exercise the r8 exclusion rule, while the noise
+    # spine is value-independent PRF math both engines re-derive
+    "dp_histogram_quantity",
+    "dp_cdf_quantity",
+    "dp_quantiles_quantity",
+    "dp_count_lineitem",
+    "dp_distinct_custkey",
+    "dp_histogram_mktsegment",
+    "dp_windowed_counts",
+    "dp_windowed_histogram",
+    "dp_prefix_counts",
 ]
 
 
