@@ -1840,9 +1840,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["data_range_interval"] = """
-        SELECT min(l_quantity) AS min_start, max(l_extendedprice) AS max_end,
-               COUNT(*) AS present_count, CAST(0 AS BIGINT) AS missing_count
-        FROM lineitem
+        WITH v AS (SELECT l_quantity, l_extendedprice,
+                          COALESCE(isfinite(l_quantity), false)
+                            AND COALESCE(isfinite(l_extendedprice), false)
+                            AS ok
+                   FROM lineitem)
+        SELECT min(CASE WHEN ok THEN l_quantity END) AS min_start,
+               max(CASE WHEN ok THEN l_extendedprice END) AS max_end,
+               CAST(COALESCE(SUM(CASE WHEN ok THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS present_count,
+               CAST(COALESCE(SUM(CASE WHEN ok THEN 0 ELSE 1 END), 0)
+                 AS BIGINT) AS missing_count
+        FROM v
     """
     o["histogram_with_cdf"] = f"""
         SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket

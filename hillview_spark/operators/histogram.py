@@ -85,16 +85,31 @@ def data_range_interval(df: DataFrame, col: str) -> DataFrame:
     """Range of an interval column (struct<start,end>):
     sketches/results/IntervalDataRangeSketch.java — the minimum over
     starts and maximum over ends, plus presence counts. Flat output
-    columns so results hash across engines."""
+    columns so results hash across engines.
+
+    The engine-wide missing rule applies at the INTERVAL level (r9,
+    aligning with data_range): an interval is present iff both
+    endpoints are present and finite; otherwise the whole cell is
+    missing — it contributes to missing_count and never to the
+    extremes. Before r9 a single NaN endpoint leaked through as
+    max_end (both engines agreed, but the contract didn't)."""
     s, e = F.col(f"{col}.start"), F.col(f"{col}.end")
+    valid = (
+        s.isNotNull() & e.isNotNull()
+        & ~F.isnan(s) & ~F.isnan(e)
+        & (F.abs(s) != F.lit(float("inf")))
+        & (F.abs(e) != F.lit(float("inf")))
+    )
     return df.agg(
-        F.min(s).alias("min_start"),
-        F.max(e).alias("max_end"),
-        F.count(F.col(col)).alias("present_count"),
+        F.min(F.when(valid, s)).alias("min_start"),
+        F.max(F.when(valid, e)).alias("max_end"),
         # coalesce: 0 (not NULL) on an empty table, like data_range
-        F.coalesce(
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0)
-        ).alias("missing_count"),
+        F.coalesce(F.sum(valid.cast("long")), F.lit(0)).alias(
+            "present_count"
+        ),
+        F.coalesce(F.sum((~valid).cast("long")), F.lit(0)).alias(
+            "missing_count"
+        ),
     )
 
 
