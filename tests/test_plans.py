@@ -444,3 +444,22 @@ def test_geo_polygon_counts_scale_profile(spark, tables):
     )
     ex.assert_max_shuffles(df, 1)
     assert "BatchEvalPython" not in ex.physical_plan(df)
+
+
+def test_cosine_topk_guard_is_hoisted_below_scoring(spark, tables):
+    """r9 hoist regression pin (VERDICT r8 #4): the malformed-vector
+    quarantine must be cheap array predicates on the INPUT column
+    (forall/exists — no zip_with), never a Filter above the scoring
+    Project that would re-evaluate the non-codegen dot-product fold.
+    The old shape rendered `Filter … zip_with(…)`; the fixed plan has
+    no Filter containing the fold at all, and ends in a top-k."""
+    from hillview_spark.functions import similarity
+
+    df = similarity.cosine_topk(tables["embeddings"], query_id=1, k=5)
+    plan = ex.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    bad = [
+        ln for ln in plan.splitlines()
+        if "Filter" in ln and "zip_with" in ln
+    ]
+    assert not bad, f"dot fold re-evaluated in a Filter: {bad[:1]}"
