@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hillview_spark import numeric
 from hillview_spark.tables import load_table
 from hillview_spark.queries import tpch
 from hillview_spark.operators import (
@@ -162,6 +163,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ------------------------------------------------------------- queries
+
+# The gate's finite-guarded computed-column demo expression: identity
+# on clean data, but a non-finite price/discount yields NULL revenue
+# on BOTH engines instead of crashing DuckDB's DECIMAL cast (the
+# engine-wide rule). Module-level so the edge suite exercises the
+# SAME string the gate runs (r9 review: a copy in the test silently
+# stops covering the real expression when one side is edited).
+COMPUTED_REVENUE_EXPR = (
+    "CAST(CAST(CASE WHEN l_extendedprice > double('-inf')"
+    " AND l_extendedprice < double('inf') THEN l_extendedprice END"
+    " AS DECIMAL(18,2))"
+    " * (1 - CAST(CASE WHEN l_discount > double('-inf')"
+    " AND l_discount < double('inf') THEN l_discount END"
+    " AS DECIMAL(18,2))) AS DOUBLE)"
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key order = driver-gate execution order: each round's newest
@@ -631,9 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # present = FINITE (engine-wide rule): explicit guard so one
         # Inf/NaN totalprice can't crash the ANSI/DuckDB DECIMAL cast
         # or poison the rollup sums (r7 probe bug)
-        fin = (F.col("o_totalprice") > F.lit(float("-inf"))) & (
-            F.col("o_totalprice") < F.lit(float("inf"))
-        )
+        fin = numeric.finite_pred(F.col("o_totalprice"))
         return (
             _t(s, d, "orders")
             .rollup("o_orderstatus", "o_orderpriority")
@@ -697,9 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rather than the non-ANSI NaN/Inf->decimal->NULL cast accident
         # (which is job-fatal under ANSI, and was job-fatal in the
         # DuckDB oracle's DECIMAL cast)
-        fin = (F.col("value") > F.lit(float("-inf"))) & (
-            F.col("value") < F.lit(float("inf"))
-        )
+        fin = numeric.finite_pred(F.col("value"))
         errors = (
             ev_t.where(F.col("event_type") == "error")
             .groupBy("user_id", "ts")
@@ -1006,15 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["computed_column"] = lambda s, d: maps.computed_column(
         _t(s, d, "lineitem"),
         "revenue",
-        # finite-guarded demo expression: identity on clean data, but
-        # a non-finite price/discount yields NULL on BOTH engines
-        # instead of crashing DuckDB's DECIMAL cast (engine-wide rule)
-        "CAST(CAST(CASE WHEN l_extendedprice > double('-inf')"
-        " AND l_extendedprice < double('inf') THEN l_extendedprice END"
-        " AS DECIMAL(18,2))"
-        " * (1 - CAST(CASE WHEN l_discount > double('-inf')"
-        " AND l_discount < double('inf') THEN l_discount END"
-        " AS DECIMAL(18,2))) AS DOUBLE)",
+        COMPUTED_REVENUE_EXPR,
     ).select("l_orderkey", "l_linenumber", "revenue")
     q["extract_json_value"] = lambda s, d: maps.extract_json_value(
         _t(s, d, "events"), "props", "k", "k_value"
@@ -1062,9 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # present = FINITE (engine-wide rule, same guard as
         # orders_rollup): one Inf/NaN totalprice must not crash the
         # ANSI/DuckDB DECIMAL cast or poison the sum (r8 probe bug)
-        fin = (F.col("o_totalprice") > F.lit(float("-inf"))) & (
-            F.col("o_totalprice") < F.lit(float("inf"))
-        )
+        fin = numeric.finite_pred(F.col("o_totalprice"))
         return (
             _t(s, d, "orders")
             .join(F.broadcast(_t(s, d, "customer")),
@@ -1080,9 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_customers_revenue"] = _top_customers_revenue
 
     def _part_type_stats(s, d):
-        fin = (F.col("p_retailprice") > F.lit(float("-inf"))) & (
-            F.col("p_retailprice") < F.lit(float("inf"))
-        )
+        fin = numeric.finite_pred(F.col("p_retailprice"))
         return (
             _t(s, d, "part")
             .groupBy("p_type")
@@ -1270,14 +1271,19 @@ def _fin_elem_sql(x: str) -> str:
 
 def _vec_clean_sql(v: str) -> str:
     """TRUE iff every component of vector `v` is present, finite, and
-    inside the exact-decimal element domain (|x| < 1e5, similarity.
-    _ELEM_BOUND) — the oracle twin of Spark's decimal fold, where one
-    bad element NULLs the entire dot (acc + NULL stays NULL)."""
+    inside the exact-decimal element domain (|x| <= 99999.99999999,
+    the decimal(13,8) max — similarity._ELEM_BOUND) — the oracle twin
+    of Spark's decimal fold, where one bad element NULLs the entire
+    dot (acc + NULL stays NULL). The bound is the decimal max, not
+    1e5: in (99999.999999995, 1e5) Spark's try_cast overflows to NULL
+    on half-up rounding while DuckDB's DECIMAL(13,8) cast accepts the
+    rounded 100000.00000000 — the one band where the engines' casts
+    disagree, excluded from the domain on both sides."""
     return (
         f"COALESCE(list_bool_and(["
-        f"COALESCE(CAST(x AS DOUBLE) > -100000.0"
-        f" AND CAST(x AS DOUBLE) < 100000.0, false)"
-        f" FOR x IN {v}]), false)"
+        f"COALESCE(CAST(x AS DOUBLE) >= CAST(-99999.99999999 AS DOUBLE)"
+        f" AND CAST(x AS DOUBLE) <= CAST(99999.99999999 AS DOUBLE),"
+        f" false) FOR x IN {v}]), false)"
     )
 
 

@@ -38,13 +38,20 @@ _ELEM = "decimal(13,8)"
 _ACC = "decimal(30,16)"
 
 
-# The exact-decimal ELEMENT DOMAIN: decimal(13,8) holds |x| < 1e5.
-# A finite component outside it is as malformed as a NaN — under
-# ANSI (Spark 4 default) a plain cast would be JOB-FATAL
-# (NUMERIC_VALUE_OUT_OF_RANGE), so every element cast is a try_cast
-# (overflow -> NULL -> the whole fold NULLs -> row quarantined) and
-# the hard-cut predicate below bounds magnitude explicitly.
-_ELEM_BOUND = 1e5
+# The exact-decimal ELEMENT DOMAIN: |x| <= 99999.99999999, the exact
+# decimal(13,8) maximum. A finite component outside it is as
+# malformed as a NaN — under ANSI (Spark 4 default) a plain cast
+# would be JOB-FATAL (NUMERIC_VALUE_OUT_OF_RANGE), so every element
+# cast is a try_cast (overflow -> NULL -> the whole fold NULLs -> row
+# quarantined) and the hard-cut predicate below bounds magnitude
+# explicitly. The bound is the DECIMAL MAX, not 1e5 (r9 review fix):
+# with a `< 1e5` cut, a double in (99999.999999995, 1e5) passed the
+# guard but half-up-rounded into overflow, so Spark's try_cast NULLed
+# the fold while DuckDB — whose DECIMAL(13,8) cast accepts the
+# rounded 100000.00000000 — did not: the one value band where the
+# engines' casts disagree. No passing value can overflow: rounding is
+# monotone, and every double <= the bound rounds to <= the bound.
+_ELEM_BOUND = 99999.99999999
 
 
 def _dec(c: Column) -> Column:
@@ -53,17 +60,21 @@ def _dec(c: Column) -> Column:
 
 def all_finite(vec_col: str) -> Column:
     """TRUE iff every component is present, finite, AND inside the
-    exact-decimal element domain (|x| < 1e5) — the malformed-vector
-    quarantine predicate (r9): one bad element makes the decimal fold
-    NULL anyway, so paths that need a hard row cut (PQ codes, LSH
-    buckets) use this up front instead of letting a NULL score mint a
-    garbage code/bucket. The strict comparisons reject NaN/±Inf for
-    free (both compare false). Codegen forall, no extra pass."""
+    exact-decimal element domain (|x| <= _ELEM_BOUND, the
+    decimal(13,8) max) — the malformed-vector quarantine predicate
+    (r9): one bad element makes the decimal fold NULL anyway, so
+    paths that need a hard row cut (PQ codes, LSH buckets) use this
+    up front instead of letting a NULL score mint a garbage
+    code/bucket. The comparisons reject NaN/±Inf for free (both
+    compare false), and every passing value is PROVABLY in-range for
+    _dec's try_cast (see the _ELEM_BOUND note — a `< 1e5` cut left a
+    rounding sliver where the engines' casts disagreed). Codegen
+    forall, no extra pass."""
     return F.forall(
         F.col(vec_col),
         lambda x: F.coalesce(
-            (x.cast("double") > F.lit(-_ELEM_BOUND))
-            & (x.cast("double") < F.lit(_ELEM_BOUND)),
+            (x.cast("double") >= F.lit(-_ELEM_BOUND))
+            & (x.cast("double") <= F.lit(_ELEM_BOUND)),
             F.lit(False),
         ),
     )
@@ -163,7 +174,17 @@ def cosine_topk(
     # bit-identical: the predicate drops precisely the rows whose
     # cosine was NULL (corr_matrix's pre-projection recipe,
     # README performance notes).
-    nonzero = F.exists(F.col(vec_col), lambda x: x.cast("double") != 0)
+    # `nonzero` must match the ARITHMETIC the score uses (r9 review
+    # fix): on the exact path a vector of sub-quantum components
+    # (e.g. [1e-9]*64 — nonzero doubles, all 0E-8 in decimal) has
+    # zero DECIMAL norms, so its cosine is NULL and the oracle's
+    # cosine-IS-NOT-NULL cut drops it — the guard has to drop it too,
+    # judged in decimal. The double test stays on the double path,
+    # where a norm is zero only if every component is exactly 0.0.
+    if exact:
+        nonzero = F.exists(F.col(vec_col), lambda x: _dec(x) != 0)
+    else:
+        nonzero = F.exists(F.col(vec_col), lambda x: x.cast("double") != 0)
     clean = all_finite(vec_col) & nonzero
     q = (
         embeddings.where(F.col(id_col) == query_id)
@@ -628,6 +649,20 @@ def ivf_topk_indexed_exact(
     cents_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cell
     )
+    # Loud config guard (r9 review): a query whose width matches NO
+    # stored centroid would NULL every probe score and silently probe
+    # cells 0..n_probe-1. It can't reuse _check_query_dims verbatim:
+    # this exact twin TOLERATES a mixed-width (malformed) centroid in
+    # the sidecar — data quarantines (that cell scores NULL, sorts
+    # last), configs fail loud — so the check is against the SET of
+    # stored widths, not one rectangular matrix.
+    widths = {len(r.centroid) for r in cents_rows}
+    if len(query_vec) not in widths:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims but the index at "
+            f"{path!r} stores centroid widths {sorted(widths)} — "
+            "re-embed the query or point at the matching index"
+        )
 
     def cent_lit(vec) -> Column:
         return F.array(*[_dec(F.lit(float(x))) for x in vec])

@@ -23,6 +23,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hillview_spark import numeric
+
 
 def corr_matrix(
     df: DataFrame,
@@ -56,16 +58,10 @@ def corr_matrix(
         df = df.where(portable_bernoulli(sample_key, sample_fraction, seed))
     elif sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    dtypes = dict(df.dtypes)
 
     def _finv(c):
-        col_ = F.col(c)
-        if dtypes.get(c) in ("double", "float"):
-            return F.when(
-                (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf"))),
-                col_,
-            ).alias(c)
-        return col_
+        # engine-wide finite rule (hillview_spark.numeric)
+        return numeric.finite_value(df, c).alias(c)
 
     # pairwise-finite deletion (the engine-wide numeric rule): one
     # NaN/±Inf row would otherwise turn EVERY pair touching its column
@@ -119,16 +115,10 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
     (the SQL oracle reproduces them analytically for d=2)."""
     import numpy as np
 
-    dtypes = dict(df.dtypes)
 
     def _finv(c):
-        col_ = F.col(c)
-        if dtypes.get(c) in ("double", "float"):
-            return F.when(
-                (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf"))),
-                col_,
-            )
-        return col_
+        # engine-wide finite rule (hillview_spark.numeric)
+        return numeric.finite_value(df, c)
 
     # one fused aggregate job: moments and pairwise correlations are
     # independent expressions over the same rows — two .agg() calls
@@ -444,16 +434,10 @@ def category_centroids(
     category value — a plain groupBy aggregate. Means run over FINITE
     values only (the engine-wide numeric rule): one NaN reading would
     otherwise turn its whole category's centroid into NaN."""
-    dtypes = dict(df.dtypes)
 
     def fin(c):
-        col_ = F.col(c)
-        if dtypes.get(c) in ("double", "float"):
-            return F.when(
-                (col_ > F.lit(float("-inf"))) & (col_ < F.lit(float("inf"))),
-                col_,
-            )
-        return col_
+        # engine-wide finite rule (hillview_spark.numeric)
+        return numeric.finite_value(df, c)
 
     return df.groupBy(F.col(category_col).alias("category")).agg(
         *[

@@ -21,6 +21,9 @@ spine (F.sequence → explode, a tiny local relation).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from hillview_spark import numeric
 
 
 def _validate_stages(stages) -> None:
@@ -52,11 +55,7 @@ def _finite(df: DataFrame, col: str) -> Column:
     c = F.col(col)
     cond = c.isNotNull()
     if dict(df.dtypes).get(col) in ("double", "float"):
-        cond = (
-            cond
-            & (c > F.lit(float("-inf")))
-            & (c < F.lit(float("inf")))
-        )
+        cond = cond & numeric.finite_pred(c)
     return cond
 
 
@@ -89,17 +88,23 @@ def data_range_interval(df: DataFrame, col: str) -> DataFrame:
 
     The engine-wide missing rule applies at the INTERVAL level (r9,
     aligning with data_range): an interval is present iff both
-    endpoints are present and finite; otherwise the whole cell is
-    missing — it contributes to missing_count and never to the
-    extremes. Before r9 a single NaN endpoint leaked through as
-    max_end (both engines agreed, but the contract didn't)."""
+    endpoints are present and — for float/double endpoints — finite;
+    otherwise the whole cell is missing: it contributes to
+    missing_count and never to the extremes. Before r9 a single NaN
+    endpoint leaked through as max_end (both engines agreed, but the
+    contract didn't). The NaN/Inf checks dispatch on the endpoint
+    dtype: interval_column is type-generic (date/timestamp/int
+    intervals are legal) and isnan only accepts floats."""
     s, e = F.col(f"{col}.start"), F.col(f"{col}.end")
-    valid = (
-        s.isNotNull() & e.isNotNull()
-        & ~F.isnan(s) & ~F.isnan(e)
-        & (F.abs(s) != F.lit(float("inf")))
-        & (F.abs(e) != F.lit(float("inf")))
-    )
+
+    def _fin(c: Column, dtype) -> Column:
+        ok = c.isNotNull()
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            ok = ok & numeric.finite_pred(c)
+        return ok
+
+    fields = {f.name: f.dataType for f in df.schema[col].dataType.fields}
+    valid = _fin(s, fields["start"]) & _fin(e, fields["end"])
     return df.agg(
         F.min(F.when(valid, s)).alias("min_start"),
         F.max(F.when(valid, e)).alias("max_end"),

@@ -45,6 +45,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hillview_spark import numeric
+
 BRANCHING_FACTOR = 20
 
 
@@ -228,15 +230,11 @@ def _leaf_to_bucket(buckets: int, leaves: int):
 
 def _finite_double(c: "F.Column") -> "F.Column":
     """Present-and-usable predicate on a cast-to-double column: NULL,
-    NaN, and ±Inf are MISSING (the engine-wide rule, see
-    histogram._finite). The strict comparisons against the ±Inf
+    NaN, and ±Inf are MISSING (the engine-wide rule,
+    hillview_spark.numeric). The strict comparisons against the ±Inf
     literals are false for NaN too, and the oracle expresses the same
     predicate as isfinite()."""
-    return (
-        c.isNotNull()
-        & (c > F.lit(float("-inf")))
-        & (c < F.lit(float("inf")))
-    )
+    return c.isNotNull() & numeric.finite_pred(c)
 
 
 def dp_histogram(

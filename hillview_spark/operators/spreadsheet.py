@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hillview_spark import numeric
+
 
 def _reference_order(sort_cols: list[str], ascending: list[bool]) -> list[Column]:
     """Hillview's record order treats a missing value as GREATER than
@@ -91,23 +93,15 @@ def next_k_aggregate(
         ascending = [True] * len(sort_cols)
     if start is not None:
         df = df.where(_after_start(sort_cols, ascending, start, inclusive))
-    dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for c, how in agg_specs:
         name = f"{how}_{c}"
         # present = FINITE for float/double aggregate columns (the
-        # engine-wide rule, histogram._finite): explicit, rather than
-        # leaning on the non-ANSI NaN->decimal->NULL cast accident —
-        # under ANSI the cast would make one NaN row job-fatal, and
-        # ±Inf would poison the sums either way
-        if dtypes.get(c) in ("double", "float"):
-            vc = F.when(
-                (F.col(c) > F.lit(float("-inf")))
-                & (F.col(c) < F.lit(float("inf"))),
-                F.col(c),
-            )
-        else:
-            vc = F.col(c)
+        # engine-wide rule, hillview_spark.numeric): explicit, rather
+        # than leaning on the non-ANSI NaN->decimal->NULL cast
+        # accident — under ANSI the cast would make one NaN row
+        # job-fatal, and ±Inf would poison the sums either way
+        vc = numeric.finite_value(df, c)
         # decimal(28,4): 24 integer digits, so epoch-nanos-scale
         # values don't hit ANSI NUMERIC_VALUE_OUT_OF_RANGE the way
         # (18,4) did; still lossless for 4-decimal data and

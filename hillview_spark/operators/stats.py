@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from hillview_spark import cache
+from hillview_spark import cache, numeric
 from hillview_spark.operators.histogram import _finite as _hist_finite
 
 
@@ -112,21 +112,13 @@ def basic_col_stats(
     path is tolerance-tested against it.
     """
     scale = 4
-    dtypes = dict(df.dtypes)
     aggs = []
     for c in cols:
         # present = FINITE for float/double columns (NaN/±Inf are
-        # missing, the same rule as histogram._finite): a single NaN
-        # would otherwise poison min/max and raise on the decimal
-        # casts; ±Inf would poison the sums
-        if dtypes.get(c) in ("double", "float"):
-            vc = F.when(
-                (F.col(c) > F.lit(float("-inf")))
-                & (F.col(c) < F.lit(float("inf"))),
-                F.col(c),
-            )
-        else:
-            vc = F.col(c)
+        # missing — the engine-wide rule, hillview_spark.numeric):
+        # a single NaN would otherwise poison min/max and raise on
+        # the decimal casts; ±Inf would poison the sums
+        vc = numeric.finite_value(df, c)
         if exact and widths and c in widths:
             p, ws = widths[c]
             dec = dsq = vc.cast(f"decimal({p},{ws})")

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hillview_spark import numeric
+
 # Microsecond epoch from a TIMESTAMP_NTZ (cast-to-long would truncate
 # to seconds; unix_micros would re-enter the session timezone).
 # The column name is backtick-quoted (and backticks doubled) — an
@@ -221,14 +223,9 @@ def range_join(
 
 def _fin_val(df, col: str):
     """FINITE value or NULL (the engine-wide numeric rule,
-    histogram._finite): a NaN/±Inf reading must not poison — or, on
-    the DECIMAL cast, job-kill — a rolling sum; it is missing."""
-    c = F.col(col)
-    if dict(df.dtypes).get(col) in ("double", "float"):
-        return F.when(
-            (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
-        )
-    return c
+    hillview_spark.numeric): a NaN/±Inf reading must not poison — or,
+    on the DECIMAL cast, job-kill — a rolling sum; it is missing."""
+    return numeric.finite_value(df, col)
 
 
 def moving_aggregate(

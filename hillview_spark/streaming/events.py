@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from hillview_spark import numeric
+
 
 def _event_time_stream(
     spark: SparkSession, events_dir: str, schema
@@ -42,15 +44,10 @@ def _event_time_stream(
 
 def _fin_value(df: DataFrame, col: str = "value"):
     """FINITE value or NULL for the decimal value sums (the
-    engine-wide numeric rule): NaN/±Inf readings are missing — the
-    DECIMAL cast would otherwise be job-fatal under ANSI and crash
-    the DuckDB oracle outright."""
-    c = F.col(col)
-    if dict(df.dtypes).get(col) in ("double", "float"):
-        return F.when(
-            (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
-        )
-    return c
+    engine-wide numeric rule, hillview_spark.numeric): NaN/±Inf
+    readings are missing — the DECIMAL cast would otherwise be
+    job-fatal under ANSI and crash the DuckDB oracle outright."""
+    return numeric.finite_value(df, col)
 
 
 def windowed_counts(events: DataFrame, unit: str = "hour") -> DataFrame:

@@ -1822,6 +1822,13 @@ def test_ivf_indexed_probe_handles_mixed_width_centroid(spark, tmp_path):
         emb, 0, k=5, n_cells=8, n_probe=1, stride=50
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in live]
+    # r9 review: a query width matching NO stored centroid width is a
+    # CONFIG error and fails loud (the sibling live twins' rule) —
+    # silent NULL probe scores used to probe cells 0..n_probe-1
+    with __import__("pytest").raises(ValueError, match="dims"):
+        similarity.ivf_topk_indexed_exact(
+            spark, path, [0.1] * 8, k=5, n_probe=1
+        )
 
 
 def test_check_vector_width_reports_quarantine_split(spark):

@@ -475,6 +475,12 @@ def _edge_vec_rows():
         bigv = [0.25] * 64
         bigv[31] = 1.0e6
         rows.append((21, bigv, 0))
+        # r9 review fix: SUB-QUANTUM vector — nonzero doubles that all
+        # round to 0E-8 in decimal(13,8). Zero decimal norms make its
+        # cosine NULL; the oracle's division-by-zero -> NULL -> filter
+        # drops it, so the Spark guard must judge `nonzero` in DECIMAL
+        # (the old double-!=0 test let a NULL-cosine row into top-k)
+        rows.append((22, [1e-9] * 64, 1))
         _EDGE_VECS = rows
     return _EDGE_VECS
 
@@ -553,6 +559,65 @@ def test_oracle_matches_on_edge_vectors(spark, edge_vec_df, edge_vec_con, key):
     if key == "dedup_embedding_cosine":
         # the equal-width 16-dim pair must have been judged, not dropped
         assert any("12, 16" in g or "(1.0, 12, 16)" in g for g in got), got
+
+
+def test_element_domain_sliver_excluded_on_both_engines(spark):
+    """The ONE value band where the engines' decimal casts disagree
+    (r9 review find): for a double in (99999.999999995, 1e5), Spark's
+    try_cast half-up-rounds into overflow -> NULL, while DuckDB's
+    DECIMAL(13,8) cast ACCEPTS the rounded 100000.00000000. The
+    element-domain bound is therefore the decimal max
+    (|x| <= 99999.99999999, inclusive), which both engines evaluate
+    as the same double comparison — a sliver component quarantines
+    the row identically everywhere. This test pins both the raw cast
+    divergence (so an engine upgrade that fixes it surfaces here) and
+    the guard's exclusion parity."""
+    import duckdb as _dd
+
+    from pyspark.sql import functions as F
+
+    from hillview_spark.functions import similarity as sim
+
+    sliver = 99999.999999996
+    # the raw casts DO disagree — that is why the bound exists
+    spark_cast = (
+        spark.range(1)
+        .select(F.lit(sliver).try_cast("decimal(13,8)").alias("d"))
+        .first()
+        .d
+    )
+    duck_cast = _dd.sql(
+        f"SELECT TRY_CAST(CAST({sliver!r} AS DOUBLE) AS DECIMAL(13,8))"
+    ).fetchone()[0]
+    assert spark_cast is None and duck_cast is not None
+    # ...but the guard excludes the row on BOTH sides
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, sliver]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {
+        r.vec_id
+        for r in df.where(sim.all_finite("embedding")).collect()
+    }
+    assert kept == {0, 2}
+    con = _dd.connect()
+    con.register(
+        "embeddings",
+        __import__("pandas").DataFrame(
+            {"vec_id": [0, 1, 2],
+             "embedding": [[1.0, 2.0], [1.0, sliver], [3.0, 4.0]]}
+        ),
+    )
+    import __spark_entry__ as em
+
+    duck_kept = {
+        r[0]
+        for r in con.sql(
+            "SELECT vec_id FROM embeddings WHERE "
+            + em._vec_clean_sql("embedding")
+        ).fetchall()
+    }
+    assert duck_kept == {0, 2}
 
 def test_persisted_ivf_index_matches_oracle_on_edge_vectors(
     spark, edge_vec_df, edge_vec_con, tmp_path
@@ -744,16 +809,11 @@ def _li_cases():
         ),
         # r9: the gate's finite-guarded computed-column expression —
         # non-finite price/discount must yield NULL revenue on both
-        # engines, never a DuckDB DECIMAL-cast crash
+        # engines, never a DuckDB DECIMAL-cast crash. Reuses the
+        # gate's OWN expression constant so the pin can't drift from
+        # what the driver actually runs.
         "computed_column": lambda df: maps.computed_column(
-            df,
-            "revenue",
-            "CAST(CAST(CASE WHEN l_extendedprice > double('-inf')"
-            " AND l_extendedprice < double('inf') THEN l_extendedprice END"
-            " AS DECIMAL(18,2))"
-            " * (1 - CAST(CASE WHEN l_discount > double('-inf')"
-            " AND l_discount < double('inf') THEN l_discount END"
-            " AS DECIMAL(18,2))) AS DOUBLE)",
+            df, "revenue", entry_mod.COMPUTED_REVENUE_EXPR
         ).select("l_orderkey", "l_linenumber", "revenue"),
         "quantized_histogram": lambda df: (
             maps.quantize_column(
