@@ -31,6 +31,14 @@ def get_spark(
         # Dimension tables at TPC-H-ish shape stay well under this;
         # broadcast instead of shuffling the fact table.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # The threshold above is an ESTIMATE on the build input; the
+        # built HashedRelation is ~5x larger on the driver heap. With
+        # Spark's 1g default driver heap, a build side near the 64 MiB
+        # line OOMs the broadcast (seen at a 10x local scale replica,
+        # r9) — pair the threshold with a driver heap that can hold a
+        # few built relations. Only effective when this session boots
+        # the JVM (local mode / spark-submit defaults can override).
+        "spark.driver.memory": "6g",
         # Read-side parallelism: default 128 MiB splits.
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
