@@ -398,6 +398,49 @@ def test_core_family_matches_oracle_on_edges(
     assert got == want, f"{key} diverged on the core edge tables"
 
 
+@pytest.fixture(scope="module")
+def core_empty_dir(spark, tmp_path_factory):
+    """The same six tables, zero rows — aggregation identities must
+    agree: counts 0, moments/ranges NULL, bucket/noise spines still
+    emit their full range (the DP oracles' k-adic draws and the
+    singleton histogram's generate_series are data-independent),
+    find_substring still reports one 0-count row, and everything
+    row-shaped is empty-to-empty."""
+    base = tmp_path_factory.mktemp("edge-core-empty")
+    for name in _ROWS:
+        spark.createDataFrame([], _SCHEMAS[name]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"{name}.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def core_empty_con(core_empty_dir):
+    con = duckdb.connect()
+    for name in _ROWS:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM"
+            f" read_parquet('{core_empty_dir}/{name}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("key", _KEYS)
+def test_core_family_matches_oracle_on_empty_tables(
+    spark, core_empty_dir, core_empty_con, key
+):
+    sdf = entry_mod.queries()[key](spark, core_empty_dir)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = core_empty_con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on empty tables"
+
+
 def test_negative_zero_value_domain(spark):
     """±0.0 as a GROUP KEY / DISTINCT representative is outside the
     oracle value domain, and this test is the pin that documents why:
