@@ -422,6 +422,30 @@ def ab_pairs(t):
             .limit(10)
         )
 
+    def corr_matrix_builtin():
+        # predecessor (pre-r9): the builtin corr aggregate — fast,
+        # but ANSI-job-fatal the moment any column is constant
+        from hillview_spark import numeric
+
+        proj = t["lineitem"].select(*[
+            numeric.finite_value(t["lineitem"], c).alias(c)
+            for c in _stat_cols
+        ])
+        aggs, names = [], []
+        for i, a in enumerate(_stat_cols):
+            for b in _stat_cols[i:]:
+                aggs.append(F.round(F.corr(a, b), 4).alias(f"{a}|{b}"))
+                names.append((a, b))
+        wide = proj.agg(*aggs)
+        structs = F.array(*[
+            F.struct(
+                F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                F.col(f"{a}|{b}").alias("corr"),
+            )
+            for a, b in names
+        ])
+        return wide.select(F.explode(structs).alias("s")).select("s.*")
+
     return {
         "col_stats_widths": {
             "a": (lambda: stats.basic_col_stats(
@@ -465,6 +489,18 @@ def ab_pairs(t):
                 t["documents"], threshold=0.3), "noop"),
             "a_desc": "A/A: identical code both sides",
             "b_desc": "A/A: in-session noise floor (dedup untouched r7)",
+        },
+        # r9: the crash-proof correlation. Spark 4's builtin corr is
+        # JOB-FATAL (ANSI DIVIDE_BY_ZERO) on a constant column; the
+        # guarded covar/stddev decomposition returns NULL like
+        # DuckDB's corr. Honest cost record: ~20-25% on this anchor
+        # in the same-session A/B (values identical at round-4).
+        "corr_safe_guard": {
+            "a": (lambda: correlation.corr_matrix(
+                t["lineitem"], _stat_cols), "collect"),
+            "b": (lambda: corr_matrix_builtin(), "collect"),
+            "a_desc": "guarded covar/stddev corr (r9, degenerate-safe)",
+            "b_desc": "builtin F.corr (job-fatal on constant columns)",
         },
     }
 

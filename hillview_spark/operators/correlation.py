@@ -26,6 +26,22 @@ from pyspark.sql import Column, DataFrame, functions as F
 from hillview_spark import numeric
 
 
+def _safe_corr(a, b) -> Column:
+    """Pearson correlation that yields NULL on zero variance instead
+    of killing the job: Spark 4's builtin `corr` divides by the
+    co-moment product under ANSI and throws DIVIDE_BY_ZERO when
+    either column is constant (found by the r9 constant-column
+    probe — one degenerate column must never kill a 100-TB scan).
+    covar_samp / (stddev_samp * stddev_samp) is the same Welford
+    co-moment state with a guarded finalization — mathematically
+    identical (ck/sqrt(xMk*yMk), the (n-1) factors cancel), and
+    DuckDB's native corr returns NULL on the same degenerate inputs,
+    so the oracles agree without change. Catalyst de-duplicates the
+    per-column stddev aggregates across pairs."""
+    den = F.stddev_samp(a) * F.stddev_samp(b)
+    return F.when(den > 0, F.covar_samp(a, b) / den)
+
+
 def corr_matrix(
     df: DataFrame,
     cols: list[str],
@@ -75,7 +91,7 @@ def corr_matrix(
     names = []
     for i, a in enumerate(cols):
         for b in cols[i:]:
-            aggs.append(F.round(F.corr(a, b), ndigits).alias(f"{a}|{b}"))
+            aggs.append(F.round(_safe_corr(a, b), ndigits).alias(f"{a}|{b}"))
             names.append((a, b))
     wide = proj.agg(*aggs)
     structs = F.array(
@@ -132,7 +148,7 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
             [F.avg(_finv(c)).alias(f"{c}__mu") for c in cols]
             + [F.stddev_samp(_finv(c)).alias(f"{c}__sd") for c in cols]
             + [
-                F.corr(
+                _safe_corr(
                     F.when(
                         _finv(a).isNotNull() & _finv(b).isNotNull(), F.col(a)
                     ),
@@ -164,8 +180,20 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
     for j, v in enumerate(comps):
         expr: Column = F.lit(0.0)
         for ci, c in enumerate(cols):
-            mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"] or 1.0
-            expr = expr + ((F.col(c) - F.lit(mu)) / F.lit(sd)) * F.lit(float(v[ci]))
+            mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"]
+            # Degenerate standardization is UNDEFINED, not zero (r9
+            # single-row/constant-column probes): sd is NULL at n<=1
+            # and 0.0 on a constant column — the old `or 1.0`
+            # fallback fabricated 0.0 coordinates (and Python's
+            # `0.0 or 1.0` took the fallback too) while the analytic
+            # oracle NULLs; a literal-0 divisor is also job-fatal
+            # under ANSI. One undefined column NULLs the projection.
+            if sd is None or not sd > 0:
+                expr = expr + F.lit(None).cast("double")
+            else:
+                expr = expr + (
+                    (F.col(c) - F.lit(mu)) / F.lit(sd)
+                ) * F.lit(float(v[ci]))
         out = out.withColumn(f"pc{j}", F.round(expr, 6))
     return out
 

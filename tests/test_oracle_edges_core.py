@@ -441,6 +441,89 @@ def test_core_family_matches_oracle_on_empty_tables(
     assert got == want, f"{key} diverged on empty tables"
 
 
+_DEGEN_KEYS = [
+    # the keys whose math divides by a variance/spread — the r9
+    # degenerate probes found Spark 4's builtin corr JOB-FATAL
+    # (ANSI DIVIDE_BY_ZERO) on a constant column, and pca's old
+    # `sd or 1.0` fallback fabricating 0.0 coordinates at n=1 where
+    # the analytic oracle NULLs
+    "corr_matrix",
+    "corr_matrix_sampled",
+    "pca_project",
+    "jl_project",
+    "category_centroids",
+    "basic_col_stats",
+    "quantiles_price",
+    "histogram1d_numeric",
+    "histogram_singleton",
+    "data_range",
+    "histogram_quantiles",
+]
+
+
+@pytest.fixture(scope="module", params=["constant", "single_row"])
+def degen_env(request, spark, tmp_path_factory):
+    """Two degenerate shapes: every numeric column CONSTANT over 5
+    rows (zero variance), and exactly ONE row (undefined sample
+    stddev). Same tables, written as parquet for the real closures."""
+    import datetime as _dt
+
+    n = 5 if request.param == "constant" else 1
+    ts_li = _dt.datetime(1996, 6, 1, 8, 30)
+    ts_o = _dt.datetime(2024, 1, 1, 8, 30)
+    rows = {
+        "lineitem": [
+            (i, 2, 3, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O", ts_li)
+            for i in range(1, n + 1)
+        ],
+        "orders": [
+            (i, 1, "O", 100.0, ts_o, "1-PRIO") for i in range(1, n + 1)
+        ],
+        "customer": [
+            (i, f"Customer#{i}", 1, 100.0, "BUILDING")
+            for i in range(1, n + 1)
+        ],
+        "part": [
+            (i, f"part {i}", "Brand#1", "ECONOMY BRUSHED", 5, 900.0)
+            for i in range(1, n + 1)
+        ],
+        "documents": [
+            (i, "alpha beta gamma", "en", "web", 20)
+            for i in range(1, n + 1)
+        ],
+        "events": [
+            (i, ts_o, 1, "click", 1.5, "{}") for i in range(1, n + 1)
+        ],
+    }
+    base = tmp_path_factory.mktemp(f"edge-degen-{request.param}")
+    for name, rs in rows.items():
+        spark.createDataFrame(rs, _SCHEMAS[name]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"{name}.parquet"))
+    con = duckdb.connect()
+    for name in rows:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM"
+            f" read_parquet('{base}/{name}.parquet/*.parquet')"
+        )
+    return str(base), con
+
+
+@pytest.mark.parametrize("key", _DEGEN_KEYS)
+def test_degenerate_inputs_match_oracle(spark, degen_env, key):
+    degen_dir, con = degen_env
+    sdf = entry_mod.queries()[key](spark, degen_dir)
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    rel = con.sql(entry_mod.oracle_sql()[key])
+    dcols = list(rel.columns)
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want, f"{key} diverged on degenerate input"
+
+
 def test_negative_zero_value_domain(spark):
     """±0.0 as a GROUP KEY / DISTINCT representative is outside the
     oracle value domain, and this test is the pin that documents why:
