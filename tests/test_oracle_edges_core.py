@@ -461,16 +461,57 @@ _DEGEN_KEYS = [
 ]
 
 
-@pytest.fixture(scope="module", params=["constant", "single_row"])
+@pytest.fixture(
+    scope="module", params=["constant", "single_row", "all_null"]
+)
 def degen_env(request, spark, tmp_path_factory):
-    """Two degenerate shapes: every numeric column CONSTANT over 5
-    rows (zero variance), and exactly ONE row (undefined sample
-    stddev). Same tables, written as parquet for the real closures."""
+    """Three degenerate shapes: every numeric column CONSTANT over 5
+    rows (zero variance), exactly ONE row (undefined sample stddev),
+    and ALL-NULL value columns with live identity keys (aggregates
+    over zero present values). Same tables, written as parquet for
+    the real closures. A broader probe ran ALL the core keys over
+    the all-null shape divergence-free before this pin was cut to
+    the variance family."""
     import datetime as _dt
 
-    n = 5 if request.param == "constant" else 1
+    n = 1 if request.param == "single_row" else 5
     ts_li = _dt.datetime(1996, 6, 1, 8, 30)
     ts_o = _dt.datetime(2024, 1, 1, 8, 30)
+    if request.param == "all_null":
+        rows = {
+            "lineitem": [
+                (i, None, None, 1, None, None, None, None, None, None,
+                 None)
+                for i in range(1, n + 1)
+            ],
+            "orders": [
+                (i, None, None, None, None, None) for i in range(1, n + 1)
+            ],
+            "customer": [
+                (i, None, None, None, None) for i in range(1, n + 1)
+            ],
+            "part": [
+                (i, None, None, None, None, None) for i in range(1, n + 1)
+            ],
+            "documents": [
+                (i, None, None, None, None) for i in range(1, n + 1)
+            ],
+            "events": [
+                (i, None, None, None, None, None) for i in range(1, n + 1)
+            ],
+        }
+        base = tmp_path_factory.mktemp("edge-degen-all-null")
+        for name, rs in rows.items():
+            spark.createDataFrame(rs, _SCHEMAS[name]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(base / f"{name}.parquet"))
+        con = duckdb.connect()
+        for name in rows:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM"
+                f" read_parquet('{base}/{name}.parquet/*.parquet')"
+            )
+        return str(base), con
     rows = {
         "lineitem": [
             (i, 2, 3, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O", ts_li)
