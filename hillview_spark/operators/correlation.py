@@ -32,14 +32,20 @@ def _safe_corr(a, b) -> Column:
     co-moment product under ANSI and throws DIVIDE_BY_ZERO when
     either column is constant (found by the r9 constant-column
     probe — one degenerate column must never kill a 100-TB scan).
-    covar_samp / (stddev_samp * stddev_samp) is the same Welford
-    co-moment state with a guarded finalization — mathematically
-    identical (ck/sqrt(xMk*yMk), the (n-1) factors cancel), and
-    DuckDB's native corr returns NULL on the same degenerate inputs,
-    so the oracles agree without change. Catalyst de-duplicates the
-    per-column stddev aggregates across pairs."""
-    den = F.stddev_samp(a) * F.stddev_samp(b)
-    return F.when(den > 0, F.covar_samp(a, b) / den)
+    covar_samp / (stddev_samp * stddev_samp) over the MUTUALLY
+    PRESENT rows is the same Welford co-moment computation with a
+    guarded finalization — `corr` does pairwise deletion, so the
+    stddevs must be masked to rows where BOTH sides are present (an
+    unmasked stddev over all of a's rows diverged in the 3rd decimal
+    on the NULL-patterned edge fixture), and the (n-1) factors
+    cancel. DuckDB's native corr returns NULL on the same degenerate
+    inputs, so the oracles agree without change."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    both = a.isNotNull() & b.isNotNull()
+    ax, bx = F.when(both, a), F.when(both, b)
+    den = F.stddev_samp(ax) * F.stddev_samp(bx)
+    return F.when(den > 0, F.covar_samp(ax, bx) / den)
 
 
 def corr_matrix(
