@@ -1150,9 +1150,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter", "set_operation", "string_filter_regex",
         "string_quantiles", "systematic_sample", "table_profile",
         "table_summary",
-        # (c) oldest r6 stragglers
-        "q4_late_orders", "q10_returned_items", "q14_promo_revenue",
-        "events_windowed_counts",
+        # (a2) late-r9 semantic changes that must re-prove: the
+        # crash-proof pairwise-masked corr decomposition replaced the
+        # ANSI-fatal builtin in both corr keys (values identical at
+        # round-4 on this fixture — the gate row is the proof)
+        "corr_matrix", "corr_matrix_sampled",
+        # (c) oldest r6 stragglers (q4/q10 untouched since r6 rotate
+        # in r10 — they lost their slots to the corr re-proofs)
+        "q14_promo_revenue", "events_windowed_counts",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
