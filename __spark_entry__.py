@@ -1171,7 +1171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Shared SQL fragments for the dedup/text oracles (DuckDB dialect).
 _SHINGLES = r"""
-    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t
+    toks AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '') t
              FROM documents),
     sh AS (SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2] AS s
            FROM toks, UNNEST(generate_series(1, len(t)-2)) u(i))
@@ -1341,7 +1343,10 @@ def _minhash_sql() -> str:
 
 def _simhash_pairs_sql() -> str:
     return r"""
-        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        WITH toks AS (SELECT doc_id,
+                             unnest(list_filter(
+                                 string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '')) AS t
                       FROM documents),
         h AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM toks),
         bits AS (SELECT doc_id, j,
@@ -3246,7 +3251,9 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN gs ON d.doc_id = gs.doc_id
     """
     o["decontaminate_train"] = r"""
-        WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '') AS t
                     FROM documents),
         sh AS (SELECT DISTINCT doc_id,
                       t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
@@ -3640,7 +3647,7 @@ def oracle_sql() -> dict[str, str]:
     # spine's sequential sum; scale = ceil(log20 2^20)/eps = 5.0.
     # (The n==20 k-unit-leaves special case can't occur: leaves sit
     # near 2^19.) type_index = first 4 md5 bytes of the type & 2^31-1.
-    o["dp_prefix_counts"] = """
+    o["dp_prefix_counts"] = f"""
         WITH pow(p, v) AS (
             VALUES (0, 1), (1, 20), (2, 400), (3, 8000),
                    (4, 160000), (5, 3200000)
@@ -3657,7 +3664,7 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_events) OVER (
                        PARTITION BY event_type ORDER BY window_start
                    ) AS cum,
-                   CAST(('0x' || substr(md5(COALESCE(event_type, '')),
+                   CAST(('0x' || substr(md5({_prf_field_sql("event_type")}),
                         1, 8)) AS BIGINT) & 2147483647 AS ci
             FROM counts
         ), nodes AS (

@@ -39,6 +39,26 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
+class LocalCheckpointHandle:
+    """Releasable wrapper for a localCheckpoint'd DataFrame: the
+    blocks live on the underlying JVM RDD (LogicalRDD), which plain
+    DataFrame.unpersist() does NOT touch. Register with track() so
+    release_all() frees them, or call unpersist() directly for eager
+    per-round cleanup (the connected-components loop)."""
+
+    def __init__(self, df) -> None:
+        self._df = df
+
+    def unpersist(self, blocking: bool = False):
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(
+                bool(blocking)
+            )
+        except Exception:
+            pass  # session stopped or checkpoint never materialized
+        return self._df
+
+
 class Registry:
     """A releasable set of persisted DataFrames."""
 

@@ -19,7 +19,16 @@ TOKEN_RE = r"\s+"
 
 
 def tokens(text: Column) -> Column:
-    return F.split(F.trim(text), TOKEN_RE)
+    r"""Whitespace tokens with empties dropped. F.trim strips only
+    ASCII spaces, so a leading/trailing tab or newline used to leave
+    '' tokens in the split output (Spark keeps leading/trailing empty
+    fields), silently corrupting shingle sets and MinHash/SimHash
+    fingerprints — a byte-near-identical doc with a leading newline
+    scored Jaccard 0.5 against its twin (r9 review). Internal
+    whitespace runs never produce empties (the \s+ regex eats the
+    run), so the filter only repairs the edges. The DuckDB oracle
+    twins apply the same list_filter."""
+    return F.filter(F.split(F.trim(text), TOKEN_RE), lambda x: x != "")
 
 
 def shingles_of(toks: Column, n: int = 3) -> Column:
@@ -557,6 +566,7 @@ def connected_components(
         .transform(cache.persist)
     )
     changed = -1
+    first_round = True
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -598,7 +608,18 @@ def connected_components(
             .where("n.label <> o.label")
             .count()
         )
-        labels.unpersist()
+        # free the PREVIOUS round's blocks eagerly: new_labels is
+        # already materialized (localCheckpoint is eager), so the old
+        # labels can't be referenced again. Round 1's labels is the
+        # registry-persisted frame (cache.release); later rounds are
+        # checkpointed — plain unpersist() is a NO-OP on checkpoint
+        # RDD blocks (r9 review), so the shared handle frees the
+        # underlying RDD storage directly.
+        if first_round:
+            cache.release(labels)
+            first_round = False
+        else:
+            cache.LocalCheckpointHandle(labels).unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -607,6 +628,10 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"
         )
+    # the returned labels' checkpoint blocks outlive this call —
+    # register them so release_all() can free them (cache.py contract)
+    cache.track(cache.LocalCheckpointHandle(labels))
+    cache.release(edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -630,7 +655,11 @@ def dedup_corpus(
     keepers = exact_dedup(df, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    kept = df.join(keepers, id_col, "semi")
+    # persist: `kept` feeds three consumers (the LSH signature build,
+    # verify_jaccard's shingle table, and the final anti-join) — the
+    # full-corpus md5 groupBy + semi-join would otherwise run ~3x
+    # (r9 review; same pattern as `banded`/`sh`/`pairs` below)
+    kept = cache.persist(df.join(keepers, id_col, "semi"))
     pairs = verify_jaccard(
         kept,
         minhash_lsh_pairs(kept, num_hashes, bands, n, id_col, text_col),

@@ -24,23 +24,9 @@ from hillview_spark import cache, numeric
 from hillview_spark.operators.histogram import _finite as _hist_finite
 
 
-class _LocalCheckpointHandle:
-    """Releasable wrapper for a localCheckpoint'd DataFrame: the
-    blocks live on the underlying JVM RDD (LogicalRDD), which plain
-    DataFrame.unpersist() does not touch. cache.release_all() calls
-    unpersist() here to free them once results are materialized."""
-
-    def __init__(self, df: DataFrame) -> None:
-        self._df = df
-
-    def unpersist(self, blocking: bool = False):
-        try:
-            self._df._jdf.queryExecution().analyzed().rdd().unpersist(
-                bool(blocking)
-            )
-        except Exception:
-            pass  # session stopped or checkpoint never materialized
-        return self._df
+# moved to hillview_spark.cache (r9) so every localCheckpoint site
+# shares one releasable-handle implementation
+_LocalCheckpointHandle = cache.LocalCheckpointHandle
 
 
 def row_count(df: DataFrame) -> DataFrame:

@@ -169,11 +169,21 @@ def stream_sessionize(
     ])
 
     def _frame(rows):
+        # emitted bounds truncate to whole seconds, matching the batch
+        # twin's trunc_ntz(min/max ts, 'second') (r9 review: the twins
+        # diverged on sub-second event times; the GAP logic above
+        # stays microsecond-exact — only the report truncates).
+        # Python %-floor handles pre-epoch negatives like date_trunc.
+        sec = lambda us: us - us % 1_000_000
         return pd.DataFrame(
             {
                 "user_id": [c[0] for c in rows],
-                "session_start": [pd.Timestamp(c[1], unit="us") for c in rows],
-                "session_end": [pd.Timestamp(c[2], unit="us") for c in rows],
+                "session_start": [
+                    pd.Timestamp(sec(c[1]), unit="us") for c in rows
+                ],
+                "session_end": [
+                    pd.Timestamp(sec(c[2]), unit="us") for c in rows
+                ],
                 "n_events": [c[3] for c in rows],
             }
         )
@@ -212,6 +222,14 @@ def stream_sessionize(
             else:
                 # in-gap event; never move the session clock backwards
                 last_us, count = max(last_us, us), count + 1
+        if last_us is None:
+            # every row in the batch was NaT and no session is open
+            # (last_us can only be None when state didn't exist):
+            # storing (None, None, 0) would arm a timeout that later
+            # flushes a phantom (user, NULL, NULL, 0) session row
+            # (r9 review find — timeout='processing' has no watermark,
+            # so NaT rows DO reach this fn)
+            return
         state.update((start_us, last_us, count))
         if use_event:
             # flush when the event-time watermark passes the gap
@@ -363,20 +381,13 @@ def windowed_histogram(
     )
 
 
-def _present(col: str):
-    """NULL and NaN count as missing, exactly as histogram1d's range
-    scan treats them (histogram.py:42-50) — without the NaN drop a
-    NaN value would bucket-clamp instead of staying out."""
-    return F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
-
-
 def _present_in_range(col: str, lo: float, hi: float,
                       include_max: bool = False):
     """Fixed-grid presence for the windowed-histogram twins: present
     AND inside the range. Out-of-range values are EXCLUDED, not
-    clamped — clamping would inflate the edge buckets, and ±Inf
-    (which passes _present's NaN check) fails the range comparisons
-    here too. include_max selects which reference rule applies:
+    clamped — clamping would inflate the edge buckets, and NULL, NaN,
+    and ±Inf all fail the range comparisons here too (NaN compares
+    false against any bound in both engines). include_max selects which reference rule applies:
     False = quantization grid [lo, hi) (DoubleColumnQuantization.
     bucketIndex -1 / GroupBySketch.java:78-80 drop, the DP paths);
     True = plain histogram [lo, hi] (DoubleHistogramBuckets.indexOf:
@@ -392,8 +403,9 @@ def _value_bucket(col: str, lo: float, hi: float, buckets: int):
     clamp(floor((v - lo) / width)) with width = (hi - lo)/buckets —
     written in exactly this op order so the DuckDB oracle reproduces
     the float arithmetic bit-for-bit. Callers filter NULL/NaN first
-    (_present): Spark's greatest/least SKIP nulls, so an unfiltered
-    NULL would silently land in bucket 0."""
+    (_present_in_range rejects both — NULL fails the comparisons and
+    NaN compares false): Spark's greatest/least SKIP nulls, so an
+    unfiltered NULL would silently land in bucket 0."""
     if not hi > lo:
         raise ValueError(f"empty value range [{lo}, {hi})")
     if buckets < 1:
@@ -514,10 +526,20 @@ def _type_index(event_type: str | None) -> int:
     independent noise trees (plays the role of the column index in
     SecureLaplace's scratch bytes). A NULL type is its own group —
     windowed_counts' groupBy keeps it, so the spine must key it too
-    rather than crash."""
+    rather than crash. The key uses privacy._prf_field's escaped
+    rendering (NULL -> '\\N', backslashes doubled, '|' escaped): the
+    r9 review found the old `'' if None` mapping gave the NULL-type
+    and ''-type groups bit-identical noise trees, so an adversary
+    could subtract the two releases and read their difference
+    noise-free — the exact collision class _prf_field exists to
+    prevent. Identity on plain type names, so prior releases on the
+    gate fixtures are bit-unchanged."""
     import hashlib
 
-    key = "" if event_type is None else event_type
+    if event_type is None:
+        key = "\\N"
+    else:
+        key = event_type.replace("\\", "\\\\").replace("|", "\\|")
     return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big") & 0x7FFFFFFF
 
 

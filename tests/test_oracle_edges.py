@@ -27,6 +27,11 @@ EDGE_DOCS = [
     (7, None, "web", "en"),                               # NULL text
     (8, "hello world hello", None, None),                 # NULL meta
     (9, "spark hash vector spark", "src0", "en"),         # search hits
+    # r9 tokenizer fix: trim strips only SPACES, so a leading tab /
+    # trailing newline used to mint '' tokens that corrupted shingle
+    # sets — doc 10 must now be shingle-identical to docs 1/2
+    # (Jaccard 1.0) while staying a distinct EXACT-dedup fingerprint
+    (10, "\talpha beta gamma delta epsilon\n", "web", "en"),
     (20, "alpha beta gamma delta epsilon", "src1", "en"), # eval-doc id
 ]
 # NULL-KEY match rows live in a SEPARATE fixture

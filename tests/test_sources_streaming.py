@@ -837,3 +837,26 @@ def test_windowed_histogram_range_rules(spark):
         ).collect()
     }
     assert dp_grid == {0: 1, 9: 1}  # 100.0 excluded from the grid
+
+
+def test_type_index_null_and_empty_draw_distinct_noise():
+    """r9 review (DP break): the NULL-type and ''-type groups used to
+    share one PRF index — bit-identical noise trees, so subtracting
+    their released prefixes recovered the difference noise-free. The
+    index key now uses privacy._prf_field's escaped rendering (NULL
+    -> '\\N', unreachable from any real value because backslashes are
+    doubled); plain type names are untouched, so prior releases are
+    bit-unchanged."""
+    from hillview_spark.streaming.events import _type_index
+
+    assert _type_index(None) != _type_index("")
+    # the sentinel is unforgeable: a literal backslash-N type maps to
+    # the DOUBLED-backslash key, not the NULL sentinel
+    assert _type_index("\\N") != _type_index(None)
+    # identity on plain names (release-compatibility)
+    import hashlib
+
+    assert _type_index("click") == (
+        int.from_bytes(hashlib.md5(b"click").digest()[:4], "big")
+        & 0x7FFFFFFF
+    )
