@@ -3170,7 +3170,8 @@ def oracle_sql() -> dict[str, str]:
         filt AS (
           SELECT doc_id,
                  list_filter(ls, l ->
-                     len(string_split_regex(trim(l), '\s+')) >= 3
+                     len(list_filter(string_split_regex(trim(l), '\s+'),
+                                     x -> x <> '')) >= 3
                      AND regexp_matches(l, '[.!?"]\s*$')) AS kept,
                  len(ls) AS n_total
           FROM lined)
@@ -3225,7 +3226,10 @@ def oracle_sql() -> dict[str, str]:
                       count(*) AS distinct_tokens, max(c) AS max_tok
                FROM tc GROUP BY 1),
         gr AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
-               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM (SELECT doc_id,
+                            list_filter(
+                                string_split_regex(trim(text), '\s+'),
+                                x -> x <> '') AS t
                      FROM documents),
                     UNNEST(generate_series(1, len(t) - 1)) u(i)),
         gc AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
@@ -3292,12 +3296,15 @@ def oracle_sql() -> dict[str, str]:
     # split('') = [''] budgeted a phantom token per empty doc
     o["chunk_documents"] = r"""
         WITH tk AS (SELECT doc_id,
-                           string_split_regex(trim(coalesce(text, '')),
-                                              '\s+') AS t
+                           list_filter(
+                               string_split_regex(trim(coalesce(text, '')),
+                                                  '\s+'),
+                               x -> x <> '') AS t
                     FROM documents)
         SELECT doc_id,
                CAST((i - 1) // 32 AS BIGINT) AS chunk_id,
-               array_to_string(t[i:least(i + 39, len(t))], ' ') AS chunk_text,
+               COALESCE(array_to_string(t[i:least(i + 39, len(t))], ' '),
+                        '') AS chunk_text,
                CAST(CASE WHEN array_to_string(t, '') = '' THEN 0
                          ELSE least(len(t) - i + 1, 40) END AS BIGINT)
                  AS n_chunk_tokens

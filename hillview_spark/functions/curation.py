@@ -37,7 +37,14 @@ def pii_scrub(
     *before* that rule's replacement (after the earlier rules'), so
     count == number of placeholders inserted by that rule.
 
-    One codegen'd scan, no shuffle — embarrassingly parallel."""
+    One codegen'd scan, no shuffle — embarrassingly parallel.
+
+    NULL-doc contract (r9 review triage): a NULL text yields NULL
+    counts and a NULL text_scrubbed — missing in, missing out, the
+    engine-wide rule — identically on both engines (edge-pinned).
+    Aggregators over the counts should COALESCE if they want
+    NULL docs counted as zero.
+    """
     t = F.col(text_col)
     counts = []
     for name, pat, repl in PII_RULES:
@@ -81,7 +88,13 @@ def repetition_stats(
         )
     )
     grams = df.withColumn(
-        "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+        # empties filtered like the token path above (r9 review: a
+        # leading tab minted a phantom ' a' bigram, scoring a clean
+        # one-word doc maximally repetitive)
+        "__toks",
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ),
     ).select(
         F.col(id_col).alias("__doc"),
         F.explode(_bigrams_of(F.col("__toks"))).alias("gram"),
@@ -326,7 +339,15 @@ def chunk_documents(
     # coalesce: a NULL text must still yield its one (empty) chunk —
     # posexplode of a NULL sequence emits zero rows and the document
     # would silently vanish from the output
-    t = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # empties filtered (r9 review): trim strips only spaces, so a
+    # leading tab/newline minted a phantom edge token that inflated
+    # n_chunk_tokens and prepended a separator to chunk_text; the
+    # empty-doc contract is unchanged (t=[] still yields the one
+    # ('', 0) chunk via the greatest(...,1) floor below)
+    t = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(t) - F.lit(overlap), F.lit(1)), F.lit(step)
     )
@@ -496,13 +517,27 @@ def clean_lines(
     quality gates are text.quality_filter.)
 
     Output: (id_col, text_col cleaned, n_lines_kept, n_lines_total).
+
+    NULL-doc contract (r9 review triage): a NULL text has no lines
+    and drops from the output entirely (unlike chunk_documents,
+    whose contract emits one empty chunk per doc) — identically on
+    both engines (edge-pinned).
     """
     import re as _re
 
     df2 = df.withColumn("__lines", F.split(F.col(text_col), _re.escape(sep)))
 
     def keep(line):
-        cond = F.size(F.split(F.trim(line), r"\s+")) >= F.lit(min_words)
+        # non-empty words only (r9 review): a tab-edged line counted
+        # a phantom '' word, letting a (min_words-1)-word line pass
+        cond = (
+            F.size(
+                F.filter(
+                    F.split(F.trim(line), r"\s+"), lambda x: x != ""
+                )
+            )
+            >= F.lit(min_words)
+        )
         if require_terminal_punct:
             cond = cond & line.rlike(r'[.!?"]\s*$')
         for p in drop_patterns:

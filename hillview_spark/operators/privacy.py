@@ -213,17 +213,20 @@ def _bucket_leaf_ranges(leaves: int, buckets: int) -> list[tuple[int, int]]:
     return [(edge(i), edge(i + 1)) for i in range(buckets)]
 
 
-def _leaf_to_bucket(buckets: int, leaves: int):
-    """Scan-side inverse of _bucket_leaf_ranges over a LONG column
-    named __leaf: floor(leaf*B/T) in exact 64-bit INTEGER arithmetic
+def _leaf_to_bucket(buckets: int, leaves: int, leaf_col: str = "__leaf"):
+    """Scan-side inverse of _bucket_leaf_ranges over a LONG leaf
+    column: floor(leaf*B/T) in exact 64-bit INTEGER arithmetic
     (`div`), matching the spine's integer ceil edges. Double
     arithmetic here would misassign boundary leaves once leaf*B
     exceeds 2^53 (fine-granularity curator grids) — and an oracle
-    engine computing the double division differently would diverge."""
+    engine computing the double division differently would diverge.
+    Parameterized on the column name (r9 review) so dp_heatmap's two
+    axes share this expression AND its overflow guard — the inline
+    copies had silently dropped the guard."""
     if leaves * buckets >= 2**63:
         raise ValueError("leaves*buckets overflows 64-bit bucket math")
     return F.expr(
-        f"CAST((__leaf * {int(buckets)}L) div {int(leaves)}L AS INT)"
+        f"CAST(({leaf_col} * {int(buckets)}L) div {int(leaves)}L AS INT)"
     )
 
 
@@ -472,14 +475,8 @@ def dp_heatmap(
             leaf_of(ycol, ylo, ygranularity, yleaves).alias("__yleaf"),
         )
         .select(
-            F.expr(
-                f"CAST((__xleaf * {int(xbuckets)}L) div {int(xleaves)}L"
-                " AS INT)"
-            ).alias("xbucket"),
-            F.expr(
-                f"CAST((__yleaf * {int(ybuckets)}L) div {int(yleaves)}L"
-                " AS INT)"
-            ).alias("ybucket"),
+            _leaf_to_bucket(xbuckets, xleaves, "__xleaf").alias("xbucket"),
+            _leaf_to_bucket(ybuckets, yleaves, "__yleaf").alias("ybucket"),
         )
         .groupBy("xbucket", "ybucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -708,7 +705,16 @@ def dp_next_k(
     counts would make the epsilon parameter decorative (cnt=1
     announces a unique individual). Key values must stringify
     canonically across engines (they are curator-quantized grid
-    points, so they do)."""
+    points, so they do).
+
+    BUDGET (r9 review): one call releases TWO epsilon-DP quantities
+    over the same data — the page body (parallel composition across
+    disjoint keys) and the rows-scanned total (a dp_count draw) — so
+    by sequential composition the call costs 2*epsilon, mirroring
+    the reference (NextKSketchNoisy also perturbs the count with its
+    own draw on top of the noisy list). A caller keeping a privacy
+    ledger should charge 2*epsilon per page, or halve the parameter.
+    """
     from hillview_spark.operators.spreadsheet import next_k
 
     page = next_k(df, sort_cols, k, ascending, start)
@@ -877,7 +883,12 @@ def private_view(df: DataFrame, schema: PrivacySchema) -> DataFrame:
         if name not in df.columns:
             continue
         if q.type == "StringColumnQuantization":
-            out = quantize_string_column(out, name, q.left_boundaries)
+            # forward the curator's globalMax (r9 review: it was
+            # parsed but dropped here, so the declared out-of-range
+            # rule never applied on the schema-driven path)
+            out = quantize_string_column(
+                out, name, q.left_boundaries, global_max=q.global_max
+            )
         else:
             # Snap on the curator's granularity GRID (not the
             # (hi-lo)/leaves width quantize_column would use — the two
@@ -940,6 +951,10 @@ def dp_histogram_from_schema(
             buckets=buckets,
             seed=seed,
             column_index=column_index,
+            # r9 review: the curator's globalMax was parsed but never
+            # forwarded — rows above the declared grid ceiling counted
+            # into the last bucket instead of being excluded
+            global_max=q.global_max,
         )
     return dp_histogram(
         df,

@@ -816,3 +816,54 @@ def test_dp_next_k_double_key_rendering_contract(spark):
     zr = P.dp_next_k(z, ["k", "v"], epsilon=1.0, k=5, seed=7,
                      prf="md5str").collect()
     assert len(zr) == 1 and zr[0].v == 0.0
+
+
+def test_schema_paths_apply_string_global_max(spark):
+    """r9 review: the curator's string globalMax was parsed but never
+    forwarded on the schema-driven paths — a value above the declared
+    ceiling counted into the last bucket (dp_histogram_from_schema)
+    and private_view snapped it to the top boundary instead of the
+    ceiling. Both paths now honor the declared out-of-range rule
+    (StringColumnQuantization.outOfRange)."""
+    from hillview_spark.operators import privacy
+
+    schema = privacy.PrivacySchema.from_json(
+        """{"quantization": {"quantization": {"seg":
+            {"type": "StringColumnQuantization", "globalMax": "t",
+             "leftBoundaries": ["a", "m"]}}},
+            "epsilons": {"seg": 1.0}, "defaultEpsilons": {},
+            "defaultEpsilon": 1.0}"""
+    )
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "mango"), (3, "zzz")], "id long, seg string"
+    )
+    # private_view: 'zzz' > globalMax 't' snaps to the ceiling itself
+    # (roundDown: >= max -> max), never to boundary 'm'
+    pv = {r.id: r.seg for r in privacy.private_view(df, schema).collect()}
+    assert pv[1] == "a" and pv[2] == "m" and pv[3] == "t"
+    # dp_histogram_from_schema: the 'zzz' row is EXCLUDED from the
+    # released counts — with it wrongly included, bucket 'm' would
+    # count 2; the exact released value is count + seeded noise, so
+    # compare against the same release over the explicitly-filtered
+    # frame
+    got = {
+        r.left_boundary: r.noisy_count
+        for r in privacy.dp_histogram_from_schema(
+            df, "seg", schema, buckets=2, seed=3
+        ).collect()
+    }
+    want = {
+        r.left_boundary: r.noisy_count
+        for r in privacy.dp_histogram_string(
+            df, "seg", ["a", "m"], epsilon=1.0, buckets=2, seed=3,
+            global_max="t",
+        ).collect()
+    }
+    assert got == want
+    leaked = {
+        r.left_boundary: r.noisy_count
+        for r in privacy.dp_histogram_string(
+            df, "seg", ["a", "m"], epsilon=1.0, buckets=2, seed=3,
+        ).collect()
+    }
+    assert got != leaked  # the ceiling actually changed the release
