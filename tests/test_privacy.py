@@ -295,8 +295,12 @@ def test_private_view_quantizes_all_schema_columns(spark):
         "x double, s string, keep int",
     )
     rows = {r.keep: (r.x, r.s) for r in P.private_view(df, ps).collect()}
-    # x snaps to left edges of the 5-wide grid; s to its left boundary
-    assert rows == {1: (5.0, "A"), 2: (20.0, "M"), 3: (95.0, "M")}
+    # x snaps to left edges of the 5-wide grid; s to its left
+    # boundary — except 'zebra' >= the curator's globalMax 'z', which
+    # snaps to the ceiling ITSELF (StringColumnQuantization.roundDown:
+    # value >= globalMax -> globalMax; r9 fixed the schema path that
+    # dropped globalMax and let it snap to 'M')
+    assert rows == {1: (5.0, "A"), 2: (20.0, "M"), 3: (95.0, "z")}
     # columns without metadata pass through untouched (keep)
     assert set(rows) == {1, 2, 3}
 
