@@ -95,7 +95,20 @@ def kadic_decomposition(
     the remaining interval and floor(log_k left) — the reference's
     k-ary generalization (IntervalDecomposition.java:92-128),
     including its special case of k unit leaves when right-left == k
-    (no root node). Returns (start, size) pairs."""
+    (no root node). Returns (start, size) pairs.
+
+    FIDELITY NOTE (r9 review triage): the reference's kadic bound is
+    floor(log_k(left)) — the MAGNITUDE of left, not the largest power
+    of k dividing it — unlike its own dyadic sibling, which uses
+    lowestOneBit (true divisibility, IntervalDecomposition.java:74).
+    So kadic nodes can start at unaligned offsets (kadic(3,8,k=2) =
+    [(3,2),(5,2),(7,1)] vs dyadic's [(3,1),(4,4)]): they are
+    pseudo-nodes of the k-adic tree, which weakens the textbook
+    node-sharing argument behind the noise-scale bound. We reproduce
+    the reference EXACTLY (this function is hash-oracled through
+    every binary-mechanism release) rather than 'fix' it — matching
+    the reference's released values is the contract; the quirk is
+    theirs, documented here so nobody re-derives it as our bug."""
     if left == right:
         return []
     if left < 0 or right < left:
