@@ -428,8 +428,10 @@ def ab_pairs(t):
         from hillview_spark import numeric
 
         proj = t["lineitem"].select(*[
-            numeric.finite_value(t["lineitem"], c).alias(c)
-            for c in _stat_cols
+            col.alias(c)
+            for c, col in numeric.finite_values(
+                t["lineitem"], _stat_cols
+            ).items()
         ])
         aggs, names = [], []
         for i, a in enumerate(_stat_cols):
@@ -490,11 +492,14 @@ def ab_pairs(t):
             "a_desc": "A/A: identical code both sides",
             "b_desc": "A/A: in-session noise floor (dedup untouched r7)",
         },
-        # r9: the crash-proof correlation. Spark 4's builtin corr is
-        # JOB-FATAL (ANSI DIVIDE_BY_ZERO) on a constant column; the
-        # guarded covar/stddev decomposition returns NULL like
-        # DuckDB's corr. Honest cost record: ~20-25% on this anchor
-        # in the same-session A/B (values identical at round-4).
+        # r9/r10: the crash-proof correlation. Spark 4's builtin corr
+        # is JOB-FATAL (ANSI DIVIDE_BY_ZERO) on a constant column; the
+        # guarded regr_sxy/sqrt(regr_sxx*regr_syy) form (r10, replaces
+        # the r9 masked covar/stddev) returns NULL like DuckDB's corr.
+        # Honest cost record (r10 interleaved medians at sf0.1, same
+        # band as README's scale notes): guarded 0.52s vs builtin
+        # 0.38s, ~30-35% — inherent to splitting Corr's fused 6-field
+        # buffer into three aggregates (values identical at round-4).
         "corr_safe_guard": {
             "a": (lambda: correlation.corr_matrix(
                 t["lineitem"], _stat_cols), "collect"),

@@ -40,13 +40,29 @@ def finite_or_null(c: Column) -> Column:
     return F.when(finite_pred(c), c)
 
 
-def finite_value(df, col: str) -> Column:
+def finite_value(df, col: str, dtypes: dict[str, str] | None = None) -> Column:
     """The dtype-dispatched form every aggregate site uses: for
     float/double columns, the value where finite else NULL; for every
     other dtype the raw column (dates/strings/ints have no NaN — the
     bound would be a no-op comparison). Matches the expression shape
-    the pre-r9 per-site copies built, so plans are unchanged."""
+    the pre-r9 per-site copies built, so plans are unchanged.
+
+    `dtypes`: optional precomputed {col: dtype} mapping so wide
+    callers (corr_matrix, basic_col_stats, next_k_aggregate) build
+    the schema dict once per frame instead of once per column —
+    plan-build overhead only, but it grows linearly with width.
+    `finite_values` below is the one-call form."""
     c = F.col(col)
-    if dict(df.dtypes).get(col) in ("double", "float"):
+    if (dtypes if dtypes is not None else dict(df.dtypes)).get(col) in (
+        "double",
+        "float",
+    ):
         return finite_or_null(c)
     return c
+
+
+def finite_values(df, cols: list[str]) -> dict[str, Column]:
+    """finite_value for many columns with ONE schema-dict build:
+    {col: finite-or-raw Column} for each requested column."""
+    dtypes = dict(df.dtypes)
+    return {c: finite_value(df, c, dtypes) for c in cols}

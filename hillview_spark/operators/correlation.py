@@ -32,20 +32,35 @@ def _safe_corr(a, b) -> Column:
     co-moment product under ANSI and throws DIVIDE_BY_ZERO when
     either column is constant (found by the r9 constant-column
     probe — one degenerate column must never kill a 100-TB scan).
-    covar_samp / (stddev_samp * stddev_samp) over the MUTUALLY
-    PRESENT rows is the same Welford co-moment computation with a
-    guarded finalization — `corr` does pairwise deletion, so the
-    stddevs must be masked to rows where BOTH sides are present (an
-    unmasked stddev over all of a's rows diverged in the 3rd decimal
-    on the NULL-patterned edge fixture), and the (n-1) factors
-    cancel. DuckDB's native corr returns NULL on the same degenerate
-    inputs, so the oracles agree without change."""
+
+    r10 shape: the SQL-standard regression moments — regr_sxy /
+    sqrt(regr_sxx * regr_syy) with a `den > 0` guard. The regr_*
+    aggregates do pairwise deletion NATIVELY (rows where either side
+    is NULL are skipped, per the standard), so the r9 per-pair
+    `when(both, …)` input masks disappear, and they accumulate
+    CENTRAL moments (Welford-style), so the finalization is stable at
+    100-TB row counts where a raw Σx²−(Σx)²/n decomposition would
+    cancel catastrophically. Measured on the 4-column lineitem matrix
+    at sf0.1, interleaved same-session medians: r9 masked
+    covar/stddev 0.58 s → regr_* 0.52 s → builtin F.corr 0.38 s; a
+    raw-sums rewrite (6 plain sums per pair) measured 0.91 s and was
+    rejected (more aggregate buffers, not fewer). The residual
+    ~30-35% over the builtin is inherent to safety from the SQL
+    surface: Corr fuses its 6 moment fields into ONE buffer per pair,
+    while the guarded form needs three separate aggregates
+    (sxy/sxx/syy) — fusing them back needs a custom
+    DeclarativeAggregate, which PySpark cannot express. DuckDB's
+    native corr returns NULL on the same degenerate inputs
+    (constant / single-row / all-NULL / empty — probed), so the
+    oracles agree without change.
+
+    Reference: sketches/PCACorrelationSketch.java:37 likewise
+    accumulates the shared moment matrix once and finalizes
+    centrally."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    both = a.isNotNull() & b.isNotNull()
-    ax, bx = F.when(both, a), F.when(both, b)
-    den = F.stddev_samp(ax) * F.stddev_samp(bx)
-    return F.when(den > 0, F.covar_samp(ax, bx) / den)
+    den = F.sqrt(F.regr_sxx(b, a) * F.regr_syy(b, a))
+    return F.when(den > 0, F.regr_sxy(b, a) / den)
 
 
 def corr_matrix(
@@ -81,9 +96,11 @@ def corr_matrix(
     elif sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
 
+    # engine-wide finite rule; one schema fetch for the whole width
+    _fin = numeric.finite_values(df, cols)
+
     def _finv(c):
-        # engine-wide finite rule (hillview_spark.numeric)
-        return numeric.finite_value(df, c).alias(c)
+        return _fin[c].alias(c)
 
     # pairwise-finite deletion (the engine-wide numeric rule): one
     # NaN/±Inf row would otherwise turn EVERY pair touching its column
@@ -137,10 +154,11 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
     (the SQL oracle reproduces them analytically for d=2)."""
     import numpy as np
 
+    # engine-wide finite rule; one schema fetch for the whole width
+    _fin = numeric.finite_values(df, cols)
 
     def _finv(c):
-        # engine-wide finite rule (hillview_spark.numeric)
-        return numeric.finite_value(df, c)
+        return _fin[c]
 
     # one fused aggregate job: moments and pairwise correlations are
     # independent expressions over the same rows — two .agg() calls
@@ -164,14 +182,20 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
                 ).alias(f"{i}|{j}")
                 for i, a in enumerate(cols)
                 for j, b in enumerate(cols)
-                if i <= j
+                # strictly off-diagonal: corr(a, a) = 1 by definition,
+                # and np.eye already holds the exact 1.0 — the computed
+                # diagonal came back 1±ulp under the r10 regr_* form,
+                # which perturbed eigh enough to flip the tie-break in
+                # the sign convention below (pc0 negated vs the
+                # analytic oracle). d fewer aggregates, too.
+                if i < j
             ]
         )
     ).first()
     d = len(cols)
     m = np.eye(d)
     for i in range(d):
-        for j in range(i, d):
+        for j in range(i + 1, d):
             v = pairs[f"{i}|{j}"] or 0.0
             m[i, j] = m[j, i] = v
     vals, vecs = np.linalg.eigh(m)
@@ -179,7 +203,12 @@ def pca_project(df: DataFrame, cols: list[str], k: int = 2) -> DataFrame:
     comps = []
     for idx in order:
         v = vecs[:, idx]
-        if v[int(np.argmax(np.abs(v)))] < 0:
+        # tie-break on 8-decimal-snapped magnitudes (the same snap the
+        # output weights get): raw argmax(|v|) is ulp-unstable when
+        # components are analytically equal (d=2 eigenvectors are
+        # exactly (1,±1)/sqrt(2)), and an ulp flip negates a whole
+        # output column vs the analytic oracle
+        if v[int(np.argmax(np.round(np.abs(v), 8)))] < 0:
             v = -v
         comps.append(np.round(v, 8))
     out = df
@@ -469,9 +498,11 @@ def category_centroids(
     values only (the engine-wide numeric rule): one NaN reading would
     otherwise turn its whole category's centroid into NaN."""
 
+    # engine-wide finite rule; one schema fetch for the whole width
+    _fin = numeric.finite_values(df, numeric_cols)
+
     def fin(c):
-        # engine-wide finite rule (hillview_spark.numeric)
-        return numeric.finite_value(df, c)
+        return _fin[c]
 
     return df.groupBy(F.col(category_col).alias("category")).agg(
         *[

@@ -94,14 +94,16 @@ def next_k_aggregate(
     if start is not None:
         df = df.where(_after_start(sort_cols, ascending, start, inclusive))
     aggs = [F.count(F.lit(1)).alias("cnt")]
+    # present = FINITE for float/double aggregate columns (the
+    # engine-wide rule, hillview_spark.numeric): explicit, rather
+    # than leaning on the non-ANSI NaN->decimal->NULL cast
+    # accident — under ANSI the cast would make one NaN row
+    # job-fatal, and ±Inf would poison the sums either way. One
+    # schema fetch for the whole agg list.
+    fin = numeric.finite_values(df, [c for c, _ in agg_specs])
     for c, how in agg_specs:
         name = f"{how}_{c}"
-        # present = FINITE for float/double aggregate columns (the
-        # engine-wide rule, hillview_spark.numeric): explicit, rather
-        # than leaning on the non-ANSI NaN->decimal->NULL cast
-        # accident — under ANSI the cast would make one NaN row
-        # job-fatal, and ±Inf would poison the sums either way
-        vc = numeric.finite_value(df, c)
+        vc = fin[c]
         # decimal(28,4): 24 integer digits, so epoch-nanos-scale
         # values don't hit ANSI NUMERIC_VALUE_OUT_OF_RANGE the way
         # (18,4) did; still lossless for 4-decimal data and

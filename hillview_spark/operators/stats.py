@@ -99,12 +99,14 @@ def basic_col_stats(
     """
     scale = 4
     aggs = []
+    # present = FINITE for float/double columns (NaN/±Inf are
+    # missing — the engine-wide rule, hillview_spark.numeric):
+    # a single NaN would otherwise poison min/max and raise on
+    # the decimal casts; ±Inf would poison the sums. One schema
+    # fetch for the whole width.
+    fin = numeric.finite_values(df, cols)
     for c in cols:
-        # present = FINITE for float/double columns (NaN/±Inf are
-        # missing — the engine-wide rule, hillview_spark.numeric):
-        # a single NaN would otherwise poison min/max and raise on
-        # the decimal casts; ±Inf would poison the sums
-        vc = numeric.finite_value(df, c)
+        vc = fin[c]
         if exact and widths and c in widths:
             p, ws = widths[c]
             dec = dsq = vc.cast(f"decimal({p},{ws})")
