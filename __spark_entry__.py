@@ -1267,12 +1267,18 @@ def _count_noise_sql(seed: int, ci: int, epsilon: float,
 
 def _fin_elem_sql(x: str) -> str:
     """Crash-proof element cast: a non-finite OR out-of-domain
-    component (decimal(13,8) holds |x| < 1e5) becomes a NULL DECIMAL
-    instead of a DuckDB ConversionException — TRY_CAST, the exact
-    mirror of Spark's try_cast in similarity._dec (same width, same
-    half-up rounding at the domain edge). Paired with _vec_clean_sql's
-    whole-vector gate — the guard alone would let list_sum SKIP the
-    NULL product and return a bogus partial dot."""
+    component becomes a NULL DECIMAL instead of a DuckDB
+    ConversionException — TRY_CAST into the same decimal(13,8) width
+    Spark's try_cast uses in similarity._dec. The two casts are NOT
+    exact mirrors at the domain edge: in (99999.999999995, 1e5)
+    Spark's try_cast overflows to NULL on half-up rounding while
+    DuckDB accepts the rounded 100000.00000000 — which is why the
+    element domain is |x| <= 99999.99999999 (_ELEM_BOUND, the decimal
+    max, NOT < 1e5) and why this cast is always PAIRED with
+    _vec_clean_sql's whole-vector domain gate: the gate keeps both
+    engines inside the band where the casts agree, and without it
+    list_sum would SKIP a NULL product and return a bogus partial
+    dot."""
     return f"TRY_CAST(CAST({x} AS DOUBLE) AS DECIMAL(13,8))"
 
 
@@ -3311,7 +3317,9 @@ def oracle_sql() -> dict[str, str]:
         FROM tk, UNNEST(generate_series(1, greatest(len(t) - 8, 1), 32)) u(i)
     """
     o["remove_repeated_segments"] = r"""
-        WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        WITH tk AS (SELECT doc_id,
+                           string_split_regex(trim(coalesce(text, '')), '\s+')
+                             AS t
                     FROM documents),
         segs AS (
             SELECT doc_id,

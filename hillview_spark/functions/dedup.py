@@ -624,6 +624,16 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
+        # free the final round's blocks BEFORE raising: the handle is
+        # tracked only on the success path, so without this the last
+        # labels' localCheckpoint RDD blocks (or, at max_iter<=0, the
+        # registry-persisted seed frame) stay resident until session
+        # end (r10 advice)
+        if first_round:
+            cache.release(labels)
+        else:
+            cache.LocalCheckpointHandle(labels).unpersist()
+        cache.release(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"

@@ -555,6 +555,14 @@ def _type_index(event_type: str | None) -> int:
 CONTINUAL_HORIZON_LEAVES = 1 << 20
 CONTINUAL_LEAF_OFFSET = 1 << 19
 
+# Max (event_type, hour-leaf) spine rows computed driver-side in
+# dp_prefix_counts; above this the per-node PRF draws run distributed
+# (mapInPandas) and the spine join is not broadcast. 200k rows ≈ 22
+# years of hourly releases x 1000 types — the memoized driver path
+# covers any realistic horizon; the bound makes the cliff explicit
+# instead of an OOM.
+DRIVER_SPINE_MAX = 200_000
+
 
 def dp_prefix_counts(
     events: DataFrame,
@@ -612,21 +620,28 @@ def dp_prefix_counts(
         "event_type", "window_start", "leaf", F.sum("n_events").over(w).alias("cum")
     ).transform(cache.persist)
     # noise spine: one row per (type, leaf) present — bounded by the
-    # aggregate size, never the event count (cum is already unique
-    # per (type, leaf); no distinct needed)
-    keys = cum.select("event_type", "leaf").collect()
+    # aggregate size (types x hours), never the event count (cum is
+    # already unique per (type, leaf); no distinct needed).
+    #
     # Consecutive-hour prefixes [0, L+1) share almost all of their
     # k-adic nodes (only the lowest digits churn), so memoizing the
     # per-node draw collapses the spine from O(rows * log T) PRF
     # calls to O(distinct nodes) — ~80x fewer md5/sha256 evaluations
     # on an hourly spine, same released values bit-for-bit.
+    #
+    # DRIVER SPINE BOUND (r10): the collected memo was the one
+    # driver-side structure in the tree that grew with the time
+    # horizon. A limit-probe caps it LOUDLY at DRIVER_SPINE_MAX rows
+    # (200k (type, hour) pairs ≈ 22 years hourly x 1000 types — far
+    # past any realistic continual-release horizon); above the cap
+    # the same per-row draws run executor-side in Arrow batches with
+    # a per-partition memo, values bit-for-bit identical, and the
+    # spine joins un-broadcast (it no longer fits a broadcast).
     from hillview_spark.operators.privacy import (
         kadic_decomposition, node_noise,
     )
 
-    node_memo: dict = {}
-
-    def _prefix_noise(leaf: int, ci: int) -> float:
+    def _prefix_noise(leaf: int, ci: int, node_memo: dict) -> float:
         total = 0.0
         for node in kadic_decomposition(0, leaf + 1):
             k = (ci, node)
@@ -637,17 +652,46 @@ def dp_prefix_counts(
             total += draw
         return total
 
-    spine = [
-        (
-            r.event_type,
-            int(r.leaf),
-            _prefix_noise(int(r.leaf), _type_index(r.event_type)),
+    spine_cols = cum.select("event_type", "leaf")
+    probe = spine_cols.limit(DRIVER_SPINE_MAX + 1).collect()
+    if len(probe) <= DRIVER_SPINE_MAX:
+        memo: dict = {}
+        spine = [
+            (
+                r.event_type,
+                int(r.leaf),
+                _prefix_noise(int(r.leaf), _type_index(r.event_type), memo),
+            )
+            for r in probe
+        ]
+        noise_df = F.broadcast(
+            events.sparkSession.createDataFrame(
+                spine, "__noise_type string, leaf bigint, noise double"
+            )
         )
-        for r in keys
-    ]
-    noise_df = events.sparkSession.createDataFrame(
-        spine, "__noise_type string, leaf bigint, noise double"
-    )
+    else:
+        def _gen(batches):
+            import pandas as pd
+
+            memo: dict = {}
+            for pdf in batches:
+                noises = []
+                for et, leaf in zip(pdf["event_type"], pdf["leaf"]):
+                    et = None if pd.isna(et) else et
+                    noises.append(
+                        _prefix_noise(int(leaf), _type_index(et), memo)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "__noise_type": pdf["event_type"],
+                        "leaf": pdf["leaf"],
+                        "noise": noises,
+                    }
+                )
+
+        noise_df = spine_cols.mapInPandas(
+            _gen, "__noise_type string, leaf bigint, noise double"
+        )
     # NULL-SAFE equi-join on the type: the spine keys NULL types (per
     # _type_index's contract) but a plain ["event_type", ...] join
     # would never match them — silently dropping the NULL-type group
@@ -655,7 +699,7 @@ def dp_prefix_counts(
     # oracle (IS NOT DISTINCT FROM) both release.
     return (
         cum.join(
-            F.broadcast(noise_df),
+            noise_df,
             F.col("event_type").eqNullSafe(F.col("__noise_type"))
             & (cum["leaf"] == noise_df["leaf"]),
         )

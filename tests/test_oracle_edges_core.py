@@ -398,6 +398,46 @@ def test_core_family_matches_oracle_on_edges(
     assert got == want, f"{key} diverged on the core edge tables"
 
 
+def test_remove_repeated_segments_single_null_doc(spark, tmp_path):
+    """A LONE NULL-text doc (no other empty-ish docs to share its ''
+    segment with): Spark coalesces NULL->'' and keeps one ('', 1) row
+    when the '' segment stays under min_df — the oracle must mirror
+    that with coalesce(text,'') in its tk CTE. The main fixture can't
+    see this: its three empty-ish docs (NULL/''/'   ') share the ''
+    segment and all drop on both engines (r10 advice)."""
+    rows = [
+        (1, None, "en", "web", 10),
+        (2, "totally unique words for document two here now ok fine",
+         "en", "web", 20),
+        (3, "other distinct text for document three goes right here yes",
+         "en", "web", 30),
+    ]
+    base = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, _SCHEMAS["documents"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(base)
+    sdf = entry_mod.queries()["remove_repeated_segments"](
+        spark, str(tmp_path)
+    )
+    cols = sorted(sdf.columns)
+    got = sorted(repr(tuple(r[c] for c in cols)) for r in sdf.collect())
+    # the NULL doc must SURVIVE with its single empty segment
+    # (columns sorted: clean_text, doc_id, n_kept_segments)
+    assert "('', 1, 1)" in got, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{base}/*.parquet')"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["remove_repeated_segments"])
+    dcols = list(rel.columns)
+    order = [dcols.index(c) for c in cols]
+    want = sorted(
+        repr(tuple(row[i] for i in order)) for row in rel.fetchall()
+    )
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def core_empty_dir(spark, tmp_path_factory):
     """The same six tables, zero rows — aggregation identities must

@@ -321,6 +321,24 @@ def test_dp_quantiles_invert_noisy_cdf(spark, tables):
     assert 11.0 <= out[0.5] <= 36.0
 
 
+def test_dp_prefix_counts_distributed_spine_identical(spark, tables, monkeypatch):
+    """The DRIVER_SPINE_MAX fallback (spine too big to collect) must
+    release bit-identical values to the memoized driver path: same
+    PRF, same node decomposition, only the execution site moves."""
+    from hillview_spark.streaming import events as ev
+
+    base = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in ev.dp_prefix_counts(tables["events"], 1.0, seed=9).collect()
+    }
+    monkeypatch.setattr(ev, "DRIVER_SPINE_MAX", 0)
+    dist = {
+        (r.event_type, r.window_start): r.noisy_prefix
+        for r in ev.dp_prefix_counts(tables["events"], 1.0, seed=9).collect()
+    }
+    assert dist == base and len(base) > 0
+
+
 def test_dp_prefix_counts_binary_mechanism(spark, tables):
     """Batch continual counter: noisy prefix = exact running total +
     the k-adic prefix noise, per event type, at every present hour."""
