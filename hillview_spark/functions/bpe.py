@@ -147,8 +147,22 @@ def bpe_encode(
     that chunking/packing should budget with (text.token_count's
     regex estimate is the cheap proxy). The merge-rank dict rides the
     closure to every Arrow batch; distinct words encode once per
-    batch via a local cache, so cost ∝ distinct words, not tokens."""
+    batch via a local cache, so cost ∝ distinct words, not tokens.
+
+    Word segmentation happens JVM-SIDE through tokens_expr — the SAME
+    canonical expression bpe_train's word counts use — and the Arrow
+    worker only applies merges. The pre-r10 version split with
+    Python str.split(), which breaks on 23 characters Java \\s does
+    not (U+00A0, U+2028/29, U+3000, …): a doc containing 'a\\u00a0b'
+    trained the single word 'a\\u00a0b' but encoded ['a', 'b'] — a
+    vocabulary the model was never trained on (r10 review)."""
     import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from hillview_spark.functions.text import tokens_expr
 
     ranks = {pair: r for r, pair in enumerate(merges)}
 
@@ -156,12 +170,9 @@ def bpe_encode(
         for pdf in batches:
             cache: dict[str, list[str]] = {}
             n_out, toks_out = [], []
-            for text in pdf[text_col]:
-                text = "" if text is None else text
-                if lowercase:
-                    text = text.lower()
+            for words in pdf["__toks"]:
                 doc_toks: list[str] = []
-                for w in text.split():
+                for w in words:
                     enc = cache.get(w)
                     if enc is None:
                         enc = _encode_word(w, ranks)
@@ -175,10 +186,14 @@ def bpe_encode(
                 out["bpe_tokens"] = toks_out
             yield pd.DataFrame(out)
 
-    # key type read from the input schema — hardcoding 'long' would
-    # crash the Arrow conversion for string/other id types
-    id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, n_bpe_tokens long"
+    # output schema as a StructType: the id field is copied verbatim
+    # from the input schema (name, type, nullability) — DDL string
+    # concatenation would fail to parse on column names that need
+    # quoting and hardcoding 'long' would crash non-long id types
+    fields = [df.schema[id_col], StructField("n_bpe_tokens", LongType())]
     if with_tokens:
-        schema += ", bpe_tokens array<string>"
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+        fields.append(StructField("bpe_tokens", ArrayType(StringType())))
+    return df.select(
+        F.col(id_col),
+        tokens_expr(F.col(text_col), lowercase=lowercase).alias("__toks"),
+    ).mapInPandas(run, StructType(fields))

@@ -50,6 +50,16 @@ def assign_region(
         (name, np.asarray(vertices, dtype=np.float64))
         for name, vertices in regions
     ]
+    # fail fast AT CALL TIME with the region's name: an empty vertex
+    # list otherwise surfaces as an opaque numpy IndexError inside the
+    # Arrow worker (shape (0,) has no second axis), and a 1-2 vertex
+    # "polygon" silently matches nothing
+    for name, V in polys:
+        if V.ndim != 2 or V.shape[1] != 2 or V.shape[0] < 3:
+            raise ValueError(
+                f"region {name!r}: need >= 3 (x, y) vertex pairs, got "
+                f"array of shape {V.shape}"
+            )
 
     def contains(V: "np.ndarray", px: "np.ndarray", py: "np.ndarray"):
         x1, y1 = V[:, 0], V[:, 1]

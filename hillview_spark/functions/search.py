@@ -61,6 +61,21 @@ def bm25_search(
     terms = [tm.lower() for tm in terms]
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct (after lowercasing)")
+    # loud-failure convention (sampling.salted_guard): a term that the
+    # tokenizer can never produce — empty, or containing the ASCII
+    # whitespace Java \s splits on (tokens can still contain unicode
+    # spaces like U+00A0, which Java \s does NOT split; those terms
+    # stay legal) — would otherwise return 0 rows silently even when
+    # documents literally contain the phrase
+    import re
+
+    bad = [tm for tm in terms if not tm or re.search(r"[ \t\n\x0b\f\r]", tm)]
+    if bad:
+        raise ValueError(
+            "terms must be single whitespace-free tokens (the \\s+ "
+            f"tokenizer can never produce them, so they cannot match): "
+            f"{bad!r}"
+        )
 
     from hillview_spark.functions.text import tokens_expr
 

@@ -42,14 +42,13 @@ def _count_re(col: Column, pattern: str) -> Column:
 
 def _ws_tokens(t):
     """Whitespace token count with sane edges: 0 for empty or
-    all-whitespace text, NULL for NULL text. Counts NON-EMPTY tokens:
-    F.trim strips only SPACES, and split keeps trailing empty
-    strings, so 'hello world\\n' would otherwise count 3 and
-    '\\n' would count 2."""
-    return F.when(
-        t.isNotNull(),
-        F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")),
-    )
+    all-whitespace text, NULL for NULL text. Counts NON-EMPTY tokens
+    through tokens_expr — THE canonical tokenizer (its NULL->''
+    coalesce is dead under the isNotNull guard; lowercase skipped,
+    counts are case-blind) — so token_count/quality_* can never
+    drift from vocab/bm25/bpe on edge whitespace (the r10 review
+    found this was the one hand-rolled copy left)."""
+    return F.when(t.isNotNull(), F.size(tokens_expr(t, lowercase=False)))
 
 
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -238,17 +237,23 @@ def bigram_lm_nll(
                     F.col("__bi.w2").alias("w2"))
         )
 
-    def _bigrams(frame: DataFrame, with_id: bool):
-        return _bigrams_over(_toks(frame, with_id), with_id)
-
     from hillview_spark import cache
 
     # the train tokens feed TWO explodes (unigrams, bigrams) and the
     # unigram table feeds TWO consumers (scoring join, vocab size) —
     # persist both so one call tokenizes the corpus once, not four
     # times (the same feeds-two-consumers shape top_terms_per_doc
-    # persists its pairs relation for)
-    train_toks = _toks(train_df, False).transform(cache.persist)
+    # persists its pairs relation for). In the default self-scoring
+    # path the SCORING bigrams read the same persisted tokens too
+    # (with the id along): before r10 the cached relation lacked
+    # doc_id, so scoring re-ran the full regexp-tokenize scan —
+    # "once" actually landed at twice.
+    if train_df is df:
+        score_toks = _toks(df, True).transform(cache.persist)
+        train_toks = score_toks
+    else:
+        score_toks = _toks(df, True)
+        train_toks = _toks(train_df, False).transform(cache.persist)
     unigrams = (
         train_toks.select(F.explode(F.col("__toks")).alias("w1"))
         .groupBy("w1")
@@ -263,7 +268,7 @@ def bigram_lm_nll(
     vocab_size = unigrams.agg(F.count(F.lit(1)).alias("v"))
 
     scored = (
-        _bigrams(df, True)
+        _bigrams_over(score_toks, True)
         .join(bigram_counts, ["w1", "w2"], "left")
         .join(unigrams, ["w1"], "left")
         .crossJoin(F.broadcast(vocab_size))
