@@ -1130,34 +1130,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     cohort rotates in r10. The rows-only trio is r8-fresh and
     #     its golden hashes are pinned in tests/test_golden.py.
     priority = [
-        # (a) changed operators/oracles this round
-        "media_dims_histogram", "next_k_list", "find_first_row",
-        "computed_column", "top_customers_revenue", "part_type_stats",
-        "ann_cosine_topk", "ann_lsh_topk", "ann_knn_join",
-        "ann_knn_join_lsh", "dedup_embedding_cosine",
-        "dedup_embedding_cosine_lsh", "semantic_dedup",
-        "ann_ivf_topk", "ann_ivf_topk_indexed", "pq_encode", "pq_topk",
-        "embedding_group_centroids",
-        # (b) the full r5 cohort (minus the three already in (a))
-        "category_centroids", "convert_column", "data_range",
-        "data_range_interval", "distinct_count", "distinct_values",
-        "docs_source_lang_matrix", "events_user_topk", "exact_freq",
-        "extract_json_value", "histogram3d_trellis",
-        "histogram4d_trellis", "histogram_date_month",
-        "histogram_quantiles", "histogram_string_bounded",
-        "histogram_with_cdf", "interval_column", "jl_project",
-        "num_items_threshold", "pca_project", "project_columns",
-        "range_filter", "set_operation", "string_filter_regex",
-        "string_quantiles", "systematic_sample", "table_profile",
-        "table_summary",
-        # (a2) late-r9 semantic changes that must re-prove: the
-        # crash-proof pairwise-masked corr decomposition replaced the
-        # ANSI-fatal builtin in both corr keys (values identical at
-        # round-4 on this fixture — the gate row is the proof)
-        "corr_matrix", "corr_matrix_sampled",
-        # (c) oldest r6 stragglers (q4/q10 untouched since r6 rotate
-        # in r10 — they lost their slots to the corr re-proofs)
-        "q14_promo_revenue", "events_windowed_counts",
+        # (a) operators/oracles changed in r10: the regr_* guarded
+        # corr + pca sign-tie-break + finite_values width hoist
+        # (correlation/stats/spreadsheet), the dp_prefix_counts
+        # driver-spine bound, the remove_repeated_segments NULL-doc
+        # oracle fix, the bpe/text tokenizer unification, bm25 term
+        # validation, geo vertex validation, dedup leak fix
+        "corr_matrix", "corr_matrix_sampled", "pca_project",
+        "basic_col_stats", "next_k_aggregate", "category_centroids",
+        "table_profile", "dp_prefix_counts", "remove_repeated_segments",
+        "bm25_search", "text_token_count", "text_quality_score",
+        "text_quality_filter", "text_lm_nll", "bpe_token_count",
+        "geo_region_counts", "geo_polygon_counts", "dedup_components",
+        # (b) the rest of the r6-stale cohort (VERDICT-r9 #1; those
+        # not already in (a))
+        "corpus_shuffle", "decontaminate_bloom", "dedup_corpus_pipeline",
+        "histogram_singleton", "logs_parse_syslog",
+        "orders_status_by_month", "q10_returned_items", "q4_late_orders",
+        "quantiles_approx", "quantized_histogram", "range_filter_array",
+        "row_quantiles", "split_train_eval", "string_columns_filter",
+        "text_fingerprint", "text_lang_id", "text_vocab",
+        "tfidf_top_terms",
+        # (b2) the rows-only trio's other two (VERDICT-r9 #2;
+        # bpe_token_count is already in (a))
+        "lamp_project", "metric_mds_controls",
+        # (c) oldest r7 cohort: the standalone DP mechanisms and the
+        # composed DP sessions (the remaining r7 keys rotate in r11)
+        "dp_cdf_quantity", "dp_count_lineitem", "dp_distinct_custkey",
+        "dp_heatmap_qty_discount", "dp_histogram_mktsegment",
+        "dp_histogram_quantity", "dp_quantiles_quantity",
+        "dp_session_heatmap", "dp_session_histogram", "dp_session_page",
+        "dp_windowed_counts", "dp_windowed_counts_stream",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -652,6 +653,33 @@ def main():
         "queries": timings,
         "ab": ab,
     }, separators=(",", ":")))
+    # per-family subtotals (VERDICT-r9 #8): box-noise episodes are
+    # diagnosable per family from the compact tail alone — a uniform
+    # drift across families is box noise, a single-family jump is a
+    # regression. Families: tpch (q<N>), dp, dedup, ann, stream,
+    # text; 'sketch' is everything else (histograms, stats, temporal,
+    # media, geo).
+    fam_totals: dict[str, float] = {}
+    for name, dt in timings.items():
+        if re.fullmatch(r"q\d+", name):
+            f = "tpch"
+        elif name.startswith("dp_") or name == "dp_histogram":
+            f = "dp"
+        elif name.startswith(("dedup_", "cosine_dups", "semantic_")):
+            f = "dedup"
+        elif name.startswith(("ann_", "pq_", "knn_")):
+            f = "ann"
+        elif name.startswith(("events_", "click_")):
+            f = "stream"
+        elif name.startswith(
+            ("text_", "bm25", "tfidf", "pii", "repeated_segments",
+             "repetition", "decontaminate", "chunk", "clean_lines",
+             "cap_per_group")
+        ):
+            f = "text"
+        else:
+            f = "sketch"
+        fam_totals[f] = fam_totals.get(f, 0.0) + dt
     compact = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -662,6 +690,7 @@ def main():
         "repeats": repeats,
         "comparable_total": round(comparable_total, 3),
         "comparable_n": comparable_n,
+        "fam": {f: round(v, 3) for f, v in sorted(fam_totals.items())},
         "ab": {
             k: [v["a_median"], v["b_median"]] for k, v in ab.items()
         },
