@@ -2228,10 +2228,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events)
         SELECT line AS raw_line,
                NOT regexp_matches(line, '{_syslog_pat}') AS parse_error,
-               regexp_extract(line, '{_syslog_pat}', 2) AS host,
-               regexp_extract(line, '{_syslog_pat}', 3) AS proc,
-               CAST(regexp_extract(line, '{_syslog_pat}', 4) AS BIGINT) AS pid,
-               regexp_extract(line, '{_syslog_pat}', 5) AS message
+               -- missing = NULL uniformly (r10): '' extractions (an
+               -- unparsed line's groups, an absent optional group)
+               -- are NULL on both engines, mirroring dissect_lines
+               NULLIF(regexp_extract(line, '{_syslog_pat}', 2), '') AS host,
+               NULLIF(regexp_extract(line, '{_syslog_pat}', 3), '') AS proc,
+               CAST(NULLIF(regexp_extract(line, '{_syslog_pat}', 4), '')
+                    AS BIGINT) AS pid,
+               NULLIF(regexp_extract(line, '{_syslog_pat}', 5), '') AS message
         FROM lines
     """
 

@@ -291,6 +291,15 @@ class PrivateTableView:
         return _priv.dp_histogram_string(
             self.df, col, q.left_boundaries, self.schema.epsilon(col),
             buckets, self._seed(), self._col_index[col], prf=self.prf,
+            # r10 review: the curator's globalMax was forwarded on the
+            # schema-direct path (r9 fix) but still dropped HERE, so
+            # the session path counted above-ceiling rows into the
+            # last bucket (private_view's old >=max snap compounded it
+            # by erasing the above-max distinction before the sketch —
+            # quantize_string_column now quarantines strictly-above to
+            # missing, and this forward keeps the two paths identical
+            # even on un-snapped input)
+            global_max=q.global_max,
         )
 
     def heatmap(self, xcol: str, ycol: str, xb: int = 25, yb: int = 25) -> DataFrame:

@@ -164,13 +164,23 @@ def quantize_string_column(
     StringColumnQuantization.roundDown:31-47): values BELOW the first
     boundary quantize to MISSING (the reference throws; one
     out-of-grid row must not kill a 100-TB job — the engine-wide
-    quarantine — and its bucketIndex is -1/dropped anyway), values at
-    or above the explicit `global_max` (when declared) snap to
-    global_max itself; NULL stays NULL."""
+    quarantine — and its bucketIndex is -1/dropped anyway), values
+    STRICTLY ABOVE the explicit `global_max` (when declared) quantize
+    to MISSING too (StringColumnQuantization.outOfRange:49-55 is
+    strictly-greater — they are out of range exactly like below-first;
+    the pre-r10 snap to global_max erased the above-ceiling
+    distinction, so a downstream DP histogram counted those rows into
+    the last bucket on the quantized-session path while the
+    schema-direct path excluded them), value == global_max snaps to
+    global_max itself (in range, last leaf); NULL stays NULL."""
     bs = sorted(boundaries)
     arr = F.array(*[F.lit(b) for b in bs])
     pos = F.size(F.filter(arr, lambda b: b <= F.col(col)))
     q = F.when(F.col(col) >= F.lit(bs[0]), F.element_at(arr, pos))
     if global_max is not None:
-        q = F.when(F.col(col) >= F.lit(global_max), F.lit(global_max)).otherwise(q)
+        q = (
+            F.when(F.col(col) > F.lit(global_max), F.lit(None).cast("string"))
+            .when(F.col(col) == F.lit(global_max), F.lit(global_max))
+            .otherwise(q)
+        )
     return df.withColumn(out_col or col, q)

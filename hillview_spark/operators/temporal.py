@@ -56,6 +56,11 @@ def asof_join(
     the right side can hold duplicate (key, time) rows, pre-aggregate
     it — the result is otherwise an arbitrary one of the duplicates.
 
+    NULL semantics (SQL equality, like DuckDB ASOF JOIN and pandas
+    merge_asof): a NULL in any key column or in the right time means
+    NO match — NULL-key/NULL-time left rows are kept with NULL
+    payload, NULL-key/NULL-time right rows match nothing.
+
     Skew: the default path serializes each key's full history into one
     window task — fine for balanced keys, a straggler when one key
     (null user, bot traffic) owns a large share of 100 TB. Pass
@@ -76,9 +81,15 @@ def asof_join(
     # a NULL right timestamp can satisfy no as-of predicate
     # (right_ts <= left_ts is never true for NULL) — but NULL sorts
     # FIRST in the ascending window, so without the filter it would
-    # match every left row as "earliest history"
+    # match every left row as "earliest history". A NULL in any right
+    # KEY column likewise matches nothing (SQL equality semantics —
+    # DuckDB ASOF JOIN ON key =, pandas merge_asof, and range_join in
+    # this file all agree; Window.partitionBy alone would group NULL
+    # keys together and hand NULL-key left rows a NULL-key right
+    # payload, r10 review). NULL-key LEFT rows are still kept, with
+    # the no-match NULLs: their partition simply holds no right rows.
     r = (
-        right.where(F.col(time_col).isNotNull())
+        right.where(_right_matchable(time_col, by_cols))
         .select(*by_cols, time_col, payload.alias("__rpayload"))
         .withColumn("__is_left", F.lit(0))
     )
@@ -96,6 +107,16 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
+
+
+def _right_matchable(time_col: str, by_cols: list[str]):
+    """Right rows that can satisfy SOME as-of predicate: non-NULL
+    time and non-NULL in every key column (shared by the default and
+    chunked paths so they cannot drift)."""
+    cond = F.col(time_col).isNotNull()
+    for c in by_cols:
+        cond = cond & F.col(c).isNotNull()
+    return cond
 
 
 def _asof_join_chunked(
@@ -125,8 +146,13 @@ def _asof_join_chunked(
         F.col(time_col).alias("__t"), *[F.col(c) for c in right_cols]
     )
     l = left.withColumn("__chunk", chunk).withColumn("__is_left", F.lit(1))
+    # same right-side eligibility as the default path (r10 review: the
+    # chunked path skipped BOTH filters, so a NULL-ts right row shared
+    # the NULL chunk with NULL-ts left rows and became a phantom
+    # match, violating the 'identical for any chunk size' contract)
     r = (
-        right.select(*by_cols, time_col, payload.alias("__rpayload"))
+        right.where(_right_matchable(time_col, by_cols))
+        .select(*by_cols, time_col, payload.alias("__rpayload"))
         .withColumn("__chunk", chunk)
         .withColumn("__is_left", F.lit(0))
     )

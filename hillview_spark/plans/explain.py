@@ -22,14 +22,53 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Plan string with FULL scan metadata: Spark abbreviates every
+    metadata entry to spark.sql.maxMetadataStringLength (default 100
+    chars — lineitem's ReadSchema alone is longer), which silently
+    blinded the pruning/pushdown assertions to anything past the
+    cutoff (r10 review: a 12-column un-pruned read PASSED a pruning
+    assertion because the forbidden column fell off the abbreviated
+    string). Raise the bound for the render, restore it after."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
+
+
+# every key FileScan prints on its single metadata line — used to cut
+# a section at the start of the NEXT entry
+_SCAN_META_KEYS = (
+    "Batched:", "DataFilters:", "Format:", "Location:",
+    "PartitionFilters:", "PushedFilters:", "ReadSchema:",
+    "Bucketed:", "SelectedBucketsCount:",
+)
 
 
 def _sections(plan: str, header: str) -> list[str]:
-    """The first line of every `header` section in the plan — one per
-    file scan (joins have several; asserting on [0] alone would check
-    the wrong scan)."""
-    return [part.splitlines()[0] for part in plan.split(header)[1:]]
+    """The text of every `header` section in the plan — one per file
+    scan (joins have several; asserting on [0] alone would check the
+    wrong scan). FileScan prints ALL metadata on ONE line, so a
+    section ends at the next metadata key, not at the line break
+    (r10 review: splitting on newline alone made every
+    PartitionFilters 'section' contain the PushedFilters and
+    ReadSchema text that follows it — assert_partition_pruning
+    false-passed on an unpartitioned scan whose filter was merely
+    pushed)."""
+    out = []
+    for part in plan.split(header)[1:]:
+        line = part.splitlines()[0]
+        cut = len(line)
+        for k in _SCAN_META_KEYS:
+            if k != header:
+                i = line.find(k)
+                if i != -1 and i < cut:
+                    cut = i
+        out.append(line[:cut])
+    return out
 
 
 def _has_col(section: str, col: str) -> bool:

@@ -196,13 +196,33 @@ def read_csv(
             return df
         return df.drop("_corrupt_record")
     if infer:
-        inferred = (
+        # the inference pre-read must carry the SAME parse options as
+        # the data read (r10 review): without nullValue the sentinel
+        # ('\\N') makes every nullable int/double column infer as
+        # string (values then come back as strings — silent dtype
+        # corruption), without multiLine a quoted embedded newline
+        # shreds the inference rows, and without the faithful
+        # timestamp formats 6-digit-microsecond columns infer as
+        # string
+        inf_reader = (
             spark.read.option("header", header)
             .option("sep", delimiter)
             .option("inferSchema", True)
-            .csv(path)
-            .schema
         )
+        if multiline:
+            inf_reader = inf_reader.option("multiLine", True)
+        if null_value is not None:
+            from hillview_spark.sources.writers import (
+                CSV_TS_FORMAT,
+                CSV_TS_NTZ_FORMAT,
+            )
+
+            inf_reader = (
+                inf_reader.option("nullValue", null_value)
+                .option("timestampFormat", CSV_TS_FORMAT)
+                .option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
+            )
+        inferred = inf_reader.csv(path).schema
         from pyspark.sql.types import StringType, StructField, StructType
 
         full = StructType(
@@ -268,12 +288,21 @@ def dissect_lines(df: DataFrame, col: str, pattern: str) -> DataFrame:
     capture (e.g. apache '-' bytes) becomes NULL, not a load failure;
     a `ts` TIMESTAMP column is derived from ts_raw when the
     pattern's format is known. All extraction is codegen'd
-    regexp_extract — one scan, no UDF."""
+    regexp_extract — one scan, no UDF.
+
+    Missing = NULL, uniformly: regexp_extract returns '' both for
+    every group of an UNPARSED line and for an absent optional group
+    of a parsed one, while typed fields became NULL through the cast
+    — so '' leaked into string aggregates as a real category for
+    exactly the rows whose numeric twin said NULL (the empty-token
+    defect class, r10 review). Empty extractions are nullif'd to
+    NULL on both engines (the DuckDB oracle mirrors with
+    NULLIF(regexp_extract(...), ''))."""
     regex, fields, ts_format = LOG_PATTERNS[pattern]
     cols = []
     for i, spec in enumerate(fields):
         name, _, dtype = spec.partition(":")
-        c = F.regexp_extract(F.col(col), regex, i + 1)
+        c = F.nullif(F.regexp_extract(F.col(col), regex, i + 1), F.lit(""))
         if dtype == "int":
             c = c.try_cast("long")
         elif dtype == "double":

@@ -854,6 +854,57 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     assert temporal.asof_join(left, r2, "ts", ["k"], ["v"]).collect()[0].v_r is None
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """SQL equality semantics (r10 review): a NULL key matches
+    nothing on either side — DuckDB `ASOF LEFT JOIN ... ON l.k = r.k`
+    keeps the NULL-key left row with NULL payload; the pre-r10 window
+    path grouped NULL keys together and handed it the NULL-key right
+    history. Default and chunked paths must agree, including on
+    NULL-ts left rows (the chunked path used to leak the NULL chunk's
+    right payload into them)."""
+    from hillview_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, None, "2024-01-01 00:10:00"),   # NULL key
+         (2, "u", "2024-01-01 00:10:00"),    # real key, real match
+         (3, "u", None)],                    # NULL left ts
+        "event_id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:00", 1.0),  # NULL key: matches nothing
+         (None, None, 99.0),                  # NULL key AND ts
+         ("u", "2024-01-01 00:05:00", 7.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    want = {1: None, 2: 7.0, 3: None}
+    plain = {r.event_id: r.v_r for r in temporal.asof_join(
+        left, right, "ts", ["k"], ["v"]).collect()}
+    assert plain == want
+    chunked = {r.event_id: r.v_r for r in temporal.asof_join(
+        left, right, "ts", ["k"], ["v"], chunk_seconds=60).collect()}
+    assert chunked == want
+    # and the DuckDB twin agrees row-for-row
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    # NULL-ts left rows take the gate oracle's explicit no-match
+    # branch (DuckDB's ASOF binary search sorts a NULL ts LAST and
+    # would hand it the latest match — the documented quirk the
+    # asof_join_events oracle splits around)
+    duck = {
+        k: v
+        for k, v in con.sql(
+            "SELECT l.event_id, r.v FROM (SELECT * FROM l WHERE ts IS"
+            " NOT NULL) l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.ts >= r.ts"
+            " UNION ALL SELECT event_id, NULL FROM l WHERE ts IS NULL"
+        ).fetchall()
+    }
+    assert duck == want
+
+
 def test_salted_join_same_key_name(spark):
     from hillview_spark.operators import skew
 

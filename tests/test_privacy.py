@@ -296,13 +296,56 @@ def test_private_view_quantizes_all_schema_columns(spark):
     )
     rows = {r.keep: (r.x, r.s) for r in P.private_view(df, ps).collect()}
     # x snaps to left edges of the 5-wide grid; s to its left
-    # boundary — except 'zebra' >= the curator's globalMax 'z', which
-    # snaps to the ceiling ITSELF (StringColumnQuantization.roundDown:
-    # value >= globalMax -> globalMax; r9 fixed the schema path that
-    # dropped globalMax and let it snap to 'M')
-    assert rows == {1: (5.0, "A"), 2: (20.0, "M"), 3: (95.0, "z")}
+    # boundary — except 'zebra' which is STRICTLY ABOVE the curator's
+    # globalMax 'z' and quantizes to MISSING (r10: the reference's
+    # QuantizedColumn.isMissing:122-142 returns true for out-of-range
+    # raw values — sketches see those rows as missing even though
+    # roundDown alone would snap them to globalMax; we materialize
+    # the quantized value as THE column, so out-of-range must become
+    # NULL or the downstream DP histogram counts it in the last
+    # bucket. A value EQUAL to globalMax would stay 'z', in range.)
+    assert rows == {1: (5.0, "A"), 2: (20.0, "M"), 3: (95.0, None)}
     # columns without metadata pass through untouched (keep)
     assert set(rows) == {1, 2, 3}
+
+
+def test_private_session_string_histogram_matches_schema_path(spark):
+    """The session path (PrivateTableView.histogram_string over the
+    quantized view) and the schema-direct path (dp_histogram_from_
+    schema over raw data) must release IDENTICAL noisy counts — the
+    r10 review found the session path dropped the curator's
+    globalMax (above-ceiling rows counted into the last bucket) and
+    private_view's >=max snap erased the above-max distinction."""
+    from hillview_spark import api
+
+    ps = P.PrivacySchema.from_json(
+        """{"defaultEpsilons": {"1": 1.0},
+            "quantization": {"quantization": {
+              "s": {"type": "StringColumnQuantization",
+                    "globalMax": "d", "leftBoundaries": ["a", "b", "c"]}}}}"""
+    )
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("c",), ("d",), ("zebra",), ("zulu",)],
+        "s string",
+    )
+    direct = sorted(
+        (r.bucket, r.left_boundary, r.noisy_count)
+        for r in P.dp_histogram_from_schema(df, "s", ps, seed=7).collect()
+    )
+    sess = sorted(
+        (r.bucket, r.left_boundary, r.noisy_count)
+        for r in api.PrivateTableView(
+            api.TableView(df), ps, seed=7
+        ).histogram_string("s").collect()
+    )
+    assert sess == direct
+    # and the above-ceiling rows are genuinely excluded: the last
+    # bucket's count reflects only 'c','c' and the in-range 'd'
+    scale = P.noise_scale(1.0, 3)
+    noise, _ = P.interval_noise(2, 3, scale, 7, 0)
+    import math
+
+    assert direct[2][2] == math.floor(3 + noise + 0.5)
 
 
 def test_dp_quantiles_invert_noisy_cdf(spark, tables):
@@ -859,10 +902,13 @@ def test_schema_paths_apply_string_global_max(spark):
     df = spark.createDataFrame(
         [(1, "apple"), (2, "mango"), (3, "zzz")], "id long, seg string"
     )
-    # private_view: 'zzz' > globalMax 't' snaps to the ceiling itself
-    # (roundDown: >= max -> max), never to boundary 'm'
+    # private_view: 'zzz' > globalMax 't' is OUT OF RANGE and
+    # quantizes to MISSING (r10: QuantizedColumn.isMissing:122-142 —
+    # sketches treat out-of-range raw values as missing; the r9 snap
+    # to the ceiling let the session path count it in the last
+    # bucket), never to boundary 'm' or the ceiling
     pv = {r.id: r.seg for r in privacy.private_view(df, schema).collect()}
-    assert pv[1] == "a" and pv[2] == "m" and pv[3] == "t"
+    assert pv[1] == "a" and pv[2] == "m" and pv[3] is None
     # dp_histogram_from_schema: the 'zzz' row is EXCLUDED from the
     # released counts — with it wrongly included, bucket 'm' would
     # count 2; the exact released value is count + seeded noise, so

@@ -803,6 +803,54 @@ def test_csv_roundtrip_faithful_edges(spark, tmp_path):
     assert got.s is None
 
 
+def test_read_csv_inference_carries_parse_options(spark, tmp_path):
+    """r10 review: the schema-inference pre-read dropped nullValue /
+    multiLine / the faithful timestamp formats, so a faithful file
+    read back on the DEFAULT infer path got string columns where the
+    writer had ints (the '\\N' sentinel blocked int inference) and
+    values came back as strings — silent dtype corruption."""
+    from hillview_spark.sources import writers
+
+    df = spark.createDataFrame(
+        [(1, 10, "a\nb"), (2, None, "plain")], "id long, v long, s string"
+    )
+    p = str(tmp_path / "csv_infer")
+    writers.write_csv(df, p, null_value="\\N")
+    back = readers.read_csv(
+        spark, p, multiline=True, null_value="\\N", keep_corrupt=False
+    )
+    # inference picks the narrowest integer type; the point is it is
+    # an INTEGER again, not the string the dropped sentinel forced
+    assert dict(back.dtypes)["v"] in ("int", "bigint")
+    got = {r.id: (r.v, r.s) for r in back.collect()}
+    assert got == {1: (10, "a\nb"), 2: (None, "plain")}
+
+
+def test_dissect_lines_missing_is_null(spark):
+    """r10 review: unparsed lines' untyped fields and absent optional
+    groups extracted as '' while typed fields cast to NULL — the
+    empty-token class. Missing is NULL uniformly now."""
+    df = spark.createDataFrame(
+        [("Jan  2 03:04:05 host1 app[7]: hello",),   # full parse
+         ("Jan  2 03:04:05 host2 app: no pid",),     # optional [pid] absent
+         ("total garbage",)],                        # parse error
+        "value string",
+    )
+    rows = {r.raw_line: r for r in readers.dissect_lines(
+        df, "value", "syslog").collect()}
+    ok = rows["Jan  2 03:04:05 host1 app[7]: hello"]
+    assert (ok.parse_error, ok.host, ok.pid, ok.message) == (
+        False, "host1", 7, "hello")
+    nop = rows["Jan  2 03:04:05 host2 app: no pid"]
+    assert nop.parse_error is False and nop.pid is None
+    bad = rows["total garbage"]
+    assert bad.parse_error is True
+    # every extracted field NULL, not '' — '' would form a phantom
+    # category in any downstream groupBy/histogram
+    assert (bad.host, bad.proc, bad.pid, bad.message) == (
+        None, None, None, None)
+
+
 def test_windowed_histogram_range_rules(spark):
     """ADVICE-r8 fix: the PLAIN windowed histogram is CLOSED at max —
     value == hi lands in the LAST bucket (DoubleHistogramBuckets.
