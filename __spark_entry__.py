@@ -1142,6 +1142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search", "text_token_count", "text_quality_score",
         "text_quality_filter", "text_lm_nll", "bpe_token_count",
         "geo_region_counts", "geo_polygon_counts", "dedup_components",
+        # late-r10 review fixes: asof NULL-key semantics + the CSV
+        # inference options (their operators changed, so they take the
+        # last two slots from dp_windowed_counts{,_stream} — those two
+        # stay r7-proven, replica-green this session, first in r11)
+        "asof_join_events", "csv_roundtrip_orders",
         # (b) the rest of the r6-stale cohort (VERDICT-r9 #1; those
         # not already in (a))
         "corpus_shuffle", "decontaminate_bloom", "dedup_corpus_pipeline",
@@ -1160,7 +1165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_heatmap_qty_discount", "dp_histogram_mktsegment",
         "dp_histogram_quantity", "dp_quantiles_quantity",
         "dp_session_heatmap", "dp_session_histogram", "dp_session_page",
-        "dp_windowed_counts", "dp_windowed_counts_stream",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
