@@ -1142,11 +1142,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search", "text_token_count", "text_quality_score",
         "text_quality_filter", "text_lm_nll", "bpe_token_count",
         "geo_region_counts", "geo_polygon_counts", "dedup_components",
-        # late-r10 review fixes: asof NULL-key semantics + the CSV
-        # inference options (their operators changed, so they take the
-        # last two slots from dp_windowed_counts{,_stream} — those two
-        # stay r7-proven, replica-green this session, first in r11)
-        "asof_join_events", "csv_roundtrip_orders",
+        # late-r10 review fixes (operator/oracle changed, so they take
+        # slots from six unchanged r7 DP keys — all replica-green this
+        # session, first in r11): asof NULL-key semantics, CSV
+        # inference options, exact_freq zero-candidates, the sampled-HH
+        # observation persist, range_filter's non-finite guard,
+        # next_k_list's exclusive start_position
+        "asof_join_events", "csv_roundtrip_orders", "exact_freq",
+        "heavy_hitters_sampled", "range_filter", "next_k_list",
         # (b) the rest of the r6-stale cohort (VERDICT-r9 #1; those
         # not already in (a))
         "corpus_shuffle", "decontaminate_bloom", "dedup_corpus_pipeline",
@@ -1159,11 +1162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b2) the rows-only trio's other two (VERDICT-r9 #2;
         # bpe_token_count is already in (a))
         "lamp_project", "metric_mds_controls",
-        # (c) oldest r7 cohort: the standalone DP mechanisms and the
+        # (c) oldest r7 cohort: standalone DP mechanisms and the
         # composed DP sessions (the remaining r7 keys rotate in r11)
-        "dp_cdf_quantity", "dp_count_lineitem", "dp_distinct_custkey",
-        "dp_heatmap_qty_discount", "dp_histogram_mktsegment",
-        "dp_histogram_quantity", "dp_quantiles_quantity",
+        "dp_histogram_mktsegment", "dp_histogram_quantity",
+        "dp_quantiles_quantity",
         "dp_session_heatmap", "dp_session_histogram", "dp_session_page",
     ]
     assert len(priority) == 50, len(priority)
@@ -2094,10 +2096,17 @@ def oracle_sql() -> dict[str, str]:
         HAVING COUNT(*) >= 0.13 * (SELECT COUNT(*) FROM documents)
         ORDER BY cnt DESC, lang
     """
+    # one row per CANDIDATE, zeros included (ExactFreqSketch.zero/add
+    # carry the full candidate list — r10): left join from the
+    # literal candidate list, count 0 when absent
     o["exact_freq"] = """
-        SELECT event_type AS value, COUNT(*) AS cnt FROM events
-        WHERE event_type IN ('click', 'view', 'error')
-        GROUP BY 1 ORDER BY cnt DESC, value
+        WITH cand(value) AS (VALUES ('click'), ('view'), ('error')),
+        counts AS (
+            SELECT event_type AS value, COUNT(*) AS cnt FROM events
+            WHERE event_type IN ('click', 'view', 'error') GROUP BY 1)
+        SELECT cand.value, COALESCE(counts.cnt, 0) AS cnt
+        FROM cand LEFT JOIN counts ON cand.value = counts.value
+        ORDER BY cnt DESC, cand.value
     """
 
     o["range_filter"] = """
@@ -3502,17 +3511,21 @@ def oracle_sql() -> dict[str, str]:
                      AND l_extendedprice <= 105000.0)
         SELECT q_price, COUNT(*) AS cnt FROM q GROUP BY 1
     """
+    # NULL tuples RANK LAST (the record order's missing-is-greatest,
+    # r10) instead of dropping; the boundary tuple rides a struct so
+    # a NULL field survives arg_min (bare arg_min skips NULL values)
     o["row_quantiles"] = """
-        WITH d AS (SELECT DISTINCT c_nationkey, c_name FROM customer
-                   WHERE c_nationkey IS NOT NULL AND c_name IS NOT NULL),
+        WITH d AS (SELECT DISTINCT c_nationkey, c_name FROM customer),
         r AS (SELECT c_nationkey, c_name,
-                     row_number() OVER (ORDER BY c_nationkey, c_name) - 1 AS rnk,
+                     row_number() OVER (ORDER BY c_nationkey NULLS LAST,
+                                        c_name NULLS LAST) - 1 AS rnk,
                      count(*) OVER () AS n
-              FROM d)
-        SELECT CAST((rnk * 8) // n AS INT) AS bucket,
-               arg_min(c_nationkey, rnk) AS c_nationkey,
-               arg_min(c_name, rnk) AS c_name
-        FROM r GROUP BY 1
+              FROM d),
+        b AS (SELECT CAST((rnk * 8) // n AS INT) AS bucket,
+                     arg_min(struct_pack(k := c_nationkey, nm := c_name),
+                             rnk) AS t
+              FROM r GROUP BY 1)
+        SELECT bucket, t.k AS c_nationkey, t.nm AS c_name FROM b
     """
 
     # --- text analysis ---------------------------------------------------

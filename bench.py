@@ -498,8 +498,9 @@ def ab_pairs(t):
         # guarded regr_sxy/sqrt(regr_sxx*regr_syy) form (r10, replaces
         # the r9 masked covar/stddev) returns NULL like DuckDB's corr.
         # Honest cost record (r10 interleaved medians at sf0.1, same
-        # band as README's scale notes): guarded 0.52s vs builtin
-        # 0.38s, ~30-35% — inherent to splitting Corr's fused 6-field
+        # band as README's scale notes): guarded 0.52-0.54s vs
+        # builtin 0.37-0.38s, ~30-45% — inherent to splitting Corr's
+        # fused 6-field
         # buffer into three aggregates (values identical at round-4).
         "corr_safe_guard": {
             "a": (lambda: correlation.corr_matrix(

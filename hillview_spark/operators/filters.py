@@ -30,12 +30,32 @@ def _complement(cond: Column) -> Column:
     return ~F.coalesce(cond, F.lit(False))
 
 
+def _is_numeric_bound(v) -> bool:
+    """True for int/float bounds (bool excluded): the signal that the
+    filter is the reference's DoubleRangeFilter, whose missing rule
+    covers NaN/±Inf — string/date bounds have no non-finite values."""
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
 def range_filter(
     col: str, lo=None, hi=None, include_lo: bool = True, include_hi: bool = True,
     complement: bool = False,
 ) -> Column:
+    """Range selection (RangeFilterDescription.DoubleRangeFilter:61:
+    missing → includeMissing=false, else min <= v <= max with Java
+    comparisons, which are FALSE for NaN). Non-finite values are
+    MISSING under the engine-wide rule, so for numeric bounds the
+    predicate carries the canonical finite guard explicitly — Spark
+    and DuckDB both rank NaN ABOVE every value, so a lo-only filter
+    would otherwise KEEP NaN rows (and complement=True would drop
+    them from both sides of the partition, r10 review). Two-sided
+    ranges already excluded non-finite in both engines (NaN/+Inf fail
+    the hi bound, -Inf the lo bound); the guard makes one-sided
+    ranges agree with the reference too."""
     c = F.col(col)
     cond = F.lit(True)
+    if _is_numeric_bound(lo) or _is_numeric_bound(hi):
+        cond = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf")))
     if lo is not None:
         cond = cond & (c >= F.lit(lo) if include_lo else c > F.lit(lo))
     if hi is not None:
@@ -97,7 +117,15 @@ def comparison_filter(col: str, op: str, value) -> Column:
     }
     if op not in ops:
         raise ValueError(f"unknown comparison op: {op}")
-    return ops[op]
+    cond = ops[op]
+    # ordered ops vs a numeric constant: non-finite is MISSING (same
+    # rule and reasoning as range_filter — Spark/DuckDB rank NaN above
+    # everything, so `> v` would keep NaN against the reference's
+    # Java-comparison semantics). ==/!= stay NaN-literal-exact: the
+    # only way to SELECT the quarantined rows themselves.
+    if op in ("<", "<=", ">", ">=") and _is_numeric_bound(value):
+        cond = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))) & cond
+    return cond
 
 
 def all_of(*conds: Column) -> Column:

@@ -42,19 +42,33 @@ def heavy_hitters(df: DataFrame, cols: list[str], epsilon: float = 0.01) -> Data
 
 
 def exact_freq(df: DataFrame, col: str, candidates: list) -> DataFrame:
-    """ExactFreqSketch: exact counts for an explicit candidate list.
-    The IN-filter pushes to the scan; counts come back tiny. A None
-    candidate matches NULL rows (isin() alone never matches NULL —
-    a mostly-missing column's top 'value' would silently vanish, the
-    same trap heavy_hitters_sampled guards with eqNullSafe)."""
+    """ExactFreqSketch: exact counts for an explicit candidate list —
+    ONE ROW PER CANDIDATE, zeros included (ExactFreqSketch.zero()/
+    add():62-77 seed and carry the full candidate list, so a
+    candidate absent from the data reports count 0; the r10 review
+    found the WHERE-then-groupBy shape silently dropped it, which
+    misaligns any candidates⋈counts readout). The IN-filter pushes
+    to the scan; counts come back tiny; the candidate list (≤ ~1/ε
+    rows by construction) broadcasts. A None candidate matches NULL
+    rows (isin() alone never matches NULL — a mostly-missing
+    column's top 'value' would silently vanish, the same trap
+    heavy_hitters_sampled guards with eqNullSafe)."""
     non_null = [v for v in candidates if v is not None]
     cond = F.col(col).isin(non_null) if non_null else F.lit(False)
     if any(v is None for v in candidates):
         cond = cond | F.col(col).isNull()
-    return (
+    counts = (
         df.where(cond)
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = df.sparkSession.createDataFrame(
+        [(v,) for v in dict.fromkeys(candidates)],
+        df.select(F.col(col).alias("value")).schema,
+    )
+    return (
+        cand.join(counts, cand["value"].eqNullSafe(counts["value"]), "left")
+        .select(cand["value"], F.coalesce("cnt", F.lit(0)).alias("cnt"))
         .orderBy(F.desc("cnt"), "value")
     )
 
@@ -119,7 +133,8 @@ def heavy_hitters_sampled(
        operator — no separate count() job), and the candidate
        threshold is *sample-internal*: scnt >= 0.5*epsilon*(sampled
        rows), with the sampled-row total derived from the grouped
-       relation itself (ReuseExchange, as heavy_hitters does). An
+       relation itself (persisted — two consumers, and the observed
+       N must not depend on ReuseExchange deduping the scan). An
        epsilon-frequent value is expected to appear fraction*eps*N
        times in the sample, so it survives w.h.p. whenever that
        expectation clears ~100 — i.e. fraction >= 100/(epsilon*N);
@@ -150,7 +165,22 @@ def heavy_hitters_sampled(
         sampled = observed.where(portable_bernoulli(sample_key, fraction, seed))
     else:
         sampled = observed.sample(fraction=fraction, seed=seed)
-    scounts = sampled.groupBy(*cols).agg(F.count(F.lit(1)).alias("scnt"))
+    from hillview_spark import cache
+
+    # persisted: scounts feeds TWO consumers (its own total and the
+    # candidate filter) inside one action. Before r10 the single
+    # execution of the observed scan below relied on ReuseExchange
+    # deduping the twin subtrees — with spark.sql.exchange.reuse off
+    # (or a future plan change making the subtrees non-identical) the
+    # CollectMetrics node ran twice and obs reported 2N, silently
+    # doubling the confirmation threshold. The cache materializes the
+    # sampled aggregate exactly once BY CONSTRUCTION; correctness no
+    # longer rides on an optimizer flag.
+    scounts = (
+        sampled.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("scnt"))
+        .transform(cache.persist)
+    )
     stotal = scounts.agg(F.sum("scnt").alias("__st"))
     cand_rows = (
         scounts.join(F.broadcast(stotal))
@@ -159,6 +189,7 @@ def heavy_hitters_sampled(
         .collect()
     )
     total = obs.get["n"]
+    cache.release(scounts)
     spark = df.sparkSession
     cand = spark.createDataFrame(cand_rows, df.select(*cols).schema)
     # null-safe semi-join: a plain equi-join drops NULL keys, and the

@@ -282,7 +282,6 @@ def histogram_nd(df: DataFrame, specs: list[tuple[str, int]]) -> DataFrame:
     values)."""
     dtypes = dict(df.dtypes)
     categorical = ("string", "boolean")
-    temporal = ("date", "timestamp", "timestamp_ntz")
 
     def axis(c):
         # date/timestamp axes range-bucket on epoch seconds (Hillview
@@ -301,9 +300,11 @@ def histogram_nd(df: DataFrame, specs: list[tuple[str, int]]) -> DataFrame:
             return F.col(c).cast("long")
         return F.col(c)
 
-    numeric = [(c, b) for c, b in specs if dtypes[c] not in categorical]
+    # NOT named `numeric`: that would shadow hillview_spark.numeric
+    # for the rest of the function (r10 review)
+    range_specs = [(c, b) for c, b in specs if dtypes[c] not in categorical]
     rng_aggs = []
-    for c, _ in numeric:
+    for c, _ in range_specs:
         # range over FINITE values only — a single NaN/±Inf would
         # otherwise poison the axis range and squash every row into
         # one bucket even though the rows themselves are filtered
@@ -364,12 +365,16 @@ def histogram_string_bounded(
     by UTF-16 units, which disagrees only between supplementary-plane
     characters and U+E000..U+FFFF — boundary strings in that corner
     would bucket differently than the reference."""
+    from hillview_spark.operators.maps import string_boundary_pos
+
     if not boundaries:
         raise ValueError("histogram_string_bounded needs >= 1 boundary")
     bs = sorted(boundaries)
     barr = F.array(*[F.lit(b) for b in bs])
     val = F.col(col)
-    idx = F.size(F.filter(barr, lambda b: b <= val)) - F.lit(1)
+    # 0-based bucket from the ONE shared left-boundary search (maps
+    # snaps with the same expression 1-based via element_at)
+    idx = string_boundary_pos(barr, val) - F.lit(1)
     if max_value is not None:
         idx = F.when(val > F.lit(max_value), F.lit(len(bs))).otherwise(idx)
     return (

@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import DataType
 
 
@@ -138,17 +138,38 @@ def quantize_column(
     ±Inf) stay missing (NaN passes isNotNull and its clamped floor
     would silently land on the LOWEST bucket's left edge; missing is
     the only faithful reading of a non-value)."""
+    if hi < lo:
+        raise ValueError(f"quantize_column: hi {hi} < lo {lo}")
     width = (hi - lo) / buckets
     c = F.col(col).cast("double")
-    idx = F.least(
-        F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)),
-        F.lit(buckets - 1),
-    )
+    # degenerate grid (lo == hi): the only in-range value IS lo —
+    # index 0 directly; the division by a literal 0.0 width would be
+    # job-fatal under ANSI (the recurring degenerate-fatality class,
+    # r10 review; histogram._bucket_expr guards its mx == mn twin the
+    # same way)
+    if width == 0:
+        idx = F.lit(0)
+    else:
+        idx = F.least(
+            F.greatest(F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(buckets - 1),
+        )
     # finite-only (NaN AND ±Inf are missing) + in-range-only; the two
     # strict comparisons are false for NaN too
     keep = (c >= F.lit(lo)) & (c <= F.lit(hi))
     q = F.when(keep, F.lit(lo) + idx * F.lit(width))
     return df.withColumn(out_col or col, q)
+
+
+def string_boundary_pos(arr: Column, val: Column) -> Column:
+    """1-based position of the greatest boundary <= val in the sorted
+    literal array `arr` (0 when val precedes them all) — THE
+    left-boundary search. quantize_string_column snaps with it and
+    histogram.histogram_string_bounded buckets with it (r10: the two
+    hand-maintained copies of this recipe could drift on a
+    collation-corner fix, the same per-site-drift class r9 eliminated
+    for the finite predicate)."""
+    return F.size(F.filter(arr, lambda b: b <= val))
 
 
 def quantize_string_column(
@@ -173,9 +194,18 @@ def quantize_string_column(
     the last bucket on the quantized-session path while the
     schema-direct path excluded them), value == global_max snaps to
     global_max itself (in range, last leaf); NULL stays NULL."""
+    if not boundaries:
+        # the schema-driven path can feed an empty leftBoundaries
+        # default — fail with the column name, not a bare IndexError
+        # at plan-build (r10 review; histogram_string_bounded already
+        # validates its twin precondition)
+        raise ValueError(
+            f"quantize_string_column({col!r}): boundaries must be "
+            "non-empty (curator metadata missing leftBoundaries?)"
+        )
     bs = sorted(boundaries)
     arr = F.array(*[F.lit(b) for b in bs])
-    pos = F.size(F.filter(arr, lambda b: b <= F.col(col)))
+    pos = string_boundary_pos(arr, F.col(col))
     q = F.when(F.col(col) >= F.lit(bs[0]), F.element_at(arr, pos))
     if global_max is not None:
         q = (

@@ -155,7 +155,14 @@ def next_k_list(
     if start is None:
         before = F.lit(False)
     else:
-        before = row_comparison_filter(sort_cols, start, "<", ascending)
+        # start_position = rows before the FIRST PAGE ROW. Inclusive
+        # paging starts AT the anchor (rows strictly before it);
+        # exclusive paging starts strictly AFTER the anchor group, so
+        # the anchor group's own rows count too — a strict '<' there
+        # undercounts by the anchor key's multiplicity (r10 review:
+        # arbitrarily large on heavy duplicate keys).
+        op = "<" if inclusive else "<="
+        before = row_comparison_filter(sort_cols, start, op, ascending)
     stats = df.agg(
         F.count(F.when(before, F.lit(1))).alias("start_position"),
         F.count(F.lit(1)).alias("rows_scanned"),

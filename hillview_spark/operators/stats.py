@@ -183,13 +183,21 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     dialog" Hillview shows. This is the Spark realization of the
     reference's sketch *combinators* (sketches/highorder/
     ConcurrentSketch.java, MultiSketch.java): N sketches fused into
-    a single scan as one wide aggregate."""
+    a single scan as one wide aggregate.
+
+    present = FINITE for float/double columns (the engine-wide
+    missing rule, hillview_spark.numeric — r10 review: the profile
+    counted NaN rows present and NaN as a distinct value while
+    basic_col_stats counted the same rows missing; the load-time
+    dialog and the column-stats view must agree)."""
+    fin = numeric.finite_values(df, cols)
     aggs = []
     for c in cols:
+        vc = fin[c]
         aggs += [
-            F.count(c).alias(f"{c}__present"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.count(vc).alias(f"{c}__present"),
+            F.sum(F.when(vc.isNull(), 1).otherwise(0)).alias(f"{c}__missing"),
+            F.countDistinct(vc).alias(f"{c}__distinct"),
         ]
     wide = df.agg(*aggs)
     structs = F.array(
@@ -307,8 +315,15 @@ def global_rank(
     # registered with the cache registry so release_all() frees it
     # after results are materialized (a premature release fails the
     # pending query loudly — it can never yield wrong ranks).
+    # the RECORD order (missing is GREATEST — _reference_order's
+    # rule): NULLs rank last ascending. The range partitioner and the
+    # local window MUST use the same ordering or a NULL-bearing row
+    # lands in a partition whose offset disagrees with its local rank
+    # (r10: the pre-fix plain-column order was nulls-FIRST, but no
+    # caller passed NULL rows then — row_quantiles now does).
+    order_exprs = [F.col(c).asc_nulls_last() for c in order_cols]
     tagged = (
-        d.repartitionByRange(parts, *order_cols)
+        d.repartitionByRange(parts, *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -325,7 +340,7 @@ def global_rank(
             ).alias("n"),
         )
     )
-    wlocal = Window.partitionBy("__pid").orderBy(*order_cols)
+    wlocal = Window.partitionBy("__pid").orderBy(*order_exprs)
     return (
         tagged.join(F.broadcast(offsets), "__pid")
         .select(
@@ -345,17 +360,30 @@ def row_quantiles(df: DataFrame, sort_cols: list[str], k: int) -> DataFrame:
 
     Output: one row per rank-bucket with the bucket's smallest tuple
     (min_by on the global rank — the rank is unique, so min_by is
-    deterministic and engine-portable)."""
-    d = df.select(*sort_cols).dropna(subset=sort_cols).distinct()
+    deterministic and engine-portable).
+
+    NULL-bearing tuples RANK, they don't drop (r10 review): the
+    spreadsheet record order sorts missing GREATEST (_reference_
+    order), so next_k pages reach the NULL tail — boundaries computed
+    over only the present tuples would land the proportional scroll
+    ~2x off past the midpoint on a half-NULL column and make the
+    tail unreachable. min_by carries the whole tuple as a STRUCT
+    (never NULL even when its fields are), so a NULL field in a
+    boundary row survives on both engines — a bare min_by(col, rnk)
+    would skip it."""
+    d = df.select(*sort_cols).distinct()
     ranked = global_rank(d, sort_cols)
     return (
         ranked.select(
             F.expr(f"CAST((rnk * {k}) DIV n AS INT)").alias("bucket"),
-            *sort_cols,
+            F.struct(*sort_cols).alias("__t"),
             "rnk",
         )
         .groupBy("bucket")
-        .agg(*[F.expr(f"min_by({c}, rnk)").alias(c) for c in sort_cols])
+        .agg(F.min_by("__t", F.col("rnk")).alias("__t"))
+        .select(
+            "bucket", *[F.col(f"__t.{c}").alias(c) for c in sort_cols]
+        )
     )
 
 

@@ -148,8 +148,12 @@ def test_next_k_list_position_and_scan_count(spark):
     ).collect()
     assert len(empty) == 1
     assert empty[0].k is None and empty[0].cnt is None
-    # strictly before ('c',): the two 'a' and two 'b' rows
-    assert empty[0].start_position == 4 and empty[0].rows_scanned == 5
+    # start_position = rows before the FIRST PAGE ROW (r10): the
+    # exclusive page starts strictly after the anchor GROUP, so the
+    # anchor's own row counts too — 'a','a','b','b','c' = 5, the rank
+    # the scrollbar thumb actually sits at (the old strict-'<'
+    # convention said 4, undercounting by the anchor's multiplicity)
+    assert empty[0].start_position == 5 and empty[0].rows_scanned == 5
 
 
 def test_histogram_string_bounded_reference_index_rules(spark):
