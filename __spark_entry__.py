@@ -2838,6 +2838,12 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT vec_id, embedding FROM embeddings
                    WHERE vec_id <> 0 AND len(embedding) = 64
                      AND {_vec_clean_sql('embedding')}),
+        -- r10: pq_topk's Spark codebook is now CORPUS-INVARIANT
+        -- (built on the full quarantined table, query included); the
+        -- vec_id <> 0 here is vacuous for the codebook — 0 % 50 = 0
+        -- is never stride-eligible — so this cent is identical for
+        -- both the encode key (whose corpus excludes 0 upstream) and
+        -- the topk key, on any fixture
         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                         embedding AS cvec
                  FROM embeddings

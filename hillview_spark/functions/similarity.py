@@ -91,10 +91,17 @@ def dot_product(a, b, exact: bool = True) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+    # try_cast on the ACCUMULATOR too (r10 review): the element-level
+    # try_cast quarantines bad components, but a >10k-component vector
+    # of near-bound values can overflow the decimal(30,16) SUM, and a
+    # plain cast there is ANSI-job-fatal — overflow NULLs the fold
+    # (row quarantined) instead. Inside the pinned element domain at
+    # realistic widths (64-dim, max ~6.4e11 << 1e14) the two casts are
+    # identical, so oracle parity is unchanged.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: _dec(x) * _dec(y)),
         F.lit(0).cast(_ACC),
-        lambda acc, v: (acc + v).cast(_ACC),
+        lambda acc, v: (acc + v).try_cast(_ACC),
     )
 
 
@@ -105,10 +112,11 @@ def squared_norm(a, exact: bool = True) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+    # accumulator try_cast: see dot_product
     return F.aggregate(
         F.transform(a, lambda x: _dec(x) * _dec(x)),
         F.lit(0).cast(_ACC),
-        lambda acc, v: (acc + v).cast(_ACC),
+        lambda acc, v: (acc + v).try_cast(_ACC),
     )
 
 
@@ -186,10 +194,17 @@ def cosine_topk(
     else:
         nonzero = F.exists(F.col(vec_col), lambda x: x.cast("double") != 0)
     clean = all_finite(vec_col) & nonzero
+    # the query's O(d) decimal norm fold is loop-invariant: hoist it
+    # into the broadcast 1-row projection instead of re-evaluating it
+    # per scanned row (r10 review — ivf_topk_exact already did this
+    # with its __qn; same values, same plan shape otherwise)
     q = (
         embeddings.where(F.col(id_col) == query_id)
         .where(clean)
-        .select(F.col(vec_col).alias("__q"))
+        .select(
+            F.col(vec_col).alias("__q"),
+            squared_norm(F.col(vec_col), exact).alias("__qn"),
+        )
     )
     return (
         embeddings.where(F.col(id_col) != query_id)
@@ -202,7 +217,7 @@ def cosine_topk(
                 cosine(
                     dot_product(F.col(vec_col), F.col("__q"), exact),
                     squared_norm(F.col(vec_col), exact),
-                    squared_norm(F.col("__q"), exact),
+                    F.col("__qn"),
                 ),
                 6,
             ).alias("cosine"),
@@ -297,7 +312,10 @@ def lsh_bucket_expr(
                     lambda x, y: (_dec(x) * y).cast("decimal(24,18)"),
                 ),
                 F.lit(0).cast("decimal(32,18)"),
-                lambda acc, v: (acc + v).cast("decimal(32,18)"),
+                # accumulator try_cast: see dot_product (overflow
+                # NULLs the dot -> NULL bucket -> row quarantined,
+                # never ANSI-job-fatal)
+                lambda acc, v: (acc + v).try_cast("decimal(32,18)"),
             )
         else:
             dot = F.aggregate(
@@ -375,8 +393,11 @@ def ann_lsh(
     ~2^-planes slice."""
     hp = hyperplanes(dims, planes)
     bucketed = embeddings.withColumn("__bucket", lsh_bucket_expr(vec_col, hp))
+    # query norm hoisted into the broadcast row (see cosine_topk)
     q = bucketed.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__q"), F.col("__bucket").alias("__qb")
+        F.col(vec_col).alias("__q"),
+        F.col("__bucket").alias("__qb"),
+        squared_norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         bucketed.crossJoin(F.broadcast(q))
@@ -387,7 +408,7 @@ def ann_lsh(
                 cosine(
                     dot_product(F.col(vec_col), F.col("__q")),
                     squared_norm(F.col(vec_col)),
-                    squared_norm(F.col("__q")),
+                    F.col("__qn"),
                 ),
                 6,
             ).alias("cosine"),
@@ -623,6 +644,10 @@ def ivf_write_index_exact(
     embeddings.sparkSession.createDataFrame(
         rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # this writer overwrites <path>/centroids too: without the pop a
+    # later ivf_topk_indexed on the same path served the PREVIOUS
+    # index's cached centroids against the new partitions (r10 review)
+    _IVF_CENTROID_CACHE.pop(path, None)
 
 
 def ivf_topk_indexed_exact(
@@ -814,19 +839,43 @@ def ivf_topk_exact(
     )
 
 
+def _pq_sub(dims: int, m: int) -> int:
+    """Subspace width, loud on misconfiguration (r10 review): with
+    dims % m != 0 the exact twins silently ignored the trailing
+    components while the BLAS reshape crashed — one loud guard for
+    one bad config (configs fail loud; data quarantines)."""
+    if dims % m != 0:
+        raise ValueError(
+            f"PQ needs dims divisible by m: dims={dims}, m={m} leaves "
+            f"{dims % m} trailing components no subspace covers"
+        )
+    return dims // m
+
+
 def _pq_centroids(
     embeddings: DataFrame, k: int, stride: int, id_col: str, vec_col: str
 ):
     """Stride-selected data-point codebook source rows (same
     deterministic id rule as ivf_topk_exact, so a SQL oracle can
-    re-derive them)."""
-    return (
+    re-derive them). Loud on an EMPTY codebook (r10 review): no
+    id % stride == 1 row would otherwise NULL every score array and
+    silently encode all-NULL codes / return empty searches — the
+    config (stride vs the corpus's id space) is wrong, not the
+    data."""
+    cents = (
         embeddings.where(F.col(id_col) % stride == 1)
         .orderBy(id_col)
         .limit(k)
         .select(vec_col)
         .collect()
     )
+    if not cents:
+        raise ValueError(
+            f"PQ/IVF codebook is empty: no scoreable row has "
+            f"{id_col} % {stride} == 1 — pick a stride that hits the "
+            "corpus's id space"
+        )
+    return cents
 
 
 def _dec_arr(vals) -> Column:
@@ -857,7 +906,7 @@ def pq_encode_exact(
 
     Scale shape: one projection over the scan (m·k decimal dots per
     row, no shuffle); the codebook collect is k rows."""
-    sub = dims // m
+    sub = _pq_sub(dims, m)
     # PQ declares its dims: a vector of any other width has no valid
     # sub-vectors (slices would NULL-pad), and a non-finite component
     # would NULL one subspace's whole score array, minting a NULL code
@@ -924,7 +973,7 @@ def pq_topk_exact(
     between encode and score); the per-row work after encoding is m
     array lookups; output is a top-k heap. At 100 TB the codes column
     would be precomputed once and stored."""
-    sub = dims // m
+    sub = _pq_sub(dims, m)
     # same quarantine as pq_encode_exact (width + all-finite) —
     # applied before the search/codebook/query splits so a malformed
     # vector can't become a codebook entry or a garbage all-NULL
@@ -933,7 +982,13 @@ def pq_topk_exact(
         (F.size(F.col(vec_col)) == dims) & all_finite(vec_col)
     )
     search = embeddings.where(F.col(id_col) != query_id)
-    cents = _pq_centroids(search, k, stride, id_col, vec_col)
+    # codebook from the FULL corpus, query row included (r10 review):
+    # a search-side codebook is query-dependent — for a
+    # stride-eligible query_id the codes recomputed here would
+    # disagree with pq_encode_exact's stored codes, which is exactly
+    # the corpus-invariance rule ivf_topk_exact documents. The oracle
+    # mirrors (its cent CTE no longer excludes the query id).
+    cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
     q_row = embeddings.where(F.col(id_col) == query_id)
 
     def sub_scores(j: int, vec: Column) -> Column:
@@ -996,9 +1051,14 @@ def pq_encode_blas(
     to the exact twin; the decimal twin remains the oracle anchor)."""
     import numpy as np
 
-    sub = dims // m
-    # same malformed-vector quarantine as the exact twin
-    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
+    sub = _pq_sub(dims, m)
+    # same malformed-vector quarantine as the exact twin — INCLUDING
+    # all_finite (r10 review: width alone let a NaN/Inf vector mint
+    # garbage codes via np.argmin over a NaN score row, diverging
+    # from the exact twin the docstring claims pytest-equality with)
+    embeddings = embeddings.where(
+        (F.size(F.col(vec_col)) == dims) & all_finite(vec_col)
+    )
     cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
     CB = _pq_codebook_np(cents, m, sub, vec_col)
     cn = [(CB[j] ** 2).sum(1) for j in range(m)]
@@ -1049,12 +1109,16 @@ def pq_topk_blas(
     (pytest-verified)."""
     import numpy as np
 
-    sub = dims // m
+    sub = _pq_sub(dims, m)
     # same malformed-vector quarantine as the exact twin (also makes
-    # an off-width query row degrade to the empty result below)
-    embeddings = embeddings.where(F.size(F.col(vec_col)) == dims)
+    # an off-width or non-finite query row degrade to the empty
+    # result below); all_finite added r10 — see pq_encode_blas
+    embeddings = embeddings.where(
+        (F.size(F.col(vec_col)) == dims) & all_finite(vec_col)
+    )
     search = embeddings.where(F.col(id_col) != query_id)
-    cents = _pq_centroids(search, k, stride, id_col, vec_col)
+    # full-corpus codebook (r10): see pq_topk_exact
+    cents = _pq_centroids(embeddings, k, stride, id_col, vec_col)
     CB = _pq_codebook_np(cents, m, sub, vec_col)
     cn = [(CB[j] ** 2).sum(1) for j in range(m)]
     qrow = embeddings.where(F.col(id_col) == query_id).first()
@@ -1179,12 +1243,21 @@ def cosine_dup_pairs(
             F.col("id_a") < F.col("id_b")
         )
     else:
-        a = embeddings.select(
+        # the same malformed-vector quarantine the LSH branch applies
+        # via lsh_bucket_expr's all_finite (r10 review): on the
+        # exact=False path a NaN/Inf component made cosine NaN, which
+        # Spark's NaN semantics pass through denom>0 AND >= threshold
+        # — the malformed row minted pairs. On the exact path the cut
+        # is value-identical (those rows scored NULL and failed the
+        # threshold anyway); either way the pinned element domain
+        # applies to every similarity path (cosine_topk's clean cut).
+        clean = embeddings.where(all_finite(vec_col))
+        a = clean.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
             squared_norm(F.col(vec_col), exact).alias("na"),
         )
-        b = embeddings.select(
+        b = clean.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"),
             squared_norm(F.col(vec_col), exact).alias("nb"),
@@ -1226,7 +1299,11 @@ def knn_join(
             F.col("id_a") != F.col("id_b")
         )
     else:
-        e = embeddings.select(
+        # same quarantine as cosine_dup_pairs' all-pairs branch (r10):
+        # without it a NaN cosine ranks ABOVE every real score in the
+        # desc window on the exact=False path and becomes everyone's
+        # rank-1 neighbor (NaN passes isNotNull)
+        e = embeddings.where(all_finite(vec_col)).select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             squared_norm(F.col(vec_col), exact).alias("__n"),
@@ -1281,6 +1358,18 @@ def _numpy_bucketed(
             pdf, M = _stack_batch(pdf, vec_col, W.shape[1])
             if len(pdf) == 0:
                 continue
+            # finite + element-domain mask, mirroring lsh_bucket_expr's
+            # all_finite (r10 review): an Inf-component vector got a
+            # REAL bucket here while the expression twin NULL-bucketed
+            # it, so block_topk emitted NaN-cosine neighbor rows the
+            # expression path excludes
+            ok = np.isfinite(M).all(axis=1) & (
+                np.abs(M) <= _ELEM_BOUND
+            ).all(axis=1)
+            if not ok.all():
+                pdf, M = pdf[ok], M[ok]
+                if len(pdf) == 0:
+                    continue
             bits = (M @ W.T) >= 0
             bucket = (bits * (1 << np.arange(planes))).sum(1)
             yield pd.DataFrame(
@@ -1455,6 +1544,16 @@ def _stride_quantizer(
         .select(vec_col)
         .collect()
     )
+    if not cents:
+        # configs fail loud (r10 review; ivf_index raises for its
+        # all-NULL sample the same way): an empty codebook would NULL
+        # every score -> every cell NULL -> semantic_dedup silently
+        # excludes the ENTIRE corpus from the release
+        raise ValueError(
+            f"stride quantizer codebook is empty: no row has "
+            f"{id_col} % {stride} == 1 — pick a stride that hits the "
+            "corpus's id space"
+        )
 
     def cent_lit(vec) -> Column:
         return F.array(*[_dec(F.lit(float(x))) for x in vec])
@@ -1589,6 +1688,18 @@ def semantic_dedup_blas(
             pdf, v = _stack_batch(pdf, vec_col, cmat.shape[1])
             if len(pdf) == 0:
                 continue
+            # finite + element-domain mask (r10 review): the exact
+            # twin's decimal scores are all NULL for such a row ->
+            # cell NULL -> excluded from the release; without the mask
+            # np.argmin assigned it an arbitrary cell and released it
+            # keep=true — the twins returned different row sets
+            ok = np.isfinite(v).all(axis=1) & (
+                np.abs(v) <= _ELEM_BOUND
+            ).all(axis=1)
+            if not ok.all():
+                pdf, v = pdf[ok], v[ok]
+                if len(pdf) == 0:
+                    continue
             # argmin(||c||^2 - 2 x.c), ties to lowest index (argmin
             # picks the first minimum — same rule as the exact twin)
             score = cnorm[None, :] - 2.0 * (v @ cmat.T)

@@ -1531,6 +1531,95 @@ def test_semantic_dedup_blas_equals_exact(spark, tables):
     assert exact == blas
 
 
+def test_blas_twins_quarantine_malformed_vectors(spark, tables):
+    """r10 review: the numpy/BLAS throughput twins must apply the
+    SAME malformed-vector quarantine as their exact twins — a
+    NaN/Inf-component vector used to mint garbage PQ codes, get a
+    real LSH bucket (NaN-cosine neighbor rows), be released keep=true
+    by semantic_dedup_blas, and rank first in knn_join(exact=False)."""
+    import math
+
+    from hillview_spark.functions import similarity
+
+    base = tables["embeddings"].select("vec_id", "embedding").limit(200)
+    nan_vec = [float("nan")] * 64
+    inf_vec = [1.0] * 63 + [float("inf")]
+    bad = spark.createDataFrame(
+        [(900001, nan_vec), (900002, inf_vec)],
+        "vec_id long, embedding array<double>",
+    )
+    dirty = base.unionByName(bad)
+    clean = base
+
+    # pq twins: dirty == clean (bad rows quarantined, never encoded)
+    enc_d = {(r.vec_id, r.subspace, r.code)
+             for r in similarity.pq_encode_blas(dirty).collect()}
+    enc_c = {(r.vec_id, r.subspace, r.code)
+             for r in similarity.pq_encode_blas(clean).collect()}
+    assert enc_d == enc_c and 900001 not in {t[0] for t in enc_d}
+
+    # semantic dedup twins agree on the dirty frame (bad rows out of
+    # the release on BOTH paths)
+    ex = {(r.vec_id, r.cell, r.keep) for r in similarity.semantic_dedup(
+        dirty, threshold=0.4, n_cells=4, stride=50).collect()}
+    bl = {(r.vec_id, r.cell, r.keep) for r in similarity.semantic_dedup_blas(
+        dirty, threshold=0.4, n_cells=4, stride=50).collect()}
+    assert ex == bl and 900001 not in {t[0] for t in ex}
+
+    # knn twins: no NaN cosine, no malformed neighbor, no NaN rank-1
+    for out in (
+        similarity.knn_join(dirty, k=2, exact=False).collect(),
+        similarity.knn_join_blocked(dirty, k=2, planes=4).collect(),
+        similarity.cosine_dup_pairs(
+            dirty, threshold=0.4, exact=False).collect(),
+    ):
+        for r in out:
+            for v in r:
+                assert not (isinstance(v, float) and math.isnan(v))
+            assert 900001 not in tuple(r) and 900002 not in tuple(r)
+
+
+def test_pq_misconfig_fails_loud(spark, tables):
+    """r10 review: dims % m != 0 silently truncated the exact twins
+    and reshape-crashed the BLAS twins; an empty stride codebook
+    silently NULLed every code/cell. Both are config errors -> loud."""
+    import pytest as _pytest
+
+    from hillview_spark.functions import similarity
+
+    emb = tables["embeddings"]
+    with _pytest.raises(ValueError, match="divisible"):
+        similarity.pq_encode_exact(emb, m=5, dims=64)
+    with _pytest.raises(ValueError, match="divisible"):
+        similarity.pq_encode_blas(emb, m=5, dims=64)
+    shifted = emb.select(
+        (F.col("vec_id") * 50).alias("vec_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="codebook is empty"):
+        similarity.pq_encode_exact(shifted, stride=50)
+    with _pytest.raises(ValueError, match="codebook is empty"):
+        similarity.semantic_dedup(shifted, stride=50)
+
+
+def test_ivf_exact_writer_invalidates_centroid_cache(spark, tmp_path, tables):
+    """r10 review: ivf_write_index_exact rewrites <path>/centroids but
+    didn't pop _IVF_CENTROID_CACHE, so a later ivf_topk_indexed on the
+    same path served the previous index's centroids."""
+    from hillview_spark.functions import similarity
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(emb, path, n_cells=4)
+    first = similarity.ivf_topk_indexed(
+        spark, path, [0.1] * 64, k=3).collect()
+    assert path in similarity._IVF_CENTROID_CACHE
+    similarity.ivf_write_index_exact(emb, path, n_cells=4, stride=50)
+    assert path not in similarity._IVF_CENTROID_CACHE
+    again = similarity.ivf_topk_indexed(
+        spark, path, [0.1] * 64, k=3).collect()
+    assert len(again) == 3 and len(first) == 3
+
+
 def test_lsh_index_torn_write_detected(spark, tmp_path, tables):
     from hillview_spark.functions import dedup
 

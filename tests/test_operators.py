@@ -994,6 +994,54 @@ def test_exact_freq_null_candidate(spark):
     assert out == {None: 2, "a": 1}
 
 
+def test_exact_freq_zero_candidates_reported(spark):
+    """ExactFreqSketch parity (r10): one row per candidate, zeros
+    included — zero() and add() carry the full candidate list, so a
+    candidate absent from the data reports count 0 instead of
+    silently vanishing from the result."""
+    from hillview_spark.operators import heavy_hitters as HH
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "s string")
+    out = {r.value: r.cnt for r in HH.exact_freq(
+        df, "s", ["a", "zz", None]).collect()}
+    assert out == {"a": 2, "zz": 0, None: 0}
+
+
+def test_range_and_comparison_filters_exclude_nonfinite(spark):
+    """Non-finite is MISSING for numeric bounds (r10, reference
+    DoubleRangeFilter: missing -> includeMissing=false, Java NaN
+    comparisons false). Both engines rank NaN above every value, so
+    a lo-only filter kept NaN rows before the guard — and
+    complement=True dropped them from BOTH sides, breaking the
+    filter + complement partition."""
+    from hillview_spark.operators import filters as FL
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, nan), (3, inf), (4, -inf), (5, None), (6, 50.0)],
+        "id int, x double",
+    )
+    lo_only = {r.id for r in df.where(
+        FL.range_filter("x", lo=10.0)).collect()}
+    assert lo_only == {6}  # NaN/+Inf excluded, not "greater than 10"
+    comp = {r.id for r in df.where(
+        FL.range_filter("x", lo=10.0, complement=True)).collect()}
+    # complement keeps every non-matching row INCLUDING the
+    # missing-like ones: the two sides partition the table
+    assert comp == {1, 2, 3, 4, 5}
+    gt = {r.id for r in df.where(
+        FL.comparison_filter("x", ">", 10.0)).collect()}
+    assert gt == {6}
+    # ==/!= stay NaN-literal-exact (the only way to SELECT the
+    # quarantined rows); string bounds carry no finite guard
+    eq_nan = {r.id for r in df.where(
+        FL.comparison_filter("x", "==", nan)).collect()}
+    assert eq_nan == {2}
+    sdf = spark.createDataFrame([("a",), ("z",), (None,)], "s string")
+    assert {r.s for r in sdf.where(
+        FL.range_filter("s", lo="b")).collect()} == {"z"}
+
+
 def test_progressive_stage_validation_is_eager(spark, tables):
     from hillview_spark.operators import heavy_hitters as HH
     from hillview_spark.operators import histogram as H
