@@ -1162,11 +1162,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b2) the rows-only trio's other two (VERDICT-r9 #2;
         # bpe_token_count is already in (a))
         "lamp_project", "metric_mds_controls",
-        # (c) oldest r7 cohort: standalone DP mechanisms and the
-        # composed DP sessions (the remaining r7 keys rotate in r11)
-        "dp_histogram_mktsegment", "dp_histogram_quantity",
-        "dp_quantiles_quantity",
-        "dp_session_heatmap", "dp_session_histogram", "dp_session_page",
+        # (a3) the late-r10 similarity review changed these operators'
+        # EXPRESSIONS after their r9 gate rows (hoisted query norms,
+        # try_cast accumulator folds, corpus-invariant pq codebook,
+        # all-pairs quarantine) — the changed-after-gate staleness the
+        # r9 verdict called out; they take the last six slots from the
+        # r7 DP cohort (unchanged, replica-green twice this session,
+        # first in r11 together with the rest of r7)
+        "ann_cosine_topk", "ann_lsh_topk", "ann_knn_join",
+        "dedup_embedding_cosine_lsh", "pq_encode", "pq_topk",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
