@@ -160,6 +160,11 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        # drop the drained high bits: without the mask the accumulator
+        # grows to the whole stream length and every shift above turns
+        # O(n) — encode was measured QUADRATIC (256x256 noise: 11.7s;
+        # with the mask the arithmetic stays word-sized) (r10 review)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -362,6 +367,10 @@ class _BitReader:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # mask consumed high bits — same quadratic-growth fix as
+        # _BitWriter.write (read_bit only decrements nbits; the bits
+        # above nbits are dead but used to keep widening the shifts)
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -423,6 +432,12 @@ def jpeg_dims(payload: bytes) -> tuple[int, int, int]:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad marker stream")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes (real encoders emit them) — skip them, or a
+        # spec-legal file misparses the next two bytes as a segment
+        # length and gets falsely quarantined (r10 review)
+        while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker in (0xC0, 0xC1):
             h, w = _struct.unpack(">HH", payload[i + 5 : i + 9])
@@ -444,11 +459,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     Error contract: ALL malformed input (truncated entropy data,
     lying segment lengths, bad markers) raises ValueError — a corpus
     job quarantining bad media with except-ValueError must not be
-    broken by a raw IndexError escaping the bit reader."""
+    broken by a raw IndexError escaping the bit reader. r10 review
+    widened the net with three reproduced escapes: EOFError (entropy
+    data truncated before EOI), KeyError (SOS referencing a Huffman
+    table no DHT defined), ZeroDivisionError (fuzzed SOF sampling
+    byte 0x00)."""
     try:
         return _decode_jpeg_unchecked(payload)
-    except (IndexError, _struct.error) as e:
-        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+    except (
+        IndexError, _struct.error, EOFError, KeyError, ZeroDivisionError,
+    ) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
 
 
 def _decode_jpeg_unchecked(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -463,6 +484,9 @@ def _decode_jpeg_unchecked(payload: bytes) -> tuple[int, int, int, bytes]:
     while True:
         if payload[i] != 0xFF:
             raise ValueError("bad marker stream")
+        # skip T.81 fill bytes (see jpeg_dims)
+        while payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD9:
             raise ValueError("no scan data")
@@ -484,6 +508,16 @@ def _decode_jpeg_unchecked(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("only 8-bit precision supported")
             h, w = _struct.unpack(">HH", body[1:5])
             ncomp = body[5]
+            # only grayscale / YCbCr baseline: a 4-component Adobe
+            # CMYK file would otherwise silently decode YCCK planes
+            # through YCbCr math, drop K, and return garbage claimed
+            # as valid RGB; a 2-component file hit IndexError and was
+            # mislabeled 'truncated' (r10 review)
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG component count {ncomp} "
+                    "(only 1=grayscale, 3=YCbCr baseline)"
+                )
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]

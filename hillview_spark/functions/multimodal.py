@@ -46,6 +46,16 @@ MEDIA_SCHEMA = StructType(
 
 _MAGIC = b"FAKE"
 
+# Two `kind` vocabularies coexist: MEDIA_SCHEMA's coarse classes
+# (image | audio | video) for real media tables, and
+# synthesize_media's CONTAINER names (png/jpeg/gif/bmp/mp3/h264 — the
+# per-container gate fixture, whose dims histogram is keyed by
+# container). Kind-filtering consumers accept BOTH, otherwise
+# composing the fixture with resize_images/sample_frames silently
+# returned empty (r10 review).
+_IMAGE_KINDS = ("image", "png", "jpeg", "gif", "bmp", "ppm")
+_VIDEO_KINDS = ("video", "h264")
+
 
 def make_fake_payload(media_id: int, kind: str) -> bytes:
     """Deterministic fake media payload: FAKE | kind[0] | width | height
@@ -57,7 +67,9 @@ def make_fake_payload(media_id: int, kind: str) -> bytes:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    if payload is None or not payload.startswith(_MAGIC):
+    if payload is None or not payload.startswith(_MAGIC) or len(payload) < 17:
+        # length-checked: a truncated FAKE payload must raise the
+        # contract ValueError, not struct.error (r10 review)
         raise ValueError("not a fake payload")
     w, h, nf = _struct.unpack("<III", payload[5:17])
     return w, h, nf
@@ -620,17 +632,31 @@ def encode_h264(width: int, height: int, n_frames: int) -> bytes:
     return bytes(out)
 
 
+def _fit_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Target dims fitting max_side, aspect preserved — THE one copy
+    of the scale arithmetic (resize_images' stub path uses it too).
+    INTEGER math (r10 review): the old int(w * (max_side / w))
+    float-truncated to max_side - 1 for many inputs (49 @ 32 -> 31),
+    splitting one logical resolution bucket into two; the long side
+    now lands exactly on max_side whenever downscaling happens."""
+    long_side = max(w, h)
+    if long_side <= max_side:
+        return w, h
+    return (
+        max(1, (w * max_side) // long_side),
+        max(1, (h * max_side) // long_side),
+    )
+
+
 def _nn_resize(payload, max_side, decode_fn, encode_fn):
     """Shared real-resize core: decode -> nearest-neighbor downsample
-    -> re-encode. ONE copy of the scale / index arithmetic so a
-    rounding or aspect-ratio fix applies to every codec. Returns
+    -> re-encode. Scale/index arithmetic lives in _fit_dims. Returns
     (new_w, new_h, new_payload); payload unchanged when already
     within max_side."""
     import numpy as np
 
     w, h, ch, px = decode_fn(payload)
-    scale = min(1.0, max_side / max(w, h))
-    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    nw, nh = _fit_dims(w, h, max_side)
     if (nw, nh) == (w, h):
         return w, h, payload
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
@@ -655,9 +681,21 @@ def _stdlib_resize(payload: bytes, max_side: int):
     transform for PNG and baseline JPEG, None for containers this
     decoder can only probe (caller falls back to dims-only
     passthrough)."""
+    # header-probe FIRST (r10 review): an image already within
+    # max_side needs no transform, and the full zlib/Huffman decode
+    # just to discover that dominated resize CPU on corpora where
+    # most images fit the target
     if payload is not None and payload[:8] == _PNG_SIG:
+        w, h, _ = _png_dims(payload)
+        if max(w, h) <= max_side:
+            return w, h, payload
         return resize_png(payload, max_side)
     if payload is not None and payload[:2] == b"\xff\xd8":
+        from hillview_spark.functions.jpeg import jpeg_dims
+
+        w, h, _ch = jpeg_dims(payload)
+        if max(w, h) <= max_side:
+            return w, h, payload
         return resize_jpeg(payload, max_side)
     return None
 
@@ -729,9 +767,22 @@ def _stdlib_decode(payload: bytes) -> tuple[int, int, int]:
     byte-for-byte, full PNG (zlib inflate + scanline unfilter),
     baseline JPEG (full DCT/Huffman codec, functions/jpeg.py), MP3
     frame-header walks, and H.264 Annex-B SPS parsing. Full-fidelity
-    sample/pixel DECODE for MP3/H.264 belongs to the 'real' slot."""
+    sample/pixel DECODE for MP3/H.264 belongs to the 'real' slot.
+
+    Error contract: malformed media raises ValueError, uniformly —
+    struct.error from a truncated header unpack is converted here so
+    every prober honors the except-ValueError quarantine convention
+    (r10 review reproduced escapes from a 4-byte WAVE fmt chunk and a
+    truncated JPEG SOF body)."""
     if payload is None:
         raise ValueError("null payload")
+    try:
+        return _stdlib_decode_unchecked(payload)
+    except _struct.error as e:
+        raise ValueError(f"truncated media header: {e}") from e
+
+
+def _stdlib_decode_unchecked(payload: bytes) -> tuple[int, int, int]:
     if payload[:2] == b"P6":
         return _ppm_dims(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -789,14 +840,7 @@ def probe_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     parse-level errors are caught; a missing decoder (the declared
     'real' MP3/H.264 seam, NotImplementedError) still raises."""
     decode = DECODERS[decoder]
-
-    def _safe(p):
-        try:
-            return decode(p)
-        except NotImplementedError:
-            raise
-        except Exception:
-            return (None, None, None)
+    _safe = _safe_decode(decode)  # the ONE quarantine wrapper (r10)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -967,11 +1011,9 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
                     out_h.append(None)
                     out_c.append(p)
                     continue
-                scale = min(1.0, max_side / max(w, h))
-                # max(1, ...) like resize_png/resize_jpeg: an extreme
-                # aspect ratio must not emit a zero dimension
-                out_w.append(max(1, int(w * scale)))
-                out_h.append(max(1, int(h * scale)))
+                nw, nh = _fit_dims(w, h, max_side)
+                out_w.append(nw)
+                out_h.append(nh)
                 out_c.append(p)  # stub: payload passthrough
             yield pd.DataFrame(
                 {
@@ -984,7 +1026,7 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
 
     # pruning-barrier guard: only the id + payload cross into Python
     return (
-        df.where(F.col("kind") == "image")
+        df.where(F.col("kind").isin(*_IMAGE_KINDS))
         .select("media_id", "content")
         .mapInPandas(run, RESIZE_SCHEMA)
     )
@@ -1017,7 +1059,7 @@ def sample_frames(df: DataFrame, every_n: int = 30, decoder: str = "fake") -> Da
 
     # pruning-barrier guard: only the id + payload cross into Python
     return (
-        df.where(F.col("kind") == "video")
+        df.where(F.col("kind").isin(*_VIDEO_KINDS))
         .select("media_id", "content")
         .mapInPandas(run, FRAMES_SCHEMA)
     )

@@ -536,6 +536,87 @@ def test_jpeg_codec_roundtrip():
         jpeg.jpeg_dims(bytes(bad))
 
 
+def test_jpeg_error_contract_and_fill_bytes():
+    """r10 review: (1) the documented 'all malformed input raises
+    ValueError' contract had three reproduced escapes (EOFError on
+    entropy truncation, KeyError on an undefined Huffman table,
+    ZeroDivisionError on a fuzzed 0x00 sampling byte); (2) T.81 fill
+    bytes (0xFF padding before markers) falsely quarantined
+    spec-legal files; (3) a CMYK/2-component SOF decoded garbage
+    'RGB' / mislabeled as truncated."""
+    import numpy as np
+
+    from hillview_spark.functions import jpeg
+
+    img = _gradient_rgb(32, 24, noise_seed=3)
+    enc = jpeg.encode_jpeg(32, 24, 3, img.tobytes())
+    # (1a) truncate inside entropy data (EOFError escape)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(enc[: len(enc) // 2] + b"\xff\xd9")
+    # (1b) strip the DHT segments -> SOS references undefined tables
+    i = enc.index(b"\xff\xc4")
+    out = bytearray(enc[:i])
+    j = i
+    while enc[j : j + 2] == b"\xff\xc4":
+        (seg,) = __import__("struct").unpack(">H", enc[j + 2 : j + 4])
+        j += 2 + seg
+    out += enc[j:]
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(out))
+    # (1c) fuzz the SOF sampling byte to 0x00 (ZeroDivisionError)
+    sof = enc.index(b"\xff\xc0")
+    fz = bytearray(enc)
+    fz[sof + 11] = 0x00  # first component's sampling factors
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(fz))
+    # (2) fill bytes before every marker are spec-legal
+    filled = bytearray()
+    k = 2
+    filled += enc[:2]
+    while k < len(enc):
+        if enc[k] == 0xFF and k + 1 < len(enc) and enc[k + 1] in (
+            0xDB, 0xC0, 0xC4, 0xDA,
+        ):
+            filled += b"\xff"  # one fill byte before the marker
+        filled += enc[k : k + 1]
+        k += 1
+    assert jpeg.jpeg_dims(bytes(filled)) == (32, 24, 3)
+    w, h, ch, px = jpeg.decode_jpeg(bytes(filled))
+    assert (w, h, ch) == (32, 24, 3)
+    # (3) 4-component SOF refuses loudly instead of YCCK-as-RGB
+    cmyk = bytearray(enc)
+    # SOF body: len(2) prec(1) h(2) w(2) ncomp(1)
+    cmyk[sof + 9] = 4
+    with pytest.raises(ValueError, match="component count"):
+        jpeg.decode_jpeg(bytes(cmyk))
+
+
+def test_multimodal_fit_dims_and_fixture_composition(spark, tables):
+    """r10 review: (1) float truncation resized 49@32 to 31x31 — the
+    long side must land exactly on max_side; (2) synthesize_media's
+    container kinds silently produced EMPTY resize/sample results
+    (kind-filter vocabulary mismatch)."""
+    from hillview_spark.functions import multimodal as mm
+
+    assert mm._fit_dims(49, 49, 32) == (32, 32)
+    assert mm._fit_dims(1920, 1080, 32) == (32, 18)
+    assert mm._fit_dims(10, 5, 32) == (10, 5)      # already fits
+    assert mm._fit_dims(100000, 3, 32) == (32, 1)  # extreme aspect
+    media = mm.synthesize_media(
+        tables["documents"].limit(60)).transform(
+        lambda d: d)
+    resized = mm.resize_images(media, max_side=8, decoder="stdlib")
+    assert resized.count() > 0  # png/jpeg/gif/bmp rows reach the map
+    frames = mm.sample_frames(media, every_n=1, decoder="stdlib")
+    assert frames.count() > 0   # h264 rows reach the map
+    # struct.error conversion: a truncated WAVE header quarantines
+    # as ValueError, and the fake decoder length-checks
+    with pytest.raises(ValueError):
+        mm._stdlib_decode(b"RIFF\x04\x00\x00\x00WAVEfmt ")
+    with pytest.raises(ValueError):
+        mm._fake_decode(b"FAKEi\x01\x02")
+
+
 def test_jpeg_end_to_end_probe_resize(spark):
     """Real JPEG bytes through the Spark multimodal pipeline: probe
     reads SOF dims; resize does a FULL decode -> downsample ->
