@@ -1162,15 +1162,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b2) the rows-only trio's other two (VERDICT-r9 #2;
         # bpe_token_count is already in (a))
         "lamp_project", "metric_mds_controls",
-        # (a3) the late-r10 similarity review changed these operators'
-        # EXPRESSIONS after their r9 gate rows (hoisted query norms,
-        # try_cast accumulator folds, corpus-invariant pq codebook,
-        # all-pairs quarantine) — the changed-after-gate staleness the
-        # r9 verdict called out; they take the last six slots from the
-        # r7 DP cohort (unchanged, replica-green twice this session,
-        # first in r11 together with the rest of r7)
-        "ann_cosine_topk", "ann_lsh_topk", "ann_knn_join",
-        "dedup_embedding_cosine_lsh", "pq_encode", "pq_topk",
+        # (a4) the late-r10 privacy review CHANGED RELEASED VALUES for
+        # the heatmap keys (the injective pair-identity PRF key
+        # replaced the colliding index fold) and the expressions of
+        # the page/quantiles mechanisms (non-finite canonicalization,
+        # every-prob fallback) — value-changing keys outrank
+        # everything, so they take the last six slots. The similarity
+        # keys whose r10 changes are value-identical (hoists,
+        # try_cast, quarantine — all replica-green) and the remaining
+        # r7 cohort rotate first in r11.
+        "dp_heatmap_qty_discount", "dp_session_heatmap",
+        "dp_session_page", "dp_session_histogram",
+        "dp_quantiles_quantity", "dp_next_k_rows",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
@@ -2313,15 +2316,23 @@ def oracle_sql() -> dict[str, str]:
     o["dp_histogram_quantity"] = _dp_hist_sql(cdf=False)
     o["dp_cdf_quantity"] = _dp_hist_sql(cdf=True)
 
+    # every prob gets a row; unsatisfiable probs (negative noisy
+    # total) fall back to the last bucket edge — mirrors the r10
+    # dp_quantiles fallback
     o["dp_quantiles_quantity"] = f"""
         WITH cdf AS ({_dp_hist_sql(cdf=True)}),
         t AS (SELECT MAX(noisy_count) AS t FROM cdf),
         probs(prob) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
-                               (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE)))
-        SELECT prob, MIN(left_edge) AS value
-        FROM cdf, t, probs
-        WHERE CAST(noisy_count AS DOUBLE) >= prob * CAST(t AS DOUBLE)
-        GROUP BY prob ORDER BY prob
+                               (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+        hit AS (
+            SELECT prob, MIN(left_edge) AS value
+            FROM cdf, t, probs
+            WHERE CAST(noisy_count AS DOUBLE) >= prob * CAST(t AS DOUBLE)
+            GROUP BY prob),
+        fb AS (SELECT MAX(left_edge) AS fbv FROM cdf)
+        SELECT probs.prob, COALESCE(hit.value, fb.fbv) AS value
+        FROM probs LEFT JOIN hit ON probs.prob = hit.prob, fb
+        ORDER BY probs.prob
     """
 
     def _dp_heatmap_sql() -> str:
@@ -2334,9 +2345,12 @@ def oracle_sql() -> dict[str, str]:
             xnodes = _priv.kadic_decomposition(xl, xr)
             for j, (yl, yr) in enumerate(_priv._bucket_leaf_ranges(yleaves, ybuckets)):
                 ynodes = _priv.kadic_decomposition(yl, yr)
-                # one draw per NODE PAIR, in the engine's loop order
+                # one draw per NODE PAIR, in the engine's loop
+                # order; the '-1:ciy|' prefix is the r10 injective
+                # pair-identity segment (privacy.dp_heatmap) — here
+                # both default indexes are 0
                 pairs = [
-                    f"{xa}:{xs}|{ya}:{ys}"
+                    f"-1:0|{xa}:{xs}|{ya}:{ys}"
                     for xa, xs in xnodes
                     for ya, ys in ynodes
                 ]
@@ -2390,7 +2404,11 @@ def oracle_sql() -> dict[str, str]:
             _DP_SESSION_SEED, (_api.range_filter_desc(col, lo, hi),)
         )
         idx = {c: i for i, c in enumerate(sorted(schema.quantization))}
-        ci = (idx["l_quantity"] * 1_000_003 + idx["l_discount"]) & 0x7FFFFFFF
+        # r10: the x index is the PRF ci verbatim; the y index rides
+        # the injective '-1:ciy|' sentinel segment (the old
+        # *1_000_003 fold collided — privacy.dp_heatmap docstring)
+        ci = idx["l_quantity"]
+        ciy = idx["l_discount"]
         xleaves, xb, yleaves, yb = 50, 5, 11, 4
         scale = _priv.noise_scale(
             schema.epsilon("l_quantity", "l_discount"), xleaves, yleaves
@@ -2401,7 +2419,7 @@ def oracle_sql() -> dict[str, str]:
             for j, (yl, yr) in enumerate(_priv._bucket_leaf_ranges(yleaves, yb)):
                 ynodes = _priv.kadic_decomposition(yl, yr)
                 pairs = [
-                    f"{xa}:{xs}|{ya}:{ys}"
+                    f"-1:{ciy}|{xa}:{xs}|{ya}:{ys}"
                     for xa, xs in xnodes
                     for ya, ys in ynodes
                 ]

