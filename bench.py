@@ -506,7 +506,7 @@ def ab_pairs(t):
             "a": (lambda: correlation.corr_matrix(
                 t["lineitem"], _stat_cols), "collect"),
             "b": (lambda: corr_matrix_builtin(), "collect"),
-            "a_desc": "guarded covar/stddev corr (r9, degenerate-safe)",
+            "a_desc": "guarded regr_sxy/sqrt(regr_sxx*regr_syy) corr (r10, degenerate-safe)",
             "b_desc": "builtin F.corr (job-fatal on constant columns)",
         },
     }

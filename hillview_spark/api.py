@@ -59,6 +59,10 @@ class TableView:
         return TableView(df)
 
     def filter_range(self, col: str, lo=None, hi=None, **kw) -> "TableView":
+        # dtype dispatch (r10 advice): the view knows the column's
+        # dtype, so int/decimal columns skip the no-op finite guard
+        # and their range predicates stay pushdown-eligible
+        kw.setdefault("dtype", dict(self.df.dtypes).get(col))
         return self._derive(self.df.where(_filters.range_filter(col, lo, hi, **kw)))
 
     def filter_string(self, col: str, pattern: str, mode: str = "substring",
@@ -68,13 +72,19 @@ class TableView:
         )
 
     def filter_comparison(self, col: str, op: str, value) -> "TableView":
-        return self._derive(self.df.where(_filters.comparison_filter(col, op, value)))
+        return self._derive(
+            self.df.where(
+                _filters.comparison_filter(
+                    col, op, value, dtype=dict(self.df.dtypes).get(col)
+                )
+            )
+        )
 
     def brush(self, ranges: list[dict], complement: bool = False) -> "TableView":
         """N-D brush selection: the view a heatmap/trellis drag-select
         derives (one range dict per charted column)."""
         return self._derive(
-            self.df.where(_filters.range_filter_array(ranges, complement))
+            self.df.where(_filters.range_filter_array(ranges, complement, self.df))
         )
 
     def search(self, cols: list[str], pattern: str, mode: str = "substring",

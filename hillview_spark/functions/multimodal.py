@@ -684,7 +684,11 @@ def _stdlib_resize(payload: bytes, max_side: int):
     # header-probe FIRST (r10 review): an image already within
     # max_side needs no transform, and the full zlib/Huffman decode
     # just to discover that dominated resize CPU on corpora where
-    # most images fit the target
+    # most images fit the target. Deliberate trade-off (r10 advice):
+    # the short-circuit validates the HEADER only, so a small image
+    # with corrupt entropy data passes through instead of
+    # quarantining — resize_images documents probe-only validation
+    # on this path.
     if payload is not None and payload[:8] == _PNG_SIG:
         w, h, _ = _png_dims(payload)
         if max(w, h) <= max_side:
@@ -976,7 +980,15 @@ def resize_images(df: DataFrame, max_side: int, decoder: str = "fake") -> DataFr
     other containers compute target dims and pass the payload
     through (the stubbed seam where native codecs plug in).
     Partition/batch flow is identical either way: Arrow batches
-    through mapInPandas."""
+    through mapInPandas.
+
+    Quarantine contract (r10 advice): images whose header dims
+    already fit max_side short-circuit on the HEADER PROBE ALONE —
+    a payload with a valid header but corrupt entropy data passes
+    through unflagged when it is already small enough. resize only
+    guarantees full-decode validation for images it actually
+    transforms; use extract_image_features / decode paths when
+    corruption detection itself is the goal."""
     decode = DECODERS[decoder]
     resizer = RESIZERS.get(decoder)
 

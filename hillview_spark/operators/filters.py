@@ -37,9 +37,20 @@ def _is_numeric_bound(v) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
+def _needs_finite_guard(dtype: str | None) -> bool:
+    """Dtype dispatch for the non-finite guard (r10 advice — mirror
+    numeric.finite_value): only float/double columns can hold
+    NaN/±Inf, so for any OTHER known dtype the `-inf < c < inf`
+    conjunct is a semantic no-op that still forces a per-row double
+    cast and can block predicate pushdown on int/decimal scans.
+    Unknown dtype (None) keeps the guard — conservative, values
+    identical either way."""
+    return dtype is None or dtype in ("double", "float")
+
+
 def range_filter(
     col: str, lo=None, hi=None, include_lo: bool = True, include_hi: bool = True,
-    complement: bool = False,
+    complement: bool = False, dtype: str | None = None,
 ) -> Column:
     """Range selection (RangeFilterDescription.DoubleRangeFilter:61:
     missing → includeMissing=false, else min <= v <= max with Java
@@ -51,10 +62,16 @@ def range_filter(
     them from both sides of the partition, r10 review). Two-sided
     ranges already excluded non-finite in both engines (NaN/+Inf fail
     the hi bound, -Inf the lo bound); the guard makes one-sided
-    ranges agree with the reference too."""
+    ranges agree with the reference too.
+
+    dtype: the filtered column's Spark dtype string when the caller
+    has it (TableView passes it) — lets the guard skip entirely on
+    int/decimal columns where it is a pushdown-blocking no-op."""
     c = F.col(col)
     cond = F.lit(True)
-    if _is_numeric_bound(lo) or _is_numeric_bound(hi):
+    if (_is_numeric_bound(lo) or _is_numeric_bound(hi)) and _needs_finite_guard(
+        dtype
+    ):
         cond = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf")))
     if lo is not None:
         cond = cond & (c >= F.lit(lo) if include_lo else c > F.lit(lo))
@@ -63,7 +80,9 @@ def range_filter(
     return _complement(cond) if complement else cond
 
 
-def range_filter_array(ranges: list[dict], complement: bool = False) -> Column:
+def range_filter_array(
+    ranges: list[dict], complement: bool = False, df=None
+) -> Column:
     """Conjunction of per-column range filters — the N-D brush
     selection behind every heatmap / trellis chart interaction
     (table/filters/RangeFilterArrayDescription.java:29: an array of
@@ -72,8 +91,16 @@ def range_filter_array(ranges: list[dict], complement: bool = False) -> Column:
     Each entry is a kwargs dict for range_filter, e.g.
     ``{"col": "l_quantity", "lo": 10, "hi": 30}``. Every member stays
     a plain Catalyst predicate, so all ranges reach the parquet scan
-    as PushedFilters."""
-    cond = all_of(*[range_filter(**r) for r in ranges])
+    as PushedFilters. Pass `df` (the frame being filtered) to enable
+    the per-column dtype dispatch on the non-finite guard; an
+    explicit "dtype" in an entry wins."""
+    dtypes = dict(df.dtypes) if df is not None else {}
+    cond = all_of(
+        *[
+            range_filter(**{"dtype": dtypes.get(r.get("col")), **r})
+            for r in ranges
+        ]
+    )
     return _complement(cond) if complement else cond
 
 
@@ -103,7 +130,7 @@ def string_filter(
     return _complement(cond) if negate else cond
 
 
-def comparison_filter(col: str, op: str, value) -> Column:
+def comparison_filter(col: str, op: str, value, dtype: str | None = None) -> Column:
     c = F.col(col)
     # ==/!= are null-safe, matching maps.compare_columns: a missing
     # value is distinct from every value, so it satisfies '!='
@@ -123,7 +150,11 @@ def comparison_filter(col: str, op: str, value) -> Column:
     # everything, so `> v` would keep NaN against the reference's
     # Java-comparison semantics). ==/!= stay NaN-literal-exact: the
     # only way to SELECT the quarantined rows themselves.
-    if op in ("<", "<=", ">", ">=") and _is_numeric_bound(value):
+    if (
+        op in ("<", "<=", ">", ">=")
+        and _is_numeric_bound(value)
+        and _needs_finite_guard(dtype)
+    ):
         cond = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))) & cond
     return cond
 

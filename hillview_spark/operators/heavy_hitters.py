@@ -62,9 +62,17 @@ def exact_freq(df: DataFrame, col: str, candidates: list) -> DataFrame:
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # nullable=True explicitly (r10 advice): copying the source
+    # field's nullability verbatim would make a None candidate fail
+    # createDataFrame verification when the column is a required
+    # (non-nullable) Parquet field — candidate lists are caller
+    # input, not data, so they may always carry None.
+    from pyspark.sql.types import StructField, StructType
+
+    src_type = df.select(F.col(col).alias("value")).schema[0].dataType
     cand = df.sparkSession.createDataFrame(
         [(v,) for v in dict.fromkeys(candidates)],
-        df.select(F.col(col).alias("value")).schema,
+        StructType([StructField("value", src_type, True)]),
     )
     return (
         cand.join(counts, cand["value"].eqNullSafe(counts["value"]), "left")

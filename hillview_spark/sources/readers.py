@@ -144,6 +144,7 @@ def read_csv(
     keep_corrupt: bool | None = None,
     multiline: bool = False,
     null_value: str | None = None,
+    faithful_ts: bool | None = None,
 ) -> DataFrame:
     """CSV with Hillview's tolerance: malformed rows are kept
     (PERMISSIVE) with a _corrupt_record column rather than failing
@@ -156,6 +157,10 @@ def read_csv(
     sizes bounded, or keep embedded newlines out of 100-TB CSV.
     null_value: the NULL sentinel matching write_csv's (e.g. '\\N'),
     which lets '' and NULL round-trip distinctly.
+    faithful_ts: parse timestamps with write_csv's strict
+    microsecond patterns. None (default) = on iff null_value is set;
+    pass True to read faithful-writer output without a NULL
+    sentinel, False to force the generic Spark timestamp parse.
 
     keep_corrupt controls whether the _corrupt_record column appears
     in the RESULT. Default: yes on the inferred path (exploratory
@@ -173,20 +178,27 @@ def read_csv(
     )
     if multiline:
         reader = reader.option("multiLine", True)
-    if null_value is not None:
+    # faithful_ts has its own flag (r10 advice): it was gated on
+    # null_value, conflating two unrelated options — a caller
+    # reading faithful-writer microsecond timestamps with
+    # null_value=None had those columns misparsed as string. The
+    # patterns are STRICT (fixed 6-digit fraction, 'T' separator),
+    # so they cannot simply apply unconditionally — generic
+    # 'yyyy-MM-dd HH:mm:ss' CSVs would stop parsing. Default None
+    # keeps the historical coupling (faithful iff null_value set).
+    if faithful_ts is None:
+        faithful_ts = null_value is not None
+    if faithful_ts:
         from hillview_spark.sources.writers import (
             CSV_TS_FORMAT,
             CSV_TS_NTZ_FORMAT,
         )
 
-        # faithful mode mirrors write_csv's microsecond timestamp
-        # patterns — the default .SSS parse would misread the
-        # 6-digit fractions the faithful writer emits
-        reader = (
-            reader.option("nullValue", null_value)
-            .option("timestampFormat", CSV_TS_FORMAT)
-            .option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
+        reader = reader.option("timestampFormat", CSV_TS_FORMAT).option(
+            "timestampNTZFormat", CSV_TS_NTZ_FORMAT
         )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
     if schema:
         caller_declared = "_corrupt_record" in schema
         if not caller_declared:
@@ -211,17 +223,17 @@ def read_csv(
         )
         if multiline:
             inf_reader = inf_reader.option("multiLine", True)
-        if null_value is not None:
+        if faithful_ts:
             from hillview_spark.sources.writers import (
                 CSV_TS_FORMAT,
                 CSV_TS_NTZ_FORMAT,
             )
 
-            inf_reader = (
-                inf_reader.option("nullValue", null_value)
-                .option("timestampFormat", CSV_TS_FORMAT)
-                .option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
-            )
+            inf_reader = inf_reader.option(
+                "timestampFormat", CSV_TS_FORMAT
+            ).option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
+        if null_value is not None:
+            inf_reader = inf_reader.option("nullValue", null_value)
         inferred = inf_reader.csv(path).schema
         from pyspark.sql.types import StringType, StructField, StructType
 

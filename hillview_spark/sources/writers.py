@@ -30,6 +30,7 @@ def write_csv(
     mode: str = "overwrite",
     header: bool = True,
     null_value: str | None = None,
+    faithful_ts: bool | None = None,
 ) -> None:
     """CSV writer. Plain CSV cannot distinguish NULL from '' (both
     default to an empty cell) — pass null_value (e.g. the MySQL-
@@ -59,8 +60,15 @@ def write_csv(
             .option("emptyValue", '""')
             .option("ignoreLeadingWhiteSpace", False)
             .option("ignoreTrailingWhiteSpace", False)
-            .option("timestampFormat", CSV_TS_FORMAT)
-            .option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
+        )
+    # faithful_ts decoupled from null_value (r10 advice, mirror of
+    # read_csv): default None keeps the historical coupling; pass
+    # True to write microsecond timestamps without a NULL sentinel
+    if faithful_ts is None:
+        faithful_ts = null_value is not None
+    if faithful_ts:
+        w = w.option("timestampFormat", CSV_TS_FORMAT).option(
+            "timestampNTZFormat", CSV_TS_NTZ_FORMAT
         )
     w.csv(path)
 

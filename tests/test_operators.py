@@ -994,6 +994,24 @@ def test_exact_freq_null_candidate(spark):
     assert out == {None: 2, "a": 1}
 
 
+def test_exact_freq_null_candidate_nonnullable_source(spark):
+    """r11 (r10 advice): the candidate frame declares nullable=True
+    explicitly — copying a required (non-nullable) source field's
+    schema verbatim made a None candidate fail createDataFrame
+    verification."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from hillview_spark.operators import heavy_hitters as HH
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)],
+        StructType([StructField("s", StringType(), False)]),
+    )
+    assert not df.schema["s"].nullable
+    out = {r.value: r.cnt for r in HH.exact_freq(df, "s", [None, "a"]).collect()}
+    assert out == {"a": 2, None: 0}
+
+
 def test_exact_freq_zero_candidates_reported(spark):
     """ExactFreqSketch parity (r10): one row per candidate, zeros
     included — zero() and add() carry the full candidate list, so a
@@ -1040,6 +1058,45 @@ def test_range_and_comparison_filters_exclude_nonfinite(spark):
     sdf = spark.createDataFrame([("a",), ("z",), (None,)], "s string")
     assert {r.s for r in sdf.where(
         FL.range_filter("s", lo="b")).collect()} == {"z"}
+
+
+def test_finite_guard_dtype_dispatch(spark):
+    """r11 (r10 advice): the non-finite guard dispatches on the
+    COLUMN dtype, not the Python type of the bound — int columns
+    given numeric bounds skip the no-op `-inf < c < inf` conjunct
+    (which forced a double cast and could block pushdown), while
+    float/double and unknown dtypes keep it. Values identical either
+    way (ints have no NaN)."""
+    from hillview_spark.operators import filters as FL
+
+    # expression shape: int dtype drops the guard, double/None keep it
+    assert "Infinity" not in str(FL.range_filter("x", lo=10, dtype="bigint"))
+    assert "Infinity" in str(FL.range_filter("x", lo=10, dtype="double"))
+    assert "Infinity" in str(FL.range_filter("x", lo=10))
+    assert "Infinity" not in str(
+        FL.comparison_filter("x", ">", 10, dtype="int")
+    )
+    assert "Infinity" in str(FL.comparison_filter("x", ">", 10, dtype="float"))
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5), (3, None)], "id int, x bigint"
+    )
+    with_guard = {r.id for r in df.where(FL.range_filter("x", lo=10)).collect()}
+    no_guard = {
+        r.id
+        for r in df.where(FL.range_filter("x", lo=10, dtype="bigint")).collect()
+    }
+    assert with_guard == no_guard == {1}
+
+    # range_filter_array resolves dtypes from the frame; explicit
+    # per-entry dtype wins
+    arr = FL.range_filter_array([{"col": "x", "lo": 10}], df=df)
+    assert "Infinity" not in str(arr)
+    arr2 = FL.range_filter_array(
+        [{"col": "x", "lo": 10, "dtype": "double"}], df=df
+    )
+    assert "Infinity" in str(arr2)
+    assert {r.id for r in df.where(arr).collect()} == {1}
 
 
 def test_progressive_stage_validation_is_eager(spark, tables):

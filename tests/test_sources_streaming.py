@@ -826,6 +826,35 @@ def test_read_csv_inference_carries_parse_options(spark, tmp_path):
     assert got == {1: (10, "a\nb"), 2: (None, "plain")}
 
 
+def test_csv_faithful_ts_decoupled_from_null_value(spark, tmp_path):
+    """r11 (r10 advice): the faithful microsecond timestamp formats
+    were gated on null_value in BOTH readers and the writer,
+    conflating two unrelated options — a caller round-tripping
+    microsecond timestamps WITHOUT a NULL sentinel had them truncated
+    (write) and misparsed/inferred-as-string (read). faithful_ts=True
+    now selects them independently; the default (None) preserves the
+    historical coupling."""
+    import datetime
+
+    from hillview_spark.sources import writers
+
+    ts = datetime.datetime(2024, 3, 1, 23, 59, 59, 999999)
+    df = spark.createDataFrame([(1, ts)], "id long, t timestamp")
+    p = str(tmp_path / "csv_faithful_ts")
+    writers.write_csv(df, p, faithful_ts=True)  # no null sentinel
+
+    # pinned schema: microseconds survive the round-trip
+    back = readers.read_csv(
+        spark, p, schema="id long, t timestamp", faithful_ts=True
+    ).first()
+    assert back.t == ts
+    # inferred path: the pre-read carries the same format, so the
+    # column comes back TIMESTAMP (not string) with full precision
+    inf = readers.read_csv(spark, p, faithful_ts=True, keep_corrupt=False)
+    assert dict(inf.dtypes)["t"].startswith("timestamp")
+    assert inf.first().t == ts
+
+
 def test_dissect_lines_missing_is_null(spark):
     """r10 review: unparsed lines' untyped fields and absent optional
     groups extracted as '' while typed fields cast to NULL — the
