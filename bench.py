@@ -604,7 +604,25 @@ def main():
         shuffle_partitions=cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    t = load_all(spark, sf_dir)
+    # --bucketed (VERDICT-r10 #4): run the whole suite over the
+    # bucketed fact layout — one command instead of the
+    # tools/ab_bucketed_tpch.py script. The bucket ingest happens
+    # OUTSIDE the timed region (it is the one-time ingest cost);
+    # values are identical to the plain run by construction, and the
+    # compact JSON carries "bucketed": true so a recorded bench over
+    # this layout is never confused with the plain one. Note: at
+    # local sf0.1 the fact-fact join still auto-broadcasts, so the
+    # honest 100-TB-regime measurement (auto-broadcast off) stays in
+    # tools/ab_bucketed_tpch.py.
+    bucketed = "--bucketed" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_BUCKETED", ""
+    ) not in ("", "0")
+    if bucketed:
+        from hillview_spark.sources.bucketing import bucket_tpch
+
+        t = bucket_tpch(spark, sf_dir, buckets=cpus)
+    else:
+        t = load_all(spark, sf_dir)
 
     # JVM/codegen warmup outside the timed region
     t["lineitem"].count()
@@ -691,6 +709,7 @@ def main():
         "repeats": repeats,
         "comparable_total": round(comparable_total, 3),
         "comparable_n": comparable_n,
+        **({"bucketed": True} if bucketed else {}),
         "fam": {f: round(v, 3) for f, v in sorted(fam_totals.items())},
         "ab": {
             k: [v["a_median"], v["b_median"]] for k, v in ab.items()

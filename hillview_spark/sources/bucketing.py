@@ -45,6 +45,55 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+# the two TPC-H fact tables and their co-location key: lineitem⋈orders
+# on orderkey is the one fact-fact join in the whole workload (q21 −38%
+# exchanges 5→3, q9 −10% 4→2 at the 10× broadcast-off replica —
+# tools/ab_bucketed_tpch.py, VERDICT-r10 measured)
+TPCH_FACT_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def bucket_tpch(
+    spark: SparkSession,
+    sf_dir: str,
+    out: str | None = None,
+    buckets: int = 32,
+    prefix: str = "tpch_b",
+) -> dict[str, DataFrame]:
+    """One-command bucketed TPC-H layout (VERDICT-r10 #4: promote the
+    measured q21/q9 win from a tool script to a usable path).
+
+    Loads every TPC-H table from sf_dir, persists the two FACT tables
+    bucketed+sorted by their join key as `{prefix}_lineitem` /
+    `{prefix}_orders` (managed tables in the session warehouse, or
+    external under `out` when given), and returns the full table dict
+    with the facts swapped for their bucketed reads — a drop-in
+    replacement for tables.load_all, so every downstream query runs
+    unchanged. Dimensions stay plain parquet: they broadcast.
+
+    This is the ingest-time trade: pay one shuffle per fact table
+    ONCE, then every orderkey equi-join between them is exchange-free
+    forever. Size `buckets` so one bucket of lineitem fits executor
+    memory at the target scale (at 100 TB that's thousands of
+    buckets, not 32 — the parameter is the knob)."""
+    from hillview_spark import tables as _tables
+
+    t = _tables.load_all(spark, sf_dir)
+    for name, key in TPCH_FACT_KEYS.items():
+        tbl = f"{prefix}_{name}"
+        writer = (
+            t[name]
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+        )
+        if out:
+            writer = writer.option("path", f"{out.rstrip('/')}/{tbl}")
+        writer.saveAsTable(tbl)
+        t[name] = spark.table(tbl)
+    return t
+
+
 def joins_without_shuffle(joined: DataFrame) -> bool:
     """True if the join plan contains no shuffle exchange — the
     co-located bucket join succeeded. Delegates to the ONE counting

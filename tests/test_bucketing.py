@@ -35,6 +35,40 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
     )
 
 
+def test_bucket_tpch_helper_drop_in(spark, tables):
+    """bucket_tpch (r11, VERDICT-r10 #4) is a drop-in load_all
+    replacement: facts come back bucketed (their orderkey equi-join
+    is exchange-free), dims stay plain, and values match the plain
+    layout."""
+    t = bucketing.bucket_tpch(
+        spark, "/root/testdata/sf0.001", buckets=8, prefix="tpch_b_test"
+    )
+    try:
+        assert set(t) == set(tables)  # full table dict, not just facts
+        assert bucketing.joins_without_shuffle(
+            t["lineitem"].join(
+                t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey
+            )
+        )
+        a = (
+            t["lineitem"]
+            .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+            .groupBy("o_orderpriority").count().collect()
+        )
+        b = (
+            tables["lineitem"]
+            .join(
+                tables["orders"],
+                tables["lineitem"].l_orderkey == tables["orders"].o_orderkey,
+            )
+            .groupBy("o_orderpriority").count().collect()
+        )
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tpch_b_test_lineitem")
+        spark.sql("DROP TABLE IF EXISTS tpch_b_test_orders")
+
+
 def test_bucketed_join_matches_unbucketed(spark, tables, bucketed):
     o = bucketing.read_bucketed(spark, "orders_b")
     li = bucketing.read_bucketed(spark, "lineitem_b")
