@@ -253,6 +253,20 @@ def jl_project(
     return out
 
 
+def _finite_rows(df: DataFrame, cols: list[str]) -> Column:
+    """Row predicate for the driver-side layout samplers: every
+    layout column present AND finite. Spark's dropna covers NULL and
+    NaN but NOT ±Inf, and one Inf row poisons the WHOLE layout —
+    metric_mds' distance normalization turns into inf*0=NaN and numpy
+    SVD dies with LinAlgError (r11 correlation review, class-1 probe:
+    one bad row must never kill the sketch). finite_value dispatches
+    on dtype, so int/date columns only get the NULL check."""
+    pred = F.lit(True)
+    for c in cols:
+        pred = pred & numeric.finite_value(df, c).isNotNull()
+    return pred
+
+
 def _mds_descent(Dh, Y, max_iterations=1000, learning_rate=1.0, decay=0.999,
                  tolerance=1e-5):
     """Squared-stress gradient descent on normalized distances —
@@ -317,7 +331,10 @@ def metric_mds(
     )
     rows = (
         df.select(*out_cols)
-        .dropna(subset=cols)
+        # present AND finite (r11): dropna missed ±Inf, and one Inf
+        # row made the normalized distance matrix NaN — job-fatal in
+        # the SVD init. Excluded exactly like NULL/NaN rows.
+        .where(_finite_rows(df, cols))
         # value-tuple tiebreak: duplicate rows hash to the same pick,
         # and orderBy(pick) alone would then take a partition-layout-
         # dependent subset of the ties
@@ -413,13 +430,26 @@ def lamp_project(
     )
     ctrl = (
         df.select(cols)
-        .dropna()
+        # present AND finite (r11): same rule as metric_mds — an Inf
+        # control candidate poisons mu/sd and every distance
+        .where(_finite_rows(df, cols))
         # same value-tuple tiebreak as metric_mds: equal rows share a
         # pick hash and must not be broken by partition layout
         .orderBy(pick, *cols)
         .limit(n_controls)
         .collect()
     )
+    out_schema = (
+        f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
+        if key_col
+        else ""
+    ) + "lamp_x double, lamp_y double"
+    if not ctrl:
+        # no placeable control points means no placeable rows either
+        # (the data path below applies the same finiteness filter) —
+        # return the empty result instead of crashing numpy on a
+        # zero-length stack (r11 class-1 probe: empty/all-NULL input)
+        return df.sparkSession.createDataFrame([], out_schema)
     X = np.array([[float(r[c]) for c in cols] for r in ctrl])
     mu, sd = X.mean(axis=0), X.std(axis=0)
     sd[sd == 0] = 1.0
@@ -427,6 +457,14 @@ def lamp_project(
     # control-point 2-D positions: PCA, or stress-minimizing MDS
     _, _, vt = np.linalg.svd(Xs, full_matrices=False)
     Y = Xs @ vt[:2].T
+    if Y.shape[1] < 2:
+        # one input column (or a single control row): svd yields < 2
+        # components — pad with a zero coordinate, same rule as
+        # metric_mds. Before r11 numpy broadcasting silently
+        # DUPLICATED the 1-D layout into both output coordinates
+        # (a fabricated y == x), and the 1-control case only worked
+        # by shape-(1,) broadcast accident.
+        Y = np.hstack([Y, np.zeros((len(ctrl), 2 - Y.shape[1]))])
     if control_layout == "mds":
         Dh = np.sqrt(((Xs[:, None, :] - Xs[None, :, :]) ** 2).sum(-1))
         sc = 1.0 / max(Dh.max(), 1e-12)
@@ -479,15 +517,13 @@ def lamp_project(
             out["lamp_y"] = np.round(res[:, 1], 6)
             yield pd.DataFrame(out)
 
-    in_df = df.select(*out_cols).dropna(subset=cols)
-    # key column type from the input schema — hardcoding 'long' would
-    # crash the Arrow conversion for string/other id types
-    schema = (
-        f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
-        if key_col
-        else ""
-    ) + "lamp_x double, lamp_y double"
-    return in_df.mapInPandas(project, schema)
+    # present AND finite (r11): dropna dropped NULL/NaN rows from the
+    # output but let ±Inf through to the solver, which emitted
+    # Inf/NaN coordinates — excluded uniformly now (out_schema keeps
+    # the key column's input type; hardcoding 'long' would crash the
+    # Arrow conversion for string/other id types)
+    in_df = df.select(*out_cols).where(_finite_rows(df, cols))
+    return in_df.mapInPandas(project, out_schema)
 
 
 def category_centroids(

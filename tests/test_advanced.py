@@ -27,6 +27,45 @@ def test_lamp_projects_every_row_deterministically(spark, tables):
     assert max(xs) > min(xs)  # non-degenerate spread
 
 
+def test_lamp_mds_degenerate_and_nonfinite_inputs(spark):
+    """r11 correlation review (class-1 probes): one bad row must
+    never kill the layout sketch, and degenerate shapes must not
+    crash or fabricate coordinates.
+    - EMPTY input: lamp crashed in numpy (zero-length stack) — now
+      returns the empty frame.
+    - ±Inf row: Spark dropna covers NULL/NaN but NOT Inf; one Inf row
+      made metric_mds' normalized distances NaN (job-fatal SVD) and
+      flowed Inf coordinates out of lamp — now excluded exactly like
+      NULL/NaN rows, in the control pick AND the data path.
+    - single input column: numpy broadcasting silently DUPLICATED the
+      1-D layout into both lamp outputs (fabricated y == x) — now a
+      zero y coordinate, the metric_mds pad rule."""
+    empty = spark.createDataFrame([], "id long, a double, b double")
+    assert correlation.lamp_project(empty, ["a", "b"], key_col="id").collect() == []
+
+    inf = float("inf")
+    m = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 3.0, 4.0), (3, inf, 5.0), (4, 7.0, -inf)],
+        "id long, a double, b double",
+    )
+    mds = correlation.metric_mds(m, ["a", "b"], key_col="id", n_points=10)
+    assert sorted(r.id for r in mds.collect()) == [1, 2]
+    lamp = correlation.lamp_project(m, ["a", "b"], key_col="id", n_controls=5)
+    got = {r.id: (r.lamp_x, r.lamp_y) for r in lamp.collect()}
+    assert sorted(got) == [1, 2]
+    assert all(
+        v == v and abs(v) != inf for xy in got.values() for v in xy
+    )  # finite coordinates only
+
+    one_col = spark.createDataFrame(
+        [(1, 1.0), (2, 5.0), (3, 9.0)], "id long, a double"
+    )
+    out = {r.id: (r.lamp_x, r.lamp_y) for r in correlation.lamp_project(
+        one_col, ["a"], key_col="id").collect()}
+    assert all(y == 0.0 for (_, y) in out.values())
+    assert len({x for (x, _) in out.values()}) == 3  # 1-D spread kept
+
+
 def test_lamp_preserves_neighborhoods(spark):
     # two well-separated clusters in 3-D must stay separated in 2-D
     rows = [(i, 0.0 + i * 0.01, 0.0, 0.0) for i in range(50)] + [
