@@ -225,7 +225,11 @@ def decontaminate_bloom(
     num_hashes=5."""
     from hillview_spark.functions.dedup import shingles_of, tokens
 
-    assert num_bits % 64 == 0
+    # loud config guard, not assert (r11 review): asserts vanish
+    # under python -O and a non-multiple silently corrupts the
+    # word-packing arithmetic below
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     probes = [
         f"pmod(xxhash64(s, {i}), cast({num_bits} as bigint))"
         for i in range(num_hashes)

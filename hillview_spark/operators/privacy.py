@@ -411,16 +411,31 @@ def dp_quantiles(
     positional consumers misaligned. Unsatisfiable probs now fall
     back to the LAST bucket's edge (the end of the inverted domain),
     deterministically; the oracle mirrors with a LEFT JOIN +
-    COALESCE."""
+    COALESCE.
+
+    ONE scan (r11 review, class 7): the old shape consumed the cdf
+    frame THREE times (total agg, hit join, fallback agg), and each
+    consumer re-embeds the full dp_histogram scan of df — three
+    table scans per release at 100 TB unless ReuseExchange happens
+    to dedupe them, which is an optimizer flag, not a contract. The
+    noisy total is now a whole-partition window max over the
+    O(buckets) cdf rows (same value, same comparison arithmetic),
+    and the fallback edge is DATA-INDEPENDENT — the spine's last
+    left edge, computed driver-side with the identical float
+    expression the spine row uses — so the plan embeds exactly one
+    scan."""
     cdf = dp_histogram(
         df, col, lo, hi, granularity, epsilon, buckets, seed, column_index,
         cdf=True, k=k, prf=prf,
     ).select("bucket", "left_edge", "noisy_count")
     spark = df.sparkSession
     pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
-    total = cdf.agg(F.max("noisy_count").alias("t"))
+    leaves = max(1, math.ceil((hi - lo) / granularity))
+    nb = min(buckets, leaves)
+    fb = float(lo + _bucket_leaf_ranges(leaves, nb)[-1][0] * granularity)
+    w = Window.partitionBy()  # O(buckets) rows: one partition is the point
     hit = (
-        cdf.crossJoin(F.broadcast(total))
+        cdf.withColumn("t", F.max("noisy_count").over(w))
         .crossJoin(F.broadcast(pdf))
         .where(
             F.col("noisy_count").cast("double")
@@ -429,11 +444,9 @@ def dp_quantiles(
         .groupBy("prob")
         .agg(F.min("left_edge").alias("value"))
     )
-    fallback = cdf.agg(F.max("left_edge").alias("__fb"))
     return (
         pdf.join(hit, "prob", "left")
-        .crossJoin(F.broadcast(fallback))
-        .select("prob", F.coalesce("value", "__fb").alias("value"))
+        .select("prob", F.coalesce("value", F.lit(fb)).alias("value"))
         .orderBy("prob")
     )
 

@@ -1278,6 +1278,19 @@ def test_decontaminate_bloom_one_sided_and_matches_exact(spark, tables):
     assert tiny <= exact
 
 
+def test_decontaminate_bloom_rejects_bad_num_bits(spark, tables):
+    """r11 review: the num_bits%64 guard was a bare assert (vanishes
+    under python -O, silently corrupting the word packing) — now a
+    loud ValueError like every other config guard."""
+    import pytest as _pytest
+
+    from hillview_spark.functions import curation
+
+    docs = tables["documents"].limit(5)
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        curation.decontaminate_bloom(docs, docs, num_bits=100)
+
+
 def test_lsh_index_incremental_query_matches_live(spark, tables, tmp_path):
     from hillview_spark.functions import dedup
 

@@ -364,6 +364,22 @@ def test_dp_quantiles_invert_noisy_cdf(spark, tables):
     assert 11.0 <= out[0.5] <= 36.0
 
 
+def test_dp_quantiles_single_scan(spark, tables):
+    """r11 review (class 7): the old shape consumed the cdf frame
+    three times — total agg, hit join, fallback agg — so the plan
+    embedded THREE scans of df unless ReuseExchange happened to
+    dedupe them. The noisy total is now a window max over the
+    O(buckets) cdf rows and the fallback edge is a driver-side
+    literal (data-independent), so exactly one scan remains."""
+    q = P.dp_quantiles(
+        tables["lineitem"], "l_quantity", lo=1.0, hi=51.0,
+        granularity=1.0, epsilon=1.0, probs=[0.25, 0.75], buckets=10,
+        seed=5,
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
 def test_dp_next_k_nonfinite_key_quarantines(spark):
     """r10 review: NaN/±Inf in a double sort column landed in
     canonical_grid_col's raise_error branch — one degenerate row
