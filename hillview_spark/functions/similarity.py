@@ -689,35 +689,36 @@ def ivf_topk_indexed_exact(
             "re-embed the query or point at the matching index"
         )
 
-    def cent_lit(vec) -> Column:
-        return F.array(*[_dec(F.lit(float(x))) for x in vec])
-
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_scored = sorted(
-        (
-            spark.range(1)
-            .select(
-                *[
-                    (
-                        squared_norm(cent_lit(r.centroid))
-                        - F.lit(2) * dot_product(qlit, cent_lit(r.centroid))
-                    )
-                    .cast(_ACC)
-                    .alias(f"c{r.cell}")
-                    for r in cents_rows
-                ]
-            )
-            .first()
-            .asDict()
-            .items()
-        ),
-        # NULLS LAST: a centroid whose stored width differs from the
-        # query scores None — it must probe after every scorable cell
-        # (the live twin's asc_nulls_last), and Python's tuple compare
-        # would otherwise raise on None < Decimal
-        key=lambda kv: (kv[1] is None, kv[1], int(kv[0][1:])),
+    # probe scoring over a centroid DATAFRAME, one row per cell (r11
+    # scale probe): the old shape built one decimal expression per
+    # (cell x dim) LITERAL on a spark.range(1) row — an
+    # O(n_cells*dims)-term codegen tree whose plan build dominated
+    # the whole search once cells scaled with the corpus (80 cells:
+    # ~43 s/query at the 10x replica; 1000 cells would take minutes).
+    # The HOF fold applies the identical _dec casts in the identical
+    # element order over the same double values, so every score — and
+    # therefore the probe set and the released top-k — is
+    # bit-unchanged (ann_ivf_topk_indexed re-verified hash-green).
+    cent_df = spark.createDataFrame(
+        [(int(r.cell), [float(x) for x in r.centroid]) for r in cents_rows],
+        "cell int, centroid array<double>",
     )
-    probe = [int(name[1:]) for name, _ in probe_scored[:n_probe]]
+    scored = cent_df.select(
+        "cell",
+        (
+            squared_norm(F.col("centroid"))
+            - F.lit(2) * dot_product(qlit, F.col("centroid"))
+        )
+        .cast(_ACC)
+        .alias("score"),
+    ).collect()
+    # NULLS LAST: a centroid whose stored width differs from the
+    # query scores None — it must probe after every scorable cell
+    # (the live twin's asc_nulls_last), and Python's tuple compare
+    # would otherwise raise on None < Decimal
+    scored.sort(key=lambda r: (r.score is None, r.score, r.cell))
+    probe = [int(r.cell) for r in scored[:n_probe]]
 
     data = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))
     if query_id is not None:
