@@ -75,6 +75,23 @@ def main():
         print(f"{name}: PartitionFilters prune on `cell` OK "
               f"(scan fraction 3/{n_cells})")
 
+    # --- IVF throughput sibling (kmeans + Arrow/BLAS scoring): the
+    # actual 100-TB path; the exact twin above is the correctness
+    # anchor. Same cells-scale-with-corpus rule.
+    for name, (frame, n_cells, path) in {
+        "ivf_blas_1x": (emb, 8, f"{out_dir}/ivf_blas_1x"),
+        f"ivf_blas_{factor}x": (big, 8 * factor, f"{out_dir}/ivf_blas_{factor}x"),
+    }.items():
+        t0 = time.perf_counter()
+        similarity.ivf_write_index(frame, path, n_cells=n_cells)
+        print(f"{name}: index build {time.perf_counter() - t0:.2f}s "
+              f"({n_cells} cells)")
+        searches[name] = lambda p=path: similarity.ivf_topk_indexed(
+            spark, p, qv, k=10, n_probe=3
+        )
+        assert_partition_pruning(searches[name](), "cell")
+        print(f"{name}: PartitionFilters prune on `cell` OK")
+
     # --- PQ: exact twin + BLAS sibling over both scales --------------
     searches["pq_exact_1x"] = lambda: similarity.pq_topk_exact(
         emb, query_id=0, n_results=10, m=4, k=8, stride=50
