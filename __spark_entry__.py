@@ -1111,69 +1111,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    # --- round-9 gate rotation ---------------------------------------
+    # --- round-11 gate rotation --------------------------------------
     # The driver gate checks ~50 keys per round in dict insertion
-    # order. Priority this round (VERDICT r8 directives #2/#4/#7):
-    # (a) the keys whose operators or oracles CHANGED this round and
-    #     must re-prove: the whole exact-similarity family (the r9
-    #     non-finite-component quarantine touched _dot_sql/_bucket_sql
-    #     and the PQ/centroid twins; cosine_topk's guard was hoisted),
-    #     media_dims_histogram (now SIX containers: MP3 + H.264 joined
-    #     PNG/JPEG/GIF/BMP), next_k_list (empty-page stats row),
-    #     find_first_row (NULL-key candidate oracle), computed_column
-    #     (finite-guarded expression), and the two exploration keys
-    #     whose oracles were job-fatal on Inf/NaN (directive #2);
-    # (b) ALL 31 keys whose latest green row is CORRECTNESS_r05 —
-    #     directive #4 verbatim (three overlap with (a));
-    # (c) the remaining slots go to the oldest r6 keys (the TPC-H
-    #     stragglers + events_windowed_counts); the rest of the r6
-    #     cohort rotates in r10. The rows-only trio is r8-fresh and
-    #     its golden hashes are pinned in tests/test_golden.py.
+    # order. Priority this round (VERDICT r10 directive #1, executed
+    # verbatim — after r11 no gated cohort's latest row predates r9;
+    # the r8 cohort (36 keys) leads r12):
+    # (a) operators/oracles changed in r11 (9 keys): the dp_quantiles
+    #     single-scan rewrite, the IVF probe-scoring dataframe rewrite
+    #     (also in (b)), exact_freq's nullable candidate schema, the
+    #     CSV faithful_ts decoupling, the filters dtype-dispatched
+    #     finite guard (range_filter / range_filter_array), the
+    #     correlation-review finite/degenerate guards (lamp/mds
+    #     rows-only keys — golden hashes unchanged), plus jl_project +
+    #     category_centroids per directive #3's correlation sweep;
+    # (b) the 13 similarity/media keys whose r10 changes landed AFTER
+    #     their r9 gate rows (judge replica-green 13/13, never
+    #     driver-proven);
+    # (c) the 28 r7-stale keys (3 rounds old — the whole DP-mechanism
+    #     / streaming-twin / dedup-curation cohort + q7).
+    # 9 + 13 + 28 = 50 exactly; no filler slots this round.
     priority = [
-        # (a) operators/oracles changed in r10: the regr_* guarded
-        # corr + pca sign-tie-break + finite_values width hoist
-        # (correlation/stats/spreadsheet), the dp_prefix_counts
-        # driver-spine bound, the remove_repeated_segments NULL-doc
-        # oracle fix, the bpe/text tokenizer unification, bm25 term
-        # validation, geo vertex validation, dedup leak fix
-        "corr_matrix", "corr_matrix_sampled", "pca_project",
-        "basic_col_stats", "next_k_aggregate", "category_centroids",
-        "table_profile", "dp_prefix_counts", "remove_repeated_segments",
-        "bm25_search", "text_token_count", "text_quality_score",
-        "text_quality_filter", "text_lm_nll", "bpe_token_count",
-        "geo_region_counts", "geo_polygon_counts", "dedup_components",
-        # late-r10 review fixes (operator/oracle changed, so they take
-        # slots from six unchanged r7 DP keys — all replica-green this
-        # session, first in r11): asof NULL-key semantics, CSV
-        # inference options, exact_freq zero-candidates, the sampled-HH
-        # observation persist, range_filter's non-finite guard,
-        # next_k_list's exclusive start_position
-        "asof_join_events", "csv_roundtrip_orders", "exact_freq",
-        "heavy_hitters_sampled", "range_filter", "next_k_list",
-        # (b) the rest of the r6-stale cohort (VERDICT-r9 #1; those
-        # not already in (a))
-        "corpus_shuffle", "decontaminate_bloom", "dedup_corpus_pipeline",
-        "histogram_singleton", "logs_parse_syslog",
-        "orders_status_by_month", "q10_returned_items", "q4_late_orders",
-        "quantiles_approx", "quantized_histogram", "range_filter_array",
-        "row_quantiles", "split_train_eval", "string_columns_filter",
-        "text_fingerprint", "text_lang_id", "text_vocab",
-        "tfidf_top_terms",
-        # (b2) the rows-only trio's other two (VERDICT-r9 #2;
-        # bpe_token_count is already in (a))
-        "lamp_project", "metric_mds_controls",
-        # (a4) the late-r10 privacy review CHANGED RELEASED VALUES for
-        # the heatmap keys (the injective pair-identity PRF key
-        # replaced the colliding index fold) and the expressions of
-        # the page/quantiles mechanisms (non-finite canonicalization,
-        # every-prob fallback) — value-changing keys outrank
-        # everything, so they take the last six slots. The similarity
-        # keys whose r10 changes are value-identical (hoists,
-        # try_cast, quarantine — all replica-green) and the remaining
-        # r7 cohort rotate first in r11.
-        "dp_heatmap_qty_discount", "dp_session_heatmap",
-        "dp_session_page", "dp_session_histogram",
-        "dp_quantiles_quantity", "dp_next_k_rows",
+        # (a) changed in r11
+        "dp_quantiles_quantity", "exact_freq", "csv_roundtrip_orders",
+        "range_filter", "range_filter_array", "lamp_project",
+        "metric_mds_controls", "jl_project", "category_centroids",
+        # (b) r10-changed-after-gate similarity/media family
+        "ann_cosine_topk", "ann_lsh_topk", "ann_knn_join",
+        "ann_knn_join_lsh", "ann_ivf_topk", "ann_ivf_topk_indexed",
+        "pq_encode", "pq_topk", "semantic_dedup",
+        "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
+        "embedding_group_centroids", "media_dims_histogram",
+        # (c) the r7-stale cohort
+        "corpus_cap_per_group", "corpus_clean_lines",
+        "decontaminate_train", "dedup_exact", "dedup_lsh_index_query",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_representatives", "dp_cdf_quantity", "dp_count_lineitem",
+        "dp_distinct_custkey", "dp_histogram_mktsegment",
+        "dp_histogram_quantity", "dp_windowed_counts",
+        "dp_windowed_counts_stream", "dp_windowed_histogram",
+        "dp_windowed_histogram_stream", "events_click_purchase",
+        "events_click_purchase_stream", "events_moving_avg",
+        "events_sliding_counts", "events_sliding_counts_stream",
+        "events_windowed_counts_stream", "progressive_heavy_hitters",
+        "progressive_histogram", "q7_volume_shipping", "sample_mixture",
+        "text_pii_scrub",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
