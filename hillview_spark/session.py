@@ -55,4 +55,19 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently IGNORES every config when a session already
+    # exists (r11 session review). Most of the conf above is tuning,
+    # but two keys are SEMANTIC — UTC pins the timestamp<->instant
+    # mapping every oracle comparison assumes, and nanosAsLong is what
+    # lets events.parquet load at all — so re-assert them on the
+    # session we actually got (both are runtime-settable SQL confs;
+    # a no-op when this call built the session).
+    spark.conf.set(
+        "spark.sql.session.timeZone", conf["spark.sql.session.timeZone"]
+    )
+    spark.conf.set(
+        "spark.sql.legacy.parquet.nanosAsLong",
+        conf["spark.sql.legacy.parquet.nanosAsLong"],
+    )
+    return spark

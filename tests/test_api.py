@@ -6,6 +6,26 @@ from hillview_spark.api import TableView
 from hillview_spark.plans import explain as ex
 
 
+def test_get_spark_reasserts_semantic_confs(spark):
+    """r11 session review: getOrCreate silently ignores every config
+    when a session already exists, so get_spark() now re-asserts the
+    two SEMANTIC confs (UTC session TZ — the instant mapping every
+    oracle comparison assumes — and parquet nanosAsLong, without
+    which events.parquet cannot load) on the session it actually got.
+    Simulated here by perturbing the live session's TZ and calling
+    get_spark() again."""
+    from hillview_spark.session import get_spark
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        s = get_spark()
+        assert s is spark
+        assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_view_stack_fuses_into_one_scan(spark):
     t = TableView.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
     v = (
