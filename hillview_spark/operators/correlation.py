@@ -259,11 +259,13 @@ def _finite_rows(df: DataFrame, cols: list[str]) -> Column:
     NaN but NOT ±Inf, and one Inf row poisons the WHOLE layout —
     metric_mds' distance normalization turns into inf*0=NaN and numpy
     SVD dies with LinAlgError (r11 correlation review, class-1 probe:
-    one bad row must never kill the sketch). finite_value dispatches
-    on dtype, so int/date columns only get the NULL check."""
+    one bad row must never kill the sketch). finite_values dispatches
+    on dtype with ONE schema fetch, so int/date columns only get the
+    NULL check."""
+    fv = numeric.finite_values(df, cols)
     pred = F.lit(True)
     for c in cols:
-        pred = pred & numeric.finite_value(df, c).isNotNull()
+        pred = pred & fv[c].isNotNull()
     return pred
 
 
