@@ -52,7 +52,11 @@ def write_csv(
     timestamp patterns carry 3 fractional digits, so 23:59:59.999999
     silently came back .999000 — read_csv applies the same patterns
     so the round-trip is lossless at Spark's full timestamp
-    precision."""
+    precision.
+    faithful_ts: write the strict microsecond timestamp patterns on
+    their own (r10 advice — they rode null_value before). None
+    (default) = on iff null_value is set; True/False = explicit.
+    read_csv takes the same flag."""
     w = df.write.mode(mode).option("header", header)
     if null_value is not None:
         w = (
