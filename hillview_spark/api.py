@@ -58,11 +58,21 @@ class TableView:
     def _derive(self, df: DataFrame) -> "TableView":
         return TableView(df)
 
+    def _dtype_of(self, col: str) -> str | None:
+        """Single-field dtype lookup (r11 review: dict(df.dtypes)
+        per filter call rebuilt the whole schema dict to read one
+        entry — the exact per-column width cost finite_values
+        exists to avoid; df.schema is cached on the DataFrame)."""
+        try:
+            return self.df.schema[col].dataType.simpleString()
+        except KeyError:
+            return None  # let the filter itself raise the clear error
+
     def filter_range(self, col: str, lo=None, hi=None, **kw) -> "TableView":
         # dtype dispatch (r10 advice): the view knows the column's
         # dtype, so int/decimal columns skip the no-op finite guard
         # and their range predicates stay pushdown-eligible
-        kw.setdefault("dtype", dict(self.df.dtypes).get(col))
+        kw.setdefault("dtype", self._dtype_of(col))
         return self._derive(self.df.where(_filters.range_filter(col, lo, hi, **kw)))
 
     def filter_string(self, col: str, pattern: str, mode: str = "substring",
@@ -75,7 +85,7 @@ class TableView:
         return self._derive(
             self.df.where(
                 _filters.comparison_filter(
-                    col, op, value, dtype=dict(self.df.dtypes).get(col)
+                    col, op, value, dtype=self._dtype_of(col)
                 )
             )
         )

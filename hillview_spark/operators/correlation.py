@@ -320,6 +320,11 @@ def metric_mds(
     O(n_points^2) distances; keep n_points in the hundreds."""
     import numpy as np
 
+    if n_points <= 0:
+        # configs fail loud, data quarantines (the similarity.py
+        # convention): a zero/negative sample size would silently
+        # return the empty layout for a perfectly good input
+        raise ValueError(f"n_points must be positive, got {n_points}")
     out_cols = ([key_col] if key_col else []) + cols
     # deterministic bounded sample: order by a portable hash of the
     # row's values (sample(fraction=1.0) would be a no-op, leaving
@@ -421,6 +426,12 @@ def lamp_project(
     Arrow-batched mapInPandas — no shuffle at all, one scan."""
     import numpy as np
 
+    if n_controls <= 0:
+        # configs fail loud (r11 review): the empty-control early
+        # return below is the DATA outcome (no finite rows) — a
+        # zero/negative control count reaching it would silently
+        # drop every input row on a config error instead
+        raise ValueError(f"n_controls must be positive, got {n_controls}")
     # deterministic bounded control set: portable-hash order, same
     # rule as metric_mds (sample(fraction=1.0) is a no-op and limit()
     # alone takes a partition-layout-dependent set — the embedding

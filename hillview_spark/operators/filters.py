@@ -38,14 +38,24 @@ def _is_numeric_bound(v) -> bool:
 
 
 def _needs_finite_guard(dtype: str | None) -> bool:
-    """Dtype dispatch for the non-finite guard (r10 advice — mirror
-    numeric.finite_value): only float/double columns can hold
-    NaN/±Inf, so for any OTHER known dtype the `-inf < c < inf`
+    """Dtype dispatch for the non-finite guard (r10 advice): the
+    guard is DROPPED only for dtypes that provably cannot produce a
+    non-finite double under the comparison's implicit cast —
+    integral and decimal columns — where the `-inf < c < inf`
     conjunct is a semantic no-op that still forces a per-row double
-    cast and can block predicate pushdown on int/decimal scans.
+    cast and can block predicate pushdown. Every other dtype keeps
+    it: float/double hold NaN/±Inf directly, and a STRING column
+    compared against a numeric bound casts 'Infinity' to +Inf (the
+    r11 review caught the first cut skipping all non-float dtypes,
+    which silently re-admitted such rows against the r10 rule).
     Unknown dtype (None) keeps the guard — conservative, values
     identical either way."""
-    return dtype is None or dtype in ("double", "float")
+    if dtype is None:
+        return True
+    return not (
+        dtype in ("tinyint", "smallint", "int", "bigint")
+        or dtype.startswith("decimal")
+    )
 
 
 def range_filter(

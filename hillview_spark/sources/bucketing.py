@@ -28,16 +28,22 @@ def bucket_table(
     num_buckets: int = 64,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist df as a bucketed (+sorted) managed parquet table.
-    num_buckets should be sized so one bucket of the largest table
-    fits an executor's memory at the target scale."""
+    """Persist df as a bucketed (+sorted) parquet table — managed, or
+    external under `path` when given. num_buckets should be sized so
+    one bucket of the largest table fits an executor's memory at the
+    target scale. This is THE bucketed-write recipe; bucket_tpch
+    delegates here (r11 review: an inline copy would let the two
+    write contracts drift)."""
     writer = (
         df.write.mode(mode)
         .format("parquet")
         .bucketBy(num_buckets, *bucket_cols)
     )
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
@@ -80,16 +86,10 @@ def bucket_tpch(
     t = _tables.load_all(spark, sf_dir)
     for name, key in TPCH_FACT_KEYS.items():
         tbl = f"{prefix}_{name}"
-        writer = (
-            t[name]
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(buckets, key)
-            .sortBy(key)
+        bucket_table(
+            t[name], tbl, [key], buckets,
+            path=f"{out.rstrip('/')}/{tbl}" if out else None,
         )
-        if out:
-            writer = writer.option("path", f"{out.rstrip('/')}/{tbl}")
-        writer.saveAsTable(tbl)
         t[name] = spark.table(tbl)
     return t
 

@@ -176,8 +176,6 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
-    if multiline:
-        reader = reader.option("multiLine", True)
     # faithful_ts has its own flag (r10 advice): it was gated on
     # null_value, conflating two unrelated options — a caller
     # reading faithful-writer microsecond timestamps with
@@ -188,17 +186,29 @@ def read_csv(
     # keeps the historical coupling (faithful iff null_value set).
     if faithful_ts is None:
         faithful_ts = null_value is not None
-    if faithful_ts:
-        from hillview_spark.sources.writers import (
-            CSV_TS_FORMAT,
-            CSV_TS_NTZ_FORMAT,
-        )
 
-        reader = reader.option("timestampFormat", CSV_TS_FORMAT).option(
-            "timestampNTZFormat", CSV_TS_NTZ_FORMAT
-        )
-    if null_value is not None:
-        reader = reader.option("nullValue", null_value)
+    def _parse_options(r):
+        # ONE copy of the parse-option block for the data reader AND
+        # the inference pre-read below (r11 review): the r10 silent-
+        # dtype-corruption bug was exactly these options drifting
+        # between the two readers, and the faithful_ts change had to
+        # edit both blocks in lockstep again — now it can't drift.
+        if multiline:
+            r = r.option("multiLine", True)
+        if faithful_ts:
+            from hillview_spark.sources.writers import (
+                CSV_TS_FORMAT,
+                CSV_TS_NTZ_FORMAT,
+            )
+
+            r = r.option("timestampFormat", CSV_TS_FORMAT).option(
+                "timestampNTZFormat", CSV_TS_NTZ_FORMAT
+            )
+        if null_value is not None:
+            r = r.option("nullValue", null_value)
+        return r
+
+    reader = _parse_options(reader)
     if schema:
         caller_declared = "_corrupt_record" in schema
         if not caller_declared:
@@ -216,24 +226,11 @@ def read_csv(
         # shreds the inference rows, and without the faithful
         # timestamp formats 6-digit-microsecond columns infer as
         # string
-        inf_reader = (
+        inf_reader = _parse_options(
             spark.read.option("header", header)
             .option("sep", delimiter)
             .option("inferSchema", True)
         )
-        if multiline:
-            inf_reader = inf_reader.option("multiLine", True)
-        if faithful_ts:
-            from hillview_spark.sources.writers import (
-                CSV_TS_FORMAT,
-                CSV_TS_NTZ_FORMAT,
-            )
-
-            inf_reader = inf_reader.option(
-                "timestampFormat", CSV_TS_FORMAT
-            ).option("timestampNTZFormat", CSV_TS_NTZ_FORMAT)
-        if null_value is not None:
-            inf_reader = inf_reader.option("nullValue", null_value)
         inferred = inf_reader.csv(path).schema
         from pyspark.sql.types import StringType, StructField, StructType
 

@@ -65,6 +65,15 @@ def test_lamp_mds_degenerate_and_nonfinite_inputs(spark):
     assert all(y == 0.0 for (_, y) in out.values())
     assert len({x for (x, _) in out.values()}) == 3  # 1-D spread kept
 
+    # configs fail loud, data quarantines: a zero control/sample
+    # count is a config error, not an empty-data outcome
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_controls"):
+        correlation.lamp_project(one_col, ["a"], n_controls=0, key_col="id")
+    with _pytest.raises(ValueError, match="n_points"):
+        correlation.metric_mds(one_col, ["a"], n_points=0, key_col="id")
+
 
 def test_lamp_preserves_neighborhoods(spark):
     # two well-separated clusters in 3-D must stay separated in 2-D

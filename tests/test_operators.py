@@ -1077,6 +1077,18 @@ def test_finite_guard_dtype_dispatch(spark):
         FL.comparison_filter("x", ">", 10, dtype="int")
     )
     assert "Infinity" in str(FL.comparison_filter("x", ">", 10, dtype="float"))
+    # string columns KEEP the guard (r11 review): a numeric bound on
+    # a string column casts 'Infinity' to +Inf, which the r10 rule
+    # excludes — only integral/decimal dtypes provably can't go
+    # non-finite under the implicit cast
+    assert "Infinity" in str(FL.range_filter("x", lo=10, dtype="string"))
+    assert "Infinity" not in str(FL.range_filter("x", lo=10, dtype="decimal(12,2)"))
+    sdf = spark.createDataFrame(
+        [(1, "5"), (2, "Infinity"), (3, "50")], "id int, s string"
+    )
+    kept = {r.id for r in sdf.where(
+        FL.range_filter("s", lo=10.0, dtype="string")).collect()}
+    assert kept == {3}  # castable-'Infinity' row excluded, as in r10
 
     df = spark.createDataFrame(
         [(1, 100), (2, 5), (3, None)], "id int, x bigint"
