@@ -1537,7 +1537,18 @@ def _stride_quantizer(
     id % stride == 1 (FAISS-style data-point seeding, re-derivable in
     SQL), and the returned score_array expression computes
     ||c||^2 - 2*x.c per cell in exact decimal — cell(x) =
-    argmin(score), ties to the lowest index."""
+    argmin(score), ties to the lowest index.
+
+    PLAN-SIZE BOUND (r11 scale probe): score_array embeds
+    O(n_cells * dims) decimal LITERALS in the plan — fine at the
+    exact twins' gate-scale cell counts (n_cells <= ~100), but the
+    plan/codegen cost grows with the product, so do NOT scale
+    n_cells with the corpus here. The corpus-scaled path is the
+    throughput sibling (ivf_index/ivf_write_index: kmeans centroids,
+    Arrow-batched numpy assignment — plan size O(1)); these exact
+    twins exist to anchor correctness, and ivf_topk_indexed_exact's
+    QUERY-side probe scoring already runs data-side for the same
+    reason."""
     cents = (
         df.where(F.col(id_col) % stride == 1)
         .orderBy(id_col)
