@@ -633,6 +633,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_click_purchase"] = lambda s, d: ev.click_purchase_pairs(
         _t(s, d, "events"), gap_minutes=30
     )
+    # r11 additions: distinct-entity windows (batch + real stream twin
+    # — distinct aggs are unsupported in streaming plans, so the twin
+    # composes watermarked dropDuplicates + count) and the Lee et al.
+    # duplicate-n-gram corpus quality signal
+    q["events_windowed_distinct"] = lambda s, d: ev.windowed_distinct(
+        _t(s, d, "events")
+    )
+    q["events_windowed_distinct_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_windowed_distinct, "windistinct"
+    )
+    q["ngram_novelty"] = lambda s, d: curation.ngram_novelty(
+        _t(s, d, "documents")
+    )
 
     q["orders_status_by_month"] = lambda s, d: (
         _t(s, d, "orders")
@@ -2732,6 +2745,26 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sizes sb ON sb.doc_id = d2
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
     """
+    # r11: per-doc duplicate-n-gram fraction (curation.ngram_novelty).
+    # The shingle rows are DISTINCT per doc, so COUNT(*) per shingle
+    # IS the document frequency; docs with no shingles (NULL text,
+    # < 3 tokens) anchor through the LEFT JOIN and score 0/0/0.0.
+    o["ngram_novelty"] = f"""
+        WITH {_SHINGLES},
+        shh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS s
+                FROM sh),
+        dfc AS (SELECT s, COUNT(*) AS df FROM shh GROUP BY 1),
+        per AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+                       SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup
+                FROM shh JOIN dfc USING (s) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(dup, 0) AS BIGINT) AS dup_ngrams,
+               CASE WHEN n_ngrams IS NULL THEN 0.0
+                    ELSE round(CAST(dup AS DOUBLE) / n_ngrams, 4)
+               END AS dup_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
     o["dedup_components"] = f"""
         WITH RECURSIVE pairs AS (
           SELECT doc_id_1, doc_id_2 FROM ({o['dedup_ngram_jaccard']})
@@ -3591,6 +3624,20 @@ def oracle_sql() -> dict[str, str]:
     o["events_windowed_counts_stream"] = """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type, COUNT(*) AS n_events
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """
+    # r11: distinct-entity windows. COUNT(DISTINCT ...) skips NULL
+    # entities in both engines; the stream twin additionally drops
+    # NULL event times (watermark) — same declared divergence as
+    # every twin pair above.
+    o["events_windowed_distinct"] = """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY 1, 2
+    """
+    o["events_windowed_distinct_stream"] = """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(DISTINCT user_id) AS n_distinct
         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """
     # dp_windowed_counts: the md5-PRF cell noise is engine-portable —

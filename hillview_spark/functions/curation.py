@@ -496,6 +496,73 @@ def remove_repeated_segments(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-n-gram fraction — the corpus-level
+    memorization/duplication quality signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    documents whose n-grams are mostly corpus-repeated are the
+    memorization risk): for each document, the fraction of its
+    DISTINCT word n-grams that appear in >= min_df documents
+    corpus-wide. Complements remove_repeated_segments (which EDITS
+    text) — this one only SCORES, so a pipeline can gate on
+    dup_frac without touching surviving documents.
+
+    Output: (id_col, n_ngrams, dup_ngrams, dup_frac), one row per
+    INPUT document (repetition_stats' anchoring rule: degenerate
+    docs — NULL text, < n tokens — are exactly what a gate must
+    see; they score 0/0/0.0, nothing measured means nothing
+    duplicated).
+
+    Scale shape: the inverted-index discipline of the dedup family —
+    explode distinct shingles (8-byte md5-prefix keys, the
+    ngram_jaccard trick), ONE groupBy(s) for corpus document
+    frequencies (rows per shingle are already distinct per doc, so
+    count(*) IS the document frequency — no countDistinct state),
+    join back, one groupBy(doc). Rows shuffled ∝ total distinct
+    shingles, never pairs; the shingle table persists because the
+    frequency aggregate AND the join-back both read it."""
+    from hillview_spark.functions.dedup import _shingle_table, _token_hash
+
+    sh = _shingle_table(df, id_col, text_col, n).select(
+        "doc", _token_hash(F.col("s")).alias("s")
+    )
+    from hillview_spark import cache
+
+    sh = cache.persist(sh)
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(dfc, "s")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("df") >= min_df, 1).otherwise(0)
+            ).alias("dup_ngrams"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc"))
+    return ids.join(per, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
+        # the non-NULL branch divides by n_ngrams >= 1 (per only
+        # holds docs with at least one shingle) — never ANSI-fatal
+        F.when(F.col("n_ngrams").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("dup_ngrams") / F.col("n_ngrams").cast("double"), 4
+            )
+        )
+        .alias("dup_frac"),
+    )
+
+
 def clean_lines(
     df: DataFrame,
     text_col: str = "text",

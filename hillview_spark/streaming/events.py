@@ -897,6 +897,68 @@ def stream_heavy_hitters(
     )
 
 
+def windowed_distinct(
+    events: DataFrame, unit: str = "hour", col: str = "user_id"
+) -> DataFrame:
+    """Tumbling-window DISTINCT-entity counts per event type — the
+    active-users-per-hour telemetry shape (windowed_counts counts
+    EVENTS; this counts WHO). countDistinct skips NULL entities in
+    both engines; NULL event times keep their group exactly like
+    windowed_counts (the streaming twin's watermark drops them — the
+    same declared divergence as every other twin pair).
+
+    Scale shape: one shuffle on (window, type) whose state is the
+    per-cell distinct set — bounded by entities per window, not
+    events (partial aggregation dedupes map-side first)."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    return events.groupBy(
+        trunc_ntz(F.col("ts"), unit).alias("window_start"),
+        "event_type",
+    ).agg(F.countDistinct(col).alias("n_distinct"))
+
+
+def stream_windowed_distinct(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of windowed_distinct. Distinct aggregates are
+    unsupported in streaming plans, so the twin composes the two
+    primitives Structured Streaming DOES bound: watermarked
+    dropDuplicates over (window, type, entity) — state evicts once
+    the watermark passes the window, because the window column
+    carries the event-time attribute — then a plain count per
+    (window, type), which now counts exactly one row per distinct
+    entity. NULL entities: dropDuplicates keeps ONE (window, type,
+    NULL) row that count(*) would include while the batch twin's
+    countDistinct skips it — the where() drops them for twin/oracle
+    parity."""
+    stream = _event_time_stream(spark, events_dir, schema)
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", window_duration).alias("win"),
+            "event_type",
+            F.col(col),
+        )
+        .where(F.col(col).isNotNull())
+        .dropDuplicates(["win", "event_type", col])
+    )
+    return (
+        deduped.groupBy("win", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_distinct",
+        )
+    )
+
+
 def sliding_window_counts(
     events: DataFrame,
     window_minutes: int = 60,

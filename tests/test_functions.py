@@ -1278,6 +1278,60 @@ def test_decontaminate_bloom_one_sided_and_matches_exact(spark, tables):
     assert tiny <= exact
 
 
+def test_ngram_novelty_scores_duplication(spark):
+    """r11: the Lee-et-al duplicate-n-gram fraction — exact dups
+    score 1.0, a disjoint doc 0.0, a half-overlapping doc the exact
+    shared fraction; degenerate docs (NULL, < n tokens) anchor with
+    zeros instead of vanishing."""
+    from hillview_spark.functions import curation
+
+    rows = [
+        (1, "a b c d e"),            # 3 shingles, all shared with 2
+        (2, "a b c d e"),            # exact dup
+        (3, "p q r s t"),            # disjoint
+        (4, "a b c x y z"),          # shares exactly 'a b c' with 1/2
+        (5, None),
+        (6, "one two"),              # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.ngram_novelty(df).collect()}
+    assert len(out) == 6
+    assert out[1].dup_frac == 1.0 and out[1].n_ngrams == 3
+    assert out[2].dup_frac == 1.0
+    assert out[3].dup_frac == 0.0 and out[3].dup_ngrams == 0
+    assert out[4].n_ngrams == 4 and out[4].dup_ngrams == 1
+    assert out[4].dup_frac == 0.25
+    assert (out[5].n_ngrams, out[5].dup_ngrams, out[5].dup_frac) == (0, 0, 0.0)
+    assert (out[6].n_ngrams, out[6].dup_frac) == (0, 0.0)
+
+
+def test_windowed_distinct_counts_entities_not_events(spark):
+    """r11: distinct-entity windows — repeat events by one user count
+    once; NULL users never count (countDistinct rule)."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 5)
+    rows = [
+        (1, 7, "click", t0, 1.0),
+        (2, 7, "click", t0.replace(minute=40), 1.0),  # same user+hour
+        (3, 8, "click", t0, 1.0),
+        (4, None, "click", t0, 1.0),                  # NULL user
+        (5, 7, "view", t0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = {
+        (r.event_type): r.n_distinct
+        for r in ev.windowed_distinct(df).collect()
+    }
+    assert got == {"click": 2, "view": 1}
+
+
 def test_decontaminate_bloom_rejects_bad_num_bits(spark, tables):
     """r11 review: the num_bits%64 guard was a bare assert (vanishes
     under python -O, silently corrupting the word packing) — now a

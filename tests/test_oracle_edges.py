@@ -75,6 +75,10 @@ CASES = {
         df, num_hashes=16, bands=4
     ),
     "text_pii_scrub": lambda df: curation.pii_scrub(df),
+    # r11: duplicate-n-gram fraction on degenerate docs — NULL/empty/
+    # sub-shingle docs must anchor with 0/0/0.0 in both engines, and
+    # the exact-dup trio (1/2/10) must score dup_frac 1.0
+    "ngram_novelty": lambda df: curation.ngram_novelty(df),
     # r8: the full FindSketch Result on NULL/empty docs (a NULL text
     # never matches; counts must partition identically cross-engine)
     "find_first_row": lambda df: __import__(
@@ -257,6 +261,10 @@ def _events_cases():
 
     return {
         "events_windowed_counts": lambda df: ev.windowed_counts(df),
+        # r11: NULL user_id must not count as a distinct entity, and
+        # the NULL-ts group must survive with n_distinct computed the
+        # same way in both engines
+        "events_windowed_distinct": lambda df: ev.windowed_distinct(df),
         "events_sessionize": lambda df: ev.sessionize(df, gap_minutes=30),
         "events_sliding_counts": lambda df: ev.sliding_window_counts(
             df, window_minutes=60, slide_minutes=15
@@ -397,6 +405,10 @@ def _stream_cases():
             {"epsilon": 1.0, "seed": 7}),
         "events_sliding_counts_stream": (
             ev.stream_sliding_counts, "complete", {}),
+        # r11: the dedup-then-count twin on NULL ts (watermark drop)
+        # and NULL user (explicit drop for countDistinct parity)
+        "events_windowed_distinct_stream": (
+            ev.stream_windowed_distinct, "complete", {}),
         "events_click_purchase_stream": (
             ev.stream_click_purchase_join, "append", {}),
         "dp_windowed_histogram_stream": (
