@@ -201,6 +201,11 @@ def headline_queries(t):
             bucket_seconds=1800), "noop"),
         # event-stream semantics
         "events_windows": (lambda: ev.windowed_counts(t["events"], "hour"), "noop"),
+        # r11 additions (NOT anchors: absent from R2_ANCHORS, so they
+        # never perturb the cross-round comparable subtotal)
+        "events_distinct": (lambda: ev.windowed_distinct(t["events"]), "noop"),
+        "ngram_novelty": (lambda: curation.ngram_novelty(
+            t["documents"]), "noop"),
         "events_sessions": (lambda: ev.sessionize(t["events"], 30), "noop"),
         "events_sliding": (lambda: ev.sliding_window_counts(
             t["events"], 60, 15), "noop"),
