@@ -959,6 +959,39 @@ def stream_windowed_distinct(
     )
 
 
+def stream_windowed_distinct_approx(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    col: str = "user_id",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """The SCALE sibling of stream_windowed_distinct: HyperLogLog++
+    (approx_count_distinct — a sketch aggregate, so streaming plans
+    DO support it, unlike exact distinct) per tumbling window. The
+    exact twin's dedup state is O(entities per horizon) — at
+    100 TB/day of events that is the state store's limit; the HLL
+    state is a fixed ~kilobytes per (window, type) cell regardless
+    of cardinality, the NoisyHLogLog/HLogLogSketch trade the
+    reference makes for the same reason (sketches/HLogLogSketch.java).
+    Engine-specific estimates → pytest-only by declared design
+    (bounded relative error vs the exact twin), same policy as
+    stats.distinct_count_approx."""
+    stream = _event_time_stream(spark, events_dir, schema)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(F.approx_count_distinct(col, rsd).alias("n_distinct_approx"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_distinct_approx",
+        )
+    )
+
+
 def sliding_window_counts(
     events: DataFrame,
     window_minutes: int = 60,

@@ -189,6 +189,44 @@ def test_stream_matches_batch(spark, tmp_path):
     assert stream_rows == batch_rows
 
 
+def test_stream_windowed_distinct_approx_bounded_error(spark, tmp_path):
+    """r11 scale sibling: HLL per-window distinct (the O(1)-state
+    path — exact streaming dedup state is O(entities per horizon))
+    must track the exact twin within a generous multiple of the
+    requested rsd on every released cell. Pytest-only by declared
+    design: HLL estimates are engine-specific, so there is no SQL
+    oracle (the same policy as stats.distinct_count_approx)."""
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet")
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_windowed_distinct_approx(spark, d, raw.schema, rsd=0.05)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_windistinct_approx")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    approx = {
+        (r.window_start, r.event_type): r.n_distinct_approx
+        for r in spark.sql("SELECT * FROM t_windistinct_approx").collect()
+    }
+    exact = {
+        (r.window_start, r.event_type): r.n_distinct
+        for r in ev.windowed_distinct(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).where(F.col("window_start").isNotNull()).collect()
+    }
+    assert set(approx) == set(exact)
+    for cell, est in approx.items():
+        n = exact[cell]
+        assert abs(est - n) <= max(2, 4 * 0.05 * n), (cell, est, n)
+
+
 def test_stream_dp_windowed_counts_matches_batch(spark, tmp_path):
     """The DP continual release streams: cell-keyed Catalyst noise
     makes the streaming twin equal the batch release bit-for-bit."""
