@@ -646,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_novelty"] = lambda s, d: curation.ngram_novelty(
         _t(s, d, "documents")
     )
+    q["events_windowed_quantiles"] = lambda s, d: ev.windowed_quantiles(
+        _t(s, d, "events")
+    )
 
     q["orders_status_by_month"] = lambda s, d: (
         _t(s, d, "orders")
@@ -3639,6 +3642,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type, COUNT(DISTINCT user_id) AS n_distinct
         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """
+    # r11: per-window exact percentiles — the quantiles_price parity
+    # mechanism (percentile == quantile_cont, round 4) per cell;
+    # non-finite readings are missing (engine-wide rule)
+    o["events_windowed_quantiles"] = """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5), 4) AS q50,
+               round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.9), 4) AS q90,
+               round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.99), 4) AS q99
+        FROM events GROUP BY 1, 2
     """
     # dp_windowed_counts: the md5-PRF cell noise is engine-portable —
     # DuckDB rebuilds the identical 52-bit uniform ('0x'+13 hex digits

@@ -204,6 +204,7 @@ def headline_queries(t):
         # r11 additions (NOT anchors: absent from R2_ANCHORS, so they
         # never perturb the cross-round comparable subtotal)
         "events_distinct": (lambda: ev.windowed_distinct(t["events"]), "noop"),
+        "events_quantiles": (lambda: ev.windowed_quantiles(t["events"]), "noop"),
         "ngram_novelty": (lambda: curation.ngram_novelty(
             t["documents"]), "noop"),
         "events_sessions": (lambda: ev.sessionize(t["events"], 30), "noop"),

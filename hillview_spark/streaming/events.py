@@ -959,6 +959,49 @@ def stream_windowed_distinct(
     )
 
 
+def windowed_quantiles(
+    events: DataFrame,
+    unit: str = "hour",
+    col: str = "value",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    ndigits: int = 4,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-window value percentiles per event type — the
+    latency-percentile telemetry shape (p50/p90/p99 per hour per
+    endpoint). Exact interpolated percentiles by default (Spark
+    `percentile` == DuckDB `quantile_cont`, the proven
+    quantiles_price parity mechanism — one wide aggregate, NULLs
+    skipped by both engines, non-finite readings masked to NULL by
+    the engine-wide rule first). approx=True switches every cell to
+    percentile_approx (Greenwald-Khanna, mergeable bounded state) —
+    the 100-TB path, engine-specific estimates so pytest-only, the
+    same exact/approx policy as stats.quantiles/quantiles_approx.
+
+    Shape: ONE groupBy on (window, type); exact state is the cell's
+    value list (fine at telemetry cell sizes), approx state is the
+    fixed GK sketch."""
+    from hillview_spark.operators.histogram import trunc_ntz
+    from hillview_spark.operators.stats import _q_alias
+
+    fn = "percentile_approx" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
+    proj = events.select(
+        trunc_ntz(F.col("ts"), unit).alias("window_start"),
+        "event_type",
+        numeric.finite_or_null(F.col(col).cast("double")).alias("__v"),
+    )
+    return proj.groupBy("window_start", "event_type").agg(
+        *[
+            F.round(F.expr(f"{fn}(__v, {p}{extra})"), ndigits).alias(
+                _q_alias(p)
+            )
+            for p in probs
+        ]
+    )
+
+
 def stream_windowed_distinct_approx(
     spark: SparkSession,
     events_dir: str,

@@ -1332,6 +1332,36 @@ def test_windowed_distinct_counts_entities_not_events(spark):
     assert got == {"click": 2, "view": 1}
 
 
+def test_windowed_quantiles_exact_vs_approx(spark):
+    """r11: the approx sibling (percentile_approx, the 100-TB
+    bounded-state path) must agree with the exact percentiles on a
+    clean fixture at high accuracy, and both must skip non-finite
+    readings (engine-wide missing rule)."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (i, 1, "click", t0, float(i)) for i in range(1, 101)
+    ] + [
+        (200, 1, "click", t0, float("nan")),
+        (201, 1, "click", t0, float("inf")),
+        (202, 1, "click", t0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    exact = ev.windowed_quantiles(df).collect()[0]
+    approx = ev.windowed_quantiles(df, approx=True).collect()[0]
+    # 1..100 with the bad readings masked: exact p50 = 50.5
+    assert exact.q50 == 50.5 and exact.q99 == 99.01
+    assert abs(approx.q50 - exact.q50) <= 1.0
+    assert abs(approx.q99 - exact.q99) <= 1.5
+
+
 def test_decontaminate_bloom_rejects_bad_num_bits(spark, tables):
     """r11 review: the num_bits%64 guard was a bare assert (vanishes
     under python -O, silently corrupting the word packing) — now a

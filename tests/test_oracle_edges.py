@@ -265,6 +265,10 @@ def _events_cases():
         # the NULL-ts group must survive with n_distinct computed the
         # same way in both engines
         "events_windowed_distinct": lambda df: ev.windowed_distinct(df),
+        # r11: per-window percentiles on NaN/±Inf/NULL values — the
+        # finite mask must leave interpolation inputs identical in
+        # both engines; all-masked cells yield NULL percentiles
+        "events_windowed_quantiles": lambda df: ev.windowed_quantiles(df),
         "events_sessionize": lambda df: ev.sessionize(df, gap_minutes=30),
         "events_sliding_counts": lambda df: ev.sliding_window_counts(
             df, window_minutes=60, slide_minutes=15
