@@ -649,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_windowed_quantiles"] = lambda s, d: ev.windowed_quantiles(
         _t(s, d, "events")
     )
+    q["events_cohort_retention"] = lambda s, d: ev.cohort_retention(
+        _t(s, d, "events")
+    )
 
     q["orders_status_by_month"] = lambda s, d: (
         _t(s, d, "orders")
@@ -3642,6 +3645,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type, COUNT(DISTINCT user_id) AS n_distinct
         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """
+    # r11: retention triangle — NULL users/times excluded (identity/
+    # position rule); act is distinct per (user, day) so COUNT(*) is
+    # the distinct-user count in both engines
+    o["events_cohort_retention"] = """
+        WITH base AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        first AS (SELECT u, MIN(day) AS cohort FROM base GROUP BY 1)
+        SELECT cohort,
+               CAST(day - cohort AS BIGINT) AS day_offset,
+               COUNT(*) AS n_users
+        FROM base JOIN first USING (u) GROUP BY 1, 2
     """
     # r11: per-window exact percentiles — the quantiles_price parity
     # mechanism (percentile == quantile_cont, round 4) per cell;

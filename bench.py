@@ -205,6 +205,7 @@ def headline_queries(t):
         # never perturb the cross-round comparable subtotal)
         "events_distinct": (lambda: ev.windowed_distinct(t["events"]), "noop"),
         "events_quantiles": (lambda: ev.windowed_quantiles(t["events"]), "noop"),
+        "events_retention": (lambda: ev.cohort_retention(t["events"]), "noop"),
         "ngram_novelty": (lambda: curation.ngram_novelty(
             t["documents"]), "noop"),
         "events_sessions": (lambda: ev.sessionize(t["events"], 30), "noop"),

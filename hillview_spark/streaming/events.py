@@ -1085,6 +1085,44 @@ def stream_sliding_counts(
     )
 
 
+def cohort_retention(
+    events: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST-seen day, and
+    for each (cohort, day-offset) the count of cohort members active
+    that many days later — the standard product-analytics retention
+    triangle. offset 0 rows are the cohort sizes.
+
+    NULL users and NULL event times carry no identity/position and
+    are excluded (the countDistinct/watermark rule the other event
+    ops apply; a SQL oracle's equi-join would drop NULL users
+    anyway — window-based grouping would NOT, class-9).
+
+    Scale shape: one groupBy(user) for first-seen days (map-side
+    combine), one distinct over (user, day) — both shuffles carry
+    O(users x active-days), never raw events — then an equi-join on
+    user (the first-seen side is |users| rows; at 100 TB both sides
+    are already hash-partitioned by user from their aggregates, so
+    AQE reuses the partitioning) and a tiny (cohort, offset)
+    aggregate. act is distinct per (user, day), so count(*) IS the
+    distinct-user count — no second distinct state."""
+    base = events.where(
+        F.col("ts").isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("__u"), F.to_date("ts").alias("__day"))
+    first = base.groupBy("__u").agg(F.min("__day").alias("cohort"))
+    act = base.distinct()
+    return (
+        act.join(first, "__u")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("__day"), F.col("cohort"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def click_purchase_pairs(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -1332,6 +1332,41 @@ def test_windowed_distinct_counts_entities_not_events(spark):
     assert got == {"click": 2, "view": 1}
 
 
+def test_cohort_retention_triangle(spark):
+    """r11: first-seen day defines the cohort; offset-0 rows are the
+    cohort sizes; repeat activity within a day counts once; NULL
+    users/times excluded."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    d0 = datetime.datetime(2024, 1, 1, 9)
+    d1 = datetime.datetime(2024, 1, 2, 9)
+    d2 = datetime.datetime(2024, 1, 3, 9)
+    rows = [
+        (1, 1, "c", d0, 1.0), (2, 1, "c", d0, 1.0),   # u1 day0 twice
+        (3, 1, "c", d2, 1.0),                          # u1 back day2
+        (4, 2, "c", d0, 1.0), (5, 2, "c", d1, 1.0),    # u2 day0+day1
+        (6, 3, "c", d1, 1.0),                          # u3 cohort day1
+        (7, None, "c", d0, 1.0), (8, 4, "c", None, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = {
+        (str(r.cohort), r.day_offset): r.n_users
+        for r in ev.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1, u2
+        ("2024-01-01", 1): 1,   # u2
+        ("2024-01-01", 2): 1,   # u1
+        ("2024-01-02", 0): 1,   # u3
+    }
+
+
 def test_windowed_quantiles_exact_vs_approx(spark):
     """r11: the approx sibling (percentile_approx, the 100-TB
     bounded-state path) must agree with the exact percentiles on a

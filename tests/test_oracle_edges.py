@@ -269,6 +269,10 @@ def _events_cases():
         # finite mask must leave interpolation inputs identical in
         # both engines; all-masked cells yield NULL percentiles
         "events_windowed_quantiles": lambda df: ev.windowed_quantiles(df),
+        # r11: retention triangle — NULL-user and NULL-ts rows must
+        # be excluded identically (identity/position rule), not form
+        # a phantom NULL cohort
+        "events_cohort_retention": lambda df: ev.cohort_retention(df),
         "events_sessionize": lambda df: ev.sessionize(df, gap_minutes=30),
         "events_sliding_counts": lambda df: ev.sliding_window_counts(
             df, window_minutes=60, slide_minutes=15
