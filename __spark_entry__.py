@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_cohort_retention"] = lambda s, d: ev.cohort_retention(
         _t(s, d, "events")
     )
+    q["events_funnel"] = lambda s, d: ev.funnel_counts(_t(s, d, "events"))
 
     q["orders_status_by_month"] = lambda s, d: (
         _t(s, d, "orders")
@@ -3659,6 +3660,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(day - cohort AS BIGINT) AS day_offset,
                COUNT(*) AS n_users
         FROM base JOIN first USING (u) GROUP BY 1, 2
+    """
+    # r11: ordered funnel — step k's first completion must be
+    # STRICTLY after step k-1's; NULL users/times excluded
+    o["events_funnel"] = """
+        WITH base AS (
+            SELECT user_id AS u, event_type, ts
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        s1 AS (SELECT u, MIN(ts) AS t FROM base
+               WHERE event_type = 'click' GROUP BY 1),
+        s2 AS (SELECT b.u, MIN(b.ts) AS t FROM base b JOIN s1 USING (u)
+               WHERE b.event_type = 'view' AND b.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT b.u, MIN(b.ts) AS t FROM base b JOIN s2 USING (u)
+               WHERE b.event_type = 'purchase' AND b.ts > s2.t GROUP BY 1)
+        SELECT 1 AS step, 'click' AS event_type, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'view', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
     """
     # r11: per-window exact percentiles — the quantiles_price parity
     # mechanism (percentile == quantile_cont, round 4) per cell;

@@ -1123,6 +1123,60 @@ def cohort_retention(
     )
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("click", "view", "purchase"),
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Funnel analysis: how many users complete each ordered step —
+    the first step-k event must come STRICTLY after the user's
+    first-completion time of step k-1 (first click, then the first
+    view after that click, then the first purchase after that view).
+    Output: (step, event_type, n_users), one row per step, n_users
+    non-increasing. NULL users/times excluded (identity/position
+    rule, as cohort_retention).
+
+    Scale shape: each stage is a type-filtered scan (predicate
+    pushdown on event_type) joined to the previous stage's
+    (user, first-completion) frame — |users| rows, hash-partitioned
+    by user by its own aggregate, so consecutive stages reuse the
+    partitioning; the per-stage frame persists because it feeds its
+    own count AND the next stage. Never a cartesian, never a window
+    over raw events; len(steps) is small and fixed."""
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    from hillview_spark import cache
+
+    base = events.where(
+        F.col("ts").isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("__u"), "event_type", F.col("ts").alias("__ts"))
+    rows = []
+    cur = None
+    for i, st in enumerate(steps):
+        side = base.where(F.col("event_type") == st)
+        if cur is None:
+            cur = side.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                side.join(cur, "__u")
+                .where(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        cur = cache.persist(cur)
+        rows.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(st).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 def click_purchase_pairs(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -1332,6 +1332,38 @@ def test_windowed_distinct_counts_entities_not_events(spark):
     assert got == {"click": 2, "view": 1}
 
 
+def test_funnel_counts_ordered_steps(spark):
+    """r11: step k counts only users whose first step-k event is
+    STRICTLY after their first completion of step k-1 — a purchase
+    before the click doesn't count, a view at the same instant as
+    the click doesn't either; counts are non-increasing."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, m)
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, 1, "click", t(0), 1.0), (2, 1, "view", t(5), 1.0),
+        (3, 1, "purchase", t(9), 1.0),
+        # u2: view BEFORE the click — stops at step 1
+        (4, 2, "view", t(0), 1.0), (5, 2, "click", t(5), 1.0),
+        # u3: view at the SAME instant as the click — strict >, stops
+        (6, 3, "click", t(2), 1.0), (7, 3, "view", t(2), 1.0),
+        # u4: purchase only — never enters the funnel
+        (8, 4, "purchase", t(1), 1.0),
+        (9, None, "click", t(0), 1.0), (10, 5, "click", None, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = {r.step: (r.event_type, r.n_users)
+           for r in ev.funnel_counts(df).collect()}
+    assert got == {1: ("click", 3), 2: ("view", 1), 3: ("purchase", 1)}
+
+
 def test_cohort_retention_triangle(spark):
     """r11: first-seen day defines the cohort; offset-0 rows are the
     cohort sizes; repeat activity within a day counts once; NULL

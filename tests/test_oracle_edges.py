@@ -273,6 +273,9 @@ def _events_cases():
         # be excluded identically (identity/position rule), not form
         # a phantom NULL cohort
         "events_cohort_retention": lambda df: ev.cohort_retention(df),
+        # r11: ordered funnel on NULL users/times and strict-after
+        # tie semantics (same-instant click+view must NOT advance)
+        "events_funnel": lambda df: ev.funnel_counts(df),
         "events_sessionize": lambda df: ev.sessionize(df, gap_minutes=30),
         "events_sliding_counts": lambda df: ev.sliding_window_counts(
             df, window_minutes=60, slide_minutes=15
