@@ -653,6 +653,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events")
     )
     q["events_funnel"] = lambda s, d: ev.funnel_counts(_t(s, d, "events"))
+    q["events_windowed_anomaly"] = lambda s, d: ev.windowed_anomaly(
+        _t(s, d, "events")
+    )
+    q["text_collocations"] = lambda s, d: text.collocations(
+        _t(s, d, "documents"), min_count=5
+    )
 
     q["orders_status_by_month"] = lambda s, d: (
         _t(s, d, "orders")
@@ -1149,7 +1155,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     driver-proven);
     # (c) the 28 r7-stale keys (3 rounds old — the whole DP-mechanism
     #     / streaming-twin / dedup-curation cohort + q7).
-    # 9 + 13 + 28 = 50 exactly; no filler slots this round.
+    # 9 + 13 + 28 = 50 exactly; no filler slots this round. The
+    # BRAND-NEW r11 operator keys (events_funnel,
+    # events_cohort_retention, events_windowed_quantiles,
+    # events_windowed_distinct[_stream], ngram_novelty,
+    # events_windowed_anomaly, text_collocations) do NOT displace the
+    # stale-evidence retirement: each is replica-proven hash-green at
+    # sf0.01 (tools/check_oracle.py, commit messages record the runs)
+    # and leads the r12 rotation alongside the r8 cohort.
     priority = [
         # (a) changed in r11
         "dp_quantiles_quantity", "exact_freq", "csv_roundtrip_orders",
@@ -3188,6 +3201,42 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT doc_id) AS doc_freq
         FROM toks WHERE token <> '' GROUP BY 1 HAVING COUNT(*) >= 5
     """
+    # r11: PMI collocations — the count ratio is ONE fixed-shape
+    # double expression over exact int64 counts (left-assoc products,
+    # one division: bit-identical cross-engine); only LN is
+    # library-soft and it quantizes through DECIMAL(20,9), the
+    # text_lm_nll / tfidf-idf mechanism
+    o["text_collocations"] = r"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents
+        ), bi AS (
+            SELECT t[CAST(u.i AS INT)] AS w1,
+                   t[CAST(u.i AS INT) + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+        ), bc AS (
+            SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2
+        ), uni AS (
+            SELECT w, COUNT(*) AS cu
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        ), tot AS (
+            SELECT (SELECT SUM(cu) FROM uni) AS nu,
+                   (SELECT SUM(cb) FROM bc) AS nb
+        )
+        SELECT bc.w1, bc.w2, bc.cb AS n_pair,
+               CAST(CAST(LN(
+                   (CAST(cb AS DOUBLE) * CAST(nu AS DOUBLE)
+                        * CAST(nu AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) * CAST(u1.cu AS DOUBLE)
+                          * CAST(u2.cu AS DOUBLE)))
+                   AS DECIMAL(20,9)) AS DOUBLE) AS pmi
+        FROM bc
+        JOIN uni u1 ON bc.w1 = u1.w
+        JOIN uni u2 ON bc.w2 = u2.w, tot
+        WHERE cb >= 5
+    """
     o["text_quality_filter"] = r"""
         WITH x AS (SELECT doc_id,
             GREATEST(length(text), 1) AS n_chars,
@@ -3690,6 +3739,39 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.9), 4) AS q90,
                round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.99), 4) AS q99
         FROM events GROUP BY 1, 2
+    """
+    # r11: trailing-baseline volume anomaly — mean/variance from
+    # EXACT integer frame sums in fixed-shape double expressions
+    # (IEEE-correctly-rounded ops only, no transcendentals), so both
+    # engines produce bit-identical doubles; NULL ts excluded
+    # (identity/position rule)
+    o["events_windowed_anomaly"] = """
+        WITH cells AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, COUNT(*) AS n_events
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), fr AS (
+            SELECT window_start, event_type, n_events,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+                   CAST(SUM(n_events) OVER w AS DOUBLE) AS sm,
+                   CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS sq
+            FROM cells
+            WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                         ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT window_start, event_type, n_events,
+               CASE WHEN cnt >= 3
+                    THEN sm / CAST(cnt AS DOUBLE) END AS baseline_mean,
+               CASE WHEN cnt >= 3 AND GREATEST(
+                        (sq - (sm * sm) / CAST(cnt AS DOUBLE))
+                            / (CAST(cnt AS DOUBLE) - 1.0), 0.0) > 0.0
+                    THEN (CAST(n_events AS DOUBLE)
+                          - sm / CAST(cnt AS DOUBLE))
+                         / SQRT(GREATEST(
+                               (sq - (sm * sm) / CAST(cnt AS DOUBLE))
+                                   / (CAST(cnt AS DOUBLE) - 1.0), 0.0))
+               END AS z_score
+        FROM fr
     """
     # dp_windowed_counts: the md5-PRF cell noise is engine-portable —
     # DuckDB rebuilds the identical 52-bit uniform ('0x'+13 hex digits

@@ -299,3 +299,75 @@ def bigram_lm_nll(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI-ranked bigram collocations — the corpus phrase-mining
+    scan (Church & Hanks 1990): for each bigram occurring at least
+    min_count times, pmi = ln(P(w1,w2) / (P(w1) P(w2))) with
+    P(w1,w2) = C(w1,w2)/N_bigrams and P(w) = C(w)/N_tokens. High-PMI
+    pairs are multiword expressions ("new york"); a training-data
+    pipeline uses the list for tokenizer-vocab seeding and
+    boilerplate-phrase detection. Tokenizes through tokens_expr (THE
+    canonical tokenizer — cannot drift from vocab/bm25/bpe).
+
+    Scale shape: one explode -> groupBy(w1,w2) with map-side combine
+    (the ONLY shuffle proportional to data); the min_count filter
+    prunes the key space BEFORE the unigram joins (tfidf's min_df
+    discipline); the unigram side is |V| rows (Catalyst broadcasts it
+    when bounded, AQE handles stopword skew otherwise); the two
+    corpus totals ride one explicitly-broadcast scalar row. Nothing
+    driver-side, nothing quadratic.
+
+    Determinism (hash-oracle): the count ratio is built from exact
+    int64 counts in ONE fixed-shape double expression (left-assoc
+    products, one division — IEEE ops are correctly rounded, so both
+    engines produce the identical double); only LN is library-soft
+    (1 ulp), and it quantizes through DECIMAL(20,9) exactly as
+    bigram_lm_nll/tfidf's idf do."""
+    toks = df.select(tokens_expr(F.col(text_col)).alias("__toks"))
+    from hillview_spark import cache
+
+    # one tokenize scan feeds the unigram AND bigram explodes
+    toks = cache.persist(toks)
+    m = F.greatest(F.size(F.col("__toks")) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(F.col("__toks"), 1, m).alias("w1"),
+        F.slice(F.col("__toks"), 2, m).alias("w2"),
+    )
+    # unfiltered bigram counts feed the N_bigrams total AND the
+    # min_count survivors — persist so the explode+shuffle runs once
+    bc_all = cache.persist(
+        toks.select(F.explode(zipped).alias("__bi"))
+        .select(F.col("__bi.w1").alias("w1"), F.col("__bi.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    uni = cache.persist(
+        toks.select(F.explode(F.col("__toks")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    totals = uni.agg(F.sum("cu").alias("nu")).crossJoin(
+        bc_all.agg(F.sum("cb").alias("nb"))
+    )
+    survivors = bc_all.where(F.col("cb") >= F.lit(int(min_count)))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ratio = (d("cb") * d("nu") * d("nu")) / (d("nb") * d("cu1") * d("cu2"))
+    return (
+        survivors.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("n_pair"),
+            F.log(ratio).cast("decimal(20,9)").cast("double").alias("pmi"),
+        )
+    )

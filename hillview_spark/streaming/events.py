@@ -1002,6 +1002,89 @@ def windowed_quantiles(
     )
 
 
+def windowed_anomaly(
+    events: DataFrame,
+    unit: str = "hour",
+    history: int = 6,
+    min_history: int = 3,
+) -> DataFrame:
+    """Per-window volume-anomaly score: each (window, event type)
+    cell's event count z-scored against that type's TRAILING
+    baseline — the mean/stddev of its preceding `history` windows
+    (the alerting shape of telemetry pipelines: z >= 3 pages
+    someone). Cells with fewer than min_history preceding windows,
+    or a zero-variance baseline, score NULL (no baseline, no alarm).
+    NULL event times carry no window position and are excluded (the
+    identity/position rule of cohort_retention/funnel).
+
+    Scale shape: one groupBy(window, type) with map-side combine
+    collapses raw events to O(windows x types) cells; the window
+    function then runs per TYPE over its window series — thousands
+    of rows per partition even at 100 TB/day, so the sort inside
+    each hash partition is trivial and no further shuffle of event
+    data ever happens (the classic pre-aggregate-then-window plan).
+
+    Determinism (hash-oracle): the frame sums are exact int64
+    (counts and squared counts — exact in double below 2^53, which a
+    per-window per-type event count satisfies by orders of
+    magnitude); mean and variance are FIXED-SHAPE double expressions
+    over those exact sums (IEEE division/multiply/subtract/sqrt are
+    correctly rounded, so both engines produce bit-identical
+    doubles) — no library-soft transcendentals anywhere, so no
+    decimal quantization is needed, unlike the ln-based scores."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    if min_history < 2:
+        # the sample-variance denominator is cnt-1: a 1-window
+        # baseline has no variance and would divide by zero under
+        # ANSI — refuse loudly instead of silently clamping
+        raise ValueError(
+            f"min_history must be >= 2, got {min_history!r}"
+        )
+    cells = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
+            trunc_ntz(F.col("ts"), unit).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-int(history), -1)
+    )
+    cnt = F.count(F.lit(1)).over(frame)
+    sm = F.sum("n_events").over(frame).cast("double")
+    sq = (
+        F.sum(F.col("n_events") * F.col("n_events")).over(frame)
+        .cast("double")
+    )
+    cd = cnt.cast("double")
+    # sample variance from exact frame sums; greatest() absorbs the
+    # tiny negative cancellation residue when the frame is constant
+    mean = sm / cd
+    var = F.greatest(
+        (sq - (sm * sm) / cd) / (cd - F.lit(1.0)), F.lit(0.0)
+    )
+    # the cnt guard runs FIRST (CASE is lazy), so the divisions and
+    # the cd-1 denominator never see an empty or singleton frame
+    guarded = F.when(
+        cnt >= F.lit(int(min_history)),
+        F.when(
+            var > F.lit(0.0),
+            (F.col("n_events").cast("double") - mean) / F.sqrt(var),
+        ),
+    )
+    return cells.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.when(cnt >= F.lit(int(min_history)), mean).alias("baseline_mean"),
+        guarded.alias("z_score"),
+    )
+
+
 def stream_windowed_distinct_approx(
     spark: SparkSession,
     events_dir: str,

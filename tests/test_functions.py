@@ -1429,6 +1429,83 @@ def test_windowed_quantiles_exact_vs_approx(spark):
     assert abs(approx.q99 - exact.q99) <= 1.5
 
 
+def test_collocations_pmi(spark):
+    """r11: PMI value math pinned by hand on a 9-token corpus —
+    unigrams new:3 york:3 city:2 the:1 (NU=9), bigrams NB=6 with
+    (new,york):3 the only pair reaching min_count=2, so
+    pmi = ln(3*9*9 / (6*3*3)) = ln(4.5). NULL/empty docs contribute
+    nothing."""
+    import math
+
+    from hillview_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "new york new york"),
+            (2, "NEW york city"),   # tokenizer lowercases
+            (3, "the city"),
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tx.collocations(df, min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.w1, r.w2, r.n_pair) == ("new", "york", 3)
+    assert r.pmi == pytest.approx(math.log(4.5), abs=1e-9)
+
+
+def test_windowed_anomaly_zscore(spark):
+    """r11: trailing-baseline z-score math pinned by hand. Type 'a'
+    counts 1,2,3 then 10: the spike window's frame has mean 2,
+    sample variance 1, so z = 8; earlier windows lack min_history=3
+    and score NULL. Type 'b' is constant: baseline exists but zero
+    variance scores NULL (no alarm on a flat series). NULL ts rows
+    are excluded, never a NULL window."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    rows = []
+    eid = 0
+
+    def emit(typ, hour, n):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, 1, typ, datetime.datetime(2024, 1, 1, hour), 1.0)
+            )
+
+    for h, n in enumerate([1, 2, 3, 10]):
+        emit("a", h, n)
+    for h in range(4):
+        emit("b", h, 5)
+    rows.append((999, 1, "a", None, 1.0))  # NULL ts: excluded
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = {
+        (r.event_type, r.window_start.hour): (
+            r.n_events, r.baseline_mean, r.z_score
+        )
+        for r in ev.windowed_anomaly(df, min_history=3).collect()
+    }
+    assert len(got) == 8  # no NULL-window cell
+    assert got[("a", 0)] == (1, None, None)   # empty frame
+    assert got[("a", 1)] == (2, None, None)   # 1 preceding < 3
+    assert got[("a", 2)] == (3, None, None)   # 2 preceding < 3
+    assert got[("a", 3)] == (10, 2.0, 8.0)    # (10-2)/sqrt(1)
+    assert got[("b", 3)] == (5, 5.0, None)    # flat: var 0, no alarm
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_history"):
+        ev.windowed_anomaly(df, min_history=1)
+
+
 def test_decontaminate_bloom_rejects_bad_num_bits(spark, tables):
     """r11 review: the num_bits%64 guard was a bare assert (vanishes
     under python -O, silently corrupting the word packing) — now a

@@ -79,6 +79,11 @@ CASES = {
     # sub-shingle docs must anchor with 0/0/0.0 in both engines, and
     # the exact-dup trio (1/2/10) must score dup_frac 1.0
     "ngram_novelty": lambda df: curation.ngram_novelty(df),
+    # r11: PMI collocations — the edge corpus's repeated bigrams all
+    # fall UNDER the gate's min_count=5, so both engines must agree
+    # the filter drops them (empty result, not a half-filtered one);
+    # value parity at min_count=2 is pinned in test_functions.py
+    "text_collocations": lambda df: text.collocations(df, min_count=5),
     # r8: the full FindSketch Result on NULL/empty docs (a NULL text
     # never matches; counts must partition identically cross-engine)
     "find_first_row": lambda df: __import__(
@@ -273,6 +278,12 @@ def _events_cases():
         # be excluded identically (identity/position rule), not form
         # a phantom NULL cohort
         "events_cohort_retention": lambda df: ev.cohort_retention(df),
+        # r11: trailing-baseline anomaly — the edge fixture's single
+        # window per type means EVERY cell lacks history: both
+        # engines must agree on the all-NULL baseline/z columns (and
+        # the NULL-ts row must be excluded, not form a NULL window);
+        # z-value math is pinned in test_functions.py
+        "events_windowed_anomaly": lambda df: ev.windowed_anomaly(df),
         # r11: ordered funnel on NULL users/times and strict-after
         # tie semantics (same-instant click+view must NOT advance)
         "events_funnel": lambda df: ev.funnel_counts(df),
