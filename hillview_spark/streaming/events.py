@@ -1085,6 +1085,171 @@ def windowed_anomaly(
     )
 
 
+def stream_windowed_anomaly(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    unit: str = "hour",
+    history: int = 6,
+    min_history: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured Streaming twin of windowed_anomaly. Window
+    functions (the trailing frame) are unsupported in streaming
+    plans, and a stateful op cannot chain after a streaming
+    aggregate — so this is the applyInPandasWithState route
+    (stream_sessionize's mechanism): per event-type state carries
+    the OPEN windows' partial counts plus the trailing deque of the
+    last `history` CLOSED window counts. A window closes — scores
+    against the deque and emits — when the watermark passes its end,
+    driven by an event-time timeout armed at the earliest open
+    window's end (so closing doesn't need further data for the key).
+
+    Twin parity: windows close in start order (the watermark is
+    monotone), so every closed window scores against exactly the
+    preceding closed cells — the batch twin's rowsBetween(-history,
+    -1) frame over present cells — and the z arithmetic below is the
+    SAME IEEE double expression shape, so emitted rows match the
+    batch twin bit-for-bit on data with no beyond-watermark
+    stragglers (pytest-pinned). Declared divergences, shared with
+    every stream twin: NULL event times are dropped (no event-time
+    position) and a straggler landing in an already-closed window is
+    dropped where batch would count it.
+
+    State is O(open windows + history) per type — bounded by the
+    watermark horizon, never by the stream's length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    unit_seconds = {"minute": 60, "hour": 3600, "day": 86400}
+    if unit not in unit_seconds:
+        # month/year are calendar units: epoch-mod flooring (below)
+        # only equals trunc_ntz for fixed-length units
+        raise ValueError(
+            f"unit must be one of {sorted(unit_seconds)}, got {unit!r}"
+        )
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history!r}")
+    unit_us = unit_seconds[unit] * 1_000_000
+    history = int(history)
+
+    out_type = StructType([
+        StructField("window_start", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("baseline_mean", DoubleType()),
+        StructField("z_score", DoubleType()),
+    ])
+    state_type = StructType([
+        StructField("open_starts", ArrayType(LongType())),
+        StructField("open_counts", ArrayType(LongType())),
+        StructField("hist_counts", ArrayType(LongType())),
+        StructField("last_closed_us", LongType()),
+    ])
+
+    def _close_ready(etype, open_map, hist, wm_us):
+        """Close every open window whose END the watermark passed, in
+        start order; score each against the trailing deque with the
+        batch twin's exact double-expression shape."""
+        import math
+
+        out = []
+        for ws in sorted(open_map):
+            if ws + unit_us > wm_us:
+                break
+            n = open_map.pop(ws)
+            mean = z = None
+            cnt = len(hist)
+            if cnt >= min_history:
+                cd = float(cnt)
+                sm = float(sum(hist))
+                sq = float(sum(c * c for c in hist))
+                mean = sm / cd
+                var = max((sq - (sm * sm) / cd) / (cd - 1.0), 0.0)
+                if var > 0.0:
+                    z = (float(n) - mean) / math.sqrt(var)
+            out.append((ws, etype, n, mean, z))
+            hist.append(n)
+            del hist[:-history]
+        return out
+
+    def _emit(rows):
+        return pd.DataFrame(
+            {
+                "window_start": [
+                    pd.Timestamp(r[0], unit="us") for r in rows
+                ],
+                "event_type": [r[1] for r in rows],
+                "n_events": [r[2] for r in rows],
+                "baseline_mean": [r[3] for r in rows],
+                "z_score": [r[4] for r in rows],
+            }
+        )
+
+    def fn(key, pdfs, state: "GroupState"):
+        etype = key[0]
+        if state.exists:
+            open_starts, open_counts, hist, last_closed = state.get
+            open_map = dict(zip(open_starts, open_counts))
+            hist = list(hist)
+        else:
+            open_map, hist, last_closed = {}, [], None
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pdf["ts"].dropna()
+                if ts.empty:
+                    continue
+                us = ts.astype("int64") // 1000
+                for ws, n in (us - us % unit_us).value_counts().items():
+                    ws = int(ws)
+                    if last_closed is not None and ws <= last_closed:
+                        continue  # straggler in a closed window
+                    open_map[ws] = open_map.get(ws, 0) + int(n)
+        closed = _close_ready(etype, open_map, hist, wm_us)
+        if closed:
+            last_closed = closed[-1][0]
+        if not open_map and not hist:
+            # nothing open, nothing learned (every row was NaT or a
+            # dropped straggler): keep no state rather than arming a
+            # timeout that re-delivers an empty tuple forever
+            if state.exists:
+                state.remove()
+        else:
+            starts = sorted(open_map)
+            state.update((
+                starts,
+                [open_map[s] for s in starts],
+                hist,
+                last_closed,
+            ))
+            if starts:
+                # wake when the watermark passes the earliest open
+                # end (must stay above the current watermark or
+                # Spark rejects the timestamp)
+                state.setTimeoutTimestamp(max(
+                    (starts[0] + unit_us) // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+        if closed:
+            yield _emit(closed)
+
+    stream = _event_time_stream(spark, events_dir, schema)
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn, out_type, state_type, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_windowed_distinct_approx(
     spark: SparkSession,
     events_dir: str,

@@ -216,6 +216,69 @@ def test_stream_sessionize_processing_timeout_drains(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_windowed_anomaly_matches_batch(spark, tmp_path):
+    """r11: the stateful anomaly twin must reproduce the batch
+    z-scores BIT-FOR-BIT on every window it closes (same IEEE
+    expression shape over the same trailing cells), close every
+    window the final watermark safely passed, and emit nothing the
+    watermark hasn't passed."""
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(d, "events.parquet"),
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_windowed_anomaly(spark, d, raw.schema)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_win_anomaly")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    streamed = {
+        (r.window_start, r.event_type): (
+            r.n_events, r.baseline_mean, r.z_score
+        )
+        for r in spark.sql("SELECT * FROM t_win_anomaly").collect()
+    }
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = {
+        (r.window_start, r.event_type): (
+            r.n_events, r.baseline_mean, r.z_score
+        )
+        for r in ev.windowed_anomaly(events).collect()
+        if r.window_start is not None
+    }
+    import datetime
+
+    final_wm = events.agg(F.max("ts")).first()[0] - datetime.timedelta(
+        hours=2
+    )
+    hour = datetime.timedelta(hours=1)
+    must = {
+        k for k in batch if k[0] + hour < final_wm - datetime.timedelta(seconds=1)
+    }
+    may = {k for k in batch if k[0] + hour <= final_wm}
+    assert must, "fixture spans too few hours to close any window"
+    assert must <= set(streamed) <= may
+    for k, v in streamed.items():
+        assert batch[k] == v, (k, v, batch[k])
+
+
+def test_stream_windowed_anomaly_rejects_calendar_units(spark, tmp_path):
+    """Epoch-mod flooring only equals trunc_ntz for fixed-length
+    units — month must refuse loudly, not silently drift."""
+    import pytest as _pytest
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with _pytest.raises(ValueError, match="unit"):
+        ev.stream_windowed_anomaly(spark, str(tmp_path), raw.schema,
+                                   unit="month")
+
+
 def test_sampled_corr_matrix_close_to_exact(spark, tables):
     from hillview_spark.operators import correlation
 
