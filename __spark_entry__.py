@@ -3754,7 +3754,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, n_events,
                    CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
                    CAST(SUM(n_events) OVER w AS DOUBLE) AS sm,
-                   CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS sq
+                   CAST(SUM(CAST(n_events AS DECIMAL(19,0))
+                            * CAST(n_events AS DECIMAL(19,0)))
+                        OVER w AS DOUBLE) AS sq
             FROM cells
             WINDOW w AS (PARTITION BY event_type ORDER BY window_start
                          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)

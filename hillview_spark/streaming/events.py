@@ -1041,6 +1041,14 @@ def windowed_anomaly(
         raise ValueError(
             f"min_history must be >= 2, got {min_history!r}"
         )
+    if history < min_history:
+        # the frame can never reach min_history rows: every cell
+        # would silently score NULL (and history <= 0 is an invalid
+        # window frame outright) — loud config guard
+        raise ValueError(
+            f"history ({history!r}) must be >= min_history"
+            f" ({min_history!r})"
+        )
     cells = (
         events.where(F.col("ts").isNotNull())
         .groupBy(
@@ -1056,10 +1064,14 @@ def windowed_anomaly(
     )
     cnt = F.count(F.lit(1)).over(frame)
     sm = F.sum("n_events").over(frame).cast("double")
-    sq = (
-        F.sum(F.col("n_events") * F.col("n_events")).over(frame)
-        .cast("double")
-    )
+    # square in DECIMAL(19,0): a long*long square is ANSI-fatal past
+    # ~1.2e9 events per cell (6 frame terms x (1.2e9)^2 > 2^63) — a
+    # single dominant type at 100 TB/day can reach that; the decimal
+    # product/sum holds to ~1e38 and converts to the SAME double
+    # (r11 review, overflow class; oracle squares through DECIMAL in
+    # lockstep)
+    nd = F.col("n_events").cast("decimal(19,0)")
+    sq = F.sum(nd * nd).over(frame).cast("double")
     cd = cnt.cast("double")
     # sample variance from exact frame sums; greatest() absorbs the
     # tiny negative cancellation residue when the frame is constant
@@ -1134,6 +1146,11 @@ def stream_windowed_anomaly(
         )
     if min_history < 2:
         raise ValueError(f"min_history must be >= 2, got {min_history!r}")
+    if history < min_history:
+        raise ValueError(
+            f"history ({history!r}) must be >= min_history"
+            f" ({min_history!r})"
+        )
     unit_us = unit_seconds[unit] * 1_000_000
     history = int(history)
 
@@ -1354,11 +1371,19 @@ def cohort_retention(
     AQE reuses the partitioning) and a tiny (cohort, offset)
     aggregate. act is distinct per (user, day), so count(*) IS the
     distinct-user count — no second distinct state."""
+    from hillview_spark import cache
+
     base = events.where(
         F.col("ts").isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(id_col).alias("__u"), F.to_date("ts").alias("__day"))
-    first = base.groupBy("__u").agg(F.min("__day").alias("cohort"))
-    act = base.distinct()
+    # ONE events scan: first-seen derives from the distinct
+    # (user, day) frame — min over distinct days IS min over all
+    # events — so the raw-scale scan feeds only the distinct, and
+    # both the cohort aggregate and the join read the persisted
+    # users x active-days frame (r11 review, multi-consumer class:
+    # the original aggregated base twice, re-scanning the fact table)
+    act = cache.persist(base.distinct())
+    first = act.groupBy("__u").agg(F.min("__day").alias("cohort"))
     return (
         act.join(first, "__u")
         .groupBy(

@@ -1504,6 +1504,8 @@ def test_windowed_anomaly_zscore(spark):
 
     with _pytest.raises(ValueError, match="min_history"):
         ev.windowed_anomaly(df, min_history=1)
+    with _pytest.raises(ValueError, match="history"):
+        ev.windowed_anomaly(df, history=2, min_history=3)
 
 
 def test_decontaminate_bloom_rejects_bad_num_bits(spark, tables):
