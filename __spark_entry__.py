@@ -656,6 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_windowed_anomaly"] = lambda s, d: ev.windowed_anomaly(
         _t(s, d, "events")
     )
+    q["events_transitions"] = lambda s, d: ev.transition_counts(
+        _t(s, d, "events")
+    )
     q["text_collocations"] = lambda s, d: text.collocations(
         _t(s, d, "documents"), min_count=5
     )
@@ -1159,9 +1162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BRAND-NEW r11 operator keys (events_funnel,
     # events_cohort_retention, events_windowed_quantiles,
     # events_windowed_distinct[_stream], ngram_novelty,
-    # events_windowed_anomaly, text_collocations) do NOT displace the
-    # stale-evidence retirement: each is replica-proven hash-green at
-    # sf0.01 (tools/check_oracle.py, commit messages record the runs)
+    # events_windowed_anomaly, text_collocations,
+    # events_transitions) do NOT displace the stale-evidence
+    # retirement: each is replica-proven hash-green at sf0.01
+    # (tools/check_oracle.py, commit messages record the runs)
     # and leads the r12 rotation alongside the r8 cohort.
     priority = [
         # (a) changed in r11
@@ -3774,6 +3778,24 @@ def oracle_sql() -> dict[str, str]:
                                    / (CAST(cnt AS DOUBLE) - 1.0), 0.0))
                END AS z_score
         FROM fr
+    """
+    # r11: transition matrix — typed events only (a NULL type inside
+    # a sequence is indistinguishable from lead()'s end-of-sequence
+    # NULL); ties on ts order by the unique event_id so both engines
+    # see the same total order
+    o["events_transitions"] = """
+        WITH typed AS (
+            SELECT user_id AS u, event_id, ts,
+                   event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
+        )
+        SELECT from_type, to_type, COUNT(*) AS n_transitions
+        FROM typed WHERE to_type IS NOT NULL GROUP BY 1, 2
     """
     # dp_windowed_counts: the md5-PRF cell noise is engine-portable —
     # DuckDB rebuilds the identical 52-bit uniform ('0x'+13 hex digits

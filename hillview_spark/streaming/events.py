@@ -1450,6 +1450,44 @@ def funnel_counts(
     return out
 
 
+def transition_counts(
+    events: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Event-flow transition matrix: for each user's TYPED events in
+    time order, count (from_type, to_type) adjacent pairs — the
+    Markov/sankey shape behind "where do users go after a click".
+    NULL users/times are excluded (identity/position rule), and so
+    are NULL event TYPES: a NULL type inside a sequence would be
+    indistinguishable from lead()'s end-of-sequence NULL, so
+    transitions are defined between typed events only (documented,
+    oracle in lockstep). Ties on ts order by event_id — a unique
+    tiebreak, so both engines see the SAME total order (a bare ts
+    order would make lead() nondeterministic on same-instant events).
+
+    Scale shape: ONE shuffle partitions by user; the per-user sort
+    inside each partition is over that user's events (bounded); the
+    (from, to) aggregate is |types|^2 cells with map-side combine.
+    Never a self-join, never a cartesian."""
+    w = (
+        Window.partitionBy("__u")
+        .orderBy("ts", "event_id")
+    )
+    typed = events.where(
+        F.col("ts").isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.col(id_col).alias("__u"), "event_id", "ts",
+        F.col("event_type").alias("from_type"),
+    )
+    return (
+        typed.withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 def click_purchase_pairs(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -1429,6 +1429,45 @@ def test_windowed_quantiles_exact_vs_approx(spark):
     assert abs(approx.q99 - exact.q99) <= 1.5
 
 
+def test_transition_counts_order_and_nulls(spark):
+    """r11: transitions follow per-user time order with event_id as
+    the tie-break; NULL user/ts/type rows contribute nothing; the
+    last typed event of a user opens no transition."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, m)
+    rows = [
+        (1, 1, "click", t(0), 1.0),
+        (2, 1, "view", t(5), 1.0),
+        (3, 1, "purchase", t(9), 1.0),
+        # user 2: same-instant tie — event_id orders click(4) before
+        # view(5), so the transition is click->view, never view->click
+        (4, 2, "click", t(0), 1.0),
+        (5, 2, "view", t(0), 1.0),
+        # NULL type inside user 2's sequence: excluded entirely —
+        # view's successor becomes purchase, not a NULL cell
+        (6, 2, None, t(1), 1.0),
+        (7, 2, "purchase", t(2), 1.0),
+        (8, None, "click", t(0), 1.0),   # NULL user
+        (9, 3, "click", None, 1.0),      # NULL ts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in ev.transition_counts(df).collect()
+    }
+    assert got == {
+        ("click", "view"): 2,
+        ("view", "purchase"): 2,
+    }
+
+
 def test_collocations_pmi(spark):
     """r11: PMI value math pinned by hand on a 9-token corpus —
     unigrams new:3 york:3 city:2 the:1 (NU=9), bigrams NB=6 with

@@ -284,6 +284,10 @@ def _events_cases():
         # the NULL-ts row must be excluded, not form a NULL window);
         # z-value math is pinned in test_functions.py
         "events_windowed_anomaly": lambda df: ev.windowed_anomaly(df),
+        # r11: transition matrix — NULL user/ts/type rows must drop
+        # identically, and the same-instant tie (events 6/9/10 share
+        # user 2, ts 10:05) must order by event_id in both engines
+        "events_transitions": lambda df: ev.transition_counts(df),
         # r11: ordered funnel on NULL users/times and strict-after
         # tie semantics (same-instant click+view must NOT advance)
         "events_funnel": lambda df: ev.funnel_counts(df),
