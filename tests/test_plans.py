@@ -463,3 +463,48 @@ def test_cosine_topk_guard_is_hoisted_below_scoring(spark, tables):
         if "Filter" in ln and "zip_with" in ln
     ]
     assert not bad, f"dot fold re-evaluated in a Filter: {bad[:1]}"
+
+
+def test_r11_event_ops_plan_shapes(spark, tables):
+    """r11 scale claims as plan assertions: the event analytics ops
+    pre-aggregate (or pre-partition) so window machinery never sees
+    raw-event-order state, and nothing falls back to a cartesian or
+    per-row Python."""
+    from hillview_spark.streaming import events as ev
+
+    e = tables["events"]
+    # anomaly: ONE groupBy shuffle + ONE window repartition, no joins
+    df = ev.windowed_anomaly(e)
+    ex.assert_max_shuffles(df, 2)
+    ex.assert_no_cartesian(df)
+    assert "Python" not in ex.physical_plan(df)
+    # transitions: user partition + (from,to) aggregate, one sort
+    df = ev.transition_counts(e)
+    ex.assert_max_shuffles(df, 2)
+    ex.assert_no_cartesian(df)
+    assert "Python" not in ex.physical_plan(df)
+    # retention: the fact table is scanned ONCE (one-scan rewrite,
+    # r11 review) — BOTH consumers (cohort aggregate + join) read
+    # the persisted distinct (user, day) frame; the parquet scan
+    # string appears under each InMemoryTableScan's printed lineage
+    # but executes once, at cache fill
+    df = ev.cohort_retention(e)
+    plan = ex.physical_plan(df)
+    ex.assert_no_cartesian(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:500]
+
+
+def test_collocations_plan_no_cartesian_data_joins(spark, tables):
+    """The PMI join tree: corpus totals ride 1-row broadcast crosses
+    (BroadcastNestedLoopJoin over a single aggregate row is fine);
+    what must NEVER appear is a CartesianProduct or a non-broadcast
+    nested loop over data-sized relations."""
+    from hillview_spark.functions import text
+
+    df = text.collocations(tables["documents"], min_count=2)
+    plan = ex.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # every nested-loop join must be a broadcast of a 1-row aggregate
+    # (the nu/nb totals), never a shuffled loop join
+    assert "ShuffledNestedLoop" not in plan
