@@ -659,6 +659,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_transitions"] = lambda s, d: ev.transition_counts(
         _t(s, d, "events")
     )
+
+    # r11: snapshot reconciliation — both snapshots derive from the
+    # fixture deterministically (old drops doc_id%3==0, new drops
+    # %5==0 and rewrites %7==0), so added/removed/changed/unchanged
+    # all occur and the oracle rebuilds the identical sides
+    def _corpus_diff(s, d):
+        docs = _t(s, d, "documents")
+        old = docs.where(F.col("doc_id") % 3 != 0)
+        new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat_ws(" ", F.col("text"), F.lit("v2")),
+            ).otherwise(F.col("text")),
+        )
+        return curation.corpus_diff(old, new)
+
+    q["corpus_diff"] = _corpus_diff
     q["text_collocations"] = lambda s, d: text.collocations(
         _t(s, d, "documents"), min_count=5
     )
@@ -1163,7 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_cohort_retention, events_windowed_quantiles,
     # events_windowed_distinct[_stream], ngram_novelty,
     # events_windowed_anomaly, text_collocations,
-    # events_transitions) do NOT displace the stale-evidence
+    # events_transitions, corpus_diff) do NOT displace the stale-evidence
     # retirement: each is replica-proven hash-green at sf0.01
     # (tools/check_oracle.py, commit messages record the runs)
     # and leads the r12 rotation alongside the r8 cohort.
@@ -3796,6 +3814,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT from_type, to_type, COUNT(*) AS n_transitions
         FROM typed WHERE to_type IS NOT NULL GROUP BY 1, 2
+    """
+    # r11: corpus snapshot diff — presence flags (not id NULL-ness)
+    # pick the side, so a NULL-id row classifies from its own side
+    # exactly as the operator's full-outer USING join does; content
+    # equality is NULL-SAFE md5
+    o["corpus_diff"] = """
+        WITH old AS (
+            SELECT doc_id, md5(text) AS fp, TRUE AS in_old
+            FROM documents WHERE doc_id % 3 <> 0
+        ), new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0
+                            THEN concat_ws(' ', text, 'v2')
+                            ELSE text END) AS fp,
+                   TRUE AS in_new
+            FROM documents WHERE doc_id % 5 <> 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.in_old IS NULL THEN 'added'
+                    WHEN n.in_new IS NULL THEN 'removed'
+                    WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     """
     # dp_windowed_counts: the md5-PRF cell noise is engine-portable —
     # DuckDB rebuilds the identical 52-bit uniform ('0x'+13 hex digits

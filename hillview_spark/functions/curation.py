@@ -669,3 +669,49 @@ def cap_per_group(
         .where(F.col("__rk") <= max_per_group)
         .drop("__rk", "__h")
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot reconciliation: classify every document id across two
+    corpus snapshots as added / removed / changed / unchanged by
+    content fingerprint — the ingest-ops diff behind "what did this
+    crawl refresh actually change". Content equality is md5 over the
+    text (exact_dedup's fingerprint), compared NULL-SAFE so a NULL
+    text on both sides reads unchanged, and NULL on one side reads
+    changed. NULL document ids never equi-join: each NULL-id row
+    classifies from its own side alone (added/removed) — identical in
+    Spark and SQL by construction, documented rather than filtered.
+
+    Scale shape: each side collapses to (id, fingerprint) at the scan
+    (column pruning: only id and text are read), then ONE full-outer
+    equi-join on the id — both sides hash-partition by the same key,
+    and at 100 TB a bucketed-by-id layout makes the join
+    exchange-free (sources/bucketing discipline). The status column
+    is a pure codegen CASE; no second pass, no driver state."""
+    fp = lambda c: F.md5(F.col(c))  # noqa: E731
+    o = old_df.select(
+        F.col(id_col).alias("__id"), fp(text_col).alias("__old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new_df.select(
+        F.col(id_col).alias("__id"), fp(text_col).alias("__new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("__old_fp").eqNullSafe(F.col("__new_fp")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("__id").alias(id_col), status.alias("status")
+    )

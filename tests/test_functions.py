@@ -1429,6 +1429,42 @@ def test_windowed_quantiles_exact_vs_approx(spark):
     assert abs(approx.q99 - exact.q99) <= 1.5
 
 
+def test_corpus_diff_statuses(spark):
+    """r11: snapshot diff semantics — NULL text on BOTH sides is
+    unchanged (null-safe fingerprint), NULL on ONE side is changed,
+    and a NULL doc_id never joins: it classifies from its own side
+    alone."""
+    from hillview_spark.functions import curation
+
+    old = spark.createDataFrame(
+        [
+            (1, "same"), (2, "old text"), (3, "gone"),
+            (4, None), (5, None), (None, "null-id old"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same"), (2, "new text"), (6, "fresh"),
+            (4, None), (5, "was null"), (None, "null-id new"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = curation.corpus_diff(old, new).collect()
+    got = {}
+    nulls = []
+    for r in rows:
+        if r.doc_id is None:
+            nulls.append(r.status)
+        else:
+            got[r.doc_id] = r.status
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "unchanged", 5: "changed", 6: "added",
+    }
+    assert sorted(nulls) == ["added", "removed"]
+
+
 def test_transition_counts_order_and_nulls(spark):
     """r11: transitions follow per-user time order with event_id as
     the tie-break; NULL user/ts/type rows contribute nothing; the
