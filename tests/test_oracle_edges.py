@@ -15,6 +15,7 @@ import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
 from hillview_spark.functions import curation, dedup, text
 
 EDGE_DOCS = [
@@ -84,6 +85,19 @@ CASES = {
     # the filter drops them (empty result, not a half-filtered one);
     # value parity at min_count=2 is pinned in test_functions.py
     "text_collocations": lambda df: text.collocations(df, min_count=5),
+    # r11: snapshot diff through the gate's own derivation — NULL
+    # texts must fingerprint null-safe (both-NULL = unchanged,
+    # one-side rewrite of a NULL text = changed via concat_ws)
+    "corpus_diff": lambda df: curation.corpus_diff(
+        df.where(F.col("doc_id") % 3 != 0),
+        df.where(F.col("doc_id") % 5 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat_ws(" ", F.col("text"), F.lit("v2")),
+            ).otherwise(F.col("text")),
+        ),
+    ),
     # r8: the full FindSketch Result on NULL/empty docs (a NULL text
     # never matches; counts must partition identically cross-engine)
     "find_first_row": lambda df: __import__(
