@@ -677,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curation.corpus_diff(old, new)
 
     q["corpus_diff"] = _corpus_diff
+    q["dp_transitions"] = lambda s, d: ev.dp_transition_counts(
+        _t(s, d, "events"), epsilon=1.0, seed=7
+    )
     q["text_collocations"] = lambda s, d: text.collocations(
         _t(s, d, "documents"), min_count=5
     )
@@ -1181,7 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_cohort_retention, events_windowed_quantiles,
     # events_windowed_distinct[_stream], ngram_novelty,
     # events_windowed_anomaly, text_collocations,
-    # events_transitions, corpus_diff) do NOT displace the stale-evidence
+    # events_transitions, corpus_diff, dp_transitions) do NOT displace the stale-evidence
     # retirement: each is replica-proven hash-green at sf0.01
     # (tools/check_oracle.py, commit messages record the runs)
     # and leads the r12 rotation alongside the r8 cohort.
@@ -3876,6 +3879,44 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming twin releases the identical noisy cells
     o["dp_windowed_counts_stream"] = o["dp_windowed_counts"]
+    # r11: DP transition matrix — sensitivity 3 (one event touches up
+    # to 2 pairs and its removal can mint 1 between its neighbors),
+    # so the Laplace scale is 3.0; the cell key is the escaped
+    # (from, to) pair under the 'wtrans' domain tag, seed 7
+    o["dp_transitions"] = f"""
+        WITH typed AS (
+            SELECT user_id AS u, event_id, ts,
+                   event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
+        ), counts AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM typed WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ), unif AS (
+            SELECT from_type, to_type, n,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('from_type')}
+                           || '|' || {_prf_field_sql('to_type')}
+                           || '|wtrans|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM counts
+        )
+        SELECT from_type, to_type,
+               CAST(FLOOR(CAST(n AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(3.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 3.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_transitions
+        FROM unif
+    """
     # stream-stream join twin: the batch attribution pairs minus the
     # derived gap column (the stream emits ids only)
     o["events_click_purchase_stream"] = """

@@ -346,6 +346,43 @@ def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
+def dp_transition_counts(
+    events: DataFrame,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Differentially-private transition matrix: the Markov/sankey
+    release with one Laplace draw per (from, to) cell. Event-level
+    sensitivity is 3, NOT 1: adding/removing one event changes the
+    two pairs it participates in AND can create/destroy one pair
+    between its former neighbors (drop e from a-e-b: (a,e) and (e,b)
+    leave, (a,b) appears) — so the per-cell scale is 3/epsilon, the
+    L1/parallel-composition argument over disjoint cells otherwise
+    unchanged from dp_windowed_counts. The noise keys on the portable
+    md5 PRF over the escaped (from, to) pair + the 'wtrans' domain
+    tag (laplace_noise_col routes every key through _prf_field, so a
+    type containing '|' cannot forge another cell's key — the r10
+    heatmap-collision class), which is what lets the DuckDB oracle
+    rebuild the release bit-for-bit (floor absorbs the 1-ulp ln).
+    Sparse convention as every count release: cells with zero true
+    transitions produce no row."""
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    counts = transition_counts(events)
+    noise = laplace_noise_col(
+        epsilon, seed,
+        F.col("from_type"), F.col("to_type"), F.lit("wtrans"),
+        prf="md5", scale=3.0 / epsilon,
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.floor(
+            F.col("n_transitions").cast("double") + noise + F.lit(0.5)
+        ).cast("long").alias("noisy_transitions"),
+    )
+
+
 def windowed_histogram(
     events: DataFrame,
     unit: str = "hour",

@@ -246,6 +246,43 @@ def test_dp_windowed_counts_is_noised_batch(spark, tables):
     assert noisy == again
 
 
+def test_dp_transitions_noised_deterministic_sensitivity3(spark, tables):
+    """r11: the DP transition release keys one Laplace(3/eps) draw
+    per (from, to) cell — noise actually applied, deterministic for
+    a fixed seed, per-cell deviation inside the scale-3 tail, and
+    seed changes redraw."""
+    from hillview_spark.streaming import events as ev
+
+    plain = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in ev.transition_counts(tables["events"]).collect()
+    }
+    noisy = {
+        (r.from_type, r.to_type): r.noisy_transitions
+        for r in ev.dp_transition_counts(
+            tables["events"], 1.0, seed=3
+        ).collect()
+    }
+    assert plain.keys() == noisy.keys()
+    deltas = [noisy[k] - plain[k] for k in plain]
+    assert any(d != 0 for d in deltas)
+    assert max(map(abs, deltas)) < 180  # Laplace(3) tail, sanity bound
+    again = {
+        (r.from_type, r.to_type): r.noisy_transitions
+        for r in ev.dp_transition_counts(
+            tables["events"], 1.0, seed=3
+        ).collect()
+    }
+    assert noisy == again
+    other = {
+        (r.from_type, r.to_type): r.noisy_transitions
+        for r in ev.dp_transition_counts(
+            tables["events"], 1.0, seed=4
+        ).collect()
+    }
+    assert other != noisy
+
+
 def test_privacy_schema_parse_and_lookup():
     text = """{"epsilons": {"a+b": 0.25},
                "defaultEpsilons": {"1": 1.0, "2": 0.1},
