@@ -346,6 +346,124 @@ def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
+def stream_transitions(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of transition_counts' per-user chaining — the
+    third custom stateful pattern in this module: a WATERMARK-ORDERED
+    REPLAY BUFFER. lead() is unsupported in streaming plans, and
+    unlike sessionization (which tolerates in-gap disorder) adjacency
+    is order-SENSITIVE: an out-of-order arrival between two already-
+    paired events would change the pairs. So per-user state buffers
+    pending typed events and only CHAINS the prefix the watermark has
+    made final (no earlier event can still arrive), carrying the last
+    chained event across batches; an event-time timeout armed at the
+    earliest pending event drains the buffer when the key goes quiet.
+
+    Emits one row per transition — (user_id, from_type, to_type,
+    to_ts) — as each becomes final; aggregate downstream for the
+    matrix (the batch twin aggregates in-plan; a streaming aggregate
+    can chain after this stateful op in append mode, or land in the
+    sink). Declared divergences, shared with every twin: NULL
+    users/times/types are dropped, and a straggler older than the
+    watermark-chained prefix is dropped where batch would count it.
+    State is O(pending events inside the watermark horizon + 1) per
+    user, and the pytest pins streamed==batch EXACTLY once the
+    watermark passes the data."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    out_type = StructType([
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("to_ts", TimestampType()),
+    ])
+    state_type = StructType([
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+        StructField("pend_type", ArrayType(StringType())),
+        StructField("last_ts", LongType()),
+        StructField("last_id", LongType()),
+        StructField("last_type", StringType()),
+    ])
+
+    def fn(key, pdfs, state: "GroupState"):
+        user = key[0]
+        if state.exists:
+            p_ts, p_id, p_ty, l_ts, l_id, l_ty = state.get
+            pend = list(zip(p_ts, p_id, p_ty))
+        else:
+            pend, l_ts, l_id, l_ty = [], None, None, None
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                sub = pdf[["ts", "event_id", "event_type"]].dropna(
+                    subset=["ts", "event_type"]
+                )
+                for t, eid, ty in sub.itertuples(index=False):
+                    us = int(t.value // 1000)
+                    if l_ts is not None and (us, int(eid)) <= (l_ts, l_id):
+                        continue  # straggler behind the chained prefix
+                    pend.append((us, int(eid), ty))
+        # chain the watermark-final prefix in (ts, event_id) order
+        pend.sort()
+        out = []
+        i = 0
+        while i < len(pend) and pend[i][0] < wm_us:
+            us, eid, ty = pend[i]
+            if l_ty is not None:
+                out.append((user, l_ty, ty, us))
+            l_ts, l_id, l_ty = us, eid, ty
+            i += 1
+        pend = pend[i:]
+        if not pend and l_ty is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+                l_ts, l_id, l_ty,
+            ))
+            if pend:
+                state.setTimeoutTimestamp(max(
+                    pend[0][0] // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "from_type": [r[1] for r in out],
+                    "to_type": [r[2] for r in out],
+                    "to_ts": [
+                        pd.Timestamp(r[3], unit="us") for r in out
+                    ],
+                }
+            )
+
+    stream = _event_time_stream(spark, events_dir, schema)
+    return (
+        stream.withWatermark("ts", watermark)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_type, state_type, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def dp_transition_counts(
     events: DataFrame,
     epsilon: float = 1.0,

@@ -268,6 +268,66 @@ def test_stream_windowed_anomaly_matches_batch(spark, tmp_path):
         assert batch[k] == v, (k, v, batch[k])
 
 
+def test_stream_transitions_matches_batch_exactly(spark, tmp_path):
+    """r11: the ordered-replay transition twin must reproduce the
+    batch adjacency EXACTLY once the watermark passes the data. A
+    far-future pusher event on its own user advances the watermark
+    past every real event, so every real transition closes; the
+    pusher's user has one event and contributes none."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    mk = lambda eid, u, ty, mins: (
+        eid, u, ty, t0 + datetime.timedelta(minutes=mins), 1.0
+    )
+    rows = [
+        mk(1, 1, "click", 0), mk(2, 1, "view", 5), mk(3, 1, "purchase", 9),
+        # same-instant tie on user 2: event_id orders 4 before 5
+        mk(4, 2, "click", 0), mk(5, 2, "view", 0),
+        (6, 2, None, t0 + datetime.timedelta(minutes=1), 1.0),  # NULL type
+        mk(7, 2, "purchase", 2),
+        (8, None, "click", t0, 1.0),          # NULL user
+        (9, 3, "click", None, 1.0),           # NULL ts
+        # watermark pusher: lone far-future event on its own user
+        mk(99, 999, "click", 60 * 24 * 30),
+    ]
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    df.coalesce(1).write.parquet(os.path.join(d, "p"))
+    raw = spark.read.parquet(os.path.join(d, "p"))
+    sdf = ev.stream_transitions(spark, os.path.join(d, "p"), raw.schema)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_transitions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    streamed = sorted(
+        (r.user_id, r.from_type, r.to_type)
+        for r in spark.sql("SELECT * FROM t_transitions").collect()
+    )
+    assert streamed == [
+        (1, "click", "view"), (1, "view", "purchase"),
+        (2, "click", "view"), (2, "view", "purchase"),
+    ]
+    # and the aggregated matrix equals the batch twin on the same data
+    batch = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in ev.transition_counts(df).collect()
+    }
+    agg = {}
+    for _, f, t in streamed:
+        agg[(f, t)] = agg.get((f, t), 0) + 1
+    assert agg == {k: v for k, v in batch.items()}
+
+
 def test_stream_windowed_anomaly_rejects_calendar_units(spark, tmp_path):
     """Epoch-mod flooring only equals trunc_ntz for fixed-length
     units — month must refuse loudly, not silently drift."""
