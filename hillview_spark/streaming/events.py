@@ -1622,7 +1622,13 @@ def transition_counts(
     Scale shape: ONE shuffle partitions by user; the per-user sort
     inside each partition is over that user's events (bounded); the
     (from, to) aggregate is |types|^2 cells with map-side combine.
-    Never a self-join, never a cartesian."""
+    Never a self-join, never a cartesian.
+
+    Domain premise (like the TPC-H oracle-domain premises): event_id
+    is a NON-NULL unique key — a NULL id on a tied ts would order
+    NULLS FIRST in Spark but NULLS LAST in DuckDB/ANSI, so the
+    tie-break only pins a cross-engine total order over non-NULL
+    ids (the fixture's event_id is its primary key)."""
     w = (
         Window.partitionBy("__u")
         .orderBy("ts", "event_id")
