@@ -680,6 +680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_transitions"] = lambda s, d: ev.dp_transition_counts(
         _t(s, d, "events"), epsilon=1.0, seed=7
     )
+    q["events_paths"] = lambda s, d: ev.path_counts(
+        _t(s, d, "events"), depth=3
+    )
+    q["events_gap_quantiles"] = lambda s, d: ev.inter_event_gaps(
+        _t(s, d, "events")
+    )
     q["text_collocations"] = lambda s, d: text.collocations(
         _t(s, d, "documents"), min_count=5
     )
@@ -1184,7 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_cohort_retention, events_windowed_quantiles,
     # events_windowed_distinct[_stream], ngram_novelty,
     # events_windowed_anomaly, text_collocations,
-    # events_transitions, corpus_diff, dp_transitions) do NOT displace the stale-evidence
+    # events_transitions, corpus_diff, dp_transitions, events_paths,
+    # events_gap_quantiles) do NOT displace the stale-evidence
     # retirement: each is replica-proven hash-green at sf0.01
     # (tools/check_oracle.py, commit messages record the runs)
     # and leads the r12 rotation alongside the r8 cohort.
@@ -3817,6 +3824,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT from_type, to_type, COUNT(*) AS n_transitions
         FROM typed WHERE to_type IS NOT NULL GROUP BY 1, 2
+    """
+    # r11: depth-3 paths — transition rules at depth 3 (chained leads
+    # over the same user window)
+    o["events_paths"] = """
+        WITH typed AS (
+            SELECT event_type AS step_1,
+                   LEAD(event_type, 1) OVER w AS step_2,
+                   LEAD(event_type, 2) OVER w AS step_3
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT step_1, step_2, step_3, COUNT(*) AS n_paths
+        FROM typed WHERE step_3 IS NOT NULL GROUP BY 1, 2, 3
+    """
+    # r11: inter-event gap percentiles — exact integer micros / the
+    # literal 1e6 (one double division), then quantile_cont parity
+    o["events_gap_quantiles"] = """
+        WITH typed AS (
+            SELECT user_id AS u, event_id,
+                   event_type AS from_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
+        ), g AS (
+            SELECT from_type,
+                   CAST(LEAD(us) OVER (
+                       PARTITION BY u ORDER BY us, event_id) - us
+                       AS DOUBLE) / 1000000.0 AS gap
+            FROM typed
+        )
+        SELECT from_type, COUNT(*) AS n_gaps,
+               round(quantile_cont(gap, 0.5), 4) AS q50,
+               round(quantile_cont(gap, 0.9), 4) AS q90
+        FROM g WHERE gap IS NOT NULL GROUP BY 1
     """
     # r11: corpus snapshot diff — presence flags (not id NULL-ness)
     # pick the side, so a NULL-id row classifies from its own side

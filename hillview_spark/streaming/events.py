@@ -346,6 +346,96 @@ def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
+def path_counts(
+    events: DataFrame, depth: int = 3, id_col: str = "user_id"
+) -> DataFrame:
+    """N-step event paths: counts of length-`depth` sequences of
+    adjacent typed events per user — the sankey-at-depth view
+    (transition_counts is depth=2). Same rules and domain premise as
+    transition_counts: typed events only, NULL user/ts excluded,
+    ties ordered by the non-null unique event_id; the chained
+    lead()s reuse ONE window spec, so Catalyst computes every step
+    in a single Window operator over the same user partition — still
+    exactly one shuffle before the aggregate.
+
+    Output columns step_1..step_N + n_paths, so any depth works with
+    the same reader."""
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth!r}")
+    w = Window.partitionBy("__u").orderBy("ts", "event_id")
+    typed = events.where(
+        F.col("ts").isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.col(id_col).alias("__u"), "event_id", "ts",
+        F.col("event_type").alias("step_1"),
+    )
+    steps = ["step_1"]
+    for i in range(2, depth + 1):
+        typed = typed.withColumn(
+            f"step_{i}", F.lead("step_1", i - 1).over(w)
+        )
+        steps.append(f"step_{i}")
+    return (
+        typed.where(F.col(steps[-1]).isNotNull())
+        .groupBy(*steps)
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+def inter_event_gaps(
+    events: DataFrame,
+    id_col: str = "user_id",
+    probs: tuple[float, ...] = (0.5, 0.9),
+    ndigits: int = 4,
+) -> DataFrame:
+    """Inter-event gap distribution per event type: for each typed
+    event with a same-user successor, the gap to that successor in
+    seconds, summarized as percentiles per FROM-type — the
+    dwell-time/engagement-cadence shape ("how long after a click
+    does the next thing happen"). Same adjacency rules and event_id
+    tie-break premise as transition_counts.
+
+    Determinism: gaps are EXACT integer microseconds divided by the
+    exact literal 1e6 (one double division, bit-identical
+    cross-engine); percentiles ride the proven
+    percentile == quantile_cont parity, rounded to ndigits.
+
+    Scale shape: one shuffle by user for the window, then a
+    |types|-cell aggregate; exact percentile state is the per-type
+    gap list — switch the aggregate to percentile_approx at extreme
+    type cardinality (windowed_quantiles' documented trade)."""
+    from hillview_spark.operators.stats import _q_alias
+
+    # __us is strictly monotone in ts, so ordering by it is the same
+    # total order as the other adjacency ops' (ts, event_id)
+    w = Window.partitionBy("__u").orderBy("__us", "event_id")
+    typed = events.where(
+        F.col("ts").isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.col(id_col).alias("__u"), "event_id",
+        F.col("event_type").alias("from_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+    )
+    gaps = typed.withColumn(
+        "__gap",
+        (F.lead("__us").over(w) - F.col("__us")).cast("double")
+        / F.lit(1000000.0),
+    ).where(F.col("__gap").isNotNull())
+    return gaps.groupBy("from_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        *[
+            F.round(F.expr(f"percentile(__gap, {p})"), ndigits).alias(
+                _q_alias(p)
+            )
+            for p in probs
+        ],
+    )
+
+
 def stream_transitions(
     spark: SparkSession,
     events_dir: str,

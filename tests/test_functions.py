@@ -1504,6 +1504,50 @@ def test_transition_counts_order_and_nulls(spark):
     }
 
 
+def test_path_counts_and_gap_quantiles(spark):
+    """r11: depth-3 paths chain the same adjacency as transitions
+    (user 1's click-view-purchase is the only complete path; user 2's
+    NULL-type event is skipped, not a path breaker); gap percentiles
+    are exact seconds from integer micros."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, m)
+    rows = [
+        (1, 1, "click", t(0), 1.0),
+        (2, 1, "view", t(5), 1.0),
+        (3, 1, "purchase", t(9), 1.0),
+        (4, 2, "click", t(0), 1.0),
+        (5, 2, None, t(1), 1.0),
+        (6, 2, "view", t(2), 1.0),
+        (7, None, "click", t(0), 1.0),
+        (8, 3, "click", None, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    paths = {
+        (r.step_1, r.step_2, r.step_3): r.n_paths
+        for r in ev.path_counts(df, depth=3).collect()
+    }
+    assert paths == {("click", "view", "purchase"): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        ev.path_counts(df, depth=1)
+    gaps = {
+        r.from_type: (r.n_gaps, r.q50, r.q90)
+        for r in ev.inter_event_gaps(df).collect()
+    }
+    # click gaps: user1 300s (to view), user2 120s (to view, across
+    # the skipped NULL-type event) -> median 210s; view gap: 240s
+    assert gaps["click"] == (2, 210.0, pytest.approx(282.0))
+    assert gaps["view"] == (1, 240.0, 240.0)
+
+
 def test_collocations_pmi(spark):
     """r11: PMI value math pinned by hand on a 9-token corpus —
     unigrams new:3 york:3 city:2 the:1 (NU=9), bigrams NB=6 with

@@ -302,6 +302,14 @@ def _events_cases():
         # identically, and the same-instant tie (events 6/9/10 share
         # user 2, ts 10:05) must order by event_id in both engines
         "events_transitions": lambda df: ev.transition_counts(df),
+        # r11: the adjacency family's siblings on the same edges —
+        # depth-3 chains, PRF-noised cells, and exact-micros gap
+        # percentiles must all agree through the tie and NULL rows
+        "events_paths": lambda df: ev.path_counts(df, depth=3),
+        "dp_transitions": lambda df: ev.dp_transition_counts(
+            df, epsilon=1.0, seed=7
+        ),
+        "events_gap_quantiles": lambda df: ev.inter_event_gaps(df),
         # r11: ordered funnel on NULL users/times and strict-after
         # tie semantics (same-instant click+view must NOT advance)
         "events_funnel": lambda df: ev.funnel_counts(df),
