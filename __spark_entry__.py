@@ -686,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_gap_quantiles"] = lambda s, d: ev.inter_event_gaps(
         _t(s, d, "events")
     )
+    q["events_windowed_topk"] = lambda s, d: ev.windowed_topk(
+        _t(s, d, "events"), k=3
+    )
     q["text_collocations"] = lambda s, d: text.collocations(
         _t(s, d, "documents"), min_count=5
     )
@@ -1191,7 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_windowed_distinct[_stream], ngram_novelty,
     # events_windowed_anomaly, text_collocations,
     # events_transitions, corpus_diff, dp_transitions, events_paths,
-    # events_gap_quantiles) do NOT displace the stale-evidence
+    # events_gap_quantiles, events_windowed_topk) do NOT displace the stale-evidence
     # retirement: each is replica-proven hash-green at sf0.01
     # (tools/check_oracle.py, commit messages record the runs)
     # and leads the r12 rotation alongside the r8 cohort.
@@ -3861,6 +3864,25 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(gap, 0.5), 4) AS q50,
                round(quantile_cont(gap, 0.9), 4) AS q90
         FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """
+    # r11: per-window top-k — (n DESC, value IS NULL, value) is a
+    # total order identical in both engines (bare value asc would put
+    # the NULL cell FIRST in Spark, LAST in DuckDB)
+    o["events_windowed_topk"] = """
+        WITH cells AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type AS value, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, value, n, rank FROM (
+            SELECT window_start, value, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n DESC, (value IS NULL), value
+                   ) AS INT) AS rank
+            FROM cells)
+        WHERE rank <= 3
     """
     # r11: corpus snapshot diff — presence flags (not id NULL-ness)
     # pick the side, so a NULL-id row classifies from its own side

@@ -346,6 +346,44 @@ def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
+def windowed_topk(
+    events: DataFrame,
+    unit: str = "hour",
+    col: str = "event_type",
+    k: int = 3,
+) -> DataFrame:
+    """Per-window top-k values by count — the "top pages per hour"
+    telemetry board, and the BATCH twin of stream_heavy_hitters
+    (which releases min-count survivors; this releases ranked
+    top-k). Ties break by (value IS NULL, value): a bare count order
+    would make row_number nondeterministic on tied counts, and a
+    bare value order would put a NULL cell FIRST in Spark but LAST
+    in DuckDB — the boolean flag pins the NULL cell after the
+    non-NULL ties in BOTH engines, with no sentinel string a real
+    value could collide with. NULL event times keep their group
+    (windowed_counts' convention).
+
+    Scale shape: one groupBy(window, value) with map-side combine
+    collapses events to O(windows x values) cells; the rank window
+    partitions per (window) over those cells — thousands of rows per
+    partition at any scale — and k prunes the output."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    cells = events.groupBy(
+        trunc_ntz(F.col("ts"), unit).alias("window_start"),
+        F.col(col).alias("value"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.col("value").isNull(), F.col("value")
+    )
+    return (
+        cells.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )
+
+
 def path_counts(
     events: DataFrame, depth: int = 3, id_col: str = "user_id"
 ) -> DataFrame:

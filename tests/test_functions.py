@@ -1504,6 +1504,42 @@ def test_transition_counts_order_and_nulls(spark):
     }
 
 
+def test_windowed_topk_ties_and_nulls(spark):
+    """r11: tied counts rank by value (deterministic), the NULL-type
+    cell ranks AFTER non-NULL ties, and k prunes."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1, 10)
+    rows = (
+        [(i, 1, "b", t0, 1.0) for i in range(3)]
+        + [(10 + i, 1, "a", t0, 1.0) for i in range(3)]   # tie with b
+        + [(20 + i, 1, None, t0, 1.0) for i in range(3)]  # NULL tie
+        + [(30 + i, 1, "c", t0, 1.0) for i in range(5)]   # clear top
+        + [(40, 1, "d", t0, 1.0)]                          # below k
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = [
+        (r.value, r.n, r.rank)
+        for r in ev.windowed_topk(df, k=3).orderBy("rank").collect()
+    ]
+    assert got == [("c", 5, 1), ("a", 3, 2), ("b", 3, 3)]
+    got4 = [
+        (r.value, r.rank)
+        for r in ev.windowed_topk(df, k=4).orderBy("rank").collect()
+    ]
+    assert got4[3] == (None, 4)  # NULL cell after the non-NULL ties
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        ev.windowed_topk(df, k=0)
+
+
 def test_path_counts_and_gap_quantiles(spark):
     """r11: depth-3 paths chain the same adjacency as transitions
     (user 1's click-view-purchase is the only complete path; user 2's

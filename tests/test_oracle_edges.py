@@ -310,6 +310,10 @@ def _events_cases():
             df, epsilon=1.0, seed=7
         ),
         "events_gap_quantiles": lambda df: ev.inter_event_gaps(df),
+        # r11: per-window top-k — the edge fixture has tied counts, a
+        # NULL-type cell, and a NULL-ts window; the (n DESC, IS NULL,
+        # value) total order must rank identically in both engines
+        "events_windowed_topk": lambda df: ev.windowed_topk(df, k=3),
         # r11: ordered funnel on NULL users/times and strict-after
         # tie semantics (same-instant click+view must NOT advance)
         "events_funnel": lambda df: ev.funnel_counts(df),
