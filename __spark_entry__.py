@@ -689,6 +689,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_windowed_topk"] = lambda s, d: ev.windowed_topk(
         _t(s, d, "events"), k=3
     )
+    q["events_session_stats"] = lambda s, d: ev.session_stats(
+        _t(s, d, "events")
+    )
+    q["events_retention_rate"] = lambda s, d: ev.retention_rate(
+        _t(s, d, "events")
+    )
     q["text_collocations"] = lambda s, d: text.collocations(
         _t(s, d, "documents"), min_count=5
     )
@@ -1194,7 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_windowed_distinct[_stream], ngram_novelty,
     # events_windowed_anomaly, text_collocations,
     # events_transitions, corpus_diff, dp_transitions, events_paths,
-    # events_gap_quantiles, events_windowed_topk) do NOT displace the stale-evidence
+    # events_gap_quantiles, events_windowed_topk, events_session_stats,
+    # events_retention_rate) do NOT displace the stale-evidence
     # retirement: each is replica-proven hash-green at sf0.01
     # (tools/check_oracle.py, commit messages record the runs)
     # and leads the r12 rotation alongside the r8 cohort.
@@ -3745,6 +3752,16 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_users
         FROM base JOIN first USING (u) GROUP BY 1, 2
     """
+    # r11: normalized retention — the triangle joined to its own
+    # offset-0 cohort sizes; one double division of exact longs
+    o["events_retention_rate"] = f"""
+        WITH tri AS ({o['events_cohort_retention']})
+        SELECT t.cohort, t.day_offset, t.n_users,
+               round(CAST(t.n_users AS DOUBLE)
+                     / CAST(s.n_users AS DOUBLE), 4) AS retention
+        FROM tri t JOIN tri s
+          ON t.cohort = s.cohort AND s.day_offset = 0
+    """
     # r11: ordered funnel — step k's first completion must be
     # STRICTLY after step k-1's; NULL users/times excluded
     o["events_funnel"] = """
@@ -4216,6 +4233,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(date_trunc('second', min(tsu)) AS TIMESTAMP) AS session_start,
                CAST(date_trunc('second', max(tsu)) AS TIMESTAMP) AS session_end
         FROM s GROUP BY 1, 2
+    """
+
+    # r11: session summary — exact-integer inputs (counts and
+    # second-truncated bound diffs) through quantile_cont parity
+    o["events_session_stats"] = f"""
+        WITH sessions AS ({o['events_sessionize']})
+        SELECT COUNT(*) AS n_sessions,
+               round(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 4)
+                   AS events_q50,
+               round(quantile_cont(CAST(n_events AS DOUBLE), 0.9), 4)
+                   AS events_q90,
+               round(quantile_cont(CAST(epoch(session_end)
+                     - epoch(session_start) AS DOUBLE), 0.5), 4)
+                   AS duration_q50,
+               round(quantile_cont(CAST(epoch(session_end)
+                     - epoch(session_start) AS DOUBLE), 0.9), 4)
+                   AS duration_q90
+        FROM sessions
     """
 
     # defined last: reuses the events_sessionize SQL as its CTE

@@ -1679,6 +1679,79 @@ def cohort_retention(
     )
 
 
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    probs: tuple[float, ...] = (0.5, 0.9),
+    ndigits: int = 4,
+) -> DataFrame:
+    """Corpus-level session summary: one row with the session count
+    and percentiles of events-per-session and session duration
+    (seconds) — the engagement dashboard header over sessionize's
+    output. Both inputs to the percentiles are EXACT integers
+    (counts; second-truncated bound difference), so the
+    percentile == quantile_cont parity applies directly.
+
+    Scale: sessionize's one user-partition shuffle, then a single
+    global aggregate whose state is the session-level value lists —
+    sessions, not events (swap in percentile_approx at extreme
+    session counts, windowed_quantiles' documented trade)."""
+    from hillview_spark.operators.stats import _q_alias
+
+    s = sessionize(events, gap_minutes)
+    dur = (
+        F.unix_seconds(F.col("session_end").cast("timestamp"))
+        - F.unix_seconds(F.col("session_start").cast("timestamp"))
+    ).cast("double")
+    ev_d = F.col("n_events").cast("double")
+    aggs = [F.count(F.lit(1)).alias("n_sessions")]
+    for p in probs:
+        aggs.append(
+            F.round(
+                F.expr(f"percentile(__ev, {p})"), ndigits
+            ).alias(f"events_{_q_alias(p)}")
+        )
+    for p in probs:
+        aggs.append(
+            F.round(
+                F.expr(f"percentile(__dur, {p})"), ndigits
+            ).alias(f"duration_{_q_alias(p)}")
+        )
+    return s.select(
+        ev_d.alias("__ev"), dur.alias("__dur")
+    ).agg(*aggs)
+
+
+def retention_rate(
+    events: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Normalized retention triangle: cohort_retention's counts
+    divided by the cohort size (the offset-0 row), the
+    percent-retained view product analytics actually reads. The rate
+    is one double division of exact longs (bit-identical
+    cross-engine), rounded to 4 dp.
+
+    Scale: the triangle is O(cohorts x offsets) rows — the size side
+    is |cohorts| rows, so Catalyst broadcasts it; the triangle frame
+    persists because it feeds both the size filter and the join."""
+    from hillview_spark import cache
+
+    tri = cache.persist(cohort_retention(events, id_col))
+    size = tri.where(F.col("day_offset") == 0).select(
+        "cohort", F.col("n_users").alias("__size")
+    )
+    return tri.join(size, "cohort").select(
+        "cohort",
+        "day_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.col("__size").cast("double"),
+            4,
+        ).alias("retention"),
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: tuple[str, ...] = ("click", "view", "purchase"),

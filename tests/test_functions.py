@@ -1504,6 +1504,60 @@ def test_transition_counts_order_and_nulls(spark):
     }
 
 
+def test_session_stats_and_retention_rate(spark):
+    """r11: the session summary's percentiles run over exact session
+    counts/durations, and retention normalizes by the offset-0
+    cohort size (offset 0 is always 1.0)."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1, 10)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    rows = [
+        # user 1: two sessions — 3 events / 10 min, then 1 event
+        (1, 1, "c", mins(0), 1.0), (2, 1, "c", mins(5), 1.0),
+        (3, 1, "c", mins(10), 1.0), (4, 1, "c", mins(120), 1.0),
+        # user 2: one 2-event / 20-min session
+        (5, 2, "c", mins(0), 1.0), (6, 2, "c", mins(20), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    st = ev.session_stats(df).collect()[0]
+    assert st.n_sessions == 3
+    assert st.events_q50 == 2.0          # sessions of 3, 1, 2 events
+    assert st.duration_q50 == 600.0      # durations 600, 0, 1200 s
+    rr = {
+        (str(r.cohort), r.day_offset): r.retention
+        for r in ev.retention_rate(df).collect()
+    }
+    assert rr == {("2024-01-01", 0): 1.0}
+    # two cohorts with partial retention
+    d0, d1 = t0, t0 + datetime.timedelta(days=1)
+    rows2 = [
+        (1, 1, "c", d0, 1.0), (2, 2, "c", d0, 1.0),
+        (3, 1, "c", d1, 1.0),                      # 1 of 2 retained
+        (4, 3, "c", d1, 1.0),                      # new cohort day 1
+    ]
+    df2 = spark.createDataFrame(
+        rows2,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    rr2 = {
+        (str(r.cohort), r.day_offset): r.retention
+        for r in ev.retention_rate(df2).collect()
+    }
+    assert rr2 == {
+        ("2024-01-01", 0): 1.0,
+        ("2024-01-01", 1): 0.5,
+        ("2024-01-02", 0): 1.0,
+    }
+
+
 def test_windowed_topk_ties_and_nulls(spark):
     """r11: tied counts rank by value (deterministic), the NULL-type
     cell ranks AFTER non-NULL ties, and k prunes."""

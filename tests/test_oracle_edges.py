@@ -314,6 +314,11 @@ def _events_cases():
         # NULL-type cell, and a NULL-ts window; the (n DESC, IS NULL,
         # value) total order must rank identically in both engines
         "events_windowed_topk": lambda df: ev.windowed_topk(df, k=3),
+        # r11: session summary + normalized retention on the NULL-ts
+        # / NULL-user edges (both exclude them; percentile and rate
+        # arithmetic must agree on the tiny remainder)
+        "events_session_stats": lambda df: ev.session_stats(df),
+        "events_retention_rate": lambda df: ev.retention_rate(df),
         # r11: ordered funnel on NULL users/times and strict-after
         # tie semantics (same-instant click+view must NOT advance)
         "events_funnel": lambda df: ev.funnel_counts(df),
