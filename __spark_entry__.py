@@ -695,6 +695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_retention_rate"] = lambda s, d: ev.retention_rate(
         _t(s, d, "events")
     )
+    q["events_conversion_time"] = lambda s, d: ev.conversion_time(
+        _t(s, d, "events")
+    )
+    q["events_rolling_actives"] = lambda s, d: ev.rolling_active_users(
+        _t(s, d, "events"), window_days=7
+    )
     q["text_collocations"] = lambda s, d: text.collocations(
         _t(s, d, "documents"), min_count=5
     )
@@ -1201,7 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_windowed_anomaly, text_collocations,
     # events_transitions, corpus_diff, dp_transitions, events_paths,
     # events_gap_quantiles, events_windowed_topk, events_session_stats,
-    # events_retention_rate) do NOT displace the stale-evidence
+    # events_retention_rate, events_conversion_time,
+    # events_rolling_actives) do NOT displace the stale-evidence
     # retirement: each is replica-proven hash-green at sf0.01
     # (tools/check_oracle.py, commit messages record the runs)
     # and leads the r12 rotation alongside the r8 cohort.
@@ -3761,6 +3768,44 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(s.n_users AS DOUBLE), 4) AS retention
         FROM tri t JOIN tri s
           ON t.cohort = s.cohort AND s.day_offset = 0
+    """
+    # r11: time-to-convert — funnel depth 2 measured: first to_step
+    # strictly after the user's first from_step, exact micros / 1e6,
+    # quantile_cont parity over converting users
+    o["events_conversion_time"] = """
+        WITH base AS (
+            SELECT user_id AS u, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), f AS (
+            SELECT u, MIN(us) AS t0 FROM base
+            WHERE event_type = 'click' GROUP BY 1
+        ), c AS (
+            SELECT b.u,
+                   CAST(MIN(b.us) - MIN(f.t0) AS DOUBLE) / 1000000.0
+                       AS gap
+            FROM base b JOIN f USING (u)
+            WHERE b.event_type = 'purchase' AND b.us > f.t0
+            GROUP BY 1
+        )
+        SELECT COUNT(*) AS n_converted,
+               round(quantile_cont(gap, 0.5), 4) AS q50,
+               round(quantile_cont(gap, 0.9), 4) AS q90
+        FROM c
+    """
+    # r11: rolling actives — DISTINCT (user, day) explodes into its
+    # trailing-window member days; anchor join keeps active days only
+    o["events_rolling_actives"] = """
+        WITH act AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), member AS (
+            SELECT u, day + CAST(i.i AS INT) AS day
+            FROM act, generate_series(0, 6) i(i)
+        ), anchors AS (SELECT DISTINCT day FROM act)
+        SELECT m.day, COUNT(DISTINCT m.u) AS active_users
+        FROM member m JOIN anchors USING (day)
+        GROUP BY 1
     """
     # r11: ordered funnel — step k's first completion must be
     # STRICTLY after step k-1's; NULL users/times excluded

@@ -1679,6 +1679,109 @@ def cohort_retention(
     )
 
 
+def conversion_time(
+    events: DataFrame,
+    from_step: str = "click",
+    to_step: str = "purchase",
+    id_col: str = "user_id",
+    probs: tuple[float, ...] = (0.5, 0.9),
+    ndigits: int = 4,
+) -> DataFrame:
+    """Time-to-convert: one row with the converting-user count and
+    percentiles of the seconds from a user's FIRST from_step event
+    to their first to_step event STRICTLY after it (funnel_counts'
+    ordering rule, funnel depth 2, measured instead of counted).
+    NULL users/times excluded (identity/position rule). Gaps are
+    exact integer microseconds / the literal 1e6, percentiles ride
+    the quantile_cont parity.
+
+    Scale shape: two type-filtered scans (pushdown) -> per-user min
+    aggregates (|users| rows, hash-partitioned by user, partitioning
+    reused by the equi-join) -> one global percentile over
+    CONVERTING USERS, never events."""
+    from hillview_spark.operators.stats import _q_alias
+
+    base = events.where(
+        F.col("ts").isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__u"), "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+    )
+    first_from = (
+        base.where(F.col("event_type") == from_step)
+        .groupBy("__u").agg(F.min("__us").alias("__t0"))
+    )
+    conv = (
+        base.where(F.col("event_type") == to_step)
+        .join(first_from, "__u")
+        .where(F.col("__us") > F.col("__t0"))
+        .groupBy("__u")
+        # __t0 is constant per user after the equi-join (first_from
+        # has one row per user) — min() states that deterministically
+        .agg(F.min("__us").alias("__t1"), F.min("__t0").alias("__t0f"))
+        .select(
+            ((F.col("__t1") - F.col("__t0f")).cast("double")
+             / F.lit(1000000.0)).alias("__gap")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        *[
+            F.round(F.expr(f"percentile(__gap, {p})"), ndigits).alias(
+                _q_alias(p)
+            )
+            for p in probs
+        ],
+    )
+
+
+def rolling_active_users(
+    events: DataFrame, window_days: int = 7, id_col: str = "user_id"
+) -> DataFrame:
+    """Rolling distinct actives per day — the DAU/WAU/MAU engagement
+    series: for each calendar day WITH activity, the distinct users
+    active in the trailing window_days window ending that day. NULL
+    users/times excluded (identity/position rule). Days with zero
+    activity produce no row (the sparse convention), and the window
+    anchors on ACTIVE days only.
+
+    Scale shape: the raw scan collapses to DISTINCT (user, day)
+    first — O(users x active-days), the retention-triangle
+    discipline — then each pair explodes into its window_days member
+    days (array expression, JVM-side) and ONE countDistinct per day
+    closes it; an anchor semi-join keeps only days that actually had
+    activity. Shuffles carry users x days x window, never raw
+    events."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days!r}")
+    act = events.where(
+        F.col("ts").isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__u"), F.to_date("ts").alias("__day")
+    ).distinct()
+    from hillview_spark import cache
+
+    # feeds the member-day explode AND the active-day anchor
+    act = cache.persist(act)
+    exploded = act.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.lit(int(window_days) - 1)
+            )
+        ).alias("__off"),
+        "__day",
+    ).select(
+        "__u", F.date_add(F.col("__day"), F.col("__off")).alias("day")
+    )
+    anchors = act.select(F.col("__day").alias("day")).distinct()
+    return (
+        exploded.join(anchors, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("__u").alias("active_users"))
+    )
+
+
 def session_stats(
     events: DataFrame,
     gap_minutes: int = 30,

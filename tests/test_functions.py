@@ -1504,6 +1504,59 @@ def test_transition_counts_order_and_nulls(spark):
     }
 
 
+def test_conversion_time_and_rolling_actives(spark):
+    """r11: time-to-convert uses the FIRST from-step and the first
+    to-step STRICTLY after it (a pre-click purchase never counts);
+    rolling actives window the distinct (user, day) pairs over
+    trailing days, anchored on active days only."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1, 10)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    rows = [
+        (1, 1, "click", mins(0), 1.0),
+        (2, 1, "purchase", mins(10), 1.0),    # 600 s
+        (3, 2, "purchase", mins(0), 1.0),     # BEFORE the click
+        (4, 2, "click", mins(5), 1.0),
+        (5, 2, "purchase", mins(25), 1.0),    # 1200 s
+        (6, 3, "click", mins(0), 1.0),        # never converts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    ct = ev.conversion_time(df).collect()[0]
+    assert ct.n_converted == 2
+    assert ct.q50 == 900.0  # median of 600, 1200
+    # rolling actives: u1 on day0+day2, u2 on day1 -> window 2 days
+    days = [
+        (1, 1, "c", t0, 1.0),
+        (2, 2, "c", t0 + datetime.timedelta(days=1), 1.0),
+        (3, 1, "c", t0 + datetime.timedelta(days=2), 1.0),
+    ]
+    df2 = spark.createDataFrame(
+        days,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = {
+        str(r.day): r.active_users
+        for r in ev.rolling_active_users(df2, window_days=2).collect()
+    }
+    assert got == {
+        "2024-01-01": 1,          # u1
+        "2024-01-02": 2,          # u1 (trailing) + u2
+        "2024-01-03": 2,          # u2 (trailing) + u1
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        ev.rolling_active_users(df2, window_days=0)
+
+
 def test_session_stats_and_retention_rate(spark):
     """r11: the session summary's percentiles run over exact session
     counts/durations, and retention normalizes by the offset-0

@@ -319,6 +319,10 @@ def _events_cases():
         # arithmetic must agree on the tiny remainder)
         "events_session_stats": lambda df: ev.session_stats(df),
         "events_retention_rate": lambda df: ev.retention_rate(df),
+        "events_conversion_time": lambda df: ev.conversion_time(df),
+        "events_rolling_actives": lambda df: ev.rolling_active_users(
+            df, window_days=7
+        ),
         # r11: ordered funnel on NULL users/times and strict-after
         # tie semantics (same-instant click+view must NOT advance)
         "events_funnel": lambda df: ev.funnel_counts(df),
