@@ -496,8 +496,12 @@ def stream_transitions(
     matrix (the batch twin aggregates in-plan; a streaming aggregate
     can chain after this stateful op in append mode, or land in the
     sink). Declared divergences, shared with every twin: NULL
-    users/times/types are dropped, and a straggler older than the
-    watermark-chained prefix is dropped where batch would count it.
+    users/times/types are dropped — and NULL event_ids too (the
+    batch twin documents event_id as a non-null unique key; here a
+    NULL id degrades like the other NULL drops rather than reaching
+    int() as NaN and failing the query) — and a straggler older
+    than the watermark-chained prefix is dropped where batch would
+    count it.
     State is O(pending events inside the watermark horizon + 1) per
     user, and the pytest pins streamed==batch EXACTLY once the
     watermark passes the data."""
@@ -534,7 +538,7 @@ def stream_transitions(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 sub = pdf[["ts", "event_id", "event_type"]].dropna(
-                    subset=["ts", "event_type"]
+                    subset=["ts", "event_id", "event_type"]
                 )
                 for t, eid, ty in sub.itertuples(index=False):
                     us = int(t.value // 1000)

@@ -288,6 +288,10 @@ def test_stream_transitions_matches_batch_exactly(spark, tmp_path):
         mk(7, 2, "purchase", 2),
         (8, None, "click", t0, 1.0),          # NULL user
         (9, 3, "click", None, 1.0),           # NULL ts
+        # NULL event_id: dropped like the other NULL drops (the batch
+        # twin documents non-null ids as a domain premise; the stream
+        # must degrade, not crash on int(NaN)) — r11 ADVICE fix
+        (None, 1, "view", t0 + datetime.timedelta(minutes=7), 1.0),
         # watermark pusher: lone far-future event on its own user
         mk(99, 999, "click", 60 * 24 * 30),
     ]
@@ -317,10 +321,14 @@ def test_stream_transitions_matches_batch_exactly(spark, tmp_path):
         (1, "click", "view"), (1, "view", "purchase"),
         (2, "click", "view"), (2, "view", "purchase"),
     ]
-    # and the aggregated matrix equals the batch twin on the same data
+    # and the aggregated matrix equals the batch twin on the same
+    # data restricted to the batch twin's documented domain (non-null
+    # unique event_id) — the stream drops NULL ids by design
     batch = {
         (r.from_type, r.to_type): r.n_transitions
-        for r in ev.transition_counts(df).collect()
+        for r in ev.transition_counts(
+            df.where(F.col("event_id").isNotNull())
+        ).collect()
     }
     agg = {}
     for _, f, t in streamed:
