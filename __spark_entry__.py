@@ -696,7 +696,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), probs=(0.5, 0.9), ndigits=4
     )
     q["events_windowed_topk"] = lambda s, d: ev.windowed_topk(
-        _t(s, d, "events"), unit="hour", col="event_type", k=3
+        _t(s, d, "events"), unit="hour", col="event_type", k=3,
+        ties="truncate"
+    )
+    q["events_windowed_topk_keep"] = lambda s, d: ev.windowed_topk(
+        _t(s, d, "events"), unit="hour", col="event_type", k=3,
+        ties="keep"
     )
     # gap_minutes pinned to 30 = the value the oracle inherits by
     # embedding the events_sessionize CTE (the r11-verdict CTE-reuse
@@ -1210,18 +1215,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     function), and oracle-review fixes that by definition touch
     #     only non-gated text. Any review fix that DOES change a
     #     key's values gets prepended here and displaces the TPC-H
-    #     tail.
+    #     tail. One NEW key did land: events_windowed_topk_keep (the
+    #     ties='keep' sibling) — gated now rather than joining the
+    #     never-proven debt.
     # (b) the 18 BRAND-NEW r11 keys, never driver-proven (judge
     #     replica-green 18/18 in the r11 session);
-    # (c) 32 of the 36 r8-stale keys: all 18 non-TPC-H ones first
-    #     (most change-exposed), then 14 of the 18 TPC-H shapes.
-    # 18 + 18 + 14 = 50 exactly. The 4 TPC-H stragglers deferred to
-    # lead r13 — explicitly: q1_pricing_summary, q3_shipping_priority,
-    # q5_local_supplier, q6_revenue_forecast (the least
-    # change-exposed keys in the repo: single-table/2-table canonical
-    # shapes, files untouched since r8, judge replica-proven green in
-    # the r11 session).
+    # (c) 31 of the 36 r8-stale keys: all 18 non-TPC-H ones first
+    #     (most change-exposed), then 13 of the 18 TPC-H shapes.
+    # 1 + 18 + 18 + 13 = 50 exactly. The 5 TPC-H stragglers deferred
+    # to lead r13 — explicitly: q1_pricing_summary,
+    # q3_shipping_priority, q5_local_supplier, q6_revenue_forecast,
+    # q22_sales_opportunity (the least change-exposed keys in the
+    # repo: canonical few-join shapes, files untouched since r8,
+    # judge replica-proven green in the r11 session).
     priority = [
+        # (a) new in r12
+        "events_windowed_topk_keep",
         # (b) never-driver-proven r11 additions
         "events_funnel", "events_cohort_retention",
         "events_retention_rate", "events_session_stats",
@@ -1246,7 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier", "q16_supplier_part_counts",
         "q17_small_quantity_revenue", "q18_large_orders",
         "q19_discounted_revenue", "q20_part_promotion",
-        "q21_suppliers_kept_waiting", "q22_sales_opportunity",
+        "q21_suppliers_kept_waiting",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
@@ -3952,6 +3961,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (
                        PARTITION BY window_start
                        ORDER BY n DESC, (value IS NULL), value
+                   ) AS INT) AS rank
+            FROM cells)
+        WHERE rank <= 3
+    """
+    # r12: the ties='keep' sibling — competition rank() over count
+    # alone, so every value tied with the k-th survives; rank over a
+    # non-unique order is deterministic BECAUSE rank() (unlike
+    # row_number) assigns tied rows identically in both engines
+    o["events_windowed_topk_keep"] = """
+        WITH cells AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type AS value, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, value, n, rank FROM (
+            SELECT window_start, value, n,
+                   CAST(rank() OVER (
+                       PARTITION BY window_start ORDER BY n DESC
                    ) AS INT) AS rank
             FROM cells)
         WHERE rank <= 3

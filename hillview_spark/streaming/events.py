@@ -351,17 +351,24 @@ def windowed_topk(
     unit: str = "hour",
     col: str = "event_type",
     k: int = 3,
+    ties: str = "truncate",
 ) -> DataFrame:
     """Per-window top-k values by count — the "top pages per hour"
     telemetry board, and the BATCH twin of stream_heavy_hitters
     (which releases min-count survivors; this releases ranked
-    top-k). Ties break by (value IS NULL, value): a bare count order
-    would make row_number nondeterministic on tied counts, and a
-    bare value order would put a NULL cell FIRST in Spark but LAST
-    in DuckDB — the boolean flag pins the NULL cell after the
-    non-NULL ties in BOTH engines, with no sentinel string a real
-    value could collide with. NULL event times keep their group
-    (windowed_counts' convention).
+    top-k).
+
+    ties='truncate' (default): exactly k rows per window. Ties break
+    by (value IS NULL, value): a bare count order would make
+    row_number nondeterministic on tied counts, and a bare value
+    order would put a NULL cell FIRST in Spark but LAST in DuckDB —
+    the boolean flag pins the NULL cell after the non-NULL ties in
+    BOTH engines, with no sentinel string a real value could collide
+    with. ties='keep': the analyst-expected "keep ties" semantics —
+    competition rank() over count alone, so every value whose count
+    ties the k-th survives (possibly >k rows; tied values share a
+    rank). Both policies are deterministic; NULL event times keep
+    their group (windowed_counts' convention).
 
     Scale shape: one groupBy(window, value) with map-side combine
     collapses events to O(windows x values) cells; the rank window
@@ -371,17 +378,23 @@ def windowed_topk(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k!r}")
+    if ties not in ("truncate", "keep"):
+        raise ValueError(f"ties must be 'truncate' or 'keep', got {ties!r}")
     cells = events.groupBy(
         trunc_ntz(F.col("ts"), unit).alias("window_start"),
         F.col(col).alias("value"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("window_start").orderBy(
-        F.desc("n"), F.col("value").isNull(), F.col("value")
-    )
-    return (
-        cells.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= F.lit(int(k)))
-    )
+    if ties == "keep":
+        w = Window.partitionBy("window_start").orderBy(F.desc("n"))
+        ranked = cells.withColumn("rank", F.rank().over(w).cast("int"))
+    else:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n"), F.col("value").isNull(), F.col("value")
+        )
+        ranked = cells.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        )
+    return ranked.where(F.col("rank") <= F.lit(int(k)))
 
 
 def path_counts(

@@ -1641,10 +1641,30 @@ def test_windowed_topk_ties_and_nulls(spark):
         for r in ev.windowed_topk(df, k=4).orderBy("rank").collect()
     ]
     assert got4[3] == (None, 4)  # NULL cell after the non-NULL ties
+    # r12: ties='keep' — competition rank over count alone keeps
+    # EVERY value tied with the k-th (a, b, NULL all share rank 2),
+    # so k=2 yields 4 rows where truncate yields exactly 2
+    keep = sorted(
+        (r.value is None, r.value, r.n, r.rank)
+        for r in ev.windowed_topk(df, k=2, ties="keep").collect()
+    )
+    assert keep == [
+        (False, "a", 3, 2), (False, "b", 3, 2), (False, "c", 5, 1),
+        (True, None, 3, 2),
+    ]
+    assert ev.windowed_topk(df, k=2, ties="truncate").count() == 2
+    # and the default policy is (and must stay) truncate: identical
+    # output to the explicit ties='truncate' call the gate key pins
+    assert [
+        (r.value, r.n, r.rank)
+        for r in ev.windowed_topk(df, k=3).orderBy("rank").collect()
+    ] == got
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="k must"):
         ev.windowed_topk(df, k=0)
+    with _pytest.raises(ValueError, match="ties must"):
+        ev.windowed_topk(df, ties="pad")
 
 
 def test_path_counts_and_gap_quantiles(spark):

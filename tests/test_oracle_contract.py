@@ -28,7 +28,7 @@ FROZEN = {
     "streaming.events.windowed_distinct": {'unit': 'hour', 'col': 'user_id'},
     "streaming.events.windowed_quantiles": {'unit': 'hour', 'col': 'value', 'probs': (0.5, 0.9, 0.99), 'ndigits': 4, 'approx': False, 'accuracy': 10000},
     "streaming.events.windowed_anomaly": {'unit': 'hour', 'history': 6, 'min_history': 3},
-    "streaming.events.windowed_topk": {'unit': 'hour', 'col': 'event_type', 'k': 3},
+    "streaming.events.windowed_topk": {'unit': 'hour', 'col': 'event_type', 'k': 3, 'ties': 'truncate'},
     "streaming.events.cohort_retention": {'id_col': 'user_id'},
     "streaming.events.retention_rate": {'id_col': 'user_id'},
     "streaming.events.funnel_counts": {'steps': ('click', 'view', 'purchase'), 'id_col': 'user_id'},
