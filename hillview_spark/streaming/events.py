@@ -1799,6 +1799,84 @@ def rolling_active_users(
     )
 
 
+def rolling_active_users_sketch(
+    events: DataFrame,
+    window_days: int = 7,
+    id_col: str = "user_id",
+    exact: bool = True,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Sketch-merged sibling of rolling_active_users — the 100-TB
+    shape for DAU/WAU/MAU. The exact twin explodes every DISTINCT
+    (user, day) pair into its window_days member days, so the merge
+    shuffle carries users x days x window rows (30x the pair frame
+    at MAU). Here the raw scan collapses to ONE per-day user-set
+    SKETCH first, and only sketches cross the window: the shuffle is
+    days x sketch-bytes, independent of user count AND of
+    window_days' multiplier on users.
+
+    exact=True (default): Spark's bucketed-bitmap aggregate — user
+    ids map to (bucket, bit) via bitmap_bucket_number/_bit_position,
+    bitmap_construct_agg builds a per-(day, bucket) bitmap with
+    map-side partial merge (de-dup is free: it's a bitmap, so the
+    twin's DISTINCT pre-pass disappears), bitmap_or_agg unions the
+    trailing window, and sum(bitmap_count) closes each anchor day.
+    Bit-for-bit equal to the exact twin (pytest-pinned). Premise:
+    non-negative integral ids (the surrogate-key norm; the bit
+    position is a bucket offset).
+
+    exact=False: Datasketches HLL — hll_sketch_agg per day,
+    hll_union_agg across the window, hll_sketch_estimate per anchor.
+    Bounded relative error ~1.04/sqrt(2^lg_config_k) (~1.6% at the
+    default lgK=12, pytest-pinned at 5%); sketches are ~2^lgK bytes,
+    so a year of MAU merges 365 x 4 KiB regardless of user count.
+
+    Same conventions as the twin: NULL users/times excluded, days
+    with zero activity produce no row, windows anchor on active days
+    only. pytest-only vs the exact twin (the distinct_count_approx
+    policy: non-SQL-expressible sketch internals, oracled through
+    the exact sibling instead)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days!r}")
+    act = events.where(
+        F.col("ts").isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("__u"), F.to_date("ts").alias("__day"))
+    if exact:
+        per_day = act.groupBy(
+            "__day", F.bitmap_bucket_number("__u").alias("__bucket")
+        ).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("__u"))
+            .alias("__bm")
+        )
+    else:
+        per_day = act.groupBy("__day").agg(
+            F.hll_sketch_agg("__u", F.lit(int(lg_config_k))).alias("__sk")
+        )
+    from hillview_spark import cache
+
+    # feeds the member-day explode AND the active-day anchor
+    per_day = cache.persist(per_day)
+    anchors = per_day.select(F.col("__day").alias("day")).distinct()
+    exploded = per_day.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+        ).alias("__off"),
+    ).withColumn("day", F.date_add(F.col("__day"), F.col("__off")))
+    joined = exploded.join(anchors, "day")
+    if exact:
+        per_bucket = joined.groupBy("day", "__bucket").agg(
+            F.bitmap_or_agg("__bm").alias("__bm")
+        )
+        return per_bucket.groupBy("day").agg(
+            F.sum(F.bitmap_count("__bm")).alias("active_users")
+        )
+    return joined.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+        .alias("active_users")
+    )
+
+
 def session_stats(
     events: DataFrame,
     gap_minutes: int = 30,

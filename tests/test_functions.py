@@ -1557,6 +1557,47 @@ def test_conversion_time_and_rolling_actives(spark):
         ev.rolling_active_users(df2, window_days=0)
 
 
+def test_rolling_actives_sketch_siblings(spark):
+    """r12: the sketch-merged MAU sibling. The exact-bitmap path must
+    equal the explode-pairs twin BIT-FOR-BIT (same anchors, same
+    counts — on the unit fixture AND the sf0.001 events table); the
+    HLL path is bounded-error vs the twin (the
+    distinct_count_approx policy)."""
+    from hillview_spark.streaming import events as ev
+
+    from hillview_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    for wd in (1, 7):
+        exact = {
+            str(r.day): r.active_users
+            for r in ev.rolling_active_users(events, window_days=wd)
+            .collect()
+        }
+        bitmap = {
+            str(r.day): r.active_users
+            for r in ev.rolling_active_users_sketch(
+                events, window_days=wd, exact=True
+            ).collect()
+        }
+        assert bitmap == exact, f"bitmap sibling diverged at wd={wd}"
+        approx = {
+            str(r.day): r.active_users
+            for r in ev.rolling_active_users_sketch(
+                events, window_days=wd, exact=False
+            ).collect()
+        }
+        assert set(approx) == set(exact)  # same anchor days
+        for day, n in exact.items():
+            assert abs(approx[day] - n) <= max(2, 0.05 * n), (
+                wd, day, n, approx[day]
+            )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        ev.rolling_active_users_sketch(events, window_days=0)
+
+
 def test_session_stats_and_retention_rate(spark):
     """r11: the session summary's percentiles run over exact session
     counts/durations, and retention normalizes by the offset-0

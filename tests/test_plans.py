@@ -508,3 +508,24 @@ def test_collocations_plan_no_cartesian_data_joins(spark, tables):
     # every nested-loop join must be a broadcast of a 1-row aggregate
     # (the nu/nb totals), never a shuffled loop join
     assert "ShuffledNestedLoop" not in plan
+
+def test_rolling_actives_sketch_plan_shapes(spark, tables):
+    """r12: the sketch-merged MAU sibling's scale claim as a plan
+    assertion — the window explode must operate on the PERSISTED
+    per-day sketch frame (InMemoryTableScan feeds Generate), never on
+    user-level rows, and the whole plan stays JVM-side with no joins
+    beyond the anchor semi-shape."""
+    from hillview_spark.streaming import events as ev
+
+    e = tables["events"]
+    for exact in (True, False):
+        df = ev.rolling_active_users_sketch(e, window_days=7, exact=exact)
+        plan = ex.physical_plan(df)
+        ex.assert_no_cartesian(df)
+        assert "Python" not in plan
+        # both consumers (explode + anchors) read the cached sketches
+        assert plan.count("InMemoryTableScan") >= 2, plan[:500]
+        # the explode's input is the aggregated frame: Generate sits
+        # ABOVE the cache read, not above the parquet scan
+        gen = plan.index("Generate")
+        assert "InMemoryTableScan" in plan[gen:], plan[gen:gen + 400]
