@@ -679,12 +679,27 @@ def main():
         "queries": timings,
         "ab": ab,
     }, separators=(",", ":")))
-    # per-family subtotals (VERDICT-r9 #8): box-noise episodes are
-    # diagnosable per family from the compact tail alone — a uniform
-    # drift across families is box noise, a single-family jump is a
-    # regression. Families: tpch (q<N>), dp, dedup, ann, stream,
-    # text; 'sketch' is everything else (histograms, stats, temporal,
-    # media, geo).
+    line = final_compact_line(
+        timings, ab, total, sf, cpus, repeats, bucketed,
+        comparable_total, comparable_n,
+    )
+    print(line)
+    spark.stop()
+
+
+def compact_payload(timings, ab, total, sf, cpus, repeats, bucketed,
+                    comparable_total, comparable_n) -> dict:
+    """The compact final-line payload — extracted so the tail-budget
+    pytest (r11 verdict #7) can dry-run the EXACT production dict
+    over the real key set with worst-case number widths, without a
+    Spark session.
+
+    Per-family subtotals (VERDICT-r9 #8): box-noise episodes are
+    diagnosable per family from the compact tail alone — a uniform
+    drift across families is box noise, a single-family jump is a
+    regression. Families: tpch (q<N>), dp, dedup, ann, stream,
+    text; 'sketch' is everything else (histograms, stats, temporal,
+    media, geo)."""
     fam_totals: dict[str, float] = {}
     for name, dt in timings.items():
         if re.fullmatch(r"q\d+", name):
@@ -706,7 +721,7 @@ def main():
         else:
             f = "sketch"
         fam_totals[f] = fam_totals.get(f, 0.0) + dt
-    compact = {
+    return {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -722,6 +737,14 @@ def main():
             k: [v["a_median"], v["b_median"]] for k, v in ab.items()
         },
     }
+
+
+def final_compact_line(timings, ab, total, sf, cpus, repeats, bucketed,
+                       comparable_total, comparable_n) -> str:
+    compact = compact_payload(
+        timings, ab, total, sf, cpus, repeats, bucketed,
+        comparable_total, comparable_n,
+    )
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         # never let growth re-break the tail capture: shed the ab
@@ -729,8 +752,7 @@ def main():
         compact.pop("ab")
         line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1900, f"bench final line {len(line)}B > tail budget"
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":
