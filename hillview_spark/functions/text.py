@@ -352,8 +352,11 @@ def collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
+    # explicit hint: without it this 1-row x 1-row cross degrades to
+    # a CartesianProduct when auto-broadcast is disabled (the 100-TB
+    # operating config) — caught by tools/scale_probe_r12.py
     totals = uni.agg(F.sum("cu").alias("nu")).crossJoin(
-        bc_all.agg(F.sum("cb").alias("nb"))
+        F.broadcast(bc_all.agg(F.sum("cb").alias("nb")))
     )
     survivors = bc_all.where(F.col("cb") >= F.lit(int(min_count)))
     u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
