@@ -423,6 +423,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_count_lineitem"] = lambda s, d: privacy.dp_count(
         _t(s, d, "lineitem"), epsilon=1.0, seed=7, prf="md5str"
     )
+    # r12: the bounded-sum/mean mechanisms — clip bounds chosen so
+    # clipping actually bites on the fixture (quantity spans 1..50,
+    # value exceeds 250), exercising the clamp path, not just the sum
+    q["dp_sum_quantity"] = lambda s, d: privacy.dp_sum(
+        _t(s, d, "lineitem"), "l_quantity", lo=5.0, hi=40.0,
+        epsilon=1.0, seed=7, prf="md5str"
+    )
+    q["dp_mean_value"] = lambda s, d: privacy.dp_mean(
+        _t(s, d, "events"), "value", lo=0.0, hi=250.0,
+        epsilon=1.0, seed=7, prf="md5str"
+    )
     q["dp_distinct_custkey"] = lambda s, d: privacy.dp_distinct_count(
         _t(s, d, "orders"), "o_custkey", epsilon=1.0, seed=7, prf="md5str"
     )
@@ -1215,22 +1226,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     function), and oracle-review fixes that by definition touch
     #     only non-gated text. Any review fix that DOES change a
     #     key's values gets prepended here and displaces the TPC-H
-    #     tail. One NEW key did land: events_windowed_topk_keep (the
-    #     ties='keep' sibling) — gated now rather than joining the
-    #     never-proven debt.
+    #     tail. THREE NEW keys landed: events_windowed_topk_keep (the
+    #     ties='keep' sibling), dp_sum_quantity and dp_mean_value
+    #     (the clipped-contribution bounded-sum/mean mechanisms) —
+    #     gated now rather than joining the never-proven debt.
     # (b) the 18 BRAND-NEW r11 keys, never driver-proven (judge
     #     replica-green 18/18 in the r11 session);
-    # (c) 31 of the 36 r8-stale keys: all 18 non-TPC-H ones first
-    #     (most change-exposed), then 13 of the 18 TPC-H shapes.
-    # 1 + 18 + 18 + 13 = 50 exactly. The 5 TPC-H stragglers deferred
+    # (c) 29 of the 36 r8-stale keys: all 18 non-TPC-H ones first
+    #     (most change-exposed), then 11 of the 18 TPC-H shapes.
+    # 3 + 18 + 18 + 11 = 50 exactly. The 7 TPC-H stragglers deferred
     # to lead r13 — explicitly: q1_pricing_summary,
     # q3_shipping_priority, q5_local_supplier, q6_revenue_forecast,
+    # q20_part_promotion, q21_suppliers_kept_waiting,
     # q22_sales_opportunity (the least change-exposed keys in the
     # repo: canonical few-join shapes, files untouched since r8,
     # judge replica-proven green in the r11 session).
     priority = [
-        # (a) new in r12
-        "events_windowed_topk_keep",
+        # (a) new in r12 (the dp sum/mean mechanisms + the ties
+        # sibling); each displaces one TPC-H straggler to r13
+        "events_windowed_topk_keep", "dp_sum_quantity", "dp_mean_value",
         # (b) never-driver-proven r11 additions
         "events_funnel", "events_cohort_retention",
         "events_retention_rate", "events_session_stats",
@@ -1254,8 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode_priority", "q13_customer_order_distribution",
         "q15_top_supplier", "q16_supplier_part_counts",
         "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_discounted_revenue", "q20_part_promotion",
-        "q21_suppliers_kept_waiting",
+        "q19_discounted_revenue",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
@@ -1346,7 +1359,13 @@ def _count_noise_sql(seed: int, ci: int, epsilon: float,
     """Scalar SQL expression for ONE md5str count-noise draw
     (privacy.count_noise: node (special, 0), scale 1/epsilon) —
     re-derived in-engine, not injected as a Python literal."""
-    scale = 1.0 / epsilon
+    return _scaled_noise_sql(seed, ci, 1.0 / epsilon, special)
+
+
+def _scaled_noise_sql(seed: int, ci: int, scale: float,
+                      special: int) -> str:
+    """The same single-draw recipe at an arbitrary Laplace scale —
+    dp_sum/dp_mean's sensitivity/epsilon draws (r12)."""
     return f"""(
         WITH cn_u AS (
             SELECT LEAST(GREATEST(
@@ -2712,6 +2731,46 @@ def oracle_sql() -> dict[str, str]:
                    AS noisy_distinct,
                CAST({_priv.laplace_variance(1.0)!r} AS DOUBLE) AS variance
         FROM orders
+    """
+
+    # r12: bounded sum / mean — the clipped-contribution mechanisms.
+    # The clip expression mirrors privacy.dp_sum exactly (present =
+    # FINITE -> clamp to [lo, hi], else contribute 0.0; DECIMAL(20,6)
+    # makes the aggregate order-independent), and the draws re-derive
+    # in SQL from the SPECIAL_SUM (-4) / TotalCount (-1) buckets at
+    # the sensitivity-scaled Laplace widths (40/1.0 and 250/0.5).
+    o["dp_sum_quantity"] = f"""
+        SELECT CAST(COALESCE(SUM(CAST(
+                   CASE WHEN isfinite(l_quantity)
+                        THEN LEAST(GREATEST(
+                                 CAST(l_quantity AS DOUBLE), 5.0), 40.0)
+                        ELSE 0.0 END AS DECIMAL(20,6))), 0) AS DOUBLE)
+               + {_scaled_noise_sql(7, 0, 40.0, special=-4)}
+                   AS noisy_sum,
+               CAST({_priv.laplace_variance(40.0)!r} AS DOUBLE)
+                   AS variance
+        FROM lineitem
+    """
+
+    o["dp_mean_value"] = f"""
+        WITH agg AS (
+            SELECT CAST(COALESCE(SUM(CAST(
+                       CASE WHEN isfinite(value)
+                            THEN LEAST(GREATEST(
+                                     CAST(value AS DOUBLE), 0.0), 250.0)
+                            ELSE 0.0 END AS DECIMAL(20,6))), 0)
+                        AS DOUBLE)
+                   + {_scaled_noise_sql(7, 0, 500.0, special=-4)}
+                       AS noisy_sum,
+                   CAST(COUNT(*) AS DOUBLE)
+                   + {_count_noise_sql(7, 0, 0.5, special=-1)}
+                       AS noisy_count
+            FROM events
+        )
+        SELECT noisy_sum, noisy_count,
+               CASE WHEN noisy_count > 0
+                    THEN noisy_sum / noisy_count END AS noisy_mean
+        FROM agg
     """
 
     # per-key counts are noised with the portable md5-PRF Laplace

@@ -686,6 +686,9 @@ def laplace_noise_col(
 SPECIAL_TOTAL_COUNT = -1
 SPECIAL_NULL_COUNT = -2
 SPECIAL_DISTINCT_COUNT = -3
+# r12 extension beyond the reference's bucket list: the bounded-sum
+# mechanism's draw (dp_sum / dp_mean's numerator)
+SPECIAL_SUM = -4
 
 
 def count_noise(
@@ -746,6 +749,114 @@ def dp_distinct_count(
         .cast("long")
         .alias("noisy_distinct"),
         F.lit(laplace_variance(1.0 / epsilon)).alias("variance"),
+    )
+
+
+def dp_sum(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    epsilon: float,
+    seed: int = 0,
+    column_index: int = 0,
+    prf: str = "sha256",
+) -> DataFrame:
+    """Noisy bounded sum — the classic clipped-contribution Laplace
+    mechanism the reference's bucket list stops short of (its
+    DPWrapper releases counts/histograms; sum/mean are the standing
+    extension a metrics release needs). Every present, finite value
+    is CLIPPED to [lo, hi] (NULL / non-finite rows contribute 0 —
+    absence must not shift the release), so one row changes the sum
+    by at most max(|lo|, |hi|) = the event-level sensitivity; the
+    release is sum(clip(x)) + Laplace(max(|lo|,|hi|)/epsilon), one
+    draw seeded at the SPECIAL_SUM bucket.
+
+    Cross-engine float rule: the clipped values go through a
+    DECIMAL(20,6) cast before the sum (lossless for the <=6-decimal
+    fixtures; the engine-wide money discipline), so the aggregate is
+    order-independent and the only double op is the final
+    noise addition — bit-identical when the oracle adds the same
+    re-derived draw.
+
+    Scale: one Tungsten aggregate, map-side combined; the noise is a
+    driver-computed literal (data-independent), so the plan is a
+    single scan + single-partition final sum at ANY data size."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r}]")
+    sens = max(abs(float(lo)), abs(float(hi)))
+    scale = sens / epsilon
+    noise = node_noise(seed, column_index, scale, (SPECIAL_SUM, 0), prf=prf)
+    c = F.col(col)
+    clipped = F.when(
+        c.isNotNull() & numeric.finite_pred(c),
+        F.least(F.greatest(c.cast("double"), F.lit(float(lo))),
+                F.lit(float(hi))),
+    ).otherwise(F.lit(0.0))
+    return df.agg(
+        (
+            F.coalesce(
+                F.sum(clipped.cast("decimal(20,6)")), F.lit(0)
+            ).cast("double")
+            + F.lit(noise)
+        ).alias("noisy_sum"),
+        F.lit(laplace_variance(scale)).alias("variance"),
+    )
+
+
+def dp_mean(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    epsilon: float,
+    seed: int = 0,
+    column_index: int = 0,
+    prf: str = "sha256",
+) -> DataFrame:
+    """Noisy bounded mean via the standard ratio composition: half
+    the budget to the clipped sum (SPECIAL_SUM draw), half to the
+    row count (SPECIAL_TOTAL_COUNT draw — same construction as
+    dp_count at epsilon/2), released as sum/count. Basic
+    composition makes the pair epsilon-DP overall. The count here
+    counts ALL rows (NULL/non-finite contribute 0 to the sum but ARE
+    rows — the same population both releases describe).
+
+    noisy_mean is NULL when the noisy count lands <= 0 (possible at
+    tiny populations — the honest "too small to release" signal,
+    rather than a division blow-up). Both components ship alongside
+    so a dashboard can re-derive or re-round."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r}]")
+    half = epsilon / 2.0
+    sens = max(abs(float(lo)), abs(float(hi)))
+    sum_noise = node_noise(
+        seed, column_index, sens / half, (SPECIAL_SUM, 0), prf=prf
+    )
+    cnt_noise = count_noise(half, seed, column_index, prf=prf)
+    c = F.col(col)
+    clipped = F.when(
+        c.isNotNull() & numeric.finite_pred(c),
+        F.least(F.greatest(c.cast("double"), F.lit(float(lo))),
+                F.lit(float(hi))),
+    ).otherwise(F.lit(0.0))
+    agg = df.agg(
+        (
+            F.coalesce(
+                F.sum(clipped.cast("decimal(20,6)")), F.lit(0)
+            ).cast("double")
+            + F.lit(sum_noise)
+        ).alias("noisy_sum"),
+        (F.count(F.lit(1)).cast("double") + F.lit(cnt_noise))
+        .alias("noisy_count"),
+    )
+    return agg.select(
+        "noisy_sum",
+        "noisy_count",
+        F.when(
+            F.col("noisy_count") > 0,
+            F.col("noisy_sum") / F.col("noisy_count"),
+        ).alias("noisy_mean"),
     )
 
 

@@ -105,6 +105,8 @@ FROZEN = {
     "operators.privacy.dp_histogram": {'buckets': 10, 'seed': 0, 'column_index': 0, 'cdf': False, 'k': 20, 'prf': 'sha256'},
     "operators.privacy.dp_histogram_string": {'buckets': None, 'seed': 0, 'column_index': 0, 'k': 20, 'prf': 'sha256', 'global_max': None},
     "operators.privacy.dp_count": {'seed': 0, 'column_index': 0, 'prf': 'sha256'},
+    "operators.privacy.dp_sum": {'seed': 0, 'column_index': 0, 'prf': 'sha256'},
+    "operators.privacy.dp_mean": {'seed': 0, 'column_index': 0, 'prf': 'sha256'},
     "operators.privacy.dp_distinct_count": {'seed': 0, 'column_index': 0, 'prf': 'sha256'},
     "operators.privacy.dp_quantiles": {'buckets': 40, 'seed': 0, 'column_index': 0, 'k': 20, 'prf': 'sha256'},
     "operators.privacy.dp_heatmap": {'xbuckets': 10, 'ybuckets': 10, 'seed': 0, 'column_index': 0, 'column_index_y': 0, 'k': 20, 'prf': 'sha256'},

@@ -1065,3 +1065,61 @@ def test_schema_paths_apply_string_global_max(spark):
         ).collect()
     }
     assert got != leaked  # the ceiling actually changed the release
+
+
+def test_dp_sum_clips_and_noises(spark):
+    """r12: bounded sum — NULL/Inf contribute ZERO (not dropped-row:
+    absence must not shift the release), clipping actually clamps,
+    the draw is the SPECIAL_SUM bucket at sensitivity/epsilon, and
+    the variance is the analytic Laplace variance."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 100.0), (3, -50.0), (4, None),
+         (5, float("inf")), (6, float("nan"))],
+        "id long, v double",
+    )
+    row = P.dp_sum(df, "v", lo=0.0, hi=10.0, epsilon=2.0, seed=3).first()
+    noise = P.node_noise(3, 0, 10.0 / 2.0, (P.SPECIAL_SUM, 0))
+    # clip: 2 + 10 + 0; NULL/Inf/NaN -> 0
+    assert row.noisy_sum == 12.0 + noise
+    assert row.variance == 2.0 * 5.0 * 5.0
+    # negative lo: clamp keeps sensitivity at max(|lo|, |hi|)
+    row2 = P.dp_sum(df, "v", lo=-5.0, hi=10.0, epsilon=1.0, seed=3).first()
+    noise2 = P.node_noise(3, 0, 10.0, (P.SPECIAL_SUM, 0))
+    assert row2.noisy_sum == (2.0 + 10.0 - 5.0) + noise2
+    with pytest.raises(ValueError, match="hi > lo"):
+        P.dp_sum(df, "v", lo=1.0, hi=1.0, epsilon=1.0)
+    # empty frame: sum releases pure noise, not NULL
+    empty = df.where(F.col("id") < 0)
+    assert P.dp_sum(empty, "v", lo=0.0, hi=10.0, epsilon=2.0,
+                    seed=3).first().noisy_sum == noise
+    assert not _math.isnan(noise)
+
+
+def test_dp_mean_ratio_and_guard(spark):
+    """r12: mean = (eps/2 clipped sum) / (eps/2 count), each its own
+    bucket; a non-positive noisy count releases NULL, never a
+    division blow-up."""
+    df = spark.createDataFrame(
+        [(1, 4.0), (2, 8.0), (3, None)], "id long, v double"
+    )
+    row = P.dp_mean(df, "v", lo=0.0, hi=10.0, epsilon=2.0, seed=3).first()
+    sum_noise = P.node_noise(3, 0, 10.0 / 1.0, (P.SPECIAL_SUM, 0))
+    cnt_noise = P.count_noise(1.0, 3, 0)
+    assert row.noisy_sum == 12.0 + sum_noise
+    assert row.noisy_count == 3.0 + cnt_noise
+    assert row.noisy_mean == row.noisy_sum / row.noisy_count
+    # guard: drive the noisy count <= 0 via an empty frame and a
+    # seed whose count draw is negative (search a few seeds)
+    from pyspark.sql import functions as F
+
+    empty = df.where(F.col("id") < 0)
+    seed = next(
+        s for s in range(50) if P.count_noise(1.0, s, 0) <= 0
+    )
+    g = P.dp_mean(empty, "v", lo=0.0, hi=10.0, epsilon=2.0,
+                  seed=seed).first()
+    assert g.noisy_count <= 0 and g.noisy_mean is None
