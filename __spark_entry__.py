@@ -255,6 +255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_shuffle"] = lambda s, d: curation.shuffle_corpus(
         _t(s, d, "documents"), salt="shuffle1"
     ).select("doc_id", "shuffle_rank")
+    # r12: temperature-scaled mixture shares (n^alpha balancing)
+    q["mixture_temperature"] = lambda s, d: (
+        curation.mixture_temperature_weights(
+            _t(s, d, "documents"), alpha=0.5, ndigits=6
+        )
+    )
     q["sample_mixture"] = lambda s, d: curation.sample_to_mixture(
         _t(s, d, "documents"), {"src0": 0.5, "src1": 0.25}
     ).select("doc_id", "source")
@@ -1226,25 +1232,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     function), and oracle-review fixes that by definition touch
     #     only non-gated text. Any review fix that DOES change a
     #     key's values gets prepended here and displaces the TPC-H
-    #     tail. THREE NEW keys landed: events_windowed_topk_keep (the
+    #     tail. FOUR NEW keys landed: events_windowed_topk_keep (the
     #     ties='keep' sibling), dp_sum_quantity and dp_mean_value
-    #     (the clipped-contribution bounded-sum/mean mechanisms) —
-    #     gated now rather than joining the never-proven debt.
+    #     (the clipped-contribution bounded-sum/mean mechanisms), and
+    #     mixture_temperature (n^alpha source balancing) — gated now
+    #     rather than joining the never-proven debt.
     # (b) the 18 BRAND-NEW r11 keys, never driver-proven (judge
     #     replica-green 18/18 in the r11 session);
-    # (c) 29 of the 36 r8-stale keys: all 18 non-TPC-H ones first
-    #     (most change-exposed), then 11 of the 18 TPC-H shapes.
-    # 3 + 18 + 18 + 11 = 50 exactly. The 7 TPC-H stragglers deferred
+    # (c) 28 of the 36 r8-stale keys: all 18 non-TPC-H ones first
+    #     (most change-exposed), then 10 of the 18 TPC-H shapes.
+    # 4 + 18 + 18 + 10 = 50 exactly. The 8 TPC-H stragglers deferred
     # to lead r13 — explicitly: q1_pricing_summary,
     # q3_shipping_priority, q5_local_supplier, q6_revenue_forecast,
-    # q20_part_promotion, q21_suppliers_kept_waiting,
-    # q22_sales_opportunity (the least change-exposed keys in the
-    # repo: canonical few-join shapes, files untouched since r8,
-    # judge replica-proven green in the r11 session).
+    # q19_discounted_revenue, q20_part_promotion,
+    # q21_suppliers_kept_waiting, q22_sales_opportunity (the least
+    # change-exposed keys in the repo: canonical few-join shapes,
+    # files untouched since r8, judge replica-proven green in the
+    # r11 session).
     priority = [
         # (a) new in r12 (the dp sum/mean mechanisms + the ties
         # sibling); each displaces one TPC-H straggler to r13
         "events_windowed_topk_keep", "dp_sum_quantity", "dp_mean_value",
+        "mixture_temperature",
         # (b) never-driver-proven r11 additions
         "events_funnel", "events_cohort_retention",
         "events_retention_rate", "events_session_stats",
@@ -1268,7 +1277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode_priority", "q13_customer_order_distribution",
         "q15_top_supplier", "q16_supplier_part_counts",
         "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_discounted_revenue",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
@@ -3529,6 +3537,25 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '_shuffle1'),
                                    1, 16), doc_id) AS BIGINT) AS shuffle_rank
         FROM documents
+    """
+
+    # r12: temperature mixture — POWER/div in the same op order, one
+    # round(6) pin; the MAX() OVER () normalizer mirrors the
+    # single-partition window
+    o["mixture_temperature"] = """
+        WITH c AS (SELECT source, COUNT(*) AS n_docs
+                   FROM documents GROUP BY 1),
+             t AS (SELECT SUM(POWER(CAST(n_docs AS DOUBLE), 0.5))
+                       AS tot FROM c)
+        SELECT source, n_docs,
+               round(POWER(CAST(n_docs AS DOUBLE), 0.5) / tot, 6)
+                   AS share,
+               round((POWER(CAST(n_docs AS DOUBLE), 0.5) / tot
+                      / CAST(n_docs AS DOUBLE))
+                     / MAX(POWER(CAST(n_docs AS DOUBLE), 0.5) / tot
+                           / CAST(n_docs AS DOUBLE)) OVER (), 6)
+                   AS keep_frac
+        FROM c, t
     """
 
     o["sample_mixture"] = f"""

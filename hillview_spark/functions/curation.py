@@ -323,6 +323,51 @@ def sample_to_mixture(
     return df.where(h < cut)
 
 
+def mixture_temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture shares — the multilingual/
+    multi-source balancing rule (sample source i with probability
+    proportional to n_i^alpha; alpha=1 keeps natural proportions,
+    alpha->0 flattens to uniform): per source, the document count,
+    the target share n^alpha / sum(n^alpha), and the keep fraction
+    that realizes those shares by down-sampling only (share/n scaled
+    so the most over-asked source keeps 1.0 — feed the result
+    straight into sample_to_mixture's weights).
+
+    Cross-engine float rule: POWER and division run in the same op
+    order both engines, then one round(ndigits) pins the released
+    values. Scale: one groupBy(source) collapses the scan to
+    |sources| rows; the share total rides a 1-row broadcast cross
+    and the max-rate normalizer a single-partition window over
+    |sources| rows — nothing downstream of the aggregate is
+    data-sized."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha!r}")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    p = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    tot = counts.agg(F.sum(p).alias("__tot"))
+    rate = p / F.col("__tot") / F.col("n_docs").cast("double")
+    w = Window.partitionBy()
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("__rate", rate)
+        .select(
+            "source",
+            "n_docs",
+            F.round(p / F.col("__tot"), ndigits).alias("share"),
+            F.round(
+                F.col("__rate") / F.max("__rate").over(w), ndigits
+            ).alias("keep_frac"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 50,

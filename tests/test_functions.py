@@ -2930,3 +2930,47 @@ def test_ivf_query_dims_mismatch_fails_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="built at 8"):
         sim.ivf_topk(df, [0.1] * 16, k=3, n_cells=4)
     assert sim.ivf_topk_indexed(spark, path, [0.1] * 8, k=3).count() == 3
+
+
+def test_mixture_temperature_weights(spark):
+    """r12: n^alpha balancing. alpha=1 keeps natural proportions
+    (every keep_frac 1.0 — the rate share/n is constant); alpha=0
+    flattens shares to uniform and the SMALLEST source keeps 1.0;
+    equal counts are uniform at any alpha."""
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(8)]
+        + [(100 + i, "b") for i in range(2)],
+        "doc_id long, source string",
+    )
+    nat = {
+        r.source: (r.n_docs, r.share, r.keep_frac)
+        for r in curation.mixture_temperature_weights(
+            df, alpha=1.0
+        ).collect()
+    }
+    assert nat == {"a": (8, 0.8, 1.0), "b": (2, 0.2, 1.0)}
+    flat = {
+        r.source: (r.share, r.keep_frac)
+        for r in curation.mixture_temperature_weights(
+            df, alpha=0.0
+        ).collect()
+    }
+    assert flat == {"a": (0.5, 0.25), "b": (0.5, 1.0)}
+    # sqrt temperature: shares ~ (0.816497, 0.408248)/1.224745;
+    # b is up-weighted relative to natural, so b keeps 1.0 and a
+    # keeps sqrt(2/8) = 0.5
+    temp = {
+        r.source: (r.share, r.keep_frac)
+        for r in curation.mixture_temperature_weights(
+            df, alpha=0.5
+        ).collect()
+    }
+    assert temp["b"][1] == 1.0
+    assert abs(temp["a"][1] - 0.5) < 1e-9
+    assert abs(temp["a"][0] + temp["b"][0] - 1.0) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        curation.mixture_temperature_weights(df, alpha=-0.1)

@@ -43,6 +43,7 @@ FROZEN = {
     "streaming.events.dp_windowed_histogram": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 100.0, 'buckets': 10, 'epsilon': 1.0, 'seed': 0},
     "functions.curation.ngram_novelty": {'n': 3, 'min_df': 2, 'text_col': 'text', 'id_col': 'doc_id'},
     "functions.curation.shuffle_corpus": {'id_col': 'doc_id', 'salt': 'shuffle1'},
+    "functions.curation.mixture_temperature_weights": {'alpha': 0.5, 'source_col': 'source', 'ndigits': 6},
     "functions.curation.sample_to_mixture": {'source_col': 'source', 'key_col': 'doc_id', 'salt': 'mix1'},
     "functions.curation.clean_lines": {'text_col': 'text', 'id_col': 'doc_id', 'min_words': 3, 'require_terminal_punct': True, 'drop_patterns': (), 'min_lines': 1, 'sep': '\n'},
     "functions.curation.cap_per_group": {'group_col': 'source', 'max_per_group': 100, 'key_col': 'doc_id', 'salt': 'cap1'},
