@@ -130,6 +130,11 @@ CASES = {
     "sample_mixture": lambda df: curation.sample_to_mixture(
         df, {"src0": 0.5, "src1": 0.25}
     ).select("doc_id", "source"),
+    # r12: n^alpha balancing — the NULL-source row must form ONE
+    # group (not drop) and its POWER/share arithmetic must agree
+    "mixture_temperature": lambda df: (
+        curation.mixture_temperature_weights(df, alpha=0.5, ndigits=6)
+    ),
     "split_train_eval": lambda df: __import__(
         "hillview_spark.operators.sampling", fromlist=["x"]
     ).split_train_eval(df, 0.1, "doc_id").select("doc_id", "split"),
@@ -314,6 +319,19 @@ def _events_cases():
         # NULL-type cell, and a NULL-ts window; the (n DESC, IS NULL,
         # value) total order must rank identically in both engines
         "events_windowed_topk": lambda df: ev.windowed_topk(df, k=3),
+        # r12: the keep-ties sibling on the SAME tied cells — rank()
+        # must assign the tied group identically in both engines
+        "events_windowed_topk_keep": lambda df: ev.windowed_topk(
+            df, k=3, ties="keep"
+        ),
+        # r12: bounded mean — NaN/±Inf/NULL values contribute ZERO to
+        # the clipped sum but still COUNT as rows, in both engines
+        "dp_mean_value": lambda df: __import__(
+            "hillview_spark.operators.privacy", fromlist=["x"]
+        ).dp_mean(
+            df, "value", lo=0.0, hi=250.0, epsilon=1.0, seed=7,
+            prf="md5str",
+        ),
         # r11: session summary + normalized retention on the NULL-ts
         # / NULL-user edges (both exclude them; percentile and rate
         # arithmetic must agree on the tiny remainder)
@@ -848,6 +866,13 @@ def _li_cases():
     )
 
     return {
+        # r12: bounded sum — the NaN quantity contributes ZERO (not a
+        # dropped row), clipping clamps the 1..50 draws into [5, 40],
+        # and the decimal-exact aggregate + one noise add must agree
+        "dp_sum_quantity": lambda df: privacy.dp_sum(
+            df, "l_quantity", lo=5.0, hi=40.0, epsilon=1.0, seed=7,
+            prf="md5str",
+        ),
         "histogram1d_numeric": lambda df: histogram.histogram1d(
             df, "l_extendedprice", 40
         ),
