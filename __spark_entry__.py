@@ -402,6 +402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_windowed_counts"] = lambda s, d: ev.dp_windowed_counts(
         _t(s, d, "events"), "hour", epsilon=1.0, seed=7
     )
+    # r12: the continual bounded-SUM release (counts/histogram/sum
+    # family complete); 'wsum' domain tag, sensitivity = hi = 250
+    q["dp_windowed_sum"] = lambda s, d: ev.dp_windowed_sum(
+        _t(s, d, "events"), unit="hour", col="value", lo=0.0,
+        hi=250.0, epsilon=1.0, seed=7
+    )
     # hash-oracled since r6: with the engine-portable md5str PRF the
     # whole Chan-Song-Shi release — hour leaf, base-20 digit
     # decomposition of the prefix, per-node draw, ordered noise sum —
@@ -638,6 +644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_click_purchase_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_click_purchase_join, "ssjoin", mode="append"
+    )
+    q["dp_windowed_sum_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_dp_windowed_sum, "dpwinsum",
+        col="value", lo=0.0, hi=250.0, epsilon=1.0, seed=7,
     )
     q["dp_windowed_histogram_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_dp_windowed_histogram, "dpwinhist",
@@ -1232,28 +1242,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     function), and oracle-review fixes that by definition touch
     #     only non-gated text. Any review fix that DOES change a
     #     key's values gets prepended here and displaces the TPC-H
-    #     tail. FOUR NEW keys landed: events_windowed_topk_keep (the
+    #     tail. SIX NEW keys landed: events_windowed_topk_keep (the
     #     ties='keep' sibling), dp_sum_quantity and dp_mean_value
-    #     (the clipped-contribution bounded-sum/mean mechanisms), and
-    #     mixture_temperature (n^alpha source balancing) — gated now
-    #     rather than joining the never-proven debt.
+    #     (the clipped-contribution bounded-sum/mean mechanisms),
+    #     mixture_temperature (n^alpha source balancing), and
+    #     dp_windowed_sum[_stream] (the continual bounded-sum
+    #     release, real stream driven in-gate) — all gated now rather
+    #     than joining the never-proven debt.
     # (b) the 18 BRAND-NEW r11 keys, never driver-proven (judge
     #     replica-green 18/18 in the r11 session);
-    # (c) 28 of the 36 r8-stale keys: all 18 non-TPC-H ones first
-    #     (most change-exposed), then 10 of the 18 TPC-H shapes.
-    # 4 + 18 + 18 + 10 = 50 exactly. The 8 TPC-H stragglers deferred
+    # (c) 26 of the 36 r8-stale keys: all 18 non-TPC-H ones first
+    #     (most change-exposed), then 8 of the 18 TPC-H shapes.
+    # 6 + 18 + 18 + 8 = 50 exactly. The 10 TPC-H stragglers deferred
     # to lead r13 — explicitly: q1_pricing_summary,
     # q3_shipping_priority, q5_local_supplier, q6_revenue_forecast,
+    # q17_small_quantity_revenue, q18_large_orders,
     # q19_discounted_revenue, q20_part_promotion,
     # q21_suppliers_kept_waiting, q22_sales_opportunity (the least
     # change-exposed keys in the repo: canonical few-join shapes,
     # files untouched since r8, judge replica-proven green in the
-    # r11 session).
+    # r11 session — and re-proven by this session's 175/175 sf0.01
+    # sweep).
     priority = [
         # (a) new in r12 (the dp sum/mean mechanisms + the ties
         # sibling); each displaces one TPC-H straggler to r13
         "events_windowed_topk_keep", "dp_sum_quantity", "dp_mean_value",
-        "mixture_temperature",
+        "mixture_temperature", "dp_windowed_sum", "dp_windowed_sum_stream",
         # (b) never-driver-proven r11 additions
         "events_funnel", "events_cohort_retention",
         "events_retention_rate", "events_session_stats",
@@ -1271,12 +1285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_comparison_filter", "orders_rollup", "chunk_documents",
         "pack_sequences", "dedup_lsh_verify", "dedup_simhash",
         "text_repetition_stats",
-        # (c2) 14 of the 18 r8-stale TPC-H shapes
+        # (c2) 8 of the 18 r8-stale TPC-H shapes
         "q2_min_cost_supplier", "q8_market_share",
         "q9_product_type_profit", "q11_important_parts",
         "q12_shipmode_priority", "q13_customer_order_distribution",
         "q15_top_supplier", "q16_supplier_part_counts",
-        "q17_small_quantity_revenue", "q18_large_orders",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
@@ -4131,6 +4144,47 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming twin releases the identical noisy cells
     o["dp_windowed_counts_stream"] = o["dp_windowed_counts"]
+    # r12: continual bounded SUM — the clip expression mirrors
+    # dp_windowed_sum exactly (present-FINITE gate wraps the clamp;
+    # NULL/non-finite skip; DECIMAL(20,6) order-independent sum;
+    # all-missing cell -> 0), the draw is the same md5 recipe under
+    # the 'wsum' tag at scale = max(|lo|,|hi|)/epsilon = 250, and the
+    # FLOOR'd integer release absorbs the LN ulp as always.
+    o["dp_windowed_sum"] = f"""
+        WITH sums AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type,
+                   CAST(COALESCE(SUM(CAST(
+                       CASE WHEN isfinite(value)
+                            THEN LEAST(GREATEST(
+                                     CAST(value AS DOUBLE), 0.0), 250.0)
+                            END AS DECIMAL(20,6))), 0) AS DOUBLE)
+                       AS sum_clipped
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), unif AS (
+            SELECT window_start, event_type, sum_clipped,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('event_type')}
+                           || '|wsum|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM sums
+        )
+        SELECT window_start, event_type,
+               CAST(FLOOR(sum_clipped
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(250.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 250.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_sum
+        FROM unif
+    """
+    o["dp_windowed_sum_stream"] = o["dp_windowed_sum"]
     # r11: DP transition matrix — sensitivity 3 (one event touches up
     # to 2 pairs and its removal can mint 1 between its neighbors),
     # so the Laplace scale is 3.0; the cell key is the escaped

@@ -346,6 +346,134 @@ def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
+def _clipped_value(events: DataFrame, col: str, lo: float, hi: float):
+    """Clip-or-skip for the bounded-sum releases: a present FINITE
+    value clamps to [lo, hi]; NULL/NaN/±Inf become NULL, which the
+    SUM skips — arithmetically identical to privacy.dp_sum's
+    contribute-zero rule (a COALESCE(..., 0) at the aggregate closes
+    the all-missing-cell case). The presence gate wraps the WHOLE
+    clamp: Spark's greatest() SKIPS NULL arguments, so a bare
+    greatest(NULL, lo) would smuggle lo into the sum for every
+    missing value."""
+    c = F.col(col)
+    return F.when(
+        c.isNotNull() & numeric.finite_pred(c),
+        F.least(
+            F.greatest(c.cast("double"), F.lit(float(lo))),
+            F.lit(float(hi)),
+        ),
+    )
+
+
+def dp_windowed_sum(
+    events: DataFrame,
+    unit: str = "hour",
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 250.0,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Continual bounded-SUM release — dp_windowed_counts' sibling
+    for the value dimension (noisy revenue/latency per hour per
+    type), completing the continual family: counts, histogram, sum.
+    Per (window, type) cell: the clipped-contribution sum (clamp to
+    [lo, hi], NULL/non-finite contribute nothing — privacy.dp_sum's
+    rule) plus one Laplace(max(|lo|,|hi|)/epsilon) draw keyed on the
+    portable md5 PRF under the 'wsum' domain tag. Each event lands
+    in exactly one cell, so parallel composition gives epsilon-DP.
+
+    The release is floor(sum + noise + 0.5) — an INTEGER, on
+    purpose: the noise scale is >= hi (one whole contribution), so
+    sub-unit precision is pure noise anyway, and the integer release
+    is what absorbs laplace_noise_col's documented <=1-ulp
+    cross-library LN drift (the same contract that lets the noisy
+    COUNTS hash-match in DuckDB).
+
+    Scale: one groupBy shuffle to O(windows x types) cells; the
+    noise is a codegen'd per-cell expression, so the same formula
+    streams (see stream_dp_windowed_sum)."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    sums = (
+        events.groupBy(
+            trunc_ntz(F.col("ts"), unit).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(_clipped_value(events, col, lo, hi)
+                      .cast("decimal(20,6)")),
+                F.lit(0),
+            ).cast("double").alias("sum_clipped")
+        )
+        .where(F.col("window_start").isNotNull())
+    )
+    return _noisy_sums(sums, lo, hi, epsilon, seed)
+
+
+def stream_dp_windowed_sum(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 250.0,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of dp_windowed_sum: watermarked tumbling
+    windows whose clipped value sums are perturbed by the same
+    cell-keyed noise expression — each window's release is derivable
+    the moment the watermark closes it. Drive with
+    outputMode('append') so each cell is released exactly once."""
+    stream = _event_time_stream(spark, events_dir, schema)
+    sums = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.coalesce(
+                F.sum(_clipped_value(stream, col, lo, hi)
+                      .cast("decimal(20,6)")),
+                F.lit(0),
+            ).cast("double").alias("sum_clipped")
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "sum_clipped",
+        )
+    )
+    return _noisy_sums(sums, lo, hi, epsilon, seed)
+
+
+def _noisy_sums(
+    sums: DataFrame, lo: float, hi: float, epsilon: float, seed: int
+) -> DataFrame:
+    """ONE noisy-sum release select shared by the batch and streaming
+    twins (the _noisy_counts discipline): the Laplace scale is
+    sensitivity/epsilon with sensitivity max(|lo|, |hi|), keyed under
+    the 'wsum' domain tag so this release never shares a draw with
+    the 'wcounts'/'whist' mechanisms at the same seed."""
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    sens = max(abs(float(lo)), abs(float(hi)))
+    secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    noise = laplace_noise_col(
+        epsilon, seed, secs, F.col("event_type"), F.lit("wsum"),
+        scale=sens / epsilon, prf="md5",
+    )
+    return sums.select(
+        "window_start",
+        "event_type",
+        F.floor(F.col("sum_clipped") + noise + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_sum"),
+    )
+
+
 def windowed_topk(
     events: DataFrame,
     unit: str = "hour",

@@ -324,6 +324,13 @@ def _events_cases():
         "events_windowed_topk_keep": lambda df: ev.windowed_topk(
             df, k=3, ties="keep"
         ),
+        # r12: continual bounded sum — NaN/±Inf/NULL values skip the
+        # clipped cell sums identically (the presence gate wraps the
+        # clamp: Spark's greatest() skips NULLs), NULL-ts rows drop
+        "dp_windowed_sum": lambda df: ev.dp_windowed_sum(
+            df, unit="hour", col="value", lo=0.0, hi=250.0,
+            epsilon=1.0, seed=7,
+        ),
         # r12: bounded mean — NaN/±Inf/NULL values contribute ZERO to
         # the clipped sum but still COUNT as rows, in both engines
         "dp_mean_value": lambda df: __import__(
