@@ -117,6 +117,32 @@ def main():
         f"so distinct n-grams constant, counts x{factor})"
     )
 
+    # --- optional: the wider event suite at the same replica ---------
+    if "--suite" in sys.argv:
+        suite = {
+            "cohort_retention": lambda e: ev.cohort_retention(e),
+            "windowed_anomaly": lambda e: ev.windowed_anomaly(e),
+            "transition_counts": lambda e: ev.transition_counts(e),
+            "rolling_actives_exact": lambda e: ev.rolling_active_users(
+                e, window_days=7
+            ),
+            "rolling_actives_bitmap": (
+                lambda e: ev.rolling_active_users_sketch(
+                    e, window_days=7, exact=True
+                )
+            ),
+            "dp_windowed_sum": lambda e: ev.dp_windowed_sum(
+                e, epsilon=1.0, seed=7
+            ),
+        }
+        for name, mk in suite.items():
+            s1 = med(lambda: mk(events1), repeats)
+            sN = med(lambda: mk(fixtures["events"]), repeats)
+            print(
+                f"{name} broadcast-off: 1x {s1:.2f}s -> {factor}x "
+                f"{sN:.2f}s (ratio {sN / s1:.2f})"
+            )
+
     # --- funnel: partitioning reuse across stages --------------------
     fun1 = lambda: ev.funnel_counts(events1)
     funN = lambda: ev.funnel_counts(fixtures["events"])
