@@ -255,6 +255,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_shuffle"] = lambda s, d: curation.shuffle_corpus(
         _t(s, d, "documents"), salt="shuffle1"
     ).select("doc_id", "shuffle_rank")
+    # r12 (late block — these two lead r13's new-key slots, after the
+    # 10 TPC-H stragglers): merit-ranked per-group cap + exact-quota
+    # stratified split
+    q["corpus_quality_cap"] = lambda s, d: (
+        curation.quality_cap_per_group(
+            _t(s, d, "documents"), group_col="source", max_per_group=5,
+            quality_col="n_chars", key_col="doc_id",
+        ).select("doc_id", "source", "n_chars")
+    )
+    q["split_stratified"] = lambda s, d: (
+        sampling.stratified_split(
+            _t(s, d, "documents"), 0.1, "doc_id", "source", salt="v1"
+        ).select("doc_id", "source", "split")
+    )
     # r12: temperature-scaled mixture shares (n^alpha balancing)
     q["mixture_temperature"] = lambda s, d: (
         curation.mixture_temperature_weights(
@@ -3432,6 +3446,40 @@ def oracle_sql() -> dict[str, str]:
                          < {_split_cut}
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
+    """
+    # r12: exact-quota stratified split — same salted-hash order as
+    # split_train_eval, ranked within stratum; ceil(n * 0.1) is the
+    # identical IEEE multiply in both engines
+    o["split_stratified"] = """
+        WITH h AS (
+            SELECT doc_id, source,
+                   CAST('0x'||substr(md5(doc_id || '_v1'), 1, 7)
+                        AS BIGINT) AS hh
+            FROM documents
+        ), r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY hh, doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM h
+        )
+        SELECT doc_id, source,
+               CASE WHEN rk <= CEIL(n * 0.1)
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM r
+    """
+    # r12: merit-ranked per-group cap — quality DESC NULLS LAST with
+    # the key tie-break is a total order identical in both engines
+    o["corpus_quality_cap"] = """
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC NULLS LAST, doc_id
+                   ) AS rk
+            FROM documents)
+        WHERE rk <= 5
     """
     o["corpus_clean_lines"] = r"""
         WITH lined AS (

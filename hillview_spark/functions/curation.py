@@ -323,6 +323,45 @@ def sample_to_mixture(
     return df.where(h < cut)
 
 
+def quality_cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    max_per_group: int = 100,
+    quality_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the TOP-QUALITY max_per_group rows per group — cap_per_
+    group's merit-ranked sibling ("keep the best 100 docs per
+    domain", the curation counterpart of quota sampling when a
+    quality signal exists). Selection = the max_per_group largest
+    (quality, key) tuples per group, quality descending with NULLs
+    LAST (a missing score never beats a real one; the key tie-break
+    makes the cut deterministic and engine-portable).
+
+    100-TB shape: the same two-phase top-N as cap_per_group — each
+    Spark partition's local top-N per group first (window over
+    (group, partition-id), parallel even when one domain owns half
+    the corpus), then the global rank over the bounded remainder.
+    Partitioning-independent because phase 1 keeps a superset of the
+    global top-N and phase 2 applies the total order."""
+    w_local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
+        F.col(quality_col).desc_nulls_last(), key_col
+    )
+    local = (
+        df.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= max_per_group)
+        .drop("__lrk")
+    )
+    w_global = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc_nulls_last(), key_col
+    )
+    return (
+        local.withColumn("__rk", F.row_number().over(w_global))
+        .where(F.col("__rk") <= max_per_group)
+        .drop("__rk")
+    )
+
+
 def mixture_temperature_weights(
     df: DataFrame,
     alpha: float = 0.5,

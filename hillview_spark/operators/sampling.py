@@ -15,7 +15,7 @@ duckdb oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
@@ -147,4 +147,52 @@ def split_train_eval(
     cut = int(eval_fraction * (16**7))
     return df.withColumn(
         "split", F.when(h < cut, F.lit("eval")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    eval_fraction: float,
+    key_col: str,
+    strata_col: str,
+    salt: str = "v1",
+) -> DataFrame:
+    """EXACT-quota stratified split: each stratum contributes exactly
+    ceil(eval_fraction x n_stratum) rows to eval, chosen by the same
+    salted-hash order as split_train_eval — the eval set preserves
+    the source/language mix EXACTLY instead of in expectation (at
+    small strata the hash-threshold split's binomial noise can leave
+    a language with zero eval docs; the quota cannot). Deterministic
+    and re-ingest-stable: membership is a pure function of
+    (key, salt) ranks within the stratum. NULL strata form their own
+    stratum (groupBy semantics); NULL keys fail loudly (salted_hex's
+    contract).
+
+    Scale note: the exact quota needs a per-stratum total order
+    (window sort over each stratum — one shuffle; a hot stratum
+    sorts on one partition, and the quota is O(stratum), so the
+    two-phase top-N shortcut does not apply). That is the price of
+    exactness: at extreme per-stratum cardinality use
+    split_train_eval, whose per-row threshold needs no shuffle and
+    is exact in expectation."""
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(
+            f"eval_fraction must be in [0, 1], got {eval_fraction!r}"
+        )
+    h = salted_hash(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy("__h", key_col)
+    wn = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "split",
+            F.when(
+                F.col("__rk")
+                <= F.ceil(F.col("__n") * F.lit(float(eval_fraction))),
+                F.lit("eval"),
+            ).otherwise(F.lit("train")),
+        )
+        .drop("__h", "__rk", "__n")
     )

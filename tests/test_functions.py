@@ -2974,3 +2974,67 @@ def test_mixture_temperature_weights(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         curation.mixture_temperature_weights(df, alpha=-0.1)
+
+
+def test_quality_cap_and_stratified_split(spark):
+    """r12: merit-ranked cap keeps the TOP-quality N per group with
+    NULL quality never beating a real score and a deterministic key
+    tie-break; the stratified split gives each stratum EXACTLY
+    ceil(frac x n) eval rows. Both are partitioning-independent."""
+    from hillview_spark.functions import curation
+    from hillview_spark.operators import sampling
+
+    rows = (
+        [(i, "a", 100 - i) for i in range(10)]          # a: 100..91
+        + [(20, "a", None), (21, "a", None)]             # NULL quality
+        + [(30 + i, "b", 50) for i in range(4)]          # b: all tied
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    kept = {
+        (r.source, r.doc_id)
+        for r in curation.quality_cap_per_group(
+            df, group_col="source", max_per_group=3,
+            quality_col="n_chars", key_col="doc_id",
+        ).collect()
+    }
+    # a: the three highest scores (100, 99, 98); NULLs lose to all
+    # real scores. b: tie broken by doc_id ascending.
+    assert kept == {("a", 0), ("a", 1), ("a", 2),
+                    ("b", 30), ("b", 31), ("b", 32)}
+    # partitioning independence (the two-phase selection must keep a
+    # superset in phase 1 under ANY layout)
+    kept2 = {
+        (r.source, r.doc_id)
+        for r in curation.quality_cap_per_group(
+            df.repartition(7), group_col="source", max_per_group=3,
+            quality_col="n_chars", key_col="doc_id",
+        ).collect()
+    }
+    assert kept2 == kept
+
+    split = sampling.stratified_split(df, 0.25, "doc_id", "source")
+    per = {
+        (r.source, r.split): 1
+        for r in split.groupBy("source", "split").count().collect()
+    }
+    counts = {
+        (r.source, r.split): r["count"]
+        for r in split.groupBy("source", "split").count().collect()
+    }
+    # a has 12 rows -> ceil(3.0) = 3 eval; b has 4 -> ceil(1.0) = 1
+    assert counts[("a", "eval")] == 3 and counts[("b", "eval")] == 1
+    assert counts[("a", "train")] == 9 and counts[("b", "train")] == 3
+    # membership is a pure function of (key, salt): stable under
+    # repartition
+    m1 = {(r.doc_id, r.split) for r in split.collect()}
+    m2 = {
+        (r.doc_id, r.split)
+        for r in sampling.stratified_split(
+            df.repartition(5), 0.25, "doc_id", "source"
+        ).collect()
+    }
+    assert m1 == m2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eval_fraction"):
+        sampling.stratified_split(df, 1.5, "doc_id", "source")

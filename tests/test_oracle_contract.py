@@ -44,6 +44,7 @@ FROZEN = {
     "streaming.events.dp_windowed_histogram": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 100.0, 'buckets': 10, 'epsilon': 1.0, 'seed': 0},
     "functions.curation.ngram_novelty": {'n': 3, 'min_df': 2, 'text_col': 'text', 'id_col': 'doc_id'},
     "functions.curation.shuffle_corpus": {'id_col': 'doc_id', 'salt': 'shuffle1'},
+    "functions.curation.quality_cap_per_group": {'group_col': 'source', 'max_per_group': 100, 'quality_col': 'n_chars', 'key_col': 'doc_id'},
     "functions.curation.mixture_temperature_weights": {'alpha': 0.5, 'source_col': 'source', 'ndigits': 6},
     "functions.curation.sample_to_mixture": {'source_col': 'source', 'key_col': 'doc_id', 'salt': 'mix1'},
     "functions.curation.clean_lines": {'text_col': 'text', 'id_col': 'doc_id', 'min_words': 3, 'require_terminal_punct': True, 'drop_patterns': (), 'min_lines': 1, 'sep': '\n'},
@@ -94,6 +95,7 @@ FROZEN = {
     "operators.histogram.histogram_and_singleton": {'buckets': 40},
     "operators.histogram.progressive_histogram_final": {'buckets': 40},
     "operators.sampling.systematic_sample": {'residue': 0},
+    "operators.sampling.stratified_split": {'salt': 'v1'},
     "operators.sampling.split_train_eval": {'salt': 'v1'},
     "operators.heavy_hitters.heavy_hitters": {'epsilon': 0.01},
     "operators.heavy_hitters.heavy_hitters_sampled": {'epsilon': 0.01, 'seed': 42, 'fraction': 0.01, 'sample_key': None},

@@ -135,6 +135,14 @@ CASES = {
     "mixture_temperature": lambda df: (
         curation.mixture_temperature_weights(df, alpha=0.5, ndigits=6)
     ),
+    # r12: exact-quota stratified split — the NULL-source row forms
+    # its own stratum with quota ceil(1 x 0.1) = 1, so it must land
+    # in eval identically in both engines
+    "split_stratified": lambda df: __import__(
+        "hillview_spark.operators.sampling", fromlist=["x"]
+    ).stratified_split(df, 0.1, "doc_id", "source").select(
+        "doc_id", "source", "split"
+    ),
     "split_train_eval": lambda df: __import__(
         "hillview_spark.operators.sampling", fromlist=["x"]
     ).split_train_eval(df, 0.1, "doc_id").select("doc_id", "split"),
