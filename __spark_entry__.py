@@ -255,9 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_shuffle"] = lambda s, d: curation.shuffle_corpus(
         _t(s, d, "documents"), salt="shuffle1"
     ).select("doc_id", "shuffle_rank")
-    # r12 (late block — these two lead r13's new-key slots, after the
-    # 10 TPC-H stragglers): merit-ranked per-group cap + exact-quota
-    # stratified split
+    # r12 (late block — these lead r13's new-key slots together with
+    # corpus_budget_select, after the 10 TPC-H stragglers):
+    # merit-ranked per-group cap + exact-quota stratified split
     q["corpus_quality_cap"] = lambda s, d: (
         curation.quality_cap_per_group(
             _t(s, d, "documents"), group_col="source", max_per_group=5,
@@ -268,6 +268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sampling.stratified_split(
             _t(s, d, "documents"), 0.1, "doc_id", "source", salt="v1"
         ).select("doc_id", "source", "split")
+    )
+    q["corpus_budget_select"] = lambda s, d: (
+        curation.select_within_budget(
+            _t(s, d, "documents"), budget=20000,
+            quality_col="n_chars", cost_col="n_chars", id_col="doc_id",
+        ).select("doc_id", "n_chars", "cum_cost")
     )
     # r12: temperature-scaled mixture shares (n^alpha balancing)
     q["mixture_temperature"] = lambda s, d: (
@@ -3468,6 +3474,19 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rk <= CEIL(n * 0.1)
                     THEN 'eval' ELSE 'train' END AS split
         FROM r
+    """
+    # r12: budget-prefix selection — one ordered running sum, cut at
+    # the budget; decimal sum so the cumulative is drift-free
+    o["corpus_budget_select"] = """
+        SELECT doc_id, n_chars, cum_cost FROM (
+            SELECT doc_id, n_chars,
+                   CAST(SUM(CAST(COALESCE(n_chars, 0)
+                                 AS DECIMAL(20,0))) OVER (
+                       ORDER BY n_chars DESC NULLS LAST, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_cost
+            FROM documents)
+        WHERE cum_cost <= 20000
     """
     # r12: merit-ranked per-group cap — quality DESC NULLS LAST with
     # the key tie-break is a total order identical in both engines

@@ -362,6 +362,46 @@ def quality_cap_per_group(
     )
 
 
+def select_within_budget(
+    df: DataFrame,
+    budget: float,
+    quality_col: str = "n_chars",
+    cost_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained corpus selection: order documents by merit
+    (quality DESC, NULLs last, id tie-break — a total order) and keep
+    the PREFIX whose cumulative cost stays within the budget — "fill
+    a 10B-token training budget with the best documents". The cost
+    column is whatever the budget is denominated in (tokens, chars,
+    bytes); a NULL cost counts as 0 (a doc with no measured cost
+    cannot burn budget it cannot be charged for). The cut is a strict
+    prefix: the first document that would overflow the budget stops
+    the selection (deterministic; no best-fit backfill, which would
+    be order-dependent knapsack). Adds `cum_cost`, the inclusive
+    running total.
+
+    Scale note: the running sum needs ONE global total order — run it
+    over the narrow (id, quality, cost) metadata projection, not the
+    payload (join the kept ids back for text); at extreme corpus
+    sizes replace the sort with a quality-threshold binary search
+    (each probe is one aggregate) and use this exact form on the
+    boundary stratum."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget!r}")
+    w = (
+        Window.orderBy(F.col(quality_col).desc_nulls_last(), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(
+        F.coalesce(F.col(cost_col), F.lit(0)).cast("decimal(20,0)")
+    ).over(w)
+    return (
+        df.withColumn("cum_cost", cum.cast("long"))
+        .where(F.col("cum_cost") <= F.lit(int(budget)))
+    )
+
+
 def mixture_temperature_weights(
     df: DataFrame,
     alpha: float = 0.5,

@@ -3038,3 +3038,40 @@ def test_quality_cap_and_stratified_split(spark):
 
     with _pytest.raises(ValueError, match="eval_fraction"):
         sampling.stratified_split(df, 1.5, "doc_id", "source")
+
+
+def test_select_within_budget_prefix_semantics(spark):
+    """r12: the budget cut is a strict merit-ordered PREFIX — the
+    first overflowing doc stops the selection even if a later smaller
+    doc would fit; NULL cost charges zero; budget 0 keeps only
+    zero-cost docs; negative budget raises."""
+    from hillview_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 100), (3, 5), (4, None)],
+        "doc_id long, n_chars int",
+    )
+    # merit = n_chars desc: order 2(100), 1(10), 3(5), 4(NULL->0).
+    # budget 110: cum 100, 110, 115x -> keep {2, 1}; doc 3 would fit
+    # a best-fit knapsack but NOT the deterministic prefix
+    kept = {
+        r.doc_id: r.cum_cost
+        for r in curation.select_within_budget(
+            df, budget=110, quality_col="n_chars", cost_col="n_chars"
+        ).collect()
+    }
+    assert kept == {2: 100, 1: 110}
+    # NULL cost charges zero: budget 115 reaches doc 3 (cum 115) and
+    # then doc 4 rides along at the same cumulative
+    kept2 = {
+        r.doc_id: r.cum_cost
+        for r in curation.select_within_budget(
+            df, budget=115, quality_col="n_chars", cost_col="n_chars"
+        ).collect()
+    }
+    assert kept2 == {2: 100, 1: 110, 3: 115, 4: 115}
+    assert curation.select_within_budget(df, budget=0).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        curation.select_within_budget(df, budget=-1)

@@ -44,6 +44,7 @@ FROZEN = {
     "streaming.events.dp_windowed_histogram": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 100.0, 'buckets': 10, 'epsilon': 1.0, 'seed': 0},
     "functions.curation.ngram_novelty": {'n': 3, 'min_df': 2, 'text_col': 'text', 'id_col': 'doc_id'},
     "functions.curation.shuffle_corpus": {'id_col': 'doc_id', 'salt': 'shuffle1'},
+    "functions.curation.select_within_budget": {'quality_col': 'n_chars', 'cost_col': 'n_chars', 'id_col': 'doc_id'},
     "functions.curation.quality_cap_per_group": {'group_col': 'source', 'max_per_group': 100, 'quality_col': 'n_chars', 'key_col': 'doc_id'},
     "functions.curation.mixture_temperature_weights": {'alpha': 0.5, 'source_col': 'source', 'ndigits': 6},
     "functions.curation.sample_to_mixture": {'source_col': 'source', 'key_col': 'doc_id', 'salt': 'mix1'},
