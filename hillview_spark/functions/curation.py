@@ -374,12 +374,17 @@ def select_within_budget(
     the PREFIX whose cumulative cost stays within the budget — "fill
     a 10B-token training budget with the best documents". The cost
     column is whatever the budget is denominated in (tokens, chars,
-    bytes); a NULL cost counts as 0 (a doc with no measured cost
-    cannot burn budget it cannot be charged for). The cut is a strict
-    prefix: the first document that would overflow the budget stops
-    the selection (deterministic; no best-fit backfill, which would
-    be order-dependent knapsack). Adds `cum_cost`, the inclusive
-    running total.
+    bytes — an INTEGER denomination: a fractional budget raises, r13,
+    instead of the silent int() truncation the r12 form applied); a
+    NULL cost counts as 0 (a doc with no measured cost cannot burn
+    budget it cannot be charged for) and a NEGATIVE cost clamps to 0
+    (r13 — same charges-nothing rule; a raw negative after an
+    overflowing row could pull the running total back under budget
+    and re-admit rows, breaking the prefix guarantee below). The cut
+    is a strict prefix: the first document that would overflow the
+    budget stops the selection (deterministic; no best-fit backfill,
+    which would be order-dependent knapsack). Adds `cum_cost`, the
+    inclusive running total.
 
     Scale note: the running sum needs ONE global total order — run it
     over the narrow (id, quality, cost) metadata projection, not the
@@ -389,12 +394,19 @@ def select_within_budget(
     boundary stratum."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget!r}")
+    if budget != int(budget):
+        raise ValueError(
+            "budget is integer-denominated (tokens/chars/bytes); got "
+            f"{budget!r} — round it yourself to make the cut explicit"
+        )
     w = (
         Window.orderBy(F.col(quality_col).desc_nulls_last(), id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(
-        F.coalesce(F.col(cost_col), F.lit(0)).cast("decimal(20,0)")
+        F.greatest(
+            F.coalesce(F.col(cost_col), F.lit(0)), F.lit(0)
+        ).cast("decimal(20,0)")
     ).over(w)
     return (
         df.withColumn("cum_cost", cum.cast("long"))
@@ -419,18 +431,31 @@ def mixture_temperature_weights(
 
     Cross-engine float rule: POWER and division run in the same op
     order both engines, then one round(ndigits) pins the released
-    values. Scale: one groupBy(source) collapses the scan to
-    |sources| rows; the share total rides a 1-row broadcast cross
-    and the max-rate normalizer a single-partition window over
-    |sources| rows — nothing downstream of the aggregate is
-    data-sized."""
+    values. The n^alpha TOTAL is an explicit SORTED sequential fold
+    (r13): a bare SUM of doubles adds in shuffle-merge order, which
+    neither Spark nor DuckDB pins run-to-run — sorting the
+    |sources|-element list ascending and left-folding makes the
+    addition sequence identical on both engines (equal values are
+    adjacent under the sort, and swapping adjacent equal addends
+    cannot change a sequential sum). Scale: one groupBy(source)
+    collapses the scan to |sources| rows; the fold runs over that
+    bounded list in one 1-row aggregate, the share total rides a
+    1-row broadcast cross and the max-rate normalizer a
+    single-partition window over |sources| rows — nothing downstream
+    of the aggregate is data-sized."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha!r}")
     counts = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     p = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
-    tot = counts.agg(F.sum(p).alias("__tot"))
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__tot")
+    )
     rate = p / F.col("__tot") / F.col("n_docs").cast("double")
     w = Window.partitionBy()
     return (

@@ -728,3 +728,185 @@ def select_representatives(
             F.col("n_members"),
         )
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_sites: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring repeated-span detection at token granularity —
+    the suffix-array dedup pass of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr
+    variant), re-expressed distributed: a token position lies inside
+    a repeated substring of length >= n IFF some n-gram window
+    covering it occurs at >= min_sites (doc, pos) sites corpus-wide
+    (within-doc repeats count — a suffix array sees those too), so
+    the maximal repeated spans are exactly the maximal contiguous
+    runs of positions covered by duplicated n-grams. No suffix array
+    needed: duplicated n-grams are the seeds, and interval-merging
+    them IS the extension step ("seed-and-extend" — the n-gram
+    anchors localize candidates; the merge extends a seed to the
+    full arbitrary-length span).
+
+    Output: one row per maximal span — (id_col, span_start,
+    span_end, span_tokens, n_dup_grams, span_text), positions
+    1-based inclusive token indexes. Deterministic: spans are a pure
+    function of the corpus. Docs with no repeated span (including
+    NULL text and < n-token docs) simply have no rows — this is a
+    span report, not a per-doc score (that is ngram_novelty).
+
+    Two adjacent duplicated windows at starts p and q merge iff
+    q - p <= n (overlap when < n, touching runs when = n): the
+    covered-position union is contiguous exactly then.
+
+    100-TB shape: the dedup-family inverted-index discipline —
+    positioned grams carry 8-byte md5-prefix keys, ONE groupBy(gram)
+    finds duplicated seeds (shuffle ∝ total grams, never pairs), a
+    semi-join marks covered positions, and the island merge is a
+    per-doc window (lag + running sum — partition-local, ∝ covered
+    positions). Reporting joins the narrow span table back to the
+    token arrays once for span_text. Reference: Hillview has no
+    dedup (SURVEY §2.4 extension)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n!r}")
+    if min_sites < 2:
+        raise ValueError(f"min_sites must be >= 2, got {min_sites!r}")
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams_arr = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toked.select(
+        "doc", F.posexplode(grams_arr).alias("__p0", "__g")
+    ).select(
+        "doc",
+        (F.col("__p0") + 1).alias("pos"),
+        _token_hash(F.col("__g")).alias("gh"),
+    )
+    g = cache.persist(g)
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("sites"))
+        .where(F.col("sites") >= min_sites)
+        .select("gh")
+    )
+    cov = g.join(dup, "gh").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    isl = cov.withColumn(
+        "__brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        isl.groupBy("doc", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("__island")
+    )
+    return spans.join(toked, "doc").select(
+        F.col("doc").alias(id_col),
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+        F.col("n_dup_grams").cast("long"),
+        F.array_join(
+            F.slice(
+                "__toks",
+                F.col("span_start").cast("int"),
+                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_sites: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup, the EDIT half: cut every token that
+    lies inside a repeated_spans span (Lee et al. 2022 delete the
+    repeated bytes from all but one site; this removes them from ALL
+    sites — the simpler policy with the same training-dup outcome,
+    stated here so the semantics are explicit) and reassemble the
+    survivors. Complements remove_repeated_segments (line/segment
+    granularity, fixed blocks) with arbitrary-length span removal.
+
+    Output: one row per INPUT document — (id_col, text_col rebuilt
+    from surviving tokens, n_tokens_kept, n_tokens_removed). A doc
+    with no spans keeps all its tokens; NULL/empty text rebuilds as
+    '' with 0/0 counts (the chunk_documents anchoring rule: an
+    edit pass must not drop documents).
+
+    Scale: repeated_spans' shuffles plus one collect_list of the
+    per-doc span list (rows ∝ spans, tiny next to tokens) and one
+    equi-join back to the token arrays; the cut itself is a
+    per-row higher-order filter — no extra shuffle."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    spans = repeated_spans(df, n, min_sites, id_col, text_col)
+    per_doc = spans.groupBy(F.col(id_col).alias("doc")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    spans_type = ArrayType(
+        StructType(
+            [
+                StructField("span_start", LongType()),
+                StructField("span_end", LongType()),
+            ]
+        )
+    )
+    toked = df.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
+    )
+    joined = toked.join(
+        per_doc, toked[id_col] == per_doc["doc"], "left"
+    ).select(
+        F.col(id_col),
+        "__toks",
+        F.coalesce("__spans", F.array().cast(spans_type)).alias("__spans"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i + 1 >= sp["span_start"])
+            & (i + 1 <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size("__toks") - F.size(kept))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )

@@ -687,8 +687,18 @@ SPECIAL_TOTAL_COUNT = -1
 SPECIAL_NULL_COUNT = -2
 SPECIAL_DISTINCT_COUNT = -3
 # r12 extension beyond the reference's bucket list: the bounded-sum
-# mechanism's draw (dp_sum / dp_mean's numerator)
+# mechanism's draw (dp_sum's release)
 SPECIAL_SUM = -4
+# r13: dp_mean's OWN component buckets. Its numerator originally
+# shared SPECIAL_SUM with dp_sum (and its denominator TotalCount with
+# dp_count); Laplace noise is linear in scale for a fixed uniform, so
+# releasing dp_sum and dp_mean on the same table at the same seed let
+# (mean's sum component - 2 * sum release) cancel the noise exactly —
+# a 0-DP pair, not eps1+eps2. The windowed family's 'wsum'/'wcounts'
+# domain tags enforce draw separation; these buckets are the batch
+# mechanisms' equivalent discipline.
+SPECIAL_MEAN_SUM = -5
+SPECIAL_MEAN_COUNT = -6
 
 
 def count_noise(
@@ -775,15 +785,22 @@ def dp_sum(
     Cross-engine float rule: the clipped values go through a
     DECIMAL(20,6) cast before the sum (lossless for the <=6-decimal
     fixtures; the engine-wide money discipline), so the aggregate is
-    order-independent and the only double op is the final
-    noise addition — bit-identical when the oracle adds the same
-    re-derived draw.
+    order-independent, and the release is floor(sum + noise + 0.5) —
+    an INTEGER, the same discipline as every other release in this
+    file (r13; the r12 form shipped the raw double, whose exact repr
+    depended on JVM Math.log vs DuckDB LN staying bit-equal — true on
+    this box, but a libm skew would flip the hash gate; the floor
+    absorbs the documented <=1-ulp drift, and sub-unit precision is
+    pure noise anyway at scale >= max(|lo|,|hi|) >= one whole
+    contribution).
 
     Scale: one Tungsten aggregate, map-side combined; the noise is a
     driver-computed literal (data-independent), so the plan is a
     single scan + single-partition final sum at ANY data size."""
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r}]")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
     sens = max(abs(float(lo)), abs(float(hi)))
     scale = sens / epsilon
     noise = node_noise(seed, column_index, scale, (SPECIAL_SUM, 0), prf=prf)
@@ -794,12 +811,13 @@ def dp_sum(
                 F.lit(float(hi))),
     ).otherwise(F.lit(0.0))
     return df.agg(
-        (
+        F.floor(
             F.coalesce(
                 F.sum(clipped.cast("decimal(20,6)")), F.lit(0)
             ).cast("double")
             + F.lit(noise)
-        ).alias("noisy_sum"),
+            + F.lit(0.5)
+        ).cast("long").alias("noisy_sum"),
         F.lit(laplace_variance(scale)).alias("variance"),
     )
 
@@ -815,25 +833,37 @@ def dp_mean(
     prf: str = "sha256",
 ) -> DataFrame:
     """Noisy bounded mean via the standard ratio composition: half
-    the budget to the clipped sum (SPECIAL_SUM draw), half to the
-    row count (SPECIAL_TOTAL_COUNT draw — same construction as
-    dp_count at epsilon/2), released as sum/count. Basic
-    composition makes the pair epsilon-DP overall. The count here
-    counts ALL rows (NULL/non-finite contribute 0 to the sum but ARE
-    rows — the same population both releases describe).
+    the budget to the clipped sum, half to the row count, released
+    as sum/count. Basic composition makes the pair epsilon-DP
+    overall. The count counts ALL rows (NULL/non-finite contribute 0
+    to the sum but ARE rows — the same population both releases
+    describe). Both draws come from dp_mean's OWN buckets
+    (SPECIAL_MEAN_SUM / SPECIAL_MEAN_COUNT, r13): sharing dp_sum's
+    SPECIAL_SUM bucket made the (dp_sum, dp_mean) pair at one seed a
+    0-DP noise-cancellation oracle — Laplace is linear in scale for
+    a fixed uniform, so mean_sum_noise was exactly 2x sum_noise and
+    the difference exposed the exact clipped sum.
 
-    noisy_mean is NULL when the noisy count lands <= 0 (possible at
-    tiny populations — the honest "too small to release" signal,
-    rather than a division blow-up). Both components ship alongside
-    so a dashboard can re-derive or re-round."""
+    Components release as floor(x + 0.5) integers (the file-wide
+    discipline — absorbs cross-library LN drift; sub-unit precision
+    is noise at these scales); noisy_mean is their exact IEEE ratio,
+    deterministic given the integer components. noisy_mean is NULL
+    when the noisy count lands <= 0 (possible at tiny populations —
+    the honest "too small to release" signal, rather than a division
+    blow-up). Both components ship alongside so a dashboard can
+    re-derive or re-round."""
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r}]")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
     half = epsilon / 2.0
     sens = max(abs(float(lo)), abs(float(hi)))
     sum_noise = node_noise(
-        seed, column_index, sens / half, (SPECIAL_SUM, 0), prf=prf
+        seed, column_index, sens / half, (SPECIAL_MEAN_SUM, 0), prf=prf
     )
-    cnt_noise = count_noise(half, seed, column_index, prf=prf)
+    cnt_noise = count_noise(
+        half, seed, column_index, special=SPECIAL_MEAN_COUNT, prf=prf
+    )
     c = F.col(col)
     clipped = F.when(
         c.isNotNull() & numeric.finite_pred(c),
@@ -841,21 +871,24 @@ def dp_mean(
                 F.lit(float(hi))),
     ).otherwise(F.lit(0.0))
     agg = df.agg(
-        (
+        F.floor(
             F.coalesce(
                 F.sum(clipped.cast("decimal(20,6)")), F.lit(0)
             ).cast("double")
             + F.lit(sum_noise)
-        ).alias("noisy_sum"),
-        (F.count(F.lit(1)).cast("double") + F.lit(cnt_noise))
-        .alias("noisy_count"),
+            + F.lit(0.5)
+        ).cast("long").alias("noisy_sum"),
+        F.floor(
+            F.count(F.lit(1)).cast("double") + F.lit(cnt_noise) + F.lit(0.5)
+        ).cast("long").alias("noisy_count"),
     )
     return agg.select(
         "noisy_sum",
         "noisy_count",
         F.when(
             F.col("noisy_count") > 0,
-            F.col("noisy_sum") / F.col("noisy_count"),
+            F.col("noisy_sum").cast("double")
+            / F.col("noisy_count").cast("double"),
         ).alias("noisy_mean"),
     )
 

@@ -174,7 +174,18 @@ def stratified_split(
     two-phase top-N shortcut does not apply). That is the price of
     exactness: at extreme per-stratum cardinality use
     split_train_eval, whose per-row threshold needs no shuffle and
-    is exact in expectation."""
+    is exact in expectation.
+
+    Quota float rule (r13): the quota is ceil(round(n * fraction, 9))
+    — the round snaps the IEEE product back to the true decimal
+    before the ceiling. A bare ceil(n * fraction) overshoots by one
+    whenever the true product is integral but the nearest-double
+    product rounds UP (fraction=0.07, n=100: 100*0.07 =
+    7.000000000000001 -> ceil 8, violating the "exactly
+    ceil(fraction*n)" promise; the r12 form had this wobble —
+    engine-consistent, but a contract break). round(,9) is safe
+    because a true product this size is >= 1e-9 away from any other
+    9-decimal value while the double error is ~1e-13 relative."""
     if not 0.0 <= eval_fraction <= 1.0:
         raise ValueError(
             f"eval_fraction must be in [0, 1], got {eval_fraction!r}"
@@ -190,7 +201,11 @@ def stratified_split(
             "split",
             F.when(
                 F.col("__rk")
-                <= F.ceil(F.col("__n") * F.lit(float(eval_fraction))),
+                <= F.ceil(
+                    F.round(
+                        F.col("__n") * F.lit(float(eval_fraction)), 9
+                    )
+                ),
                 F.lit("eval"),
             ).otherwise(F.lit("train")),
         )

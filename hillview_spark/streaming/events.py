@@ -474,6 +474,137 @@ def _noisy_sums(
     )
 
 
+def dp_windowed_mean(
+    events: DataFrame,
+    unit: str = "hour",
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 250.0,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Continual bounded-MEAN release (r13) — the ratio composition
+    of the gated sum and count mechanisms, per (window, type) cell:
+    half the budget to the clipped-contribution sum (privacy.dp_mean's
+    construction, applied cell-wise), half to the cell's row count.
+    Each event lands in exactly one cell, so parallel composition
+    across cells plus basic composition of the two halves gives
+    epsilon-DP overall. The count counts ALL the cell's rows
+    (NULL/non-finite values contribute nothing to the sum but ARE
+    rows — the same population both components describe; NULL-ts rows
+    drop, the family's watermark rule).
+
+    The two draws are keyed under dp_windowed_mean's OWN domain tags
+    ('wmsum' / 'wmcnt') so no draw is ever shared with the
+    'wsum'/'wcounts'/'whist' mechanisms at the same seed — the
+    discipline the batch dp_mean learned in r13 (its shared
+    SPECIAL_SUM bucket made the (dp_sum, dp_mean) pair 0-DP).
+    Components release as floor(x + 0.5) integers (the family-wide
+    LN-drift absorber); noisy_mean is their exact IEEE ratio, NULL
+    when the noisy count lands <= 0.
+
+    Scale: one groupBy shuffle to O(windows x types) cells computing
+    both aggregates; noise is a codegen'd per-cell expression, so the
+    same formula streams (see stream_dp_windowed_mean)."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    cells = (
+        events.groupBy(
+            trunc_ntz(F.col("ts"), unit).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(_clipped_value(events, col, lo, hi)
+                      .cast("decimal(20,6)")),
+                F.lit(0),
+            ).cast("double").alias("sum_clipped"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("window_start").isNotNull())
+    )
+    return _noisy_means(cells, lo, hi, epsilon, seed)
+
+
+def stream_dp_windowed_mean(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 250.0,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of dp_windowed_mean: watermarked tumbling
+    windows whose clipped sums and row counts are perturbed by the
+    same cell-keyed noise expressions — each window's release is
+    derivable the moment the watermark closes it. Drive with
+    outputMode('append') so each cell is released exactly once."""
+    stream = _event_time_stream(spark, events_dir, schema)
+    cells = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.coalesce(
+                F.sum(_clipped_value(stream, col, lo, hi)
+                      .cast("decimal(20,6)")),
+                F.lit(0),
+            ).cast("double").alias("sum_clipped"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "sum_clipped",
+            "n_events",
+        )
+    )
+    return _noisy_means(cells, lo, hi, epsilon, seed)
+
+
+def _noisy_means(
+    cells: DataFrame, lo: float, hi: float, epsilon: float, seed: int
+) -> DataFrame:
+    """ONE noisy-mean release select shared by the batch and
+    streaming twins (the _noisy_counts discipline): the sum half at
+    Laplace(2 * sensitivity / epsilon) under 'wmsum', the count half
+    at Laplace(2 / epsilon) under 'wmcnt' — each mechanism's own
+    domain tags, never shared with 'wsum'/'wcounts'/'whist'."""
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    half = epsilon / 2.0
+    sens = max(abs(float(lo)), abs(float(hi)))
+    secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    sum_noise = laplace_noise_col(
+        epsilon, seed, secs, F.col("event_type"), F.lit("wmsum"),
+        scale=sens / half, prf="md5",
+    )
+    cnt_noise = laplace_noise_col(
+        epsilon, seed, secs, F.col("event_type"), F.lit("wmcnt"),
+        scale=1.0 / half, prf="md5",
+    )
+    return cells.select(
+        "window_start",
+        "event_type",
+        F.floor(F.col("sum_clipped") + sum_noise + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_sum"),
+        F.floor(F.col("n_events").cast("double") + cnt_noise + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_count"),
+    ).withColumn(
+        "noisy_mean",
+        F.when(
+            F.col("noisy_count") > 0,
+            F.col("noisy_sum").cast("double")
+            / F.col("noisy_count").cast("double"),
+        ),
+    )
+
+
 def windowed_topk(
     events: DataFrame,
     unit: str = "hour",

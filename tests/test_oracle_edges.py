@@ -123,6 +123,17 @@ CASES = {
     ).top_terms_per_doc(df, k=3, min_df=2, max_df_frac=0.95),
     "text_lm_nll": lambda df: text.bigram_lm_nll(df, alpha=0.1),
     "dedup_simhash": lambda df: dedup.simhash_pairs(df, max_hamming=3),
+    # r13: exact-substring spans — the dup quad (1/2/10/20) shares
+    # one 5-gram (one whole-doc span each), NULL/empty/whitespace/
+    # short docs must have NO rows, and the tab/newline doc 10 must
+    # tokenize identically; the remove twin must keep every input
+    # doc, rebuilding the un-spanned ones verbatim
+    "dedup_substring": lambda df: dedup.repeated_spans(
+        df, n=5, min_sites=2
+    ),
+    "dedup_substring_remove": lambda df: dedup.remove_repeated_spans(
+        df, n=5, min_sites=2
+    ),
     "text_repetition_stats": lambda df: curation.repetition_stats(df),
     "corpus_shuffle": lambda df: curation.shuffle_corpus(df).select(
         "doc_id", "shuffle_rank"
@@ -339,6 +350,12 @@ def _events_cases():
             df, unit="hour", col="value", lo=0.0, hi=250.0,
             epsilon=1.0, seed=7,
         ),
+        # r13: the bounded-mean composition — non-finite values skip
+        # the cell sum but COUNT as rows, in both engines
+        "dp_windowed_mean": lambda df: ev.dp_windowed_mean(
+            df, unit="hour", col="value", lo=0.0, hi=250.0,
+            epsilon=1.0, seed=7,
+        ),
         # r12: bounded mean — NaN/±Inf/NULL values contribute ZERO to
         # the clipped sum but still COUNT as rows, in both engines
         "dp_mean_value": lambda df: __import__(
@@ -508,6 +525,12 @@ def _stream_cases():
         "dp_windowed_histogram_stream": (
             ev.stream_dp_windowed_histogram, "complete",
             {"col": "value", "lo": 0.0, "hi": 500.0, "buckets": 10,
+             "epsilon": 1.0, "seed": 7}),
+        # r13: the continual bounded-mean twin — NaN/Inf/NULL values
+        # must skip the cell sums but COUNT as rows, identically
+        "dp_windowed_mean_stream": (
+            ev.stream_dp_windowed_mean, "complete",
+            {"col": "value", "lo": 0.0, "hi": 250.0,
              "epsilon": 1.0, "seed": 7}),
     }
 

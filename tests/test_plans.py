@@ -529,3 +529,35 @@ def test_rolling_actives_sketch_plan_shapes(spark, tables):
         # ABOVE the cache read, not above the parquet scan
         gen = plan.index("Generate")
         assert "InMemoryTableScan" in plan[gen:], plan[gen:gen + 400]
+
+
+def test_dp_windowed_mean_single_shuffle(spark, tables):
+    """r13: the continual MEAN release computes BOTH aggregates in
+    the one groupBy shuffle (not a sum-release x count-release join);
+    each cell's two noise draws are per-row expressions on the
+    aggregate output — no second exchange, no cartesian, no Python."""
+    from hillview_spark.streaming import events as ev
+
+    df = ev.dp_windowed_mean(
+        tables["events"], "hour", "value", lo=0.0, hi=250.0,
+        epsilon=1.0, seed=3,
+    )
+    ex.assert_max_shuffles(df, 1)
+    ex.assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_repeated_spans_inverted_index_no_cartesian(spark, tables):
+    """r13: exact-substring dedup must keep the dedup-family shape —
+    the seed discovery is ONE groupBy over positioned grams and the
+    coverage mark-up an equi-join back (never all-pairs), the island
+    merge a per-doc window; no cartesian anywhere, no Python."""
+    from hillview_spark.functions import dedup
+
+    df = dedup.repeated_spans(tables["documents"], n=5, min_sites=2)
+    ex.assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    rm = dedup.remove_repeated_spans(tables["documents"], n=5, min_sites=2)
+    ex.assert_no_cartesian(rm)

@@ -1068,10 +1068,11 @@ def test_schema_paths_apply_string_global_max(spark):
 
 
 def test_dp_sum_clips_and_noises(spark):
-    """r12: bounded sum — NULL/Inf contribute ZERO (not dropped-row:
-    absence must not shift the release), clipping actually clamps,
-    the draw is the SPECIAL_SUM bucket at sensitivity/epsilon, and
-    the variance is the analytic Laplace variance."""
+    """r12 (floor-release r13): bounded sum — NULL/Inf contribute
+    ZERO (not dropped-row: absence must not shift the release),
+    clipping actually clamps, the draw is the SPECIAL_SUM bucket at
+    sensitivity/epsilon, the release is the floor(x+0.5) integer
+    discipline, and the variance is the analytic Laplace variance."""
     import math as _math
 
     from pyspark.sql import functions as F
@@ -1084,42 +1085,86 @@ def test_dp_sum_clips_and_noises(spark):
     row = P.dp_sum(df, "v", lo=0.0, hi=10.0, epsilon=2.0, seed=3).first()
     noise = P.node_noise(3, 0, 10.0 / 2.0, (P.SPECIAL_SUM, 0))
     # clip: 2 + 10 + 0; NULL/Inf/NaN -> 0
-    assert row.noisy_sum == 12.0 + noise
+    assert row.noisy_sum == _math.floor(12.0 + noise + 0.5)
     assert row.variance == 2.0 * 5.0 * 5.0
     # negative lo: clamp keeps sensitivity at max(|lo|, |hi|)
     row2 = P.dp_sum(df, "v", lo=-5.0, hi=10.0, epsilon=1.0, seed=3).first()
     noise2 = P.node_noise(3, 0, 10.0, (P.SPECIAL_SUM, 0))
-    assert row2.noisy_sum == (2.0 + 10.0 - 5.0) + noise2
+    assert row2.noisy_sum == _math.floor((2.0 + 10.0 - 5.0) + noise2 + 0.5)
     with pytest.raises(ValueError, match="hi > lo"):
         P.dp_sum(df, "v", lo=1.0, hi=1.0, epsilon=1.0)
-    # empty frame: sum releases pure noise, not NULL
+    # r13 (r12-verdict ADVICE): epsilon must be validated — 0 died
+    # with ZeroDivisionError, negative silently flipped the noise
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="epsilon"):
+            P.dp_sum(df, "v", lo=0.0, hi=10.0, epsilon=bad)
+        with pytest.raises(ValueError, match="epsilon"):
+            P.dp_mean(df, "v", lo=0.0, hi=10.0, epsilon=bad)
+    # empty frame: sum releases pure (rounded) noise, not NULL
     empty = df.where(F.col("id") < 0)
     assert P.dp_sum(empty, "v", lo=0.0, hi=10.0, epsilon=2.0,
-                    seed=3).first().noisy_sum == noise
+                    seed=3).first().noisy_sum == _math.floor(noise + 0.5)
     assert not _math.isnan(noise)
 
 
 def test_dp_mean_ratio_and_guard(spark):
-    """r12: mean = (eps/2 clipped sum) / (eps/2 count), each its own
-    bucket; a non-positive noisy count releases NULL, never a
-    division blow-up."""
+    """r12 (own-bucket + floor release r13): mean = (eps/2 clipped
+    sum) / (eps/2 count), each from dp_mean's OWN PRF bucket; a
+    non-positive noisy count releases NULL, never a division
+    blow-up."""
+    import math as _math
+
     df = spark.createDataFrame(
         [(1, 4.0), (2, 8.0), (3, None)], "id long, v double"
     )
     row = P.dp_mean(df, "v", lo=0.0, hi=10.0, epsilon=2.0, seed=3).first()
-    sum_noise = P.node_noise(3, 0, 10.0 / 1.0, (P.SPECIAL_SUM, 0))
-    cnt_noise = P.count_noise(1.0, 3, 0)
-    assert row.noisy_sum == 12.0 + sum_noise
-    assert row.noisy_count == 3.0 + cnt_noise
+    sum_noise = P.node_noise(3, 0, 10.0 / 1.0, (P.SPECIAL_MEAN_SUM, 0))
+    cnt_noise = P.count_noise(1.0, 3, 0, special=P.SPECIAL_MEAN_COUNT)
+    assert row.noisy_sum == _math.floor(12.0 + sum_noise + 0.5)
+    assert row.noisy_count == _math.floor(3.0 + cnt_noise + 0.5)
     assert row.noisy_mean == row.noisy_sum / row.noisy_count
     # guard: drive the noisy count <= 0 via an empty frame and a
-    # seed whose count draw is negative (search a few seeds)
+    # seed whose count draw is well below -0.5 (search a few seeds)
     from pyspark.sql import functions as F
 
     empty = df.where(F.col("id") < 0)
     seed = next(
-        s for s in range(50) if P.count_noise(1.0, s, 0) <= 0
+        s for s in range(50)
+        if P.count_noise(1.0, s, 0, special=P.SPECIAL_MEAN_COUNT) <= -1.0
     )
     g = P.dp_mean(empty, "v", lo=0.0, hi=10.0, epsilon=2.0,
                   seed=seed).first()
     assert g.noisy_count <= 0 and g.noisy_mean is None
+
+
+def test_dp_mean_buckets_disjoint_from_dp_sum_and_dp_count(spark):
+    """r13 regression (r12-verdict ADVICE, medium): dp_mean's
+    components must NOT share PRF buckets with dp_sum/dp_count.
+    With the shared SPECIAL_SUM bucket, Laplace linearity in scale
+    (noise = scale * f(uniform), same uniform) made
+    mean_sum_noise == 2 * sum_noise EXACTLY at epsilon_mean ==
+    epsilon_sum, so (mean's sum component - 2 * dp_sum release)
+    was the exact clipped sum — a 0-DP pair. Pin the algebraic
+    independence at the draw level and end-to-end."""
+    # draw level: the old cancellation identity must no longer hold
+    s_noise = P.node_noise(7, 0, 10.0, (P.SPECIAL_SUM, 0))
+    m_noise = P.node_noise(7, 0, 2 * 10.0, (P.SPECIAL_MEAN_SUM, 0))
+    assert m_noise != 2.0 * s_noise
+    c_noise = P.count_noise(1.0, 7, 0)
+    mc_noise = P.count_noise(0.5, 7, 0, special=P.SPECIAL_MEAN_COUNT)
+    assert mc_noise != 2.0 * c_noise
+    # uniforms differ, not just scales: same scale, different bucket
+    assert P.node_noise(7, 0, 1.0, (P.SPECIAL_SUM, 0)) != P.node_noise(
+        7, 0, 1.0, (P.SPECIAL_MEAN_SUM, 0)
+    )
+    assert P.node_noise(7, 0, 1.0, (P.SPECIAL_MEAN_COUNT, 0)) != P.node_noise(
+        7, 0, 1.0, (P.SPECIAL_TOTAL_COUNT, 0)
+    )
+    # bucket constants stay distinct from every other special bucket
+    specials = [
+        P.SPECIAL_TOTAL_COUNT, P.SPECIAL_NULL_COUNT,
+        P.SPECIAL_DISTINCT_COUNT, P.SPECIAL_SUM,
+        P.SPECIAL_MEAN_SUM, P.SPECIAL_MEAN_COUNT,
+    ]
+    assert len(set(specials)) == len(specials)
+    assert all(b < 0 for b in specials)

@@ -1027,3 +1027,82 @@ def test_stream_dp_windowed_sum_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert again == batch_rows
+
+
+def test_stream_dp_windowed_mean_matches_batch(spark, tmp_path):
+    """r13: the continual bounded-MEAN release streams bit-for-bit —
+    same 'wmsum'/'wmcnt' cell noise, same clipped decimal sum and row
+    count, same integer floors, same IEEE ratio — and its draws are
+    DISJOINT from dp_windowed_sum's 'wsum' draws at the same seed
+    (the batch dp_mean's r13 lesson: a shared draw makes the pair a
+    0-DP noise-cancellation oracle)."""
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(d, "events.parquet"),
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_dp_windowed_mean(
+        spark, d, raw.schema, col="value", lo=0.0, hi=250.0,
+        epsilon=1.0, seed=3,
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_dp_winmean")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r.window_start, r.event_type):
+            (r.noisy_sum, r.noisy_count, r.noisy_mean)
+        for r in spark.sql("SELECT * FROM t_dp_winmean").collect()
+    }
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    mean_rel = ev.dp_windowed_mean(
+        batch, "hour", "value", lo=0.0, hi=250.0, epsilon=1.0, seed=3
+    )
+    batch_rows = {
+        (r.window_start, r.event_type):
+            (r.noisy_sum, r.noisy_count, r.noisy_mean)
+        for r in mean_rel.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 0
+    # the mean is the exact ratio of the integer components (or NULL
+    # on a non-positive count)
+    for s, c, m in batch_rows.values():
+        assert m == (s / c if c > 0 else None)
+    # draw separation from the SUM mechanism at the same seed: if
+    # 'wmsum' shared 'wsum''s uniform, Laplace linearity would make
+    # the mean's pre-floor sum noise exactly 2x the sum release's on
+    # every cell; with disjoint tags the two releases must not be in
+    # that lockstep on this many cells
+    sum_rows = {
+        (r.window_start, r.event_type): r.noisy_sum
+        for r in ev.dp_windowed_sum(
+            batch, "hour", "value", lo=0.0, hi=250.0, epsilon=1.0,
+            seed=3,
+        ).collect()
+    }
+    assert sum_rows.keys() == batch_rows.keys()
+    assert any(
+        batch_rows[k][0] != sum_rows[k] for k in sum_rows
+    )
+    # and directly: at ONE cell key and ONE scale, the three domain
+    # tags produce three different draws (the uniform itself is
+    # tag-keyed, not just the scale)
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    probe = spark.range(1).select(
+        *[
+            laplace_noise_col(
+                1.0, 3, F.lit("3600"), F.lit("click"), F.lit(tag),
+                scale=1.0, prf="md5",
+            ).alias(tag)
+            for tag in ("wsum", "wmsum", "wmcnt")
+        ]
+    ).first()
+    assert len({probe.wsum, probe.wmsum, probe.wmcnt}) == 3
