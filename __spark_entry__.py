@@ -250,6 +250,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontaminate_bloom"] = _decontaminate_bloom
+
+    def _decontaminate_spans(s, d):
+        # r13 (late block — leads r14's new-key slots): span-level
+        # decontamination — report the actual train/eval overlapping
+        # spans instead of binary-dropping contaminated docs
+        docs = _t(s, d, "documents")
+        ev_docs = docs.where(F.col("doc_id") % 20 == 0)
+        train = docs.where(F.col("doc_id") % 20 != 0)
+        return dedup.contamination_spans(train, ev_docs, n=5)
+
+    q["decontaminate_spans"] = _decontaminate_spans
     # salt pinned explicitly: the oracle re-derives the md5 rank with
     # this literal (r12 oracle review — literal-drift class)
     q["corpus_shuffle"] = lambda s, d: curation.shuffle_corpus(
@@ -3730,6 +3741,45 @@ def oracle_sql() -> dict[str, str]:
           AND doc_id NOT IN (SELECT doc_id FROM cont)
     """
     o["decontaminate_bloom"] = o["decontaminate_train"]
+    # r13: span-level decontamination — positioned train 5-grams
+    # probed against the DISTINCT eval gram set, covered positions
+    # island-merged exactly as dedup_substring
+    o["decontaminate_spans"] = r"""
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '') AS t
+                    FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     CAST('0x'||substr(md5(
+                         array_to_string(t[i:i+4], ' ')),1,15) AS BIGINT)
+                         AS gh
+              FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
+              WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+        cov AS (SELECT doc_id, pos FROM g
+                WHERE doc_id % 20 <> 0 AND gh IN (SELECT gh FROM ev)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id,
+                         MIN(pos) AS span_start,
+                         MAX(pos) + 4 AS span_end,
+                         COUNT(*) AS n_dup_grams
+                  FROM isl2 GROUP BY doc_id, island)
+        SELECT s.doc_id,
+               CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_end AS BIGINT) AS span_end,
+               CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens,
+               CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+               array_to_string(t[span_start:span_end], ' ') AS span_text
+        FROM spans s JOIN tk USING (doc_id)
+    """
 
     o["corpus_shuffle"] = """
         SELECT doc_id,

@@ -774,26 +774,8 @@ def repeated_spans(
         raise ValueError(f"n must be >= 1, got {n!r}")
     if min_sites < 2:
         raise ValueError(f"min_sites must be >= 2, got {min_sites!r}")
-    from pyspark.sql import Window
-
-    toked = df.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
-    )
-    grams_arr = F.when(
-        F.size("__toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-            lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = toked.select(
-        "doc", F.posexplode(grams_arr).alias("__p0", "__g")
-    ).select(
-        "doc",
-        (F.col("__p0") + 1).alias("pos"),
-        _token_hash(F.col("__g")).alias("gh"),
-    )
-    g = cache.persist(g)
+    toked = _tokenized(df, id_col, text_col)
+    g = cache.persist(_positioned_grams(toked, n))
     dup = (
         g.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("sites"))
@@ -801,6 +783,44 @@ def repeated_spans(
         .select("gh")
     )
     cov = g.join(dup, "gh").select("doc", "pos")
+    return _report_spans(_merge_islands(cov, n), toked, id_col)
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+
+
+def _positioned_grams(toked: DataFrame, n: int) -> DataFrame:
+    """(doc, pos, gh): EVERY n-gram occurrence with its 1-based start
+    position and 60-bit md5-prefix key — positioned, NOT distinct
+    (within-doc repeats are sites too). Docs with < n tokens (and
+    NULL texts) contribute no rows."""
+    grams_arr = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select(
+        "doc", F.posexplode(grams_arr).alias("__p0", "__g")
+    ).select(
+        "doc",
+        (F.col("__p0") + 1).alias("pos"),
+        _token_hash(F.col("__g")).alias("gh"),
+    )
+
+
+def _merge_islands(cov: DataFrame, n: int) -> DataFrame:
+    """Merge covered window starts (doc, pos) into maximal spans:
+    the lag/running-sum island rule — a new island starts when the
+    gap between consecutive starts exceeds n (window length), i.e.
+    when the covered-position union stops being contiguous. Returns
+    (doc, span_start, span_end, n_dup_grams)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc").orderBy("pos")
     isl = cov.withColumn(
         "__brk",
@@ -815,7 +835,7 @@ def repeated_spans(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    spans = (
+    return (
         isl.groupBy("doc", "__island")
         .agg(
             F.min("pos").alias("span_start"),
@@ -824,6 +844,14 @@ def repeated_spans(
         )
         .drop("__island")
     )
+
+
+def _report_spans(
+    spans: DataFrame, toked: DataFrame, id_col: str
+) -> DataFrame:
+    """Join the narrow span table back to the token arrays once and
+    slice out span_text; shared by repeated_spans (corpus-internal)
+    and contamination_spans (cross-corpus)."""
     return spans.join(toked, "doc").select(
         F.col("doc").alias(id_col),
         F.col("span_start").cast("long"),
@@ -841,6 +869,63 @@ def repeated_spans(
             " ",
         ).alias("span_text"),
     )
+
+
+def contamination_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Cross-corpus exact-substring contamination report — the
+    span-level companion of `decontaminate` (which drops a whole
+    train doc on one shared n-gram): for each TRAIN document, the
+    maximal token spans every position of which lies inside some
+    n-gram shared verbatim with the EVAL corpus. A benchmark-leak
+    audit gets the actual overlapping text with positions, so a
+    pipeline can cut the spans (surgical, keeps the doc) or rank
+    documents by contaminated mass instead of binary-dropping them.
+
+    Honest semantics note: a reported span is the union of
+    OVERLAPPING shared windows — every position is inside a shared
+    substring of length >= n, but the maximal span need not occur
+    contiguously in any single eval document (two overlapping
+    windows may match different eval docs). That is the standard
+    n-gram-cover construction (same as repeated_spans), and the
+    conservative direction for an audit: it over-marks, never
+    under-marks.
+
+    Output: repeated_spans' schema — (id_col, span_start, span_end,
+    span_tokens, n_dup_grams, span_text), 1-based inclusive token
+    positions in the TRAIN doc; n_dup_grams counts shared windows.
+    Train docs with no shared window have no rows.
+
+    100-TB shape: eval n-grams collapse to a DISTINCT key set (no
+    positions needed on that side) — typically millions of rows for
+    a benchmark suite against billions for the corpus, so the
+    membership probe rides a broadcast hash join (broadcast_eval,
+    the `decontaminate` discipline); set it False to let AQE pick a
+    shuffle join when the eval side is itself corpus-sized. The
+    train side stays the repeated_spans pipeline: positioned grams,
+    semi-join, per-doc island merge."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n!r}")
+    toked = _tokenized(df, id_col, text_col)
+    g = _positioned_grams(toked, n)
+    eval_toked = _tokenized(
+        eval_df, eval_id_col or id_col, eval_text_col or text_col
+    )
+    eval_grams = (
+        _positioned_grams(eval_toked, n).select("gh").distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    cov = g.join(eval_grams, "gh", "leftsemi").select("doc", "pos")
+    return _report_spans(_merge_islands(cov, n), toked, id_col)
 
 
 def remove_repeated_spans(

@@ -3260,3 +3260,50 @@ def test_remove_repeated_spans_edits_all_sites(spark):
         3: ("k1 k2 k3 k4 k5", 5, 0),
         4: ("", 0, 0),
     }
+
+
+def test_contamination_spans_cross_corpus(spark):
+    """r13: span-level decontamination — a train doc's positions
+    covered by eval-shared n-grams merge into maximal spans; train-
+    internal duplication alone must NOT mark anything (the probe is
+    the EVAL gram set, unlike repeated_spans); clean train docs and
+    degenerate eval docs yield no rows; broadcast off matches on."""
+    from hillview_spark.functions import dedup
+
+    train = spark.createDataFrame(
+        [
+            (1, "q1 q2 a b c d q3 q4"),   # shares "a b c d" with eval
+            (2, "u1 u2 u3 u1 u2 u3"),      # train-internal dup only
+            (3, "clean doc here ok now"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "x y a b c d z"), (101, ""), (102, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end):
+            (r.span_tokens, r.n_dup_grams, r.span_text)
+        for r in dedup.contamination_spans(train, ev, n=3).collect()
+    }
+    # eval 3-grams of "x y a b c d z" include "a b c" and "b c d":
+    # doc 1 positions 3..6 covered -> one merged 4-token span
+    assert got == {(1, 3, 6): (4, 2, "a b c d")}
+    got_shuffle = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.contamination_spans(
+            train, ev, n=3, broadcast_eval=False
+        ).collect()
+    }
+    assert got_shuffle == {(1, 3, 6)}
+    # distinct eval-side column names map through
+    ev2 = ev.selectExpr("doc_id AS eid", "text AS body")
+    got2 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.contamination_spans(
+            train, ev2, n=3, eval_id_col="eid", eval_text_col="body"
+        ).collect()
+    }
+    assert got2 == {(1, 3, 6)}

@@ -134,6 +134,15 @@ CASES = {
     "dedup_substring_remove": lambda df: dedup.remove_repeated_spans(
         df, n=5, min_sites=2
     ),
+    # r13: span-level decontamination through the gate's own %20
+    # derivation — eval doc 20 carries the dup quad's text, so the
+    # train twins (1/2/10, tab/newline included) must each report
+    # one whole-doc span; NULL/empty/short train docs stay silent
+    "decontaminate_spans": lambda df: dedup.contamination_spans(
+        df.where(F.col("doc_id") % 20 != 0),
+        df.where(F.col("doc_id") % 20 == 0),
+        n=5,
+    ),
     "text_repetition_stats": lambda df: curation.repetition_stats(df),
     "corpus_shuffle": lambda df: curation.shuffle_corpus(df).select(
         "doc_id", "shuffle_rank"
