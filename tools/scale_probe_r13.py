@@ -59,11 +59,27 @@ def replicate(df, factor, shift_cols):
     return out
 
 
-def med(f, repeats):
+def med(f, repeats, force=None):
+    """Median wall time of materializing f(). A bare .count() is NOT
+    an honest driver here: Catalyst prunes unreferenced columns (the
+    span_text slice, the noise expressions) and can eliminate a left
+    join against a unique-keyed aggregate outright — the first probe
+    run measured remove_repeated_spans FASTER at 10x because count()
+    had optimized away the entire spans side. `force` names columns
+    to aggregate (sum of length for strings, sum otherwise), so every
+    measured plan computes the full released values."""
     ts = []
     for _ in range(repeats):
         t0 = time.time()
-        f().count()
+        df = f()
+        if force:
+            aggs = []
+            for c, kind in force:
+                col = F.length(F.col(c)) if kind == "str" else F.col(c)
+                aggs.append(F.sum(col).alias(c))
+            df.agg(*aggs).collect()
+        else:
+            df.count()
         cache.release_all()
         ts.append(time.time() - t0)
     return statistics.median(ts)
@@ -111,8 +127,10 @@ def main():
         plan = ex.physical_plan(df)
         assert "CartesianProduct" not in plan, "cartesian under -1!"
         assert "ShuffledNestedLoop" not in plan
-    t1 = med(sp1, repeats)
-    tN = med(spN, repeats)
+    span_force = [("span_tokens", "num"), ("n_dup_grams", "num"),
+                  ("span_text", "str")]
+    t1 = med(sp1, repeats, force=span_force)
+    tN = med(spN, repeats, force=span_force)
     print(
         f"repeated_spans broadcast-off: 1x {t1:.2f}s -> {factor}x "
         f"{tN:.2f}s (ratio {tN / t1:.2f}; identical-text replicas "
@@ -126,8 +144,10 @@ def main():
     )
     for df in (rm1(), rmN()):
         ex.assert_no_cartesian(df)
-    r1 = med(rm1, repeats)
-    rN = med(rmN, repeats)
+    rm_force = [("text", "str"), ("n_tokens_kept", "num"),
+                ("n_tokens_removed", "num")]
+    r1 = med(rm1, repeats, force=rm_force)
+    rN = med(rmN, repeats, force=rm_force)
     print(
         f"remove_repeated_spans broadcast-off: 1x {r1:.2f}s -> "
         f"{factor}x {rN:.2f}s (ratio {rN / r1:.2f})"
@@ -143,8 +163,10 @@ def main():
         f"dp_windowed_mean hash-exchange count grew with data: "
         f"{e1} at 1x vs {eN} at {factor}x"
     )
-    m1 = med(dm1, repeats)
-    mN = med(dmN, repeats)
+    dm_force = [("noisy_sum", "num"), ("noisy_count", "num"),
+                ("noisy_mean", "num")]
+    m1 = med(dm1, repeats, force=dm_force)
+    mN = med(dmN, repeats, force=dm_force)
     print(
         f"dp_windowed_mean broadcast-off: 1x {m1:.2f}s -> {factor}x "
         f"{mN:.2f}s (ratio {mN / m1:.2f}; hash-exchanges {e1} == {eN} "
