@@ -487,6 +487,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_distinct_custkey"] = lambda s, d: privacy.dp_distinct_count(
         _t(s, d, "orders"), "o_custkey", epsilon=1.0, seed=7, prf="md5str"
     )
+    # r13 (late block — leads r14 with decontaminate_spans): the
+    # stability histogram over an UNKNOWN domain — which user ids are
+    # frequent, (eps, delta)-DP with the domain protected by the
+    # threshold, no curated bucket list. delta=1e-14 puts tau ~67.4
+    # inside the fixture's 49..88 count range, so the threshold
+    # genuinely drops values at both fixtures.
+    q["dp_active_users"] = lambda s, d: privacy.dp_histogram_unknown_domain(
+        _t(s, d, "events"), "user_id", epsilon=1.0, delta=1e-14, seed=7,
+        prf="md5",
+    )
     q["dp_next_k_rows"] = lambda s, d: privacy.dp_next_k(
         _t(s, d, "lineitem"),
         ["l_returnflag", "l_linestatus", "l_quantity"],
@@ -2845,6 +2855,42 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(noisy_sum AS DOUBLE)
                          / CAST(noisy_count AS DOUBLE) END AS noisy_mean
         FROM agg
+    """
+
+    # r13: stability histogram over the unknown user-id domain — the
+    # value-keyed 'udom' draw re-derives from md5(user_id|udom|7),
+    # the release is the rounded integer, and the threshold tau =
+    # 1 + 2*ln(2/delta)/eps + 0.5 is the identical Python literal on
+    # both sides (membership depends only on the drift-absorbed
+    # integer release, not a raw double compare)
+    o["dp_active_users"] = f"""
+        WITH c AS (
+            SELECT user_id AS value, COUNT(*) AS cnt
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ), unif AS (
+            SELECT value, cnt,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('value')} || '|udom|7'),
+                           1, 13)) AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM c
+        )
+        SELECT value,
+               CAST(FLOOR(CAST(cnt AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_count
+        FROM unif
+        WHERE CAST(FLOOR(CAST(cnt AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT)
+              > {1.0 + 2.0 * _math.log(2.0 / 1e-14) / 1.0 + 0.5!r}
     """
 
     # per-key counts are noised with the portable md5-PRF Laplace

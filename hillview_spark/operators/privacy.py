@@ -1204,3 +1204,71 @@ def dp_histogram_from_schema(
         # underlying mechanism supports
         prf=prf,
     )
+
+
+def dp_histogram_unknown_domain(
+    df: DataFrame,
+    col: str,
+    epsilon: float,
+    delta: float,
+    seed: int = 0,
+    prf: str = "md5",
+) -> DataFrame:
+    """Stability-based histogram over an UNKNOWN domain — the
+    (epsilon, delta)-DP thresholded release (Korolova-Kenthapadi-
+    Mishra-Ntoulas WWW'09; Bun-Nissim-Stemmer's stability histogram):
+    noisy counts per DISTINCT present value, released only when the
+    noisy count clears a threshold calibrated so that values backed
+    by a single record appear with probability <= delta. This is the
+    mechanism the reference's DP design cannot express: its
+    DPWrapper releases need a curator-quantized bucket list
+    (StringColumnQuantization's fixed boundaries), while here the
+    domain is whatever the data contains — the "which user IDs /
+    which search queries are frequent" release — and the domain
+    ITSELF is protected by the threshold, not by pre-declared
+    buckets.
+
+    Mechanism: per value v, release floor(count(v) + Lap(1/epsilon)
+    + 0.5) if that INTEGER exceeds tau = 1 + 2*ln(2/delta)/epsilon
+    + 0.5. One row changes one count by 1 (event-level adjacency):
+    the epsilon half is the usual Laplace bound on released counts,
+    the delta half bounds the probability that a count-1 value's
+    noise exceeds the threshold gap (the extra +0.5 absorbs the
+    rounding slack: thresholding the ROUNDED release at tau + 0.5 is
+    at least as strict as thresholding the raw release at tau, so
+    the calibration survives the integer discipline that makes the
+    release hash-portable). NULL values are not a domain element and
+    are excluded (dp_histogram_string's rule).
+
+    The noise is value-keyed PRF Laplace under the 'udom' domain tag
+    (laplace_noise_col — computable on an unbounded domain with no
+    driver enumeration, the same property the windowed releases
+    use), so the whole release — including WHICH values appear — is
+    deterministic per seed and re-derivable by the DuckDB oracle.
+
+    Scale: one groupBy(col) shuffle to the distinct-value frame;
+    noise and threshold are codegen'd per-row expressions on the
+    aggregate output. At 100 TB the release is shuffle ∝ distinct
+    values — the same bound as any distinct-count, with map-side
+    combine doing the heavy lifting."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta!r}")
+    tau = 1.0 + 2.0 * math.log(2.0 / delta) / epsilon + 0.5
+    c = F.col(col)
+    counts = df.where(c.isNotNull()).groupBy(c.alias("value")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    noise = laplace_noise_col(
+        epsilon, seed, F.col("value"), F.lit("udom"),
+        scale=1.0 / epsilon, prf=prf,
+    )
+    noisy = (
+        F.floor(F.col("__cnt").cast("double") + noise + F.lit(0.5))
+        .cast("long")
+    )
+    return (
+        counts.select("value", noisy.alias("noisy_count"))
+        .where(F.col("noisy_count") > F.lit(tau))
+    )

@@ -44,6 +44,7 @@ FROZEN = {
     "streaming.events.dp_windowed_counts": {'unit': 'hour', 'epsilon': 1.0, 'seed': 0},
     "streaming.events.dp_windowed_histogram": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 100.0, 'buckets': 10, 'epsilon': 1.0, 'seed': 0},
     "functions.curation.ngram_novelty": {'n': 3, 'min_df': 2, 'text_col': 'text', 'id_col': 'doc_id'},
+    "operators.privacy.dp_histogram_unknown_domain": {'seed': 0, 'prf': 'md5'},
     "functions.dedup.repeated_spans": {'n': 10, 'min_sites': 2, 'id_col': 'doc_id', 'text_col': 'text'},
     "functions.dedup.remove_repeated_spans": {'n': 10, 'min_sites': 2, 'id_col': 'doc_id', 'text_col': 'text'},
     "functions.dedup.contamination_spans": {'n': 10, 'id_col': 'doc_id', 'text_col': 'text', 'eval_id_col': None, 'eval_text_col': None, 'broadcast_eval': True},

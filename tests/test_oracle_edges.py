@@ -365,6 +365,15 @@ def _events_cases():
             df, unit="hour", col="value", lo=0.0, hi=250.0,
             epsilon=1.0, seed=7,
         ),
+        # r13: the unknown-domain stability histogram — NULL user ids
+        # are not a domain element; the edge fixture's tiny per-user
+        # counts sit far below tau, so BOTH engines must agree the
+        # release is empty (not a half-filtered one)
+        "dp_active_users": lambda df: __import__(
+            "hillview_spark.operators.privacy", fromlist=["x"]
+        ).dp_histogram_unknown_domain(
+            df, "user_id", epsilon=1.0, delta=1e-14, seed=7, prf="md5"
+        ),
         # r12: bounded mean — NaN/±Inf/NULL values contribute ZERO to
         # the clipped sum but still COUNT as rows, in both engines
         "dp_mean_value": lambda df: __import__(

@@ -1168,3 +1168,56 @@ def test_dp_mean_buckets_disjoint_from_dp_sum_and_dp_count(spark):
     ]
     assert len(set(specials)) == len(specials)
     assert all(b < 0 for b in specials)
+
+
+def test_dp_histogram_unknown_domain_threshold(spark):
+    """r13: the stability histogram — noisy per-value counts over an
+    UNKNOWN domain, released only above tau = 1 + 2*ln(2/delta)/eps
+    + 0.5. The full release (membership AND values) re-derives in
+    Python from the md5 'udom' recipe; a count-1 value never clears
+    a tau this size, NULLs are not a domain element, and bad
+    epsilon/delta raise."""
+    import hashlib
+    import math
+
+    rows = (
+        [(i, "whale") for i in range(40)]
+        + [(100 + i, "dolphin") for i in range(25)]
+        + [(200, "minnow")]          # count 1: must stay hidden
+        + [(201, None)]              # NULL: excluded outright
+    )
+    df = spark.createDataFrame(rows, "id long, v string")
+    eps, delta, seed = 1.0, 1e-6, 7
+    tau = 1.0 + 2.0 * math.log(2.0 / delta) / eps + 0.5  # ~30.5
+
+    def noise(value):
+        u = int(
+            hashlib.md5(f"{value}|udom|{seed}".encode()).hexdigest()[:13],
+            16,
+        ) * 2.0**-52
+        u = min(max(u, 2.0**-53), 1.0 - 2.0**-53)
+        r = 0.5 - u
+        if r < 0:
+            return -math.log(1.0 - 2.0 * (-r))
+        return math.log(1.0 - 2.0 * r)
+
+    want = {}
+    for value, cnt in (("whale", 40), ("dolphin", 25), ("minnow", 1)):
+        rel = math.floor(cnt + noise(value) + 0.5)
+        if rel > tau:
+            want[value] = rel
+    got = {
+        r.value: r.noisy_count
+        for r in P.dp_histogram_unknown_domain(
+            df, "v", epsilon=eps, delta=delta, seed=seed
+        ).collect()
+    }
+    assert got == want
+    assert "minnow" not in got and None not in got
+    assert "whale" in got  # 40 >> tau+1: the release is non-trivial
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="epsilon"):
+            P.dp_histogram_unknown_domain(df, "v", bad, 1e-6)
+    for bad_d in (0.0, 1.0, -0.5):
+        with pytest.raises(ValueError, match="delta"):
+            P.dp_histogram_unknown_domain(df, "v", 1.0, bad_d)

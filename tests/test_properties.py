@@ -323,3 +323,70 @@ def test_len_prefix_coin_encoding_injective(pairs):
     assert len(set(encoded)) == len(pairs), (
         f"aliased keys: {pairs} -> {encoded}"
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_repeated_spans_match_bruteforce_cover(spark, corpora, n):
+    """r13 property pin: over random tiny-alphabet corpora (where
+    collisions are the NORM, unlike the fixtures), repeated_spans
+    must equal the brute-force definition — position p in doc D is
+    covered iff SOME n-window containing p occurs at >= 2 (doc, pos)
+    sites corpus-wide; spans are the maximal covered runs. Also the
+    removal conservation law: kept + removed == token count, and the
+    removed positions are exactly the covered ones."""
+    from hillview_spark.functions import dedup
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # brute force
+    from collections import Counter
+
+    grams = Counter()
+    for i, toks in enumerate(corpora):
+        for p in range(len(toks) - n + 1):
+            grams[tuple(toks[p:p + n])] += 1
+    covered = {}
+    for i, toks in enumerate(corpora):
+        cov = set()
+        for p in range(len(toks) - n + 1):
+            if grams[tuple(toks[p:p + n])] >= 2:
+                cov.update(range(p + 1, p + n + 1))  # 1-based inclusive
+        covered[i] = cov
+    want_spans = set()
+    for i, cov in covered.items():
+        for p in sorted(cov):
+            if p - 1 not in cov:  # run start
+                q = p
+                while q + 1 in cov:
+                    q += 1
+                want_spans.add((i, p, q))
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.repeated_spans(df, n=n, min_sites=2).collect()
+    }
+    assert got == want_spans
+
+    rm = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup.remove_repeated_spans(df, n=n, min_sites=2).collect()
+    }
+    assert set(rm) == set(range(len(corpora)))
+    for i, toks in enumerate(corpora):
+        text_, kept, removed = rm[i]
+        assert kept + removed == len(toks)
+        assert removed == len(covered[i])
+        want_text = " ".join(
+            t for p, t in enumerate(toks, start=1) if p not in covered[i]
+        )
+        assert text_ == want_text
