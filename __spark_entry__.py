@@ -446,6 +446,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), unit="hour", col="value", lo=0.0,
         hi=250.0, epsilon=1.0, seed=7
     )
+    # r13 (late block — leads r14): private DAU, the continual
+    # family's DISTINCT release; 'wdist' tag, event-level adjacency
+    q["dp_windowed_distinct"] = lambda s, d: ev.dp_windowed_distinct(
+        _t(s, d, "events"), unit="hour", col="user_id",
+        epsilon=1.0, seed=7
+    )
     # hash-oracled since r6: with the engine-portable md5str PRF the
     # whole Chan-Song-Shi release — hour leaf, base-20 digit
     # decomposition of the prefix, per-node draw, ordered noise sum —
@@ -709,6 +715,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_windowed_mean_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_dp_windowed_mean, "dpwinmean",
         col="value", lo=0.0, hi=250.0, epsilon=1.0, seed=7,
+    )
+    q["dp_windowed_distinct_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_dp_windowed_distinct, "dpwindist",
+        col="user_id", epsilon=1.0, seed=7,
     )
     q["dp_windowed_histogram_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_dp_windowed_histogram, "dpwinhist",
@@ -4539,6 +4549,38 @@ def oracle_sql() -> dict[str, str]:
         FROM released
     """
     o["dp_windowed_mean_stream"] = o["dp_windowed_mean"]
+    # r13: private DAU — the continual DISTINCT release under the
+    # 'wdist' tag at event-level sensitivity 1; countDistinct skips
+    # NULL entities in both engines, NULL-ts rows drop
+    o["dp_windowed_distinct"] = f"""
+        WITH cells AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), unif AS (
+            SELECT window_start, event_type, n_distinct,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('event_type')}
+                           || '|wdist|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM cells
+        )
+        SELECT window_start, event_type,
+               CAST(FLOOR(CAST(n_distinct AS DOUBLE)
+                    + (CASE WHEN 0.5 - u < 0
+                            THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                            ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                    + 0.5) AS BIGINT) AS noisy_distinct
+        FROM unif
+    """
+    o["dp_windowed_distinct_stream"] = o["dp_windowed_distinct"]
     # r11: DP transition matrix — sensitivity 3 (one event touches up
     # to 2 pairs and its removal can mint 1 between its neighbors),
     # so the Laplace scale is 3.0; the cell key is the escaped

@@ -605,6 +605,79 @@ def _noisy_means(
     )
 
 
+def dp_windowed_distinct(
+    events: DataFrame,
+    unit: str = "hour",
+    col: str = "user_id",
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Continual DISTINCT-entity release (r13) — private DAU: noisy
+    distinct entities per (window, type) cell, finishing the
+    continual family (counts, histogram, sum, mean, distinct). At
+    EVENT-level adjacency (the family's granularity — stated
+    explicitly because distinct counts make the distinction bite:
+    removing one EVENT moves a cell's distinct count by at most 1,
+    so one Laplace(1/epsilon) draw per cell under the 'wdist' domain
+    tag is epsilon-DP by parallel composition; USER-level adjacency
+    would need a per-user contribution bound first, since one user
+    can touch every window). NULL entities are skipped by
+    countDistinct in both engines, and NULL event times drop (the
+    family's watermark rule).
+
+    Scale: one shuffle whose state is the per-cell distinct set —
+    bounded by entities per window, not events (map-side partial
+    dedup); the noise is a codegen'd per-cell expression, so the
+    same formula streams (stream_dp_windowed_distinct)."""
+    cells = windowed_distinct(events, unit, col).where(
+        F.col("window_start").isNotNull()
+    )
+    return _noisy_distinct(cells, epsilon, seed)
+
+
+def stream_dp_windowed_distinct(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    col: str = "user_id",
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of dp_windowed_distinct: the watermarked
+    dropDuplicates-then-count composition (distinct aggregates are
+    unsupported in streaming plans — stream_windowed_distinct's
+    construction) perturbed by the same cell-keyed 'wdist' noise.
+    Drive with outputMode('append') so each cell is released exactly
+    once."""
+    cells = stream_windowed_distinct(
+        spark, events_dir, schema, window_duration, watermark, col
+    )
+    return _noisy_distinct(cells, epsilon, seed)
+
+
+def _noisy_distinct(cells: DataFrame, epsilon: float, seed: int) -> DataFrame:
+    """ONE noisy-distinct release select shared by the batch and
+    streaming twins (the _noisy_counts discipline), keyed under the
+    'wdist' domain tag so no draw is shared with the other windowed
+    mechanisms at one seed."""
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    noise = laplace_noise_col(
+        epsilon, seed, secs, F.col("event_type"), F.lit("wdist"),
+        scale=1.0 / epsilon, prf="md5",
+    )
+    return cells.select(
+        "window_start",
+        "event_type",
+        F.floor(F.col("n_distinct").cast("double") + noise + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_distinct"),
+    )
+
+
 def windowed_topk(
     events: DataFrame,
     unit: str = "hour",

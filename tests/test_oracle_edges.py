@@ -365,6 +365,11 @@ def _events_cases():
             df, unit="hour", col="value", lo=0.0, hi=250.0,
             epsilon=1.0, seed=7,
         ),
+        # r13: private DAU — NULL entities skipped by countDistinct,
+        # NULL-ts rows drop, cell noise identical on the remainder
+        "dp_windowed_distinct": lambda df: ev.dp_windowed_distinct(
+            df, unit="hour", col="user_id", epsilon=1.0, seed=7,
+        ),
         # r13: the unknown-domain stability histogram — NULL user ids
         # are not a domain element; the edge fixture's tiny per-user
         # counts sit far below tau, so BOTH engines must agree the
@@ -550,6 +555,11 @@ def _stream_cases():
             ev.stream_dp_windowed_mean, "complete",
             {"col": "value", "lo": 0.0, "hi": 250.0,
              "epsilon": 1.0, "seed": 7}),
+        # r13: private-DAU twin — dropDuplicates composition + cell
+        # noise must match the oracle on NULL users/times
+        "dp_windowed_distinct_stream": (
+            ev.stream_dp_windowed_distinct, "complete",
+            {"col": "user_id", "epsilon": 1.0, "seed": 7}),
     }
 
 

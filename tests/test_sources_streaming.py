@@ -1106,3 +1106,53 @@ def test_stream_dp_windowed_mean_matches_batch(spark, tmp_path):
         ]
     ).first()
     assert len({probe.wsum, probe.wmsum, probe.wmcnt}) == 3
+
+
+def test_stream_dp_windowed_distinct_matches_batch(spark, tmp_path):
+    """r13: private DAU streams bit-for-bit — the dropDuplicates
+    composition counts exactly what countDistinct counts, and the
+    'wdist' cell noise is the same expression on both twins; the
+    draw is disjoint from 'wcounts' at the same seed."""
+    d = str(tmp_path / "events_dir")
+    os.makedirs(d)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(d, "events.parquet"),
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sdf = ev.stream_dp_windowed_distinct(
+        spark, d, raw.schema, col="user_id", epsilon=1.0, seed=3
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_dp_windist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r.window_start, r.event_type): r.noisy_distinct
+        for r in spark.sql("SELECT * FROM t_dp_windist").collect()
+    }
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_rows = {
+        (r.window_start, r.event_type): r.noisy_distinct
+        for r in ev.dp_windowed_distinct(
+            batch, "hour", "user_id", epsilon=1.0, seed=3
+        ).collect()
+    }
+    assert stream_rows == batch_rows and len(batch_rows) > 0
+    # tag separation: 'wdist' and 'wcounts' draws differ at one key
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    probe = spark.range(1).select(
+        *[
+            laplace_noise_col(
+                1.0, 3, F.lit("3600"), F.lit("click"), F.lit(tag),
+                scale=1.0, prf="md5",
+            ).alias(tag)
+            for tag in ("wdist", "wcounts")
+        ]
+    ).first()
+    assert probe.wdist != probe.wcounts
