@@ -141,6 +141,16 @@ def laplace_variance(scale: float) -> float:
     return 2.0 * scale * scale
 
 
+def _check_epsilon(epsilon: float) -> None:
+    """Shared guard (r13, VERDICT-r12 ADVICE follow-through for the
+    whole family): epsilon = 0 died with ZeroDivisionError deep in
+    the scale arithmetic and a NEGATIVE epsilon silently flipped the
+    noise sign into a nonsensical 'release' — the reference's
+    computeCountNoise throws on epsilon <= 0 (DPWrapper.java)."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
+
+
 def _uniform(
     seed: int, column_index: int, *nodes: tuple[int, int], prf: str = "sha256"
 ) -> float:
@@ -315,6 +325,7 @@ def dp_histogram(
     (data-independent) node list alone instead of trusting
     Python-computed noise literals.
     """
+    _check_epsilon(epsilon)
     leaves = max(1, math.ceil((hi - lo) / granularity))
     buckets = min(buckets, leaves)
     scale = noise_scale(epsilon, leaves, k=k)
@@ -424,6 +435,7 @@ def dp_quantiles(
     left edge, computed driver-side with the identical float
     expression the spine row uses — so the plan embeds exactly one
     scan."""
+    _check_epsilon(epsilon)
     cdf = dp_histogram(
         df, col, lo, hi, granularity, epsilon, buckets, seed, column_index,
         cdf=True, k=k, prf=prf,
@@ -490,6 +502,7 @@ def dp_heatmap(
     the fold existed to prevent. A real k-adic node always has
     start >= 0, so the sentinel can never collide with an interval;
     the oracles' md5 keys carry the same '-1:ciy|' prefix."""
+    _check_epsilon(epsilon)
     xleaves = max(1, math.ceil((xhi - xlo) / xgranularity))
     yleaves = max(1, math.ceil((yhi - ylo) / ygranularity))
     xbuckets, ybuckets = min(xbuckets, xleaves), min(ybuckets, yleaves)
@@ -726,6 +739,7 @@ def dp_count(
     """Noisy total row count (DPWrapper.getTableMetadata,
     DPWrapper.java:167-174): COUNT(*) + Laplace(1/epsilon), rounded
     half-up, with the analytic noise variance alongside."""
+    _check_epsilon(epsilon)
     noise = count_noise(epsilon, seed, column_index, prf=prf)
     var = laplace_variance(1.0 / epsilon)
     return df.agg(
@@ -751,6 +765,7 @@ def dp_distinct_count(
     estimate; exact keeps the result deterministic and oracle-able —
     swap in distinct_count_approx for the sketch at extreme
     cardinalities)."""
+    _check_epsilon(epsilon)
     noise = count_noise(
         epsilon, seed, column_index, SPECIAL_DISTINCT_COUNT, prf=prf
     )
@@ -934,6 +949,7 @@ def dp_next_k(
     own draw on top of the noisy list). A caller keeping a privacy
     ledger should charge 2*epsilon per page, or halve the parameter.
     """
+    _check_epsilon(epsilon)
     from hillview_spark.operators.spreadsheet import next_k
 
     page = next_k(df, sort_cols, k, ascending, start)
@@ -980,6 +996,7 @@ def dp_histogram_string(
     returns -1 and GroupBySketch drops it — and, when the curator's
     explicit `global_max` is given, values strictly above it are
     excluded too (value == global_max stays in the last leaf)."""
+    _check_epsilon(epsilon)
     bs = sorted(left_boundaries)
     leaves = len(bs)
     # explicit None check (r10): `buckets or leaves` silently turned

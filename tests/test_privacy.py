@@ -1221,3 +1221,33 @@ def test_dp_histogram_unknown_domain_threshold(spark):
     for bad_d in (0.0, 1.0, -0.5):
         with pytest.raises(ValueError, match="delta"):
             P.dp_histogram_unknown_domain(df, "v", 1.0, bad_d)
+
+
+def test_epsilon_guard_covers_the_whole_dp_family(spark):
+    """r13 (ADVICE follow-through): every public batch DP entry point
+    rejects epsilon <= 0 up front — previously epsilon=0 died with
+    ZeroDivisionError mid-plan and a negative epsilon silently
+    flipped the noise sign."""
+    df = spark.createDataFrame([(1.0, "a")], "x double, s string")
+    calls = [
+        lambda e: P.dp_histogram(df, "x", lo=0.0, hi=10.0,
+                                 granularity=1.0, epsilon=e, buckets=5),
+        lambda e: P.dp_quantiles(df, "x", lo=0.0, hi=10.0,
+                                 granularity=1.0, epsilon=e,
+                                 probs=[0.5], buckets=5),
+        lambda e: P.dp_heatmap(df, "x", "x", xlo=0.0, xhi=10.0,
+                               xgranularity=1.0, ylo=0.0, yhi=10.0,
+                               ygranularity=1.0, epsilon=e,
+                               xbuckets=2, ybuckets=2),
+        lambda e: P.dp_count(df, epsilon=e),
+        lambda e: P.dp_distinct_count(df, "s", epsilon=e),
+        lambda e: P.dp_next_k(df, ["s"], epsilon=e),
+        lambda e: P.dp_histogram_string(df, "s", ["a"], epsilon=e),
+        lambda e: P.dp_histogram_unknown_domain(df, "s", e, 1e-6),
+        lambda e: P.dp_sum(df, "x", lo=0.0, hi=10.0, epsilon=e),
+        lambda e: P.dp_mean(df, "x", lo=0.0, hi=10.0, epsilon=e),
+    ]
+    for call in calls:
+        for bad in (0.0, -1.0):
+            with pytest.raises(ValueError, match="epsilon"):
+                call(bad)
