@@ -390,3 +390,130 @@ def test_repeated_spans_match_bruteforce_cover(spark, corpora, n):
             t for p, t in enumerate(toks, start=1) if p not in covered[i]
         )
         assert text_ == want_text
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # hour
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_windowed_topk_both_policies_match_bruteforce(spark, evs, k):
+    """r13 property pin for the r12 ties policies: over random event
+    streams with heavy count ties, ties='truncate' must equal the
+    brute-force (count DESC, value) row_number cut at exactly k rows
+    per window, and ties='keep' the brute-force competition rank()
+    (everything tying the k-th survives)."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    rows = [
+        (i, f"u{i}", t, datetime.datetime(2024, 1, 1, h), 1.0)
+        for i, (h, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string, "
+        "ts timestamp, value double",
+    )
+    from collections import Counter
+
+    cells = Counter((h, t) for h, t in evs)
+    per_win = {}
+    for (h, t), n in cells.items():
+        per_win.setdefault(h, []).append((t, n))
+    want_trunc, want_keep = set(), set()
+    for h, tn in per_win.items():
+        win = datetime.datetime(2024, 1, 1, h)
+        order = sorted(tn, key=lambda x: (-x[1], x[0]))
+        for r, (t, n) in enumerate(order, start=1):
+            if r <= k:
+                want_trunc.add((win, t, n, r))
+        ranks = {}
+        for t, n in order:
+            ranks[(t, n)] = 1 + sum(1 for _, m in order if m > n)
+        for (t, n), r in ranks.items():
+            if r <= k:
+                want_keep.add((win, t, n, r))
+    got_trunc = {
+        (r.window_start, r.value, r.n, r.rank)
+        for r in ev.windowed_topk(df, "hour", "event_type", k=k,
+                                  ties="truncate").collect()
+    }
+    got_keep = {
+        (r.window_start, r.value, r.n, r.rank)
+        for r in ev.windowed_topk(df, "hour", "event_type", k=k,
+                                  ties="keep").collect()
+    }
+    assert got_trunc == want_trunc
+    assert got_keep == want_keep
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),          # quality
+            st.one_of(st.none(),
+                      st.integers(min_value=-5, max_value=30)),  # cost
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=120),
+)
+def test_select_within_budget_matches_bruteforce_prefix(spark, rows, budget):
+    """r13 property pin (negative-cost clamp): the kept set must be
+    the brute-force merit-ordered prefix under max(cost, 0) charging
+    with NULL as 0, for random quality/cost mixes including negatives
+    and ties."""
+    from hillview_spark.functions import curation
+
+    data = [(i, q, c) for i, (q, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, q int, cost int")
+    order = sorted(data, key=lambda r: (-r[1], r[0]))
+    cum, want = 0, {}
+    for i, q, c in order:
+        cum += max(c or 0, 0)
+        if cum <= budget:
+            want[i] = cum
+        else:
+            break
+    got = {
+        r.doc_id: r.cum_cost
+        for r in curation.select_within_budget(
+            df, budget=budget, quality_col="q", cost_col="cost"
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.sampled_from([0.0, 0.03, 0.07, 0.1, 0.13, 0.25, 0.29, 0.5, 1.0]),
+)
+def test_stratified_split_quota_exact_for_random_sizes(spark, n, frac):
+    """r13 property pin (float-ceil quota fix): for ANY stratum size
+    and the crossing-prone fractions, eval gets EXACTLY
+    ceil(round(n*frac, 9)) rows — the decimal-true quota, not the
+    IEEE-overshot one."""
+    import math
+    from decimal import Decimal
+
+    from hillview_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(n)], "doc_id long, source string"
+    )
+    out = sampling.stratified_split(df, frac, "doc_id", "source")
+    got = out.where(F.col("split") == "eval").count()
+    want = math.ceil(Decimal(n) * Decimal(str(frac)))
+    assert got == want
