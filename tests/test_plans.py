@@ -561,3 +561,39 @@ def test_repeated_spans_inverted_index_no_cartesian(spark, tables):
     assert "Python" not in plan
     rm = dedup.remove_repeated_spans(tables["documents"], n=5, min_sites=2)
     ex.assert_no_cartesian(rm)
+
+
+def test_contamination_spans_broadcasts_eval_grams(spark, tables):
+    """r13: the eval gram set must ride a broadcast semi-join when
+    broadcast_eval=True (the decontaminate discipline), and the
+    shuffle-join fallback must stay cartesian-free — in BOTH modes
+    the train side is the inverted-index pipeline, never all-pairs."""
+    from pyspark.sql import functions as F
+
+    from hillview_spark.functions import dedup
+
+    docs = tables["documents"]
+    ev_docs = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    bc = dedup.contamination_spans(train, ev_docs, n=5)
+    ex.assert_no_cartesian(bc)
+    ex.assert_broadcast_joins(bc, at_least=1)
+    sh = dedup.contamination_spans(
+        train, ev_docs, n=5, broadcast_eval=False
+    )
+    ex.assert_no_cartesian(sh)
+    assert "Python" not in ex.physical_plan(bc)
+
+
+def test_dp_active_users_single_shuffle_no_python(spark, tables):
+    """r13: the stability histogram is ONE groupBy over the unknown
+    domain; noise and threshold are codegen'd expressions on the
+    aggregate output — no join, no second exchange, no Python."""
+    from hillview_spark.operators import privacy
+
+    df = privacy.dp_histogram_unknown_domain(
+        tables["events"], "user_id", epsilon=1.0, delta=1e-14, seed=7
+    )
+    ex.assert_max_shuffles(df, 1)
+    ex.assert_no_cartesian(df)
+    assert "Python" not in ex.physical_plan(df)

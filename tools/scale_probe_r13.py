@@ -153,6 +153,61 @@ def main():
         f"{factor}x {rN:.2f}s (ratio {rN / r1:.2f})"
     )
 
+    # --- optional: the late-block keys at the same replica ------------
+    if "--late" in sys.argv:
+        # contamination: TRAIN scales xN, the eval gram set stays the
+        # 1x slice (the realistic direction — benchmarks don't grow
+        # with the corpus); the eval probe must stay a broadcast
+        ev_docs = docs1.where(F.col("doc_id") % 20 == 0)
+        c1 = lambda: dedup.contamination_spans(
+            docs1.where(F.col("doc_id") % 20 != 0), ev_docs, n=5
+        )
+        cN = lambda: dedup.contamination_spans(
+            fixtures["documents"].where(F.col("doc_id") % 20 != 0),
+            ev_docs, n=5,
+        )
+        for df in (c1(), cN()):
+            ex.assert_no_cartesian(df)
+        cf = [("span_tokens", "num"), ("span_text", "str")]
+        x1 = med(c1, repeats, force=cf)
+        xN = med(cN, repeats, force=cf)
+        print(
+            f"contamination_spans broadcast-hint 10x-train: 1x "
+            f"{x1:.2f}s -> {factor}x {xN:.2f}s (ratio {xN / x1:.2f}; "
+            f"eval grams fixed at the 1x slice)"
+        )
+        from hillview_spark.operators import privacy as priv
+
+        d1 = lambda: ev.dp_windowed_distinct(events1, epsilon=1.0, seed=7)
+        dN = lambda: ev.dp_windowed_distinct(
+            fixtures["events"], epsilon=1.0, seed=7
+        )
+        assert n_hash_exchanges(d1()) == n_hash_exchanges(dN())
+        df_ = [("noisy_distinct", "num")]
+        y1 = med(d1, repeats, force=df_)
+        yN = med(dN, repeats, force=df_)
+        print(
+            f"dp_windowed_distinct broadcast-off: 1x {y1:.2f}s -> "
+            f"{factor}x {yN:.2f}s (ratio {yN / y1:.2f}; distinct sets "
+            f"bound the state, users x{factor})"
+        )
+        u1 = lambda: priv.dp_histogram_unknown_domain(
+            events1, "user_id", epsilon=1.0, delta=1e-14, seed=7
+        )
+        uN = lambda: priv.dp_histogram_unknown_domain(
+            fixtures["events"], "user_id", epsilon=1.0, delta=1e-14,
+            seed=7,
+        )
+        assert n_hash_exchanges(u1()) == n_hash_exchanges(uN())
+        uf = [("noisy_count", "num")]
+        z1 = med(u1, repeats, force=uf)
+        zN = med(uN, repeats, force=uf)
+        print(
+            f"dp_active_users broadcast-off: 1x {z1:.2f}s -> "
+            f"{factor}x {zN:.2f}s (ratio {zN / z1:.2f}; domain "
+            f"x{factor} users, one groupBy)"
+        )
+
     # --- dp_windowed_mean: one shuffle at ANY size --------------------
     dm1 = lambda: ev.dp_windowed_mean(events1, epsilon=1.0, seed=7)
     dmN = lambda: ev.dp_windowed_mean(
