@@ -1156,3 +1156,106 @@ def test_stream_dp_windowed_distinct_matches_batch(spark, tmp_path):
         ]
     ).first()
     assert probe.wdist != probe.wcounts
+
+
+def test_stream_dp_windowed_mean_and_distinct_restart_append_once(
+    spark, tmp_path
+):
+    """r13: kill-restart across a checkpoint for the two new
+    continual releases — each (window, type) cell is released
+    exactly ONCE across the restart boundary (re-releasing would
+    re-spend budget), and every released cell stays bit-identical to
+    its batch twin (cell-keyed noise: a restart can neither re-draw
+    nor re-release)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src_md")
+    os.makedirs(src)
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema_str = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    def mk_rows(start_min, count, id0):
+        return [
+            (id0 + i, base + dt.timedelta(minutes=start_min + 9 * i),
+             (i % 7) + 1, "click", float((i * 37) % 400))
+            for i in range(count)
+        ]
+
+    def add_batch(rows, name):
+        tmp = str(tmp_path / f"stage_md_{name}")
+        spark.createDataFrame(rows, schema_str).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.copyfile(part, os.path.join(src, f"{name}.parquet"))
+
+    schema = spark.createDataFrame([], schema_str).schema
+    cases = {
+        "mean": (
+            lambda: ev.stream_dp_windowed_mean(
+                spark, src, schema, col="value", lo=0.0, hi=250.0,
+                epsilon=1.0, seed=5,
+            ),
+            lambda df: ev.dp_windowed_mean(
+                df, "hour", "value", lo=0.0, hi=250.0, epsilon=1.0,
+                seed=5,
+            ),
+            lambda r: (r.noisy_sum, r.noisy_count, r.noisy_mean),
+        ),
+        "dist": (
+            lambda: ev.stream_dp_windowed_distinct(
+                spark, src, schema, col="user_id", epsilon=1.0, seed=5
+            ),
+            lambda df: ev.dp_windowed_distinct(
+                df, "hour", "user_id", epsilon=1.0, seed=5
+            ),
+            lambda r: r.noisy_distinct,
+        ),
+    }
+
+    rows1 = mk_rows(0, 40, 0)
+    rows2 = mk_rows(420, 40, 100)
+
+    def run_once(name, mk_stream):
+        q = (
+            mk_stream()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{name}"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    add_batch(rows1, "b1")
+    firsts = {}
+    for name, (mk_stream, _, _) in cases.items():
+        run_once(name, mk_stream)
+        firsts[name] = spark.read.parquet(
+            str(tmp_path / f"out_{name}")
+        ).count()
+        assert firsts[name] > 0
+
+    add_batch(rows2, "b2")
+    for name, (mk_stream, mk_batch, val) in cases.items():
+        run_once(name, mk_stream)  # restart from the same checkpoint
+        got = {}
+        for r in spark.read.parquet(str(tmp_path / f"out_{name}")).collect():
+            k = (r.window_start, r.event_type)
+            assert k not in got, f"{name}: cell released twice: {k}"
+            got[k] = val(r)
+        batch = {
+            (r.window_start, r.event_type): val(r)
+            for r in mk_batch(
+                spark.createDataFrame(rows1 + rows2, schema_str)
+            ).collect()
+        }
+        assert len(got) > firsts[name]  # second life released new cells
+        for k, v in got.items():
+            assert batch[k] == v, (name, k)
