@@ -517,3 +517,136 @@ def test_stratified_split_quota_exact_for_random_sizes(spark, n, frac):
     got = out.where(F.col("split") == "eval").count()
     want = math.ceil(Decimal(n) * Decimal(str(frac)))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),              # user
+            st.sampled_from(["click", "view", "purchase", "x"]),
+            st.integers(min_value=0, max_value=12),             # minute
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_and_transitions_match_bruteforce(spark, evs):
+    """r13 property pin for the r11 analytics core: over random
+    event streams with same-instant ties, funnel_counts must equal
+    the brute-force strictly-after first-completion chain, and
+    transition_counts the brute-force adjacent-pair count under the
+    (ts, event_id) total order."""
+    import datetime
+
+    from collections import Counter
+
+    from hillview_spark.streaming import events as ev
+
+    rows = [
+        (i, f"u{u}", t, datetime.datetime(2024, 1, 1, 0, m), 1.0)
+        for i, (u, t, m) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string, "
+        "ts timestamp, value double",
+    )
+    # brute-force funnel: first click, first view strictly after it,
+    # first purchase strictly after that
+    steps = ("click", "view", "purchase")
+    per_user = {}
+    for i, (u, t, m) in enumerate(evs):
+        per_user.setdefault(u, []).append((m, i, t))
+    want_funnel = []
+    survivors = {u: None for u in per_user}  # user -> prev step time
+    for si, st_name in enumerate(steps, start=1):
+        nxt = {}
+        for u, prev in survivors.items():
+            times = [
+                m for m, _, t in per_user[u]
+                if t == st_name and (prev is None or m > prev)
+            ]
+            if times:
+                nxt[u] = min(times)
+        survivors = nxt
+        want_funnel.append((si, st_name, len(survivors)))
+    got_funnel = sorted(
+        (r.step, r.event_type, r.n_users)
+        for r in ev.funnel_counts(df, steps=steps).collect()
+    )
+    assert got_funnel == sorted(want_funnel)
+
+    # brute-force transitions under the (ts, event_id) total order
+    want_trans = Counter()
+    for u, seq in per_user.items():
+        ordered = [t for m, i, t in sorted(seq)]
+        for a, b in zip(ordered, ordered[1:]):
+            want_trans[(a, b)] += 1
+    got_trans = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in ev.transition_counts(df).collect()
+    }
+    assert got_trans == {k: v for k, v in want_trans.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),
+                  st.one_of(st.none(),
+                            st.integers(min_value=0, max_value=20))),
+        min_size=1, max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),
+                  st.one_of(st.none(),
+                            st.integers(min_value=0, max_value=20)),
+                  st.integers(min_value=0, max_value=99)),
+        min_size=0, max_size=15,
+    ),
+    st.sampled_from([None, 4]),
+)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows, chunk):
+    """r13 property pin: asof_join (default AND chunked path — the
+    chunk-spine rewrite claims identical results for any chunk size)
+    must equal the brute-force most-recent-preceding match, with
+    right (key, time) pre-deduped so the match is unique, NULL
+    keys/times matching nothing, and inclusive same-instant ties."""
+    import datetime
+
+    from hillview_spark.operators import temporal
+
+    base = datetime.datetime(2024, 1, 1)
+    sec = lambda s: None if s is None else base + datetime.timedelta(
+        seconds=int(s))
+    # pre-dedup right (key, time): keep the max payload (deterministic)
+    rd = {}
+    for k, t, v in rrows:
+        key = (k, t)
+        if key not in rd or v > rd[key]:
+            rd[key] = v
+    left = spark.createDataFrame(
+        [(i, k, sec(t)) for i, (k, t) in enumerate(lrows)],
+        "lid long, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, sec(t), v) for (k, t), v in rd.items()],
+        "k int, ts timestamp, v long",
+    ) if rd else spark.createDataFrame([], "k int, ts timestamp, v long")
+    got = {
+        r.lid: (r.ts_r, r.v_r)
+        for r in temporal.asof_join(
+            left, right, "ts", ["k"], ["v"], chunk_seconds=chunk
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        best = None
+        if t is not None and k is not None:
+            for (rk, rt), v in rd.items():
+                if rk == k and rt is not None and rt <= t:
+                    if best is None or rt > best[0]:
+                        best = (rt, v)
+        want[i] = (sec(best[0]), best[1]) if best else (None, None)
+    assert got == want
