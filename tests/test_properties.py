@@ -650,3 +650,105 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows, chunk):
                         best = (rt, v)
         want[i] = (sec(best[0]), best[1]) if best else (None, None)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=14),
+                  st.integers(min_value=0, max_value=14)),
+        min_size=1, max_size=25,
+    )
+)
+def test_connected_components_both_paths_match_union_find(spark, edges):
+    """r13 property pin: over random pair graphs (self-loops,
+    duplicate edges, chains, all allowed) BOTH execution paths — the
+    driver-side union-find shortcut AND the distributed pointer-
+    jumping loop (forced via driver_threshold=0) — must label every
+    node with exactly min(component)."""
+    from hillview_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_id_1 long, doc_id_2 long"
+    )
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    for path_kw in ({"driver_threshold": 2_000_000},
+                    {"driver_threshold": 0}):
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(df, **path_kw).collect()
+        }
+        assert got == want, path_kw
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),
+                  st.integers(min_value=0, max_value=300)),
+        min_size=1, max_size=30,
+    ),
+    st.integers(min_value=1, max_value=60),
+)
+def test_sessionize_matches_bruteforce(spark, evs, gap_minutes):
+    """r13 property pin: gap-based session assignment over random
+    event streams (same-instant ties broken by event_id) must equal
+    the brute-force linear scan — session boundaries strictly-greater
+    than the gap, per-user numbering from 1, correct n_events and
+    start/end."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, f"u{u}", "click", base + datetime.timedelta(minutes=m), 1.0)
+        for i, (u, m) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string, "
+        "ts timestamp, value double",
+    )
+    per_user = {}
+    for i, (u, m) in enumerate(evs):
+        per_user.setdefault(u, []).append((m, i))
+    want = {}
+    for u, seq in per_user.items():
+        seq.sort()
+        sid, prev, bucket = 0, None, []
+        for m, i in seq:
+            if prev is None or (m - prev) * 60 > gap_minutes * 60:
+                if bucket:
+                    want[(f"u{u}", sid)] = bucket
+                sid += 1
+                bucket = []
+            bucket.append(m)
+            prev = m
+        want[(f"u{u}", sid)] = bucket
+    got = {
+        (r.user_id, r.session_id):
+            (r.n_events, r.session_start, r.session_end)
+        for r in ev.sessionize(df, gap_minutes=gap_minutes).collect()
+    }
+    want_rows = {
+        k: (
+            len(v),
+            base + datetime.timedelta(minutes=min(v)),
+            base + datetime.timedelta(minutes=max(v)),
+        )
+        for k, v in want.items()
+    }
+    assert got == want_rows
