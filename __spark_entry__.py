@@ -261,6 +261,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.contamination_spans(train, ev_docs, n=5)
 
     q["decontaminate_spans"] = _decontaminate_spans
+
+    def _decontaminate_spans_remove(s, d):
+        # r14 (VERDICT-r13 directive #4): the EDIT half — cut the
+        # contaminated spans from the train docs, keep everything
+        # else (surgical alternative to decontaminate's doc drop)
+        docs = _t(s, d, "documents")
+        ev_docs = docs.where(F.col("doc_id") % 20 == 0)
+        train = docs.where(F.col("doc_id") % 20 != 0)
+        return dedup.remove_contaminated_spans(train, ev_docs, n=5)
+
+    q["decontaminate_spans_remove"] = _decontaminate_spans_remove
     # salt pinned explicitly: the oracle re-derives the md5 rank with
     # this literal (r12 oracle review — literal-drift class)
     q["corpus_shuffle"] = lambda s, d: curation.shuffle_corpus(
@@ -568,6 +579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dedup_substring_remove"] = lambda s, d: dedup.remove_repeated_spans(
         _t(s, d, "documents"), n=5, min_sites=2
+    )
+    # r14 (VERDICT-r13 directive #3): the Lee et al. keep-one policy
+    # — the first (doc_id, pos) site of each duplicated gram is
+    # exempt, so the earliest occurrence still trains once
+    q["dedup_substring_keep_one"] = lambda s, d: dedup.remove_repeated_spans(
+        _t(s, d, "documents"), n=5, min_sites=2, keep="first"
     )
     q["dedup_representatives"] = lambda s, d: dedup.select_representatives(
         dedup.connected_components(
@@ -1298,62 +1315,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    # --- round-13 gate rotation --------------------------------------
+    # --- round-14 gate rotation --------------------------------------
     # The driver gate checks ~50 keys per round in dict insertion
-    # order. Priority this round (VERDICT r12 directive #1, executed
-    # verbatim — r13 finishes the freshness ledger):
-    # (a) keys whose operator/oracle CHANGED in r13 plus the brand-new
-    #     r13 keys (9 = the full churn budget the verdict allowed):
-    #     dp_sum_quantity / dp_mean_value (floor-integer releases +
-    #     dp_mean's own PRF buckets — the 0-DP shared-draw fix),
-    #     mixture_temperature (sorted-fold total),
-    #     split_stratified (ceil(round(n*f,9)) quota) and
-    #     corpus_budget_select (negative-cost clamp) — both also in
-    #     the never-driver-gated late-r12 trio — and the four new
-    #     keys: dedup_substring / dedup_substring_remove (exact-
-    #     substring dedup, Lee et al. 2022) and dp_windowed_mean
-    #     [_stream] (the continual family's mean, real stream driven
-    #     in-gate).
-    # (b) the 10 r8-stale TPC-H stragglers deferred from r12.
-    # (c) corpus_quality_cap — the remaining never-driver-gated
-    #     late-r12 key (replica-proven at two fixtures in r12).
-    # (d) the 28-key r9-stale cohort (the verdict's list, verbatim).
-    # (e) 2 spare slots -> the two stalest keys living in the ONE
-    #     file r13 touched beyond its churn list (operators/
-    #     privacy.py): dp_next_k_rows + dp_session_heatmap (r10 rows;
-    #     their code paths are untouched, but file-touched keys are
-    #     the most change-exposed freshness candidates).
-    # 9 + 10 + 1 + 28 + 2 = 50 exactly. After this gate no key's
-    # latest row is older than r10, and the r10/r11 cohorts rotate
-    # in r14/r15.
+    # order. FRESHNESS POLICY (r14, VERDICT-r13 directive #6 — the
+    # real invariant, replacing the arithmetically-dead <=2-round
+    # rule): with ~193 keys and 50 slots/round, every key is
+    # driver-gated at least every FOUR rounds via cohort rotation —
+    # each round's slate = (a) keys whose operator/oracle changed
+    # this round + brand-new keys, (b) never-driver-gated keys from
+    # the previous round's late block, (c) as much of the stalest
+    # cohort as fits. Between gate visits the backstop is the
+    # recorded dual-fixture FULL sweeps (tools/check_oracle.py over
+    # all keys at sf0.01 AND sf0.001, run every round).
+    # Priority this round (VERDICT r13 directive #1):
+    # (a) 6 churn/new: dedup_substring / dedup_substring_remove
+    #     (gram identity moved to the full 128-bit md5 — the 60-bit
+    #     prefix-collision premise closed), dedup_substring_keep_one
+    #     (NEW — Lee et al. keep-one policy), decontaminate_spans_
+    #     remove (NEW — the surgical edit half of span
+    #     decontamination), split_stratified (exact integer quota
+    #     arithmetic, valid at any stratum size), corpus_budget_
+    #     select (finiteness guard — value-identical, file-touched).
+    # (b) the 4 never-driver-gated late-r13 keys (hash-proven at
+    #     both fixtures twice — builder sweeps + judge replicas).
+    # (c) the full 40-key r10-stale cohort (the verdict's list,
+    #     verbatim). r11's 48-key cohort rotates in r15.
+    # 6 + 4 + 40 = 50 exactly. After this gate no key's latest row
+    # is older than r11.
     priority = [
-        # (a) r13 churn + new
-        "dp_sum_quantity", "dp_mean_value", "dp_windowed_mean",
-        "dp_windowed_mean_stream", "mixture_temperature",
-        "split_stratified", "corpus_budget_select",
+        # (a) r14 churn + new
         "dedup_substring", "dedup_substring_remove",
-        # (b) the 10 r8-stale TPC-H stragglers
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier", "q6_revenue_forecast",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_discounted_revenue", "q20_part_promotion",
-        "q21_suppliers_kept_waiting", "q22_sales_opportunity",
-        # (c) the last never-driver-gated late-r12 key
-        "corpus_quality_cap",
-        # (d) the 28-key r9-stale cohort
-        "computed_column", "convert_column", "data_range",
-        "data_range_interval", "distinct_count", "distinct_values",
-        "docs_source_lang_matrix", "events_user_topk",
-        "events_windowed_counts", "extract_json_value",
-        "find_first_row", "histogram3d_trellis", "histogram4d_trellis",
-        "histogram_date_month", "histogram_quantiles",
-        "histogram_string_bounded", "histogram_with_cdf",
-        "interval_column", "num_items_threshold", "part_type_stats",
-        "project_columns", "q14_promo_revenue", "set_operation",
-        "string_filter_regex", "string_quantiles", "systematic_sample",
-        "table_summary", "top_customers_revenue",
-        # (e) file-touched r10 keys
-        "dp_next_k_rows", "dp_session_heatmap",
+        "dedup_substring_keep_one", "decontaminate_spans_remove",
+        "split_stratified", "corpus_budget_select",
+        # (b) the never-driver-gated late-r13 block
+        "decontaminate_spans", "dp_active_users",
+        "dp_windowed_distinct", "dp_windowed_distinct_stream",
+        # (c) the 40-key r10-stale cohort
+        "asof_join_events", "basic_col_stats", "bm25_search",
+        "bpe_token_count", "corpus_shuffle", "corr_matrix",
+        "corr_matrix_sampled", "decontaminate_bloom",
+        "dedup_components", "dedup_corpus_pipeline",
+        "dp_heatmap_qty_discount", "dp_prefix_counts",
+        "dp_session_histogram", "dp_session_page",
+        "geo_polygon_counts", "geo_region_counts",
+        "heavy_hitters_sampled", "histogram_singleton",
+        "logs_parse_syslog", "next_k_aggregate", "next_k_list",
+        "orders_status_by_month", "pca_project", "q10_returned_items",
+        "q4_late_orders", "quantiles_approx", "quantized_histogram",
+        "remove_repeated_segments", "row_quantiles",
+        "split_train_eval", "string_columns_filter", "table_profile",
+        "text_fingerprint", "text_lang_id", "text_lm_nll",
+        "text_quality_filter", "text_quality_score",
+        "text_token_count", "text_vocab", "tfidf_top_terms",
     ]
     assert len(priority) == 50, len(priority)
     missing = [k for k in priority if k not in q]
@@ -3105,25 +3118,26 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
     """
     o["dedup_simhash"] = _simhash_pairs_sql()
-    # r13: exact-substring dedup — positioned 5-grams (60-bit md5
-    # keys, the _token_hash recipe), seeds = grams at >= 2 (doc,pos)
-    # sites corpus-wide (within-doc repeats count, as a suffix array
-    # would), covered positions merge into maximal spans via the
-    # lag/running-sum island rule (break when the start gap exceeds
-    # n), span_text re-sliced from the token array
+    # r13 (gram identity r14): exact-substring dedup — positioned
+    # 5-grams keyed by the FULL 32-hex md5 (gm; grouping/joining on
+    # gm alone equals the Spark side's (gh, gm) pair since gh is
+    # gm's 60-bit prefix — VERDICT-r13 What's-wrong #1, prefix
+    # collisions can no longer mint false seeds), seeds = grams at
+    # >= 2 (doc,pos) sites corpus-wide (within-doc repeats count, as
+    # a suffix array would), covered positions merge into maximal
+    # spans via the lag/running-sum island rule (break when the
+    # start gap exceeds n), span_text re-sliced from the token array
     o["dedup_substring"] = r"""
         WITH tk AS (SELECT doc_id,
                            list_filter(string_split_regex(trim(text), '\s+'),
                                        x -> x <> '') AS t
                     FROM documents),
         g AS (SELECT doc_id, i AS pos,
-                     CAST('0x'||substr(md5(
-                         array_to_string(t[i:i+4], ' ')),1,15) AS BIGINT)
-                         AS gh
+                     md5(array_to_string(t[i:i+4], ' ')) AS gm
               FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
               WHERE len(t) >= 5),
-        dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
-        cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        dup AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(*) >= 2),
+        cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gm)),
         isl AS (SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
                                  OR pos - lag(pos) OVER w > 5
@@ -3156,13 +3170,11 @@ def oracle_sql() -> dict[str, str]:
                                x -> x <> '') AS t
                     FROM documents),
         g AS (SELECT doc_id, i AS pos,
-                     CAST('0x'||substr(md5(
-                         array_to_string(t[i:i+4], ' ')),1,15) AS BIGINT)
-                         AS gh
+                     md5(array_to_string(t[i:i+4], ' ')) AS gm
               FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
               WHERE len(t) >= 5),
-        dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
-        cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        dup AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(*) >= 2),
+        cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gm)),
         isl AS (SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
                                  OR pos - lag(pos) OVER w > 5
@@ -3197,6 +3209,117 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(tk.t) - COALESCE(r.n_kept, 0) AS BIGINT)
                    AS n_tokens_removed
         FROM tk LEFT JOIN rebuilt r USING (doc_id)
+    """
+    # r14: keep-one (Lee et al.) policy — identical pipeline except
+    # coverage EXEMPTS the first (doc_id, pos) site of each
+    # duplicated gram (row_number over the gram key), so the
+    # earliest occurrence of repeated content survives the cut
+    o["dedup_substring_keep_one"] = r"""
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(
+                               trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS t
+                    FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gm
+              FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
+              WHERE len(t) >= 5),
+        dup AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(*) >= 2),
+        cov AS (SELECT doc_id, pos FROM (
+                    SELECT g.doc_id, g.pos,
+                           row_number() OVER (
+                               PARTITION BY gm
+                               ORDER BY g.doc_id, g.pos) AS rk
+                    FROM g JOIN dup USING (gm))
+                WHERE rk > 1),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id,
+                         MIN(pos) AS span_start,
+                         MAX(pos) + 4 AS span_end
+                  FROM isl2 GROUP BY doc_id, island),
+        covered AS (SELECT DISTINCT doc_id, p
+                    FROM spans,
+                         UNNEST(generate_series(span_start, span_end)) v(p)),
+        toks AS (SELECT doc_id, i AS pos, t[i] AS tok
+                 FROM tk, UNNEST(generate_series(1, len(t))) u(i)),
+        kept AS (SELECT tkr.doc_id, tkr.pos, tkr.tok
+                 FROM toks tkr
+                 LEFT JOIN covered c
+                   ON c.doc_id = tkr.doc_id AND c.p = tkr.pos
+                 WHERE c.p IS NULL),
+        rebuilt AS (SELECT doc_id,
+                           COALESCE(array_to_string(
+                               LIST(tok ORDER BY pos), ' '), '') AS text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id,
+               COALESCE(r.text, '') AS text,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(len(tk.t) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_tokens_removed
+        FROM tk LEFT JOIN rebuilt r USING (doc_id)
+    """
+    # r14: surgical span decontamination — decontaminate_spans'
+    # coverage (train grams IN the DISTINCT eval gram set, full-md5
+    # identity) pushed through the same cut/rebuild as
+    # dedup_substring_remove; one row per TRAIN doc survives
+    o["decontaminate_spans_remove"] = r"""
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(
+                               trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS t
+                    FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS gm
+              FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
+              WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT gm FROM g WHERE doc_id % 20 = 0),
+        cov AS (SELECT doc_id, pos FROM g
+                WHERE doc_id % 20 <> 0 AND gm IN (SELECT gm FROM ev)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id,
+                         MIN(pos) AS span_start,
+                         MAX(pos) + 4 AS span_end
+                  FROM isl2 GROUP BY doc_id, island),
+        covered AS (SELECT DISTINCT doc_id, p
+                    FROM spans,
+                         UNNEST(generate_series(span_start, span_end)) v(p)),
+        toks AS (SELECT doc_id, i AS pos, t[i] AS tok
+                 FROM tk, UNNEST(generate_series(1, len(t))) u(i)
+                 WHERE doc_id % 20 <> 0),
+        kept AS (SELECT tkr.doc_id, tkr.pos, tkr.tok
+                 FROM toks tkr
+                 LEFT JOIN covered c
+                   ON c.doc_id = tkr.doc_id AND c.p = tkr.pos
+                 WHERE c.p IS NULL),
+        rebuilt AS (SELECT doc_id,
+                           COALESCE(array_to_string(
+                               LIST(tok ORDER BY pos), ' '), '') AS text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id,
+               COALESCE(r.text, '') AS text,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(len(tk.t) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_tokens_removed
+        FROM tk LEFT JOIN rebuilt r USING (doc_id)
+        WHERE tk.doc_id % 20 <> 0
     """
     o["text_fingerprint"] = r"""
         SELECT doc_id,
@@ -3635,11 +3758,13 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
     """
-    # r12 (quota rule r13): exact-quota stratified split — same
+    # r12 (quota rule r14): exact-quota stratified split — same
     # salted-hash order as split_train_eval, ranked within stratum;
-    # the quota is CEIL(ROUND(n * fraction, 9)) in BOTH engines —
-    # the round snaps the IEEE product to the true decimal before
-    # the ceiling (bare ceil(100 * 0.07) = 8, not the documented 7)
+    # the quota is EXACT integer arithmetic in BOTH engines (r14,
+    # fraction 0.1 = 1/10): ceil(n*p/q) = (n*p + q-1) // q over a
+    # HUGEINT product here, DECIMAL(38,0) div on the Spark side —
+    # no IEEE product anywhere, exact at any stratum size (the r13
+    # CEIL(ROUND(n*f,9)) form lost exactness past n*f ~ 5e6)
     o["split_stratified"] = """
         WITH h AS (
             SELECT doc_id, source,
@@ -3655,7 +3780,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         )
         SELECT doc_id, source,
-               CASE WHEN rk <= CEIL(ROUND(n * 0.1, 9))
+               CASE WHEN rk <= (CAST(n AS HUGEINT) * 1 + 9) // 10
                     THEN 'eval' ELSE 'train' END AS split
         FROM r
     """
@@ -3797,8 +3922,9 @@ def oracle_sql() -> dict[str, str]:
           AND doc_id NOT IN (SELECT doc_id FROM cont)
     """
     o["decontaminate_bloom"] = o["decontaminate_train"]
-    # r13: span-level decontamination — positioned train 5-grams
-    # probed against the DISTINCT eval gram set, covered positions
+    # r13 (gram identity r14: full-md5 keys, see dedup_substring):
+    # span-level decontamination — positioned train 5-grams probed
+    # against the DISTINCT eval gram set, covered positions
     # island-merged exactly as dedup_substring
     o["decontaminate_spans"] = r"""
         WITH tk AS (SELECT doc_id,
@@ -3806,14 +3932,12 @@ def oracle_sql() -> dict[str, str]:
                                        x -> x <> '') AS t
                     FROM documents),
         g AS (SELECT doc_id, i AS pos,
-                     CAST('0x'||substr(md5(
-                         array_to_string(t[i:i+4], ' ')),1,15) AS BIGINT)
-                         AS gh
+                     md5(array_to_string(t[i:i+4], ' ')) AS gm
               FROM tk, UNNEST(generate_series(1, len(t) - 4)) u(i)
               WHERE len(t) >= 5),
-        ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+        ev AS (SELECT DISTINCT gm FROM g WHERE doc_id % 20 = 0),
         cov AS (SELECT doc_id, pos FROM g
-                WHERE doc_id % 20 <> 0 AND gh IN (SELECT gh FROM ev)),
+                WHERE doc_id % 20 <> 0 AND gm IN (SELECT gm FROM ev)),
         isl AS (SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
                                  OR pos - lag(pos) OVER w > 5

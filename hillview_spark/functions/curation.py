@@ -14,6 +14,8 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # Ordered redaction rules (applied in sequence — URLs first so an
@@ -392,6 +394,11 @@ def select_within_budget(
     sizes replace the sort with a quality-threshold binary search
     (each probe is one aggregate) and use this exact form on the
     boundary stratum."""
+    # finiteness first (r14 ADVICE): int(nan) raises a confusing
+    # "cannot convert float NaN to integer" and int(inf) an uncaught
+    # OverflowError — neither names the actual contract violation
+    if not math.isfinite(budget):
+        raise ValueError(f"budget must be finite, got {budget!r}")
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget!r}")
     if budget != int(budget):

@@ -814,8 +814,7 @@ def dp_sum(
     single scan + single-partition final sum at ANY data size."""
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r}]")
-    if epsilon <= 0:
-        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
+    _check_epsilon(epsilon)
     sens = max(abs(float(lo)), abs(float(hi)))
     scale = sens / epsilon
     noise = node_noise(seed, column_index, scale, (SPECIAL_SUM, 0), prf=prf)
@@ -869,8 +868,7 @@ def dp_mean(
     re-derive or re-round."""
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r}]")
-    if epsilon <= 0:
-        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
+    _check_epsilon(epsilon)
     half = epsilon / 2.0
     sens = max(abs(float(lo)), abs(float(hi)))
     sum_noise = node_noise(
@@ -1262,14 +1260,23 @@ def dp_histogram_unknown_domain(
     driver enumeration, the same property the windowed releases
     use), so the whole release — including WHICH values appear — is
     deterministic per seed and re-derivable by the DuckDB oracle.
+    Privacy caveat (r14 ADVICE): the (epsilon, delta) guarantee
+    therefore holds over the RANDOM CHOICE OF SEED — at a fixed,
+    public seed the noise is a deterministic PRF of the value, and a
+    count-1 value with a favorable draw is deterministically
+    published, revealing a raw identifier. This is the repo-wide
+    seeded-noise convention, but it is qualitatively more sensitive
+    here than for fixed-bucket histograms (the DOMAIN is the
+    secret): production use requires a secret or per-release seed,
+    mirroring the reference's SecureLaplace keyed-PRF secrecy
+    assumption (SecureLaplace.java — the AES key is curator-secret).
 
     Scale: one groupBy(col) shuffle to the distinct-value frame;
     noise and threshold are codegen'd per-row expressions on the
     aggregate output. At 100 TB the release is shuffle ∝ distinct
     values — the same bound as any distinct-count, with map-side
     combine doing the heavy lifting."""
-    if epsilon <= 0:
-        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
+    _check_epsilon(epsilon)
     if not (0.0 < delta < 1.0):
         raise ValueError(f"delta must be in (0, 1), got {delta!r}")
     tau = 1.0 + 2.0 * math.log(2.0 / delta) / epsilon + 0.5

@@ -15,6 +15,8 @@ duckdb oracle.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -176,38 +178,37 @@ def stratified_split(
     split_train_eval, whose per-row threshold needs no shuffle and
     is exact in expectation.
 
-    Quota float rule (r13): the quota is ceil(round(n * fraction, 9))
-    — the round snaps the IEEE product back to the true decimal
-    before the ceiling. A bare ceil(n * fraction) overshoots by one
-    whenever the true product is integral but the nearest-double
-    product rounds UP (fraction=0.07, n=100: 100*0.07 =
-    7.000000000000001 -> ceil 8, violating the "exactly
-    ceil(fraction*n)" promise; the r12 form had this wobble —
-    engine-consistent, but a contract break). round(,9) is safe
-    because a true product this size is >= 1e-9 away from any other
-    9-decimal value while the double error is ~1e-13 relative."""
+    Quota rule (r14, exact at every stratum size): the fraction is
+    interpreted as its 9-decimal rounding p/q (reduced integers,
+    q | 10^9 — the caller's 0.07 MEANS 7/100; a float can't say so
+    itself), and the quota is ceil(n*p/q) computed in EXACT integer
+    arithmetic: (n*p + q - 1) div q over a DECIMAL(38,0) product, so
+    no IEEE rounding exists to overshoot at ANY stratum size. The
+    r13 form ceil(round(n*f, 9)) snapped the double product back to
+    the true decimal, but only while the product's ABSOLUTE error
+    stayed under 5e-10 — beyond n*f ~ 5e6 (where double spacing
+    passes 1e-9) the off-by-one could return (r13 ADVICE); at 100-TB
+    strata (1e12 rows) the integer form is the only exact one.
+    DECIMAL(38,0) holds n*p for any n up to ~1e28/q — unreachable."""
     if not 0.0 <= eval_fraction <= 1.0:
         raise ValueError(
             f"eval_fraction must be in [0, 1], got {eval_fraction!r}"
         )
+    frac = Fraction(str(round(float(eval_fraction), 9)))
+    p, q = frac.numerator, frac.denominator
     h = salted_hash(F.col(key_col), salt)
     w = Window.partitionBy(strata_col).orderBy("__h", key_col)
     wn = Window.partitionBy(strata_col)
+    quota = F.expr(f"(CAST(__n AS DECIMAL(38,0)) * {p} + {q - 1}) div {q}")
     return (
         df.withColumn("__h", h)
         .withColumn("__rk", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wn))
         .withColumn(
             "split",
-            F.when(
-                F.col("__rk")
-                <= F.ceil(
-                    F.round(
-                        F.col("__n") * F.lit(float(eval_fraction)), 9
-                    )
-                ),
-                F.lit("eval"),
-            ).otherwise(F.lit("train")),
+            F.when(F.col("__rk") <= quota, F.lit("eval")).otherwise(
+                F.lit("train")
+            ),
         )
         .drop("__h", "__rk", "__n")
     )

@@ -3142,6 +3142,12 @@ def test_select_within_budget_guards(spark):
     # 150, 160 — only doc 1 fits; the raw-negative cum would be
     # 100, 150, 90, 100 and wrongly re-admit docs 3 and 4
     assert {r.doc_id: r.cum_cost for r in ok.collect()} == {1: 100}
+    # r14 ADVICE: non-finite budgets hit the finiteness guard FIRST —
+    # int(nan) raised a confusing "cannot convert float NaN to
+    # integer" and int(inf) an uncaught OverflowError before
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError, match="finite"):
+            curation.select_within_budget(df, budget=bad, cost_col="cost")
 
 
 def test_mixture_temperature_sorted_fold_total(spark):
@@ -3307,3 +3313,141 @@ def test_contamination_spans_cross_corpus(spark):
         ).collect()
     }
     assert got2 == {(1, 3, 6)}
+
+
+def test_dup_coverage_full_md5_confirms_seeds(spark):
+    """r14 (VERDICT-r13 What's-wrong #1, the collision-premise pin):
+    seed duplication is confirmed by the FULL 32-hex md5 (gm), so a
+    60-bit-prefix collision between two UNIQUE grams cannot mint a
+    false seed. Hand-built gram frame because engineering a real
+    60-bit md5-prefix collision is infeasible — rows 1/2 share gh
+    but carry different gm (each gram unique: NOT a seed under the
+    r14 rule; the r13 gh-only rule would have seeded them), rows
+    3/4 are a true duplicate. keep='first' exempts the earliest
+    (doc, pos) site of the true duplicate."""
+    from hillview_spark.functions.dedup import _dup_coverage
+
+    g = spark.createDataFrame(
+        [
+            (1, 1, 42, "aaaa"),  # prefix collision, distinct grams
+            (2, 5, 42, "bbbb"),
+            (1, 9, 7, "cccc"),   # true duplicate (same full md5)
+            (2, 3, 7, "cccc"),
+        ],
+        "doc long, pos int, gh long, gm string",
+    )
+    cov = {(r.doc, r.pos) for r in _dup_coverage(g, 2).collect()}
+    assert cov == {(1, 9), (2, 3)}
+    first = {(r.doc, r.pos) for r in _dup_coverage(g, 2, "first").collect()}
+    assert first == {(2, 3)}
+
+
+def test_remove_repeated_spans_keep_first(spark):
+    """r14 (VERDICT-r13 directive #3): keep='first' is the Lee et al.
+    keep-one policy — the first (doc_id, pos) site of each duplicated
+    gram is exempt from coverage, so the earliest occurrence of
+    repeated content survives; the documented caveat (a kept site can
+    lose a flank to an OVERLAPPING window whose first site lives in
+    an earlier doc) is pinned exactly; within-doc repeats keep the
+    first position; default keep='all' is unchanged."""
+    import pytest as _pytest
+
+    from hillview_spark.functions import dedup
+
+    # n=3: gram "a b c" sites (2,1),(3,1) -> (2,1) exempt;
+    # gram "b c d" sites (1,2),(2,2) -> (1,2) exempt, (2,2) covered —
+    # doc 2's kept "a b c" loses its b/c flank to the neighboring
+    # window (the honest caveat), doc 1 survives untouched, doc 3's
+    # later site is cut whole
+    df = spark.createDataFrame(
+        [
+            (1, "q b c d"),
+            (2, "a b c d"),
+            (3, "a b c z"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup.remove_repeated_spans(
+            df, n=3, min_sites=2, keep="first"
+        ).collect()
+    }
+    assert got == {
+        1: ("q b c d", 4, 0),
+        2: ("a", 1, 3),
+        3: ("z", 1, 3),
+        4: ("", 0, 0),
+    }
+    # within-doc repetition: first position survives, the repeat cuts
+    df2 = spark.createDataFrame(
+        [(1, "p q r u v w p q r")], "doc_id long, text string"
+    )
+    got2 = dedup.remove_repeated_spans(
+        df2, n=3, min_sites=2, keep="first"
+    ).collect()[0]
+    assert (got2.text, got2.n_tokens_kept, got2.n_tokens_removed) == (
+        "p q r u v w", 6, 3
+    )
+    # default policy unchanged: keep='all' == omitting the kwarg
+    all_default = {
+        r.doc_id: r.text
+        for r in dedup.remove_repeated_spans(df, n=3, min_sites=2).collect()
+    }
+    all_explicit = {
+        r.doc_id: r.text
+        for r in dedup.remove_repeated_spans(
+            df, n=3, min_sites=2, keep="all"
+        ).collect()
+    }
+    assert all_default == all_explicit
+    # 'all' cuts first sites too: doc 2's whole text is covered
+    assert all_default[2] == ""
+    with _pytest.raises(ValueError, match="keep"):
+        dedup.remove_repeated_spans(df, n=3, min_sites=2, keep="one")
+
+
+def test_remove_contaminated_spans_surgical(spark):
+    """r14 (VERDICT-r13 directive #4): the EDIT half of span
+    decontamination cuts exactly the eval-shared spans from each
+    train doc and keeps the rest — every input train doc survives
+    (NULL rebuilds as ''), clean docs are verbatim, train-internal
+    duplication alone cuts nothing, and broadcast-off matches
+    broadcast-on."""
+    import pytest as _pytest
+
+    from hillview_spark.functions import dedup
+
+    train = spark.createDataFrame(
+        [
+            (1, "q1 q2 a b c d q3 q4"),  # shares "a b c d" with eval
+            (2, "u1 u2 u3 u1 u2 u3"),    # train-internal dup only
+            (3, "clean doc here ok now"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "x y a b c d z"), (101, ""), (102, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup.remove_contaminated_spans(train, ev, n=3).collect()
+    }
+    assert got == {
+        1: ("q1 q2 q3 q4", 4, 4),
+        2: ("u1 u2 u3 u1 u2 u3", 6, 0),
+        3: ("clean doc here ok now", 5, 0),
+        4: ("", 0, 0),
+    }
+    got_shuffle = {
+        r.doc_id: r.text
+        for r in dedup.remove_contaminated_spans(
+            train, ev, n=3, broadcast_eval=False
+        ).collect()
+    }
+    assert got_shuffle == {k: v[0] for k, v in got.items()}
+    with _pytest.raises(ValueError, match="n must"):
+        dedup.remove_contaminated_spans(train, ev, n=0)

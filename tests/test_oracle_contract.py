@@ -47,8 +47,9 @@ FROZEN = {
     "functions.curation.ngram_novelty": {'n': 3, 'min_df': 2, 'text_col': 'text', 'id_col': 'doc_id'},
     "operators.privacy.dp_histogram_unknown_domain": {'seed': 0, 'prf': 'md5'},
     "functions.dedup.repeated_spans": {'n': 10, 'min_sites': 2, 'id_col': 'doc_id', 'text_col': 'text'},
-    "functions.dedup.remove_repeated_spans": {'n': 10, 'min_sites': 2, 'id_col': 'doc_id', 'text_col': 'text'},
+    "functions.dedup.remove_repeated_spans": {'n': 10, 'min_sites': 2, 'id_col': 'doc_id', 'text_col': 'text', 'keep': 'all'},
     "functions.dedup.contamination_spans": {'n': 10, 'id_col': 'doc_id', 'text_col': 'text', 'eval_id_col': None, 'eval_text_col': None, 'broadcast_eval': True},
+    "functions.dedup.remove_contaminated_spans": {'n': 10, 'id_col': 'doc_id', 'text_col': 'text', 'eval_id_col': None, 'eval_text_col': None, 'broadcast_eval': True},
     "functions.curation.shuffle_corpus": {'id_col': 'doc_id', 'salt': 'shuffle1'},
     "functions.curation.select_within_budget": {'quality_col': 'n_chars', 'cost_col': 'n_chars', 'id_col': 'doc_id'},
     "functions.curation.quality_cap_per_group": {'group_col': 'source', 'max_per_group': 100, 'quality_col': 'n_chars', 'key_col': 'doc_id'},

@@ -134,11 +134,26 @@ CASES = {
     "dedup_substring_remove": lambda df: dedup.remove_repeated_spans(
         df, n=5, min_sites=2
     ),
+    # r14: keep-one policy — doc 1 is the first (doc_id, pos) site of
+    # the dup quad's shared 5-gram, so it must survive the cut intact
+    # in BOTH engines while 2/10/20 are cut; NULL/empty/short docs
+    # still anchor with '' / all-kept rows
+    "dedup_substring_keep_one": lambda df: dedup.remove_repeated_spans(
+        df, n=5, min_sites=2, keep="first"
+    ),
     # r13: span-level decontamination through the gate's own %20
     # derivation — eval doc 20 carries the dup quad's text, so the
     # train twins (1/2/10, tab/newline included) must each report
     # one whole-doc span; NULL/empty/short train docs stay silent
     "decontaminate_spans": lambda df: dedup.contamination_spans(
+        df.where(F.col("doc_id") % 20 != 0),
+        df.where(F.col("doc_id") % 20 == 0),
+        n=5,
+    ),
+    # r14: the EDIT half — train twins 1/2/10 lose the whole-doc span
+    # shared with eval doc 20 (rebuild ''), clean/NULL/empty/short
+    # train docs keep every token; one row per train doc either way
+    "decontaminate_spans_remove": lambda df: dedup.remove_contaminated_spans(
         df.where(F.col("doc_id") % 20 != 0),
         df.where(F.col("doc_id") % 20 == 0),
         n=5,

@@ -561,6 +561,12 @@ def test_repeated_spans_inverted_index_no_cartesian(spark, tables):
     assert "Python" not in plan
     rm = dedup.remove_repeated_spans(tables["documents"], n=5, min_sites=2)
     ex.assert_no_cartesian(rm)
+    # r14: the keep-one policy adds only a rank over the gram key the
+    # coverage join already co-locates — still no cartesian
+    ko = dedup.remove_repeated_spans(
+        tables["documents"], n=5, min_sites=2, keep="first"
+    )
+    ex.assert_no_cartesian(ko)
 
 
 def test_contamination_spans_broadcasts_eval_grams(spark, tables):
@@ -583,6 +589,15 @@ def test_contamination_spans_broadcasts_eval_grams(spark, tables):
     )
     ex.assert_no_cartesian(sh)
     assert "Python" not in ex.physical_plan(bc)
+    # r14: the EDIT half inherits the same discipline — eval grams
+    # broadcast, no cartesian, shuffle-fallback cartesian-free
+    rm = dedup.remove_contaminated_spans(train, ev_docs, n=5)
+    ex.assert_no_cartesian(rm)
+    ex.assert_broadcast_joins(rm, at_least=1)
+    rm_sh = dedup.remove_contaminated_spans(
+        train, ev_docs, n=5, broadcast_eval=False
+    )
+    ex.assert_no_cartesian(rm_sh)
 
 
 def test_dp_active_users_single_shuffle_no_python(spark, tables):

@@ -395,6 +395,118 @@ def test_repeated_spans_match_bruteforce_cover(spark, corpora, n):
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_remove_repeated_spans_keep_first_matches_bruteforce(
+    spark, corpora, n
+):
+    """r14 property pin (VERDICT-r13 directive #3): keep='first' must
+    equal the brute-force keep-one definition — position p in doc D
+    is covered iff SOME n-window containing p occurs at >= 2 sites
+    AND (D, window start) is NOT the first (doc, pos) site of that
+    gram; conservation law kept + removed == token count holds."""
+    from collections import defaultdict
+
+    from hillview_spark.functions import dedup
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sites = defaultdict(list)
+    for i, toks in enumerate(corpora):
+        for p in range(len(toks) - n + 1):
+            sites[tuple(toks[p:p + n])].append((i, p + 1))  # 1-based
+    covered = {i: set() for i in range(len(corpora))}
+    for gram, ss in sites.items():
+        if len(ss) >= 2:
+            for (i, p) in sorted(ss)[1:]:  # first (doc, pos) exempt
+                covered[i].update(range(p, p + n))
+    rm = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup.remove_repeated_spans(
+            df, n=n, min_sites=2, keep="first"
+        ).collect()
+    }
+    assert set(rm) == set(range(len(corpora)))
+    for i, toks in enumerate(corpora):
+        text_, kept, removed = rm[i]
+        assert kept + removed == len(toks)
+        assert removed == len(covered[i])
+        want_text = " ".join(
+            t for p, t in enumerate(toks, start=1) if p not in covered[i]
+        )
+        assert text_ == want_text
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_remove_contaminated_spans_matches_bruteforce(spark, corpora, n):
+    """r14 property pin (VERDICT-r13 directive #4): the surgical
+    decontamination edit must equal the brute-force definition —
+    train position p is cut iff SOME n-window containing p appears
+    verbatim anywhere in the eval corpus; every train doc survives
+    with kept + removed == token count. Even-indexed docs play eval,
+    odd-indexed play train (both non-empty by min_size=2... the
+    split may still leave one side empty of GRAMS, which is itself
+    an edge worth the pin)."""
+    from hillview_spark.functions import dedup
+
+    train_toks = {i: t for i, t in enumerate(corpora) if i % 2 == 1}
+    eval_toks = {i: t for i, t in enumerate(corpora) if i % 2 == 0}
+    train = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in train_toks.items()],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in eval_toks.items()],
+        "doc_id long, text string",
+    )
+    eval_grams = {
+        tuple(toks[p:p + n])
+        for toks in eval_toks.values()
+        for p in range(len(toks) - n + 1)
+    }
+    covered = {}
+    for i, toks in train_toks.items():
+        cov = set()
+        for p in range(len(toks) - n + 1):
+            if tuple(toks[p:p + n]) in eval_grams:
+                cov.update(range(p + 1, p + n + 1))
+        covered[i] = cov
+    if train_toks:
+        rm = {
+            r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in dedup.remove_contaminated_spans(train, ev, n=n).collect()
+        }
+        assert set(rm) == set(train_toks)
+        for i, toks in train_toks.items():
+            text_, kept, removed = rm[i]
+            assert kept + removed == len(toks)
+            assert removed == len(covered[i])
+            assert text_ == " ".join(
+                t for p, t in enumerate(toks, start=1)
+                if p not in covered[i]
+            )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=3),    # hour
             st.sampled_from(["a", "b", "c", "d", "e"]),
