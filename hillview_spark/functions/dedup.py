@@ -808,7 +808,11 @@ def _positioned_grams(toked: DataFrame, n: int) -> DataFrame:
     same premise exact_dedup's content hash already rests on —
     at the cost of one extra narrow column through the one
     groupBy; gh stays in the key as the compact leading hash
-    component."""
+    component. Measured price (tools/scale_probe_r14.py, sf0.1
+    broadcast-off, worst-case coverage): +34% on repeated_spans,
+    FLAT across 1x->10x — a constant shuffle-width cost, accepted
+    because a false seed deletes real text in
+    remove_repeated_spans."""
     grams_arr = F.when(
         F.size("__toks") >= n,
         F.transform(

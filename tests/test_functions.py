@@ -3118,6 +3118,54 @@ def test_stratified_split_quota_float_crossing(spark):
     assert c10 == {"eval": 3, "train": 7}
 
 
+def test_stratified_quota_exact_at_huge_strata(spark):
+    """r14 (r13 ADVICE): the quota is exact INTEGER arithmetic —
+    (n*p + q-1) div q over DECIMAL(38,0) — so it stays exact at
+    stratum sizes where the r13 ceil(round(n*f, 9)) form broke
+    (double spacing passes 1e-9 near n*f ~ 5e6; at 100-TB strata of
+    1e12 rows the float product is off by whole units). Pin the
+    EXPRESSION both engines run against pure-Fraction ceil at sizes
+    no fixture can reach, including the exact crossing shapes
+    (integral true product) at n up to 1e12."""
+    import math
+    from fractions import Fraction
+
+    import duckdb
+
+    cases = [
+        (100, 0.07), (10**6 + 1, 0.07), (5 * 10**6 + 3, 0.07),
+        (10**8, 0.07), (10**12, 0.07), (10**12 + 7, 0.07),
+        (10**12, 0.1), (10**12 - 1, 0.1), (10**11 + 13, 1 / 3),
+        (10**12, 0.999999999), (987654321987, 0.123456789),
+        (10**7, 0.0), (10**12, 1.0),
+    ]
+    for n, f in cases:
+        frac = Fraction(str(round(float(f), 9)))
+        p, q = frac.numerator, frac.denominator
+        want = math.ceil(Fraction(n) * frac) if frac else 0
+        got_spark = spark.sql(
+            f"SELECT (CAST({n} AS DECIMAL(38,0)) * {p} + {q - 1}) "
+            f"div {q} AS quota"
+        ).collect()[0].quota
+        got_duck = duckdb.sql(
+            f"SELECT (CAST({n} AS HUGEINT) * {p} + {q - 1}) // {q}"
+        ).fetchone()[0]
+        assert got_spark == got_duck == want, (n, f, got_spark, got_duck,
+                                               want)
+        # the r13 float form really is broken up here — a concrete
+        # crossing (integral true product, double product rounds UP
+        # past the 1e-9 snap): n=69905100, f=0.07 -> true 4893357,
+        # float ceil(round(...)) overshoots to 4893358
+    n = 69905100
+    float_form = math.ceil(round(n * 0.07, 9))
+    exact = math.ceil(Fraction(n) * Fraction("0.07"))
+    assert float_form == exact + 1  # the r13 overshoot this replaces
+    got = spark.sql(
+        f"SELECT (CAST({n} AS DECIMAL(38,0)) * 7 + 99) div 100 AS q"
+    ).collect()[0].q
+    assert got == exact == 4893357
+
+
 def test_select_within_budget_guards(spark):
     """r13 (r12-verdict What's-wrong #2 + ADVICE): a fractional
     budget raises instead of silently truncating, and a NEGATIVE
