@@ -463,6 +463,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), unit="hour", col="user_id",
         epsilon=1.0, seed=7
     )
+    # r14 (late block — leads r15): the continual UNKNOWN-DOMAIN
+    # release, "private trending values per day" — per-(window,
+    # value) stability histogram under the 'wtrend' tag. delta=0.05
+    # puts tau ~8.88 inside sf0.001's 2..15 per-(day, type) counts
+    # (the threshold genuinely drops cells there); at sf0.01 every
+    # cell (47..86) clears it and the hash evidence is the noisy
+    # values — the threshold drop at sf0.01 scale is unit-pinned.
+    q["dp_windowed_trending"] = lambda s, d: ev.dp_windowed_trending(
+        _t(s, d, "events"), unit="day", col="event_type",
+        epsilon=1.0, delta=0.05, seed=7,
+    )
     # hash-oracled since r6: with the engine-portable md5str PRF the
     # whole Chan-Song-Shi release — hour leaf, base-20 digit
     # decomposition of the prefix, per-node draw, ordered noise sum —
@@ -736,6 +747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dp_windowed_distinct_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_dp_windowed_distinct, "dpwindist",
         col="user_id", epsilon=1.0, seed=7,
+    )
+    q["dp_windowed_trending_stream"] = lambda s, d: _run_stream(
+        s, d, ev.stream_dp_windowed_trending, "dpwintrend",
+        window_duration="1 day", watermark="2 days",
+        col="event_type", epsilon=1.0, delta=0.05, seed=7,
     )
     q["dp_windowed_histogram_stream"] = lambda s, d: _run_stream(
         s, d, ev.stream_dp_windowed_histogram, "dpwinhist",
@@ -1342,6 +1358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     verbatim). r11's 48-key cohort rotates in r15.
     # 6 + 4 + 40 = 50 exactly. After this gate no key's latest row
     # is older than r11.
+    # r14 LATE BLOCK (replica-proven at sf0.001 AND sf0.01, not in
+    # this slate — leads r15 with the r11 cohort):
+    # dp_windowed_trending + dp_windowed_trending_stream (the
+    # continual unknown-domain stability-histogram release).
     priority = [
         # (a) r14 churn + new
         "dedup_substring", "dedup_substring_remove",
@@ -4705,6 +4725,46 @@ def oracle_sql() -> dict[str, str]:
         FROM unif
     """
     o["dp_windowed_distinct_stream"] = o["dp_windowed_distinct"]
+    # r14: continual unknown-domain trending — per-(window, value)
+    # noisy counts under the 'wtrend' tag, released only above
+    # tau = 1 + 2 ln(2/delta)/eps + 0.5 (the stability-histogram
+    # threshold); NULL values are not a domain element, NULL-ts
+    # rows drop. The SELECT filters on the ROUNDED integer release,
+    # exactly as the operator does.
+    o["dp_windowed_trending"] = f"""
+        WITH cells AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type AS value, COUNT(*) AS n_events
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        ), unif AS (
+            SELECT window_start, value, n_events,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('value')}
+                           || '|wtrend|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM cells
+        ), rel AS (
+            SELECT window_start, value,
+                   CAST(FLOOR(CAST(n_events AS DOUBLE)
+                        + (CASE WHEN 0.5 - u < 0
+                                THEN -(1.0) * LN(1.0 - 2.0 * (u - 0.5))
+                                ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                        + 0.5) AS BIGINT) AS noisy_count
+            FROM unif
+        )
+        SELECT window_start, value, noisy_count FROM rel
+        WHERE noisy_count > {1.0 + 2.0 * _math.log(2.0 / 0.05) / 1.0 + 0.5!r}
+    """
+    o["dp_windowed_trending_stream"] = o["dp_windowed_trending"]
     # r11: DP transition matrix — sensitivity 3 (one event touches up
     # to 2 pairs and its removal can mint 1 between its neighbors),
     # so the Laplace scale is 3.0; the cell key is the escaped

@@ -678,6 +678,133 @@ def _noisy_distinct(cells: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
+def dp_windowed_trending(
+    events: DataFrame,
+    unit: str = "day",
+    col: str = "event_type",
+    epsilon: float = 1.0,
+    delta: float = 1e-6,
+    seed: int = 0,
+) -> DataFrame:
+    """Continual stability-histogram release (r14) — "private
+    trending values per window" over an UNKNOWN value domain: per
+    (window, value) cell, a noisy count released only above the
+    Korolova/Bun-Nissim-Stemmer threshold tau = 1 +
+    2*ln(2/delta)/epsilon + 0.5. This composes the two r13 releases
+    the continual family stopped short of combining:
+    dp_histogram_unknown_domain's thresholded unknown-domain
+    mechanism, per tumbling window — the "which search queries /
+    pages / error codes are trending this hour" board where the
+    domain itself is data (no curated bucket list) and is protected
+    by the threshold.
+
+    Privacy: event-level adjacency (the family's granularity) — an
+    event lands in exactly ONE (window, value) cell and moves its
+    count by 1, so per-cell Laplace(1/epsilon) + threshold is
+    (epsilon, delta)-DP by parallel composition across disjoint
+    cells. The noise is value-keyed PRF Laplace under the 'wtrend'
+    domain tag (no draw shared with 'wcounts'/'wdist'/... at one
+    seed), computable on an unbounded domain with no driver
+    enumeration — so the SAME formula streams. Seed-secrecy caveat
+    as dp_histogram_unknown_domain: the (epsilon, delta) guarantee
+    is over the random choice of seed; production use needs a
+    secret or per-release seed. NULL values are not a domain
+    element (excluded); NULL event times drop (watermark rule).
+
+    Scale: ONE groupBy to O(windows x distinct values) cells with
+    map-side combine; noise and threshold are codegen'd expressions
+    on the aggregate output — no join, no Python, same bound as any
+    windowed distinct-count."""
+    from hillview_spark.operators.histogram import trunc_ntz
+    from hillview_spark.operators.privacy import _check_epsilon
+
+    _check_epsilon(epsilon)
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta!r}")
+    cells = (
+        events.where(F.col(col).isNotNull())
+        .groupBy(
+            trunc_ntz(F.col("ts"), unit).alias("window_start"),
+            F.col(col).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("window_start").isNotNull())
+    )
+    return _noisy_trending(cells, epsilon, delta, seed)
+
+
+def stream_dp_windowed_trending(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+    col: str = "event_type",
+    epsilon: float = 1.0,
+    delta: float = 1e-6,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of dp_windowed_trending: watermarked tumbling
+    windows per value, the same cell-keyed 'wtrend' noise and
+    threshold applied to the aggregate output — each cell's release
+    decision (including WHETHER the value appears) is derivable the
+    moment the watermark closes it. Drive with outputMode('append')
+    so each cell is released exactly once (re-emitting with fresh
+    noise would burn budget; re-emitting the threshold decision
+    would leak through presence-flicker)."""
+    from hillview_spark.operators.privacy import _check_epsilon
+
+    _check_epsilon(epsilon)
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta!r}")
+    stream = _event_time_stream(spark, events_dir, schema)
+    cells = (
+        stream.where(F.col(col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("win"),
+            F.col(col).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "value", "n_events"
+        )
+    )
+    return _noisy_trending(cells, epsilon, delta, seed)
+
+
+def _noisy_trending(
+    cells: DataFrame, epsilon: float, delta: float, seed: int
+) -> DataFrame:
+    """ONE thresholded-release select shared by the batch and
+    streaming twins (the _noisy_counts discipline): floor-integer
+    noisy count under the 'wtrend' tag, released only above tau —
+    thresholding the ROUNDED release at tau (which carries its own
+    +0.5) is at least as strict as thresholding the raw one, so the
+    delta calibration survives the integer discipline (the
+    dp_histogram_unknown_domain argument)."""
+    import math
+
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    tau = 1.0 + 2.0 * math.log(2.0 / delta) / epsilon + 0.5
+    secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
+    noise = laplace_noise_col(
+        epsilon, seed, secs, F.col("value"), F.lit("wtrend"),
+        scale=1.0 / epsilon, prf="md5",
+    )
+    return (
+        cells.select(
+            "window_start",
+            "value",
+            F.floor(F.col("n_events").cast("double") + noise + F.lit(0.5))
+            .cast("long")
+            .alias("noisy_count"),
+        )
+        .where(F.col("noisy_count") > F.lit(tau))
+    )
+
+
 def windowed_topk(
     events: DataFrame,
     unit: str = "hour",

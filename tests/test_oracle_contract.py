@@ -42,6 +42,7 @@ FROZEN = {
     "streaming.events.dp_windowed_sum": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 250.0, 'epsilon': 1.0, 'seed': 0},
     "streaming.events.dp_windowed_mean": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 250.0, 'epsilon': 1.0, 'seed': 0},
     "streaming.events.dp_windowed_distinct": {'unit': 'hour', 'col': 'user_id', 'epsilon': 1.0, 'seed': 0},
+    "streaming.events.dp_windowed_trending": {'unit': 'day', 'col': 'event_type', 'epsilon': 1.0, 'delta': 1e-06, 'seed': 0},
     "streaming.events.dp_windowed_counts": {'unit': 'hour', 'epsilon': 1.0, 'seed': 0},
     "streaming.events.dp_windowed_histogram": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 100.0, 'buckets': 10, 'epsilon': 1.0, 'seed': 0},
     "functions.curation.ngram_novelty": {'n': 3, 'min_df': 2, 'text_col': 'text', 'id_col': 'doc_id'},

@@ -385,6 +385,14 @@ def _events_cases():
         "dp_windowed_distinct": lambda df: ev.dp_windowed_distinct(
             df, unit="hour", col="user_id", epsilon=1.0, seed=7,
         ),
+        # r14: continual unknown-domain trending — NULL values are
+        # not a domain element, NULL-ts rows drop; the edge
+        # fixture's tiny per-(day, type) counts sit below tau, so
+        # both engines must agree on the (near-)empty release
+        "dp_windowed_trending": lambda df: ev.dp_windowed_trending(
+            df, unit="day", col="event_type", epsilon=1.0,
+            delta=0.05, seed=7,
+        ),
         # r13: the unknown-domain stability histogram — NULL user ids
         # are not a domain element; the edge fixture's tiny per-user
         # counts sit far below tau, so BOTH engines must agree the
@@ -575,6 +583,13 @@ def _stream_cases():
         "dp_windowed_distinct_stream": (
             ev.stream_dp_windowed_distinct, "complete",
             {"col": "user_id", "epsilon": 1.0, "seed": 7}),
+        # r14: the trending twin — threshold decision on the rounded
+        # release must match the oracle on NULL types/times
+        "dp_windowed_trending_stream": (
+            ev.stream_dp_windowed_trending, "complete",
+            {"window_duration": "1 day", "watermark": "2 days",
+             "col": "event_type", "epsilon": 1.0, "delta": 0.05,
+             "seed": 7}),
     }
 
 

@@ -600,6 +600,22 @@ def test_contamination_spans_broadcasts_eval_grams(spark, tables):
     ex.assert_no_cartesian(rm_sh)
 
 
+def test_dp_windowed_trending_single_shuffle_no_python(spark, tables):
+    """r14: the continual unknown-domain release is ONE groupBy to
+    O(windows x values) cells; noise and threshold are codegen'd
+    expressions on the aggregate output — no join, no second
+    exchange, no Python."""
+    from hillview_spark.streaming import events as ev
+
+    df = ev.dp_windowed_trending(
+        tables["events"], unit="day", col="event_type",
+        epsilon=1.0, delta=0.05, seed=7,
+    )
+    ex.assert_max_shuffles(df, 1)
+    ex.assert_no_cartesian(df)
+    assert "Python" not in ex.physical_plan(df)
+
+
 def test_dp_active_users_single_shuffle_no_python(spark, tables):
     """r13: the stability histogram is ONE groupBy over the unknown
     domain; noise and threshold are codegen'd expressions on the

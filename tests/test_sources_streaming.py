@@ -1158,6 +1158,94 @@ def test_stream_dp_windowed_distinct_matches_batch(spark, tmp_path):
     assert probe.wdist != probe.wcounts
 
 
+def test_dp_windowed_trending_threshold_and_guards(spark):
+    """r14: the continual unknown-domain release — per-(window,
+    value) noisy counts released only above tau, with the whole
+    decision (membership AND values) re-derived in Python from the
+    md5 'wtrend' recipe; a count-1 value stays hidden at this tau,
+    NULL values are not a domain element, NULL-ts rows drop, the
+    'wtrend' draw is disjoint from 'wcounts'/'wdist' at one key,
+    and bad epsilon/delta raise."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = (
+        [(i, base + dt.timedelta(minutes=i), 1, "hot", 1.0)
+         for i in range(20)]
+        + [(100, base, 2, "lone", 1.0)]
+        + [(101, base, 3, None, 1.0)]          # NULL value: excluded
+        + [(102, None, 4, "hot", 1.0)]         # NULL ts: dropped
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    eps, delta, seed = 1.0, 0.05, 11
+    tau = 1.0 + 2.0 * math.log(2.0 / delta) / eps + 0.5
+
+    def release(value, cnt, secs):
+        u = int(
+            hashlib.md5(
+                f"{secs}|{value}|wtrend|{seed}".encode()
+            ).hexdigest()[:13], 16,
+        ) * 2.0**-52
+        u = min(max(u, 2.0**-53), 1.0 - 2.0**-53)
+        r = 0.5 - u
+        noise = (
+            -math.log(1.0 - 2.0 * (-r)) if r < 0
+            else math.log(1.0 - 2.0 * r)
+        ) / eps
+        rel = math.floor(cnt + noise + 0.5)
+        return rel if rel > tau else None
+
+    day_secs = int(dt.datetime(
+        2024, 6, 1, tzinfo=dt.timezone.utc).timestamp())
+    want = {}
+    for value, cnt in (("hot", 20), ("lone", 1)):
+        rel = release(value, cnt, day_secs)
+        if rel is not None:
+            want[value] = rel
+    got = {
+        r.value: r.noisy_count
+        for r in ev.dp_windowed_trending(
+            df, unit="day", col="event_type", epsilon=eps,
+            delta=delta, seed=seed,
+        ).collect()
+    }
+    assert got == want
+    assert "hot" in got          # 20 >> tau+1: non-trivial release
+    assert "lone" not in got     # count-1 never clears tau ~8.88 here
+    assert None not in got
+    import pytest as _pytest
+
+    for bad in (0.0, -1.0):
+        with _pytest.raises(ValueError, match="epsilon"):
+            ev.dp_windowed_trending(df, epsilon=bad, delta=0.05)
+        with _pytest.raises(ValueError, match="epsilon"):
+            ev.stream_dp_windowed_trending(
+                spark, "/tmp/none", None, epsilon=bad, delta=0.05
+            )
+    for bad_d in (0.0, 1.0, -0.5):
+        with _pytest.raises(ValueError, match="delta"):
+            ev.dp_windowed_trending(df, epsilon=1.0, delta=bad_d)
+    # tag separation at one (window, value) key
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    probe = spark.range(1).select(
+        *[
+            laplace_noise_col(
+                1.0, seed, F.lit("3600"), F.lit("click"), F.lit(tag),
+                scale=1.0, prf="md5",
+            ).alias(tag)
+            for tag in ("wtrend", "wcounts", "wdist")
+        ]
+    ).first()
+    assert len({probe.wtrend, probe.wcounts, probe.wdist}) == 3
+
+
 def test_stream_dp_windowed_mean_and_distinct_restart_append_once(
     spark, tmp_path
 ):
@@ -1216,7 +1304,29 @@ def test_stream_dp_windowed_mean_and_distinct_restart_append_once(
             ),
             lambda r: r.noisy_distinct,
         ),
+        # r14: the thresholded unknown-domain release — the restart
+        # must not re-decide a cell's PRESENCE either (a threshold
+        # flicker across lives would leak through set-difference);
+        # delta=0.35 puts tau ~4.98 under the ~6-7 per-(hour, click)
+        # counts so cells genuinely release
+        "trend": (
+            lambda: ev.stream_dp_windowed_trending(
+                spark, src, schema, window_duration="1 hour",
+                watermark="2 hours", col="event_type", epsilon=1.0,
+                delta=0.35, seed=5,
+            ),
+            lambda df: ev.dp_windowed_trending(
+                df, "hour", "event_type", epsilon=1.0, delta=0.35,
+                seed=5,
+            ),
+            lambda r: r.noisy_count,
+        ),
     }
+
+    def cell_key(r):
+        # trending releases the value column under its domain name
+        return (r.window_start,
+                r.value if "value" in r.__fields__ else r.event_type)
 
     rows1 = mk_rows(0, 40, 0)
     rows2 = mk_rows(420, 40, 100)
@@ -1247,11 +1357,11 @@ def test_stream_dp_windowed_mean_and_distinct_restart_append_once(
         run_once(name, mk_stream)  # restart from the same checkpoint
         got = {}
         for r in spark.read.parquet(str(tmp_path / f"out_{name}")).collect():
-            k = (r.window_start, r.event_type)
+            k = cell_key(r)
             assert k not in got, f"{name}: cell released twice: {k}"
             got[k] = val(r)
         batch = {
-            (r.window_start, r.event_type): val(r)
+            cell_key(r): val(r)
             for r in mk_batch(
                 spark.createDataFrame(rows1 + rows2, schema_str)
             ).collect()
