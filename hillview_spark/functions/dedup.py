@@ -809,9 +809,9 @@ def _positioned_grams(toked: DataFrame, n: int) -> DataFrame:
     at the cost of one extra narrow column through the one
     groupBy; gh stays in the key as the compact leading hash
     component. Measured price (tools/scale_probe_r14.py, sf0.1
-    broadcast-off, worst-case coverage): +34% on repeated_spans,
-    FLAT across 1x->10x — a constant shuffle-width cost, accepted
-    because a false seed deletes real text in
+    broadcast-off, worst-case coverage, three sessions): +27-34% on
+    repeated_spans, FLAT across 1x->10x — a constant shuffle-width
+    cost, accepted because a false seed deletes real text in
     remove_repeated_spans."""
     grams_arr = F.when(
         F.size("__toks") >= n,

@@ -170,6 +170,49 @@ def main():
         f"{b1:.2f}s -> {factor}x {bN:.2f}s (ratio {bN / b1:.2f}; eval "
         f"grams fixed at the 1x slice)"
     )
+
+    # --- optional: the r14 late-block release at the same replica ----
+    if "--late" in sys.argv:
+        import re
+
+        from hillview_spark.streaming import events as ev
+
+        def n_hash_exchanges(df):
+            plan = ex.physical_plan(df)
+            ids = re.findall(
+                r"Exchange hashpartitioning[^\n]*plan_id=(\d+)", plan
+            )
+            return len(set(ids))
+
+        events1 = tables.load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        epath = f"{out_dir}/events_x{factor}.parquet"
+        replicate(events1, factor, ["event_id", "user_id"]).write.mode(
+            "overwrite"
+        ).parquet(epath)
+        eventsN = spark.read.parquet(epath)
+        print(f"events replica rows: {eventsN.count()}")
+        # cell count = windows x distinct types = CONSTANT across
+        # replicas; only the scan + partial aggregate scales — the
+        # whole claim, so the exchange count must not move either
+        t1f = lambda: ev.dp_windowed_trending(
+            events1, unit="day", col="event_type", epsilon=1.0,
+            delta=0.05, seed=7,
+        )
+        tNf = lambda: ev.dp_windowed_trending(
+            eventsN, unit="day", col="event_type", epsilon=1.0,
+            delta=0.05, seed=7,
+        )
+        assert n_hash_exchanges(t1f()) == n_hash_exchanges(tNf())
+        tf = [("noisy_count", "num")]
+        w1 = med(t1f, repeats, tf)
+        wN = med(tNf, repeats, tf)
+        print(
+            f"dp_windowed_trending broadcast-off: 1x {w1:.2f}s -> "
+            f"{factor}x {wN:.2f}s (ratio {wN / w1:.2f}; cells constant, "
+            f"events x{factor}, exchange count asserted equal)"
+        )
     spark.stop()
 
 
