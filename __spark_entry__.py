@@ -3139,10 +3139,10 @@ def oracle_sql() -> dict[str, str]:
     """
     o["dedup_simhash"] = _simhash_pairs_sql()
     # r13 (gram identity r14): exact-substring dedup — positioned
-    # 5-grams keyed by the FULL 32-hex md5 (gm; grouping/joining on
-    # gm alone equals the Spark side's (gh, gm) pair since gh is
-    # gm's 60-bit prefix — VERDICT-r13 What's-wrong #1, prefix
-    # collisions can no longer mint false seeds), seeds = grams at
+    # 5-grams keyed by the FULL 32-hex md5 gm, the only gram key on
+    # BOTH engines (VERDICT-r13 What's-wrong #1: the r13 60-bit
+    # prefix key's birthday collisions could mint false seeds —
+    # structurally closed), seeds = grams at
     # >= 2 (doc,pos) sites corpus-wide (within-doc repeats count, as
     # a suffix array would), covered positions merge into maximal
     # spans via the lag/running-sum island rule (break when the

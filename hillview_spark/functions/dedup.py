@@ -751,7 +751,7 @@ def repeated_spans(
     anchors localize candidates; the merge extends a seed to the
     full arbitrary-length span). Hash premise (r14, VERDICT-r13
     What's-wrong #1): gram identity is the FULL 128-bit md5 (seed
-    groups and the coverage join key on (gh, gm) — _dup_coverage),
+    groups and the coverage join key on the full md5 — _dup_coverage),
     so the IFF holds modulo full-md5 collisions only, the premise
     exact_dedup's content hash already rests on; the r13 form keyed
     on the 60-bit prefix alone, whose birthday collisions at >= 2^30
@@ -794,25 +794,23 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _positioned_grams(toked: DataFrame, n: int) -> DataFrame:
-    """(doc, pos, gh, gm): EVERY n-gram occurrence with its 1-based
-    start position, 60-bit md5-prefix key gh, and the FULL 32-hex md5
-    gm — positioned, NOT distinct (within-doc repeats are sites too).
+    """(doc, pos, gm): EVERY n-gram occurrence with its 1-based
+    start position and the FULL 32-hex md5 gm as the ONLY gram key —
+    positioned, NOT distinct (within-doc repeats are sites too).
     Docs with < n tokens (and NULL texts) contribute no rows.
 
-    gm exists to make seed identity exact (r14, VERDICT-r13
-    What's-wrong #1): at ~2^30 distinct grams the 60-bit prefix
-    starts taking birthday collisions (~10^5 colliding pairs at
-    10^12 grams), and a collision between two UNIQUE grams would
-    mint a false duplicated seed. Grouping and joining on the
-    (gh, gm) pair keeps gram identity at the full 128 bits — the
-    same premise exact_dedup's content hash already rests on —
-    at the cost of one extra narrow column through the one
-    groupBy; gh stays in the key as the compact leading hash
-    component. Measured price (tools/scale_probe_r14.py, sf0.1
-    broadcast-off, worst-case coverage, three sessions): +27-34% on
-    repeated_spans, FLAT across 1x->10x — a constant shuffle-width
-    cost, accepted because a false seed deletes real text in
-    remove_repeated_spans."""
+    Key design (r14, VERDICT-r13 What's-wrong #1): the r13 form
+    keyed grams on the 60-bit md5 prefix (_token_hash), whose
+    birthday collisions at ~2^30 distinct grams (~10^5 colliding
+    pairs at 10^12 grams) could mint FALSE duplicated seeds — and a
+    false seed deletes real text in remove_repeated_spans. Keying on
+    the full 128-bit md5 closes that class by construction (the same
+    premise exact_dedup's content hash already rests on). The first
+    r14 cut carried BOTH columns, (gh, gm); an interleaved A/B at
+    sf0.1 measured the pair at 2.24s vs 1.96s for gm alone vs 1.77s
+    for the unsafe gh-only baseline — the prefix column was pure
+    shuffle weight, so gm-only it is (~+11% over gh-only, half the
+    pair's cost, zero collision premise)."""
     grams_arr = F.when(
         F.size("__toks") >= n,
         F.transform(
@@ -825,7 +823,6 @@ def _positioned_grams(toked: DataFrame, n: int) -> DataFrame:
     ).select(
         "doc",
         (F.col("__p0") + 1).alias("pos"),
-        _token_hash(F.col("__g")).alias("gh"),
         F.md5(F.col("__g")).alias("gm"),
     )
 
@@ -834,25 +831,26 @@ def _dup_coverage(
     g: DataFrame, min_sites: int, keep: str = "all"
 ) -> DataFrame:
     """Covered (doc, pos) window starts: grams at >= min_sites
-    (doc, pos) sites corpus-wide, confirmed by FULL md5 (the gm
-    column — a 60-bit-prefix collision between unique grams cannot
-    seed). keep='all' covers every site of a duplicated gram;
-    keep='first' exempts the first site in (doc, pos) order — the
-    Lee et al. keep-one policy (the kept site's content still
-    trains once). The keep='first' rank is a window over the gram
-    key, which the join's hash partitioning already co-locates —
-    a partition-local sort, no extra shuffle."""
+    (doc, pos) sites corpus-wide, identified by FULL md5 (the gm
+    column is the only gram key — a hash-prefix collision between
+    unique grams structurally cannot seed). keep='all' covers every
+    site of a duplicated gram; keep='first' exempts the first site
+    in (doc, pos) order — the Lee et al. keep-one policy (the kept
+    site's content still trains once). The keep='first' rank is a
+    window over the gram key, which the join's hash partitioning
+    already co-locates — a partition-local sort, no extra
+    shuffle."""
     from pyspark.sql import Window
 
     dup = (
-        g.groupBy("gh", "gm")
+        g.groupBy("gm")
         .agg(F.count(F.lit(1)).alias("sites"))
         .where(F.col("sites") >= min_sites)
-        .select("gh", "gm")
+        .select("gm")
     )
-    cov = g.join(dup, ["gh", "gm"])
+    cov = g.join(dup, ["gm"])
     if keep == "first":
-        w = Window.partitionBy("gh", "gm").orderBy("doc", "pos")
+        w = Window.partitionBy("gm").orderBy("doc", "pos")
         cov = cov.withColumn("__rk", F.row_number().over(w)).where(
             F.col("__rk") > 1
         )
@@ -944,7 +942,7 @@ def contamination_spans(
     n-gram-cover construction (same as repeated_spans), and the
     conservative direction for an audit: it over-marks, never
     under-marks. Gram identity is the full 128-bit md5 (r14 — the
-    membership probe joins on (gh, gm), so a 60-bit-prefix collision
+    membership probe joins on the full md5, so a hash-prefix collision
     cannot mark a clean position; see repeated_spans' hash premise).
 
     Output: repeated_spans' schema — (id_col, span_start, span_end,
@@ -968,11 +966,11 @@ def contamination_spans(
         eval_df, eval_id_col or id_col, eval_text_col or text_col
     )
     eval_grams = (
-        _positioned_grams(eval_toked, n).select("gh", "gm").distinct()
+        _positioned_grams(eval_toked, n).select("gm").distinct()
     )
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    cov = g.join(eval_grams, ["gh", "gm"], "leftsemi").select("doc", "pos")
+    cov = g.join(eval_grams, ["gm"], "leftsemi").select("doc", "pos")
     return _report_spans(_merge_islands(cov, n), toked, id_col)
 
 
@@ -1113,7 +1111,7 @@ def remove_contaminated_spans(
     cut is the OVERLAPPING-window cover, so it can over-cut a flank
     token adjacent to genuinely shared text, never under-cut — the
     right bias for leak removal. Gram identity is the full 128-bit
-    md5 (the (gh, gm) probe).
+    md5 (the gm probe).
 
     Output: _cut_spans' schema — one row per INPUT train document,
     (id_col, text_col rebuilt, n_tokens_kept, n_tokens_removed);
@@ -1131,9 +1129,9 @@ def remove_contaminated_spans(
         eval_df, eval_id_col or id_col, eval_text_col or text_col
     )
     eval_grams = (
-        _positioned_grams(eval_toked, n).select("gh", "gm").distinct()
+        _positioned_grams(eval_toked, n).select("gm").distinct()
     )
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    cov = g.join(eval_grams, ["gh", "gm"], "leftsemi").select("doc", "pos")
+    cov = g.join(eval_grams, ["gm"], "leftsemi").select("doc", "pos")
     return _cut_spans(df, _merge_islands(cov, n), id_col, text_col)

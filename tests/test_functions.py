@@ -3365,24 +3365,25 @@ def test_contamination_spans_cross_corpus(spark):
 
 def test_dup_coverage_full_md5_confirms_seeds(spark):
     """r14 (VERDICT-r13 What's-wrong #1, the collision-premise pin):
-    seed duplication is confirmed by the FULL 32-hex md5 (gm), so a
-    60-bit-prefix collision between two UNIQUE grams cannot mint a
-    false seed. Hand-built gram frame because engineering a real
-    60-bit md5-prefix collision is infeasible — rows 1/2 share gh
-    but carry different gm (each gram unique: NOT a seed under the
-    r14 rule; the r13 gh-only rule would have seeded them), rows
-    3/4 are a true duplicate. keep='first' exempts the earliest
-    (doc, pos) site of the true duplicate."""
+    gram identity is the FULL 32-hex md5 (gm) — the only gram key —
+    so a 60-bit-prefix collision between two UNIQUE grams cannot
+    mint a false seed. Hand-built gram frame because engineering a
+    real md5-prefix collision is infeasible — rows 1/2 share their
+    first 15 hex chars (the exact 60-bit key the r13 rule grouped
+    on, which would have seeded them) but differ in the full hash:
+    NOT a seed. Rows 3/4 are a true duplicate. keep='first' exempts
+    the earliest (doc, pos) site of the true duplicate."""
     from hillview_spark.functions.dedup import _dup_coverage
 
+    prefix = "a" * 15  # identical 60-bit prefix, distinct full md5
     g = spark.createDataFrame(
         [
-            (1, 1, 42, "aaaa"),  # prefix collision, distinct grams
-            (2, 5, 42, "bbbb"),
-            (1, 9, 7, "cccc"),   # true duplicate (same full md5)
-            (2, 3, 7, "cccc"),
+            (1, 1, prefix + "0" * 16 + "0"),
+            (2, 5, prefix + "0" * 16 + "1"),
+            (1, 9, "c" * 32),   # true duplicate (same full md5)
+            (2, 3, "c" * 32),
         ],
-        "doc long, pos int, gh long, gm string",
+        "doc long, pos int, gm string",
     )
     cov = {(r.doc, r.pos) for r in _dup_coverage(g, 2).collect()}
     assert cov == {(1, 9), (2, 3)}

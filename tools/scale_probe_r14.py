@@ -75,10 +75,17 @@ def med(f, repeats, force):
 
 def repeated_spans_gh_only(df, n=5, min_sites=2):
     """Inline replica of the r13 pipeline — seed groups and coverage
-    join keyed on the 60-bit prefix ALONE (gm dropped before the
-    shuffle). Exists only to measure what the exactness fix costs."""
+    join keyed on the 60-bit prefix ALONE (derived from gm, then gm
+    dropped before the shuffle). Exists only to measure what the
+    exactness fix costs."""
     toked = dedup._tokenized(df, "doc_id", "text")
-    g = cache.persist(dedup._positioned_grams(toked, n).drop("gm"))
+    g = cache.persist(
+        dedup._positioned_grams(toked, n)
+        .withColumn(
+            "gh", F.conv(F.substring("gm", 1, 15), 16, 10).cast("bigint")
+        )
+        .drop("gm")
+    )
     dup = (
         g.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("sites"))
