@@ -653,8 +653,11 @@ def main():
     # warm on an identical tree — two rounds of drift triage were
     # box state, not code). One throwaway pass touches every input
     # file and JITs every plan so the recorded medians are
-    # steady-state. Disable with SPARK_GRAFT_BENCH_WARM=0.
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") not in ("", "0"):
+    # steady-state. Disable with SPARK_GRAFT_BENCH_WARM=0 — only the
+    # literal '0' disables; anything else (including empty) warms
+    # (ADVICE r14: the old `not in ('', '0')` silently treated the
+    # empty string as a disable value the docs never promised).
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
         warm_start = time.perf_counter()
         for name, (factory, how) in queries.items():
             materialize(factory(), how)

@@ -3455,6 +3455,30 @@ def test_remove_repeated_spans_keep_first(spark):
     assert all_default[2] == ""
     with _pytest.raises(ValueError, match="keep"):
         dedup.remove_repeated_spans(df, n=3, min_sites=2, keep="one")
+    # r15 (ADVICE r14): the helper itself fails loudly too — a typo'd
+    # policy from a future internal caller must not silently degrade
+    # to all-sites coverage
+    with _pytest.raises(ValueError, match="keep"):
+        dedup._dup_coverage(
+            dedup._positioned_grams(
+                dedup._tokenized(df, "doc_id", "text"), 3
+            ),
+            2,
+            keep="frist",
+        )
+    # r15 (ADVICE r14): _cut_spans is id_col='doc'-safe (the spans
+    # frame's own 'doc' column must not make the select ambiguous)
+    df_doc = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d e zz")],
+        "doc long, text string",
+    )
+    got_doc = {
+        r.doc: r.text
+        for r in dedup.remove_repeated_spans(
+            df_doc, n=5, min_sites=2, id_col="doc"
+        ).collect()
+    }
+    assert got_doc == {1: "", 2: "zz"}
 
 
 def test_remove_contaminated_spans_surgical(spark):
