@@ -331,12 +331,20 @@ def stream_dp_windowed_counts(
     return _noisy_counts(counts, epsilon, seed)
 
 
-def _noisy_counts(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
+def _noisy_counts(
+    counts: DataFrame, epsilon: float, seed: int, tag: str = "wcounts"
+) -> DataFrame:
     """ONE noisy-release select shared by the batch and streaming
     twins — the twins must stay bit-identical for the DP/oracle
     contract, so there is exactly one copy of the floor(c+n+0.5)
-    rounding and the cell-noise expression."""
-    noise = _cell_noise(epsilon, seed)
+    rounding and the cell-noise expression. `tag` is the PRF domain
+    tag: dp_windowed_counts_user_level releases under its own tag
+    ('uwcnt') because publishing the capped and uncapped releases
+    under one seed WITH a shared tag would give both the same
+    per-cell draw — subtracting them would reveal the exact count
+    delta the cap removed, noise-free (the SPECIAL_MEAN_SUM /
+    'wmsum'-vs-'wmcnt' collision class)."""
+    noise = _cell_noise(epsilon, seed, tag)
     return counts.select(
         "window_start",
         "event_type",
@@ -805,6 +813,179 @@ def _noisy_trending(
     )
 
 
+def bound_contributions(
+    events: DataFrame,
+    k: int = 1,
+    by: str = "user_id",
+    per: str = "hour",
+    max_windows: int | None = None,
+    key_col: str = "event_id",
+    salt: str = "bound1",
+) -> DataFrame:
+    """Per-entity contribution bounding (r15, VERDICT-r14
+    What's-missing #4) — the pre-operator that turns the continual
+    family's EVENT-level guarantees into USER-level ones: keep at
+    most `k` events per (`by`, `per`-window) pair, chosen by a
+    deterministic salted-hash rank over `key_col` (the Wilson et
+    al. 2020 / DP-SQL contribution-bounding discipline: cap each
+    user BEFORE the mechanism, then scale the stated guarantee by
+    the cap). Optionally also keep each entity's rows in at most
+    `max_windows` windows — without a window bound, one user can
+    touch EVERY window, so the whole-stream user-level guarantee is
+    unbounded (the per-window cap alone gives user-level DP per
+    window release).
+
+    Selection is cap_per_group's recipe: the k smallest
+    (md5(key, salt), key) tuples per (entity, window) — a uniform
+    pseudo-random subset that is reproducible across runs, engines,
+    and re-ingests (a nondeterministic cap would change which
+    events a re-run releases, silently re-spending budget on a
+    different dataset). The window keep-set ranks each entity's
+    distinct windows by the same hash under salt + 'w'.
+
+    NULL handling: NULL event times drop (they have no window, so
+    no per-window bound could cover them — and every downstream
+    windowed release drops them anyway); NULL entities pool into
+    ONE group capped at k (the conservative read: treat all unknown
+    users as one user, never let the NULL pool exceed the cap); a
+    NULL key_col raises loudly (salted_hex's guard — a row without
+    identity has no deterministic rank).
+
+    100-TB shape: two-phase top-k per (entity, window) — phase 1
+    ranks within (entity, window, input-partition), so even a
+    pathological entity with 10^8 events in one window shrinks to
+    k x num_partitions rows before the global rank (cap_per_group's
+    skew discipline); the window keep-set ranks DISTINCT
+    (entity, window) rows, whose cardinality is already bounded by
+    entities x windows, not events."""
+    from hillview_spark.operators.sampling import salted_hash
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    if max_windows is not None and max_windows < 1:
+        raise ValueError(
+            f"max_windows must be >= 1 or None, got {max_windows!r}"
+        )
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    cols = events.columns
+    tagged = (
+        events.where(F.col("ts").isNotNull())
+        .withColumn("__win", trunc_ntz(F.col("ts"), per))
+        .withColumn("__h", salted_hash(F.col(key_col), salt))
+    )
+    w_local = Window.partitionBy(
+        by, "__win", F.spark_partition_id()
+    ).orderBy("__h", key_col)
+    local = (
+        tagged.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= k)
+        .drop("__lrk")
+    )
+    w_global = Window.partitionBy(by, "__win").orderBy("__h", key_col)
+    bounded = (
+        local.withColumn("__rk", F.row_number().over(w_global))
+        .where(F.col("__rk") <= k)
+        .drop("__rk", "__h")
+    )
+    if max_windows is not None:
+        # rank each entity's DISTINCT windows by the portable hash of
+        # the window's epoch seconds under salt+'w' (its own salt so
+        # no draw is shared with the event rank), keep the first
+        # max_windows, and semi-join back — eqNullSafe so the NULL
+        # entity pool's windows are bounded too.
+        wh = salted_hash(
+            F.unix_seconds(F.col("__win").cast("timestamp")), salt + "w"
+        )
+        w_rank = Window.partitionBy(by).orderBy(wh, "__win")
+        keep_w = (
+            bounded.select(by, "__win")
+            .distinct()
+            .withColumn("__wrk", F.row_number().over(w_rank))
+            .where(F.col("__wrk") <= max_windows)
+            .select(F.col(by).alias("__kby"), F.col("__win").alias("__kwin"))
+        )
+        bounded = bounded.join(
+            keep_w,
+            F.col(by).eqNullSafe(F.col("__kby"))
+            & (F.col("__win") == F.col("__kwin")),
+            "leftsemi",
+        )
+    return bounded.select(*cols)
+
+
+def dp_windowed_counts_user_level(
+    events: DataFrame,
+    unit: str = "hour",
+    epsilon: float = 1.0,
+    seed: int = 0,
+    k: int = 1,
+    by: str = "user_id",
+    max_windows: int | None = None,
+    key_col: str = "event_id",
+    salt: str = "bound1",
+) -> DataFrame:
+    """USER-level DP continual windowed counts (r15): the
+    contribution-bounded composition of bound_contributions and the
+    dp_windowed_counts mechanism — the release a real telemetry
+    pipeline must defend, where the unit of protection is a person,
+    not a row. The cap is deterministic, so the composed release
+    hash-oracles exactly like the event-level family.
+
+    Adjacency table for the continual family (what one
+    Laplace(1/epsilon)-per-cell release of THIS pipeline guarantees
+    against each notion of neighboring datasets):
+
+      adjacency                      guarantee   why
+      ------------------------------ ----------- --------------------
+      one EVENT added/removed        epsilon     the event lands in
+                                                 exactly one cell
+                                                 (parallel
+                                                 composition — every
+                                                 dp_windowed_* release)
+      one USER's data WITHIN one     k*epsilon   after the cap the
+      window changed                             user has <= k events
+                                                 there; group privacy
+                                                 over k event-neighbors
+      one USER added/removed         k*max_windows*epsilon
+      (whole stream)                             <= k*max_windows
+                                                 events total; without
+                                                 max_windows this is
+                                                 UNBOUNDED (a user can
+                                                 touch every window)
+
+    Pass max_windows for a finite whole-stream user-level guarantee;
+    leave it None when the deployment windows the BUDGET instead
+    (e.g. a per-day release where each day is its own epsilon
+    account). The noise draws under the 'uwcnt' domain tag — never
+    shared with the uncapped 'wcounts' release at one seed, or
+    subtracting the two would reveal the capped-away delta
+    noise-free (_noisy_counts' docstring).
+
+    No streaming twin BY DESIGN: the cap's global (hash, key) rank
+    needs each (user, window)'s full event set; a streaming
+    composition would cap by ARRIVAL order inside
+    applyInPandasWithState — a different (nondeterministic across
+    replays) selection that cannot share this oracle. The windowed
+    release itself streams; the bound is the batch pre-pass.
+
+    Scale: bound_contributions' two-phase rank shuffles + the ONE
+    groupBy of windowed_counts; noise stays a codegen'd per-cell
+    expression (no join, no Python)."""
+    bounded = bound_contributions(
+        events, k=k, by=by, per=unit, max_windows=max_windows,
+        key_col=key_col, salt=salt,
+    )
+    # NULL ts already dropped by the bound, so every window_start is
+    # non-NULL — the where matches dp_windowed_counts' rule verbatim.
+    counts = (
+        windowed_counts(bounded, unit)
+        .drop("sum_value")
+        .where(F.col("window_start").isNotNull())
+    )
+    return _noisy_counts(counts, epsilon, seed, tag="uwcnt")
+
+
 def windowed_topk(
     events: DataFrame,
     unit: str = "hour",
@@ -1259,7 +1440,7 @@ def _noisy_hist(counts: DataFrame, epsilon: float, seed: int) -> DataFrame:
     )
 
 
-def _cell_noise(epsilon: float, seed: int):
+def _cell_noise(epsilon: float, seed: int, tag: str = "wcounts"):
     """Per-(window, type) Laplace draw for the continual release,
     keyed on the PORTABLE md5 PRF over (epoch seconds, event_type):
     identical in the batch and streaming twins (window_start is NTZ
@@ -1272,11 +1453,14 @@ def _cell_noise(epsilon: float, seed: int):
     from hillview_spark.operators.privacy import laplace_noise_col
 
     secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
-    # 'wcounts' = mechanism domain tag (see _noisy_hist's 'whist'):
-    # the two windowed releases must never share a PRF key even when
-    # an event_type stringifies like a bucket index.
+    # tag = mechanism domain tag ('wcounts' for the event-level
+    # release, 'uwcnt' for the contribution-bounded one; see
+    # _noisy_hist's 'whist'): distinct windowed releases must never
+    # share a PRF key even when an event_type stringifies like a
+    # bucket index — and the capped/uncapped pair must never share a
+    # draw at one seed (_noisy_counts' docstring).
     return laplace_noise_col(
-        epsilon, seed, secs, F.col("event_type"), F.lit("wcounts"), prf="md5"
+        epsilon, seed, secs, F.col("event_type"), F.lit(tag), prf="md5"
     )
 
 

@@ -393,6 +393,18 @@ def _events_cases():
             df, unit="day", col="event_type", epsilon=1.0,
             delta=0.05, seed=7,
         ),
+        # r15: user-level composed release — the deterministic cap
+        # must pick the SAME event per (user, hour) in both engines
+        # through the (user 2, hour 0) multi-event cell, pool the
+        # NULL-user row as its own capped group, and drop NULL-ts
+        # rows before any bound applies
+        "dp_windowed_counts_user_level": (
+            lambda df: ev.dp_windowed_counts_user_level(
+                df, unit="hour", epsilon=1.0, seed=7, k=1,
+                by="user_id", max_windows=56, key_col="event_id",
+                salt="bound1",
+            )
+        ),
         # r13: the unknown-domain stability histogram — NULL user ids
         # are not a domain element; the edge fixture's tiny per-user
         # counts sit far below tau, so BOTH engines must agree the

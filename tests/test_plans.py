@@ -352,6 +352,28 @@ def test_dp_windowed_counts_single_shuffle(spark, tables):
     ex.assert_no_cartesian(df)
 
 
+def test_dp_windowed_counts_user_level_plan(spark, tables):
+    """r15: the contribution-bounded composition stays JVM-side end
+    to end — the cap is two window ranks (the local one keyed by
+    input partition, so a hot user/window pair cannot become one
+    task) plus the optional distinct-window keep-set semi-join; the
+    release is windowed_counts' one groupBy with codegen cell noise.
+    No cartesian, no Python, anywhere."""
+    from hillview_spark.streaming import events as ev
+
+    df = ev.dp_windowed_counts_user_level(
+        tables["events"], unit="hour", epsilon=1.0, seed=3,
+        k=1, max_windows=56,
+    )
+    ex.assert_no_cartesian(df)
+    plan = ex.physical_plan(df)
+    assert "Python" not in plan
+    # the local phase must rank within input partitions (the
+    # cap_per_group skew discipline): the pre-shuffle partition id
+    # appears as a window partition key
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+
+
 def test_bm25_search_plan_broadcast_stats_topk(spark, tables):
     """BM25 never shuffles user data: per-doc tf/dl are array
     expressions, the 1-row stats relation broadcasts back, and top_n

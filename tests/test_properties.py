@@ -864,3 +864,91 @@ def test_sessionize_matches_bruteforce(spark, evs, gap_minutes):
         for k, v in want.items()
     }
     assert got == want_rows
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([None, 1, 2]),          # user
+            st.one_of(st.none(), st.integers(0, 3)),  # hour (None=NULL ts)
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=3),          # k
+    st.one_of(st.none(), st.integers(1, 2)),        # max_windows
+)
+def test_bound_contributions_matches_bruteforce(spark, evs, k, max_w):
+    """r15 property pin (VERDICT-r14 directive #3): the contribution
+    bound must equal its brute-force definition over arbitrary
+    (user, window) collision patterns — per (user, window) keep the
+    k smallest (md5(id_salt), id) events (NULL users pooled as one
+    group, NULL-ts rows dropped), then per user keep rows only in
+    the max_windows smallest (md5(epoch_salt), window) windows."""
+    import datetime
+    import hashlib
+
+    from hillview_spark.streaming import events as ev
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            u,
+            "click",
+            None if h is None else base + datetime.timedelta(hours=h),
+            1.0,
+        )
+        for i, (u, h) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+
+    def ehash(eid):
+        return int(
+            hashlib.md5(f"{eid}_bound1".encode()).hexdigest()[:7], 16
+        )
+
+    def whash(h):
+        secs = int(
+            (base + datetime.timedelta(hours=h))
+            .replace(tzinfo=datetime.timezone.utc)
+            .timestamp()
+        )
+        return int(
+            hashlib.md5(f"{secs}_bound1w".encode()).hexdigest()[:7], 16
+        )
+
+    groups = {}
+    for i, (u, h) in enumerate(evs):
+        if h is None:
+            continue
+        groups.setdefault((u, h), []).append(i)
+    kept = set()
+    for ids in groups.values():
+        kept.update(e for _, e in sorted((ehash(e), e) for e in ids)[:k])
+    if max_w is not None:
+        user_wins = {}
+        for i, (u, h) in enumerate(evs):
+            if i in kept:
+                user_wins.setdefault(u, set()).add(h)
+        keep_wins = {
+            u: {h for _, h in sorted((whash(h), h) for h in ws)[:max_w]}
+            for u, ws in user_wins.items()
+        }
+        kept = {
+            i
+            for i, (u, h) in enumerate(evs)
+            if i in kept and h in keep_wins[u]
+        }
+    got = {
+        r.event_id
+        for r in ev.bound_contributions(
+            df, k=k, per="hour", max_windows=max_w
+        ).collect()
+    }
+    assert got == kept

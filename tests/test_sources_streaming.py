@@ -1246,6 +1246,108 @@ def test_dp_windowed_trending_threshold_and_guards(spark):
     assert len({probe.wtrend, probe.wcounts, probe.wdist}) == 3
 
 
+def test_bound_contributions_caps_and_user_level_release(spark):
+    """r15 (VERDICT-r14 directive #3): the contribution bound — the
+    per-(user, window) cap binds and picks the Python-recomputed
+    (md5 hash, id)-minimal events; NULL users pool as ONE capped
+    group; NULL-ts rows drop; max_windows keeps exactly the
+    hash-ranked window set; k=0 / max_windows=0 raise; a NULL
+    key_col fails loudly; and the composed user-level release draws
+    under 'uwcnt' — never sharing a cell draw with the uncapped
+    'wcounts' release at one seed."""
+    import datetime as dt
+    import hashlib
+
+    import pytest as _pytest
+
+    h0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    hours = [h0 + dt.timedelta(hours=i) for i in range(3)]
+    rows = (
+        # user 1: 3 events in hour 0 (cap k=1/k=2 bites), 1 in hour 1
+        [(e, hours[0] + dt.timedelta(minutes=m), 1, "click", 1.0)
+         for e, m in ((1, 0), (2, 10), (3, 20))]
+        + [(4, hours[1], 1, "view", 1.0)]
+        # user 1 also touches hour 2 (max_windows=2 of 3 bites)
+        + [(5, hours[2], 1, "view", 1.0)]
+        # NULL users: 2 events in hour 0 -> pool to ONE group, k=1
+        # keeps exactly one of them
+        + [(6, hours[0], None, "click", 1.0),
+           (7, hours[0] + dt.timedelta(minutes=5), None, "view", 1.0)]
+        # NULL ts: dropped before any bound
+        + [(8, None, 1, "view", 1.0)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+
+    def ehash(eid):
+        return int(
+            hashlib.md5(f"{eid}_bound1".encode()).hexdigest()[:7], 16
+        )
+
+    def whash(t):
+        secs = int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+        return int(
+            hashlib.md5(f"{secs}_bound1w".encode()).hexdigest()[:7], 16
+        )
+
+    # k=1: per (user, hour) the (hash, id)-minimal event survives
+    got1 = {
+        r.event_id
+        for r in ev.bound_contributions(df, k=1, per="hour").collect()
+    }
+    keep_u1h0 = min((ehash(e), e) for e in (1, 2, 3))[1]
+    keep_nullh0 = min((ehash(e), e) for e in (6, 7))[1]
+    assert got1 == {keep_u1h0, 4, 5, keep_nullh0}
+    # k=2 keeps the two smallest of user 1's hour-0 triple
+    got2 = {
+        r.event_id
+        for r in ev.bound_contributions(df, k=2, per="hour").collect()
+    }
+    keep2 = {e for _, e in sorted((ehash(e), e) for e in (1, 2, 3))[:2]}
+    assert got2 == keep2 | {4, 5, 6, 7}
+    # max_windows=2: user 1's kept windows are the 2 hash-smallest
+    # of the 3 they touch
+    keep_w = {
+        t for _, t in sorted((whash(t), t) for t in hours)[:2]
+    }
+    got_w = ev.bound_contributions(
+        df, k=1, per="hour", max_windows=2
+    ).collect()
+    u1_wins = {
+        r.ts.replace(minute=0, second=0) for r in got_w
+        if r.user_id == 1
+    }
+    assert u1_wins == keep_w
+    for bad_kwargs in ({"k": 0}, {"k": 1, "max_windows": 0}):
+        with _pytest.raises(ValueError):
+            ev.bound_contributions(df, per="hour", **bad_kwargs)
+    with _pytest.raises(Exception, match="NULL key"):
+        ev.bound_contributions(
+            df.withColumn("event_id", F.lit(None).cast("long")),
+            k=1, per="hour",
+        ).collect()
+    # composed release: with a non-binding cap the underlying counts
+    # equal the event-level release's, but the draws live under
+    # 'uwcnt' — the releases must differ on some cell at one seed
+    # (a shared tag would let capped-minus-uncapped cancel the noise)
+    big = ev.dp_windowed_counts_user_level(
+        df, unit="hour", epsilon=1.0, seed=3, k=10
+    ).collect()
+    base = ev.dp_windowed_counts(df, unit="hour", epsilon=1.0, seed=3)
+    base_rows = {(r.window_start, r.event_type) for r in base.collect()}
+    assert {(r.window_start, r.event_type) for r in big} == base_rows
+    diff = {
+        (r.window_start, r.event_type, r.noisy_events) for r in big
+    } ^ {
+        (r.window_start, r.event_type, r.noisy_events)
+        for r in base.collect()
+    }
+    assert diff  # same counts, disjoint PRF domains -> some cell moves
+
+
 def test_stream_dp_windowed_mean_and_distinct_restart_append_once(
     spark, tmp_path
 ):
