@@ -1278,6 +1278,70 @@ def test_dp_unknown_domain_delta_calibration(spark):
     assert "big" in got  # 50 >> tau+1
 
 
+def test_dp_windowed_trending_delta_calibration(spark):
+    """r15 (VERDICT-r14 directive #6): the same 4000-seed delta
+    calibration as test_dp_unknown_domain_delta_calibration, for the
+    CONTINUAL unknown-domain release — the 'wtrend' mechanism shares
+    the stability-histogram construction but draws from a
+    window-keyed PRF input (epoch-seconds prefix), so the udom
+    calibration does not automatically cover it. Trial loop = the
+    Python twin of the shipped md5 recipe (deterministic, no
+    flake); one Spark run at the first releasing seed (or seed 0)
+    pins the twin to the real dp_windowed_trending code path."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from hillview_spark.streaming import events as ev
+
+    eps, delta = 1.0, 0.05
+    tau = 1.0 + 2.0 * math.log(2.0 / delta) / eps + 0.5
+    day = dt.datetime(2024, 6, 1)
+    secs = int(day.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    def released(seed, value="lone", cnt=1):
+        u = int(
+            hashlib.md5(
+                f"{secs}|{value}|wtrend|{seed}".encode()
+            ).hexdigest()[:13],
+            16,
+        ) * 2.0**-52
+        u = min(max(u, 2.0**-53), 1.0 - 2.0**-53)
+        r = 0.5 - u
+        noise = (
+            -math.log(1.0 - 2.0 * (-r)) if r < 0
+            else math.log(1.0 - 2.0 * r)
+        ) / eps
+        return math.floor(cnt + noise + 0.5) > tau
+
+    n_seeds = 4000
+    hits = [s for s in range(n_seeds) if released(s)]
+    assert len(hits) <= delta * n_seeds, (
+        f"count-1 cell released in {len(hits)}/{n_seeds} trials — "
+        f"violates the delta={delta} calibration for 'wtrend'"
+    )
+    # pin the twin to the shipped mechanism at a decisive seed
+    rows = [(0, day + dt.timedelta(hours=1), 1, "lone", 1.0)] + [
+        (10 + i, day + dt.timedelta(minutes=i), 1, "big", 1.0)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    probe_seed = hits[0] if hits else 0
+    got = {
+        r.value
+        for r in ev.dp_windowed_trending(
+            df, unit="day", col="event_type", epsilon=eps,
+            delta=delta, seed=probe_seed,
+        ).collect()
+    }
+    assert ("lone" in got) == released(probe_seed)  # twin == mechanism
+    assert "big" in got  # 50 >> tau+1: non-degenerate
+
+
 def test_epsilon_guard_covers_the_whole_dp_family(spark):
     """r13 (ADVICE follow-through): every public batch DP entry point
     rejects epsilon <= 0 up front — previously epsilon=0 died with
