@@ -849,8 +849,19 @@ def _dup_coverage(
     partitions, the min rides the one groupBy the detection already
     pays, and the exemption is a struct inequality on the coverage
     join's output — same semantics (the brute-force keep-one
-    property pin is unchanged), same shuffle count, no per-gram
-    sort anywhere."""
+    property pin is unchanged), same shuffle count, no per-GRAM
+    sort anywhere. Honest cost note: a struct aggregation buffer is
+    not hash-aggregate-eligible, so the partial aggregate runs as
+    SortAggregate (a per-input-partition sort of the gram frame) —
+    measured at parity with both the r14 window and keep='all' on a
+    10^6-site hot-gram replica (tools/scale_probe_r15.py: 5.59s vs
+    window 6.23s vs keep_all 5.85s, hot/uniform flatness 0.88), and
+    unlike the window its parallelism is the input partition count,
+    never one task per hot key. A pure-HashAggregate two-pass
+    alternative (min(doc), then min(pos) among the first doc's
+    sites, via a second tiny join) measured strictly worse (8.76s
+    hot / 9.60s uniform) — the extra coverage-frame pass costs more
+    than the local sorts."""
     if keep not in ("all", "first"):
         # fail loudly here, not only in remove_repeated_spans: a
         # typo'd policy from a future internal caller must not

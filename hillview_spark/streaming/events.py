@@ -296,7 +296,9 @@ def dp_windowed_counts(
     expression keyed by the cell (privacy.laplace_noise_col), so the
     SAME formula runs unchanged over a stream; for noisy PREFIX
     counts over time use dp_histogram(cdf=True), which pays only
-    O(log T) noise via the k-adic tree."""
+    O(log T) noise via the k-adic tree. Event-level adjacency; for
+    USER-level protection compose bound_contributions first — see
+    dp_windowed_counts_user_level and its adjacency table."""
     # NULL ts -> NULL window: the streaming twin's watermark drops
     # event-time-less rows entirely, so the batch release must too or
     # the twins (and the DuckDB oracle) diverge on NULL-ts input —
@@ -628,8 +630,11 @@ def dp_windowed_distinct(
     removing one EVENT moves a cell's distinct count by at most 1,
     so one Laplace(1/epsilon) draw per cell under the 'wdist' domain
     tag is epsilon-DP by parallel composition; USER-level adjacency
-    would need a per-user contribution bound first, since one user
-    can touch every window). NULL entities are skipped by
+    needs a per-user contribution bound first, since one user can
+    touch every window — compose bound_contributions BEFORE this
+    release and read dp_windowed_counts_user_level's adjacency table
+    for the resulting k/max_windows scaling, which applies verbatim
+    to every release in the family). NULL entities are skipped by
     countDistinct in both engines, and NULL event times drop (the
     family's watermark rule).
 
