@@ -489,6 +489,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="bound1",
         )
     )
+    # r15 LATE BLOCK (leads r16): USER-level private trending — the
+    # contribution bound composed with the unknown-domain stability
+    # histogram under 'uwtrend'. eps=2/delta=0.05 -> tau~5.19 and
+    # k=1/day + max_windows=20 (< both fixtures' 22-30 day-windows
+    # per user): the cap AND the threshold bite at both fixtures —
+    # 3/112 capped day-cells release at sf0.001, 119/129 at sf0.01.
+    q["dp_windowed_trending_user_level"] = (
+        lambda s, d: ev.dp_windowed_trending_user_level(
+            _t(s, d, "events"), unit="day", col="event_type",
+            epsilon=2.0, delta=0.05, seed=7, k=1, by="user_id",
+            max_windows=20, key_col="event_id", salt="bound1",
+        )
+    )
     # hash-oracled since r6: with the engine-portable md5str PRF the
     # whole Chan-Song-Shi release — hour leaf, base-20 digit
     # decomposition of the prefix, per-node draw, ordered noise sum —
@@ -1373,10 +1386,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     both fixtures twice — builder sweeps + judge replicas).
     # (c) the first 43 of the r11-stale cohort (the verdict's list —
     #     49 keys by literal count, "48" in its prose — in verbatim
-    #     order). 5 + 2 + 43 = 50 exactly; the 6 displaced r11 keys
-    #     — q7_volume_shipping, range_filter, range_filter_array,
-    #     sample_mixture, semantic_dedup, text_pii_scrub — lead r16
-    #     (oldest first), then the r12 cohort rotates.
+    #     order). 5 + 2 + 43 = 50 exactly.
+    # r15 LATE BLOCK (hash-proven at sf0.001 AND sf0.01, not in this
+    # slate): dp_windowed_trending_user_level. r16 gate = r16 churn +
+    # this late key + the 6 displaced r11 keys (q7_volume_shipping,
+    # range_filter, range_filter_array, sample_mixture,
+    # semantic_dedup, text_pii_scrub — oldest first) + as much of
+    # the 47-key r12 cohort as fits.
     priority = [
         # (a) r15 churn + new
         "dedup_substring_keep_one", "dedup_substring",
@@ -4841,6 +4857,65 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 1.0 * LN(1.0 - 2.0 * (0.5 - u)) END)
                     + 0.5) AS BIGINT) AS noisy_events
         FROM unif
+    """
+    # r15 late block: user-level private trending — the same
+    # deterministic bound (day windows, k=1, max_windows=20), then
+    # the trending recipe under 'uwtrend' at eps=2 (scale 0.5),
+    # delta=0.05, thresholded on the rounded release.
+    o["dp_windowed_trending_user_level"] = f"""
+        WITH ranked AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS win,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY CAST('0x' || substr(md5(
+                           CAST(event_id AS VARCHAR) || '_bound1'),
+                           1, 7) AS BIGINT), event_id
+                   ) AS rk
+            FROM events WHERE ts IS NOT NULL
+        ), bounded AS (
+            SELECT * FROM ranked WHERE rk <= 1
+        ), wranked AS (
+            SELECT user_id, win,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST('0x' || substr(md5(
+                           CAST(CAST(epoch(win) AS BIGINT) AS VARCHAR)
+                           || '_bound1w'), 1, 7) AS BIGINT), win
+                   ) AS wrk
+            FROM (SELECT DISTINCT user_id, win FROM bounded)
+        ), kept AS (
+            SELECT b.win, b.event_type FROM bounded b
+            JOIN wranked w ON b.user_id IS NOT DISTINCT FROM w.user_id
+                          AND b.win = w.win AND w.wrk <= 20
+        ), cells AS (
+            SELECT win AS window_start, event_type AS value,
+                   COUNT(*) AS n_events
+            FROM kept WHERE event_type IS NOT NULL GROUP BY 1, 2
+        ), unif AS (
+            SELECT window_start, value, n_events,
+                   LEAST(GREATEST(
+                       CAST(('0x' || substr(md5(
+                           {_prf_field_sql('CAST(CAST(epoch(window_start)'
+                                           ' AS BIGINT) AS VARCHAR)')}
+                           || '|' || {_prf_field_sql('value')}
+                           || '|uwtrend|7'), 1, 13))
+                           AS BIGINT)
+                       * POWER(CAST(2.0 AS DOUBLE), -52),
+                       POWER(CAST(2.0 AS DOUBLE), -53)),
+                       1.0 - POWER(CAST(2.0 AS DOUBLE), -53)) AS u
+            FROM cells
+        ), rel AS (
+            SELECT window_start, value,
+                   CAST(FLOOR(CAST(n_events AS DOUBLE)
+                        + (CASE WHEN 0.5 - u < 0
+                                THEN -(0.5) * LN(1.0 - 2.0 * (u - 0.5))
+                                ELSE 0.5 * LN(1.0 - 2.0 * (0.5 - u)) END)
+                        + 0.5) AS BIGINT) AS noisy_count
+            FROM unif
+        )
+        SELECT window_start, value, noisy_count FROM rel
+        WHERE noisy_count > {1.0 + 2.0 * _math.log(2.0 / 0.05) / 2.0 + 0.5!r}
     """
     # r11: DP transition matrix — sensitivity 3 (one event touches up
     # to 2 pairs and its removal can mint 1 between its neighbors),

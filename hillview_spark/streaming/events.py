@@ -728,13 +728,24 @@ def dp_windowed_trending(
     map-side combine; noise and threshold are codegen'd expressions
     on the aggregate output — no join, no Python, same bound as any
     windowed distinct-count."""
-    from hillview_spark.operators.histogram import trunc_ntz
     from hillview_spark.operators.privacy import _check_epsilon
 
     _check_epsilon(epsilon)
     if not (0.0 < delta < 1.0):
         raise ValueError(f"delta must be in (0, 1), got {delta!r}")
-    cells = (
+    return _noisy_trending(
+        _trending_cells(events, unit, col), epsilon, delta, seed
+    )
+
+
+def _trending_cells(events: DataFrame, unit: str, col: str) -> DataFrame:
+    """ONE copy of the per-(window, value) cell aggregate shared by
+    the event-level and contribution-bounded trending releases: NULL
+    values are not a domain element, NULL event times drop (the
+    family's watermark rule)."""
+    from hillview_spark.operators.histogram import trunc_ntz
+
+    return (
         events.where(F.col(col).isNotNull())
         .groupBy(
             trunc_ntz(F.col("ts"), unit).alias("window_start"),
@@ -743,7 +754,6 @@ def dp_windowed_trending(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .where(F.col("window_start").isNotNull())
     )
-    return _noisy_trending(cells, epsilon, delta, seed)
 
 
 def stream_dp_windowed_trending(
@@ -787,11 +797,15 @@ def stream_dp_windowed_trending(
 
 
 def _noisy_trending(
-    cells: DataFrame, epsilon: float, delta: float, seed: int
+    cells: DataFrame, epsilon: float, delta: float, seed: int,
+    tag: str = "wtrend",
 ) -> DataFrame:
     """ONE thresholded-release select shared by the batch and
     streaming twins (the _noisy_counts discipline): floor-integer
-    noisy count under the 'wtrend' tag, released only above tau —
+    noisy count under the `tag` PRF domain ('wtrend' for the
+    event-level release, 'uwtrend' for the contribution-bounded
+    one — the capped/uncapped pair must never share a draw at one
+    seed, _noisy_counts' docstring), released only above tau —
     thresholding the ROUNDED release at tau (which carries its own
     +0.5) is at least as strict as thresholding the raw one, so the
     delta calibration survives the integer discipline (the
@@ -803,7 +817,7 @@ def _noisy_trending(
     tau = 1.0 + 2.0 * math.log(2.0 / delta) / epsilon + 0.5
     secs = F.unix_seconds(F.col("window_start").cast("timestamp"))
     noise = laplace_noise_col(
-        epsilon, seed, secs, F.col("value"), F.lit("wtrend"),
+        epsilon, seed, secs, F.col("value"), F.lit(tag),
         scale=1.0 / epsilon, prf="md5",
     )
     return (
@@ -989,6 +1003,62 @@ def dp_windowed_counts_user_level(
         .where(F.col("window_start").isNotNull())
     )
     return _noisy_counts(counts, epsilon, seed, tag="uwcnt")
+
+
+def dp_windowed_trending_user_level(
+    events: DataFrame,
+    unit: str = "day",
+    col: str = "event_type",
+    epsilon: float = 1.0,
+    delta: float = 1e-6,
+    seed: int = 0,
+    k: int = 1,
+    by: str = "user_id",
+    max_windows: int | None = None,
+    key_col: str = "event_id",
+    salt: str = "bound1",
+) -> DataFrame:
+    """USER-level private trending values (r15) — the
+    contribution-bounded composition of bound_contributions and the
+    unknown-domain stability-histogram mechanism: "which values are
+    trending this window, protecting PEOPLE, not rows", with the
+    value domain itself data and threshold-protected. This is the
+    release the Wilson et al. 2020 discipline exists for — a
+    trending board is exactly where one hyperactive user could
+    otherwise mint a 'trend' on their own.
+
+    Privacy at the (epsilon, delta) grain: after the cap, one
+    user's data change WITHIN one window moves at most k cells by
+    total L1 <= k, so group privacy over k event-level neighbors
+    gives (k*epsilon, k*e^((k-1)*epsilon)*delta)-DP per window at
+    user-in-window adjacency — which for the k=1 default is EXACTLY
+    (epsilon, delta): the cap buys user-in-window protection at no
+    guarantee degradation. Whole-stream user-level protection
+    additionally needs max_windows (the release composes over the
+    <= max_windows windows a user can touch); without it the
+    whole-stream guarantee is unbounded, as in
+    dp_windowed_counts_user_level's adjacency table. Draws live
+    under 'uwtrend' — never shared with the uncapped 'wtrend'
+    release at one seed. No streaming twin BY DESIGN (the cap is a
+    deterministic batch pre-pass; see
+    dp_windowed_counts_user_level).
+
+    Scale: bound_contributions' two-phase rank shuffles + ONE
+    groupBy to O(windows x distinct values) cells; noise and
+    threshold stay codegen'd on the aggregate output."""
+    from hillview_spark.operators.privacy import _check_epsilon
+
+    _check_epsilon(epsilon)
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta!r}")
+    bounded = bound_contributions(
+        events, k=k, by=by, per=unit, max_windows=max_windows,
+        key_col=key_col, salt=salt,
+    )
+    return _noisy_trending(
+        _trending_cells(bounded, unit, col), epsilon, delta, seed,
+        tag="uwtrend",
+    )
 
 
 def windowed_topk(

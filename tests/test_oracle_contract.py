@@ -45,6 +45,7 @@ FROZEN = {
     "streaming.events.dp_windowed_trending": {'unit': 'day', 'col': 'event_type', 'epsilon': 1.0, 'delta': 1e-06, 'seed': 0},
     "streaming.events.bound_contributions": {'k': 1, 'by': 'user_id', 'per': 'hour', 'max_windows': None, 'key_col': 'event_id', 'salt': 'bound1'},
     "streaming.events.dp_windowed_counts_user_level": {'unit': 'hour', 'epsilon': 1.0, 'seed': 0, 'k': 1, 'by': 'user_id', 'max_windows': None, 'key_col': 'event_id', 'salt': 'bound1'},
+    "streaming.events.dp_windowed_trending_user_level": {'unit': 'day', 'col': 'event_type', 'epsilon': 1.0, 'delta': 1e-06, 'seed': 0, 'k': 1, 'by': 'user_id', 'max_windows': None, 'key_col': 'event_id', 'salt': 'bound1'},
     "streaming.events.dp_windowed_counts": {'unit': 'hour', 'epsilon': 1.0, 'seed': 0},
     "streaming.events.dp_windowed_histogram": {'unit': 'hour', 'col': 'value', 'lo': 0.0, 'hi': 100.0, 'buckets': 10, 'epsilon': 1.0, 'seed': 0},
     "functions.curation.ngram_novelty": {'n': 3, 'min_df': 2, 'text_col': 'text', 'id_col': 'doc_id'},

@@ -405,6 +405,16 @@ def _events_cases():
                 salt="bound1",
             )
         ),
+        # r15 late block: the composed trending release — cap, NULL
+        # pooling, NULL-value exclusion, and the threshold decision
+        # must agree through the edge fixture's tiny capped cells
+        "dp_windowed_trending_user_level": (
+            lambda df: ev.dp_windowed_trending_user_level(
+                df, unit="day", col="event_type", epsilon=2.0,
+                delta=0.05, seed=7, k=1, by="user_id",
+                max_windows=20, key_col="event_id", salt="bound1",
+            )
+        ),
         # r13: the unknown-domain stability histogram — NULL user ids
         # are not a domain element; the edge fixture's tiny per-user
         # counts sit far below tau, so BOTH engines must agree the

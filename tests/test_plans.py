@@ -372,6 +372,13 @@ def test_dp_windowed_counts_user_level_plan(spark, tables):
     # cap_per_group skew discipline): the pre-shuffle partition id
     # appears as a window partition key
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+    # the composed trending release inherits the same discipline
+    tr = ev.dp_windowed_trending_user_level(
+        tables["events"], unit="day", epsilon=2.0, delta=0.05,
+        seed=3, k=1, max_windows=20,
+    )
+    ex.assert_no_cartesian(tr)
+    assert "Python" not in ex.physical_plan(tr)
 
 
 def test_bm25_search_plan_broadcast_stats_topk(spark, tables):

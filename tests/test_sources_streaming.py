@@ -1348,6 +1348,77 @@ def test_bound_contributions_caps_and_user_level_release(spark):
     assert diff  # same counts, disjoint PRF domains -> some cell moves
 
 
+def test_dp_windowed_trending_user_level_composition(spark):
+    """r15 late block: the user-level trending release — with a
+    non-binding cap the underlying cells equal the event-level
+    release's, but the draws live under 'uwtrend' (never shared
+    with 'wtrend' at one seed: a shared tag would let
+    capped-minus-uncapped cancel the noise and the threshold
+    membership difference leak exactly); a binding k=1 cap shrinks
+    a hyperactive user's cell below tau (the attack the cap
+    exists for); bad epsilon/delta raise."""
+    import datetime as dt
+    import math
+
+    import pytest as _pytest
+
+    day = dt.datetime(2024, 6, 1)
+    # user 1 alone fires 20 'solo' events in one day — an uncapped
+    # release trends it; the k=1 cap reduces it to ONE event, far
+    # below tau. 12 distinct users fire 'pop' once each: the cap
+    # does not touch it and it trends in both releases.
+    rows = (
+        [(i, day + dt.timedelta(minutes=i), 1, "solo", 1.0)
+         for i in range(20)]
+        + [(100 + i, day + dt.timedelta(minutes=i), 10 + i, "pop", 1.0)
+           for i in range(12)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    eps, delta, seed = 2.0, 0.05, 7
+    tau = 1.0 + 2.0 * math.log(2.0 / delta) / eps + 0.5
+    capped = {
+        r.value: r.noisy_count
+        for r in ev.dp_windowed_trending_user_level(
+            df, unit="day", col="event_type", epsilon=eps,
+            delta=delta, seed=seed, k=1,
+        ).collect()
+    }
+    uncapped = {
+        r.value: r.noisy_count
+        for r in ev.dp_windowed_trending(
+            df, unit="day", col="event_type", epsilon=eps,
+            delta=delta, seed=seed,
+        ).collect()
+    }
+    assert "solo" in uncapped and uncapped["solo"] > tau
+    assert "solo" not in capped          # one user cannot mint a trend
+    assert "pop" in capped and "pop" in uncapped
+    # tag separation: integer releases can tie after flooring, so the
+    # decisive check is the raw noise columns at one (window, value)
+    from hillview_spark.operators.privacy import laplace_noise_col
+
+    probe = spark.range(1).select(
+        *[
+            laplace_noise_col(
+                eps, seed, F.lit("1717200000"), F.lit("pop"),
+                F.lit(tag), scale=1.0 / eps, prf="md5",
+            ).alias(tag.replace("w", "w_"))
+            for tag in ("wtrend", "uwtrend")
+        ]
+    ).first()
+    assert probe.w_trend != probe.uw_trend
+    for bad in (0.0, -1.0):
+        with _pytest.raises(ValueError, match="epsilon"):
+            ev.dp_windowed_trending_user_level(df, epsilon=bad, delta=0.05)
+    for bad_d in (0.0, 1.0):
+        with _pytest.raises(ValueError, match="delta"):
+            ev.dp_windowed_trending_user_level(df, epsilon=1.0, delta=bad_d)
+
+
 def test_stream_dp_windowed_mean_and_distinct_restart_append_once(
     spark, tmp_path
 ):
