@@ -1278,16 +1278,20 @@ def test_dp_unknown_domain_delta_calibration(spark):
     assert "big" in got  # 50 >> tau+1
 
 
-def test_dp_windowed_trending_delta_calibration(spark):
+@pytest.mark.parametrize("tag", ["wtrend", "uwtrend"])
+def test_dp_windowed_trending_delta_calibration(spark, tag):
     """r15 (VERDICT-r14 directive #6): the same 4000-seed delta
     calibration as test_dp_unknown_domain_delta_calibration, for the
-    CONTINUAL unknown-domain release — the 'wtrend' mechanism shares
-    the stability-histogram construction but draws from a
-    window-keyed PRF input (epoch-seconds prefix), so the udom
-    calibration does not automatically cover it. Trial loop = the
-    Python twin of the shipped md5 recipe (deterministic, no
+    CONTINUAL unknown-domain releases — the 'wtrend' mechanism (and
+    its contribution-bounded 'uwtrend' sibling) shares the
+    stability-histogram construction but draws from a window-keyed
+    PRF input (epoch-seconds prefix) under its own tag, so the udom
+    calibration does not automatically cover either. Trial loop =
+    the Python twin of the shipped md5 recipe (deterministic, no
     flake); one Spark run at the first releasing seed (or seed 0)
-    pins the twin to the real dp_windowed_trending code path."""
+    pins the twin to the real code path — dp_windowed_trending for
+    'wtrend', dp_windowed_trending_user_level (whose k=1 cap keeps
+    the count-1 cell a count-1 cell) for 'uwtrend'."""
     import datetime as dt
     import hashlib
     import math
@@ -1302,7 +1306,7 @@ def test_dp_windowed_trending_delta_calibration(spark):
     def released(seed, value="lone", cnt=1):
         u = int(
             hashlib.md5(
-                f"{secs}|{value}|wtrend|{seed}".encode()
+                f"{secs}|{value}|{tag}|{seed}".encode()
             ).hexdigest()[:13],
             16,
         ) * 2.0**-52
@@ -1318,11 +1322,13 @@ def test_dp_windowed_trending_delta_calibration(spark):
     hits = [s for s in range(n_seeds) if released(s)]
     assert len(hits) <= delta * n_seeds, (
         f"count-1 cell released in {len(hits)}/{n_seeds} trials — "
-        f"violates the delta={delta} calibration for 'wtrend'"
+        f"violates the delta={delta} calibration for {tag!r}"
     )
-    # pin the twin to the shipped mechanism at a decisive seed
+    # pin the twin to the shipped mechanism at a decisive seed: the
+    # 'big' value is 50 distinct-user singles so the k=1 cap of the
+    # user-level path leaves both cells' counts unchanged
     rows = [(0, day + dt.timedelta(hours=1), 1, "lone", 1.0)] + [
-        (10 + i, day + dt.timedelta(minutes=i), 1, "big", 1.0)
+        (10 + i, day + dt.timedelta(minutes=i), 100 + i, "big", 1.0)
         for i in range(50)
     ]
     df = spark.createDataFrame(
@@ -1331,13 +1337,17 @@ def test_dp_windowed_trending_delta_calibration(spark):
         "event_type string, value double",
     )
     probe_seed = hits[0] if hits else 0
-    got = {
-        r.value
-        for r in ev.dp_windowed_trending(
+    if tag == "wtrend":
+        rel = ev.dp_windowed_trending(
             df, unit="day", col="event_type", epsilon=eps,
             delta=delta, seed=probe_seed,
-        ).collect()
-    }
+        )
+    else:
+        rel = ev.dp_windowed_trending_user_level(
+            df, unit="day", col="event_type", epsilon=eps,
+            delta=delta, seed=probe_seed, k=1,
+        )
+    got = {r.value for r in rel.collect()}
     assert ("lone" in got) == released(probe_seed)  # twin == mechanism
     assert "big" in got  # 50 >> tau+1: non-degenerate
 
