@@ -27,7 +27,17 @@ can and cannot rescue); auto-broadcast stays ON for the same reason
 of the real difference between the corpora, reported as-is; the
 old-vs-new comparison on the SAME corpus isolates the window).
 
+Second mode — `--dp [sf_dir] [factor] [repeats]`: the r15 composed
+user-level DP releases at 1x vs a key-shifted Nx events replica
+(event_id/user_id shifts, the trending-probe regime):
+dp_windowed_counts_user_level and dp_windowed_trending_user_level,
+medians with every released column forced through an aggregate,
+plus the exchange-count invariance assertion (the bound is rank
+shuffles + one groupBy — the plan's exchange count must not grow
+with data).
+
 Usage: python tools/scale_probe_r15.py [n_docs] [repeats]
+       python tools/scale_probe_r15.py --dp [sf_dir] [factor] [repeats]
 """
 
 from __future__ import annotations
@@ -118,6 +128,64 @@ def remove_spans_twopass_shape(df, n=5, min_sites=2):
     )
 
 
+def main_dp():
+    from hillview_spark import tables
+    from hillview_spark.plans import explain as ex
+    from hillview_spark.streaming import events as ev
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    spark = session.get_spark(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev1 = tables.load_table(spark, sf_dir, "events")
+    keyspan = 10_000_000
+    parts = [ev1]
+    for i in range(1, factor):
+        parts.append(
+            ev1.withColumn("event_id", F.col("event_id") + F.lit(i * keyspan))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * keyspan))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    path = ".scale_probe_r15/events_xN.parquet"
+    out.write.mode("overwrite").parquet(path)
+    evN = spark.read.parquet(path)
+    print(f"events replica rows: {evN.count()} (x{factor})")
+
+    CNT_FORCE = [("noisy_events", "num")]
+    TRD_FORCE = [("noisy_count", "num"), ("value", "str")]
+    mk_cnt = lambda d: ev.dp_windowed_counts_user_level(  # noqa: E731
+        d, unit="hour", epsilon=1.0, seed=7, k=1, max_windows=56
+    )
+    mk_trd = lambda d: ev.dp_windowed_trending_user_level(  # noqa: E731
+        d, unit="day", epsilon=2.0, delta=0.05, seed=7, k=1,
+        max_windows=20,
+    )
+    # exchange-count invariance: the composed plan is rank shuffles +
+    # one groupBy, independent of data volume
+    for mk, force, label in (
+        (mk_cnt, CNT_FORCE, "counts_user_level"),
+        (mk_trd, TRD_FORCE, "trending_user_level"),
+    ):
+        n1 = ex.count_shuffles(mk(ev1))
+        nN = ex.count_shuffles(mk(evN))
+        assert n1 == nN, (label, n1, nN)
+        print(f"{label}: exchange count {n1} at 1x == {nN} at {factor}x")
+        med(lambda: mk(ev1), 1, force)  # warm
+        med(lambda: mk(evN), 1, force)
+        t1 = [med(lambda: mk(ev1), 1, force) for _ in range(repeats)]
+        tN = [med(lambda: mk(evN), 1, force) for _ in range(repeats)]
+        m1, mN = statistics.median(t1), statistics.median(tN)
+        print(
+            f"{label}: 1x {m1:.2f}s -> {factor}x {mN:.2f}s "
+            f"(ratio {mN / m1:.2f}) all_1x={[round(t,2) for t in t1]} "
+            f"all_{factor}x={[round(t,2) for t in tN]}"
+        )
+
+
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -202,4 +270,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--dp":
+        main_dp()
+    else:
+        main()
