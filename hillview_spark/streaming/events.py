@@ -868,7 +868,11 @@ def bound_contributions(
     ONE group capped at k (the conservative read: treat all unknown
     users as one user, never let the NULL pool exceed the cap); a
     NULL key_col raises loudly (salted_hex's guard — a row without
-    identity has no deterministic rank).
+    identity has no deterministic rank). Contract: key_col must
+    identify rows uniquely within a (entity, window) group —
+    duplicate keys would tie the (hash, key) rank and make WHICH
+    event survives engine- and partition-dependent (the same row-
+    identity contract every salted-rank operator carries).
 
     100-TB shape: two-phase top-k per (entity, window) — phase 1
     ranks within (entity, window, input-partition), so even a
