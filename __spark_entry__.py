@@ -596,6 +596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _t(s, d, "documents"), threshold=0.3
     )
+    # r15 late block (leads r16): asymmetric containment |A∩B|/|A| —
+    # the quote-detection direction Jaccard structurally misses; both
+    # direction scores released, pair kept when the larger clears 0.8
+    q["dedup_ngram_containment"] = (
+        lambda s, d: dedup.ngram_containment_pairs(
+            _t(s, d, "documents"), threshold=0.8
+        )
+    )
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _t(s, d, "documents"), num_hashes=16, bands=4
     )
@@ -1388,8 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     49 keys by literal count, "48" in its prose — in verbatim
     #     order). 5 + 2 + 43 = 50 exactly.
     # r15 LATE BLOCK (hash-proven at sf0.001 AND sf0.01, not in this
-    # slate): dp_windowed_trending_user_level. r16 gate = r16 churn +
-    # this late key + the 6 displaced r11 keys (q7_volume_shipping,
+    # slate): dp_windowed_trending_user_level and
+    # dedup_ngram_containment. r16 gate = r16 churn + these 2 late
+    # keys + the 6 displaced r11 keys (q7_volume_shipping,
     # range_filter, range_filter_array, sample_mixture,
     # semantic_dedup, text_pii_scrub — oldest first) + as much of
     # the 47-key r12 cohort as fits.
@@ -3087,6 +3096,25 @@ def oracle_sql() -> dict[str, str]:
         FROM inter JOIN sizes sa ON sa.doc_id = d1
                    JOIN sizes sb ON sb.doc_id = d2
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    """
+    # r15 late block: asymmetric containment on the same shingle
+    # machinery — c/na and c/nb per candidate pair, kept when the
+    # larger direction clears 0.8
+    o["dedup_ngram_containment"] = f"""
+        WITH {_SHINGLES},
+        shh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS s
+                FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
+        inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS c
+                  FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+               round(CAST(c AS DOUBLE) / sa.n, 4) AS containment_1_in_2,
+               round(CAST(c AS DOUBLE) / sb.n, 4) AS containment_2_in_1
+        FROM inter JOIN sizes sa ON sa.doc_id = d1
+                   JOIN sizes sb ON sb.doc_id = d2
+        WHERE GREATEST(CAST(c AS DOUBLE) / sa.n,
+                       CAST(c AS DOUBLE) / sb.n) >= 0.8
     """
     # r11: per-doc duplicate-n-gram fraction (curation.ngram_novelty).
     # The shingle rows are DISTINCT per doc, so COUNT(*) per shingle

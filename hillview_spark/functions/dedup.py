@@ -99,8 +99,34 @@ def ngram_jaccard_pairs(
     intersection size, union = |A|+|B|-inter. max_df drops shingles
     appearing in more than max_df docs (stop-shingle skew guard for
     the 100-TB path; changes semantics only for ubiquitous grams)."""
+    inter = _pair_intersections(df, n, id_col, text_col, max_df)
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return inter.where(jac >= F.lit(threshold)).select(
+        F.col("d1").alias("doc_id_1"),
+        F.col("d2").alias("doc_id_2"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
+def _pair_intersections(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared candidates-then-verify core of the set-similarity
+    pair operators (ngram_jaccard_pairs, ngram_containment_pairs):
+    one row per unordered candidate pair (d1 < d2) with the exact
+    shingle-set intersection size `c` and both set sizes (na, nb).
+    Docs sharing zero shingles never pair (inverted index, never
+    all-pairs)."""
     # Join on a 60-bit hash of the shingle, not the string — the
-    # shuffle carries 8-byte keys (collision odds ~n^2/2^60, nil).
+    # shuffle carries 8-byte keys. Unlike the exact-substring family
+    # (where a collision could DELETE text and the key is the full
+    # md5), a collision here only perturbs one similarity score by
+    # one gram (~n^2/2^60 odds, nil) — the score-vs-edit distinction
+    # that sets the two families' key widths.
     sh = _shingle_table(df, id_col, text_col, n).select(
         "doc", _token_hash(F.col("s")).alias("s")
     )
@@ -128,16 +154,55 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .where(jac >= F.lit(threshold))
-        .select(
-            F.col("d1").alias("doc_id_1"),
-            F.col("d2").alias("doc_id_2"),
-            F.round(jac, 4).alias("jaccard"),
+    return inter.join(sa, "d1").join(sb, "d2")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric set CONTAINMENT over word-n-gram sets (r15):
+    containment of A in B = |A∩B| / |A| — the duplication measure
+    Jaccard structurally misses. A short document fully quoted
+    inside a much larger one (a pasted article inside a forum
+    thread, a README embedded in a paper, boilerplate wrapped in
+    new text) has containment 1.0 but Jaccard |A|/|B| → 0 as the
+    host grows, so a resemblance threshold never fires; Broder's
+    original resemblance/containment pair (SEQUENCES '97) and the
+    Lee et al. dedup discussion both treat containment as the
+    quote-detection direction.
+
+    Output: one row per unordered candidate pair (doc_id_1 <
+    doc_id_2) with BOTH directions — containment_1_in_2 = c/|A|,
+    containment_2_in_1 = c/|B| — kept when the LARGER direction
+    clears the threshold (the asymmetric "one of them is mostly
+    inside the other" question); both scores are released so the
+    caller can tell which document is the quote and which the host.
+    Docs with no shingles (NULL/short text) have no set and never
+    pair — same rule as ngram_jaccard_pairs.
+
+    100-TB shape: identical to ngram_jaccard_pairs —
+    _pair_intersections' inverted-index join (never all-pairs),
+    max_df as the stop-shingle skew guard; the direction scores are
+    a codegen'd select on the pair aggregate."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold!r}"
         )
+    inter = _pair_intersections(df, n, id_col, text_col, max_df)
+    c12 = F.col("c").cast("double") / F.col("na")
+    c21 = F.col("c").cast("double") / F.col("nb")
+    return inter.where(
+        F.greatest(c12, c21) >= F.lit(threshold)
+    ).select(
+        F.col("d1").alias("doc_id_1"),
+        F.col("d2").alias("doc_id_2"),
+        F.round(c12, 4).alias("containment_1_in_2"),
+        F.round(c21, 4).alias("containment_2_in_1"),
     )
 
 

@@ -32,6 +32,34 @@ def test_ngram_jaccard_identical_docs(spark):
     assert [(p.doc_id_1, p.doc_id_2, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_ngram_containment_catches_quote_in_host(spark):
+    """r15: asymmetric containment must fire on the quote-in-host
+    shape Jaccard structurally misses — a short doc fully embedded
+    in a much larger one has containment 1.0 in the quote direction
+    but Jaccard |A|/|B| far below any useful resemblance threshold.
+    Both direction scores are released; threshold validates."""
+    import pytest as _pytest
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = quote + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    got = dedup.ngram_containment_pairs(df, threshold=0.9).collect()
+    assert [
+        (r.doc_id_1, r.doc_id_2, r.containment_1_in_2) for r in got
+    ] == [(1, 2, 1.0)]
+    # the host direction is tiny: 4 shared shingles of the host's 44
+    assert got[0].containment_2_in_1 == round(4 / 44, 4)
+    # the same pair is invisible to resemblance at the same bar
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert jac == []
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="threshold"):
+            dedup.ngram_containment_pairs(df, threshold=bad)
+
+
 def test_minhash_lsh_finds_planted_neardups(spark, tables):
     """The synthetic corpus plants 25 near-dup pairs (jaccard>=0.3);
     LSH candidates must contain every high-similarity pair."""

@@ -73,6 +73,7 @@ FROZEN = {
     "functions.text.quality_filter": {'min_tokens': 10, 'max_tokens': 100000, 'min_quality': 0.3, 'text_col': 'text', 'id_col': 'doc_id'},
     "functions.text.bigram_lm_nll": {'train_df': None, 'text_col': 'text', 'id_col': 'doc_id', 'alpha': 0.1},
     "functions.dedup.ngram_jaccard_pairs": {'threshold': 0.3, 'n': 3, 'id_col': 'doc_id', 'text_col': 'text', 'max_df': None},
+    "functions.dedup.ngram_containment_pairs": {'threshold': 0.5, 'n': 3, 'id_col': 'doc_id', 'text_col': 'text', 'max_df': None},
     "functions.dedup.minhash_lsh_pairs": {'num_hashes': 16, 'bands': 4, 'n': 3, 'id_col': 'doc_id', 'text_col': 'text'},
     "functions.dedup.verify_jaccard": {'threshold': 0.3, 'n': 3, 'id_col': 'doc_id', 'text_col': 'text'},
     "functions.dedup.connected_components": {'left_col': 'doc_id_1', 'right_col': 'doc_id_2', 'max_iter': 20, 'driver_threshold': 2000000},

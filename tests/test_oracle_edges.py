@@ -72,6 +72,12 @@ CASES = {
     "dedup_ngram_jaccard": lambda df: dedup.ngram_jaccard_pairs(
         df, threshold=0.3
     ),
+    # r15: the asymmetric sibling on the same degenerate docs —
+    # empty/NULL/sub-shingle docs have no set and never pair, and
+    # the whitespace-normalized doc 10 is containment-1.0 with 1/2
+    "dedup_ngram_containment": lambda df: dedup.ngram_containment_pairs(
+        df, threshold=0.8
+    ),
     "dedup_minhash_lsh": lambda df: dedup.minhash_lsh_pairs(
         df, num_hashes=16, bands=4
     ),

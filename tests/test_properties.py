@@ -952,3 +952,51 @@ def test_bound_contributions_matches_bruteforce(spark, evs, k, max_w):
         ).collect()
     }
     assert got == kept
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=16
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.floats(min_value=0.1, max_value=1.0),
+)
+def test_ngram_containment_matches_bruteforce(spark, corpora, threshold):
+    """r15 property pin: asymmetric containment must equal the
+    brute-force set definition — per unordered doc pair with a
+    non-empty shingle intersection, c/|A| and c/|B| over the
+    DISTINCT 3-gram sets, kept when the larger direction clears the
+    threshold; docs with no shingles never pair."""
+    from hillview_spark.functions import dedup
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {
+        i: {
+            tuple(toks[p:p + 3]) for p in range(len(toks) - 2)
+        }
+        for i, toks in enumerate(corpora)
+    }
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                c = len(sets[i] & sets[j])
+                if c and max(c / len(sets[i]), c / len(sets[j])) >= threshold:
+                    want[(i, j)] = (
+                        round(c / len(sets[i]), 4),
+                        round(c / len(sets[j]), 4),
+                    )
+    got = {
+        (r.doc_id_1, r.doc_id_2): (
+            r.containment_1_in_2, r.containment_2_in_1
+        )
+        for r in dedup.ngram_containment_pairs(
+            df, threshold=threshold, n=3
+        ).collect()
+    }
+    assert got == want
