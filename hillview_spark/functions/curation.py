@@ -51,7 +51,10 @@ def pii_scrub(
     counts = []
     for name, pat, repl in PII_RULES:
         counts.append(
-            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            # count matches without materializing them (see
+            # text._count_re) — the pattern still runs once more in
+            # the replace below, which is inherent to count+redact
+            F.regexp_count(t, F.lit(pat))
             .cast("long")
             .alias(f"n_{name}")
         )
@@ -75,37 +78,47 @@ def repetition_stats(
     Spark's lambda HOFs evaluate per element outside whole-stage
     codegen, while the explode feeds Tungsten's vectorized hash
     aggregate. The shuffle is the cheaper currency here."""
-    toks = df.select(
+    from hillview_spark import cache
+
+    # ONE tokenize of the text shared by the token and bigram paths
+    # (pre-r15 each path re-ran the trim+split regexp over the full
+    # corpus — two full text scans for one score). The persisted
+    # relation carries the token ARRAYS, not the text; empties are
+    # filtered in the array (r9 review: a leading tab minted a
+    # phantom ' a' bigram, scoring a clean one-word doc maximally
+    # repetitive — the same filter now guards the token path too,
+    # where it is equivalent to the old post-explode WHERE).
+    toked = df.select(
         F.col(id_col).alias("__doc"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
-    tok_stats = (
-        toks.groupBy("__doc", "tok")
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__toks"),
+    ).transform(cache.persist)
+    # Token and bigram occurrences union into ONE pair aggregation:
+    # token keys never contain whitespace and bigram keys always do,
+    # but the __g tag keeps the key spaces disjoint by construction.
+    # One (doc, key) shuffle + one per-doc aggregate replaces the two
+    # parallel groupBy chains and the extra doc-keyed join the old
+    # shape paid (5 exchanges -> 3, one scan of the pair bytes).
+    pairs = toked.select(
+        "__doc", F.lit(False).alias("__g"), F.explode("__toks").alias("k")
+    ).unionAll(
+        toked.select(
+            "__doc", F.lit(True).alias("__g"),
+            F.explode(_bigrams_of(F.col("__toks"))).alias("k"),
+        )
+    )
+    tok = ~F.col("__g")
+    per_doc = (
+        pairs.groupBy("__doc", "__g", "k")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("__doc")
         .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("distinct_tokens"),
-            F.max("c").alias("max_tok"),
+            F.sum(F.when(tok, F.col("c"))).alias("n_tokens"),
+            F.count(F.when(tok, F.lit(1))).alias("distinct_tokens"),
+            F.max(F.when(tok, F.col("c"))).alias("max_tok"),
+            F.max(F.when(F.col("__g"), F.col("c"))).alias("max_gram"),
         )
-    )
-    grams = df.withColumn(
-        # empties filtered like the token path above (r9 review: a
-        # leading tab minted a phantom ' a' bigram, scoring a clean
-        # one-word doc maximally repetitive)
-        "__toks",
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
-        ),
-    ).select(
-        F.col(id_col).alias("__doc"),
-        F.explode(_bigrams_of(F.col("__toks"))).alias("gram"),
-    )
-    gram_stats = (
-        grams.groupBy("__doc", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("__doc")
-        .agg(F.max("c").alias("max_gram"))
     )
     n = F.col("n_tokens").cast("double")
     # anchor on the INPUT ids: a NULL/whitespace-only document has no
@@ -115,8 +128,7 @@ def repetition_stats(
     # through. They score all-zeros (nothing to repeat).
     ids = df.select(F.col(id_col).alias("__doc"))
     return (
-        ids.join(tok_stats, "__doc", "left")
-        .join(gram_stats, "__doc", "left")
+        ids.join(per_doc, "__doc", "left")
         .select(
             F.col("__doc").alias(id_col),
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),

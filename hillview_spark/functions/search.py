@@ -88,6 +88,15 @@ def bm25_search(
             for i, tm in enumerate(terms)
         ],
     )
+    # `per` feeds TWO consumers (the corpus stats aggregate and the
+    # scoring join) — without a persist the tokenize scan runs twice
+    # per call (the same feeds-two-consumers shape bigram_lm_nll and
+    # top_terms_per_doc already persist). The persisted relation is
+    # the lightweight proxy — one row per doc, id + a few longs —
+    # never the text.
+    from hillview_spark import cache
+
+    per = per.transform(cache.persist)
     stats = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

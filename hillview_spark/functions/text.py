@@ -37,7 +37,14 @@ def tokens_expr(col: Column, lowercase: bool = True) -> Column:
 
 
 def _count_re(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(..., 0)) for every
+    # input (NULL -> NULL, no match -> 0, same non-overlapping match
+    # walk) but never materializes the matched strings into an array
+    # — pure per-row work removed from every scan that counts matches
+    # (token_count's word-or-punct regex matches nearly every
+    # character position, so the array it no longer builds was the
+    # size of the document).
+    return F.regexp_count(col, F.lit(pattern))
 
 
 def _ws_tokens(t):
