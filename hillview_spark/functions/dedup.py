@@ -609,7 +609,10 @@ def connected_components(
         from pyspark.sql.types import StructField, StructType
 
         id_type = pairs.schema[left_col].dataType
-        return pairs.sparkSession.createDataFrame(
+        from hillview_spark.localrel import local_df
+
+        return local_df(
+            pairs.sparkSession,
             rows,
             StructType([
                 StructField("doc_id", id_type),

@@ -1,0 +1,143 @@
+"""JVM-literal local relations: build a small DataFrame from driver
+rows WITHOUT the Python-RDD scan `createDataFrame` plans.
+
+`spark.createDataFrame(rows, schema)` wraps the rows in a Python RDD
+(`applySchemaToPythonRDD` -> `Scan ExistingRDD`): every ACTION on any
+plan containing it launches a Python worker round-trip just to
+deserialize a handful of literal rows. For the noise spines /
+candidate lists / spec relations that join into hot query paths this
+tax is paid once per query execution — measured ~0.5 s per action on
+the dp_histogram spine (10 rows!) at sf0.1, the single largest
+non-compute cost in that query.
+
+`local_df` instead plans `range(1) -> inline(array(named_struct...))`
+— pure JVM literals, folded into whole-stage codegen, zero Python at
+execution time. The WHOLE literal tree is shipped as ONE SQL
+expression string (a single py4j call): a first cut that built the
+tree from per-value `F.lit` Columns spent ~10 ms of py4j round-trips
+PER ROW, which at a few hundred rows cost more than the Python-RDD
+tax it removed (measured: dedup_corpus 2.1 s -> 5.6 s before this
+rewrite).
+
+Exactness: doubles are rendered with repr() and parsed back via
+CAST(str AS DOUBLE) — Python repr emits the shortest string that
+round-trips, and both engines parse with IEEE round-to-nearest, so
+the bits are identical (the DP spines' oracle determinism rides on
+this). Non-finite doubles, and value types outside
+None/bool/int/float/str and flat arrays thereof, fall back to
+`createDataFrame`, as do relations past `max_cells` (a giant literal
+tree makes PLAN BUILD the bottleneck — the r10 IVF centroid lesson
+in similarity.py). The fallback is always correct: this helper is a
+pure execution-shape swap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, ByteType, DataType, DoubleType, FloatType,
+    IntegerType, LongType, ShortType, StringType, StructType,
+)
+
+_SCALAR_OK = (
+    BooleanType, ByteType, ShortType, IntegerType, LongType,
+    FloatType, DoubleType, StringType,
+)
+
+# rows x fields budget for the literal plan; above it createDataFrame
+# is the better engine (JVM analysis of the literal tree grows with
+# cells, the Python-RDD tax is one constant round-trip)
+MAX_CELLS = 3000
+
+
+def _supported(dt: DataType) -> bool:
+    if isinstance(dt, _SCALAR_OK):
+        return True
+    if isinstance(dt, ArrayType):
+        return isinstance(dt.elementType, _SCALAR_OK)
+    return False
+
+
+def _scalar_sql(v, dt: DataType) -> str | None:
+    """SQL literal text for one scalar, or None if unrenderable."""
+    s = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {s})"
+    if isinstance(v, bool):
+        if not isinstance(dt, BooleanType):
+            return None
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        if isinstance(dt, (FloatType, DoubleType)):
+            v = float(v)
+        elif not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            return None
+        else:
+            return f"CAST({v} AS {s})"
+    if isinstance(v, float):
+        if not isinstance(dt, (FloatType, DoubleType)):
+            return None
+        if not math.isfinite(v):
+            return None  # 'inf'/'nan' don't parse as SQL doubles
+        # repr round-trips the exact IEEE bits through parse
+        return f"CAST('{v!r}' AS {s})"
+    if isinstance(v, str):
+        if not isinstance(dt, StringType):
+            return None
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    return None
+
+
+def _value_sql(v, dt: DataType) -> str | None:
+    if isinstance(dt, ArrayType):
+        s = dt.simpleString()
+        if v is None:
+            return f"CAST(NULL AS {s})"
+        if not isinstance(v, (list, tuple)):
+            return None
+        if len(v) == 0:
+            return f"CAST(array() AS {s})"
+        parts = [_scalar_sql(x, dt.elementType) for x in v]
+        if any(p is None for p in parts):
+            return None
+        return "array(" + ", ".join(parts) + ")"
+    return _scalar_sql(v, dt)
+
+
+def local_df(
+    spark: SparkSession,
+    rows,
+    schema: str | StructType,
+    max_cells: int = MAX_CELLS,
+) -> DataFrame:
+    """A DataFrame of literal `rows` (sequence of tuples/lists) with
+    `schema` (DDL string or StructType), planned as JVM literals when
+    small and simple enough, else via createDataFrame. Row order is
+    preserved either way."""
+    st = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    rows = list(rows)
+    n_cells = len(rows) * len(st.fields)
+    if not (0 < n_cells <= max_cells) or not all(
+        _supported(f.dataType) for f in st.fields
+    ):
+        return spark.createDataFrame(rows, st)
+    struct_sqls = []
+    for r in rows:
+        if len(r) != len(st.fields):
+            return spark.createDataFrame(rows, st)
+        parts = []
+        for v, f in zip(r, st.fields):
+            vs = _value_sql(v, f.dataType)
+            if vs is None:
+                return spark.createDataFrame(rows, st)
+            # field names here are trusted internal identifiers
+            # (spine/spec column names); quote defensively anyway
+            parts.append(f"'{f.name}', {vs}")
+        struct_sqls.append("named_struct(" + ", ".join(parts) + ")")
+    expr = "inline(array(" + ", ".join(struct_sqls) + "))"
+    return spark.range(0, 1, 1, 1).select(F.expr(expr))

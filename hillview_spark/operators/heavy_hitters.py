@@ -70,7 +70,10 @@ def exact_freq(df: DataFrame, col: str, candidates: list) -> DataFrame:
     from pyspark.sql.types import StructField, StructType
 
     src_type = df.select(F.col(col).alias("value")).schema[0].dataType
-    cand = df.sparkSession.createDataFrame(
+    from hillview_spark.localrel import local_df
+
+    cand = local_df(
+        df.sparkSession,
         [(v,) for v in dict.fromkeys(candidates)],
         StructType([StructField("value", src_type, True)]),
     )
@@ -199,7 +202,9 @@ def heavy_hitters_sampled(
     total = obs.get["n"]
     cache.release(scounts)
     spark = df.sparkSession
-    cand = spark.createDataFrame(cand_rows, df.select(*cols).schema)
+    from hillview_spark.localrel import local_df
+
+    cand = local_df(spark, cand_rows, df.select(*cols).schema)
     # null-safe semi-join: a plain equi-join drops NULL keys, and the
     # exact heavy_hitters (groupBy) counts the NULL group — a mostly
     # missing column would silently lose its top "value"

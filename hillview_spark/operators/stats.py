@@ -38,8 +38,10 @@ def table_summary(df: DataFrame) -> DataFrame:
     result is a DataFrame (driver-friendly). Lazy: the count rides a
     broadcast 1-row aggregate instead of an eager count() action, so
     building the summary costs nothing until it is collected."""
-    spec = df.sparkSession.createDataFrame(
-        list(df.dtypes), "col_name string, col_type string"
+    from hillview_spark.localrel import local_df
+
+    spec = local_df(
+        df.sparkSession, list(df.dtypes), "col_name string, col_type string"
     )
     cnt = df.agg(F.count(F.lit(1)).alias("row_count"))
     return spec.join(F.broadcast(cnt)).select(

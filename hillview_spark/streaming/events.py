@@ -1686,9 +1686,12 @@ def dp_prefix_counts(
             )
             for r in probe
         ]
+        from hillview_spark.localrel import local_df
+
         noise_df = F.broadcast(
-            events.sparkSession.createDataFrame(
-                spine, "__noise_type string, leaf bigint, noise double"
+            local_df(
+                events.sparkSession, spine,
+                "__noise_type string, leaf bigint, noise double",
             )
         )
     else:

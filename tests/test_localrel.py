@@ -1,0 +1,103 @@
+"""localrel.local_df: the JVM-literal local-relation helper (r15
+optimization round). Contract: BIT-IDENTICAL rows to createDataFrame
+for every supported input, a plan with zero Python at execution
+time when the literal path fires, and a silent createDataFrame
+fallback everywhere else."""
+
+import datetime
+import math
+import struct
+
+import pytest
+
+from hillview_spark.localrel import local_df
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hillview_spark.session import get_spark
+
+    s = get_spark(master="local[2]", shuffle_partitions=2)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _bits(x):
+    return struct.pack("d", x) if isinstance(x, float) else x
+
+
+def test_identity_with_createdataframe(spark):
+    rows = [
+        (0, -6.626677895188479e-05, None, "a'b\\c\nd", True),
+        (1, 1.7976931348623157e308, 5.0, "", False),
+        (2, -0.0, math.pi, None, None),
+    ]
+    ddl = "i int, x double, y double, s string, b boolean"
+    a, b = _rows(local_df(spark, rows, ddl)), _rows(
+        spark.createDataFrame(rows, ddl)
+    )
+    assert [[_bits(v) for v in r] for r in a] == [
+        [_bits(v) for v in r] for r in b
+    ]
+
+
+def test_array_fields_and_order(spark):
+    rows = [([1.5, -2.25e-300, 0.0],), ([],), (None,)]
+    ddl = "arr array<double>"
+    assert _rows(local_df(spark, rows, ddl)) == _rows(
+        spark.createDataFrame(rows, ddl)
+    )
+    # row order must be preserved (spines rely on it pre-orderBy)
+    many = [(i, float(i) / 7) for i in range(40)]
+    got = _rows(local_df(spark, many, "i int, v double"))
+    assert got == many
+
+
+def test_literal_plan_has_no_python_scan(spark):
+    df = local_df(spark, [(1, 2.0)], "i int, v double")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ExistingRDD" not in plan
+    assert "EvalPython" not in plan
+    # the createDataFrame path (what the fallback uses) DOES carry one
+    cdf = spark.createDataFrame([(1, 2.0)], "i int, v double")
+    cplan = cdf._sc._jvm.PythonSQLUtils.explainString(
+        cdf._jdf.queryExecution(), "formatted"
+    )
+    assert "ExistingRDD" in cplan
+
+
+def test_fallbacks_are_correct(spark):
+    # unsupported type (timestamp) -> fallback, still correct
+    ts = datetime.datetime(2020, 1, 2, 3, 4, 5)
+    rows = [(ts, 1)]
+    got = _rows(local_df(spark, rows, "t timestamp_ntz, i int"))
+    assert got == [(ts, 1)]
+    # non-finite double -> fallback (inf/nan have no SQL literal)
+    rows = [(float("nan"),), (float("inf"),)]
+    got = _rows(local_df(spark, rows, "x double"))
+    assert math.isnan(got[0][0]) and math.isinf(got[1][0])
+    # over the cell budget -> fallback
+    many = [(i,) for i in range(50)]
+    got = _rows(local_df(spark, many, "i bigint", max_cells=10))
+    assert got == many
+    # empty -> fallback with intact schema
+    empty = local_df(spark, [], "a int, b string")
+    assert empty.columns == ["a", "b"] and empty.count() == 0
+
+
+def test_exact_freq_still_nullsafe(spark):
+    # exact_freq routes its candidate list through local_df; the None
+    # candidate (NULL match) must survive the literal path
+    from hillview_spark.operators import heavy_hitters as hh
+
+    df = spark.createDataFrame(
+        [("x",), (None,), (None,), ("y",)], "v string"
+    )
+    out = {r.value: r.cnt for r in hh.exact_freq(df, "v", ["x", None, "z"]).collect()}
+    assert out == {"x": 1, None: 2, "z": 0}
