@@ -236,9 +236,18 @@ def verify_jaccard(
         .union(pairs.select(F.col("doc_id_2").alias("doc")))
         .distinct()
     )
+    # Semi-join the DOCUMENTS down to candidates BEFORE the shingle
+    # explode (r15 opt): Catalyst cannot push a join below a
+    # Generate, so filtering after _shingle_table tokenized and
+    # exploded the whole corpus only to discard non-candidate rows.
+    # At 100 TB candidates << corpus, so this bounds the tokenize +
+    # explode cost by the candidate set too, not just the join.
+    cand_ids = cand_docs.select(F.col("doc").alias(id_col))
     sh = (
-        _shingle_table(df, id_col, text_col, n)
-        .join(F.broadcast(cand_docs), "doc")
+        _shingle_table(
+            df.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            id_col, text_col, n,
+        )
         .select("doc", _token_hash(F.col("s")).alias("s"))
         .transform(cache.persist)
     )

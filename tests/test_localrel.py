@@ -78,17 +78,48 @@ def test_fallbacks_are_correct(spark):
     rows = [(ts, 1)]
     got = _rows(local_df(spark, rows, "t timestamp_ntz, i int"))
     assert got == [(ts, 1)]
-    # non-finite double -> fallback (inf/nan have no SQL literal)
+    # non-finite double -> Arrow path (no SQL literal), bits intact
     rows = [(float("nan"),), (float("inf"),)]
     got = _rows(local_df(spark, rows, "x double"))
     assert math.isnan(got[0][0]) and math.isinf(got[1][0])
-    # over the cell budget -> fallback
+    # over the cell budget -> Arrow path, rows and order intact
     many = [(i,) for i in range(50)]
     got = _rows(local_df(spark, many, "i bigint", max_cells=10))
     assert got == many
     # empty -> fallback with intact schema
     empty = local_df(spark, [], "a int, b string")
     assert empty.columns == ["a", "b"] and empty.count() == 0
+
+
+def test_arrow_path_identity_and_plan(spark):
+    # past max_cells with mixed NULL/NaN/strings/arrays: the Arrow
+    # local table must match createDataFrame bit-for-bit AND plan as
+    # LocalTableScan (no Python-RDD scan at execution)
+    rows = [
+        (i, float(i) / 7 if i % 5 else float("nan"),
+         None if i % 7 == 0 else f"s'{i}\\x",
+         None if i % 11 == 0 else [i * 0.5, None, -0.0])
+        for i in range(200)
+    ]
+    ddl = "i int, x double, s string, arr array<double>"
+    a = _rows(local_df(spark, rows, ddl, max_cells=10))
+    b = _rows(spark.createDataFrame(rows, ddl))
+    def bits(r):
+        return [
+            [None if v is None else _bits(v) for v in c]
+            if isinstance(c, list) else _bits(c) if isinstance(c, float)
+            else c
+            for c in r
+        ]
+    assert [bits(r) for r in a] == [bits(r) for r in b]
+    df = local_df(spark, rows, ddl, max_cells=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan
+    assert "LocalTableScan" in plan
+    # schema types survive the Arrow round-trip exactly
+    assert df.schema == spark.createDataFrame(rows, ddl).schema
 
 
 def test_exact_freq_still_nullsafe(spark):
