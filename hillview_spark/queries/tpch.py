@@ -731,11 +731,19 @@ def q21_suppliers_kept_waiting(
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", late.alias("is_late"))
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey")))
-        .alias("n_late"),
-        F.min(F.when(F.col("is_late"), F.col("l_suppkey")))
+    # Two-level distinct (r15 opt): the natural twin countDistinct
+    # plans an Expand that TRIPLES every joined row (one replica per
+    # distinct spec + one for the min) before the first exchange.
+    # Aggregating per (order, supplier) first, then per order, keeps
+    # the same two exchanges but ships each row once — and the pair
+    # level is exactly the distinct set both counts need.
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("supp_late"), F.lit(1))).alias("n_late"),
+        F.min(F.when(F.col("supp_late"), F.col("l_suppkey")))
         .alias("late_supp"),
     )
     blamed = per_order.where(

@@ -2388,29 +2388,26 @@ def cohort_retention(
     ops apply; a SQL oracle's equi-join would drop NULL users
     anyway — window-based grouping would NOT, class-9).
 
-    Scale shape: one groupBy(user) for first-seen days (map-side
-    combine), one distinct over (user, day) — both shuffles carry
-    O(users x active-days), never raw events — then an equi-join on
-    user (the first-seen side is |users| rows; at 100 TB both sides
-    are already hash-partitioned by user from their aggregates, so
-    AQE reuses the partitioning) and a tiny (cohort, offset)
-    aggregate. act is distinct per (user, day), so count(*) IS the
-    distinct-user count — no second distinct state."""
-    from hillview_spark import cache
-
+    Scale shape (r15 opt): ONE corpus-scale shuffle. groupBy(user)
+    with collect_set(day) dedups (user, day) map-side exactly like
+    the old standalone distinct did, and ships each user's active-day
+    SET once; first-seen is then array_min of that set and the
+    day offsets explode from it PER ROW — the former second shuffle
+    (first-seen aggregate) and the user-keyed join vanish, as does
+    the persist (single consumer chain). Exploding the distinct set
+    gives one row per (user, day), so count(*) IS the distinct-user
+    count — no second distinct state. A user's set is bounded by the
+    calendar, so the fattest row is ~days-of-history long — no skew
+    cliff."""
     base = events.where(
         F.col("ts").isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(id_col).alias("__u"), F.to_date("ts").alias("__day"))
-    # ONE events scan: first-seen derives from the distinct
-    # (user, day) frame — min over distinct days IS min over all
-    # events — so the raw-scale scan feeds only the distinct, and
-    # both the cohort aggregate and the join read the persisted
-    # users x active-days frame (r11 review, multi-consumer class:
-    # the original aggregated base twice, re-scanning the fact table)
-    act = cache.persist(base.distinct())
-    first = act.groupBy("__u").agg(F.min("__day").alias("cohort"))
+    per_user = base.groupBy("__u").agg(F.collect_set("__day").alias("__days"))
     return (
-        act.join(first, "__u")
+        per_user.select(
+            F.array_min("__days").alias("cohort"),
+            F.explode("__days").alias("__day"),
+        )
         .groupBy(
             "cohort",
             F.datediff(F.col("__day"), F.col("cohort"))

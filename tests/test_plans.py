@@ -512,15 +512,16 @@ def test_r11_event_ops_plan_shapes(spark, tables):
     ex.assert_max_shuffles(df, 2)
     ex.assert_no_cartesian(df)
     assert "Python" not in ex.physical_plan(df)
-    # retention: the fact table is scanned ONCE (one-scan rewrite,
-    # r11 review) — BOTH consumers (cohort aggregate + join) read
-    # the persisted distinct (user, day) frame; the parquet scan
-    # string appears under each InMemoryTableScan's printed lineage
-    # but executes once, at cache fill
+    # retention (r15 one-shuffle rewrite): ONE corpus-scale shuffle
+    # (groupBy(user) collect_set(day), map-side dedup) + the tiny
+    # (cohort, offset) aggregate; no join, no persist, no Python —
+    # the former distinct + first-seen aggregate + user join are gone
     df = ev.cohort_retention(e)
     plan = ex.physical_plan(df)
+    ex.assert_max_shuffles(df, 2)
     ex.assert_no_cartesian(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan[:500]
+    assert "Join" not in plan, plan[:500]
+    assert "Python" not in plan
 
 
 def test_collocations_plan_no_cartesian_data_joins(spark, tables):
