@@ -467,7 +467,16 @@ def simhash(
 ) -> DataFrame:
     """60-bit SimHash per document. Flat-map shape: (doc, token) ×
     bit-position rows, then two mergeable aggregations — scales as a
-    pure shuffle on doc id, no UDF, no driver loop."""
+    pure shuffle on doc id, no UDF, no driver loop.
+
+    Measured r15: collapsing to DISTINCT tokens weighted by count
+    via a per-row sort + run-length pass (the top_terms_per_doc
+    idiom) was 31% SLOWER interleaved (2.59 s vs 1.98 s at sf0.1,
+    fingerprints identical) despite saving the ~2.3x duplicate-token
+    md5+bit work — the filter/transform lambdas evaluate per element
+    outside whole-stage codegen, while the explode feeds Tungsten's
+    vectorized hash aggregate (the same verdict repetition_stats
+    recorded for its HOF rewrite). The per-occurrence shape stays."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("t"),
