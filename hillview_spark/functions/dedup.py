@@ -476,7 +476,15 @@ def simhash(
     md5+bit work — the filter/transform lambdas evaluate per element
     outside whole-stage codegen, while the explode feeds Tungsten's
     vectorized hash aggregate (the same verdict repetition_stats
-    recorded for its HOF rewrite). The per-occurrence shape stays."""
+    recorded for its HOF rewrite). The TWO-LEVEL collapse
+    (groupBy(doc, h).count() then count-weighted bit sums — pure
+    Tungsten both levels, no HOF) was also ~20% slower on a clean
+    box (interleaved medians 2.457 vs 2.056 s, fingerprints
+    identical, tools/ab_simhash_r15.py variant d): the extra
+    shuffle of distinct (doc, h, c) rows outweighs the saved
+    60-buffer updates at this corpus's 2.3x dup factor. A corpus
+    with a far higher dup factor would flip that trade; at 2-3x the
+    per-occurrence shape stays."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("t"),

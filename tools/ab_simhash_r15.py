@@ -107,6 +107,31 @@ def simhash_c(df):
     return sums.select("doc", fp.alias("fingerprint"))
 
 
+def simhash_d(df):
+    """Two-level multiplicity collapse: groupBy(doc, h).count() first
+    (1 cheap buffer per distinct token, dup tokens collapse map-side),
+    then the 60 conditional sums weighted by the count run over
+    DISTINCT tokens only. Integer arithmetic, so fingerprints are
+    exactly variant a's. Re-measured r15 session 4 — the session-2
+    measurement landed in a steal spike and was discarded."""
+    toks = _toks(df)
+    cnt = toks.groupBy("doc", "h").agg(F.count(F.lit(1)).alias("c"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.col("c")).otherwise(-F.col("c"))
+        ).alias(f"s{j}")
+        for j in range(BITS)
+    ]
+    sums = cnt.groupBy("doc").agg(*bit_aggs)
+    fp = None
+    for j in range(BITS):
+        term = F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return sums.select("doc", fp.alias("fingerprint"))
+
+
 def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
@@ -121,15 +146,22 @@ def main():
     docs = t["documents"]
     docs.count()
 
-    variants = {"a": simhash_a, "b": simhash_b, "c": simhash_c}
+    all_variants = {
+        "a": simhash_a, "b": simhash_b, "c": simhash_c, "d": simhash_d,
+    }
+    which = (
+        sys.argv[2].split(",") if len(sys.argv) > 2 else list(all_variants)
+    )
+    variants = {n: all_variants[n] for n in which}
     # identity check first: every variant must emit identical rows
     rows = {}
     for name, fn in variants.items():
         rows[name] = sorted(
             (r.doc, r.fingerprint) for r in fn(docs).collect()
         )
-    assert rows["a"] == rows["b"] == rows["c"], "variant outputs differ"
-    print(f"identity: OK over {len(rows['a'])} docs")
+    base = rows[which[0]]
+    assert all(rows[n] == base for n in which), "variant outputs differ"
+    print(f"identity: OK over {len(base)} docs")
 
     # timed, interleaved, noop sink
     times = {n: [] for n in variants}
