@@ -1,5 +1,6 @@
 """Dump .explain('formatted') for every bench query (and optionally
-every declared queries() key) into plans/r15/ as <name>_<tag>.txt.
+every declared queries() key) into $SPARK_GRAFT_PLANS_DIR (default
+plans/r16/) as <name>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> [--gate] [only_name ...]
 
@@ -17,7 +18,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-OUT = "/root/repo/plans/r15"
+OUT = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r16")
 
 
 def plan_text(df) -> str:
