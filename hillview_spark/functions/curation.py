@@ -70,96 +70,110 @@ def repetition_stats(
     most-common-bigram fraction — the standard signals for filtering
     degenerate/boilerplate text (Rae et al. 2021, Gopher §A1.1).
 
-    Two explode→groupBy aggregations (token and bigram keys are
-    high-cardinality → well-distributed shuffles) joined on doc_id;
-    cost is O(tokens), never quadratic. Measured note: a zero-shuffle
-    per-row rewrite (array_sort + higher-order aggregate fold for the
-    max multiplicity) ran 3x SLOWER at sf0.1 (0.80s -> 2.58s) —
-    Spark's lambda HOFs evaluate per element outside whole-stage
-    codegen, while the explode feeds Tungsten's vectorized hash
-    aggregate. The shuffle is the cheaper currency here."""
-    from hillview_spark import cache
+    Shape (r16): every signal is a PER-ROW array computation — a
+    document's tokens already live in one row, so the token and
+    bigram multiplicities come from array_sort + run-length starts
+    (the same filter(sequence)/element_at idiom top_terms_per_doc
+    ships): ZERO shuffle, zero join, one codegen'd scan. The r15
+    union + (doc, tag, key) aggregate + ids-join shape measured
+    1.388 s vs 1.150 s for this one (interleaved medians of 9 at
+    sf0.1, identity asserted over all 5000 docs) — and at 100 TB the
+    removed cost is the entire corpus-scale string-keyed exchange.
+    Two measured traps recorded from the attempts: (a) the sorted
+    arrays MUST be materialized columns (projection barriers) before
+    the run-length filter references them — an inline array_sort
+    re-evaluates per element_at and ran 14x slower (r16 probe); (b)
+    an aggregate()-fold over the array for the max multiplicity (no
+    explicit sort/RLE) ran 3x slower (r15 probe).
 
-    # ONE tokenize of the text shared by the token and bigram paths
-    # (pre-r15 each path re-ran the trim+split regexp over the full
-    # corpus — two full text scans for one score). The persisted
-    # relation carries the token ARRAYS, not the text; empties are
-    # filtered in the array (r9 review: a leading tab minted a
-    # phantom ' a' bigram, scoring a clean one-word doc maximally
-    # repetitive — the same filter now guards the token path too,
-    # where it is equivalent to the old post-explode WHERE).
-    toked = df.select(
-        F.col(id_col).alias("__doc"),
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
-        ).alias("__toks"),
-    ).transform(cache.persist)
-    # Token and bigram occurrences union into ONE pair aggregation:
-    # token keys never contain whitespace and bigram keys always do,
-    # but the __g tag keeps the key spaces disjoint by construction.
-    # One (doc, key) shuffle + one per-doc aggregate replaces the two
-    # parallel groupBy chains and the extra doc-keyed join the old
-    # shape paid (5 exchanges -> 3, one scan of the pair bytes).
-    pairs = toked.select(
-        "__doc", F.lit(False).alias("__g"), F.explode("__toks").alias("k")
-    ).unionAll(
-        toked.select(
-            "__doc", F.lit(True).alias("__g"),
-            F.explode(_bigrams_of(F.col("__toks"))).alias("k"),
-        )
+    Precondition (same as top_terms_per_doc): doc ids are unique —
+    rows sharing an id are scored per row, where the aggregate shape
+    merged them. The expected corpus keys documents by id.
+
+    Empties are filtered in the token array (r9 review: a leading
+    tab minted a phantom ' a' bigram, scoring a clean one-word doc
+    maximally repetitive). NULL/whitespace-only docs score all-zeros
+    (nothing to repeat) — degenerate docs are exactly what
+    repetition filtering targets, so they must not vanish from the
+    result."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
-    tok = ~F.col("__g")
-    per_doc = (
-        pairs.groupBy("__doc", "__g", "k")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("__doc")
-        .agg(
-            F.sum(F.when(tok, F.col("c"))).alias("n_tokens"),
-            F.count(F.when(tok, F.lit(1))).alias("distinct_tokens"),
-            F.max(F.when(tok, F.col("c"))).alias("max_tok"),
-            F.max(F.when(F.col("__g"), F.col("c"))).alias("max_gram"),
+
+    def _starts(srt_name):
+        # 1-based run-start positions in a SORTED array column
+        # (ANSI-safe: indexes stay in [1, n]; sequence is guarded
+        # because sequence(1, 0) would DESCEND, not be empty; the
+        # greatest() arm must be safe to evaluate even when the OR's
+        # left arm decides i == 1)
+        srt = F.col(srt_name)
+        n = F.size(srt)
+        return F.when(
+            n >= 1,
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == 1)
+                | (F.element_at(srt, i)
+                   != F.element_at(srt, F.greatest(i - 1, F.lit(1)))),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    def _max_run(starts_name, n_col):
+        # max multiplicity == max gap between consecutive run starts
+        starts = F.col(starts_name)
+        m = F.size(starts)
+        lens = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.coalesce(
+                F.try_element_at(starts, j + 1), n_col + 1
+            ) - F.element_at(starts, j),
         )
+        # NULL when there are no runs (the guard also keeps the
+        # sequence/element_at branch unevaluated for empty docs)
+        return F.when(m >= 1, F.array_max(lens))
+
+    staged = (
+        df.withColumn("__t", toks)
+        .withColumn("__b", _bigrams_of(F.col("__t")))
+        .withColumn("__st", F.array_sort(F.col("__t")))
+        .withColumn("__sb", F.array_sort(F.col("__b")))
+        .withColumn("__ts", _starts("__st"))
+        .withColumn("__bs", _starts("__sb"))
     )
-    n = F.col("n_tokens").cast("double")
-    # anchor on the INPUT ids: a NULL/whitespace-only document has no
-    # token rows and would otherwise be absent from the result — but
-    # degenerate docs are exactly what repetition filtering targets,
-    # and a stats-join pipeline would silently pass un-scored docs
-    # through. They score all-zeros (nothing to repeat).
-    ids = df.select(F.col(id_col).alias("__doc"))
-    return (
-        ids.join(per_doc, "__doc", "left")
-        .select(
-            F.col("__doc").alias(id_col),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(F.col("distinct_tokens"), F.lit(0)).alias(
-                "distinct_tokens"
-            ),
-            F.coalesce(
-                F.round(F.lit(1.0) - F.col("distinct_tokens") / n, 4),
-                F.lit(0.0),
-            ).alias("dup_token_frac"),
-            F.coalesce(F.round(F.col("max_tok") / n, 4), F.lit(0.0)).alias(
-                "top_token_frac"
-            ),
-            # 2 tokens per occurrence, clamped: overlapping repeats
-            # ('a a a') would otherwise count shared tokens twice and
-            # push the "fraction" past 1.0. Guard on n_tokens, not a
-            # trailing coalesce: least() SKIPS nulls, so
-            # least(NULL/n, 1.0) would collapse to 1.0 for
-            # zero-token docs
-            F.when(F.col("n_tokens").isNull(), F.lit(0.0))
-            .otherwise(
-                F.round(
-                    F.least(
-                        F.coalesce(F.col("max_gram"), F.lit(0)) * 2 / n,
-                        F.lit(1.0),
-                    ),
-                    4,
-                )
+    # size() is NULL for a NULL array (NULL text); those docs score
+    # zero tokens like the old ids-left-join anchor did
+    nt = F.coalesce(F.size(F.col("__st")), F.lit(0))
+    n = nt.cast("double")
+    distinct = F.size(F.col("__ts")).cast("long")
+    max_tok = _max_run("__ts", F.size(F.col("__st")))
+    max_gram = _max_run("__bs", F.size(F.col("__sb")))
+    return staged.select(
+        F.col(id_col),
+        nt.cast("long").alias("n_tokens"),
+        distinct.alias("distinct_tokens"),
+        F.coalesce(
+            F.when(nt >= 1, F.round(F.lit(1.0) - distinct / n, 4)),
+            F.lit(0.0),
+        ).alias("dup_token_frac"),
+        F.coalesce(
+            F.when(nt >= 1, F.round(max_tok / n, 4)), F.lit(0.0)
+        ).alias("top_token_frac"),
+        # 2 tokens per occurrence, clamped: overlapping repeats
+        # ('a a a') would otherwise count shared tokens twice and
+        # push the "fraction" past 1.0. Guard on nt, not a trailing
+        # coalesce: least() SKIPS nulls, so least(NULL/n, 1.0) would
+        # collapse to 1.0 for zero-token docs
+        F.when(nt == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.least(
+                    F.coalesce(max_gram, F.lit(0)) * 2 / n,
+                    F.lit(1.0),
+                ),
+                4,
             )
-            .alias("top_bigram_frac"),
         )
+        .alias("top_bigram_frac"),
     )
 
 

@@ -87,77 +87,67 @@ def _ab(name, fa, fb, repeats, materialize=_noop):
 
 # ------------------------------------------------- repetition_stats (RLE)
 
-def repstats_rle_new(df, text_col="text", id_col="doc_id"):
-    """Candidate: every stat is a PER-ROW array computation (the
-    tokens of a doc live in one row) — zero shuffle, zero join.
-    Requires unique doc ids (same precondition as top_terms_per_doc)."""
+def repstats_union_old(df, text_col="text", id_col="doc_id"):
+    """Inline replica of the r15 SHIPPED shape (union + one
+    (doc, tag, key) aggregate + ids left-join), the predecessor of
+    the r16 per-row RLE rewrite now in curation.repetition_stats."""
     from hillview_spark.functions.curation import _bigrams_of
 
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    toked = df.select(
+        F.col(id_col).alias("__doc"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__toks"),
+    ).transform(cache.persist)
+    pairs = toked.select(
+        "__doc", F.lit(False).alias("__g"), F.explode("__toks").alias("k")
+    ).unionAll(
+        toked.select(
+            "__doc", F.lit(True).alias("__g"),
+            F.explode(_bigrams_of(F.col("__toks"))).alias("k"),
+        )
     )
-
-    def run_lengths(arr_col):
-        srt = F.array_sort(arr_col)
-        n = F.size(srt)
-        starts = F.when(
-            n >= 1,
-            F.filter(
-                F.sequence(F.lit(1), n),
-                lambda i: (i == 1)
-                | (F.element_at(srt, i)
-                   != F.element_at(srt, F.greatest(i - 1, F.lit(1)))),
+    tok = ~F.col("__g")
+    per_doc = (
+        pairs.groupBy("__doc", "__g", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__doc")
+        .agg(
+            F.sum(F.when(tok, F.col("c"))).alias("n_tokens"),
+            F.count(F.when(tok, F.lit(1))).alias("distinct_tokens"),
+            F.max(F.when(tok, F.col("c"))).alias("max_tok"),
+            F.max(F.when(F.col("__g"), F.col("c"))).alias("max_gram"),
+        )
+    )
+    n = F.col("n_tokens").cast("double")
+    ids = df.select(F.col(id_col).alias("__doc"))
+    return (
+        ids.join(per_doc, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("distinct_tokens"), F.lit(0)).alias(
+                "distinct_tokens"
             ),
-        ).otherwise(F.array().cast("array<int>"))
-        return srt, starts
-
-    df2 = (
-        df.withColumn("__t", toks)
-        .withColumn("__b", _bigrams_of(F.col("__t")))
-    )
-    # token runs
-    tsrt, tstarts = run_lengths(F.col("__t"))
-    df2 = df2.withColumn("__ts", tstarts)
-    bsrt, bstarts = run_lengths(F.col("__b"))
-    df2 = df2.withColumn("__bs", bstarts)
-
-    def max_run(starts_col, n_col):
-        # max gap between consecutive starts == max multiplicity
-        m = F.size(starts_col)
-        lens = F.transform(
-            F.sequence(F.lit(1), m),
-            lambda j: F.coalesce(F.try_element_at(starts_col, j + 1),
-                                 n_col + 1)
-            - F.element_at(starts_col, j),
-        )
-        return F.when(m >= 1, F.array_max(lens)).otherwise(F.lit(None))
-
-    nt = F.size(F.col("__t"))
-    n = nt.cast("double")
-    distinct = F.size(F.col("__ts")).cast("long")
-    max_tok = max_run(F.col("__ts"), nt)
-    max_gram = max_run(F.col("__bs"), F.size(F.col("__b")))
-    return df2.select(
-        F.col(id_col),
-        nt.cast("long").alias("n_tokens"),
-        distinct.alias("distinct_tokens"),
-        F.coalesce(
-            F.when(nt >= 1, F.round(F.lit(1.0) - distinct / n, 4)),
-            F.lit(0.0),
-        ).alias("dup_token_frac"),
-        F.coalesce(
-            F.when(nt >= 1, F.round(max_tok / n, 4)), F.lit(0.0)
-        ).alias("top_token_frac"),
-        F.when(nt == 0, F.lit(0.0))
-        .otherwise(
-            F.round(
-                F.least(
-                    F.coalesce(max_gram, F.lit(0)) * 2 / n, F.lit(1.0)
-                ),
-                4,
+            F.coalesce(
+                F.round(F.lit(1.0) - F.col("distinct_tokens") / n, 4),
+                F.lit(0.0),
+            ).alias("dup_token_frac"),
+            F.coalesce(F.round(F.col("max_tok") / n, 4), F.lit(0.0)).alias(
+                "top_token_frac"
+            ),
+            F.when(F.col("n_tokens").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.least(
+                        F.coalesce(F.col("max_gram"), F.lit(0)) * 2 / n,
+                        F.lit(1.0),
+                    ),
+                    4,
+                )
             )
+            .alias("top_bigram_frac"),
         )
-        .alias("top_bigram_frac"),
     )
 
 
@@ -167,12 +157,13 @@ def pair_repstats_rle(t, repeats):
     d = t["documents"]
     print("repstats_rle: asserting identity first", file=sys.stderr)
     _assert_same(
-        repstats_rle_new(d), curation.repetition_stats(d), ["doc_id"]
+        curation.repetition_stats(d), repstats_union_old(d), ["doc_id"]
     )
     return _ab(
-        "repstats_rle(new=per-row RLE zero-shuffle, old=shipped union agg)",
-        lambda: repstats_rle_new(d),
+        "repstats_rle(new=shipped per-row RLE zero-shuffle, "
+        "old=r15 union agg replica)",
         lambda: curation.repetition_stats(d),
+        lambda: repstats_union_old(d),
         repeats,
     )
 
