@@ -194,9 +194,14 @@ def local_df(
                     # the Arrow path below handles it exactly
                     struct_sqls = None
                     break
-                # field names here are trusted internal identifiers
-                # (spine/spec column names); quote defensively anyway
-                parts.append(f"'{f.name}', {vs}")
+                # field names are usually internal spine/spec
+                # identifiers, but heavy_hitters_sampled routes USER
+                # column names through here — escape them exactly
+                # like _scalar_sql escapes string values (ADVICE r15:
+                # a quote in a column name was a ParseException, and
+                # a backslash silently renamed the field)
+                nm = f.name.replace("\\", "\\\\").replace("'", "\\'")
+                parts.append(f"'{nm}', {vs}")
             if struct_sqls is None:
                 break
             struct_sqls.append("named_struct(" + ", ".join(parts) + ")")

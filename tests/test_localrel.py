@@ -122,6 +122,26 @@ def test_arrow_path_identity_and_plan(spark):
     assert df.schema == spark.createDataFrame(rows, ddl).schema
 
 
+def test_hostile_field_names_on_literal_path(spark):
+    # ADVICE r15: via heavy_hitters_sampled the struct field names
+    # come from USER column schemas — a quote used to be a
+    # ParseException and a backslash silently renamed the field
+    # (e.g. 'a'||'b' concatenated). Names must round-trip exactly
+    # on the literal path.
+    from pyspark.sql.types import StructField, StructType, IntegerType
+
+    names = ["a'b", "c\\d", "e'':\\'f", "plain"]
+    st = StructType([StructField(n, IntegerType()) for n in names])
+    df = local_df(spark, [(1, 2, 3, 4), (5, 6, 7, 8)], st)
+    assert df.columns == names
+    assert _rows(df) == [(1, 2, 3, 4), (5, 6, 7, 8)]
+    # still the literal plan (not a fallback that hides the bug)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan
+
+
 def test_exact_freq_still_nullsafe(spark):
     # exact_freq routes its candidate list through local_df; the None
     # candidate (NULL match) must survive the literal path
