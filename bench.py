@@ -11,7 +11,15 @@ Timing model: median-of-5 per query = steady-state interactive
 latency robust to shared-box scheduler noise (round 4 measured a
 1.78x aggregate swing between best-of-2 runs of IDENTICAL code, so
 best-of-2 was not a usable estimator). Override the repeat count
-with $SPARK_GRAFT_BENCH_REPEATS. Pipelines that persist()
+with $SPARK_GRAFT_BENCH_REPEATS. r16 (VERDICT-r15 #1): the slate
+additionally runs as $SPARK_GRAFT_BENCH_ROUNDS (default 2)
+independent rounds of those blocks and each query reports the MIN
+of its round medians — one multi-minute CPU steal window covered
+all 5 samples of 14 consecutive queries in the r15 driver run and
+minted phantom regressions the medians could not absorb; rounds
+are far apart in wall time, so both medians of one query cannot
+sit in the same window. ROUNDS=1 reproduces the old single-round
+methodology. Pipelines that persist()
 intermediates (dedup LSH) serve later runs from cache —
 deliberately kept, since the reference system (Hillview) is an
 always-resident in-memory service and its baseline numbers are
@@ -668,30 +676,60 @@ def main():
             file=sys.stderr,
         )
 
+    # Steal-window robustness (r16, VERDICT-r15 #1): the r15 driver
+    # run minted 14 phantom "regressions" from ONE multi-minute CPU
+    # steal window — median-of-N per query cannot help when the
+    # window covers all N samples of consecutive queries (the blocks
+    # run back-to-back). So the timed slate now runs as
+    # $SPARK_GRAFT_BENCH_ROUNDS (default 2) INDEPENDENT rounds of the
+    # same per-query median-of-N blocks, ~3 min apart in wall time,
+    # and each query reports the MIN of its round medians: a window
+    # long enough to corrupt both rounds of one query would have to
+    # span the whole timed region. Within a round nothing changed —
+    # same blocks, same cache semantics (release_all per block), same
+    # materialization — and ROUNDS=1 reproduces the old methodology
+    # exactly. The two round medians per query are an A/A pair by
+    # construction; the detail line records them as evidence.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+    round_medians: dict[str, list[float]] = {name: [] for name in queries}
+    for rnd in range(rounds):
+        for name, (factory, how) in queries.items():
+            # median-of-N: the machine is shared, so single samples
+            # mix scheduler noise into the measurement; the median is
+            # robust to slow outliers and the one cold first run.
+            samples = []
+            for _ in range(repeats):
+                start = time.perf_counter()
+                materialize(factory(), how)
+                samples.append(time.perf_counter() - start)
+            med = statistics.median(samples)
+            # release caches the pipeline registered (LSH bucket
+            # tables etc.) so a long bench session doesn't accumulate
+            # storage; within-query warm reuse (runs 2..N of a block)
+            # is unaffected.
+            cache.release_all()
+            round_medians[name].append(med)
+            print(
+                f"# round {rnd + 1}/{rounds} {name}: {med:.3f}s "
+                f"(median of {repeats})",
+                file=sys.stderr,
+            )
     timings = {}
     total = 0.0
     comparable_total = 0.0
     comparable_n = 0
-    for name, (factory, how) in queries.items():
-        # median-of-N: the machine is shared, so single samples mix
-        # scheduler noise into the measurement; the median is robust
-        # to both slow outliers (noise) and the one cold first run.
-        samples = []
-        for _ in range(repeats):
-            start = time.perf_counter()
-            materialize(factory(), how)
-            samples.append(time.perf_counter() - start)
-        dt = round(statistics.median(samples), 3)
-        # release caches the pipeline registered (LSH bucket tables
-        # etc.) so a long bench session doesn't accumulate storage;
-        # within-query warm reuse (runs 2..N) is unaffected.
-        cache.release_all()
+    for name, meds in round_medians.items():
+        dt = round(min(meds), 3)
         timings[name] = dt
         total += dt
         if name in R2_ANCHORS:
             comparable_total += dt
             comparable_n += 1
-        print(f"# {name}: {dt:.3f}s (median of {repeats})", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s (min over {rounds} round medians "
+            f"{['%.3f' % m for m in meds]})",
+            file=sys.stderr,
+        )
 
     ab = run_ab(t, repeats)
 
@@ -703,18 +741,25 @@ def main():
     print(json.dumps({
         "detail": "full",
         "queries": timings,
+        # per-query round medians: each pair is a same-code A/A
+        # sample ~3 min apart — the steal-window evidence rides in
+        # the record itself
+        "query_rounds": {
+            n: [round(m, 3) for m in meds]
+            for n, meds in round_medians.items()
+        },
         "ab": ab,
     }, separators=(",", ":")))
     line = final_compact_line(
         timings, ab, total, sf, cpus, repeats, bucketed,
-        comparable_total, comparable_n,
+        comparable_total, comparable_n, rounds,
     )
     print(line)
     spark.stop()
 
 
 def compact_payload(timings, ab, total, sf, cpus, repeats, bucketed,
-                    comparable_total, comparable_n) -> dict:
+                    comparable_total, comparable_n, rounds=2) -> dict:
     """The compact final-line payload — extracted so the tail-budget
     pytest (r11 verdict #7) can dry-run the EXACT production dict
     over the real key set with worst-case number widths, without a
@@ -755,6 +800,7 @@ def compact_payload(timings, ab, total, sf, cpus, repeats, bucketed,
         "sf": sf,
         "cpus": cpus,
         "repeats": repeats,
+        "rounds": rounds,
         "comparable_total": round(comparable_total, 3),
         "comparable_n": comparable_n,
         **({"bucketed": True} if bucketed else {}),
@@ -766,10 +812,10 @@ def compact_payload(timings, ab, total, sf, cpus, repeats, bucketed,
 
 
 def final_compact_line(timings, ab, total, sf, cpus, repeats, bucketed,
-                       comparable_total, comparable_n) -> str:
+                       comparable_total, comparable_n, rounds=2) -> str:
     compact = compact_payload(
         timings, ab, total, sf, cpus, repeats, bucketed,
-        comparable_total, comparable_n,
+        comparable_total, comparable_n, rounds,
     )
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
