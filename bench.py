@@ -290,11 +290,19 @@ def _geo_polygons(t):
 # 2-decimal TPC-H value domains for the col_stats anchor: operand
 # (p,2) keeps the per-row decimal chain compact (p <= 8) — values
 # identical to the wide default, ~1.8x faster (see ab_pairs).
+# r16 (VERDICT-r15 #6): narrowed to the TRUE domains (quantity 1-50,
+# discount <= 0.10, tax <= 0.08) so the discount/tax SUM-OF-SQUARES
+# accumulator lands on the compact-long decimal path too (square
+# (7,4) -> sum decimal(17,4) <= 18 digits; at (4,2) the square's sum
+# was decimal(19,4), 128-bit): 1.157 s vs 1.293 s interleaved
+# medians of 7 (tools/ab_r16.py colstats_sq, identity asserted).
+# Scale stays 2 on every operand, so a value outside the declared
+# domain overflows LOUDLY under ANSI instead of silently rounding.
 _LI_STAT_WIDTHS = {
-    "l_quantity": (6, 2),
+    "l_quantity": (4, 2),
     "l_extendedprice": (8, 2),
-    "l_discount": (4, 2),
-    "l_tax": (4, 2),
+    "l_discount": (3, 2),
+    "l_tax": (3, 2),
 }
 
 
