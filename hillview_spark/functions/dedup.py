@@ -484,7 +484,18 @@ def simhash(
     shuffle of distinct (doc, h, c) rows outweighs the saved
     60-buffer updates at this corpus's 2.3x dup factor. A corpus
     with a far higher dup factor would flip that trade; at 2-3x the
-    per-occurrence shape stays."""
+    per-occurrence shape stays.
+
+    Measured r16 (VERDICT-r15 #2, the md5 boundary): the per-token
+    md5+conv hash is ~0.26 s of the 1.16 s fingerprint job at sf0.1
+    (stage decomposition: explode-only 0.153 s, +md5conv 0.417 s,
+    +xxhash64&mask 0.167 s), and swapping it for xxhash64 & (2^60-1)
+    runs the full aggregate at 0.748 s vs 0.901 s interleaved — a
+    ~17% win that CANNOT ship: the fingerprints change, the oracle
+    pins the md5-derived 60-bit hash (DuckDB has no xxhash64), and
+    a changed declared result is a regression regardless of speed.
+    Recorded in tools/ab_r16.py simhash_hash as the documented delta
+    for a deployment free to re-declare its hash function."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("t"),

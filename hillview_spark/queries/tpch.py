@@ -283,10 +283,14 @@ def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     # rev feeds two consumers (scalar max + equality join), so the
     # quarter's fact scan runs twice. A persist of the aggregate was
-    # MEASURED SLOWER at bench scale (0.50 s vs 0.41 s interleaved —
+    # MEASURED SLOWER at bench scale (r15: 0.50 s vs 0.41 s
+    # interleaved; re-measured r16: 0.433 vs 0.407 medians of 9 —
     # materialization + cache bookkeeping cost more than the
-    # page-cached rescan saves); at 100 TB the one-quarter filtered
-    # scan is pushdown-pruned, so the rescan stays bounded.
+    # page-cached rescan saves) and only NEUTRAL on a 10x lineitem
+    # replica (r16 tools/ab_r16.py q15_10x: 0.272 vs 0.283 medians
+    # of 7), so the rescan ships. At 100 TB with cold storage the
+    # trade flips — the persist variant is the probe's persisted()
+    # factory, one pushdown-pruned quarter scan instead of two.
     rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_rev"))
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (

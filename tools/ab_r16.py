@@ -368,10 +368,52 @@ def pair_q15_10x(spark, t, repeats):
     )
 
 
+def pair_q15_sf(spark, t, repeats):
+    """Same pair as q15_10x but over the REAL sf tables — the r15
+    decision (rescan faster at sf0.1) gets a fresh interleaved
+    sample before r16 decides whether the 10x-neutral persist shape
+    ships."""
+    from hillview_spark.queries.tpch import q15_top_supplier, _dec
+    from pyspark.sql.functions import broadcast
+
+    li0, sup = t["lineitem"], t["supplier"]
+
+    def shipped():
+        return q15_top_supplier(li0, sup)
+
+    def persisted():
+        li = li0.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+        rev = li.groupBy("l_suppkey").agg(
+            F.sum(revenue).alias("total_rev")
+        ).transform(cache.persist)
+        max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+        return (
+            rev.join(broadcast(max_rev), rev.total_rev == max_rev.max_rev)
+            .join(broadcast(sup.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey")
+        )
+
+    print("q15_sf: asserting identity first", file=sys.stderr)
+    _assert_same(shipped(), persisted(), ["s_suppkey"])
+    cache.release_all()
+    return _ab(
+        "q15_sf(new=persisted rev aggregate, old=shipped rescan)",
+        persisted, shipped, repeats,
+        materialize=lambda df: df.collect(),
+    )
+
+
 # ------------------------------------------------------------------ main
 
 PAIRS = ["repstats_rle", "colstats_sq", "simhash_hash", "regexp_big",
-         "q15_10x"]
+         "q15_10x", "q15_sf"]
 
 
 def main():
@@ -409,6 +451,8 @@ def main():
             pair_regexp_big(spark, t, repeats)
         elif name == "q15_10x":
             pair_q15_10x(spark, t, repeats)
+        elif name == "q15_sf":
+            pair_q15_sf(spark, t, repeats)
         spark.sparkContext.setJobDescription(None)
 
 
