@@ -165,6 +165,13 @@ def top_terms_per_doc(
     Determinism: idf quantizes through DECIMAL(20,9) after the ln
     (cross-library 1-ulp wobble — see bm25_search); tf is exact, so
     scores and the (score desc, term) rank reproduce in any engine.
+
+    Precondition (ADVICE r15): doc ids are unique. The per-row
+    run-length shape computes tf within each physical row, so rows
+    sharing an id keep separate tf and each contributes to document
+    frequency, where the pre-r15 groupBy(id, term) merged them. The
+    expected corpus keys documents by id; dedupe first if yours
+    doesn't.
     """
     from hillview_spark.functions.text import tokens_expr
 
