@@ -225,6 +225,16 @@ def headline_queries(t):
             t["events"], 60, 15), "noop"),
         "click_purchase": (lambda: ev.click_purchase_pairs(
             t["events"], 30), "noop"),
+        # r16 additions (VERDICT-r15 #7): the two heaviest gate-only
+        # events ops get bench numbers (windowed_quantiles already
+        # runs as events_quantiles). NOT anchors; same parameters as
+        # the declared __spark_entry__ keys. The compact-line bytes
+        # they cost are reclaimed by the ab-median rounding below —
+        # see compact_payload.
+        "events_funnel": (lambda: ev.funnel_counts(
+            t["events"], steps=("click", "view", "purchase")), "noop"),
+        "events_transitions": (lambda: ev.transition_counts(
+            t["events"]), "noop"),
         # differential privacy: scan + tiny groupBy + broadcast noise spine
         "dp_histogram": (lambda: privacy.dp_histogram(
             t["lineitem"], "l_quantity",
@@ -813,8 +823,14 @@ def compact_payload(timings, ab, total, sf, cpus, repeats, bucketed,
         "comparable_n": comparable_n,
         **({"bucketed": True} if bucketed else {}),
         "fam": {f: round(v, 3) for f, v in sorted(fam_totals.items())},
+        # 2 decimals on the compact line only (r16): the ab pairs are
+        # a~=b guards, so centisecond precision carries the signal;
+        # the 28 bytes saved pay for the two events keys above without
+        # pushing the worst-case line into the shed-ab fallback. Full
+        # 3-decimal medians stay on the detail line.
         "ab": {
-            k: [v["a_median"], v["b_median"]] for k, v in ab.items()
+            k: [round(v["a_median"], 2), round(v["b_median"], 2)]
+            for k, v in ab.items()
         },
     }
 

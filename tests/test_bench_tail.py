@@ -48,11 +48,16 @@ def test_compact_line_under_tail_budget_with_headroom(monkeypatch):
         comparable_n=len(qnames), rounds=2,
     )
     line = json.dumps(payload, separators=(",", ":"))
-    # 1850 -> 1860 in r16: the compact line gained `"rounds":2` (the
-    # steal-window fix's methodology marker, 12B). A new key family
-    # (~90B at these worst-case widths) still trips this line long
-    # before the 1900 hard cap sheds the ab medians.
-    assert len(line) <= 1860, (
+    # 1850 -> 1895 in r16: the compact line gained `"rounds":2` (the
+    # steal-window marker, +12B) and the two VERDICT-r15 #7 events
+    # keys (+49B), partly paid for by rounding the ab medians to 2
+    # decimals (-14B). Dry-run worst case is 1892B; real runs are
+    # 15B shorter (no "bucketed" flag), and the shed-ab fallback
+    # still covers a catastrophic all-queries->10s run. The slate is
+    # now BYTE-CLOSED: the next key added to the bench trips this
+    # assert — reclaim bytes in compact_payload first or keep the
+    # operator gate-only (standing rule since r11).
+    assert len(line) <= 1895, (
         f"compact line {len(line)}B: one key family from shedding the "
         "ab medians. Do not add bench keys — new operators get SURVEY "
         "rows + oracle-gate keys instead (standing rule since r11)."
