@@ -2685,41 +2685,95 @@ def funnel_counts(
     non-increasing. NULL users/times excluded (identity/position
     rule, as cohort_retention).
 
-    Scale shape: each stage is a type-filtered scan (predicate
-    pushdown on event_type) joined to the previous stage's
-    (user, first-completion) frame — |users| rows, hash-partitioned
-    by user by its own aggregate, so consecutive stages reuse the
-    partitioning; the per-stage frame persists because it feeds its
-    own count AND the next stage. Never a cartesian, never a window
-    over raw events; len(steps) is small and fixed."""
+    Scale shape (r16 rewrite): ONE type-filtered scan (event_type IN
+    steps pushed down) and ONE corpus shuffle — groupBy(user) collects
+    each user's in-funnel (ts, step) pairs sorted by time, and a
+    forward fold over that sorted array computes the first-completion
+    chain exactly (state[k] = min ts of a step-k event strictly after
+    state[k-1]; any qualifying element sorts after the one that set
+    state[k-1], so one ascending pass suffices, ties excluded by the
+    strict >). The per-user array is bounded by that user's in-funnel
+    events (same bound transition_counts carries). The r11 shape ran
+    a scan + join + aggregate + persist PER STEP (3 scans, 2 joins,
+    3 persisted frames for the default funnel); only the |users|-row
+    depth frame persists now, feeding the K count branches.
+    Duplicate step names keep the iterative semantics: slot k accepts
+    an event whose type equals steps[k] (a plan-time literal index
+    set), so ("click", "click") means a second click strictly after
+    the first. Never a cartesian, never a window over raw events;
+    len(steps) is small and fixed."""
     if not steps:
         raise ValueError("steps must name at least one event type")
     from hillview_spark import cache
 
-    base = events.where(
-        F.col("ts").isNotNull() & F.col(id_col).isNotNull()
-    ).select(F.col(id_col).alias("__u"), "event_type", F.col("ts").alias("__ts"))
-    rows = []
-    cur = None
+    k_steps = len(steps)
+    # first step index whose type matches the event (duplicates in
+    # steps resolved per-slot below via the literal index sets)
+    iexpr = F
     for i, st in enumerate(steps):
-        side = base.where(F.col("event_type") == st)
-        if cur is None:
-            cur = side.groupBy("__u").agg(F.min("__ts").alias("__t"))
-        else:
-            cur = (
-                side.join(cur, "__u")
-                .where(F.col("__ts") > F.col("__t"))
-                .groupBy("__u")
-                .agg(F.min("__ts").alias("__t"))
-            )
-        cur = cache.persist(cur)
-        rows.append(
-            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("step"),
-                F.lit(st).alias("event_type"),
-                "n_users",
-            )
+        iexpr = iexpr.when(F.col("event_type") == F.lit(st), F.lit(i))
+    typed = events.where(
+        F.col("ts").isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col("event_type").isin(*steps)
+    ).select(
+        F.col(id_col).alias("__u"),
+        # micros long: injective on the micros-precision ts, cheapest
+        # sort/compare type (session TZ is UTC, so the ntz cast is a
+        # stable relabel)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__ts"),
+        iexpr.alias("__i"),
+    )
+
+    def _advance(acc, e):
+        # one funnel-chain transition: slot k takes this event's ts
+        # iff the slot is open, the event's type is steps[k], and the
+        # previous slot closed STRICTLY earlier (old-acc reads keep
+        # one event from completing two steps at its own instant)
+        slots = []
+        for k in range(k_steps):
+            match_k = [i for i, s in enumerate(steps) if s == steps[k]]
+            cond = acc[k].isNull() & e["__i"].isin(match_k)
+            if k > 0:
+                cond = cond & acc[k - 1].isNotNull() & (
+                    e["__ts"] > acc[k - 1]
+                )
+            slots.append(F.when(cond, e["__ts"]).otherwise(acc[k]))
+        return F.array(*slots)
+
+    depth = (
+        typed.groupBy("__u")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__ts"), F.col("__i")))
+            ).alias("__evs")
         )
+        .select(
+            F.size(
+                F.filter(
+                    F.aggregate(
+                        "__evs",
+                        F.array(
+                            *[F.lit(None).cast("bigint") for _ in steps]
+                        ),
+                        _advance,
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("__depth")
+        )
+    )
+    depth = cache.persist(depth)
+    rows = [
+        depth.where(F.col("__depth") > k)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.lit(k + 1).alias("step"),
+            F.lit(st).alias("event_type"),
+            "n_users",
+        )
+        for k, st in enumerate(steps)
+    ]
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)

@@ -1360,6 +1360,35 @@ def test_windowed_distinct_counts_entities_not_events(spark):
     assert got == {"click": 2, "view": 1}
 
 
+def test_funnel_counts_duplicate_step_names(spark):
+    """r16: the single-pass fold must keep the iterative semantics
+    for duplicate step names — steps=('click','click') means a
+    SECOND click strictly after the first (slot k matches on step
+    TYPE via plan-time index sets, not one first-match index per
+    event, which would never complete the repeated step)."""
+    import datetime
+
+    from hillview_spark.streaming import events as ev
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, m)
+    rows = [
+        # u1: two clicks at distinct times — completes both steps
+        (1, 1, "click", t(0), 1.0), (2, 1, "click", t(5), 1.0),
+        # u2: one click — stops at step 1
+        (3, 2, "click", t(0), 1.0),
+        # u3: two clicks at the SAME instant — strict >, stops
+        (4, 3, "click", t(2), 1.0), (5, 3, "click", t(2), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    got = {r.step: (r.event_type, r.n_users)
+           for r in ev.funnel_counts(df, steps=("click", "click")).collect()}
+    assert got == {1: ("click", 3), 2: ("click", 1)}
+
+
 def test_funnel_counts_ordered_steps(spark):
     """r11: step k counts only users whose first step-k event is
     STRICTLY after their first completion of step k-1 — a purchase

@@ -293,6 +293,25 @@ def test_cap_per_group_two_phase_bounded_shuffles(spark, tables):
     ex.assert_max_shuffles(df, 2)
 
 
+def test_funnel_counts_single_scan_no_join(spark, tables):
+    """r16: the funnel is ONE IN-pushdown scan + one corpus shuffle
+    (plus the K tiny count branches) — the r11 per-step join chain is
+    gone. A join reappearing here means the fold rewrite regressed."""
+    from hillview_spark.plans.explain import physical_plan
+    from hillview_spark.streaming import events as ev
+
+    df = ev.funnel_counts(tables["events"])
+    plan = physical_plan(df)
+    assert "Join" not in plan, "funnel must not join step frames"
+    # the K count branches each print the ONE cached relation's
+    # child, so count distinct scan lines: the r11 shape had K
+    # distinct scans (one per step type's pushed filter)
+    scans = {l[l.index("FileScan"):] for l in plan.splitlines()
+             if "FileScan parquet" in l}
+    assert len(scans) == 1, f"funnel must scan events once, got {len(scans)}"
+    assert "In(event_type" in plan, "step filter must reach the scan"
+
+
 def test_ivf_indexed_search_prunes_partitions(spark, tables, tmp_path):
     """The persisted IVF layout must turn n_probe into PARTITION
     pruning: the data scan lists the probed cells as PartitionFilters

@@ -410,10 +410,73 @@ def pair_q15_sf(spark, t, repeats):
     )
 
 
+# ---------------------------------------------------------- funnel fold
+
+def pair_funnel_fold(t, repeats):
+    """events_funnel: the r16 single-pass fold (one IN-pushdown scan,
+    one corpus shuffle, one persisted |users|-row depth frame) vs an
+    inline replica of the r11 iterative shape (type-filtered scan +
+    join + aggregate + persist PER STEP). Identity asserted."""
+    from hillview_spark.streaming.events import funnel_counts
+
+    steps = ("click", "view", "purchase")
+    events = t["events"]
+
+    def old_iterative():
+        base = events.where(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        ).select(
+            F.col("user_id").alias("__u"), "event_type",
+            F.col("ts").alias("__ts"),
+        )
+        rows = []
+        cur = None
+        for i, st in enumerate(steps):
+            side = base.where(F.col("event_type") == st)
+            if cur is None:
+                cur = side.groupBy("__u").agg(F.min("__ts").alias("__t"))
+            else:
+                cur = (
+                    side.join(cur, "__u")
+                    .where(F.col("__ts") > F.col("__t"))
+                    .groupBy("__u")
+                    .agg(F.min("__ts").alias("__t"))
+                )
+            cur = cache.persist(cur)
+            rows.append(
+                cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                    F.lit(i + 1).alias("step"),
+                    F.lit(st).alias("event_type"),
+                    "n_users",
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionAll(r)
+        return out
+
+    def new_fold():
+        return funnel_counts(events, steps=steps)
+
+    print("funnel_fold: asserting identity first", file=sys.stderr)
+    _assert_same(new_fold(), old_iterative(), ["step"])
+    cache.release_all()
+
+    def mat(df):
+        _noop(df)
+        cache.release_all()
+
+    return _ab(
+        "funnel_fold(new=single-pass sorted fold, old=per-step "
+        "scan+join+persist)",
+        new_fold, old_iterative, repeats, materialize=mat,
+    )
+
+
 # ------------------------------------------------------------------ main
 
 PAIRS = ["repstats_rle", "colstats_sq", "simhash_hash", "regexp_big",
-         "q15_10x", "q15_sf"]
+         "q15_10x", "q15_sf", "funnel_fold"]
 
 
 def main():
@@ -453,6 +516,8 @@ def main():
             pair_q15_10x(spark, t, repeats)
         elif name == "q15_sf":
             pair_q15_sf(spark, t, repeats)
+        elif name == "funnel_fold":
+            pair_funnel_fold(t, repeats)
         spark.sparkContext.setJobDescription(None)
 
 
